@@ -1,0 +1,82 @@
+"""Gold-layer star-schema builders and idempotent merges.
+
+Reference: glue/data_aggregate_gold.py builds fact_crypto_daily (:54-69),
+dim_coins (:108-112), dim_date (:144-164) and "merges" by
+read-filter-union-rewrite (:73-100) — rewriting the whole fact table per
+run.  Here merges use what the reference configured but never used
+(partitionOverwriteMode=dynamic, :16): writing only the changed date
+partitions — at 100 TB that's the difference between touching one day and
+rewriting history.  Dim merges key-dedup (coin_id) instead of the
+reference's full-row union+distinct (:122,174), which silently duplicates
+keys when any attribute changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def build_fact(silver: DataFrame, key: str = "coin_id", date_col: str = "update_date") -> DataFrame:
+    """Fact projection (gold.py:54-69): rename date, drop null keys (P4)."""
+    return silver.withColumnRenamed(date_col, "date").filter(F.col(key).isNotNull())
+
+
+def build_dim(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Dim = distinct projection (gold.py:108-112), e.g. coin_id/symbol/name."""
+    return df.select(*cols).distinct()
+
+
+def calendar_columns(date_col: Column) -> list[Column]:
+    """The 9 derived calendar attributes (gold.py:146-164), P2/F3/F4/P9."""
+    return [
+        F.year(date_col).alias("year"),
+        F.month(date_col).alias("month"),
+        F.dayofmonth(date_col).alias("day"),
+        F.quarter(date_col).alias("quarter"),
+        F.dayofweek(date_col).alias("day_of_week"),
+        F.weekofyear(date_col).alias("week_of_year"),
+        F.date_format(date_col, "MMMM").alias("month_name"),
+        F.date_format(date_col, "EEEE").alias("day_name"),
+        F.when(F.dayofweek(date_col).isin([1, 7]), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_weekend"),
+    ]
+
+
+def build_dim_date(df: DataFrame, date_col: str) -> DataFrame:
+    """dim_date (gold.py:144-164): distinct dates + calendar attributes."""
+    dates = df.select(F.to_date(F.col(date_col)).alias("date")).distinct()
+    return dates.select(F.col("date"), *calendar_columns(F.col("date")))
+
+
+def merge_fact(new_fact: DataFrame, path: str, partition_col: str = "date") -> None:
+    """Upsert new date partitions (J2) via dynamic partition overwrite.
+
+    Replaces the reference's read-existing → filter-out-new-dates → union →
+    full rewrite (gold.py:73-100): with partitionOverwriteMode=dynamic a
+    single ``mode("overwrite")`` write replaces exactly the partitions
+    present in ``new_fact`` and leaves the rest untouched.  Idempotent:
+    re-running the same day rewrites that day only.
+    """
+    (
+        new_fact.write.mode("overwrite")
+        .option("compression", "snappy")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def merge_dim(existing: DataFrame | None, new: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Key-deduped dim upsert (J3 done right).
+
+    ``unionByName`` + ``dropDuplicates(keys)`` with new rows winning (new
+    first — dropDuplicates keeps the first occurrence per key).  The
+    reference's union().distinct() (gold.py:122,174) dedups full rows only,
+    so a changed attribute duplicates the key forever.
+    """
+    if existing is None:
+        return new.dropDuplicates(list(keys))
+    return new.unionByName(existing).dropDuplicates(list(keys))

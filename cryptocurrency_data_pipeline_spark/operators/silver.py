@@ -32,18 +32,10 @@ def required_null_predicate(required: Sequence[str]) -> Column:
     return pred
 
 
-def enforce_schema_split(
-    df: DataFrame,
-    required: Sequence[str],
-    validation_type: str = "schema_enforcement",
-) -> tuple[DataFrame, DataFrame]:
-    """Distributed rewrite of the reference's collect()-loop validation.
-
-    Returns ``(valid_df, dlq_df)``.  ``dlq_df`` carries the reference's DLQ
-    envelope (glue/data_transform_s3.py:89-94): the offending row serialized
-    as JSON plus per-row reasons naming every missing required field.
-    """
-    reasons = F.array_join(
+def missing_reasons(required: Sequence[str]) -> Column:
+    """``" | "``-joined list of missing required fields for a row (the DLQ
+    ``error_reason`` format, glue/data_transform_s3.py:86-88)."""
+    return F.array_join(
         F.filter(
             F.array(
                 *[
@@ -55,6 +47,20 @@ def enforce_schema_split(
         ),
         " | ",
     )
+
+
+def enforce_schema_split(
+    df: DataFrame,
+    required: Sequence[str],
+    validation_type: str = "schema_enforcement",
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed rewrite of the reference's collect()-loop validation.
+
+    Returns ``(valid_df, dlq_df)``.  ``dlq_df`` carries the reference's DLQ
+    envelope (glue/data_transform_s3.py:89-94): the offending row serialized
+    as JSON plus per-row reasons naming every missing required field.
+    """
+    reasons = missing_reasons(required)
     invalid = required_null_predicate(required)
     valid_df = df.filter(~invalid)
     dlq_df = df.filter(invalid).select(

@@ -189,3 +189,340 @@ def top_orders_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "c_name", F.round("o_totalprice", 2).alias("total_price")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Window functions (W3): lag delta + rank within user — the analytics the
+# reference receives precomputed from the API (price_change_24h,
+# market_cap_rank; glue/data_transform_s3.py:32) recomputed natively.
+# --------------------------------------------------------------------------
+
+@query(
+    "window_user_deltas",
+    oracle="""
+    SELECT event_id, user_id, value,
+           round(value - lag(value) OVER w, 6) AS value_delta,
+           rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+           row_number() OVER w AS seq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_user_deltas(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+        F.rank().over(wr).alias("value_rank"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DQ profile (A4-A10): the full PyDeequ analyzer set in ONE aggregate pass
+# (glue/data_quality_pydeequ.py:42-59 runs several Deequ jobs for the same).
+# --------------------------------------------------------------------------
+
+@query(
+    "dq_profile_lineitem",
+    oracle="""
+    SELECT 'Dataset' AS entity, '*' AS instance, 'Size' AS name,
+           CAST(count(*) AS DOUBLE) AS value FROM lineitem
+    UNION ALL SELECT 'Column', 'l_quantity', 'Completeness',
+           round(CAST(count(l_quantity) AS DOUBLE) / count(*), 6) FROM lineitem
+    UNION ALL SELECT 'Column', 'l_extendedprice', 'Completeness',
+           round(CAST(count(l_extendedprice) AS DOUBLE) / count(*), 6) FROM lineitem
+    UNION ALL SELECT 'Column', 'l_quantity', 'Mean', round(avg(l_quantity), 6) FROM lineitem
+    UNION ALL SELECT 'Column', 'l_quantity', 'StandardDeviation',
+           round(stddev_pop(l_quantity), 6) FROM lineitem
+    UNION ALL SELECT 'Column', 'l_quantity', 'Minimum', round(min(l_quantity), 6) FROM lineitem
+    UNION ALL SELECT 'Column', 'l_quantity', 'Maximum', round(max(l_quantity), 6) FROM lineitem
+    UNION ALL SELECT 'Column', 'l_extendedprice', 'Mean', round(avg(l_extendedprice), 6) FROM lineitem
+    UNION ALL SELECT 'Column', 'l_extendedprice', 'StandardDeviation',
+           round(stddev_pop(l_extendedprice), 6) FROM lineitem
+    UNION ALL SELECT 'Column', 'l_extendedprice', 'Minimum', round(min(l_extendedprice), 6) FROM lineitem
+    UNION ALL SELECT 'Column', 'l_extendedprice', 'Maximum', round(max(l_extendedprice), 6) FROM lineitem
+    """,
+)
+def dq_profile_lineitem(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import quality
+
+    li = t(spark, sf_dir, "lineitem")
+    metrics = quality.profile(
+        li,
+        completeness_cols=["l_quantity", "l_extendedprice"],
+        numeric_cols=["l_quantity", "l_extendedprice"],
+    )
+    return quality.profile_df(spark, metrics).select(
+        "entity", "instance", "name", F.round("value", 6).alias("value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Uniqueness (A6, Deequ semantics): fraction of key values occurring exactly
+# once — a two-level aggregate (glue/data_quality_pydeequ.py:50).
+# --------------------------------------------------------------------------
+
+@query(
+    "uniqueness_custkey",
+    oracle="""
+    SELECT round(CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE) / count(*), 6)
+           AS uniqueness
+    FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)
+    """,
+)
+def uniqueness_custkey(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)) / F.count(F.lit(1)), 6
+            ).alias("uniqueness")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Constraint verification (A11/A12): declarative checks against the one-pass
+# profile; includes a deliberately failing constraint so both statuses are
+# exercised (glue/data_quality_pydeequ.py:72-89 contract).
+# --------------------------------------------------------------------------
+
+@query(
+    "dq_constraint_check",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS sz,
+             CAST(count(o_custkey) AS DOUBLE) / count(*) AS comp,
+             CAST(min(o_totalprice) AS DOUBLE) AS minp
+      FROM orders
+    ), uo AS (
+      SELECT CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE) / count(*) AS u
+      FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY o_orderkey)
+    ), uc AS (
+      SELECT CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE) / count(*) AS u
+      FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)
+    )
+    SELECT 'size >= 100' AS constraint_name, 'Size()' AS metric,
+           round(sz, 6) AS value,
+           CASE WHEN sz >= 100 THEN 'Success' ELSE 'Failure' END AS constraint_status
+    FROM m
+    UNION ALL SELECT 'completeness(o_custkey) > 0.95', 'Completeness(o_custkey)',
+           round(comp, 6), CASE WHEN comp > 0.95 THEN 'Success' ELSE 'Failure' END FROM m
+    UNION ALL SELECT 'min(o_totalprice) > 0', 'Minimum(o_totalprice)',
+           round(minp, 6), CASE WHEN minp > 0 THEN 'Success' ELSE 'Failure' END FROM m
+    UNION ALL SELECT 'uniqueness(o_orderkey) > 0.99', 'Uniqueness(o_orderkey)',
+           round(u, 6), CASE WHEN u > 0.99 THEN 'Success' ELSE 'Failure' END FROM uo
+    UNION ALL SELECT 'uniqueness(o_custkey) > 0.99', 'Uniqueness(o_custkey)',
+           round(u, 6), CASE WHEN u > 0.99 THEN 'Success' ELSE 'Failure' END FROM uc
+    """,
+)
+def dq_constraint_check(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import quality
+
+    orders = t(spark, sf_dir, "orders")
+    metrics = quality.profile(
+        orders,
+        completeness_cols=["o_custkey"],
+        numeric_cols=["o_totalprice"],
+        unique_key="o_orderkey",
+    )
+    # Second uniqueness key needs its own two-level agg.
+    metrics.update(
+        {
+            "Uniqueness(o_custkey)": quality.profile(orders, unique_key="o_custkey")[
+                "Uniqueness(o_custkey)"
+            ]
+        }
+    )
+    constraints = [
+        quality.Constraint("size >= 100", "Size()", lambda v: v >= 100),
+        quality.Constraint(
+            "completeness(o_custkey) > 0.95", "Completeness(o_custkey)", lambda v: v > 0.95
+        ),
+        quality.Constraint(
+            "min(o_totalprice) > 0", "Minimum(o_totalprice)", lambda v: v > 0
+        ),
+        quality.Constraint(
+            "uniqueness(o_orderkey) > 0.99", "Uniqueness(o_orderkey)", lambda v: v > 0.99
+        ),
+        quality.Constraint(
+            "uniqueness(o_custkey) > 0.99", "Uniqueness(o_custkey)", lambda v: v > 0.99
+        ),
+    ]
+    return quality.verify(spark, metrics, constraints).select(
+        "constraint_name", "metric", F.round("value", 6).alias("value"), "constraint_status"
+    )
+
+
+# --------------------------------------------------------------------------
+# dim_date calendar build (P2, F3/F4, P9): glue/data_aggregate_gold.py:144-164.
+# --------------------------------------------------------------------------
+
+@query(
+    "dim_date_calendar",
+    oracle="""
+    SELECT CAST(d AS VARCHAR) AS date,
+           CAST(year(d) AS INT) AS year,
+           CAST(month(d) AS INT) AS month,
+           CAST(day(d) AS INT) AS day,
+           CAST(quarter(d) AS INT) AS quarter,
+           CAST(dayofweek(d) + 1 AS INT) AS day_of_week,
+           CAST(weekofyear(d) AS INT) AS week_of_year,
+           monthname(d) AS month_name,
+           dayname(d) AS day_name,
+           dayofweek(d) IN (0, 6) AS is_weekend
+    FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+    """,
+)
+def dim_date_calendar(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import gold
+
+    orders = t(spark, sf_dir, "orders")
+    dim = gold.build_dim_date(orders, "o_orderdate")
+    return dim.select(
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        *[c for c in dim.columns if c != "date"],
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (U1-U3): anti-join (the reference's collected-list isin
+# emulation at glue/data_aggregate_gold.py:79-84, done as a real anti-join)
+# and intersect.
+# --------------------------------------------------------------------------
+
+@query(
+    "customers_without_big_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_totalprice > 400000 AND o_custkey IS NOT NULL)
+    """,
+)
+def customers_without_big_orders(spark, sf_dir):
+    customer = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "purchase_and_signup_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def purchase_and_signup_users(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .intersect(ev.filter(F.col("event_type") == "signup").select("user_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollup (A13): hierarchical subtotals — absent in the reference, part of
+# the engine's gold-analytics surface.
+# --------------------------------------------------------------------------
+
+@query(
+    "rollup_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returnflag_status(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Threshold validation + routing (P13/T4): the streaming consumer's rule
+# chain (streaming/consumer.py:47-57) vectorized — bad rows with the
+# " | "-joined multi-reason string (consumer.py:63).
+# --------------------------------------------------------------------------
+
+@query(
+    "threshold_routing_bad",
+    oracle="""
+    SELECT event_id,
+           concat_ws(' | ',
+             CASE WHEN value < 1 THEN 'value below minimum 1' END,
+             CASE WHEN event_type = 'error' THEN 'error event' END,
+             CASE WHEN value > 150 THEN 'suspicious spike' END) AS error_reason
+    FROM events
+    WHERE value < 1 OR event_type = 'error' OR value > 150
+    """,
+)
+def threshold_routing_bad(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    rules = [
+        (F.col("value") < 1, "value below minimum 1"),
+        (F.col("event_type") == "error", "error event"),
+        (F.col("value") > 150, "suspicious spike"),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(r)) for cond, r in rules]),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        ev.withColumn("__reasons", reasons)
+        .filter(F.size("__reasons") > 0)
+        .select("event_id", F.array_join("__reasons", " | ").alias("error_reason"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema-enforcement split (P12): the reference's driver-side collect() loop
+# (glue/data_transform_s3.py:72-108) as a distributed split; DLQ side shown.
+# Nulls are injected deterministically since the testdata has none.
+# --------------------------------------------------------------------------
+
+@query(
+    "schema_enforcement_dlq",
+    oracle="""
+    WITH mut AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+             CASE WHEN value < 1 THEN NULL ELSE value END AS value
+      FROM events
+    )
+    SELECT event_id,
+           concat_ws(' | ',
+             CASE WHEN event_type IS NULL THEN 'missing required field: event_type' END,
+             CASE WHEN value IS NULL THEN 'missing required field: value' END) AS error_reason
+    FROM mut
+    WHERE event_type IS NULL OR value IS NULL
+    """,
+)
+def schema_enforcement_dlq(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("value") < 1, None).otherwise(F.col("value")).alias("value"),
+    )
+    required = ["event_type", "value"]
+    return ev.filter(silver.required_null_predicate(required)).select(
+        "event_id", silver.missing_reasons(required).alias("error_reason")
+    )

@@ -1,0 +1,78 @@
+"""Gold layer: calendar dim, key-deduped dim merge, idempotent fact merge
+via dynamic partition overwrite (the reference rewrites the whole table —
+glue/data_aggregate_gold.py:73-100)."""
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from cryptocurrency_data_pipeline_spark.operators import gold
+
+
+def test_build_dim_date(spark):
+    df = spark.createDataFrame(
+        [("2024-01-06",), ("2024-01-08",), ("2024-01-06",)], "d string"
+    )
+    dim = gold.build_dim_date(df, "d")
+    rows = {r.date: r for r in dim.collect()}
+    assert len(rows) == 2
+    sat = rows[datetime.date(2024, 1, 6)]
+    assert (sat.year, sat.month, sat.day, sat.quarter) == (2024, 1, 6, 1)
+    assert sat.day_of_week == 7 and sat.is_weekend is True
+    assert sat.month_name == "January" and sat.day_name == "Saturday"
+    mon = rows[datetime.date(2024, 1, 8)]
+    assert mon.is_weekend is False and mon.day_name == "Monday"
+
+
+def test_merge_dim_key_dedup(spark):
+    existing = spark.createDataFrame(
+        [("btc", "btc", "Bitcoin"), ("eth", "eth", "Ethereum")],
+        "coin_id string, symbol string, name string",
+    )
+    # btc renamed: reference's union+distinct would keep BOTH rows forever.
+    new = spark.createDataFrame(
+        [("btc", "btc", "Bitcoin Core"), ("sol", "sol", "Solana")],
+        "coin_id string, symbol string, name string",
+    )
+    merged = gold.merge_dim(existing, new, ["coin_id"])
+    got = {r.coin_id: r.name for r in merged.collect()}
+    assert got == {"btc": "Bitcoin Core", "eth": "Ethereum", "sol": "Solana"}
+    # Idempotent: merging the same frame again changes nothing.
+    again = gold.merge_dim(merged, new, ["coin_id"])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_merge_fact_dynamic_overwrite(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    day1 = spark.createDataFrame(
+        [("btc", 100.0, "2024-01-01"), ("eth", 10.0, "2024-01-01")],
+        "coin_id string, price double, date string",
+    )
+    day2 = spark.createDataFrame(
+        [("btc", 110.0, "2024-01-02")], "coin_id string, price double, date string"
+    )
+    gold.merge_fact(day1, path)
+    gold.merge_fact(day2, path)
+    assert spark.read.parquet(path).count() == 3
+    # Re-run day2 with corrected data: replaces ONLY that partition.
+    day2_fix = spark.createDataFrame(
+        [("btc", 111.0, "2024-01-02"), ("eth", 11.0, "2024-01-02")],
+        "coin_id string, price double, date string",
+    )
+    gold.merge_fact(day2_fix, path)
+    out = spark.read.parquet(path)
+    assert out.count() == 4
+    assert out.filter(F.col("date") == "2024-01-01").count() == 2
+    assert {r.price for r in out.filter(F.col("date") == "2024-01-02").collect()} == {111.0, 11.0}
+
+
+def test_build_fact_and_dim(spark):
+    silver = spark.createDataFrame(
+        [("btc", 1.0, "2024-01-01"), (None, 2.0, "2024-01-01"), ("btc", 1.0, "2024-01-01")],
+        "coin_id string, price double, update_date string",
+    )
+    fact = gold.build_fact(silver)
+    assert fact.columns == ["coin_id", "price", "date"]
+    assert fact.count() == 2  # null key dropped (P4)
+    dim = gold.build_dim(silver.filter(F.col("coin_id").isNotNull()), ["coin_id"])
+    assert dim.count() == 1

@@ -1,0 +1,68 @@
+"""DQ operators: single-pass profile, Deequ-semantics uniqueness edge cases,
+constraint verification contract, row-level rules + routing."""
+
+import pytest
+
+from cryptocurrency_data_pipeline_spark.operators import quality
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "coin_id string, price double, cap long")
+
+
+def test_profile_single_pass(spark):
+    df = _df(
+        spark,
+        [("a", 1.0, 10), ("b", 3.0, 20), ("c", None, 30), ("a", 5.0, 40)],
+    )
+    m = quality.profile(
+        df, completeness_cols=["price"], numeric_cols=["price"], unique_key="coin_id"
+    )
+    assert m["Size()"] == 4.0
+    assert m["Completeness(price)"] == 0.75
+    assert m["Mean(price)"] == 3.0
+    assert m["Minimum(price)"] == 1.0
+    assert m["Maximum(price)"] == 5.0
+    # 'a' occurs twice -> of 3 distinct keys, 2 occur exactly once
+    assert abs(m["Uniqueness(coin_id)"] - 2 / 3) < 1e-12
+
+
+def test_uniqueness_edge_cases(spark):
+    all_dup = _df(spark, [("a", 1.0, 1), ("a", 2.0, 2)])
+    assert quality.profile(all_dup, unique_key="coin_id")["Uniqueness(coin_id)"] == 0.0
+    unique = _df(spark, [("a", 1.0, 1), ("b", 2.0, 2)])
+    assert quality.profile(unique, unique_key="coin_id")["Uniqueness(coin_id)"] == 1.0
+
+
+def test_verify_pass_fail_and_raise(spark):
+    df = _df(spark, [("a", 1.0, 10), ("b", -3.0, 20)])
+    m = quality.profile(df, numeric_cols=["price"])
+    constraints = [
+        quality.Constraint("size >= 1", "Size()", lambda v: v >= 1),
+        quality.Constraint("min price > 0", "Minimum(price)", lambda v: v > 0),
+    ]
+    res = {r.constraint_name: r.constraint_status for r in
+           quality.verify(spark, m, constraints).collect()}
+    assert res == {"size >= 1": "Success", "min price > 0": "Failure"}
+    with pytest.raises(quality.DQGateError, match="min price > 0"):
+        quality.verify(spark, m, constraints, raise_on_failure=True)
+
+
+def test_row_level_rules_and_routing(spark):
+    df = _df(
+        spark,
+        [
+            ("a", 1.0, 10),     # passes
+            ("b", None, 20),    # fails IsComplete(price)
+            ("c", -1.0, 30),    # fails ColumnValues(price > 0)
+            ("d", 2.0, 40),     # dup key -> fails IsPrimaryKey
+            ("d", 3.0, 50),
+        ],
+    )
+    tagged = quality.row_level_rules(
+        df, complete_cols=["price"], positive_cols=["price"], primary_key="coin_id"
+    )
+    passed, failed = quality.route_rows(tagged)
+    assert {r.coin_id for r in passed.collect()} == {"a"}
+    assert failed.count() == 4
+    assert "dq_result" not in passed.columns
