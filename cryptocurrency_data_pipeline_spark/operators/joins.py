@@ -1,0 +1,83 @@
+"""Join operators beyond plain equi-joins: as-of and range joins.
+
+The reference implements no true joins (SURVEY §2.3) — its star schema
+exists to be queried.  These are the time-series lookups that consumption
+implies (last-known-price style), built scale-first:
+
+* **as-of join**: union-sort-ffill — tag both sides, union, one window pass
+  per key carrying the right side's last value forward, keep left rows.
+  ONE shuffle on the key, no per-key range explosion: at 100 TB this beats
+  the naive equi-join + range-filter + argmax (quadratic per key) by
+  construction.
+* **range join**: equi-join on the key with an interval predicate; Spark
+  plans the equi part as a hash/SMJ join and applies the interval as a
+  post-join filter, so the blow-up is bounded by the key cardinality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, append the right side's latest values with
+    right_ts <= left_ts (per key).  Left-join semantics: unmatched → null.
+
+    Right side should be unique per (key, right_ts); at equal timestamps the
+    right row is considered visible to the left row (<= semantics, matching
+    DuckDB ASOF JOIN).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    out_cols = [f"{prefix}{c}" for c in value_cols]
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
+          for c, o in zip(value_cols, out_cols)],
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)],
+    )
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    # Right rows sort before left rows at equal __ts (side 0 < 1) so an
+    # equal-timestamp right value is visible (<=).
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in out_cols],
+        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_cols],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__ts", "__side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    condition: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ``key`` plus an arbitrary interval/theta ``condition``."""
+    keys = [key] if isinstance(key, str) else list(key)
+    on = [left[k] == right[k] for k in keys]
+    return left.join(right, on + [condition], how)

@@ -1,0 +1,119 @@
+"""Text-analysis operators for the LLM-data-pipeline surface.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd) — no Python UDFs: at 100 TB these run inside the
+parquet scan stage with zero serialization cost.
+
+Operators: tokenization, token/char stats, quality scoring (length/punct/
+stopword ratios), marker-word language ID, md5 document fingerprinting,
+word n-gram shingling (feeds the dedup family in ``dedup.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Marker words per language for the voting heuristic.  Real pipelines use
+#: char-n-gram models; the interface is the same — a deterministic
+#: text → lang expression.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "und", "das"),
+    "es": ("el", "los", "y"),
+    "zh": ("的", "是", "了"),
+}
+
+STOPWORDS = ("a", "the", "of", "and")
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization (lowercased)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def stopword_ratio(col: str | Column = "text") -> Column:
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return n_stop / F.size(toks)
+
+
+def punct_ratio(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[^\w\s]", "")
+    return (F.length(c) - F.length(stripped)) / F.length(c)
+
+
+def avg_token_len(col: str | Column = "text") -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    return total / F.size(toks)
+
+
+def quality_score(col: str | Column = "text") -> Column:
+    """Composite [0,1] quality score: long enough, low punctuation, sane
+    stopword density — the standard cheap pre-filter for LLM corpora."""
+    length_ok = F.least(char_count(col) / F.lit(200.0), F.lit(1.0))
+    punct_ok = 1.0 - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    stop = stopword_ratio(col)
+    stop_ok = 1.0 - F.least(F.abs(stop - 0.1) * 2.0, F.lit(1.0))
+    return (length_ok + punct_ok + stop_ok) / 3.0
+
+
+def lang_id(col: str | Column = "text") -> Column:
+    """Marker-word vote: score = occurrences of each language's markers;
+    highest score wins, ties broken by fixed language order ('en' first).
+    Returns 'und' when no marker matches."""
+    toks = tokens(col)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # Strict '>' replacement: the first-processed language keeps ties, so
+    # natural declaration order ('en' first) is the tie-break priority.
+    for lang in LANG_MARKERS:
+        markers = LANG_MARKERS[lang]
+        score = F.size(F.filter(toks, lambda x: x.isin(*markers)))
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """Normalized md5 document fingerprint: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def shingles(col: str | Column = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (input to MinHash/Jaccard)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document stat columns appended in one Project node."""
+    return df.select(
+        "*",
+        token_count(col).alias("n_tokens"),
+        char_count(col).alias("n_chars_computed"),
+        F.round(avg_token_len(col), 6).alias("avg_token_len"),
+        F.round(stopword_ratio(col), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(col), 6).alias("punct_ratio"),
+        F.round(quality_score(col), 6).alias("quality_score"),
+        lang_id(col).alias("lang_pred"),
+        fingerprint(col).alias("fingerprint"),
+    )

@@ -526,3 +526,253 @@ def schema_enforcement_dlq(spark, sf_dir):
     return ev.filter(silver.required_null_predicate(required)).select(
         "event_id", silver.missing_reasons(required).alias("error_reason")
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join: last view value at-or-before each purchase, per user.  Built
+# as union-sort-ffill (ONE shuffle, no range explosion — joins.py); the
+# oracle uses DuckDB's native ASOF LEFT JOIN.
+# --------------------------------------------------------------------------
+
+@query(
+    "asof_last_view",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view')
+      WHERE rn = 1
+    ), p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.value AS purchase_value,
+           v.value AS last_view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_last_view(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import joins
+
+    ev = t(spark, sf_dir, "events")
+    views = silver.dedup_latest(
+        ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value", "event_id"),
+        ["user_id", "ts"],
+        "event_id",
+    ).drop("event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = joins.asof_join(
+        purchases, views, "user_id", "ts", "ts", ["value"], prefix="last_view_"
+    )
+    return out.select(
+        "event_id", "user_id", F.col("value").alias("purchase_value"), "last_view_value"
+    )
+
+
+# --------------------------------------------------------------------------
+# Range join: view→purchase conversion pairs within 10 minutes, per user.
+# --------------------------------------------------------------------------
+
+@query(
+    "range_join_conversions",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+    SELECT p.user_id, count(*) AS n_pairs
+    FROM p JOIN v ON p.user_id = v.user_id
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 10 MINUTE
+    GROUP BY p.user_id
+    """,
+)
+def range_join_conversions(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import joins
+
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("p_ts"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    pairs = p.join(
+        v,
+        (p.user_id == v.v_user)
+        & (v.v_ts <= p.p_ts)
+        & (v.v_ts >= p.p_ts - F.expr("INTERVAL 10 MINUTES")),
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# --------------------------------------------------------------------------
+# Text analysis (LLM-data ops): token/char stats, ratios, quality score,
+# marker-vote language ID, md5 fingerprint — all JVM-side expressions.
+# --------------------------------------------------------------------------
+
+@query(
+    "text_stats_docs",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, toks,
+        len(list_filter(toks, x -> x IN ('the','and','of'))) AS s_en,
+        len(list_filter(toks, x -> x IN ('le','la','et'))) AS s_fr,
+        len(list_filter(toks, x -> x IN ('der','und','das'))) AS s_de,
+        len(list_filter(toks, x -> x IN ('el','los','y'))) AS s_es,
+        len(list_filter(toks, x -> x IN ('的','是','了'))) AS s_zh
+      FROM tk
+    )
+    SELECT doc_id,
+      len(toks) AS n_tokens,
+      length(text) AS n_chars_computed,
+      round(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+            / len(toks), 6) AS avg_token_len,
+      round(CAST(len(list_filter(toks, x -> x IN ('a','the','of','and'))) AS DOUBLE)
+            / len(toks), 6) AS stopword_ratio,
+      round(CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+            / length(text), 6) AS punct_ratio,
+      round((
+        least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 1.0))
+        + (1.0 - least(abs(CAST(len(list_filter(toks, x -> x IN ('a','the','of','and'))) AS DOUBLE) / len(toks) - 0.1) * 2.0, 1.0))
+      ) / 3.0, 6) AS quality_score,
+      CASE
+        WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh AND s_en > 0 THEN 'en'
+        WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+        WHEN s_de >= s_es AND s_de >= s_zh AND s_de > 0 THEN 'de'
+        WHEN s_es >= s_zh AND s_es > 0 THEN 'es'
+        WHEN s_zh > 0 THEN 'zh'
+        ELSE 'und' END AS lang_pred,
+      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM scored
+    """,
+)
+def text_stats_docs(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import text as textops
+
+    docs = t(spark, sf_dir, "documents")
+    return textops.text_stats(docs).select(
+        "doc_id", "n_tokens", "n_chars_computed", "avg_token_len",
+        "stopword_ratio", "punct_ratio", "quality_score", "lang_pred", "fingerprint",
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash-groupBy on normalized md5 fingerprint).
+# --------------------------------------------------------------------------
+
+@query(
+    "docs_exact_dedup",
+    oracle=r"""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    """,
+)
+def docs_exact_dedup(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import dedup
+
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup detection.  The salted-md5 minhash family is
+# reproducible in ANSI SQL, so even the LSH banding has a full oracle.
+# --------------------------------------------------------------------------
+
+@query(
+    "minhash_near_dups",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS tg
+      FROM tk
+    ), sig AS (
+      SELECT doc_id, tg,
+        [list_aggregate(list_transform(tg, s -> md5('0|' || s)), 'min'),
+         list_aggregate(list_transform(tg, s -> md5('1|' || s)), 'min'),
+         list_aggregate(list_transform(tg, s -> md5('2|' || s)), 'min'),
+         list_aggregate(list_transform(tg, s -> md5('3|' || s)), 'min'),
+         list_aggregate(list_transform(tg, s -> md5('4|' || s)), 'min'),
+         list_aggregate(list_transform(tg, s -> md5('5|' || s)), 'min'),
+         list_aggregate(list_transform(tg, s -> md5('6|' || s)), 'min'),
+         list_aggregate(list_transform(tg, s -> md5('7|' || s)), 'min')] AS sg
+      FROM sh
+    ), bands AS (
+      SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+          '0' || '|' || sg[1] || '|' || sg[2],
+          '1' || '|' || sg[3] || '|' || sg[4],
+          '2' || '|' || sg[5] || '|' || sg[6],
+          '3' || '|' || sg[7] || '|' || sg[8]]) AS band_key
+        FROM sig)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), dsh AS (
+      SELECT doc_id, list_distinct(tg) AS s FROM sh
+    )
+    SELECT a_id, b_id,
+           round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard_sim
+    FROM cand JOIN dsh x ON cand.a_id = x.doc_id JOIN dsh y ON cand.b_id = y.doc_id
+    WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.s, y.s))) >= 0.1
+    """,
+)
+def minhash_near_dups(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import dedup
+
+    return dedup.minhash_near_dups(
+        t(spark, sf_dir, "documents"), threshold=0.1, k=8, bands=4, n=3
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-k (oracle-checked) and
+# SRP-LSH bucketed ANN (approximate scale path; rows-only check).
+# --------------------------------------------------------------------------
+
+@query(
+    "cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      list_dot_product(qv, cv)
+                      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+               FROM q, c WHERE neighbor_id != query_id),
+         r AS (SELECT query_id, neighbor_id, sim,
+                      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+               FROM s)
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim FROM r WHERE rn <= 10
+    """,
+)
+def cosine_topk(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query("ann_srp_topk")  # approximate — rows-only check by design
+def ann_srp_topk(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_bits=4)
+
+
+@query("simhash_signatures")  # Pandas-UDF path — rows-only check by design
+def simhash_signatures(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators.dedup import simhash64
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))

@@ -48,6 +48,7 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Local-run ergonomics; harmless on a cluster.
         "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false",
         "spark.sql.session.timeZone": "UTC",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
