@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query executes to completion via the noop sink (full pipeline runs,
+nothing materializes on the driver — measures engine time, not collect()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from cryptocurrency_data_pipeline_spark.queries import QUERIES  # noqa: E402
+from cryptocurrency_data_pipeline_spark.session import get_spark  # noqa: E402
+
+#: Headline set: one per operator family, weighted toward the heavy paths.
+HEADLINE = [
+    "flagship_daily_rollup",      # window dedup + rollup
+    "pricing_summary",            # wide hash agg
+    "star_revenue_by_nation",     # multi-join star query
+    "top_orders_by_value",        # top-k
+    "window_user_deltas",         # full window-function pass
+    "dq_profile_lineitem",        # single-pass profile
+    "asof_last_view",             # as-of join
+    "threshold_routing_bad",      # vectorized rule engine
+    "text_stats_docs",            # text analysis suite
+    "minhash_near_dups",          # MinHash+LSH dedup
+    "cosine_topk",                # brute-force similarity
+    "ann_srp_topk",               # bucketed ANN
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen once on a trivial action so query timings do not
+    # include session bring-up.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock, noop sink",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

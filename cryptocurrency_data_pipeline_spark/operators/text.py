@@ -73,11 +73,13 @@ def quality_score(col: str | Column = "text") -> Column:
     return (length_ok + punct_ok + stop_ok) / 3.0
 
 
-def lang_id(col: str | Column = "text") -> Column:
+def lang_id(col: str | Column = "text", toks: Column | None = None) -> Column:
     """Marker-word vote: score = occurrences of each language's markers;
     highest score wins, ties broken by fixed language order ('en' first).
-    Returns 'und' when no marker matches."""
-    toks = tokens(col)
+    Returns 'und' when no marker matches.  Pass ``toks`` to reuse an
+    already-tokenized array column."""
+    if toks is None:
+        toks = tokens(col)
     best = F.lit("und")
     best_score = F.lit(0)
     # Strict '>' replacement: the first-processed language keeps ties, so
@@ -105,15 +107,42 @@ def shingles(col: str | Column = "text", n: int = 3) -> Column:
 
 
 def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
-    """Per-document stat columns appended in one Project node."""
-    return df.select(
+    """Per-document stat columns.
+
+    Staged projections materialize the token array and the two expensive
+    ratios once, then derive the composite score from the stored columns —
+    without this, every stat re-tokenizes and the quality score re-runs the
+    regex pipeline (measured 3× slower at sf0.1).
+    """
+    c = F.col(col)
+    toks = F.col("__toks")
+    staged = df.withColumn("__toks", tokens(col)).select(
         "*",
-        token_count(col).alias("n_tokens"),
-        char_count(col).alias("n_chars_computed"),
-        F.round(avg_token_len(col), 6).alias("avg_token_len"),
-        F.round(stopword_ratio(col), 6).alias("stopword_ratio"),
-        F.round(punct_ratio(col), 6).alias("punct_ratio"),
-        F.round(quality_score(col), 6).alias("quality_score"),
-        lang_id(col).alias("lang_pred"),
+        F.size(toks).alias("n_tokens"),
+        F.length(c).alias("n_chars_computed"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / F.size(toks)
+        ).alias("__stop_ratio"),
+        (
+            (F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", "")))
+            / F.length(c)
+        ).alias("__punct_ratio"),
+        lang_id(col, toks=toks).alias("lang_pred"),
         fingerprint(col).alias("fingerprint"),
     )
+    length_ok = F.least(F.col("n_chars_computed") / F.lit(200.0), F.lit(1.0))
+    punct_ok = 1.0 - F.least(F.col("__punct_ratio") * 5.0, F.lit(1.0))
+    stop_ok = 1.0 - F.least(F.abs(F.col("__stop_ratio") - 0.1) * 2.0, F.lit(1.0))
+    return staged.select(
+        "*",
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+            )
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+        F.round(F.col("__stop_ratio"), 6).alias("stopword_ratio"),
+        F.round(F.col("__punct_ratio"), 6).alias("punct_ratio"),
+        F.round((length_ok + punct_ok + stop_ok) / 3.0, 6).alias("quality_score"),
+    ).drop("__toks", "__stop_ratio", "__punct_ratio")

@@ -692,35 +692,37 @@ def docs_exact_dedup(spark, sf_dir):
              list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
                             i -> array_to_string(toks[i:i+2], ' ')) AS tg
       FROM tk
-    ), sig AS (
-      SELECT doc_id, tg,
-        [list_aggregate(list_transform(tg, s -> md5('0|' || s)), 'min'),
-         list_aggregate(list_transform(tg, s -> md5('1|' || s)), 'min'),
-         list_aggregate(list_transform(tg, s -> md5('2|' || s)), 'min'),
-         list_aggregate(list_transform(tg, s -> md5('3|' || s)), 'min'),
-         list_aggregate(list_transform(tg, s -> md5('4|' || s)), 'min'),
-         list_aggregate(list_transform(tg, s -> md5('5|' || s)), 'min'),
-         list_aggregate(list_transform(tg, s -> md5('6|' || s)), 'min'),
-         list_aggregate(list_transform(tg, s -> md5('7|' || s)), 'min')] AS sg
+    ), hs AS (
+      SELECT doc_id, list_distinct(tg) AS s,
+             list_transform(list_distinct(tg), x -> md5(x)) AS hh
       FROM sh
+    ), sig AS (
+      SELECT doc_id,
+        [list_aggregate(list_filter(hh, h -> h[1:1] IN ('0','1')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('2','3')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('4','5')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('6','7')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('8','9')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('a','b')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('c','d')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('e','f')), 'min')] AS sg
+      FROM hs
     ), bands AS (
       SELECT DISTINCT doc_id, band_key FROM (
         SELECT doc_id, unnest([
-          '0' || '|' || sg[1] || '|' || sg[2],
-          '1' || '|' || sg[3] || '|' || sg[4],
-          '2' || '|' || sg[5] || '|' || sg[6],
-          '3' || '|' || sg[7] || '|' || sg[8]]) AS band_key
+          '0' || '|' || coalesce(sg[1], '~') || '|' || coalesce(sg[2], '~'),
+          '1' || '|' || coalesce(sg[3], '~') || '|' || coalesce(sg[4], '~'),
+          '2' || '|' || coalesce(sg[5], '~') || '|' || coalesce(sg[6], '~'),
+          '3' || '|' || coalesce(sg[7], '~') || '|' || coalesce(sg[8], '~')]) AS band_key
         FROM sig)
     ), cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ), dsh AS (
-      SELECT doc_id, list_distinct(tg) AS s FROM sh
     )
     SELECT a_id, b_id,
            round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
                  / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard_sim
-    FROM cand JOIN dsh x ON cand.a_id = x.doc_id JOIN dsh y ON cand.b_id = y.doc_id
+    FROM cand JOIN hs x ON cand.a_id = x.doc_id JOIN hs y ON cand.b_id = y.doc_id
     WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
           / len(list_distinct(list_concat(x.s, y.s))) >= 0.1
     """,
@@ -729,7 +731,7 @@ def minhash_near_dups(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import dedup
 
     return dedup.minhash_near_dups(
-        t(spark, sf_dir, "documents"), threshold=0.1, k=8, bands=4, n=3
+        t(spark, sf_dir, "documents"), threshold=0.1, bands=4, n=3
     )
 
 

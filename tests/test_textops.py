@@ -1,0 +1,99 @@
+"""Text analysis + dedup family + similarity + as-of join unit tests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cryptocurrency_data_pipeline_spark.operators import dedup, joins, similarity, text
+
+
+def test_text_stats_basic(spark):
+    df = spark.createDataFrame([(1, "The cat and the dog of war!")], "doc_id long, text string")
+    r = text.text_stats(df).collect()[0]
+    assert r.n_tokens == 7
+    assert r.n_chars_computed == 27
+    assert r.lang_pred == "en"
+    assert r.punct_ratio == pytest.approx(1 / 27, abs=1e-6)
+    # 'the' x2, 'and', 'of' -> 4 stopwords of 7 tokens
+    assert r.stopword_ratio == pytest.approx(4 / 7, abs=1e-6)
+    assert len(r.fingerprint) == 32
+
+
+def test_lang_id_tie_prefers_en(spark):
+    df = spark.createDataFrame([(1, "the le der el 的",), (2, "xyz",)], "doc_id long, text string")
+    out = {r.doc_id: r.lang for r in df.select("doc_id", text.lang_id("text").alias("lang")).collect()}
+    assert out[1] == "en"   # all score 1 -> declaration order wins
+    assert out[2] == "und"
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    r = df.select(text.shingles("text", 3).alias("s")).collect()[0].s
+    assert r == ["a b c", "b c d"]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_copies for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}  # normalization collapses 1 and 2
+
+
+def test_minhash_near_dups_finds_近dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely unrelated words here nothing shared at all ok")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_near_dups(df, threshold=0.5).collect()
+    assert [(p.a_id, p.b_id) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard_sim > 0.8
+
+
+def test_simhash_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "other words")],
+        "doc_id long, text string",
+    )
+    out = dedup.simhash_dups(df).collect()
+    assert len(out) == 1 and out[0].n_docs == 2 and out[0].keep_id == 1
+
+
+def test_cosine_topk_exact(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+    assert out[0].cosine_sim > 0.99 and out[1].cosine_sim == 0.0
+
+
+def test_ann_matches_bruteforce_on_easy_clusters(spark):
+    # Two tight clusters; ANN with few bits must still find same-cluster nbrs.
+    rows = [(i, [1.0 + 0.01 * i, 0.0]) for i in range(5)] + [
+        (10 + i, [0.0, 1.0 + 0.01 * i]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    ann = {r.neighbor_id for r in similarity.ann_topk(df, q, k=4, n_bits=2, dim=2).collect()}
+    exact = {r.neighbor_id for r in similarity.cosine_topk(df, q, k=4).collect()}
+    assert ann == exact  # same-direction cluster shares every SRP bucket
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "p1"), ("u1", 25, "p2"), ("u2", 5, "p3")],
+        "user_id string, ts long, name string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 100.0), ("u1", 20, 200.0), ("u2", 7, 300.0)],
+        "user_id string, ts long, value double",
+    )
+    out = {
+        r.name: r.asof_value
+        for r in joins.asof_join(left, right, "user_id", "ts", "ts", ["value"]).collect()
+    }
+    # p1: equal-ts right row visible (<=); p2: latest prior (ts=20); p3: none
+    assert out == {"p1": 100.0, "p2": 200.0, "p3": None}
