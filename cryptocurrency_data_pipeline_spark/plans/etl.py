@@ -1,0 +1,179 @@
+"""The reference's 4-job batch ETL as one engine pipeline.
+
+Step Function states → stages (crypto-etl-pipeline.asl.json:5-76):
+ingestion → transform (Silver) → quality gate → gold aggregation.
+
+Where the reference runs 4 separate Glue clusters passing data via S3, the
+engine runs one SparkSession with a linear lineage per layer — but keeps
+the layer boundaries as parquet writes (bronze/silver/gold dirs), because
+at 100 TB the layers ARE the recovery points.
+
+Anti-patterns eliminated (SURVEY §4): zero ``collect()`` validation, one
+action per sink instead of 11+ guard ``count()``s, dynamic partition
+overwrite instead of read-union-rewrite merges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from cryptocurrency_data_pipeline_spark.operators import gold, quality, silver
+from cryptocurrency_data_pipeline_spark.plans.runner import SKIP, Pipeline
+from cryptocurrency_data_pipeline_spark.schemas import REQUIRED_FIELDS
+from cryptocurrency_data_pipeline_spark.sources import ingestion
+
+
+@dataclass
+class EtlPaths:
+    bronze: str
+    silver: str
+    dlq: str
+    metrics: str
+    gold_fact: str
+    gold_dim_coins: str
+    gold_dim_date: str
+
+
+#: Silver projection spec (glue/data_transform_s3.py:113-125): rename id →
+#: coin_id and enforce every column's type explicitly.
+SILVER_SPEC = [
+    ("id", "coin_id", "string"),
+    ("symbol", "symbol", "string"),
+    ("name", "name", "string"),
+    ("current_price", "current_price", "double"),
+    ("market_cap", "market_cap", "long"),
+    ("market_cap_rank", "market_cap_rank", "int"),
+    ("total_volume", "total_volume", "long"),
+    ("high_24h", "high_24h", "double"),
+    ("low_24h", "low_24h", "double"),
+    ("price_change_24h", "price_change_24h", "double"),
+    ("price_change_percentage_24h", "price_change_percentage_24h", "double"),
+    ("circulating_supply", "circulating_supply", "double"),
+    ("total_supply", "total_supply", "double"),
+]
+
+
+def transform_stage(spark: SparkSession, paths: EtlPaths):
+    """Silver: read bronze, split invalid → DLQ, project/cast, stamp audit
+    cols, dedup latest per (coin_id, update_date), write partitioned."""
+
+    def stage(_):
+        df = ingestion.read_bronze(spark, paths.bronze)
+        if df.isEmpty():  # C2 — not a count() job
+            return SKIP
+        parsed = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+        valid, dlq = silver.enforce_schema_split(parsed, REQUIRED_FIELDS)
+        dlq.coalesce(1).write.mode("append").json(paths.dlq)
+        out = (
+            silver.project_cast(valid, SILVER_SPEC)
+            .withColumn("update_date", F.current_date())
+            .withColumn("last_updated_ts", F.current_timestamp())
+        )
+        out = silver.dedup_latest(
+            out, ["coin_id", "update_date"], "last_updated_ts", tiebreak=["market_cap"]
+        )
+        (
+            out.write.mode("overwrite")
+            .option("compression", "snappy")
+            .partitionBy("update_date")
+            .parquet(paths.silver)
+        )
+        return paths.silver
+
+    return stage
+
+
+#: The PyDeequ gate's constraint set (glue/data_quality_pydeequ.py:72-84).
+def default_constraints(min_rows: int = 1, max_rows: int = 10**9):
+    return [
+        quality.Constraint("size in bounds", "Size()", lambda v: min_rows <= v <= max_rows),
+        quality.Constraint("coin_id complete", "Completeness(coin_id)", lambda v: v >= 1.0),
+        quality.Constraint("price complete", "Completeness(current_price)", lambda v: v >= 1.0),
+        quality.Constraint("coin_id unique", "Uniqueness(coin_id)", lambda v: v > 0.99),
+        quality.Constraint("price positive", "Minimum(current_price)", lambda v: v > 0),
+        quality.Constraint("price sane", "Maximum(current_price)", lambda v: v < 1_000_000),
+    ]
+
+
+def quality_stage(spark: SparkSession, paths: EtlPaths, constraints=None):
+    """DQ gate: one-pass profile → constraints → metrics sink → abort on
+    failure (C4).  Uniqueness is taken per partition date's latest state —
+    matching the reference, which gates each day's batch."""
+
+    def stage(silver_path):
+        df = spark.read.parquet(silver_path or paths.silver)
+        if df.isEmpty():
+            return SKIP
+        metrics = quality.profile(
+            df,
+            completeness_cols=["coin_id", "current_price", "market_cap", "symbol", "name"],
+            numeric_cols=["current_price", "market_cap"],
+            unique_key="coin_id",
+            approx_distinct_col="coin_id",
+        )
+        quality.profile_df(spark, metrics).coalesce(1).write.mode("append").parquet(
+            paths.metrics
+        )
+        quality.verify(
+            spark, metrics, constraints or default_constraints(), raise_on_failure=True
+        )
+        return silver_path
+
+    return stage
+
+
+def gold_stage(spark: SparkSession, paths: EtlPaths):
+    """Gold: fact (dynamic-partition merge), dims (key-deduped merges)."""
+
+    def stage(silver_path):
+        df = spark.read.parquet(silver_path or paths.silver)
+        if df.isEmpty():
+            return SKIP
+        fact = gold.build_fact(df)
+        gold.merge_fact(fact, paths.gold_fact)
+
+        new_coins = gold.build_dim(df, ["coin_id", "symbol", "name"])
+        try:
+            existing = spark.read.parquet(paths.gold_dim_coins)
+        except Exception:
+            existing = None
+        merged = gold.merge_dim(existing, new_coins, ["coin_id"])
+        # Dim is tiny (one row per coin): rewrite wholesale.
+        merged.coalesce(1).write.mode("overwrite").parquet(paths.gold_dim_coins + "_tmp")
+        spark.read.parquet(paths.gold_dim_coins + "_tmp").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(paths.gold_dim_coins)
+
+        dim_date = gold.build_dim_date(df, "update_date")
+        try:
+            existing_d = spark.read.parquet(paths.gold_dim_date)
+        except Exception:
+            existing_d = None
+        gold.merge_dim(existing_d, dim_date, ["date"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(paths.gold_dim_date + "_tmp")
+        spark.read.parquet(paths.gold_dim_date + "_tmp").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(paths.gold_dim_date)
+        return paths.gold_fact
+
+    return stage
+
+
+def build_etl_pipeline(
+    spark: SparkSession,
+    paths: EtlPaths,
+    notifier=None,
+    constraints=None,
+) -> Pipeline:
+    """transform → quality → gold (ingestion runs separately: it is a
+    network fetch, not a Spark job — S1)."""
+    return (
+        Pipeline(notifier=notifier)
+        .add("transform", transform_stage(spark, paths))
+        .add("quality", quality_stage(spark, paths, constraints))
+        .add("aggregate", gold_stage(spark, paths))
+    )

@@ -1,0 +1,185 @@
+"""Structured Streaming rewrite of the reference's streaming path.
+
+Reference architecture (streaming/producer.py + consumer.py): EventBridge →
+Lambda producer → Kinesis (keyed by coin_id) → Lambda consumer that
+per-record decodes base64/JSON, applies threshold rules, and routes to
+DynamoDB good/bad tables, SQS, S3 bad-record files, and SNS alerts — all
+row-by-row network calls.
+
+Spark-native mapping (SURVEY §2.9):
+
+* source (S8): ``readStream`` over a JSON-lines directory in tests (Kafka in
+  prod — same DataFrame surface), ``from_json`` with the explicit
+  ``STREAM_TICK`` schema in PERMISSIVE mode; corrupt payloads surface as
+  ``_corrupt_record`` (T6) instead of a try/except per record.
+* event time (T2): producer's ISO string → ``to_timestamp``.
+* rules (P13): the same vectorized reason-array used in batch — one
+  expression, no Python.
+* routing (T4/T5): ``foreachBatch`` caches each micro-batch once and writes
+  good / bad / alert / corrupt sinks as partitioned parquet appends — the
+  row-by-row ``put_item``/``send_message`` loops become 4 bulk writes.
+* bad-record files (S12/T7): partitioned by ``dt``/``hour`` exactly like the
+  reference's ``bad_records/dt=…/hour=…`` S3 keys (consumer.py:106).
+* checkpointing (T11): every query runs with ``checkpointLocation`` —
+  exactly-once sinks, stronger than the reference's at-least-once Lambda.
+* watermark + windows (T8/T9, absent in the reference): tumbling/sliding
+  aggregates recompute high_24h/low_24h natively.
+* streaming dedup (T10): ``dropDuplicates`` within the watermark.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cryptocurrency_data_pipeline_spark.operators import silver
+from cryptocurrency_data_pipeline_spark.schemas import STREAM_TICK
+
+
+def read_tick_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source test harness for the Kinesis consumer (S8).
+
+    Reads JSON-lines files as raw strings then ``from_json`` parses against
+    the explicit schema — identical plumbing to a Kafka ``value`` column, so
+    swapping the source for ``format("kafka")`` changes nothing downstream.
+    Corrupt payloads yield null parsed struct + preserved raw line.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(source_dir)
+    parsed = raw.select(
+        F.col("value").alias("raw_data"),
+        F.from_json(F.col("value"), STREAM_TICK, {"mode": "PERMISSIVE"}).alias("tick"),
+    )
+    return parsed.select(
+        "raw_data",
+        "tick.*",
+        F.to_timestamp(F.col("tick.timestamp")).alias("event_time"),
+    )
+
+
+@dataclass
+class StreamSinks:
+    """Output locations for the 4-way routing (test: local dirs)."""
+
+    good: str
+    bad: str
+    alert: str
+    corrupt: str
+    checkpoint: str
+    alerts_seen: list = field(default_factory=list)  # optional in-process hook
+
+
+def split_micro_batch(batch: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(good, bad, alert, corrupt) — pure DataFrame logic, unit-testable
+    without a running stream.
+
+    corrupt = unparseable payload (consumer.py:94-102);
+    bad = threshold failures with " | "-joined reasons (consumer.py:47-69);
+    alert = good rows with pct_change > 10 (consumer.py:86-92).
+    """
+    corrupt = batch.filter(F.col("coin_id").isNull()).select(
+        "raw_data",
+        F.lit("json_parse_error").alias("error_reason"),
+        F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
+    )
+    parsed = batch.filter(F.col("coin_id").isNotNull())
+    good, bad, alert = silver.route_by_rules(parsed, silver.validation_reasons())
+    return good, bad, alert, corrupt
+
+
+def process_micro_batch(batch: DataFrame, epoch_id: int, sinks: StreamSinks) -> None:
+    """foreachBatch body: cache once, 4 bulk writes (replaces the
+    reference's per-record put_item / send_message / publish loops)."""
+    batch.persist()
+    try:
+        good, bad, alert, corrupt = split_micro_batch(batch)
+        (
+            good.drop("raw_data")
+            .withColumn("dt", F.to_date("event_time"))
+            .write.mode("append")
+            .partitionBy("dt")
+            .parquet(sinks.good)
+        )
+        (
+            bad.select(
+                "raw_data",
+                "error_reason",
+                F.date_format("event_time", "yyyy-MM-dd").alias("dt"),
+                F.date_format("event_time", "HH").alias("hour"),
+            )
+            .write.mode("append")
+            .partitionBy("dt", "hour")
+            .json(sinks.bad)
+        )
+        alert_rows = alert.drop("raw_data")
+        alert_rows.write.mode("append").json(sinks.alert)
+        corrupt.write.mode("append").json(sinks.corrupt)
+    finally:
+        batch.unpersist()
+
+
+def run_validation_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    sinks: StreamSinks,
+    available_now: bool = True,
+):
+    """Wire source → foreachBatch router with checkpointing (T11).
+
+    ``available_now=True`` drains everything currently in the source then
+    stops — the micro-batch analog of the reference's one-Lambda-invocation
+    processing model, and what the tests use.
+    """
+    stream = read_tick_stream(spark, source_dir)
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(sinks.checkpoint, "router"))
+        .foreachBatch(lambda b, e: process_micro_batch(b, e, sinks))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_ohlc(
+    ticks: DataFrame,
+    window: str = "24 hours",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T9: recompute high/low/avg per coin per (sliding) window natively —
+    the reference receives high_24h/low_24h precomputed from the API.
+
+    Works on both static and streaming frames; with streaming input the
+    watermark (T8) bounds state and admits late data up to the bound.
+    """
+    if "event_time" not in ticks.columns:
+        ticks = ticks.withColumn("event_time", F.to_timestamp("timestamp"))
+    src = ticks.withWatermark("event_time", watermark) if ticks.isStreaming else ticks
+    win = F.window("event_time", window, slide) if slide else F.window("event_time", window)
+    return src.groupBy(win.alias("w"), "coin_id").agg(
+        F.max("current_price").alias("high"),
+        F.min("current_price").alias("low"),
+        F.round(F.avg("current_price"), 6).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "coin_id", "high", "low", "avg_price", "n_ticks",
+    )
+
+
+def dedup_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T10: exactly-once per (coin_id, event_time) within the watermark —
+    replaces DynamoDB last-write-wins put_item overwrites."""
+    src = ticks.withWatermark("event_time", watermark) if ticks.isStreaming else ticks
+    return src.dropDuplicates(["coin_id", "event_time"])

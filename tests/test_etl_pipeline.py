@@ -1,0 +1,104 @@
+"""End-to-end medallion ETL: bronze fixtures → silver → DQ gate → gold,
+with DLQ routing, abort-on-failure, and merge idempotence."""
+
+import pytest
+
+from cryptocurrency_data_pipeline_spark.operators.quality import DQGateError
+from cryptocurrency_data_pipeline_spark.plans import etl
+from cryptocurrency_data_pipeline_spark.plans.runner import StageStatus
+from cryptocurrency_data_pipeline_spark.sources import ingestion
+
+
+def _record(i, **over):
+    rec = {
+        "id": f"coin-{i}",
+        "symbol": f"c{i}",
+        "name": f"Coin {i}",
+        "current_price": 10.0 + i,
+        "market_cap": 1_000_000_000 + i,
+        "market_cap_rank": i + 1,
+        "total_volume": 500_000,
+        "high_24h": 12.0 + i,
+        "low_24h": 9.0 + i,
+        "price_change_24h": 0.5,
+        "price_change_percentage_24h": 1.5,
+        "circulating_supply": 1e6,
+        "total_supply": 2e6,
+    }
+    rec.update(over)
+    return rec
+
+
+def _paths(tmp_path):
+    return etl.EtlPaths(
+        bronze=str(tmp_path / "bronze"),
+        silver=str(tmp_path / "silver"),
+        dlq=str(tmp_path / "dlq"),
+        metrics=str(tmp_path / "metrics"),
+        gold_fact=str(tmp_path / "gold/fact"),
+        gold_dim_coins=str(tmp_path / "gold/dim_coins"),
+        gold_dim_date=str(tmp_path / "gold/dim_date"),
+    )
+
+
+def test_full_pipeline(spark, tmp_path):
+    paths = _paths(tmp_path)
+    records = [_record(i) for i in range(60)]
+    records.append(_record(99, id=None))            # missing required -> DLQ
+    records.append(_record(0))                      # dup coin-0 -> deduped
+    ingestion.write_bronze(records, paths.bronze, run_id="r1")
+
+    events = []
+    results = etl.build_etl_pipeline(spark, paths, notifier=events.append).run()
+    assert [r.status for r in results] == [StageStatus.SUCCEEDED] * 3
+    assert events[-1]["status"] == "SUCCEEDED"
+
+    silver_df = spark.read.parquet(paths.silver)
+    assert silver_df.count() == 60                  # 62 in, 1 DLQ'd, 1 deduped
+    assert "coin_id" in silver_df.columns
+    assert spark.read.json(paths.dlq).count() == 1
+    assert spark.read.parquet(paths.metrics).count() >= 10
+
+    fact = spark.read.parquet(paths.gold_fact)
+    assert fact.count() == 60
+    assert spark.read.parquet(paths.gold_dim_coins).count() == 60
+    assert spark.read.parquet(paths.gold_dim_date).count() == 1
+
+    # Idempotence: re-running the same day must not duplicate gold history.
+    results2 = etl.build_etl_pipeline(spark, paths, notifier=events.append).run()
+    assert [r.status for r in results2] == [StageStatus.SUCCEEDED] * 3
+    assert spark.read.parquet(paths.gold_fact).count() == 60
+    assert spark.read.parquet(paths.gold_dim_coins).count() == 60
+
+
+def test_dq_gate_aborts_pipeline(spark, tmp_path):
+    paths = _paths(tmp_path)
+    bad = [_record(i, current_price=-5.0) for i in range(10)]  # price <= 0
+    ingestion.write_bronze(bad, paths.bronze, run_id="r1")
+    events = []
+    results = etl.build_etl_pipeline(spark, paths, notifier=events.append).run()
+    assert results[-1].status == StageStatus.FAILED
+    assert "price positive" in results[-1].error
+    assert events[-1]["status"] == "FAILED" and events[-1]["stage"] == "quality"
+    assert DQGateError.__name__ in results[-1].error
+
+
+def test_empty_input_short_circuits(spark, tmp_path):
+    paths = _paths(tmp_path)
+    ingestion.write_bronze([], paths.bronze, run_id="empty")
+    results = etl.build_etl_pipeline(spark, paths).run()
+    assert results[0].status == StageStatus.SKIPPED
+    assert len(results) == 1
+
+
+def test_corrupt_bronze_rows_excluded(spark, tmp_path):
+    paths = _paths(tmp_path)
+    path = ingestion.write_bronze([_record(1)], paths.bronze, run_id="r1")
+    with open(path, "a") as f:
+        f.write("{this is not json\n")
+    df = ingestion.read_bronze(spark, paths.bronze)
+    assert df.count() == 2
+    assert df.filter(df._corrupt_record.isNotNull()).count() == 1
+    results = etl.build_etl_pipeline(spark, paths).run()
+    assert results[0].status == StageStatus.SUCCEEDED
+    assert spark.read.parquet(paths.silver).count() == 1

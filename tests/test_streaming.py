@@ -1,0 +1,101 @@
+"""End-to-end Structured Streaming tests: the reference's producer→consumer
+fixture replayed through readStream + foreachBatch routing (availableNow
+micro-batches), plus watermarked windowing and streaming dedup."""
+
+import glob
+import json
+from datetime import datetime, timedelta, timezone
+
+import pyspark.sql.functions as F
+
+from cryptocurrency_data_pipeline_spark.streaming import pipeline, producer
+
+
+def _sinks(tmp_path):
+    return pipeline.StreamSinks(
+        good=str(tmp_path / "good"),
+        bad=str(tmp_path / "bad"),
+        alert=str(tmp_path / "alert"),
+        corrupt=str(tmp_path / "corrupt"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+
+def test_e2e_routing_8_plus_3(spark, tmp_path):
+    src = str(tmp_path / "src")
+    producer.write_batch(src, producer.make_batch(8), corrupt_lines=1)
+    sinks = _sinks(tmp_path)
+    q = pipeline.run_validation_pipeline(spark, src, sinks)
+    q.awaitTermination(120)
+
+    good = spark.read.parquet(sinks.good)
+    assert good.count() == 9
+    bad = spark.read.json(sinks.bad)
+    assert bad.count() == 2
+    assert set(bad.columns) >= {"raw_data", "error_reason"}
+    alert = spark.read.json(sinks.alert)
+    assert alert.count() == 1 and alert.collect()[0].coin_id == "surge-coin"
+    corrupt = spark.read.json(sinks.corrupt)
+    assert corrupt.count() == 1
+    assert corrupt.collect()[0].error_reason == "json_parse_error"
+    # bad records land in dt=/hour= partitions (reference S3 key layout)
+    assert glob.glob(f"{sinks.bad}/dt=*/hour=*/*.json")
+
+
+def test_incremental_batches_checkpointed(spark, tmp_path):
+    """Second run only processes newly-arrived files (exactly-once source)."""
+    src = str(tmp_path / "src")
+    sinks = _sinks(tmp_path)
+    producer.write_batch(src, producer.make_batch(8))
+    pipeline.run_validation_pipeline(spark, src, sinks).awaitTermination(120)
+    producer.write_batch(src, producer.make_batch(8))
+    pipeline.run_validation_pipeline(spark, src, sinks).awaitTermination(120)
+    assert spark.read.parquet(sinks.good).count() == 18  # 9 + 9, no reprocessing
+    assert spark.read.json(sinks.alert).count() == 2
+
+
+def test_windowed_ohlc_static_equivalent(spark):
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        producer.make_tick("btc", p, 10**9, ts=t0 + timedelta(hours=h))
+        for h, p in [(0, 100.0), (1, 120.0), (2, 90.0), (25, 200.0)]
+    ]
+    df = spark.createDataFrame(rows)
+    out = pipeline.windowed_ohlc(df, window="24 hours")
+    got = {r.window_start.day: (r.high, r.low, r.n_ticks) for r in out.collect()}
+    assert got == {1: (120.0, 90.0, 3), 2: (200.0, 200.0, 1)}
+
+
+def test_dedup_stream_static(spark):
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    dup = producer.make_tick("btc", 100.0, 10**9, ts=t0)
+    df = spark.createDataFrame([dup, dup, producer.make_tick("btc", 101.0, 10**9, ts=t0 + timedelta(minutes=1))])
+    df = df.withColumn("event_time", F.to_timestamp("timestamp"))
+    assert pipeline.dedup_stream(df).count() == 2
+
+
+def test_streaming_windowed_aggregation(spark, tmp_path):
+    """Watermark + tumbling window over an actual stream (availableNow)."""
+    src = str(tmp_path / "wsrc")
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    recs = [
+        producer.make_tick("btc", 100.0 + i, 10**9, ts=t0 + timedelta(minutes=10 * i))
+        for i in range(6)
+    ]
+    producer.write_batch(src, recs)
+    stream = pipeline.read_tick_stream(spark, src)
+    agg = pipeline.windowed_ohlc(stream, window="30 minutes", watermark="5 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "wout"))
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "wout"))
+    # 6 ticks in 30-min tumbling windows: [0,30)=3, [30,60)=3 — the last
+    # window may be withheld by the watermark in append mode.
+    windows = {(r.window_start.minute, r.n_ticks) for r in out.collect()}
+    assert (0, 3) in windows
