@@ -1,0 +1,156 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design for 100 TB multimodal corpora: media lives in a ``binary`` column
+(or as object-store URIs resolved at read), metadata travels in typed
+columns (width/height/codec/duration), and every decode/feature step is an
+Arrow-batched ``mapInPandas`` so bytes cross the Python boundary once per
+batch, never per row.  Partitioning is by content hash so re-runs and
+dedups co-locate identical blobs.
+
+The decode internals are STUBBED (no image/audio libs in this container):
+``decode_image_meta`` parses a tiny deterministic fake header; a real
+deployment swaps ``_parse_header`` for PIL/ffmpeg and nothing else changes
+— schema, batch shape, partitioning, and UDF signatures are the real,
+tested Spark plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical multimodal record: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),       # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("content_hash", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+DECODED_META = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("content_hash", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("feature_norm", StringType(), True),
+    ]
+)
+
+#: Deterministic fake header layout used by the stub codec (tests +
+#: synthetic corpora): b"FAKE" + kind[0] + width:4 + height:4 + frames:4.
+_MAGIC = b"FAKE"
+
+
+def encode_fake_media(kind: str, width: int, height: int, frames: int, body: bytes) -> bytes:
+    """Build a stub payload (the test-side producer for the fake codec)."""
+    return (
+        _MAGIC
+        + kind[:1].encode()
+        + width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + frames.to_bytes(4, "big")
+        + body
+    )
+
+
+def _parse_header(payload: bytes) -> tuple[int, int, int]:
+    """Stub decode.  Swap for PIL/ffmpeg in production — the only
+    function a real deployment replaces."""
+    if payload is None or not payload.startswith(_MAGIC):
+        raise NotImplementedError(
+            "real media decoding is not available in this environment; "
+            "payload must use the FAKE stub header"
+        )
+    w = int.from_bytes(payload[5:9], "big")
+    h = int.from_bytes(payload[9:13], "big")
+    f = int.from_bytes(payload[13:17], "big")
+    return w, h, f
+
+
+def media_table(df: DataFrame, id_col: str, kind: str, payload_col: str) -> DataFrame:
+    """Normalize any (id, binary) frame into the canonical MEDIA_SCHEMA,
+    with content hash + size computed JVM-side (sha2/length on binary)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col(payload_col).alias("payload"),
+        F.sha2(F.col(payload_col), 256).alias("content_hash"),
+        F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image_meta(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """mapInPandas decode: payload → (width, height, n_frames, feature).
+
+    Arrow ships each partition as pandas batches; the stub parses the fake
+    header and emits a deterministic 'feature' (hex prefix of the content
+    hash standing in for an embedding).  Errors don't kill the job: rows
+    that fail to decode yield null metadata (the DLQ pattern applied to
+    media decode).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    w, h, f = _parse_header(r.payload)
+                    feat = (r.content_hash or "")[:16]
+                except Exception:
+                    w = h = f = None
+                    feat = None
+                rows.append((r.media_id, r.kind, r.content_hash, w, h, f, feat))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "content_hash",
+                    "width", "height", "n_frames", "feature_norm",
+                ],
+            )
+
+    return df.select("media_id", "kind", "content_hash", "payload").mapInPandas(
+        decode, DECODED_META
+    )
+
+
+def exact_media_dedup(df: DataFrame) -> DataFrame:
+    """Content-hash dedup: identical to document exact-dedup but on the
+    binary hash (one shuffle on a 64-char key)."""
+    return (
+        df.groupBy("content_hash")
+        .agg(F.min("media_id").alias("media_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index,
+    computed from metadata only (sequence + explode, JVM-side).  The
+    actual pixel extraction would live in the decode UDF; the row
+    explosion — the part that matters for partitioning/shuffle sizing at
+    scale — is real."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+    )

@@ -778,3 +778,258 @@ def simhash_signatures(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Join surface completion (SURVEY §2.3): semi, outer-with-default, exceptAll.
+# --------------------------------------------------------------------------
+
+@query(
+    "customers_with_big_orders_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def customers_with_big_orders_semi(spark, sf_dir):
+    customer = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "customer_big_order_counts_outer",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_big_orders
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 400000
+    GROUP BY c_custkey
+    """,
+)
+def customer_big_order_counts_outer(spark, sf_dir):
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey) & (orders.o_totalprice > 400000),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+    )
+
+
+@query(
+    "high_value_days_except",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events WHERE value > 50
+    EXCEPT
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events WHERE event_type = 'error' AND value > 180
+    """,
+)
+def high_value_days_except(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    a = ev.filter(F.col("value") > 50).select("day")
+    b = ev.filter((F.col("event_type") == "error") & (F.col("value") > 180)).select("day")
+    return a.subtract(b)  # EXCEPT (distinct) semantics; exceptAll also exposed
+
+
+# --------------------------------------------------------------------------
+# Cube (A13) and windowed aggregations expressed as batch queries: the
+# tumbling/sliding window semantics of the streaming layer (T9), verified
+# against a SQL oracle on static data.
+# --------------------------------------------------------------------------
+
+@query(
+    "cube_event_stats",
+    oracle="""
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+    """,
+)
+def cube_event_stats(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return ev.cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+@query(
+    "tumbling_hourly_stats",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def tumbling_hourly_stats(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "avg_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_activity",
+    oracle="""
+    WITH starts AS (
+      SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+             value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM starts GROUP BY ws
+    """,
+)
+def sliding_window_activity(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup pairs (bounded query side × full corpus) and
+# per-document nearest neighbor by trigram Jaccard with blocking.
+# --------------------------------------------------------------------------
+
+@query(
+    "embedding_near_dups",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 200)
+    SELECT q.vec_id AS a_id, e.vec_id AS b_id,
+           round(list_dot_product(q.v, e.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6)
+           AS cosine_sim
+    FROM q JOIN e ON q.vec_id < e.vec_id
+    WHERE list_dot_product(q.v, e.v)
+          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) >= 0.45
+    """,
+)
+def embedding_near_dups(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("b_id"), F.col("v").alias("cv"))
+    pairs = c.join(F.broadcast(q), F.col("a_id") < F.col("b_id"))
+    sim = similarity.cosine(F.col("qv"), F.col("cv"))
+    return (
+        pairs.withColumn("__sim", sim)
+        .filter(F.col("__sim") >= 0.45)
+        .select("a_id", "b_id", F.round("__sim", 6).alias("cosine_sim"))
+    )
+
+
+@query(
+    "doc_nearest_ngram",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, lang, n_chars // 25 AS sz,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 0)),
+               i -> array_to_string((string_split_regex(lower(trim(text)), '\s+'))[i:i+2], ' '))) AS s
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS nbr_id,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS sim
+      FROM tk a JOIN tk b
+        ON a.lang = b.lang AND a.sz = b.sz AND a.doc_id != b.doc_id
+    ), ranked AS (
+      SELECT doc_id, nbr_id, sim,
+             row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, nbr_id) AS rn
+      FROM pairs
+    )
+    SELECT doc_id, nbr_id, round(sim, 6) AS jaccard_sim FROM ranked WHERE rn = 1
+    """,
+)
+def doc_nearest_ngram(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import dedup as dd
+    from cryptocurrency_data_pipeline_spark.operators import text as textops
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("n_chars") / 25).cast("long").alias("sz"),
+        F.array_distinct(textops.shingles("text", 3)).alias("s"),
+    )
+    a = docs.select(
+        F.col("doc_id"), F.col("lang"), F.col("sz"), F.col("s").alias("a_s")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("nbr_id"), F.col("lang").alias("b_lang"),
+        F.col("sz").alias("b_sz"), F.col("s").alias("b_s"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("b_lang"))
+        & (F.col("sz") == F.col("b_sz"))
+        & (F.col("doc_id") != F.col("nbr_id")),
+    ).select("doc_id", "nbr_id", dd.jaccard(F.col("a_s"), F.col("b_s")).alias("sim"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("sim").desc(), F.col("nbr_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "nbr_id", F.round("sim", 6).alias("jaccard_sim"))
+    )
+
+
+@query("approx_distinct_users")  # HLL sketches differ per engine — rows-only
+def approx_distinct_users(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_id", 0.01).alias("approx_events"),
+    )
+
+
+@query("media_decode_rollup")  # Pandas-UDF multimodal path — rows-only
+def media_decode_rollup(spark, sf_dir):
+    """Fake-media pipeline over documents: text → stub binary payloads →
+    mapInPandas decode → rollup by decoded dimensions."""
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    docs = t(spark, sf_dir, "documents")
+    # Deterministic fake payloads: dimensions derived from doc stats.
+    payload = F.concat(
+        F.lit(b"FAKE"), F.lit(b"i"),
+        # width = 64 + (n_chars % 64), height = 64, frames = 1 (4-byte BE each)
+        F.expr("unhex(lpad(hex(64 + n_chars % 64), 8, '0'))"),
+        F.expr("unhex(lpad(hex(64), 8, '0'))"),
+        F.expr("unhex(lpad(hex(1), 8, '0'))"),
+        F.encode("text", "UTF-8"),
+    )
+    media = mm.media_table(docs.select("doc_id", payload.alias("p")), "doc_id", "image", "p")
+    meta = mm.decode_image_meta(media)
+    return (
+        meta.groupBy("width", "height")
+        .agg(F.count(F.lit(1)).alias("n_media"))
+        .orderBy("width")
+    )
