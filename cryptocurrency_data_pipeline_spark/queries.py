@@ -1033,3 +1033,75 @@ def media_decode_rollup(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_media"))
         .orderBy("width")
     )
+
+
+# --------------------------------------------------------------------------
+# Session windows (T9): activity sessions per user with a 5-minute gap.
+# Spark's session_window vs the classic gaps-and-islands SQL construction.
+# --------------------------------------------------------------------------
+
+@query(
+    "session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def session_windows(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DQDL row-level routing (A12/P8/W2): per-row Passed/Failed verdicts with an
+# IsPrimaryKey window check, on data with injected duplicate keys.
+# --------------------------------------------------------------------------
+
+@query(
+    "dqdl_row_level_routing",
+    oracle="""
+    WITH aug AS (
+      SELECT * FROM orders
+      UNION ALL SELECT * FROM orders WHERE o_orderkey % 100 = 0
+    ), r AS (
+      SELECT o_totalprice, count(*) OVER (PARTITION BY o_orderkey) AS kc FROM aug
+    )
+    SELECT CASE WHEN kc = 1 AND o_totalprice IS NOT NULL AND o_totalprice > 0
+                THEN 'Passed' ELSE 'Failed' END AS dq_result,
+           count(*) AS n_rows
+    FROM r GROUP BY 1
+    """,
+)
+def dqdl_row_level_routing(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import quality
+
+    orders = t(spark, sf_dir, "orders")
+    aug = orders.unionByName(orders.filter(F.col("o_orderkey") % 100 == 0))
+    tagged = quality.row_level_rules(
+        aug, positive_cols=["o_totalprice"], primary_key="o_orderkey"
+    )
+    return tagged.groupBy("dq_result").agg(F.count(F.lit(1)).alias("n_rows"))

@@ -43,6 +43,7 @@ def read_tick_stream(
     spark: SparkSession,
     source_dir: str,
     max_files_per_trigger: int | None = None,
+    base64_encoded: bool = False,
 ) -> DataFrame:
     """File-source test harness for the Kinesis consumer (S8).
 
@@ -50,14 +51,21 @@ def read_tick_stream(
     the explicit schema — identical plumbing to a Kafka ``value`` column, so
     swapping the source for ``format("kafka")`` changes nothing downstream.
     Corrupt payloads yield null parsed struct + preserved raw line.
+
+    ``base64_encoded=True`` mirrors Kinesis payload encoding
+    (streaming/consumer.py:37 ``base64.b64decode``): lines are decoded
+    JVM-side with ``unbase64`` before parsing (F13).
     """
     reader = spark.readStream.format("text")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(source_dir)
+    payload = (
+        F.decode(F.unbase64(F.col("value")), "UTF-8") if base64_encoded else F.col("value")
+    )
     parsed = raw.select(
-        F.col("value").alias("raw_data"),
-        F.from_json(F.col("value"), STREAM_TICK, {"mode": "PERMISSIVE"}).alias("tick"),
+        payload.alias("raw_data"),
+        F.from_json(payload, STREAM_TICK, {"mode": "PERMISSIVE"}).alias("tick"),
     )
     return parsed.select(
         "raw_data",

@@ -60,14 +60,20 @@ def write_batch(
     source_dir: str,
     records: list[dict],
     corrupt_lines: int = 0,
+    base64_encode: bool = False,
 ) -> str:
     """Append one JSON-lines batch file (≈ one Kinesis put_records call);
     optional corrupt lines exercise the parse-error DLQ path
-    (consumer.py:94-102)."""
+    (consumer.py:94-102); ``base64_encode`` mirrors Kinesis record
+    encoding (consumer.py:37)."""
+    import base64
+
     os.makedirs(source_dir, exist_ok=True)
     path = os.path.join(source_dir, f"batch_{uuid.uuid4().hex}.json")
     lines = [json.dumps(r) for r in records]
     lines += ["{not valid json" for _ in range(corrupt_lines)]
+    if base64_encode:
+        lines = [base64.b64encode(ln.encode()).decode() for ln in lines]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     return path

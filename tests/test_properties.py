@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for operator invariants."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cryptocurrency_data_pipeline_spark.operators import dedup, quality, silver
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),                       # key
+        st.integers(min_value=0, max_value=5),                  # ts
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows)
+@_slow
+def test_dedup_latest_invariants(spark, data):
+    df = spark.createDataFrame(data, "k string, ts long, v double")
+    out = silver.dedup_latest(df, ["k"], "ts", tiebreak=["v"]).collect()
+    # One row per key; each is the max (ts, v) pair for that key.
+    assert len(out) == len({d[0] for d in data})
+    for r in out:
+        expect = max((d[1], d[2]) for d in data if d[0] == r.k)
+        assert (r.ts, r.v) == expect
+    # Idempotent.
+    df2 = spark.createDataFrame([(r.k, r.ts, r.v) for r in out], "k string, ts long, v double")
+    again = silver.dedup_latest(df2, ["k"], "ts", tiebreak=["v"]).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+@given(rows)
+@_slow
+def test_enforce_split_partitions_rows(spark, data):
+    # Null out some keys deterministically: every 'c' key becomes null.
+    df = spark.createDataFrame(
+        [(None if k == "c" else k, ts, v) for k, ts, v in data],
+        "k string, ts long, v double",
+    )
+    valid, dlq = silver.enforce_schema_split(df, ["k"])
+    n_null = sum(1 for k, _, _ in data if k == "c")
+    assert valid.count() == len(data) - n_null
+    assert dlq.count() == n_null
+
+
+@given(rows)
+@_slow
+def test_uniqueness_bounds_and_exactness(spark, data):
+    df = spark.createDataFrame(data, "k string, ts long, v double")
+    u = quality.profile(df, unique_key="k")["Uniqueness(k)"]
+    keys = [d[0] for d in data]
+    distinct = set(keys)
+    exact = sum(1 for k in distinct if keys.count(k) == 1) / len(distinct)
+    assert math.isclose(u, exact, abs_tol=1e-12)
+    assert 0.0 <= u <= 1.0
+
+
+@given(
+    st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=1, max_size=12),
+    st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=1, max_size=12),
+)
+@_slow
+def test_jaccard_matches_python_sets(spark, a, b):
+    df = spark.createDataFrame([(a, b)], "a array<string>, b array<string>")
+    import pyspark.sql.functions as F
+
+    got = df.select(
+        dedup.jaccard(F.array_distinct("a"), F.array_distinct("b")).alias("j")
+    ).collect()[0].j
+    sa, sb = set(a), set(b)
+    assert math.isclose(got, len(sa & sb) / len(sa | sb), abs_tol=1e-12)

@@ -99,3 +99,19 @@ def test_streaming_windowed_aggregation(spark, tmp_path):
     # window may be withheld by the watermark in append mode.
     windows = {(r.window_start.minute, r.n_ticks) for r in out.collect()}
     assert (0, 3) in windows
+
+
+def test_base64_encoded_source(spark, tmp_path):
+    """Kinesis-style base64 payloads decoded JVM-side (F13, consumer.py:37)."""
+    src = str(tmp_path / "b64src")
+    producer.write_batch(src, producer.make_batch(3), base64_encode=True)
+    stream = pipeline.read_tick_stream(spark, src, base64_encoded=True)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory").queryName("b64ticks")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT coin_id, current_price FROM b64ticks").collect()
+    assert len(out) == 6  # 3 normal + 3 anomalies
+    assert {r.coin_id for r in out} >= {"coin-0", "surge-coin"}
