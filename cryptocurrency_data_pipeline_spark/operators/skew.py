@@ -1,0 +1,93 @@
+"""Skew mitigation: salted aggregation and salted broadcast-replicate join.
+
+AQE's skew-join splitting (enabled in session.py) handles most runtime skew;
+these operators are the explicit tools for the pathological cases AQE can't
+fix — a groupBy where one key holds 30% of 100 TB, or a shuffle join whose
+hot key overflows a single task no matter how the planner splits files.
+
+* **salted_agg**: two-phase aggregation.  Phase 1 groups on
+  (key, salt ∈ [0,S)) so the hot key's rows spread over S tasks and
+  map-side combine stays effective; phase 2 merges the S partials per key.
+  Works for any algebraic aggregate (sum/count/min/max — and avg via
+  sum+count).
+* **salted_join**: replicate the small side S× (explode over salt values),
+  salt the big side's key randomly, join on (key, salt).  The hot key's
+  rows land in S different tasks instead of one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column → (input column, fn) with fn ∈
+    {sum, count, min, max, avg}.  avg is decomposed into sum+count across
+    the phases so the result is exact.
+    """
+    salt = (F.rand(seed=42) * n_salts).cast("int")
+    phase1_aggs, phase2_aggs, post = [], [], []
+    for out, (col, fn) in aggs.items():
+        if fn == "sum":
+            phase1_aggs.append(F.sum(col).alias(f"__p_{out}"))
+            phase2_aggs.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "count":
+            phase1_aggs.append(F.count(col).alias(f"__p_{out}"))
+            phase2_aggs.append(F.sum(f"__p_{out}").alias(out))
+        elif fn in ("min", "max"):
+            f = getattr(F, fn)
+            phase1_aggs.append(f(col).alias(f"__p_{out}"))
+            phase2_aggs.append(f(f"__p_{out}").alias(out))
+        elif fn == "avg":
+            phase1_aggs += [
+                F.sum(col).alias(f"__ps_{out}"),
+                F.count(col).alias(f"__pc_{out}"),
+            ]
+            phase2_aggs += [
+                F.sum(f"__ps_{out}").alias(f"__s_{out}"),
+                F.sum(f"__pc_{out}").alias(f"__c_{out}"),
+            ]
+            post.append((out, F.col(f"__s_{out}") / F.col(f"__c_{out}")))
+        else:
+            raise ValueError(f"unsupported aggregate: {fn}")
+
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*phase1_aggs)
+    )
+    merged = partial.groupBy(*keys).agg(*phase2_aggs)
+    for out, expr in post:
+        merged = merged.withColumn(out, expr)
+    return merged.drop(*[c for c in merged.columns if c.startswith("__")])
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side.
+
+    Use when the small side is too large to broadcast outright but the big
+    side's key distribution is pathological.  Replication factor = S, so
+    pick the smallest S that spreads the hot keys.
+    """
+    salted_big = big.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_big.join(replicated, [key, "__salt"], how)
+    return out.drop("__salt")

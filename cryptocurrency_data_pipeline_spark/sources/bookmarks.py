@@ -1,0 +1,72 @@
+"""Incremental batch ingest: a processed-files ledger (Glue job-bookmark
+parity, SURVEY §2.1 S3 / §4 "Incremental scan").
+
+The reference gets incrementality from Glue's ``transformation_ctx``
+bookmark (glue/data_transform_s3.py:52) — opaque, AWS-only.  Here it is an
+explicit ledger: a tiny parquet table of file paths already processed.
+``new_files`` anti-joins the current listing against the ledger;
+``commit`` appends the batch just processed.  The Structured Streaming file
+source (streaming/pipeline.py) is the preferred path; this exists for
+plain-batch jobs that need resumability without a streaming runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _ledger(spark: SparkSession, ledger_path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(ledger_path)
+    except Exception:
+        return None
+
+
+def new_files(spark: SparkSession, input_dir: str, ledger_path: str) -> list[str]:
+    """Paths under ``input_dir`` not yet recorded in the ledger.
+
+    The listing is driver-side (os.walk) — file *names* are metadata, not
+    data; even a million-file listing is MBs.  The anti-join against the
+    ledger runs in Spark so the ledger itself can grow unbounded.
+    """
+    listed = []
+    for root, _, files in os.walk(input_dir):
+        for f in sorted(files):
+            if not f.startswith((".", "_")):
+                listed.append(os.path.join(root, f))
+    if not listed:
+        return []
+    listed_df = spark.createDataFrame([(p,) for p in listed], "path string")
+    ledger = _ledger(spark, ledger_path)
+    if ledger is None:
+        fresh = listed_df
+    else:
+        fresh = listed_df.join(ledger, "path", "left_anti")
+    return [r.path for r in fresh.collect()]
+
+
+def commit(spark: SparkSession, paths: list[str], ledger_path: str) -> None:
+    """Record ``paths`` as processed (append; idempotent via later anti-join)."""
+    if not paths:
+        return
+    df = spark.createDataFrame([(p,) for p in paths], "path string").withColumn(
+        "committed_at", F.current_timestamp()
+    )
+    df.coalesce(1).write.mode("append").parquet(ledger_path)
+
+
+def read_incremental(
+    spark: SparkSession, input_dir: str, ledger_path: str, fmt: str = "json"
+) -> tuple[DataFrame | None, list[str]]:
+    """(new-data DataFrame | None, the file batch to commit after success).
+
+    Caller processes the frame, then calls ``commit`` — commit-after-write
+    gives at-least-once (same as Glue bookmarks on job failure).
+    """
+    batch = new_files(spark, input_dir, ledger_path)
+    if not batch:
+        return None, []
+    return spark.read.format(fmt).load(batch), batch
