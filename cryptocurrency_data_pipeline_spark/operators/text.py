@@ -28,6 +28,16 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = ("a", "the", "of", "and")
 
 
+def _isin_any(values: tuple[str, ...]):
+    """Closure factory for HOF predicates — a default-argument lambda is
+    introspected by PySpark as a two-variable lambda and rejected."""
+
+    def pred(x: Column) -> Column:
+        return x.isin(*values)
+
+    return pred
+
+
 def tokens(col: str | Column = "text") -> Column:
     """Whitespace tokenization (lowercased)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -55,12 +65,15 @@ def punct_ratio(col: str | Column = "text") -> Column:
     return (F.length(c) - F.length(stripped)) / F.length(c)
 
 
+def nonspace_chars(col: str | Column = "text") -> Column:
+    """Total characters across tokens == length of the normalized text with
+    all whitespace removed — one regexp instead of a per-token HOF pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(F.lower(F.trim(c)), r"\s+", ""))
+
+
 def avg_token_len(col: str | Column = "text") -> Column:
-    toks = tokens(col)
-    total = F.aggregate(
-        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
-    )
-    return total / F.size(toks)
+    return nonspace_chars(col) / F.size(tokens(col))
 
 
 def quality_score(col: str | Column = "text") -> Column:
@@ -80,17 +93,19 @@ def lang_id(col: str | Column = "text", toks: Column | None = None) -> Column:
     already-tokenized array column."""
     if toks is None:
         toks = tokens(col)
-    best = F.lit("und")
-    best_score = F.lit(0)
-    # Strict '>' replacement: the first-processed language keeps ties, so
-    # natural declaration order ('en' first) is the tie-break priority.
-    for lang in LANG_MARKERS:
-        markers = LANG_MARKERS[lang]
-        score = F.size(F.filter(toks, lambda x: x.isin(*markers)))
-        is_better = score > best_score
-        best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best
+    # One struct per language, compared lexicographically by array_max:
+    # score first, then -declaration-index (so ties go to the earliest
+    # declared language, 'en' first).  Each score subtree appears exactly
+    # once — the earlier chained-when formulation duplicated every score
+    # O(langs) times and dominated codegen compile time.
+    entries = []
+    for i, (lang, markers) in enumerate(LANG_MARKERS.items()):
+        score = F.size(F.filter(toks, _isin_any(markers)))
+        entries.append(
+            F.struct(score.alias("s"), F.lit(-i).alias("p"), F.lit(lang).alias("l"))
+        )
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
 def fingerprint(col: str | Column = "text") -> Column:
@@ -135,13 +150,7 @@ def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     stop_ok = 1.0 - F.least(F.abs(F.col("__stop_ratio") - 0.1) * 2.0, F.lit(1.0))
     return staged.select(
         "*",
-        F.round(
-            F.aggregate(
-                F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-            )
-            / F.size(toks),
-            6,
-        ).alias("avg_token_len"),
+        F.round(nonspace_chars(col) / F.size(toks), 6).alias("avg_token_len"),
         F.round(F.col("__stop_ratio"), 6).alias("stopword_ratio"),
         F.round(F.col("__punct_ratio"), 6).alias("punct_ratio"),
         F.round((length_ok + punct_ok + stop_ok) / 3.0, 6).alias("quality_score"),
