@@ -149,16 +149,24 @@ def star_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_name", "r_name")
     )
     enriched_orders = orders.join(F.broadcast(cust_dim), orders.o_custkey == cust_dim.c_custkey)
+    # Pre-aggregate the fact by order key BEFORE the fact-to-fact join: a
+    # map-side-combinable agg shrinks the join input ~4x (lineitems/order),
+    # so the orderkey shuffle moves per-order partials instead of raw rows —
+    # and stops AQE from trying to broadcast the fact locally.
+    li_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+        F.count("*").alias("__n"),
+    )
     return (
-        li.join(enriched_orders, li.l_orderkey == enriched_orders.o_orderkey)
+        li_per_order.join(
+            enriched_orders, li_per_order.l_orderkey == enriched_orders.o_orderkey
+        )
         .groupBy(
             F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.count("*").alias("n_lineitems"),
+            F.round(F.sum("__rev"), 2).alias("revenue"),
+            F.sum("__n").alias("n_lineitems"),
         )
     )
 

@@ -1,0 +1,122 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference consumer (streaming/consumer.py:21-24,86) receives a
+``price_change_pct`` field pre-computed by the producer and alerts when it
+exceeds a threshold — it has no memory between invocations, so it cannot
+compute the change itself.  Here the engine computes the change *statefully*:
+per-coin last-seen price/timestamp lives in Spark's checkpointed state store,
+survives micro-batches AND restarts, and the operator emits each tick
+enriched with ``prev_price`` / ``price_change_pct`` / ``is_alert``.
+
+Scale notes: state is partitioned by the grouping key (coin_id), so a
+1000-executor cluster holds each key's state on exactly one task — no
+cross-partition coordination.  State size is O(distinct keys) × ~24 bytes;
+RocksDB state store handles key counts far beyond memory.  The per-batch
+Python work is Arrow-batched pandas, not per-row.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming.state import GroupState
+
+#: Output: the tick plus stateful enrichment.
+PRICE_DELTA_SCHEMA = StructType(
+    [
+        StructField("coin_id", StringType()),
+        StructField("event_time", TimestampType()),
+        StructField("current_price", DoubleType()),
+        StructField("prev_price", DoubleType()),
+        StructField("price_change_pct", DoubleType()),
+        StructField("is_alert", BooleanType()),
+    ]
+)
+
+#: State per coin: last price and its event-time epoch-micros.
+_STATE_SCHEMA = StructType(
+    [StructField("last_price", DoubleType()), StructField("last_ts", DoubleType())]
+)
+
+
+def _make_tracker(alert_pct: float):
+    """Build the per-group stateful function (closure over the threshold —
+    default-arg lambdas break PySpark's UDF introspection)."""
+
+    def track(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: "GroupState",
+    ) -> Iterator[pd.DataFrame]:
+        last_price, last_ts = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_time")
+            prevs, pcts, alerts = [], [], []
+            for price, ts in zip(pdf["current_price"], pdf["event_time"]):
+                prevs.append(last_price)
+                if last_price is None or price is None or last_price == 0.0:
+                    pct = None
+                else:
+                    pct = (price - last_price) / last_price * 100.0
+                pcts.append(pct)
+                alerts.append(pct is not None and abs(pct) > alert_pct)
+                if price is not None:
+                    last_price = float(price)
+                    last_ts = ts.timestamp() if ts is not None else None
+            yield pd.DataFrame(
+                {
+                    "coin_id": pdf["coin_id"],
+                    "event_time": pdf["event_time"],
+                    "current_price": pdf["current_price"],
+                    "prev_price": pd.array(prevs, dtype="float64"),
+                    "price_change_pct": pd.array(pcts, dtype="float64"),
+                    "is_alert": alerts,
+                }
+            )
+        if last_price is not None:
+            state.update((last_price, last_ts))
+
+    return track
+
+
+def stateful_price_deltas(
+    ticks: DataFrame, alert_pct: float = 10.0, timeout: str = "NoTimeout"
+) -> DataFrame:
+    """Per-coin cross-batch price-change tracking (streaming).
+
+    ``ticks`` must be a streaming DataFrame with ``coin_id``,
+    ``event_time`` (timestamp), ``current_price``.  Returns an append-mode
+    stream where each tick carries the previous price from the state store
+    and the alert flag the reference computes producer-side
+    (streaming/producer.py:58 ``price_change_pct``; consumer.py:86 threshold).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeouts = {
+        "NoTimeout": GroupStateTimeout.NoTimeout,
+        "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
+    }
+    return (
+        ticks.select("coin_id", "event_time", "current_price")
+        .groupBy("coin_id")
+        .applyInPandasWithState(
+            _make_tracker(alert_pct),
+            outputStructType=PRICE_DELTA_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeouts[timeout],
+        )
+    )
