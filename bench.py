@@ -36,6 +36,7 @@ HEADLINE = [
     "minhash_near_dups",          # MinHash+LSH dedup
     "cosine_topk",                # brute-force similarity
     "ann_srp_topk",               # bucketed ANN
+    "ivf_ann_topk",               # IVF-flat ANN (numpy-vectorized assignment)
 ]
 
 

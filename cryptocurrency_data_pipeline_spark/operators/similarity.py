@@ -9,6 +9,9 @@
   anywhere), candidates = bucket collisions (multi-probe via per-table
   repeated projections), exact cosine re-rank on candidates only.  Turns
   O(N·Q) into O(N + collisions).
+* **IVF-flat ANN** — FAISS-style inverted lists: deterministic seeded
+  coarse quantizer, Arrow-vectorized numpy assignment (map-only over the
+  corpus), multi-probe queries, exact re-rank within probed lists.
 """
 
 from __future__ import annotations
@@ -96,6 +99,107 @@ def srp_sign(vec: Column, proj_id: int, dim: int) -> Column:
 def srp_bucket(vec: Column, n_bits: int, dim: int) -> Column:
     """n_bits-bit SRP bucket key as a string like '0110'."""
     return F.concat(*[srp_sign(vec, b, dim).cast("string") for b in range(n_bits)])
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: ``nlist`` seed centroids.
+
+    Seeds are the corpus vectors with the smallest ``md5(id)`` — a
+    reproducible pseudo-random sample any engine can replay (no RNG state).
+    At 100 TB, feed this a ``corpus.sample(...)``: seeding only needs a
+    representative subset, and the global sort then ranks the sample, not
+    the corpus.  Output: (centroid_id 1..nlist, centroid array<double>).
+    """
+    w = Window.orderBy(F.md5(F.col("__seed_id").cast("string")), F.col("__seed_id"))
+    return (
+        corpus.select(
+            F.col(id_col).alias("__seed_id"), as_double(F.col(vec_col)).alias("centroid")
+        )
+        .withColumn("centroid_id", F.row_number().over(w))
+        .filter(F.col("centroid_id") <= nlist)
+        .select("centroid_id", "centroid")
+    )
+
+
+def _make_probe_udf(cent_mat, nprobe: int):
+    """Arrow-vectorized nearest-centroid assignment (built lazily — pandas
+    UDF return-type parsing needs an active session).
+
+    One numpy matmul per Arrow batch against the broadcast centroid matrix:
+    O(batch × nlist × dim) FLOPs with no per-row Python.  Similarities are
+    rounded to 9 dp before ranking so the choice is reproducible across
+    engines whose summation order differs (numpy pairwise vs sequential);
+    ties break toward the lower centroid_id (stable argsort).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(cent_mat, dtype="float64")  # (nlist, dim), centroid_id order
+    norms = np.sqrt((mat * mat).sum(axis=1))
+
+    @pandas_udf("array<int>")
+    def probes(vecs):
+        import pandas as pd
+
+        v = np.stack(vecs.to_numpy())  # (batch, dim) float64
+        sims = (v @ mat.T) / (np.sqrt((v * v).sum(axis=1))[:, None] * norms[None, :])
+        order = np.argsort(np.round(-sims, 9), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([(row + 1).tolist() for row in order])
+
+    return probes
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into ``nlist`` inverted
+    lists, probe the ``nprobe`` nearest lists per query, exact cosine
+    re-rank on candidates only.
+
+    The corpus side never shuffles on vectors: assignment is a map-only
+    pandas UDF, and the candidate join shuffles on the int ``centroid_id``
+    (or broadcasts the query side, as here).  Recall tunes via
+    ``nprobe``/``nlist`` exactly as in FAISS-style IVF.
+    """
+    cents = ivf_centroids(corpus, nlist, id_col, vec_col)
+    cent_rows = cents.orderBy("centroid_id").collect()
+    cent_mat = [r.centroid for r in cent_rows]
+
+    assign1 = _make_probe_udf(cent_mat, 1)
+    assignp = _make_probe_udf(cent_mat, nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("centroid_id", assign1(F.col("c_vec"))[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("centroid_id", F.explode(assignp(F.col("q_vec"))))
+
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.round("__sim", 6).alias("cosine_sim"))
+    )
 
 
 def ann_topk(

@@ -772,6 +772,57 @@ def cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+@query(
+    "ivf_ann_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT v AS cv,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS centroid_id
+      FROM c QUALIFY centroid_id <= 16
+    ),
+    assign AS (
+      SELECT e.vec_id, e.v, s.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_dot_product(e.v, s.cv)
+                        / (sqrt(list_dot_product(e.v, e.v))
+                           * sqrt(list_dot_product(s.cv, s.cv))), 9) DESC,
+                        s.centroid_id
+             ) AS rn
+      FROM c e CROSS JOIN seeds s
+    ),
+    corpus_a AS (SELECT vec_id AS neighbor_id, v AS cv2, centroid_id
+                 FROM assign WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, v AS qv, centroid_id
+               FROM assign WHERE rn <= 4 AND vec_id < 5),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             list_dot_product(p.qv, a.cv2)
+             / (sqrt(list_dot_product(p.qv, p.qv))
+                * sqrt(list_dot_product(a.cv2, a.cv2))) AS sim
+      FROM probes p JOIN corpus_a a USING (centroid_id)
+      WHERE a.neighbor_id != p.query_id
+    ),
+    r AS (SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rn2
+          FROM scored)
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim FROM r WHERE rn2 <= 10
+    """,
+)
+def ivf_ann_topk(spark, sf_dir):
+    """IVF-flat ANN (FAISS-style): deterministic seeded coarse quantizer,
+    numpy-vectorized assignment, multi-probe, exact in-list re-rank —
+    fully oracle-checked (the SRP variant stays rows-only)."""
+    from cryptocurrency_data_pipeline_spark.operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, nlist=16, nprobe=4
+    )
+
+
 @query("ann_srp_topk")  # approximate — rows-only check by design
 def ann_srp_topk(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import similarity

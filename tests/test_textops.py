@@ -97,3 +97,26 @@ def test_asof_join_semantics(spark):
     }
     # p1: equal-ts right row visible (<=); p2: latest prior (ts=20); p3: none
     assert out == {"p1": 100.0, "p2": 200.0, "p3": None}
+
+
+def test_ivf_topk_recall_on_clusters(spark):
+    # Two tight clusters, nlist=2: each query must recover its own cluster.
+    rows = [(i, [1.0 + 0.01 * i, 0.0]) for i in range(5)] + [
+        (10 + i, [0.0, 1.0 + 0.01 * i]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    ivf = {r.neighbor_id for r in similarity.ivf_topk(df, q, k=4, nlist=2, nprobe=1).collect()}
+    exact = {r.neighbor_id for r in similarity.cosine_topk(df, q, k=4).collect()}
+    assert ivf == exact
+
+
+def test_ivf_multiprobe_reaches_all_lists(spark):
+    # nprobe == nlist degenerates to exact search (full coverage).
+    rows = [(i, [float(i % 3 + 1), float((i * 7) % 5 + 1)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 2)
+    ivf = similarity.ivf_topk(df, q, k=5, nlist=4, nprobe=4).collect()
+    exact = similarity.cosine_topk(df, q, k=5).collect()
+    key = lambda r: (r.query_id, r.neighbor_id, r.cosine_sim)
+    assert sorted(map(key, ivf)) == sorted(map(key, exact))
