@@ -114,11 +114,98 @@ def fingerprint(col: str | Column = "text") -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
-def shingles(col: str | Column = "text", n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (input to MinHash/Jaccard)."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+#: BPE-ish pre-tokenizer: English contraction suffixes, letter runs, digit
+#: runs, punctuation runs — the GPT-2 pre-split shape, restricted to a
+#: lookahead-free pattern so Java regex (Spark) and RE2 (DuckDB/oracle)
+#: agree match-for-match.
+BPE_SPLIT = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    """Subword-ish token count via the BPE pre-split regex (F.regexp_count
+    is JVM-side — no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(BPE_SPLIT))
+
+
+def normalize(col: str | Column = "text") -> Column:
+    """Canonical text form shared by fingerprints: lowercase + collapsed
+    whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    out: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03) as a
+    staged column pipeline.
+
+    Char ``k``-grams of the normalized text are hashed with md5; each
+    window of ``w`` consecutive gram hashes contributes its minimum, and
+    the distinct minima are the document's fingerprint set.  Lexicographic
+    min over hex digests keeps the whole construction in built-in JVM
+    expressions and replayable in ANSI SQL (same trick as the OPH MinHash
+    in ``dedup.py``).  Guarantees a shared fingerprint for any match of
+    length ≥ w+k-1 — the local-sampling property that makes near-dup
+    detection robust to position shifts, at ~1/w the hash volume.
+
+    Staging matters: an array expression referenced inside a HOF lambda is
+    re-evaluated PER ELEMENT (no common-subexpression elimination inside
+    lambdas), turning the hash pass O(len²) — measured ~1 s/doc.  Bound
+    column references are free, so norm and the hash array are
+    materialized as columns first (~130x faster).
+    """
+    norm_c, hs_c = "__wn_norm", "__wn_hs"
+    norm = F.col(norm_c)
+
+    def gram(i: Column) -> Column:
+        return F.md5(norm.substr(i, F.lit(k)))
+
+    hs = F.col(hs_c)
+
+    def wmin(x: Column, i: Column) -> Column:
+        # least() ignores nulls, but the trailing (incomplete) windows it
+        # would mis-handle are cut off by the slice below.
+        return F.least(x, *[F.get(hs, i + j) for j in range(1, w)])
+
+    mins = F.slice(
+        F.transform(hs, wmin), 1, F.greatest(F.size(hs) - (w - 1), F.lit(0))
+    )
+    return (
+        df.withColumn(norm_c, normalize(col))
+        .withColumn(hs_c, F.transform(F.sequence(F.lit(1), F.length(norm) - (k - 1)), gram))
+        .withColumn(out, F.array_sort(F.array_distinct(mins)))
+        .drop(norm_c, hs_c)
+    )
+
+
+def shingles(
+    col: str | Column = "text", n: int = 3, toks: Column | None = None
+) -> Column:
+    """Word n-gram shingles as an array<string> (input to MinHash/Jaccard).
+
+    Pass ``toks`` as a *bound column* (stage it with ``withColumn`` first)
+    on hot paths: a raw token-array expression referenced inside the HOF
+    lambda would re-tokenize per element, O(len²).  The trailing slice
+    drops incomplete windows (and yields [] for docs shorter than n —
+    avoiding the sequence(1,0) descending-sequence trap).
+    """
+    if toks is None:
+        toks = tokens(col)
+
+    def sh(x: Column, i: Column) -> Column:
+        # concat_ws skips nulls from get() past the end; those incomplete
+        # trailing windows are cut off by the slice below.
+        return F.concat_ws(" ", x, *[F.get(toks, i + j) for j in range(1, n)])
+
+    return F.slice(
+        F.transform(toks, sh), 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    )
 
 
 def text_stats(df: DataFrame, col: str = "text") -> DataFrame:

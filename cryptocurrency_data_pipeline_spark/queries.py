@@ -666,6 +666,72 @@ def text_stats_docs(spark, sf_dir):
     )
 
 
+@query(
+    "winnow_fingerprints",
+    oracle=r"""
+    WITH nrm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(t) - 7),
+                            i -> md5(substr(t, i, 8))) AS hs
+      FROM nrm
+    ),
+    mins AS (
+      -- least() over direct indexes: the list-slice form allocates a list
+      -- per window and is ~1000x slower in DuckDB
+      SELECT doc_id,
+             list_transform(generate_series(1, len(hs) - 3),
+                            i -> least(hs[i], hs[i+1], hs[i+2], hs[i+3])) AS m
+      FROM h
+    )
+    SELECT doc_id,
+           len(list_distinct(m)) AS n_fps,
+           list_aggregate(m, 'min') AS min_fp,
+           list_aggregate(m, 'max') AS max_fp
+    FROM mins
+    """,
+)
+def winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprints: per-doc count + extrema of
+    the fingerprint set — any divergence in gram/hash/window logic flips
+    the value hash."""
+    from cryptocurrency_data_pipeline_spark.operators import text as textops
+
+    docs = t(spark, sf_dir, "documents")
+    return textops.winnow_fingerprints(docs, "text", k=8, w=4).select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fps"),
+        F.array_min("fingerprints").alias("min_fp"),
+        F.array_max("fingerprints").alias("max_fp"),
+    )
+
+
+@query(
+    "bpe_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text),
+               '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS n_bpe_tokens,
+           len(string_split_regex(lower(trim(text)), '\s+')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def bpe_token_counts(spark, sf_dir):
+    """Token counting both ways: whitespace and BPE-ish regex pre-split
+    (the GPT-2 shape, lookahead-free so Java regex and RE2 agree)."""
+    from cryptocurrency_data_pipeline_spark.operators import text as textops
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.bpe_token_count("text").alias("n_bpe_tokens"),
+        textops.token_count("text").alias("n_ws_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact dedup (hash-groupBy on normalized md5 fingerprint).
 # --------------------------------------------------------------------------
@@ -1035,9 +1101,13 @@ def doc_nearest_ngram(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import dedup as dd
     from cryptocurrency_data_pipeline_spark.operators import text as textops
 
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", (F.col("n_chars") / 25).cast("long").alias("sz"),
-        F.array_distinct(textops.shingles("text", 3)).alias("s"),
+    docs = (
+        t(spark, sf_dir, "documents")
+        .withColumn("__toks", textops.tokens("text"))  # staged: see shingles()
+        .select(
+            "doc_id", "lang", (F.col("n_chars") / 25).cast("long").alias("sz"),
+            F.array_distinct(textops.shingles(toks=F.col("__toks"), n=3)).alias("s"),
+        )
     )
     a = docs.select(
         F.col("doc_id"), F.col("lang"), F.col("sz"), F.col("s").alias("a_s")

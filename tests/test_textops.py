@@ -120,3 +120,27 @@ def test_ivf_multiprobe_reaches_all_lists(spark):
     exact = similarity.cosine_topk(df, q, k=5).collect()
     key = lambda r: (r.query_id, r.neighbor_id, r.cosine_sim)
     assert sorted(map(key, ivf)) == sorted(map(key, exact))
+
+
+def test_shingles_shorter_than_n_is_empty(spark):
+    df = spark.createDataFrame([("one two",)], "text string")
+    r = df.select(text.shingles("text", 3).alias("s")).collect()[0].s
+    assert r == []
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    # Winnowing guarantee: any shared run of length >= w+k-1 (= 11) chars
+    # yields at least one common fingerprint, regardless of position.
+    core = "zqxjkwvbnm pqrstuvwxy"
+    a = "aaaa bbbb cccc dddd " + core + " eeee ffff gggg hhhh iiii jjjj"
+    b = "1111 2222 3333 4444 5555 6666 " + core + " 7777 8888 9999 0000"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    out = {r.doc_id: set(r.fingerprints)
+           for r in text.winnow_fingerprints(df, "text").collect()}
+    assert out[1] & out[2]
+
+
+def test_bpe_token_count_shape(spark):
+    df = spark.createDataFrame([("Don't count 123 twice!!",)], "text string")
+    # don | 't | count | 123 | twice | !!  -> 6
+    assert df.select(text.bpe_token_count("text").alias("n")).collect()[0].n == 6
