@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the scale properties README claims
+(pushdown, pruning, broadcast, top-k, map-only text pass) asserted against
+`.explain` output so a refactor can't silently regress them."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from cryptocurrency_data_pipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode="formatted"):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    p = plan(QUERIES["pricing_summary"](spark, SF))
+    assert "PushedFilters: [" in p and "IsNotNull" in p or "LessThanOrEqual" in p
+    # The scan must not read all 16 lineitem columns for the 7-column agg.
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read and "l_partkey" not in read
+
+
+def test_top_orders_is_take_ordered_not_global_sort(spark):
+    p = plan(QUERIES["top_orders_by_value"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_star_query_broadcasts_dims_and_preaggregates(spark):
+    p = plan(QUERIES["star_revenue_by_nation"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    # Partial aggregation (map-side combine) must appear before the final:
+    assert p.count("HashAggregate") >= 2
+
+
+def test_text_stats_is_map_only(spark):
+    p = plan(QUERIES["text_stats_docs"](spark, SF))
+    assert "Exchange" not in p  # pure per-row pass: no shuffle at any scale
+
+
+def test_winnow_is_map_only(spark):
+    p = plan(QUERIES["winnow_fingerprints"](spark, SF))
+    assert "Exchange" not in p
+
+
+def test_asof_join_single_shuffle(spark):
+    # union-sort-ffill: ONE Exchange (the per-key window), no join shuffle.
+    from cryptocurrency_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10, 1.0)], "user_id long, ts long, value double")
+    right = spark.createDataFrame([(1, 5, 2.0)], "user_id long, ts long, value double")
+    p = plan(asof_join(left, right, "user_id"), mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_flagship_prunes_and_pushes_group_limit(spark):
+    p = plan(QUERIES["flagship_daily_rollup"](spark, SF))
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "event_type" not in read  # unused column never leaves the scan
+    # keep-latest dedup runs as a PARTIAL WindowGroupLimit before the
+    # shuffle (map-side top-1-per-group), not a full post-shuffle window.
+    assert "WindowGroupLimit" in p and "Partial" in p
