@@ -34,6 +34,7 @@ HEADLINE = [
     "threshold_routing_bad",      # vectorized rule engine
     "text_stats_docs",            # text analysis suite
     "minhash_near_dups",          # MinHash+LSH dedup
+    "winnow_near_dups",           # winnowing fingerprint-overlap dedup
     "cosine_topk",                # brute-force similarity
     "ann_srp_topk",               # bucketed ANN
     "ivf_ann_topk",               # IVF-flat ANN (numpy-vectorized assignment)

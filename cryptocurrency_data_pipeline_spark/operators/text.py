@@ -11,6 +11,8 @@ word n-gram shingling (feeds the dedup family in ``dedup.py``).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -154,34 +156,62 @@ def winnow_fingerprints(
     length ≥ w+k-1 — the local-sampling property that makes near-dup
     detection robust to position shifts, at ~1/w the hash volume.
 
-    Staging matters: an array expression referenced inside a HOF lambda is
-    re-evaluated PER ELEMENT (no common-subexpression elimination inside
-    lambdas), turning the hash pass O(len²) — measured ~1 s/doc.  Bound
-    column references are free, so norm and the hash array are
-    materialized as columns first (~130x faster).
+    Implementation is an Arrow-batched pandas UDF, deliberately NOT nested
+    JVM higher-order functions: an expression referenced inside a HOF
+    lambda is re-evaluated PER ELEMENT (no CSE inside lambdas), and even
+    when staged as columns the optimizer can re-inline the projection
+    across a later Generate/explode — jstack showed the normalization
+    regex running inside the gram transform, O(len²-len³) interpreted.
+    Python md5/min over each text is deterministic, byte-identical to the
+    SQL formulation (hex md5, lexicographic min), and map-only — the 100 TB
+    plan is a pure scan→ArrowEval stage with no shuffle.
     """
-    norm_c, hs_c = "__wn_norm", "__wn_hs"
-    norm = F.col(norm_c)
+    return df.withColumn(out, _winnow_udf(k, w)(F.col(col)))
 
-    def gram(i: Column) -> Column:
-        return F.md5(norm.substr(i, F.lit(k)))
 
-    hs = F.col(hs_c)
+def _winnow_udf(k: int, w: int):
+    """Build the winnowing pandas UDF lazily (return-type parsing needs an
+    active SparkSession)."""
+    import hashlib
+    import re as _re
 
-    def wmin(x: Column, i: Column) -> Column:
-        # least() ignores nulls, but the trailing (incomplete) windows it
-        # would mis-handle are cut off by the slice below.
-        return F.least(x, *[F.get(hs, i + j) for j in range(1, w)])
+    from pyspark.sql.functions import pandas_udf
 
-    mins = F.slice(
-        F.transform(hs, wmin), 1, F.greatest(F.size(hs) - (w - 1), F.lit(0))
-    )
-    return (
-        df.withColumn(norm_c, normalize(col))
-        .withColumn(hs_c, F.transform(F.sequence(F.lit(1), F.length(norm) - (k - 1)), gram))
-        .withColumn(out, F.array_sort(F.array_distinct(mins)))
-        .drop(norm_c, hs_c)
-    )
+    ws = _re.compile(r"\s+")
+
+    from collections import deque
+
+    md5 = hashlib.md5
+
+    @pandas_udf("array<string>")
+    def fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            if txt is None:
+                out.append([])
+                continue
+            norm = ws.sub(" ", txt.strip().lower())
+            # Slice CODEPOINTS (SQL substr semantics), encode per gram; min
+            # over raw digests == min over hexdigests (hex preserves byte
+            # order), so hex only the selected minima.
+            hs = [
+                md5(norm[i : i + k].encode()).digest()
+                for i in range(len(norm) - k + 1)
+            ]
+            mins = set()
+            dq: deque = deque()  # monotonic queue: O(n) sliding min
+            for i, h in enumerate(hs):
+                while dq and hs[dq[-1]] >= h:
+                    dq.pop()
+                dq.append(i)
+                if dq[0] <= i - w:
+                    dq.popleft()
+                if i >= w - 1:
+                    mins.add(hs[dq[0]])
+            out.append(sorted(m.hex() for m in mins))
+        return pd.Series(out)
+
+    return fps
 
 
 def shingles(

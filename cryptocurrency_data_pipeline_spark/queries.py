@@ -710,6 +710,64 @@ def winnow_fingerprints(spark, sf_dir):
 
 
 @query(
+    "winnow_near_dups",
+    oracle=r"""
+    WITH nrm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(t) - 24),
+                            i -> md5(substr(t, i, 25))) AS hs
+      FROM nrm
+    ),
+    fps AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(generate_series(1, len(hs) - 7),
+                 i -> least(hs[i], hs[i+1], hs[i+2], hs[i+3],
+                            hs[i+4], hs[i+5], hs[i+6], hs[i+7])))) AS fp
+      FROM h
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+    FROM fps a JOIN fps b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a_id, b_id
+    HAVING count(*) >= 2
+    """,
+)
+def winnow_near_dups(spark, sf_dir):
+    """Near-dup candidate pairs by winnowing-fingerprint overlap: the
+    MOSS-style alternative to MinHash-LSH.  k=25-char grams keep
+    fingerprints document-specific (8-char grams are everyday phrases —
+    global hash minima then land in thousands of docs and the bucket join
+    goes quadratic); ≥2 shared fingerprints ⇒ a long shared run.  The only
+    shuffle is the equi-join on 32-char fingerprints (cf. band keys in
+    minhash_near_dups); the quadratic pair space never materializes."""
+    from cryptocurrency_data_pipeline_spark.operators import text as textops
+
+    docs = t(spark, sf_dir, "documents")
+    # Persist: both join branches read the fingerprint set, so the UDF pass
+    # runs once (same pattern as the shingle frame in minhash_near_dups; at
+    # scale, MEMORY_AND_DISK instead of recomputing the corpus pass twice).
+    fps = (
+        textops.winnow_fingerprints(docs, "text", k=25, w=8)
+        .select("doc_id", F.explode("fingerprints").alias("fp"))
+        .persist()
+    )
+    a = fps.select(F.col("doc_id").alias("a_id"), "fp")
+    b = fps.select(F.col("doc_id").alias("b_id"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+@query(
     "bpe_token_counts",
     oracle=r"""
     SELECT doc_id,
