@@ -440,6 +440,54 @@ def purchase_and_signup_users(spark, sf_dir):
     )
 
 
+@query(
+    "funnel_signup_view_purchase",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS ts_signup FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, min(e.ts) AS ts_view FROM events e
+          JOIN s USING (user_id)
+          WHERE e.event_type = 'view' AND e.ts > s.ts_signup
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS ts_purchase FROM events e
+          JOIN v USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > v.ts_view
+          GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM v) AS n_view_after_signup,
+           (SELECT count(*) FROM p) AS n_purchase_after_view
+    """,
+)
+def funnel_signup_view_purchase(spark, sf_dir):
+    """Ordered funnel (signup → later view → later purchase): per-stage
+    user counts.  Each stage is a key-shuffled agg on the SAME user_id key,
+    so all three stages co-partition — on a cluster the joins after stage 1
+    are exchange-free reuses of the signup partitioning."""
+    ev = t(spark, sf_dir, "events")
+
+    def stage(prior, etype, prior_ts, out_ts):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prior, "user_id")
+            .filter(F.col("ts") > F.col(prior_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_signup"))
+    )
+    v = stage(s, "view", "ts_signup", "ts_view")
+    p = stage(v, "purchase", "ts_view", "ts_purchase")
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after_signup")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_view")))
+    )
+
+
 # --------------------------------------------------------------------------
 # Rollup (A13): hierarchical subtotals — absent in the reference, part of
 # the engine's gold-analytics surface.
