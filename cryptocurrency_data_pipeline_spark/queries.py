@@ -1340,3 +1340,164 @@ def dqdl_row_level_routing(spark, sf_dir):
         aug, positive_cols=["o_totalprice"], primary_key="o_orderkey"
     )
     return tagged.groupBy("dq_result").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
+# Top-k per group (W3/O3 composed): rank-within-partition + filter compiles
+# to a partial WindowGroupLimit below the shuffle (Spark 3.5+), so each map
+# task forwards at most k rows per key instead of its whole partition —
+# the per-group analog of TakeOrderedAndProject. Absent in the reference
+# (top-k is delegated to the API, glue/data_ingestion_s3.py:22).
+# --------------------------------------------------------------------------
+
+@query(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS total_price, rnk
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    WHERE rnk <= 3
+    """,
+)
+def top_orders_per_customer(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "rnk",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot (A13 family): long→wide with a STATIC value list. Implemented as
+# one-pass conditional aggregation (count(when(type=v,1))) rather than
+# DataFrame.pivot(): pivot() — even with explicit values — compiles to
+# groupBy(day,type) + pivotfirst(day), i.e. TWO shuffles; the conditional
+# agg is one map-side-combinable shuffle on `day` alone. An explicit value
+# list also keeps the output schema static (no values-discovery scan — at
+# 100 TB that discovery pass would read the whole fact table first).
+# --------------------------------------------------------------------------
+
+@query(
+    "event_type_daily_pivot",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY day
+    """,
+)
+def event_type_daily_pivot(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        *[
+            F.count(F.when(F.col("event_type") == k, F.lit(1))).alias(k)
+            for k in kinds
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (A4-A10 family extension): linear-interpolated
+# quantiles per group in ONE aggregate pass (Spark `percentile` takes an
+# array of fractions → single sort-based agg per group, not one pass per
+# quantile). DuckDB quantile_cont uses the same interpolation rule.
+# --------------------------------------------------------------------------
+
+@query(
+    "order_price_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_price_percentiles(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9)]))
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p75"),
+        F.round(pct[3], 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5-shape: local-supplier volume — fact⋈fact (lineitem⋈orders) with
+# TWO dim lookups on DIFFERENT keys (customer nation vs supplier nation)
+# and a same-nation theta condition. Plan: broadcast all dims, pre-filter
+# orders by date (parquet pushdown), single orderkey shuffle for the
+# fact-to-fact join; the c_nationkey = s_nationkey filter runs map-side
+# after both broadcasts — no extra shuffle.
+# --------------------------------------------------------------------------
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n_name AS nation_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE c_nationkey = s_nationkey
+      AND o_orderdate >= DATE '1995-01-01'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_volume(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")
+    )
+    customer = t(spark, sf_dir, "customer")
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    li_s = li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey).select(
+        "l_orderkey",
+        "s_nationkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+    )
+    ord_c = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("o_orderkey", "c_nationkey", "n_name")
+    )
+    return (
+        li_s.join(ord_c, li_s.l_orderkey == ord_c.o_orderkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum("__rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -66,3 +66,27 @@ def test_flagship_prunes_and_pushes_group_limit(spark):
     # keep-latest dedup runs as a PARTIAL WindowGroupLimit before the
     # shuffle (map-side top-1-per-group), not a full post-shuffle window.
     assert "WindowGroupLimit" in p and "Partial" in p
+
+
+def test_top_per_customer_partial_window_group_limit(spark):
+    # rank<=3 per key must push a PARTIAL WindowGroupLimit below the
+    # shuffle: map tasks forward at most 3 rows per customer.
+    p = plan(QUERIES["top_orders_per_customer"](spark, SF))
+    assert "WindowGroupLimit" in p and "Partial" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_pivot_single_pass_no_values_scan(spark):
+    # Explicit pivot values: exactly one scan of events (no distinct job to
+    # discover columns) and one shuffle for the groupBy.
+    p = plan(QUERIES["event_type_daily_pivot"](spark, SF), mode="simple")
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_local_supplier_volume_broadcasts_all_dims(spark):
+    # 4 dim joins broadcast; only the fact-to-fact orderkey join shuffles.
+    p = plan(QUERIES["local_supplier_volume"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("1995-01-01" in ln or "GreaterThanOrEqual" in ln for ln in pushed)
