@@ -1,0 +1,74 @@
+"""Distributed graph primitives for the dedup surface.
+
+The one graph op a training-data pipeline genuinely needs: connected
+components over the near-duplicate pair graph, so "near-dup of" becomes an
+equivalence relation and the pipeline can keep exactly one canonical
+document per duplicate *cluster* (pairwise drop rules either over- or
+under-delete on transitive chains A~B~C).
+
+Scale design (100 TB): the component graph of a near-dup pipeline is
+many tiny components (dup clusters of 2-50 docs) — diameters are small, so
+min-label propagation converges in a handful of rounds (hash-to-min
+behavior; Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14, describes the O(log²n) star variants for adversarial graphs —
+swap in if components ever get chain-shaped). Each round is ONE shuffle
+join (edges ⋈ labels on node id, both sides hash-partitioned the same
+way, so AQE reuses the exchange) plus one map-side-combinable min-agg.
+Convergence is detected from ``sum(label)``: labels only ever decrease,
+so an unchanged sum ⇒ fixpoint — an O(1)-row action per round instead of
+a changed-row anti-join. ``localCheckpoint`` every round truncates the
+iterative lineage (without it the plan tree doubles per round and Catalyst
+re-optimizes the whole history each action).
+
+No counterpart in the reference (it has no joins at all — SURVEY.md §2.3);
+this generalizes its keep-latest dedup (glue/data_transform_s3.py:133-136)
+from exact keys to similarity clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Label every node with the MIN node id reachable from it.
+
+    ``edges`` is an undirected pair list (each pair listed once in either
+    direction). Returns ``(node, cluster_id)`` for every node with at
+    least one edge. Deterministic for any input order.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.distinct().persist()
+
+    labels = e.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    for _ in range(max_iters):
+        nbr = (
+            e.join(labels, e.b == labels.node)
+            .select(e.a.alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    e.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))

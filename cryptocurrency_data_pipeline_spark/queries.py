@@ -1501,3 +1501,100 @@ def local_supplier_volume(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate CLUSTERS: connected components over the MinHash near-dup pair
+# graph (operators/graph.py — iterative min-label propagation, one shuffle
+# per round), then keep ONE canonical doc per cluster (longest text,
+# doc_id tiebreak). This is the op that makes near-dup removal correct on
+# transitive chains A~B~C. Oracle: same pair SQL + a recursive CTE
+# computing min-reachable-label components.
+# --------------------------------------------------------------------------
+
+@query(
+    "dup_clusters",
+    oracle=r"""
+    WITH RECURSIVE tk AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS tg
+      FROM tk
+    ), hs AS (
+      SELECT doc_id, list_distinct(tg) AS s,
+             list_transform(list_distinct(tg), x -> md5(x)) AS hh
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+        [list_aggregate(list_filter(hh, h -> h[1:1] IN ('0','1')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('2','3')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('4','5')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('6','7')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('8','9')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('a','b')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('c','d')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('e','f')), 'min')] AS sg
+      FROM hs
+    ), bands AS (
+      SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+          '0' || '|' || coalesce(sg[1], '~') || '|' || coalesce(sg[2], '~'),
+          '1' || '|' || coalesce(sg[3], '~') || '|' || coalesce(sg[4], '~'),
+          '2' || '|' || coalesce(sg[5], '~') || '|' || coalesce(sg[6], '~'),
+          '3' || '|' || coalesce(sg[7], '~') || '|' || coalesce(sg[8], '~')]) AS band_key
+        FROM sig)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT a_id, b_id
+      FROM cand JOIN hs x ON cand.a_id = x.doc_id JOIN hs y ON cand.b_id = y.doc_id
+      WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.s, y.s))) >= 0.1
+    ), edges AS (
+      SELECT a_id AS a, b_id AS b FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), walk(node, lab) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node
+    ), comp AS (
+      SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node
+    ), mem AS (
+      SELECT node, cluster_id, length(text) AS len
+      FROM comp JOIN documents ON node = doc_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY cluster_id ORDER BY len DESC, node ASC) AS rn
+      FROM mem
+    )
+    SELECT cluster_id, count(*) AS n_members,
+           list_sort(list(node)) AS member_ids,
+           min(node) FILTER (rn = 1) AS kept_doc_id
+    FROM ranked GROUP BY cluster_id
+    """,
+)
+def dup_clusters(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import dedup, graph
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(docs, threshold=0.1, bands=4, n=3)
+    cc = graph.connected_components(pairs, "a_id", "b_id")
+    members = cc.join(docs, cc.node == docs.doc_id).select(
+        "node", "cluster_id", F.length("text").alias("__len")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__len").desc(), F.col("node").asc()
+    )
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list("node")).alias("member_ids"),
+            F.min(F.when(F.col("__rn") == 1, F.col("node"))).alias("kept_doc_id"),
+        )
+    )

@@ -1,0 +1,35 @@
+"""Connected-components operator: correctness on shapes label propagation
+must handle — transitive chains, separate components, duplicate/reversed
+edges, and a path long enough to need several propagation rounds."""
+
+from cryptocurrency_data_pipeline_spark.operators.graph import connected_components
+
+
+def cc(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    out = connected_components(df)
+    return {r.node: r.cluster_id for r in out.collect()}
+
+
+def test_chain_and_island(spark):
+    got = cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_and_reversed_edges(spark):
+    got = cc(spark, [(5, 4), (4, 5), (4, 5), (6, 5)])
+    assert got == {4: 4, 5: 4, 6: 4}
+
+
+def test_long_path_converges(spark):
+    # 12-node path with ids descending against the propagation direction:
+    # worst case for min-label — needs multiple rounds, not one.
+    n = 12
+    edges = [(i + 1, i) for i in range(1, n)]
+    got = cc(spark, edges)
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_self_loop_singleton(spark):
+    got = cc(spark, [(7, 7), (1, 2)])
+    assert got == {7: 7, 1: 1, 2: 1}
