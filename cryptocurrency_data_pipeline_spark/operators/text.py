@@ -272,3 +272,52 @@ def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
         F.round(F.col("__punct_ratio"), 6).alias("punct_ratio"),
         F.round((length_ok + punct_ok + stop_ok) / 3.0, 6).alias("quality_score"),
     ).drop("__toks", "__stop_ratio", "__punct_ratio")
+
+
+def term_doc_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-(doc, token) term frequencies: explode → two-level count.
+
+    Scale shape: the (id, token) groupBy's partial aggregate collapses
+    each document's repeats map-side BEFORE the shuffle (a doc's rows are
+    map-local post-explode), so shuffle traffic is per-doc vocabulary,
+    not raw token occurrences.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    return tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def vocab_stats(counts: DataFrame) -> DataFrame:
+    """Corpus vocabulary from ``term_doc_counts`` output: one token-keyed
+    shuffle producing term_freq (total occurrences) and doc_freq (docs
+    containing the token — a plain count, no countDistinct expand, because
+    the input is already one row per (doc, token))."""
+    return counts.groupBy("token").agg(
+        F.sum("tf").alias("term_freq"), F.count(F.lit(1)).alias("doc_freq")
+    )
+
+
+def tfidf(counts: DataFrame, n_docs_df: DataFrame) -> DataFrame:
+    """Smoothed TF-IDF per (doc, token): tf · (ln((1+N)/(1+df)) + 1).
+
+    ``n_docs_df`` is a 1-row frame with column ``n_docs`` (kept in-plan —
+    broadcast into the fact instead of a driver-side collected constant).
+    The vocab side of the token join is ≪ the counts side (distinct
+    tokens vs doc×token rows); AQE broadcasts it when it fits.
+    """
+    df_stats = vocab_stats(counts).select("token", "doc_freq")
+    return (
+        counts.join(df_stats, "token")
+        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log((1 + F.col("n_docs")) / (1 + F.col("doc_freq")))
+                + F.lit(1.0)
+            ),
+        )
+    )

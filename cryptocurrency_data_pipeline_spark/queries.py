@@ -1598,3 +1598,84 @@ def dup_clusters(spark, sf_dir):
             F.min(F.when(F.col("__rn") == 1, F.col("node"))).alias("kept_doc_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary building (text.term_doc_counts + vocab_stats): the classic
+# corpus-statistics shuffle. Two partial-agged shuffles — (doc,token)
+# collapses repeats map-side, then token-keyed stats — and a top-k that
+# compiles to TakeOrderedAndProject (no global sort of the vocabulary).
+# --------------------------------------------------------------------------
+
+@query(
+    "vocab_top_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ), dt AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+    )
+    SELECT token, CAST(sum(tf) AS BIGINT) AS term_freq, count(*) AS doc_freq
+    FROM dt GROUP BY token
+    ORDER BY doc_freq DESC, token ASC
+    LIMIT 100
+    """,
+)
+def vocab_top_terms(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import text
+
+    counts = text.term_doc_counts(t(spark, sf_dir, "documents"))
+    return (
+        text.vocab_stats(counts)
+        .orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF (text.tfidf): smoothed scores, then the top-scoring term per
+# document. N stays in-plan (1-row broadcast, no driver constant); the
+# token join's small side is the vocab stats; per-doc argmax runs as a
+# partial WindowGroupLimit below the doc_id shuffle.
+# --------------------------------------------------------------------------
+
+@query(
+    "tfidf_top_term_per_doc",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ), dt AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+    ), vs AS (
+      SELECT token, count(*) AS doc_freq FROM dt GROUP BY token
+    ), scored AS (
+      SELECT dt.doc_id, dt.token, dt.tf,
+             dt.tf * (ln((1 + (SELECT count(*) FROM documents))
+                         / CAST(1 + vs.doc_freq AS DOUBLE)) + 1.0) AS score
+      FROM dt JOIN vs ON dt.token = vs.token
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, token, tf, round(score, 6) AS tfidf
+    FROM ranked WHERE rn = 1
+    """,
+)
+def tfidf_top_term_per_doc(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import text
+
+    docs = t(spark, sf_dir, "documents")
+    counts = text.term_doc_counts(docs)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = text.tfidf(counts, n_docs)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "token", "tf", F.round("score", 6).alias("tfidf"))
+    )
