@@ -35,9 +35,14 @@ HEADLINE = [
     "text_stats_docs",            # text analysis suite
     "minhash_near_dups",          # MinHash+LSH dedup
     "winnow_near_dups",           # winnowing fingerprint-overlap dedup
+    "dup_clusters",               # connected-components duplicate clustering
     "cosine_topk",                # brute-force similarity
     "ann_srp_topk",               # bucketed ANN
     "ivf_ann_topk",               # IVF-flat ANN (numpy-vectorized assignment)
+    "vocab_top_terms",            # corpus vocabulary build
+    "tfidf_top_term_per_doc",     # TF-IDF scoring + per-doc argmax
+    "local_supplier_volume",      # Q5-shape multi-dim star join
+    "top_orders_per_customer",    # per-group top-k (WindowGroupLimit)
 ]
 
 
