@@ -191,3 +191,54 @@ def dedup_stream(ticks: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     replaces DynamoDB last-write-wins put_item overwrites."""
     src = ticks.withWatermark("event_time", watermark) if ticks.isStreaming else ticks
     return src.dropDuplicates(["coin_id", "event_time"])
+
+
+def join_tick_streams(
+    ticks: DataFrame,
+    confirms: DataFrame,
+    watermark: str = "10 minutes",
+    max_delay: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each tick matched to confirmations arriving
+    within ``max_delay`` after it (no analog in the reference — its Lambda
+    consumer sees one stream; any correlation happens in DynamoDB reads).
+
+    State stays bounded because BOTH sides carry a watermark and the join
+    condition bounds confirm_time to a finite interval after event_time —
+    Spark derives the state-eviction horizon from the two, so at 100 TB/day
+    the join state is O(rate × (watermark + max_delay)), not O(stream).
+    Expects ``confirms`` columns prefixed ``confirm_`` (at minimum
+    ``confirm_coin_id``, ``confirm_time``).
+    """
+    lhs = ticks.withWatermark("event_time", watermark)
+    rhs = confirms.withWatermark("confirm_time", watermark)
+    return lhs.join(
+        rhs,
+        F.expr(
+            f"""
+            coin_id = confirm_coin_id AND
+            confirm_time >= event_time AND
+            confirm_time <= event_time + INTERVAL {max_delay}
+            """
+        ),
+        "inner",
+    )
+
+
+def dedup_stream_within_watermark(
+    ticks: DataFrame, keys: tuple[str, ...] = ("coin_id", "seq_no")
+) -> DataFrame:
+    """T10 variant for retransmissions whose EVENT TIMES differ between
+    copies (so exact-key dedup_stream misses them): first arrival per key
+    wins, duplicates dropped for as long as the key is within the
+    watermark. State per key is dropped at the horizon — bounded, unlike a
+    global ``dropDuplicates`` on a stream which grows forever.
+    """
+    src = (
+        ticks.withWatermark("event_time", "10 minutes")
+        if "event_time" in ticks.columns and ticks.isStreaming
+        else ticks
+    )
+    if src.isStreaming:
+        return src.dropDuplicatesWithinWatermark(list(keys))
+    return src.dropDuplicates(list(keys))

@@ -115,3 +115,84 @@ def test_base64_encoded_source(spark, tmp_path):
     out = spark.sql("SELECT coin_id, current_price FROM b64ticks").collect()
     assert len(out) == 6  # 3 normal + 3 anomalies
     assert {r.coin_id for r in out} >= {"coin-0", "surge-coin"}
+
+
+def _write_jsonl(path, rows):
+    import os
+    os.makedirs(path, exist_ok=True)
+    p = f"{path}/part-{abs(hash(str(rows))) % 10**8}.json"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_stream_join_bounded(spark, tmp_path):
+    """Tick⋈confirmation within 5 minutes: in-window confirms match, the
+    late one (7 min) and the wrong-coin one do not."""
+    t0 = datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc)
+    iso = lambda dt: dt.isoformat()
+    ticks_dir, conf_dir = str(tmp_path / "ticks"), str(tmp_path / "confs")
+    _write_jsonl(ticks_dir, [
+        {"coin_id": "btc", "event_time": iso(t0), "price": 100.0},
+        {"coin_id": "eth", "event_time": iso(t0), "price": 10.0},
+    ])
+    _write_jsonl(conf_dir, [
+        {"confirm_coin_id": "btc", "confirm_time": iso(t0 + timedelta(minutes=3)), "fill": 1},
+        {"confirm_coin_id": "btc", "confirm_time": iso(t0 + timedelta(minutes=7)), "fill": 2},
+        {"confirm_coin_id": "doge", "confirm_time": iso(t0 + timedelta(minutes=1)), "fill": 3},
+    ])
+    ticks = (
+        spark.readStream.schema("coin_id string, event_time string, price double")
+        .json(ticks_dir)
+        .withColumn("event_time", F.to_timestamp("event_time"))
+    )
+    confs = (
+        spark.readStream.schema("confirm_coin_id string, confirm_time string, fill long")
+        .json(conf_dir)
+        .withColumn("confirm_time", F.to_timestamp("confirm_time"))
+    )
+    joined = pipeline.join_tick_streams(ticks, confs, max_delay="5 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select coin_id, fill from ss_join").collect()
+    assert [(r.coin_id, r.fill) for r in got] == [("btc", 1)]
+
+
+def test_dedup_within_watermark_catches_retransmits(spark, tmp_path):
+    """Same (coin_id, seq_no) retransmitted 30s later with a different
+    event_time: plain key+time dedup would keep both; within-watermark
+    dedup keeps the first arrival only."""
+    t0 = datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc)
+    src = str(tmp_path / "re_src")
+    _write_jsonl(src, [
+        {"coin_id": "btc", "seq_no": 1, "event_time": t0.isoformat(), "price": 100.0},
+        {"coin_id": "btc", "seq_no": 1,
+         "event_time": (t0 + timedelta(seconds=30)).isoformat(), "price": 100.0},
+        {"coin_id": "btc", "seq_no": 2,
+         "event_time": (t0 + timedelta(seconds=10)).isoformat(), "price": 101.0},
+    ])
+    ticks = (
+        spark.readStream
+        .schema("coin_id string, seq_no long, event_time string, price double")
+        .json(src)
+        .withColumn("event_time", F.to_timestamp("event_time"))
+    )
+    deduped = pipeline.dedup_stream_within_watermark(ticks)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddww")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ddww"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select seq_no, count(*) n from ddww group by seq_no").collect()
+    assert {r.seq_no: r.n for r in rows} == {1: 1, 2: 1}
