@@ -1679,3 +1679,129 @@ def tfidf_top_term_per_doc(spark, sf_dir):
         .filter(F.col("__rn") == 1)
         .select("doc_id", "token", "tf", F.round("score", 6).alias("tfidf"))
     )
+
+
+# --------------------------------------------------------------------------
+# SQL API surface: the engine's tables are exposed as temp views and the
+# whole query runs through spark.sql — same Catalyst plan as the
+# DataFrame API (TPC-H Q3 shape: top unshipped-revenue orders). Proves a
+# reference user can keep writing plain SQL against this engine.
+# --------------------------------------------------------------------------
+
+@query(
+    "sql_api_shipping_priority",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-06-01'
+      AND l_shipdate > DATE '1998-06-01'
+    GROUP BY o_orderkey, order_date, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def sql_api_shipping_priority(spark, sf_dir):
+    for name in ("customer", "orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               date_format(CAST(o_orderdate AS DATE), 'yyyy-MM-dd') AS order_date,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1998-06-01'
+          AND l_shipdate > DATE '1998-06-01'
+        GROUP BY o_orderkey, order_date, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroids: dimension-PARALLEL vector mean
+# (posexplode → (label, dim) partial-agged shuffle → rebuild ordered
+# array). No driver-side numpy, no whole-vector state per group — at
+# 100 TB the (label × dim) keyspace shards evenly across executors even
+# when one label dominates the corpus.
+# --------------------------------------------------------------------------
+
+@query(
+    "label_centroids",
+    oracle="""
+    WITH p AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ), c AS (
+      SELECT label, pos, round(avg(v), 6) AS m FROM p GROUP BY label, pos
+    ), n AS (
+      SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+    )
+    SELECT c.label, any_value(n.n_vecs) AS n_vecs,
+           list(m ORDER BY pos) AS centroid
+    FROM c JOIN n ON c.label = n.label
+    GROUP BY c.label
+    """,
+)
+def label_centroids(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("m"))
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("centroid")
+        )
+        .join(counts, "label")
+        .select("label", "n_vecs", "centroid")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash-stratified sampling: keep docs whose md5(doc_id)
+# leads with hex digit 0-2 (≈3/16 per stratum). rand()-free → the sample
+# is reproducible across runs, engines, and cluster sizes — the only
+# defensible way to subsample a 100 TB corpus for training (a rand()
+# sample changes under retry/speculative execution).
+# --------------------------------------------------------------------------
+
+@query(
+    "stratified_sample_docs",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(*) FILTER (substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                            IN ('0','1','2')) AS n_sampled,
+           round(avg(n_chars) FILTER (
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')), 6
+           ) AS sampled_avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def stratified_sample_docs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    in_sample = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2"
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(in_sample, 1)).alias("n_sampled"),
+        F.round(F.avg(F.when(in_sample, F.col("n_chars"))), 6).alias(
+            "sampled_avg_chars"
+        ),
+    )
