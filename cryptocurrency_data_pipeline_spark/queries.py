@@ -1805,3 +1805,116 @@ def stratified_sample_docs(spark, sf_dir):
             "sampled_avg_chars"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (A13 completion beyond rollup/cube): two independent
+# 1-dim subtotal sets + grand total in ONE pass — Catalyst expands to a
+# single Expand + hash agg, i.e. one shuffle instead of three separate
+# groupBys unioned. grouping() flags disambiguate subtotal rows from
+# genuine NULL keys.
+# --------------------------------------------------------------------------
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT n_name AS nation_name, o_orderpriority AS priority,
+           GROUPING(n_name) AS g_nation,
+           GROUPING(o_orderpriority) AS g_priority,
+           round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    for name in ("orders", "customer", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT n_name AS nation_name, o_orderpriority AS priority,
+               CAST(grouping(n_name) AS INT) AS g_nation,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Full-outer alignment (U-family completion): purchase-days vs error-days.
+# Both sides pre-aggregate to per-day partials BEFORE the join, so the
+# full-outer matches tiny frames (one row/day) — never raw events.
+# --------------------------------------------------------------------------
+
+@query(
+    "purchase_vs_error_days",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY day
+    ), e AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY day
+    )
+    SELECT coalesce(p.day, e.day) AS day,
+           coalesce(n_purchases, 0) AS n_purchases,
+           coalesce(n_errors, 0) AS n_errors
+    FROM p FULL OUTER JOIN e ON p.day = e.day
+    """,
+)
+def purchase_vs_error_days(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+
+    def per_day(etype, out):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    p = per_day("purchase", "n_purchases")
+    e = per_day("error", "n_errors").withColumnRenamed("day", "e_day")
+    return p.join(e, p.day == e.e_day, "full_outer").select(
+        F.coalesce("day", "e_day").alias("day"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+    )
+
+
+# --------------------------------------------------------------------------
+# EXISTS / NOT EXISTS composition: customers with ≥1 urgent order and no
+# low-priority orders — a semi join and an anti join stacked on the same
+# key, both on the customer partitioning (DataFrame side shows the
+# relational-algebra form of the oracle's correlated subqueries).
+# --------------------------------------------------------------------------
+
+@query(
+    "urgent_only_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '5-LOW')
+    """,
+)
+def urgent_only_customers(spark, sf_dir):
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .join(low, F.col("c_custkey") == low.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
