@@ -80,3 +80,31 @@ def merge_dim(existing: DataFrame | None, new: DataFrame, keys: Sequence[str]) -
     if existing is None:
         return new.dropDuplicates(list(keys))
     return new.unionByName(existing).dropDuplicates(list(keys))
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout: repartitionByRange on ``sort_col``
+    then sortWithinPartitions, so each output file covers a DISJOINT value
+    range and carries tight parquet min/max footer stats.
+
+    Why it matters at 100 TB: a later range predicate on ``sort_col``
+    (e.g. shipdate windows) skips whole files via footer stats before any
+    row group is read — the poor man's clustered index. The reference's
+    only layout control is coalesce(1) (glue/data_ingestion_s3.py:33),
+    which destroys parallelism instead of creating skippability.
+    ``repartitionByRange`` samples the column to build balanced range
+    boundaries, so skew in ``sort_col`` yields balanced files, unlike
+    hash-partitioning on a hot key.
+    """
+    out = (
+        df.repartitionByRange(n_files, sort_col)
+        if n_files
+        else df.repartitionByRange(sort_col)
+    )
+    out.sortWithinPartitions(sort_col).write.mode(mode).parquet(path)

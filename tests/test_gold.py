@@ -76,3 +76,31 @@ def test_build_fact_and_dim(spark):
     assert fact.count() == 2  # null key dropped (P4)
     dim = gold.build_dim(silver.filter(F.col("coin_id").isNotNull()), ["coin_id"])
     assert dim.count() == 1
+
+
+def test_write_sorted_files_cover_disjoint_ranges(spark, tmp_path):
+    """Range-clustered layout: per-file [min,max] spans must not overlap,
+    and a range filter must prune row groups via footer stats."""
+    import glob as _glob
+
+    from cryptocurrency_data_pipeline_spark.operators.gold import write_sorted
+    from cryptocurrency_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    out = str(tmp_path / "li_sorted")
+    write_sorted(li, out, "l_shipdate", n_files=8)
+
+    files = _glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 8
+    spans = []
+    for f in files:
+        row = spark.read.parquet(f).agg(
+            F.min("l_shipdate"), F.max("l_shipdate")
+        ).collect()[0]
+        spans.append((row[0], row[1]))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo  # disjoint: file i's max <= file i+1's min
+
+    # Row count survives the layout rewrite exactly.
+    assert spark.read.parquet(out).count() == li.count()
