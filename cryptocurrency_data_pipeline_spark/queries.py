@@ -1918,3 +1918,94 @@ def urgent_only_customers(spark, sf_dir):
         .join(low, F.col("c_custkey") == low.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-user z-score anomaly flagging: windowed mean/stddev per user, flag
+# |z| > 2.5 events. One user_id shuffle computes the stats AND scores
+# every row (window agg, not a groupBy + re-join — half the passes over
+# the fact). The numeric-outlier analog of the DQ threshold rules
+# (streaming/consumer.py:47-57).
+# --------------------------------------------------------------------------
+
+@query(
+    "value_zscore_anomalies",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             stddev_samp(value) OVER (PARTITION BY user_id) AS sd,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id, event_id, round(value, 6) AS value,
+           round((value - mu) / sd, 6) AS zscore
+    FROM s
+    WHERE n >= 10 AND sd > 0 AND abs((value - mu) / sd) > 2.5
+    """,
+)
+def value_zscore_anomalies(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).withColumn("zscore", (F.col("value") - F.col("mu")) / F.col("sd"))
+    return scored.filter(
+        (F.col("n") >= 10) & (F.col("sd") > 0) & (F.abs("zscore") > 2.5)
+    ).select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round("zscore", 6).alias("zscore"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Next-day retention cohorts: users active on day D who return on D+1.
+# Both sides of the self-join come from ONE distinct (user, day) agg —
+# the frame is reused (Spark persists nothing, but the exchange is
+# identical on both branches, so AQE reuses the shuffle) and the join key
+# includes the day arithmetic, not a cross-day blowup.
+# --------------------------------------------------------------------------
+
+@query(
+    "next_day_retention",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT CAST(a.day AS VARCHAR) AS day,
+           count(*) AS n_active,
+           count(b.user_id) AS n_retained,
+           round(CAST(count(b.user_id) AS DOUBLE) / count(*), 6) AS retention
+    FROM ud a
+    LEFT JOIN ud b ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+    GROUP BY a.day
+    """,
+)
+def next_day_retention(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    nxt = ud.select(
+        F.col("user_id").alias("r_user"), F.date_sub("day", 1).alias("r_day")
+    )
+    return (
+        ud.join(
+            nxt,
+            (ud.user_id == nxt.r_user) & (ud.day == nxt.r_day),
+            "left_outer",
+        )
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count("r_user").alias("n_retained"),
+            F.round(
+                F.count("r_user") / F.count(F.lit(1)), 6
+            ).alias("retention"),
+        )
+    )
