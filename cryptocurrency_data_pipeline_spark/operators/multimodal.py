@@ -154,3 +154,49 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+def resize_images(
+    df: DataFrame, max_side: int = 256
+) -> DataFrame:
+    """mapInPandas resize: payload → payload with dimensions scaled so the
+    long side is ≤ ``max_side`` (aspect preserved, never upscaled).
+
+    Stub semantics (no PIL in this container): the fake header's
+    width/height are rewritten and the body byte-count is scaled by the
+    area ratio — deterministic, so tests can assert exact output sizes.
+    A real deployment swaps the body transform for PIL's ``thumbnail``;
+    the Spark side — binary-in/binary-out Arrow batches, output schema,
+    null-safe error handling — is the part that runs at scale and is real.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    w, h, f = _parse_header(r.payload)
+                    scale = min(1.0, max_side / max(w, h, 1))
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    body_len = len(r.payload) - 24
+                    new_body_len = max(0, int(body_len * scale * scale))
+                    payload = encode_fake_media(
+                        r.kind, nw, nh, f, bytes(new_body_len)
+                    )
+                    rows.append((r.media_id, r.kind, payload, nw, nh))
+                except Exception:
+                    rows.append((r.media_id, r.kind, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "width", "height"]
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+        ]
+    )
+    return df.select("media_id", "kind", "payload").mapInPandas(resize, out_schema)

@@ -48,3 +48,27 @@ def test_frame_sample_plan(spark):
     )
     frames = mm.frame_sample_plan(df, every_n=10).collect()
     assert [(r.media_id, r.frame_idx) for r in frames] == [(1, 0), (1, 10), (1, 20)]
+
+
+def test_resize_images_stub(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_header,
+        encode_fake_media,
+        media_table,
+        resize_images,
+    )
+
+    rows = [
+        (1, "image", encode_fake_media("image", 1024, 512, 1, bytes(1000))),
+        (2, "image", encode_fake_media("image", 100, 50, 1, bytes(64))),  # no upscale
+    ]
+    df = media_table(
+        spark.createDataFrame(rows, "media_id long, kind string, payload binary"),
+        "media_id", "image", "payload",
+    )
+    got = {r.media_id: r for r in resize_images(df, max_side=256).collect()}
+    assert (got[1].width, got[1].height) == (256, 128)
+    assert (got[2].width, got[2].height) == (100, 50)  # small image untouched
+    # Payload is itself a valid decodable media blob after resize.
+    w, h, _ = _parse_header(bytes(got[1].payload))
+    assert (w, h) == (256, 128)
