@@ -45,7 +45,10 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    e = e.distinct().persist()
+    # No distinct() on the symmetrized edges: the per-round min-aggregation
+    # is idempotent under duplicate edges, so deduping here would spend a
+    # full edge shuffle to save nothing downstream.
+    e = e.persist()
 
     labels = e.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
