@@ -2009,3 +2009,61 @@ def next_day_retention(spark, sf_dir):
             ).alias("retention"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model doc scoring: corpus-MLE conditional log-prob
+# avg(ln C(w1,w2)/C(w1)) per document — the statistical "does this doc
+# read like the corpus" quality signal (low score = unusual text; the
+# n-gram analog of perplexity filtering in training-data pipelines).
+# Counts and scoring stay in one lineage: explode bigrams once, derive
+# BOTH count tables from the exploded frame, join them back, one final
+# doc_id agg. Every shuffle is partial-agged; nothing touches the driver.
+# --------------------------------------------------------------------------
+
+@query(
+    "bigram_logprob_docs",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), bgl AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                   i -> array_to_string(toks[i:i+1], ' '))) AS bg
+      FROM tk
+    ), b AS (
+      SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bgl
+    ), cb AS (
+      SELECT bg, count(*) AS c FROM b GROUP BY bg
+    ), cu AS (
+      SELECT w1, count(*) AS c FROM b GROUP BY w1
+    )
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           round(avg(ln(CAST(cb.c AS DOUBLE) / cu.c)), 6) AS avg_logprob
+    FROM b JOIN cb ON b.bg = cb.bg JOIN cu ON b.w1 = cu.w1
+    GROUP BY b.doc_id
+    """,
+)
+def bigram_logprob_docs(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import text
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "__toks", text.tokens("text")
+    )
+    b = docs.select(
+        "doc_id", F.explode(text.shingles(n=2, toks=F.col("__toks"))).alias("bg")
+    ).withColumn("w1", F.substring_index("bg", " ", 1))
+    cb = b.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    cu = b.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    return (
+        b.join(cb, "bg")
+        .join(cu, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("cb") / F.col("cu"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
