@@ -41,6 +41,7 @@ HEADLINE = [
     "ivf_ann_topk",               # IVF-flat ANN (numpy-vectorized assignment)
     "vocab_top_terms",            # corpus vocabulary build
     "tfidf_top_term_per_doc",     # TF-IDF scoring + per-doc argmax
+    "bigram_logprob_docs",        # bigram-LM doc scoring (perplexity filter)
     "local_supplier_volume",      # Q5-shape multi-dim star join
     "top_orders_per_customer",    # per-group top-k (WindowGroupLimit)
 ]
