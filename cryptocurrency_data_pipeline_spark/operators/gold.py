@@ -108,3 +108,86 @@ def write_sorted(
         else df.repartitionByRange(sort_col)
     )
     out.sortWithinPartitions(sort_col).write.mode(mode).parquet(path)
+
+
+def scd2_merge(
+    existing: DataFrame | None,
+    updates: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    effective_col: str = "effective_date",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: attribute history with
+    validity ranges instead of the reference's overwrite-in-place dims
+    (glue/data_aggregate_gold.py:122,174 lose history on every change).
+
+    Contract: ``existing`` carries ``valid_from``/``valid_to``/
+    ``is_current`` (or is None on first load); ``updates`` carries the key,
+    attrs, and ``effective_col``. Per key:
+
+    * unchanged attrs → existing row untouched;
+    * changed attrs  → current row closed out (``valid_to`` = effective
+      date, ``is_current`` = false) and a new current row opened;
+    * new key        → new current row.
+
+    Shuffle shape: ONE key-partitioned join of current rows against
+    updates decides changed/unchanged/new; history rows pass through
+    untouched (a filter, no shuffle). Dims are small relative to facts, so
+    this is broadcast-or-single-shuffle at any realistic dim size.
+    """
+    upd = updates.select(
+        key, *attrs, F.col(effective_col).alias("__eff")
+    ).dropDuplicates([key, "__eff"])
+
+    def open_rows(src: DataFrame) -> DataFrame:
+        return src.select(
+            key,
+            *attrs,
+            F.col("__eff").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+
+    if existing is None:
+        return open_rows(upd)
+
+    history = existing.filter(~F.col("is_current"))
+    cur = existing.filter(F.col("is_current")).alias("cur")
+    u = upd.alias("u")
+
+    c = lambda name: F.col(f"cur.{name}")  # noqa: E731
+    uc = lambda name: F.col(f"u.{name}")  # noqa: E731
+
+    changed_pred = None
+    for a in attrs:
+        diff = (~c(a).eqNullSafe(uc(a)))
+        changed_pred = diff if changed_pred is None else (changed_pred | diff)
+
+    j = cur.join(u, c(key) == uc(key), "full_outer")
+
+    # Existing current rows: keep as-is unless a matching update changed
+    # an attribute, in which case close them out at the effective date.
+    kept_current = j.filter(c(key).isNotNull()).select(
+        c(key).alias(key),
+        *[c(a).alias(a) for a in attrs],
+        c("valid_from").alias("valid_from"),
+        F.when(uc(key).isNotNull() & changed_pred, uc("__eff"))
+        .otherwise(c("valid_to"))
+        .alias("valid_to"),
+        F.when(uc(key).isNotNull() & changed_pred, F.lit(False))
+        .otherwise(c("is_current"))
+        .alias("is_current"),
+    )
+
+    # New rows: brand-new keys, or changed attrs (reopened versions).
+    opened = (
+        j.filter(uc(key).isNotNull() & (c(key).isNull() | changed_pred))
+        .select(
+            uc(key).alias(key),
+            *[uc(a).alias(a) for a in attrs],
+            uc("__eff").alias("__eff"),
+        )
+        .transform(open_rows)
+    )
+
+    return history.unionByName(kept_current).unionByName(opened)

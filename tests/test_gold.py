@@ -104,3 +104,44 @@ def test_write_sorted_files_cover_disjoint_ranges(spark, tmp_path):
 
     # Row count survives the layout rewrite exactly.
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_scd2_merge_two_rounds(spark):
+    """SCD2: changed attrs close the old version and open a new one;
+    unchanged keys untouched; new keys appended; history preserved."""
+    from cryptocurrency_data_pipeline_spark.operators.gold import scd2_merge
+
+    d = datetime.date
+
+    r1 = spark.createDataFrame(
+        [("btc", "Bitcoin", d(2024, 1, 1)), ("eth", "Ethereum", d(2024, 1, 1))],
+        "coin_id string, name string, effective_date date",
+    )
+    dim = scd2_merge(None, r1, "coin_id", ["name"])
+    assert dim.count() == 2
+    assert dim.filter("is_current").count() == 2
+
+    r2 = spark.createDataFrame(
+        [
+            ("btc", "Bitcoin Core", d(2024, 2, 1)),   # changed -> new version
+            ("eth", "Ethereum", d(2024, 2, 1)),       # unchanged -> no-op
+            ("sol", "Solana", d(2024, 2, 1)),         # new key
+        ],
+        "coin_id string, name string, effective_date date",
+    )
+    dim2 = scd2_merge(dim, r2, "coin_id", ["name"])
+    rows = {(r.coin_id, r.name): r for r in dim2.collect()}
+    assert len(rows) == 4  # btc v1+v2, eth v1, sol v1
+
+    closed = rows[("btc", "Bitcoin")]
+    assert closed.is_current is False and closed.valid_to == d(2024, 2, 1)
+    reopened = rows[("btc", "Bitcoin Core")]
+    assert reopened.is_current is True and reopened.valid_from == d(2024, 2, 1)
+    assert rows[("eth", "Ethereum")].is_current is True
+    assert rows[("eth", "Ethereum")].valid_to is None
+    assert rows[("sol", "Solana")].valid_from == d(2024, 2, 1)
+
+    # Idempotence: re-merging the same batch changes nothing.
+    dim3 = scd2_merge(dim2, r2, "coin_id", ["name"])
+    assert dim3.count() == 4
+    assert dim3.filter("is_current").count() == 3
