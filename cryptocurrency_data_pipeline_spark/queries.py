@@ -2067,3 +2067,30 @@ def bigram_logprob_docs(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HLL sketch re-aggregation (Datasketches, Spark 3.5+): daily user
+# sketches merged into weekly estimates WITHOUT touching raw events
+# twice. This is the 100 TB pattern for distinct-count dashboards: store
+# tiny mergeable sketches per partition/day, answer any coarser window by
+# unioning sketches. Estimates are sketch-impl-specific → rows-only check
+# (the pytest suite bounds the error vs exact counts instead).
+# --------------------------------------------------------------------------
+
+@query("hll_weekly_users")  # sketch estimates differ per engine — rows-only
+def hll_weekly_users(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        daily.groupBy(F.weekofyear("day").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("week")
+    )

@@ -66,3 +66,25 @@ def test_row_level_rules_and_routing(spark):
     assert {r.coin_id for r in passed.collect()} == {"a"}
     assert failed.count() == 4
     assert "dq_result" not in passed.columns
+
+
+def test_hll_weekly_union_close_to_exact(spark):
+    """Sketch-union estimate must land within 5% of the exact weekly
+    distinct-user count (merging daily sketches, not re-scanning raws)."""
+    import pyspark.sql.functions as F
+
+    from cryptocurrency_data_pipeline_spark.queries import QUERIES
+    from cryptocurrency_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.week: r.approx_users for r in QUERIES["hll_weekly_users"](spark, sf).collect()}
+    ev = load_table(spark, sf, "events")
+    exact = {
+        r.week: r.n
+        for r in ev.groupBy(F.weekofyear(F.to_date("ts")).alias("week"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for wk, est in got.items():
+        assert abs(est - exact[wk]) / exact[wk] < 0.05, (wk, est, exact[wk])
