@@ -2094,3 +2094,93 @@ def hll_weekly_users(spark, sf_dir):
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates (A7-A9 family completion): Pearson correlation,
+# sample covariance, and both stddev flavors per group — one hash-agg
+# pass (each is a single-pass moment computation in Spark AND DuckDB).
+# --------------------------------------------------------------------------
+
+@query(
+    "lineitem_price_qty_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov,
+           round(stddev_samp(l_discount), 6) AS discount_sd,
+           round(stddev_pop(l_discount), 6) AS discount_sd_pop,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_qty_stats(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("discount_sd"),
+        F.round(F.stddev_pop("l_discount"), 6).alias("discount_sd_pop"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month revenue growth: monthly pre-agg (tiny) then lag over
+# the 1-row-per-month frame — the window runs on post-agg data, so the
+# sort is O(months), never O(orders).
+# --------------------------------------------------------------------------
+
+@query(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY month
+    )
+    SELECT strftime(month, '%Y-%m') AS month,
+           round(rev, 2) AS revenue,
+           round(rev - lag(rev) OVER (ORDER BY month), 2) AS mom_delta,
+           round((rev - lag(rev) OVER (ORDER BY month))
+                 / lag(rev) OVER (ORDER BY month), 6) AS mom_growth
+    FROM m
+    """,
+)
+def monthly_revenue_growth(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") - prev, 2).alias("mom_delta"),
+        F.round((F.col("rev") - prev) / prev, 6).alias("mom_growth"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped DISTINCT aggregation: distinct users per (day, event_type) plus
+# a same-pass plain count — Catalyst plans the mixed distinct/non-distinct
+# agg with an Expand, still one logical pass over events.
+# --------------------------------------------------------------------------
+
+@query(
+    "daily_event_type_users",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY day, event_type
+    """,
+)
+def daily_event_type_users(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
