@@ -90,3 +90,39 @@ def test_local_supplier_volume_broadcasts_all_dims(spark):
     assert p.count("BroadcastHashJoin") >= 3
     pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
     assert any("1995-01-01" in ln or "GreaterThanOrEqual" in ln for ln in pushed)
+
+
+def test_stats_agg_is_single_pass_pruned(spark):
+    p = plan(QUERIES["lineitem_price_qty_stats"](spark, SF), mode="simple")
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    # 4-column agg must not drag the rest of the 11-column table through.
+    assert "l_orderkey" not in read and "l_shipdate" not in read
+    assert p.count("HashAggregate") == 2  # partial + final, one pass
+    assert "partial_corr" in p  # moments combine map-side
+
+
+def test_monthly_growth_windows_post_agg_frame(spark):
+    # The lag window must run AFTER the monthly pre-agg: plan order is
+    # scan -> partial/final agg -> single-partition window, so the global
+    # sort touches O(months) rows. ReadSchema stays 2 columns.
+    p = plan(QUERIES["monthly_revenue_growth"](spark, SF), mode="simple")
+    agg_pos = p.rindex("HashAggregate")
+    win_pos = p.index("Window")
+    assert win_pos < agg_pos  # tree prints top-down: Window above the aggs
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln or "Scan" in ln][0]
+    assert "o_custkey" not in read
+
+
+def test_grouping_sets_single_expand(spark):
+    p = plan(QUERIES["grouping_sets_revenue"](spark, SF), mode="simple")
+    assert p.count("Expand") == 1  # one pass, not three unioned groupBys
+
+
+def test_distinct_agg_single_scan_two_level(spark):
+    # Single distinct agg plans as a (day,type,user) pre-agg feeding the
+    # final (day,type) agg — one scan, exactly two exchanges, with the
+    # plain count() carried through as merge_count (no second pass).
+    p = plan(QUERIES["daily_event_type_users"](spark, SF), mode="simple")
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange") == 2
+    assert "merge_count" in p
