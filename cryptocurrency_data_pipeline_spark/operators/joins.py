@@ -30,14 +30,22 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: Sequence[str] = ("value",),
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, append the right side's latest values with
-    right_ts <= left_ts (per key).  Left-join semantics: unmatched → null.
+    """For each left row, append the right side's values as of left_ts
+    (per key).  Left-join semantics: unmatched → null.
+
+    ``direction="backward"`` (default): latest right row with
+    right_ts <= left_ts.  ``direction="forward"``: earliest right row with
+    right_ts >= left_ts.  Both run the same union-sort-ffill plan — ONE
+    key shuffle, one window pass; forward just traverses descending.
 
     Right side should be unique per (key, right_ts); at equal timestamps the
-    right row is considered visible to the left row (<= semantics, matching
-    DuckDB ASOF JOIN).
+    right row is considered visible to the left row (inclusive semantics,
+    matching DuckDB ASOF JOIN).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     keys = [key] if isinstance(key, str) else list(key)
     out_cols = [f"{prefix}{c}" for c in value_cols]
 
@@ -57,10 +65,12 @@ def asof_join(
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
     # Right rows sort before left rows at equal __ts (side 0 < 1) so an
-    # equal-timestamp right value is visible (<=).
+    # equal-timestamp right value is visible (inclusive). Forward scans
+    # the timeline descending, carrying the NEXT right value backward.
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

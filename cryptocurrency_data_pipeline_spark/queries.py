@@ -2184,3 +2184,57 @@ def daily_event_type_users(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Forward as-of join: each view matched to the user's NEXT purchase at or
+# after it — same union-sort-ffill single-shuffle plan as the backward
+# as-of, traversed descending (operators/joins.py). DuckDB oracle: ASOF
+# with the inequality flipped.
+# --------------------------------------------------------------------------
+
+@query(
+    "asof_next_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1
+    )
+    SELECT v.event_id, v.user_id, v.value AS view_value,
+           p.value AS next_purchase_value
+    FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+)
+def asof_next_purchase(spark, sf_dir):
+    from cryptocurrency_data_pipeline_spark.operators import joins
+
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = silver.dedup_latest(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value", "event_id"
+        ),
+        ["user_id", "ts"],
+        "event_id",
+    ).drop("event_id")
+    out = joins.asof_join(
+        views,
+        purchases,
+        "user_id",
+        "ts",
+        "ts",
+        ["value"],
+        prefix="next_purchase_",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("value").alias("view_value"),
+        "next_purchase_value",
+    )
