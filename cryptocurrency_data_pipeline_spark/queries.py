@@ -1572,7 +1572,7 @@ def local_supplier_volume(spark, sf_dir):
       FROM mem
     )
     SELECT cluster_id, count(*) AS n_members,
-           list_sort(list(node)) AS member_ids,
+           array_to_string(list_sort(list(node)), ',') AS member_ids,
            min(node) FILTER (rn = 1) AS kept_doc_id
     FROM ranked GROUP BY cluster_id
     """,
@@ -1594,7 +1594,9 @@ def dup_clusters(spark, sf_dir):
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.sort_array(F.collect_list("node")).alias("member_ids"),
+            F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias(
+                "member_ids"
+            ),
             F.min(F.when(F.col("__rn") == 1, F.col("node"))).alias("kept_doc_id"),
         )
     )
@@ -1742,12 +1744,14 @@ def sql_api_shipping_priority(spark, sf_dir):
              unnest(embedding) AS v
       FROM embeddings
     ), c AS (
-      SELECT label, pos, round(avg(v), 6) AS m FROM p GROUP BY label, pos
+      SELECT label, pos,
+             CAST(round(avg(v) * 1000000) AS BIGINT) AS m
+      FROM p GROUP BY label, pos
     ), n AS (
       SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
     )
     SELECT c.label, any_value(n.n_vecs) AS n_vecs,
-           list(m ORDER BY pos) AS centroid
+           array_to_string(list(m ORDER BY pos), ',') AS centroid
     FROM c JOIN n ON c.label = n.label
     GROUP BY c.label
     """,
@@ -1757,14 +1761,21 @@ def label_centroids(spark, sf_dir):
     per_dim = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("v"), 6).alias("m"))
+        # Integer micro-units: float->string formatting differs across
+        # engines, so the stringified centroid is comma-joined round(avg*1e6)
+        # bigints — exact-matchable against the DuckDB oracle.
+        .agg(F.round(F.avg("v") * 1e6).cast("long").alias("m"))
     )
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
     return (
         per_dim.groupBy("label")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m.cast("string"),
+                ),
             ).alias("centroid")
         )
         .join(counts, "label")
