@@ -178,7 +178,7 @@ def resize_images(
                     w, h, f = _parse_header(r.payload)
                     scale = min(1.0, max_side / max(w, h, 1))
                     nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                    body_len = len(r.payload) - 24
+                    body_len = len(r.payload) - len(_MAGIC) - 13  # 17-byte header
                     new_body_len = max(0, int(body_len * scale * scale))
                     payload = encode_fake_media(
                         r.kind, nw, nh, f, bytes(new_body_len)

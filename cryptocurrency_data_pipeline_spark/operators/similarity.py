@@ -111,17 +111,25 @@ def ivf_centroids(
 
     Seeds are the corpus vectors with the smallest ``md5(id)`` — a
     reproducible pseudo-random sample any engine can replay (no RNG state).
-    At 100 TB, feed this a ``corpus.sample(...)``: seeding only needs a
-    representative subset, and the global sort then ranks the sample, not
-    the corpus.  Output: (centroid_id 1..nlist, centroid array<double>).
+    The top-``nlist`` selection is ``orderBy().limit()``, which compiles to
+    ``TakeOrderedAndProject``: each task keeps its local nlist smallest and
+    only those survivors reach the driver-side merge — no partition ever
+    holds more than nlist rows, so the seed scan stays fully parallel at
+    100 TB.  The row_number that assigns ``centroid_id`` runs *after* the
+    limit, over exactly nlist rows.  Output: (centroid_id 1..nlist,
+    centroid array<double>).
     """
-    w = Window.orderBy(F.md5(F.col("__seed_id").cast("string")), F.col("__seed_id"))
-    return (
+    seeds = (
         corpus.select(
             F.col(id_col).alias("__seed_id"), as_double(F.col(vec_col)).alias("centroid")
         )
-        .withColumn("centroid_id", F.row_number().over(w))
-        .filter(F.col("centroid_id") <= nlist)
+        .withColumn("__ord", F.md5(F.col("__seed_id").cast("string")))
+        .orderBy("__ord", "__seed_id")
+        .limit(nlist)
+    )
+    w = Window.orderBy("__ord", "__seed_id")  # over nlist rows only
+    return (
+        seeds.withColumn("centroid_id", F.row_number().over(w))
         .select("centroid_id", "centroid")
     )
 

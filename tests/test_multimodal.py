@@ -72,3 +72,7 @@ def test_resize_images_stub(spark):
     # Payload is itself a valid decodable media blob after resize.
     w, h, _ = _parse_header(bytes(got[1].payload))
     assert (w, h) == (256, 128)
+    # Body scales by the area ratio over the 17-byte header: 1000 * 0.25^2.
+    assert len(bytes(got[1].payload)) == 17 + int(1000 * 0.25 * 0.25)
+    # Unscaled image keeps its body byte-for-byte in length.
+    assert len(bytes(got[2].payload)) == 17 + 64

@@ -126,3 +126,21 @@ def test_distinct_agg_single_scan_two_level(spark):
     assert p.count("Scan parquet") == 1
     assert p.count("Exchange") == 2
     assert "merge_count" in p
+
+
+def test_ivf_centroid_seeding_is_take_ordered(spark):
+    # Seed selection must be a distributed partial top-k
+    # (TakeOrderedAndProject), never a Window over the whole unpartitioned
+    # corpus: at 100 TB a single-partition global-sort window funnels every
+    # vector through one task. The only Window allowed is the centroid_id
+    # numbering that runs AFTER the nlist-row limit.
+    from cryptocurrency_data_pipeline_spark.operators.similarity import ivf_centroids
+    from cryptocurrency_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    p = plan(ivf_centroids(emb, nlist=16), mode="simple")
+    assert "TakeOrderedAndProject" in p
+    # The Window (if printed) must sit above the top-k, i.e. consume its
+    # 16-row output, not the raw scan.
+    if "Window" in p:
+        assert p.index("Window") < p.index("TakeOrderedAndProject")
