@@ -93,7 +93,9 @@ def srp_sign(vec: Column, proj_id: int, dim: int) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return (proj >= 0).cast("int")
+    # Round before the sign test so engines whose float summation order
+    # differs (sequential fold here, hash-agg elsewhere) bucket identically.
+    return (F.round(proj, 9) >= 0).cast("int")
 
 
 def srp_bucket(vec: Column, n_bits: int, dim: int) -> Column:

@@ -995,7 +995,50 @@ def ivf_ann_topk(spark, sf_dir):
     )
 
 
-@query("ann_srp_topk")  # approximate — rows-only check by design
+@query(
+    "ann_srp_topk",
+    # SRP projections are md5-derived (component (b,i) = +1 iff the first
+    # hex digit of md5('b_i') is 0-7), so the whole approximate pipeline —
+    # bucket assignment, in-bucket candidate join, exact cosine re-rank —
+    # replays bit-for-bit in DuckDB.
+    oracle="""
+    WITH dims AS (SELECT unnest(generate_series(0, 63)) AS i),
+    bits AS (SELECT unnest(generate_series(0, 3)) AS b),
+    signs AS (
+      SELECT b, i,
+             CASE WHEN strpos('01234567',
+                    substr(md5(CAST(b AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) > 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM bits CROSS JOIN dims
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    proj AS (
+      SELECT c.vec_id, signs.b, sum(c.v[signs.i + 1] * signs.s) AS p
+      FROM c CROSS JOIN signs GROUP BY c.vec_id, signs.b
+    ),
+    bkt AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN round(p, 9) >= 0 THEN '1' ELSE '0' END,
+                        '' ORDER BY b) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_dot_product(qq.v, nn.v)
+             / (sqrt(list_dot_product(qq.v, qq.v))
+                * sqrt(list_dot_product(nn.v, nn.v))) AS sim
+      FROM bkt q JOIN bkt n ON q.bucket = n.bucket AND q.vec_id != n.vec_id
+      JOIN c qq ON qq.vec_id = q.vec_id
+      JOIN c nn ON nn.vec_id = n.vec_id
+      WHERE q.vec_id < 5
+    ),
+    r AS (SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rn
+          FROM cand)
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim FROM r WHERE rn <= 10
+    """,
+)
 def ann_srp_topk(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import similarity
 
@@ -1003,7 +1046,41 @@ def ann_srp_topk(spark, sf_dir):
     return similarity.ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_bits=4)
 
 
-@query("simhash_signatures")  # Pandas-UDF path — rows-only check by design
+@query(
+    "simhash_signatures",
+    # SimHash is md5-deterministic, so the Arrow-batched UDF replays in
+    # SQL: per token take the first 8 md5 bytes big-endian as a 64-bit
+    # int, accumulate ±1 per bit, signature bit = sign(acc), interpreted
+    # as signed 64-bit (bit 63 contributes -2^63).
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS tk
+      FROM documents
+    ),
+    th AS (SELECT doc_id, md5(tk) AS h FROM tok),
+    bits AS (SELECT unnest(generate_series(0, 63)) AS b),
+    contrib AS (
+      SELECT th.doc_id, bits.b,
+             sum(CASE WHEN ((strpos('0123456789abcdef',
+                                    substr(th.h, 16 - (bits.b // 4), 1)) - 1)
+                            >> (bits.b % 4)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS acc
+      FROM th CROSS JOIN bits GROUP BY th.doc_id, bits.b
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN acc > 0 THEN
+                        CASE WHEN b = 63 THEN -9223372036854775808
+                             ELSE (CAST(1 AS BIGINT) << b) END
+                      ELSE 0 END) AS BIGINT) AS simhash
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN sig s USING (doc_id)
+    """,
+)
 def simhash_signatures(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators.dedup import simhash64
 
@@ -1236,16 +1313,51 @@ def doc_nearest_ngram(spark, sf_dir):
     )
 
 
-@query("approx_distinct_users")  # HLL sketches differ per engine — rows-only
+@query(
+    "approx_distinct_users",
+    # Sketch estimates are engine-specific, so the hashed output carries the
+    # EXACT counts plus booleans asserting the approx estimate landed inside
+    # a generous rsd-derived bound (3× the 0.05 default / 0.01 requested
+    # rsd). The oracle emits the same exact counts and literal TRUEs — a
+    # drifted sketch flips a boolean and breaks the hash.
+    oracle="""
+    SELECT count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS users_within_bound,
+           count(DISTINCT event_id) AS n_events_exact,
+           TRUE AS events_within_bound
+    FROM events
+    """,
+)
 def approx_distinct_users(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
+    exact_u = F.countDistinct("user_id")
+    exact_e = F.countDistinct("event_id")
     return ev.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("event_id", 0.01).alias("approx_events"),
+        exact_u.alias("n_users_exact"),
+        (
+            F.abs(F.approx_count_distinct("user_id") - exact_u) <= 0.15 * exact_u
+        ).alias("users_within_bound"),
+        exact_e.alias("n_events_exact"),
+        (
+            F.abs(F.approx_count_distinct("event_id", 0.01) - exact_e)
+            <= 0.03 * exact_e
+        ).alias("events_within_bound"),
     )
 
 
-@query("media_decode_rollup")  # Pandas-UDF multimodal path — rows-only
+@query(
+    "media_decode_rollup",
+    # The stub payloads are deterministic functions of doc stats, so the
+    # oracle replays the EXPECTED decode (width = 64 + n_chars % 64,
+    # height = 64) straight from the documents table — an end-to-end check
+    # that encode → binary header → mapInPandas decode round-trips exactly.
+    oracle="""
+    SELECT CAST(64 + n_chars % 64 AS INT) AS width,
+           CAST(64 AS INT) AS height,
+           count(*) AS n_media
+    FROM documents GROUP BY width, height ORDER BY width
+    """,
+)
 def media_decode_rollup(spark, sf_dir):
     """Fake-media pipeline over documents: text → stub binary payloads →
     mapInPandas decode → rollup by decoded dimensions."""
@@ -2089,19 +2201,46 @@ def bigram_logprob_docs(spark, sf_dir):
 # (the pytest suite bounds the error vs exact counts instead).
 # --------------------------------------------------------------------------
 
-@query("hll_weekly_users")  # sketch estimates differ per engine — rows-only
+@query(
+    "hll_weekly_users",
+    # Sketch estimates are engine-specific → the hashed columns are the
+    # exact weekly distincts plus a per-week boolean that the merged-sketch
+    # estimate sits within 5% of exact (Datasketches HLL at default lgK is
+    # well inside that). The oracle computes exact + literal TRUE.
+    oracle="""
+    SELECT weekofyear(CAST(ts AS DATE)) AS week,
+           count(*) AS n_events,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY week ORDER BY week
+    """,
+)
 def hll_weekly_users(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    weekly_sketch = daily.groupBy(F.weekofyear("day").alias("week")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__approx_users"),
+        F.sum("n_events").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    weekly_exact = ev.groupBy(F.weekofyear(F.to_date("ts")).alias("week")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
     return (
-        daily.groupBy(F.weekofyear("day").alias("week"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-            F.sum("n_events").alias("n_events"),
-            F.count(F.lit(1)).alias("n_days"),
+        weekly_sketch.join(weekly_exact, "week")
+        .select(
+            "week",
+            "n_events",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("__approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
         )
         .orderBy("week")
     )
