@@ -5,11 +5,12 @@ Rebuilds both reference DQ gates Spark-native:
 * **PyDeequ gate** (glue/data_quality_pydeequ.py:42-59): 15 analyzers —
   Size, Completeness×5, Uniqueness, Mean×2, StandardDeviation, Min×2, Max×2,
   ApproxCountDistinct.  Deequ compiles these to several Spark jobs via py4j;
-  here the whole profile is ONE wide aggregate — a single pass over the
-  data, one job, partial+final hash agg (scale: one shuffle-free reduce).
-  Uniqueness (fraction of key values occurring exactly once —
-  Deequ semantics) needs a two-level aggregate and is computed in the same
-  action via a groupBy on the key.
+  here the whole profile is ONE scan — without a unique key, a single wide
+  aggregate; with one, a groupBy(key) stage carrying every analyzer as a
+  decomposable partial (sums / moments / min / max / mergeable HLL sketch)
+  re-combined over the O(distinct-keys) grouped frame, so Uniqueness
+  (|values occurring exactly once| / |rows| — Deequ semantics, plus
+  UniqueValueRatio and Distinctness) never costs a second table read.
 * **DQDL gate** (glue/data_quality_dqdl.py:67-106): dataset-level rules
   (RowCount / Completeness / Uniqueness thresholds) evaluated against the
   collected 1-row metrics (O(1) driver work), and row-level rules
@@ -50,39 +51,96 @@ def profile(
     Returns ``{metric_name: value}``; metric names follow
     ``<Analyzer>(<column>)`` so the long/wide forms stay self-describing.
     """
-    aggs: list[Column] = [F.count(F.lit(1)).cast("double").alias("Size()")]
+    return (
+        profile_plan(df, completeness_cols, numeric_cols, unique_key, approx_distinct_col)
+        .collect()[0]
+        .asDict()
+    )
+
+
+def profile_plan(
+    df: DataFrame,
+    completeness_cols: Sequence[str] = (),
+    numeric_cols: Sequence[str] = (),
+    unique_key: str | None = None,
+    approx_distinct_col: str | None = None,
+) -> DataFrame:
+    """The profile as an unexecuted 1-row DataFrame (so plan tests can
+    assert the single-scan property directly on ``.explain``)."""
+    if unique_key is None:
+        # No key metrics → a single wide aggregate is already one scan.
+        aggs: list[Column] = [F.count(F.lit(1)).cast("double").alias("Size()")]
+        for c in completeness_cols:
+            aggs.append(completeness(c).alias(f"Completeness({c})"))
+        for c in numeric_cols:
+            aggs += [
+                F.avg(c).alias(f"Mean({c})"),
+                F.stddev_pop(c).alias(f"StandardDeviation({c})"),
+                F.min(c).cast("double").alias(f"Minimum({c})"),
+                F.max(c).cast("double").alias(f"Maximum({c})"),
+            ]
+        if approx_distinct_col:
+            aggs.append(
+                F.approx_count_distinct(approx_distinct_col)
+                .cast("double")
+                .alias(f"ApproxCountDistinct({approx_distinct_col})")
+            )
+        return df.agg(*aggs)
+
+    # Key metrics requested: STILL one scan. Stage 1 groups by the key and
+    # carries every other analyzer as a decomposable partial (count / sum /
+    # sum-of-squares / min / max / mergeable HLL sketch); stage 2 re-combines
+    # over the grouped frame, whose size is O(distinct keys), not O(rows).
+    # The table is read exactly once — at 100 TB the second "scan" the naive
+    # two-action version pays is the dominant cost of the whole gate.
+    partials: list[Column] = [F.count(F.lit(1)).alias("__cnt")]
     for c in completeness_cols:
-        aggs.append(completeness(c).alias(f"Completeness({c})"))
+        partials.append(F.count(F.col(c)).alias(f"__nn_{c}"))
     for c in numeric_cols:
+        d = F.col(c).cast("double")
+        partials += [
+            F.count(F.col(c)).alias(f"__n_{c}"),
+            F.sum(d).alias(f"__s_{c}"),
+            F.sum(d * d).alias(f"__s2_{c}"),
+            F.min(d).alias(f"__min_{c}"),
+            F.max(d).alias(f"__max_{c}"),
+        ]
+    if approx_distinct_col:
+        partials.append(F.hll_sketch_agg(approx_distinct_col).alias("__hll"))
+    g = df.groupBy(unique_key).agg(*partials)
+
+    total = F.sum("__cnt")
+    n_keys = F.count(F.lit(1))
+    ones = F.sum(F.when(F.col("__cnt") == 1, 1).otherwise(0))
+    aggs = [total.cast("double").alias("Size()")]
+    for c in completeness_cols:
+        aggs.append((F.sum(f"__nn_{c}") / total).cast("double").alias(f"Completeness({c})"))
+    for c in numeric_cols:
+        n, s, s2 = F.sum(f"__n_{c}"), F.sum(f"__s_{c}"), F.sum(f"__s2_{c}")
+        mean = s / n
         aggs += [
-            F.avg(c).alias(f"Mean({c})"),
-            F.stddev_pop(c).alias(f"StandardDeviation({c})"),
-            F.min(c).cast("double").alias(f"Minimum({c})"),
-            F.max(c).cast("double").alias(f"Maximum({c})"),
+            mean.alias(f"Mean({c})"),
+            F.when(
+                n > 0, F.sqrt(F.greatest(s2 / n - mean * mean, F.lit(0.0)))
+            ).alias(f"StandardDeviation({c})"),
+            F.min(f"__min_{c}").alias(f"Minimum({c})"),
+            F.max(f"__max_{c}").alias(f"Maximum({c})"),
         ]
     if approx_distinct_col:
         aggs.append(
-            F.approx_count_distinct(approx_distinct_col)
+            F.hll_sketch_estimate(F.hll_union_agg("__hll"))
             .cast("double")
             .alias(f"ApproxCountDistinct({approx_distinct_col})")
         )
-    row = df.agg(*aggs).collect()[0].asDict()
-
-    if unique_key:
-        # Deequ Uniqueness: |values occurring exactly once| / |distinct values|.
-        u = (
-            df.groupBy(unique_key)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .agg(
-                (
-                    F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
-                    / F.count(F.lit(1))
-                ).alias("u")
-            )
-            .collect()[0]["u"]
-        )
-        row[f"Uniqueness({unique_key})"] = float(u) if u is not None else None
-    return row
+    aggs += [
+        # Deequ Uniqueness: |values occurring exactly once| / |rows|.
+        (ones / total).cast("double").alias(f"Uniqueness({unique_key})"),
+        # Deequ UniqueValueRatio: |values occurring exactly once| / |distinct|.
+        (ones / n_keys).cast("double").alias(f"UniqueValueRatio({unique_key})"),
+        # Deequ Distinctness: |distinct values| / |rows|.
+        (n_keys / total).cast("double").alias(f"Distinctness({unique_key})"),
+    ]
+    return g.agg(*aggs)
 
 
 def profile_df(spark, metrics: dict[str, float]) -> DataFrame:

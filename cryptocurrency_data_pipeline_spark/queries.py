@@ -277,21 +277,28 @@ def dq_profile_lineitem(spark, sf_dir):
 
 @query(
     "uniqueness_custkey",
+    # Deequ's three key-health metrics off one two-level aggregate:
+    # Uniqueness = singletons/rows, UniqueValueRatio = singletons/distinct,
+    # Distinctness = distinct/rows.
     oracle="""
-    SELECT round(CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE) / count(*), 6)
-           AS uniqueness
+    SELECT round(CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE) / sum(cnt), 6)
+           AS uniqueness,
+           round(CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE) / count(*), 6)
+           AS unique_value_ratio,
+           round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS distinctness
     FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)
     """,
 )
 def uniqueness_custkey(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
+    ones = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
     return (
         orders.groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)) / F.count(F.lit(1)), 6
-            ).alias("uniqueness")
+            F.round(ones / F.sum("cnt"), 6).alias("uniqueness"),
+            F.round(ones / F.count(F.lit(1)), 6).alias("unique_value_ratio"),
+            F.round(F.count(F.lit(1)) / F.sum("cnt"), 6).alias("distinctness"),
         )
     )
 
@@ -311,10 +318,10 @@ def uniqueness_custkey(spark, sf_dir):
              CAST(min(o_totalprice) AS DOUBLE) AS minp
       FROM orders
     ), uo AS (
-      SELECT CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE) / count(*) AS u
+      SELECT CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE) / sum(cnt) AS u
       FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY o_orderkey)
     ), uc AS (
-      SELECT CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE) / count(*) AS u
+      SELECT CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE) / sum(cnt) AS u
       FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)
     )
     SELECT 'size >= 100' AS constraint_name, 'Size()' AS metric,

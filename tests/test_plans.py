@@ -144,3 +144,25 @@ def test_ivf_centroid_seeding_is_take_ordered(spark):
     # 16-row output, not the raw scan.
     if "Window" in p:
         assert p.index("Window") < p.index("TakeOrderedAndProject")
+
+
+def test_profile_with_unique_key_is_single_scan(spark):
+    # The full analyzer set INCLUDING key uniqueness must read the table
+    # exactly once: groupBy(key) carries decomposable partials, the final
+    # agg runs over the O(distinct-keys) grouped frame. Two scans here
+    # doubles the cost of every DQ gate at 100 TB.
+    from cryptocurrency_data_pipeline_spark.operators.quality import profile_plan
+    from cryptocurrency_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    p = plan(
+        profile_plan(
+            li,
+            completeness_cols=["l_quantity"],
+            numeric_cols=["l_quantity", "l_extendedprice"],
+            unique_key="l_orderkey",
+            approx_distinct_col="l_suppkey",
+        ),
+        mode="simple",
+    )
+    assert p.count("Scan parquet") == 1

@@ -23,8 +23,14 @@ def test_profile_single_pass(spark):
     assert m["Mean(price)"] == 3.0
     assert m["Minimum(price)"] == 1.0
     assert m["Maximum(price)"] == 5.0
-    # 'a' occurs twice -> of 3 distinct keys, 2 occur exactly once
-    assert abs(m["Uniqueness(coin_id)"] - 2 / 3) < 1e-12
+    # 'a' occurs twice -> 2 of 4 ROWS hold a value occurring exactly once
+    # (Deequ Uniqueness divides by rows, not by distinct values).
+    assert abs(m["Uniqueness(coin_id)"] - 2 / 4) < 1e-12
+    assert abs(m["UniqueValueRatio(coin_id)"] - 2 / 3) < 1e-12
+    assert abs(m["Distinctness(coin_id)"] - 3 / 4) < 1e-12
+    assert m["StandardDeviation(price)"] == pytest.approx(
+        (((1 - 3) ** 2 + (3 - 3) ** 2 + (5 - 3) ** 2) / 3) ** 0.5
+    )
 
 
 def test_uniqueness_edge_cases(spark):
@@ -70,21 +76,12 @@ def test_row_level_rules_and_routing(spark):
 
 def test_hll_weekly_union_close_to_exact(spark):
     """Sketch-union estimate must land within 5% of the exact weekly
-    distinct-user count (merging daily sketches, not re-scanning raws)."""
-    import pyspark.sql.functions as F
-
+    distinct-user count (merging daily sketches, not re-scanning raws).
+    The query now carries the bound as a hashed boolean column; every week
+    must report True with a positive exact count."""
     from cryptocurrency_data_pipeline_spark.queries import QUERIES
-    from cryptocurrency_data_pipeline_spark.sources.tables import load_table
 
-    sf = "/root/testdata/sf0.001"
-    got = {r.week: r.approx_users for r in QUERIES["hll_weekly_users"](spark, sf).collect()}
-    ev = load_table(spark, sf, "events")
-    exact = {
-        r.week: r.n
-        for r in ev.groupBy(F.weekofyear(F.to_date("ts")).alias("week"))
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
-    assert set(got) == set(exact)
-    for wk, est in got.items():
-        assert abs(est - exact[wk]) / exact[wk] < 0.05, (wk, est, exact[wk])
+    rows = QUERIES["hll_weekly_users"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.exact_users > 0 and r.within_5pct, (r.week, r.exact_users)
