@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -128,66 +128,60 @@ def scd2_merge(
     * unchanged attrs → existing row untouched;
     * changed attrs  → current row closed out (``valid_to`` = effective
       date, ``is_current`` = false) and a new current row opened;
-    * new key        → new current row.
+    * new key        → new current row;
+    * several effective dates for one key in a single batch → one version
+      per *change*, chained in date order (no-op dates collapse into their
+      predecessor), exactly one ``is_current`` row per key.
 
-    Shuffle shape: ONE key-partitioned join of current rows against
-    updates decides changed/unchanged/new; history rows pass through
-    untouched (a filter, no shuffle). Dims are small relative to facts, so
-    this is broadcast-or-single-shuffle at any realistic dim size.
+    Shuffle shape: current rows and updates union into one frame and the
+    whole version chain is rebuilt with key-partitioned windows — ONE
+    shuffle on the key regardless of how many effective dates a batch
+    carries; history rows pass through untouched (a filter, no shuffle).
+    Dims are small relative to facts, so this is single-shuffle at any
+    realistic dim size.
     """
     upd = updates.select(
         key, *attrs, F.col(effective_col).alias("__eff")
     ).dropDuplicates([key, "__eff"])
 
-    def open_rows(src: DataFrame) -> DataFrame:
-        return src.select(
-            key,
-            *attrs,
-            F.col("__eff").alias("valid_from"),
-            F.lit(None).cast("date").alias("valid_to"),
-            F.lit(True).alias("is_current"),
-        )
-
     if existing is None:
-        return open_rows(upd)
+        # First load goes through the same chain rebuild (a multi-date
+        # first batch must also yield one current row per key).
+        history = None
+        cur = upd.filter(F.lit(False)).withColumn("valid_from", F.col("__eff"))
+    else:
+        history = existing.filter(~F.col("is_current"))
+        cur = existing.filter(F.col("is_current"))
 
-    history = existing.filter(~F.col("is_current"))
-    cur = existing.filter(F.col("is_current")).alias("cur")
-    u = upd.alias("u")
+    # Version-chain rebuild: the current row (anchored at its valid_from)
+    # and every update row become candidate versions, ordered per key by
+    # effective date with the existing row winning ties. A candidate whose
+    # attrs equal its immediate predecessor's is a no-op and is dropped —
+    # by induction its predecessor carries the same attrs as the last KEPT
+    # version, so compare-to-lag is sufficient. Survivors get their
+    # validity range from lead(): this stays correct for any number of
+    # effective dates per key per batch, where a join-per-update would fan
+    # out into multiple is_current rows.
+    versions = cur.select(
+        key, *attrs, F.col("valid_from").alias("__eff"), F.lit(0).alias("__src")
+    ).unionByName(upd.select(key, *attrs, "__eff", F.lit(1).alias("__src")))
 
-    c = lambda name: F.col(f"cur.{name}")  # noqa: E731
-    uc = lambda name: F.col(f"u.{name}")  # noqa: E731
-
-    changed_pred = None
+    w = Window.partitionBy(key).orderBy("__eff", "__src")
+    same_as_prev = F.lit(True)
     for a in attrs:
-        diff = (~c(a).eqNullSafe(uc(a)))
-        changed_pred = diff if changed_pred is None else (changed_pred | diff)
-
-    j = cur.join(u, c(key) == uc(key), "full_outer")
-
-    # Existing current rows: keep as-is unless a matching update changed
-    # an attribute, in which case close them out at the effective date.
-    kept_current = j.filter(c(key).isNotNull()).select(
-        c(key).alias(key),
-        *[c(a).alias(a) for a in attrs],
-        c("valid_from").alias("valid_from"),
-        F.when(uc(key).isNotNull() & changed_pred, uc("__eff"))
-        .otherwise(c("valid_to"))
-        .alias("valid_to"),
-        F.when(uc(key).isNotNull() & changed_pred, F.lit(False))
-        .otherwise(c("is_current"))
-        .alias("is_current"),
+        same_as_prev = same_as_prev & F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
+    has_prev = F.lag(F.lit(1)).over(w).isNotNull()
+    kept = (
+        versions.withColumn("__noop", has_prev & same_as_prev)
+        .filter(~F.col("__noop"))
+        .drop("__noop")
     )
 
-    # New rows: brand-new keys, or changed attrs (reopened versions).
-    opened = (
-        j.filter(uc(key).isNotNull() & (c(key).isNull() | changed_pred))
-        .select(
-            uc(key).alias(key),
-            *[uc(a).alias(a) for a in attrs],
-            uc("__eff").alias("__eff"),
-        )
-        .transform(open_rows)
+    chained = kept.select(
+        key,
+        *attrs,
+        F.col("__eff").alias("valid_from"),
+        F.lead("__eff").over(w).alias("valid_to"),
+        F.lead(F.lit(1)).over(w).isNull().alias("is_current"),
     )
-
-    return history.unionByName(kept_current).unionByName(opened)
+    return chained if history is None else history.unionByName(chained)

@@ -40,10 +40,14 @@ def compact_parquet(
 
     ``sort_col`` additionally range-clusters during the rewrite (see
     ``gold.write_sorted``) so compaction doubles as layout optimization.
-    The rewrite lands in a sibling temp dir and replaces the original only
-    after success — readers never see a half-compacted table. (On object
-    stores the same two-step works per-prefix; a transactional table
-    format would do this under a log instead.)
+    The rewrite lands in a sibling temp dir and swaps in via
+    ``renameat2(RENAME_EXCHANGE)`` — a single atomic syscall on Linux, so
+    readers see either the old or the new table, never neither. Where the
+    exchange isn't available the fallback is rename-aside → rename-in →
+    delete-aside: the old data survives until the new path is live (a
+    reader can hit ENOENT in the instant between the two renames, but a
+    crash never loses the table, unlike delete-then-rename). On object
+    stores a transactional table format would do this under a log instead.
     """
     n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
     df: DataFrame = spark.read.parquet(path)
@@ -54,6 +58,30 @@ def compact_parquet(
     )
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    if _exchange_dirs(path, tmp):
+        shutil.rmtree(tmp)  # tmp now holds the pre-compaction files
+    else:
+        aside = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, aside)
+        os.rename(tmp, path)
+        shutil.rmtree(aside)
     return n_files
+
+
+def _exchange_dirs(a: str, b: str) -> bool:
+    """Atomically swap two directories via Linux ``renameat2`` with
+    ``RENAME_EXCHANGE``; returns False where the syscall/flag is
+    unavailable (non-Linux, old kernels, some filesystems)."""
+    try:
+        import ctypes
+        import ctypes.util
+
+        libc = ctypes.CDLL(ctypes.util.find_library("c"), use_errno=True)
+        at_fdcwd = ctypes.c_int(-100)
+        rename_exchange = ctypes.c_uint(2)
+        ret = libc.renameat2(
+            at_fdcwd, os.fsencode(a), at_fdcwd, os.fsencode(b), rename_exchange
+        )
+        return ret == 0
+    except Exception:
+        return False

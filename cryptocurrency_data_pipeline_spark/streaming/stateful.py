@@ -62,8 +62,17 @@ def _make_tracker(alert_pct: float):
         state: "GroupState",
     ) -> Iterator[pd.DataFrame]:
         last_price, last_ts = state.get if state.exists else (None, None)
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_time")
+        # A group's micro-batch rows arrive as MULTIPLE Arrow chunks with no
+        # ordering guarantee across them; sorting each chunk alone would let
+        # prev_price run backwards whenever event times interleave between
+        # chunks. Event-time order must be global per (key, batch), so the
+        # chunks are concatenated and sorted once — O(rows-per-key-per-batch)
+        # memory, the same bound Spark already assumes by routing the whole
+        # group to one task.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values("event_time", kind="mergesort", ignore_index=True)
             prevs, pcts, alerts = [], [], []
             for price, ts in zip(pdf["current_price"], pdf["event_time"]):
                 prevs.append(last_price)

@@ -145,3 +145,59 @@ def test_scd2_merge_two_rounds(spark):
     dim3 = scd2_merge(dim2, r2, "coin_id", ["name"])
     assert dim3.count() == 4
     assert dim3.filter("is_current").count() == 3
+
+
+def test_scd2_merge_multi_effective_dates_one_batch(spark):
+    """A batch carrying several effective dates for one key must chain
+    versions in date order with exactly ONE is_current row per key — the
+    join-per-update formulation fanned out into one current row per date."""
+    from cryptocurrency_data_pipeline_spark.operators.gold import scd2_merge
+
+    d = datetime.date
+    dim = scd2_merge(
+        None,
+        spark.createDataFrame(
+            [("btc", "Bitcoin", d(2024, 1, 1))],
+            "coin_id string, name string, effective_date date",
+        ),
+        "coin_id",
+        ["name"],
+    )
+    batch = spark.createDataFrame(
+        [
+            ("btc", "Bitcoin Core", d(2024, 2, 1)),
+            ("btc", "Bitcoin", d(2024, 3, 1)),      # reverts -> third version
+            ("btc", "Bitcoin", d(2024, 4, 1)),      # no-op vs 3/1 -> collapses
+            ("sol", "Solana", d(2024, 2, 1)),
+            ("sol", "Solana SOL", d(2024, 3, 1)),
+        ],
+        "coin_id string, name string, effective_date date",
+    )
+    out = scd2_merge(dim, batch, "coin_id", ["name"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.coin_id, []).append(r)
+    assert sum(1 for r in out if r.is_current) == 2  # one per key
+    btc = sorted(by_key["btc"], key=lambda r: r.valid_from)
+    assert [(r.name, r.valid_from, r.valid_to, r.is_current) for r in btc] == [
+        ("Bitcoin", d(2024, 1, 1), d(2024, 2, 1), False),
+        ("Bitcoin Core", d(2024, 2, 1), d(2024, 3, 1), False),
+        ("Bitcoin", d(2024, 3, 1), None, True),
+    ]
+    sol = sorted(by_key["sol"], key=lambda r: r.valid_from)
+    assert [(r.name, r.valid_to, r.is_current) for r in sol] == [
+        ("Solana", d(2024, 3, 1), False),
+        ("Solana SOL", None, True),
+    ]
+    # Multi-date FIRST load also chains (no fanout on bootstrap).
+    first = scd2_merge(
+        None,
+        spark.createDataFrame(
+            [("eth", "Ethereum", d(2024, 1, 1)), ("eth", "Ether", d(2024, 2, 1))],
+            "coin_id string, name string, effective_date date",
+        ),
+        "coin_id",
+        ["name"],
+    ).collect()
+    assert sum(1 for r in first if r.is_current) == 1
+    assert len(first) == 2
