@@ -115,26 +115,51 @@ def validation_reasons(
     price: str = "current_price",
     market_cap: str = "market_cap",
     pct_change: str = "price_change_percentage_24h",
+    decimal_thresholds: bool = False,
 ) -> Column:
     """P13: the consumer's rule chain (streaming/consumer.py:47-57) as one
     vectorized array-of-reasons expression.  Null checks mirror the
-    reference's ``dict.get`` defaults: a null price/cap fails the rule."""
+    reference's ``dict.get`` defaults: a null price/cap fails the rule.
+
+    ``decimal_thresholds=True`` reproduces the reference's money-safe
+    ``Decimal`` comparisons (streaming/consumer.py:21-24): thresholds
+    become DecimalType literals, so against DecimalType money columns the
+    comparison stays exact decimal arithmetic.  With the default float
+    literals Spark would promote the decimal column to double, silently
+    collapsing values within half-a-double-ulp of a threshold onto it
+    (e.g. a cap of 999999.9999999999999999 rounds to double 1000000.0 and
+    passes a gate it should fail).
+    """
+    if decimal_thresholds:
+        from decimal import Decimal
+
+        zero = F.lit(Decimal("0"))
+        min_price = F.lit(Decimal("0.01"))
+        min_cap = F.lit(Decimal("1000000"))
+        neg_max_drop = F.lit(Decimal("-15.0"))
+    else:
+        zero = F.lit(0)
+        min_price = F.lit(MIN_PRICE)
+        min_cap = F.lit(MIN_MARKET_CAP)
+        neg_max_drop = F.lit(-MAX_PRICE_DROP_PCT)
     rules = [
         (
-            F.col(price).isNull() | (F.col(price) <= 0),
+            F.col(price).isNull() | (F.col(price) <= zero),
             "invalid price: <= 0",
         ),
         (
-            F.col(price).isNotNull() & (F.col(price) > 0) & (F.col(price) < MIN_PRICE),
+            F.col(price).isNotNull()
+            & (F.col(price) > zero)
+            & (F.col(price) < min_price),
             f"price below minimum threshold {MIN_PRICE}",
         ),
         (
-            F.col(market_cap).isNull() | (F.col(market_cap) < MIN_MARKET_CAP),
+            F.col(market_cap).isNull() | (F.col(market_cap) < min_cap),
             f"market cap below minimum {MIN_MARKET_CAP}",
         ),
         (
             F.col(pct_change).isNotNull()
-            & (F.col(pct_change) < -MAX_PRICE_DROP_PCT),
+            & (F.col(pct_change) < neg_max_drop),
             f"price drop exceeds {MAX_PRICE_DROP_PCT}%",
         ),
     ]

@@ -53,8 +53,15 @@ def write_bronze(records: list[dict], landing_dir: str, run_id: str | None = Non
     return path
 
 
-def read_bronze(spark: SparkSession, landing_dir: str) -> DataFrame:
-    """S3: recursive landing-zone scan with the declared schema.
+def read_bronze(
+    spark: SparkSession,
+    landing_dir: str,
+    extra_fields: "list | None" = None,
+    keep_raw: bool = False,
+    track_new_fields: bool = False,
+) -> DataFrame:
+    """S3: recursive landing-zone scan with the declared schema, plus a
+    land-then-enforce evolution regime.
 
     Text scan + ``from_json`` (the exact plumbing of the streaming source,
     so batch and streaming share corrupt-record semantics): a malformed
@@ -62,23 +69,82 @@ def read_bronze(spark: SparkSession, landing_dir: str) -> DataFrame:
     raw payload — Glue's DynamicFrame choice types (P11) replaced by data,
     not exceptions.  Also sidesteps Spark's QUERY_ONLY_CORRUPT_RECORD
     restriction on native JSON-scan corrupt columns.
+
+    Schema evolution (the reference lands evolving raw schemas via
+    ``mergeSchema`` on write, glue/data_ingestion_s3.py:35): a new upstream
+    field must never be silently dropped.
+
+    * ``track_new_fields=True`` adds ``_new_fields`` — top-level JSON keys
+      absent from the declared schema (``json_object_keys`` +
+      ``array_except``, JVM-side, same scan) — so each batch can alert on
+      drift before it's lost.
+    * ``keep_raw=True`` carries the raw line as ``_raw``: the bronze tier
+      retains the full payload, so a later promotion backfills from bronze
+      instead of re-ingesting.
+    * ``extra_fields=[StructField(...)]`` promotes discovered fields into
+      the typed read — the "resolved" half of the regime
+      (``new_field_report`` is the discovery half).
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
     # Copy, don't .add(): StructType.add mutates the receiver in place.
+    declared = list(CRYPTO_MARKETS.fields) + list(extra_fields or [])
     schema = StructType(
-        list(CRYPTO_MARKETS.fields) + [StructField("_corrupt_record", StringType(), True)]
+        declared + [StructField("_corrupt_record", StringType(), True)]
     )
     raw = (
         spark.read.option("recursiveFileLookup", "true")
         .text(landing_dir)
         .filter(F.length(F.trim(F.col("value"))) > 0)  # blank lines aren't data
-        .select(
-            F.from_json(
-                F.col("value"),
-                schema,
-                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
-            ).alias("r")
-        )
     )
-    return raw.select("r.*")
+    cols = [
+        F.from_json(
+            F.col("value"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r")
+    ]
+    if keep_raw:
+        cols.append(F.col("value").alias("_raw"))
+    if track_new_fields:
+        known = F.array(*[F.lit(f.name) for f in declared])
+        cols.append(
+            F.array_except(F.json_object_keys(F.col("value")), known).alias(
+                "_new_fields"
+            )
+        )
+    out = raw.select(*cols)
+    return out.select("r.*", *[c for c in ("_raw", "_new_fields") if c in out.columns])
+
+
+def new_field_report(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Schema-drift discovery over the landing zone: one scan, JVM-side.
+
+    Returns (field, n_rows) for every top-level key not in the declared
+    schema — the operator review feed for promoting fields via
+    ``read_bronze(extra_fields=...)``.  Unlike full JSON inference this
+    never touches values, just key sets.
+    """
+    known = F.array(*[F.lit(f.name) for f in CRYPTO_MARKETS.fields])
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .text(landing_dir)
+        .filter(F.length(F.trim(F.col("value"))) > 0)
+        .select(
+            F.explode(
+                F.array_except(F.json_object_keys(F.col("value")), known)
+            ).alias("field")
+        )
+        .groupBy("field")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def infer_bronze_schema(spark: SparkSession, landing_dir: str):
+    """Full-inference fallback (the reference's inferred-then-resolved
+    regime, data_ingestion_s3.py:35 ``mergeSchema``): one extra pass over
+    the landing zone, so it's an explicit opt-in for backfills — steady
+    state should promote fields via ``new_field_report`` instead."""
+    return (
+        spark.read.option("recursiveFileLookup", "true").json(landing_dir).schema
+    )

@@ -102,3 +102,44 @@ def test_corrupt_bronze_rows_excluded(spark, tmp_path):
     results = etl.build_etl_pipeline(spark, paths).run()
     assert results[0].status == StageStatus.SUCCEEDED
     assert spark.read.parquet(paths.silver).count() == 1
+
+
+def test_bronze_schema_evolution_land_then_enforce(spark, tmp_path):
+    """A new upstream field must be detectable and promotable, never
+    silently lost (reference lands evolving schemas via mergeSchema)."""
+    from pyspark.sql.types import StringType, StructField
+
+    paths = _paths(tmp_path)
+    recs = [
+        _record(1, platform="ethereum"),
+        _record(2, platform="solana"),
+        _record(3),
+    ]
+    ingestion.write_bronze(recs, paths.bronze, run_id="r1")
+
+    # Default read: declared schema only — but drift is visible on demand.
+    tracked = ingestion.read_bronze(spark, paths.bronze, track_new_fields=True)
+    flagged = tracked.filter("size(_new_fields) > 0")
+    assert flagged.count() == 2
+    assert flagged.select("_new_fields").first()[0] == ["platform"]
+
+    # Discovery feed: field name + how many rows carry it.
+    report = {r.field: r.n_rows for r in
+              ingestion.new_field_report(spark, paths.bronze).collect()}
+    assert report == {"platform": 2}
+
+    # Promotion: the discovered field reads typed; absent rows are null.
+    promoted = ingestion.read_bronze(
+        spark, paths.bronze,
+        extra_fields=[StructField("platform", StringType(), True)],
+    )
+    vals = {r.id: r.platform for r in promoted.collect()}
+    assert vals == {"coin-1": "ethereum", "coin-2": "solana", "coin-3": None}
+
+    # Raw retention: bronze keeps the full payload for later backfill.
+    raw = ingestion.read_bronze(spark, paths.bronze, keep_raw=True)
+    assert all("platform" in r._raw for r in raw.collect() if r.id != "coin-3")
+
+    # Inference fallback (the mergeSchema analog) sees the union schema.
+    inferred = ingestion.infer_bronze_schema(spark, paths.bronze)
+    assert "platform" in inferred.fieldNames()

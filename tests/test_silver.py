@@ -100,3 +100,38 @@ def test_multi_reason_join(spark):
     _, bad, _ = silver.route_by_rules(df, silver.validation_reasons())
     reason = bad.collect()[0].error_reason
     assert reason.count(" | ") == 2  # price<=0, cap, drop all fire
+
+
+def test_validation_decimal_thresholds_money_safe(spark):
+    """The reference compares thresholds as Decimal (streaming/
+    consumer.py:21-24). A decimal drop of -15.0000000000000001% sits past
+    the -15.0 threshold, but rounds to double -15.0 exactly (within half
+    an ulp), so the float-literal path passes it; decimal thresholds must
+    flag it."""
+    from decimal import Decimal
+
+    from cryptocurrency_data_pipeline_spark.operators import silver
+
+    df = spark.createDataFrame(
+        [
+            ("edge", Decimal("1.00"), Decimal("2000000"),
+             Decimal("-15.0000000000000001")),
+            ("ok", Decimal("1.00"), Decimal("2000000"),
+             Decimal("-14.9999999999999999")),
+        ],
+        "coin_id string, current_price decimal(38,18), "
+        "market_cap decimal(38,16), price_change_percentage_24h decimal(20,16)",
+    )
+    dec = df.select(
+        "coin_id", silver.validation_reasons(decimal_thresholds=True).alias("r")
+    ).collect()
+    got = {r.coin_id: list(r.r) for r in dec}
+    assert got["edge"] == ["price drop exceeds 15.0%"]
+    assert got["ok"] == []
+
+    # The float-literal path demonstrates the hazard this variant closes:
+    # double promotion rounds the edge drop back onto the threshold.
+    flt = df.select(
+        "coin_id", silver.validation_reasons().alias("r")
+    ).collect()
+    assert {r.coin_id: list(r.r) for r in flt}["edge"] == []
