@@ -31,6 +31,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of RDDs currently pinned in the block manager (storage level set)."""
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet()}
+
+
+def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
+    """Drop checkpoint/persist blocks for ``ids`` NOW, not at GC time.
+
+    ``localCheckpoint(eager=True)`` pins its blocks until the ContextCleaner
+    notices the Python-side DataFrame was garbage-collected — lazy cleanup
+    that shows up as multi-second GC noise in repeated iterative runs. An
+    explicit async unpersist per superseded round keeps the block manager
+    flat at two label generations regardless of round count.
+    """
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -50,10 +71,14 @@ def connected_components(
     # full edge shuffle to save nothing downstream.
     e = e.persist()
 
+    sc = edges.sparkSession.sparkContext
+
     labels = e.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    before = _persistent_rdd_ids(sc)
     labels = labels.localCheckpoint(eager=True)
+    owned = _persistent_rdd_ids(sc) - before
     prev_sum = labels.agg(F.sum("label")).first()[0]
 
     for _ in range(max_iters):
@@ -61,13 +86,19 @@ def connected_components(
             e.join(labels, e.b == labels.node)
             .select(e.a.alias("node"), "label")
         )
+        before = _persistent_rdd_ids(sc)
         new_labels = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        round_ids = _persistent_rdd_ids(sc) - before
         new_sum = new_labels.agg(F.sum("label")).first()[0]
+        # New generation is materialized; the previous round's checkpoint
+        # blocks are dead weight from here on — release them eagerly.
+        _unpersist_rdd_ids(sc, owned)
+        owned = round_ids
         labels = new_labels
         if new_sum == prev_sum:
             break

@@ -33,3 +33,24 @@ def test_long_path_converges(spark):
 def test_self_loop_singleton(spark):
     got = cc(spark, [(7, 7), (1, 2)])
     assert got == {7: 7, 1: 1, 2: 1}
+
+
+def test_checkpoint_blocks_released_eagerly(spark):
+    # Iterative localCheckpoints must not accumulate in the block manager:
+    # each superseded round's blocks are unpersisted as soon as the next
+    # generation materializes, so a multi-round run leaves at most ONE new
+    # pinned RDD (the final labels) behind — not one per round.
+    from cryptocurrency_data_pipeline_spark.operators.graph import (
+        _persistent_rdd_ids,
+    )
+
+    sc = spark.sparkContext
+    before = _persistent_rdd_ids(sc)
+    n = 12  # long path → several propagation rounds, several checkpoints
+    df = spark.createDataFrame([(i + 1, i) for i in range(1, n)], "src long, dst long")
+    out = connected_components(df)
+    assert {r.node: r.cluster_id for r in out.collect()} == {
+        i: 1 for i in range(1, n + 1)
+    }
+    leaked = _persistent_rdd_ids(sc) - before
+    assert len(leaked) <= 1, f"checkpoint blocks leaked: {leaked}"

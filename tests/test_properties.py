@@ -61,7 +61,9 @@ def test_uniqueness_bounds_and_exactness(spark, data):
     u = quality.profile(df, unique_key="k")["Uniqueness(k)"]
     keys = [d[0] for d in data]
     distinct = set(keys)
-    exact = sum(1 for k in distinct if keys.count(k) == 1) / len(distinct)
+    # Deequ Uniqueness: values occurring exactly once over TOTAL rows
+    # (not over distinct values — that would be UniqueValueRatio).
+    exact = sum(1 for k in distinct if keys.count(k) == 1) / len(keys)
     assert math.isclose(u, exact, abs_tol=1e-12)
     assert 0.0 <= u <= 1.0
 
