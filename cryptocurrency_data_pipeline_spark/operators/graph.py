@@ -36,8 +36,29 @@ def _persistent_rdd_ids(sc) -> set[int]:
     return {int(i) for i in sc._jsc.getPersistentRDDs().keySet()}
 
 
-def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
-    """Drop checkpoint/persist blocks for ``ids`` NOW, not at GC time.
+def _checkpoint_rdd_id(df: DataFrame) -> int | None:
+    """The block-manager RDD id backing a ``localCheckpoint``-ed DataFrame.
+
+    A checkpointed Dataset's analyzed plan is a ``LogicalRDD`` wrapping the
+    materialized RDD — its id, exactly, is what to unpersist when the
+    generation is superseded. Extracting the id from the plan (rather than
+    diffing ``getPersistentRDDs`` snapshots) matters: the first checkpoint
+    action also materializes any shared ``persist()`` caches feeding the
+    loop (e.g. the MinHash shingle cache upstream of the edge list), and a
+    snapshot diff would claim — then evict — those, forcing every later
+    run to refill them.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return int(plan.rdd().id())
+    except Exception:
+        pass
+    return None
+
+
+def _unpersist_rdd_id(sc, rid: int | None) -> None:
+    """Drop checkpoint blocks for ``rid`` NOW, not at GC time.
 
     ``localCheckpoint(eager=True)`` pins its blocks until the ContextCleaner
     notices the Python-side DataFrame was garbage-collected — lazy cleanup
@@ -45,11 +66,11 @@ def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
     explicit async unpersist per superseded round keeps the block manager
     flat at two label generations regardless of round count.
     """
-    jmap = sc._jsc.getPersistentRDDs()
-    for rid in ids:
-        jrdd = jmap.get(rid)
-        if jrdd is not None:
-            jrdd.unpersist(False)
+    if rid is None:
+        return
+    jrdd = sc._jsc.getPersistentRDDs().get(rid)
+    if jrdd is not None:
+        jrdd.unpersist(False)
 
 
 def connected_components(
@@ -76,9 +97,8 @@ def connected_components(
     labels = e.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    before = _persistent_rdd_ids(sc)
     labels = labels.localCheckpoint(eager=True)
-    owned = _persistent_rdd_ids(sc) - before
+    owned = _checkpoint_rdd_id(labels)
     prev_sum = labels.agg(F.sum("label")).first()[0]
 
     for _ in range(max_iters):
@@ -86,19 +106,17 @@ def connected_components(
             e.join(labels, e.b == labels.node)
             .select(e.a.alias("node"), "label")
         )
-        before = _persistent_rdd_ids(sc)
         new_labels = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        round_ids = _persistent_rdd_ids(sc) - before
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         # New generation is materialized; the previous round's checkpoint
         # blocks are dead weight from here on — release them eagerly.
-        _unpersist_rdd_ids(sc, owned)
-        owned = round_ids
+        _unpersist_rdd_id(sc, owned)
+        owned = _checkpoint_rdd_id(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
             break
