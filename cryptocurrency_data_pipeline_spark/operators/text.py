@@ -50,6 +50,27 @@ def token_count(col: str | Column = "text") -> Column:
     return F.size(tokens(col))
 
 
+def bigrams(toks: Column) -> Column:
+    """Adjacent-token bigrams ("a b") from an already-projected token array.
+
+    Built with ``zip_with`` over two ``slice`` views so the token array
+    never appears inside a lambda body — Catalyst does no CSE inside HOF
+    lambdas, and a raw array expression referenced per-element degenerates
+    to O(len²) (see the winnowing notes at ``_winnow_udf``). Takes a
+    Column (stage ``tokens()`` into a select first) so the tokenization
+    isn't re-inlined three times either.
+    """
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def char_count(col: str | Column = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c)

@@ -1,0 +1,90 @@
+"""Training-data operators: consecutive ids, sequence packing, split
+assignment, bigram construction — functional edge cases plus the
+scale-shape assertion (the big window in the id plan is partitioned; the
+only unpartitioned window runs over the tiny per-partition count frame).
+"""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from cryptocurrency_data_pipeline_spark.operators import ids, packing, sampling, text
+
+
+def test_consecutive_ids_dense_and_ordered(spark):
+    df = spark.createDataFrame(
+        [(k, g) for g in ("b", "a") for k in (30, 10, 20)],
+        "k long, g string",
+    )
+    out = ids.with_consecutive_ids(df, ["g", "k"], id_name="rid").collect()
+    got = {(r.g, r.k): r.rid for r in out}
+    # Dense 1..N in (g, k) order.
+    assert got == {
+        ("a", 10): 1, ("a", 20): 2, ("a", 30): 3,
+        ("b", 10): 4, ("b", 20): 5, ("b", 30): 6,
+    }
+
+
+def test_consecutive_ids_custom_start(spark):
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    out = ids.with_consecutive_ids(df, ["k"], id_name="rid", start=100)
+    assert sorted((r.k, r.rid) for r in out.collect()) == [(1, 100), (2, 101)]
+
+
+def test_consecutive_ids_plan_shape(spark):
+    # Scale shape: the only Window in the plan is the prefix-sum over the
+    # O(#partitions) stats frame — the table itself sees one range exchange
+    # per pass and a broadcast join, never a table-sized window or a second
+    # full-data hash exchange (a rank-window formulation pays one because
+    # Catalyst can't see range partitions are already __pid-clustered).
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    out = ids.with_consecutive_ids(df, ["k"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert len(win_lines) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # The lone hash exchange is the tiny stats aggregation on __pid.
+    hash_ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(hash_ex) == 1 and "__pid" in hash_ex[0], plan
+
+
+def test_greedy_pack_bins_by_exclusive_prefix(spark):
+    df = spark.createDataFrame(
+        [("x", 1, 300), ("x", 2, 300), ("x", 3, 300), ("x", 4, 50), ("y", 1, 600)],
+        "b string, k long, n long",
+    )
+    out = packing.greedy_pack(df, "n", "b", ["k"], capacity=512).collect()
+    got = {(r.b, r.k): r.bin_id for r in out}
+    # x: pre-sums 0,300,600,900 → bins 0,0,1,1 ; y: pre-sum 0 → bin 0.
+    assert got == {("x", 1): 0, ("x", 2): 0, ("x", 3): 1, ("x", 4): 1, ("y", 1): 0}
+
+
+def test_assign_split_covers_and_is_deterministic(spark):
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = sampling.assign_split(df, "doc_id").collect()
+    b = sampling.assign_split(df, "doc_id").collect()
+    assert {r.split for r in a} == {"train", "val", "test"}
+    assert sorted((r.doc_id, r.split) for r in a) == sorted(
+        (r.doc_id, r.split) for r in b
+    )
+    # Majority bucket is train (12/16 of hex space).
+    n_train = sum(1 for r in a if r.split == "train")
+    assert n_train > len(a) / 2
+
+
+def test_bigrams_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("solo",), ("",)], "text string"
+    )
+    out = (
+        df.select(text.tokens("text").alias("t"))
+        .select(text.bigrams(F.col("t")).alias("bg"))
+        .collect()
+    )
+    assert out[0].bg == ["a b", "b c"]
+    assert out[1].bg == []
+    assert out[2].bg == []  # '' tokenizes to [''] → size 1 → no bigrams
