@@ -166,3 +166,37 @@ def test_profile_with_unique_key_is_single_scan(spark):
         mode="simple",
     )
     assert p.count("Scan parquet") == 1
+
+
+def test_quantile_sketch_is_single_pruned_pass_with_partial_sketch(spark):
+    # The GK summary must partial-aggregate map-side (fixed-size sketch
+    # state per group ships through the shuffle, never raw values) and the
+    # scan must read only the two columns the agg touches.
+    p = plan(QUERIES["approx_price_quantile_sketch"](spark, SF))
+    assert "partial_percentile_approx" in p
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "o_totalprice" in read and "o_comment" not in read
+    simple = plan(QUERIES["approx_price_quantile_sketch"](spark, SF), mode="simple")
+    assert simple.count("Exchange") == 1
+
+
+def test_corpus_prep_single_data_shuffle_with_partial_group_limit(spark):
+    # Quality score + fingerprint are scan-stage projections; the dedup
+    # window must prune to rank-1 per fingerprint BEFORE its exchange
+    # (partial WindowGroupLimit), so the only data shuffle carries one
+    # row per (partition, fingerprint). The second exchange is the
+    # 3-row split rollup.
+    p = plan(QUERIES["corpus_prep_report"](spark, SF), mode="simple")
+    assert "WindowGroupLimit" in p
+    partial_limit = [
+        ln for ln in p.splitlines() if "WindowGroupLimit" in ln and "Partial" in ln
+    ]
+    assert partial_limit
+    assert p.count("Exchange") == 2
+
+
+def test_shard_layout_is_map_only_until_rollup(spark):
+    # split + shard are pure projections over the scan; the only shuffle
+    # is the O(splits x shards) accounting rollup.
+    p = plan(QUERIES["training_shard_layout"](spark, SF), mode="simple")
+    assert p.count("Exchange") == 1
