@@ -51,3 +51,31 @@ def assign_split(
 ) -> DataFrame:
     """Add a deterministic ``split`` column keyed on ``id_col``."""
     return df.withColumn(split_name, split_assignment(id_col, splits))
+
+
+# --------------------------------------------------------------------------
+# Corpus mixture sampling — downsample each source to its mixture weight
+# (the "how much web vs books vs code" knob of a training-data recipe).
+# Same determinism regime as the splitter: the keep decision hashes
+# (source, id), so it is retry-stable, reproducible across engines, and
+# exactly oracle-able.  The thresholds are integers against a 16-bit hash
+# bucket (rate quantized to 1/65536), so there is no float boundary to
+# disagree on.  Pure projection + filter: runs inside the scan stage.
+# --------------------------------------------------------------------------
+
+
+def mixture_bucket(id_col: str | Column, source_col: str | Column) -> Column:
+    """Uniform 16-bit bucket from md5(source | id)."""
+    cid = F.col(id_col) if isinstance(id_col, str) else id_col
+    src = F.col(source_col) if isinstance(source_col, str) else source_col
+    h = F.md5(F.concat(src, F.lit("|"), cid.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+
+
+def mixture_keep(
+    id_col: str | Column, source_col: str | Column, rate: Column
+) -> Column:
+    """True for rows kept at ``rate`` (a [0,1] Column, e.g. a per-source
+    weight looked up from the source name)."""
+    threshold = (rate * F.lit(1 << 16)).cast("long")
+    return mixture_bucket(id_col, source_col) < threshold

@@ -342,3 +342,81 @@ def tfidf(counts: DataFrame, n_docs_df: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction — regex scrub of emails / SSNs / phones / IPs before a
+# corpus ships to training.  All patterns are lookahead-free so Java regex
+# (Spark executors) and RE2 (DuckDB oracle) agree match-for-match, and the
+# whole pass is chained JVM regexp_replace — scan-stage, no UDF, no
+# shuffle at any scale.  Counts are measured on the ORIGINAL text (one
+# regexp_count per type); redaction applies the patterns in declaration
+# order, which is chosen so no earlier replacement can create or destroy a
+# later match (emails are consumed before their digit runs could feed the
+# IP pattern, SSNs before the phone pattern's digit groups).
+# --------------------------------------------------------------------------
+
+#: (type, pattern, replacement), applied top-to-bottom.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "[SSN]"),
+    ("phone", r"\+\d{1,2}[- ]\d{3}-\d{4}", "[PHONE]"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "[IP]"),
+)
+
+
+def pii_counts(col: str | Column = "text") -> list[tuple[str, Column]]:
+    """Per-type match counts on the un-redacted text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        (name, F.regexp_count(c, F.lit(pat))) for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact_pii(col: str | Column = "text") -> Column:
+    """Text with every PII_PATTERNS match replaced by its placeholder."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+# --------------------------------------------------------------------------
+# Fixed-window document chunking — the context-window preprocessing step:
+# overlapping character spans of ``size`` every ``stride``.  Start
+# positions come from one sequence() build per row (simple arithmetic
+# expression — safe outside the HOF-lambda re-evaluation trap), then a
+# single posexplode; the substring projection runs after the explode as a
+# plain per-row expression.  Coverage invariant: the last start exceeds
+# len - size, so every character lands in at least one chunk and the
+# final chunk is the only one that may run short.
+# --------------------------------------------------------------------------
+
+
+def chunk_starts(col: str | Column, size: int, stride: int) -> Column:
+    """1-based start positions: 1, 1+stride, ... up to
+    max(len - (size - stride), 1)."""
+    if not 0 < stride <= size:
+        raise ValueError("need 0 < stride <= size")
+    c = F.col(col) if isinstance(col, str) else col
+    stop = F.greatest(F.length(c) - F.lit(size - stride), F.lit(1))
+    return F.sequence(F.lit(1), stop, F.lit(stride))
+
+
+def chunk_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 100,
+    stride: int = 80,
+) -> DataFrame:
+    """One row per (doc, chunk): ``id_col, pos, chunk`` with ``pos`` the
+    1-based start offset (chunk index == (pos-1)/stride)."""
+    starts = chunk_starts(text_col, size, stride)
+    return df.select(
+        F.col(id_col), F.col(text_col), F.explode(starts).alias("pos")
+    ).select(
+        id_col,
+        "pos",
+        F.col(text_col).substr(F.col("pos"), F.lit(size)).alias("chunk"),
+    )

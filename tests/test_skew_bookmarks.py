@@ -74,3 +74,25 @@ def test_sql_views_surface(spark):
         """
     ).collect()
     assert len(out) == 5 and all(r.n_nations == 5 for r in out)
+
+
+def test_mixture_keep_rates_and_determinism(spark):
+    import pyspark.sql.functions as F
+
+    from cryptocurrency_data_pipeline_spark.operators.sampling import mixture_keep
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"), F.lit("web").alias("source")
+    )
+    kept_all = df.filter(mixture_keep("doc_id", "source", F.lit(1.0))).count()
+    kept_none = df.filter(mixture_keep("doc_id", "source", F.lit(0.0))).count()
+    assert (kept_all, kept_none) == (4000, 0)
+    k1 = df.filter(mixture_keep("doc_id", "source", F.lit(0.5))).count()
+    k2 = df.filter(mixture_keep("doc_id", "source", F.lit(0.5))).count()
+    assert k1 == k2  # hash-deterministic, not RNG
+    assert abs(k1 / 4000 - 0.5) < 0.05
+    # Different sources decorrelate: same ids, different keep set.
+    other = df.withColumn("source", F.lit("books"))
+    ka = {r.doc_id for r in df.filter(mixture_keep("doc_id", "source", F.lit(0.5))).collect()}
+    kb = {r.doc_id for r in other.filter(mixture_keep("doc_id", "source", F.lit(0.5))).collect()}
+    assert ka != kb

@@ -144,3 +144,53 @@ def test_bpe_token_count_shape(spark):
     df = spark.createDataFrame([("Don't count 123 twice!!",)], "text string")
     # don | 't | count | 123 | twice | !!  -> 6
     assert df.select(text.bpe_token_count("text").alias("n")).collect()[0].n == 6
+
+
+def test_redact_pii_known_strings(spark):
+    from cryptocurrency_data_pipeline_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("reach me at jo.doe+x@corp.example.org thanks",),
+            ("ssn 123-45-6789 phone 555-0123 lacks country code",),
+            ("+44 202-9999 from 192.168.0.1 and 10.0.0.7",),
+            ("no pii here",),
+        ],
+        ["text"],
+    )
+    out = df.select(
+        redact_pii("text").alias("clean"),
+        *[c.alias(n) for n, c in pii_counts("text")],
+    ).collect()
+    assert out[0].clean == "reach me at [EMAIL] thanks"
+    assert out[0].email == 1
+    assert out[1].clean == "ssn [SSN] phone 555-0123 lacks country code"
+    assert (out[1].ssn, out[1].phone) == (1, 0)  # no leading +NN -> not a phone match
+    assert out[2].clean == "[PHONE] from [IP] and [IP]"
+    assert (out[2].phone, out[2].ipv4) == (1, 2)
+    assert out[3].clean == "no pii here"
+
+
+def test_chunk_docs_covers_every_char_and_short_docs(spark):
+    from cryptocurrency_data_pipeline_spark.operators.text import chunk_docs
+
+    rows = [(1, "a" * 250), (2, "b" * 100), (3, "c" * 7), (4, "d" * 101)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunks = chunk_docs(df, size=100, stride=80).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.chunk))
+    # Short docs produce exactly one chunk equal to the text.
+    assert by_doc[2] == [(1, "b" * 100)]
+    assert by_doc[3] == [(1, "c" * 7)]
+    # Every character position is covered by at least one chunk.
+    for doc_id, text in rows:
+        covered = set()
+        for pos, chunk in by_doc[doc_id]:
+            covered.update(range(pos, pos + len(chunk)))
+        assert covered == set(range(1, len(text) + 1)), doc_id
+    # Overlap structure: starts advance by the stride.
+    assert [p for p, _ in sorted(by_doc[1])] == [1, 81, 161]
