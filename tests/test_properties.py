@@ -82,3 +82,45 @@ def test_jaccard_matches_python_sets(spark, a, b):
     ).collect()[0].j
     sa, sb = set(a), set(b)
     assert math.isclose(got, len(sa & sb) / len(sa | sb), abs_tol=1e-12)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=0, max_size=40),
+)
+@_slow
+def test_bloom_never_false_negative(spark, build_keys, probe_keys):
+    from pyspark.sql import functions as F
+
+    from cryptocurrency_data_pipeline_spark.operators import bloom
+
+    build = spark.createDataFrame([(k,) for k in build_keys], "key long")
+    probe = spark.createDataFrame(
+        [(k,) for k in set(build_keys) | set(probe_keys)], "key long"
+    )
+    filt = bloom.bloom_build(build, "key", m_bits=1 << 10, k=3)
+    kept = {
+        r.key for r in bloom.bloom_prune(probe, "key", filt, 1 << 10, 3).collect()
+    }
+    # Every build key survives the prune regardless of m/k or collisions.
+    assert set(build_keys) <= kept
+
+
+@given(st.text(min_size=1, max_size=400), st.integers(2, 60))
+@_slow
+def test_chunking_covers_and_reassembles(spark, text, size):
+    from cryptocurrency_data_pipeline_spark.operators.text import chunk_docs
+
+    stride = max(size // 2, 1)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        (r.pos, r.chunk) for r in chunk_docs(df, size=size, stride=stride).collect()
+    )
+    # Stride-spaced starts, full coverage, and chunk content == the span.
+    assert [p for p, _ in chunks] == list(range(1, chunks[-1][0] + 1, stride))
+    for pos, chunk in chunks:
+        assert chunk == text[pos - 1 : pos - 1 + size]
+    covered = set()
+    for pos, chunk in chunks:
+        covered.update(range(pos - 1, pos - 1 + len(chunk)))
+    assert covered == set(range(len(text)))
