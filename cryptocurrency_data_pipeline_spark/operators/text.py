@@ -420,3 +420,65 @@ def chunk_docs(
         "pos",
         F.col(text_col).substr(F.col("pos"), F.lit(size)).alias("chunk"),
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 scores for a fixed term list: (id, score), matching
+    docs only.
+
+    Scale shape: ONE doc-keyed shuffle total.  The explode feeds a single
+    ``groupBy(id)`` whose aggregates are the doc length plus one
+    conditional-sum ``tf`` per query term (the pivot-as-conditional-agg
+    trick — |terms| is query-sized, so the agg row stays narrow and the
+    partials combine map-side).  Corpus stats (N, avgdl, per-term df) are
+    a second tiny aggregate over those per-doc rows, kept in-plan as a
+    1-row broadcast rather than a collected driver constant — no
+    token-keyed shuffle and no join against a doc-frequency table, unlike
+    the TF-IDF path (``tfidf``), because the term list is known up front.
+
+    IDF is the Lucene/ES variant ``ln(1 + (N - df + .5)/(df + .5))``
+    (always positive).  Deterministic: per-term contributions are summed
+    in the fixed order of ``query_terms``.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    per_doc = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__dl"),
+        *[
+            F.sum(F.when(F.col("token") == term, 1).otherwise(0)).alias(
+                f"__tf{i}"
+            )
+            for i, term in enumerate(query_terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+
+    def contrib(i: int) -> Column:
+        tf = F.col(f"__tf{i}").cast("double")
+        idf = F.log(
+            1.0
+            + (F.col("__n") - F.col(f"__df{i}") + 0.5)
+            / (F.col(f"__df{i}") + 0.5)
+        )
+        norm = tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+        return F.when(tf > 0, idf * tf * (k1 + 1.0) / norm).otherwise(0.0)
+
+    scored = per_doc.crossJoin(F.broadcast(stats)).withColumn(
+        "score", sum(contrib(i) for i in range(len(query_terms)))
+    )
+    return scored.filter(F.col("score") > 0).select(id_col, "score")

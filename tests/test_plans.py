@@ -200,3 +200,16 @@ def test_shard_layout_is_map_only_until_rollup(spark):
     # is the O(splits x shards) accounting rollup.
     p = plan(QUERIES["training_shard_layout"](spark, SF), mode="simple")
     assert p.count("Exchange") == 1
+
+
+def test_bm25_single_doc_shuffle_with_partials_and_topk(spark):
+    p = plan(QUERIES["bm25_top_docs"](spark, SF))
+    # Top-25 must be distributed partial top-k, never a global sort.
+    assert "TakeOrderedAndProject" in p
+    # Per-doc tf+dl agg combines map-side below the doc_id exchange.
+    assert p.count("HashAggregate") >= 2
+    # Corpus stats enter as an in-plan broadcast, not a collected constant.
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # The only wide exchanges: doc_id agg + the 1-row stats agg.  No
+    # token-keyed shuffle (no df-table join on token).
+    assert "SortMergeJoin" not in p
