@@ -57,12 +57,19 @@ def main() -> None:
     # include session bring-up.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # JMH-style: one untimed warm-up execution per query so the timed pass
+    # JMH-style: TWO untimed warm-up executions per query so the timed pass
     # measures steady-state engine throughput, not one-off Janino codegen
-    # compilation (the generated code is cached across runs; measured ~3-6 s
-    # of compile on the expression-heavy text/minhash queries).
-    for name in HEADLINE:
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # compilation (~3-6 s on the expression-heavy text/minhash queries) or
+    # partially-JIT-tiered iterative loops — dup_clusters in particular
+    # runs ~25 jobs (checkpoint + convergence action per round) and
+    # measured 24 s cold / 5.9 s after one pass / 3.5 s steady; one
+    # warm-up leaves it mid-tier and donated 3-6 s of pure JIT noise to
+    # every recorded total.
+    for _ in range(2):
+        for name in HEADLINE:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
