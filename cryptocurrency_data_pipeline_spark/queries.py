@@ -2424,7 +2424,7 @@ def asof_next_purchase(spark, sf_dir):
       SELECT *,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY cnt DESC, bigram DESC) AS rn,
-             sum(cnt) OVER (PARTITION BY doc_id) AS n_bigrams
+             CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams
       FROM cnts
     )
     SELECT doc_id, n_bigrams, bigram AS top_bigram, cnt AS top_count,
@@ -2527,7 +2527,7 @@ def docs_consecutive_ids(spark, sf_dir):
     oracle=r"""
     WITH sized AS (
       SELECT doc_id,
-             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS pack_bucket,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS pack_bucket,
              len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
       FROM documents
     ), binned AS (
@@ -2540,7 +2540,7 @@ def docs_consecutive_ids(spark, sf_dir):
     )
     SELECT pack_bucket, bin_id,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            min(doc_id) AS first_doc
     FROM binned GROUP BY pack_bucket, bin_id
     """,
@@ -2550,7 +2550,7 @@ def pack_docs_for_training(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("pack_bucket"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3).alias("pack_bucket"),
         text.token_count("text").alias("n_tokens"),
     )
     binned = packing.greedy_pack(
@@ -2774,7 +2774,8 @@ def quantized_cosine_topk(spark, sf_dir):
                   AS BIGINT) % 8 AS shard
       FROM documents
     )
-    SELECT split, shard, count(*) AS n_rows, sum(n_chars) AS n_tokens,
+    SELECT split, shard, count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS n_tokens,
            min(doc_id) AS min_id, max(doc_id) AS max_id
     FROM a GROUP BY split, shard
     """,
@@ -2935,7 +2936,7 @@ def approx_price_quantile_sketch(spark, sf_dir):
                      IN ('c', 'd') THEN 'val'
                 ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_chars) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_tokens,
            round(avg(q), 6) AS avg_quality
     FROM dedup GROUP BY split
     """,
@@ -3009,9 +3010,11 @@ def corpus_prep_report(spark, sf_dir):
       FROM aug
     )
     SELECT lang, count(*) AS n_docs,
-           sum(c_email) AS n_email, sum(c_ssn) AS n_ssn,
-           sum(c_phone) AS n_phone, sum(c_ipv4) AS n_ipv4,
-           sum(length(t) - length(clean)) AS chars_removed
+           CAST(sum(c_email) AS BIGINT) AS n_email,
+           CAST(sum(c_ssn) AS BIGINT) AS n_ssn,
+           CAST(sum(c_phone) AS BIGINT) AS n_phone,
+           CAST(sum(c_ipv4) AS BIGINT) AS n_ipv4,
+           CAST(sum(length(t) - length(clean)) AS BIGINT) AS chars_removed
     FROM red GROUP BY lang
     """,
 )

@@ -55,3 +55,23 @@ def test_demoted_query_matches_oracle(spark, duck, name):
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows)
     assert table_hash(scols, srows) == table_hash(dcols, drows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_emits_no_hugeint(duck, name):
+    """DuckDB promotes integer ``sum()`` to HUGEINT (int128); the external
+    driver's pandas canonicalizer renders HUGEINT as float64 while Spark
+    emits int64, so the value hash mismatches even when every value is
+    identical (the round-3 red rows were exactly this).  Rule: every
+    integer sum in an oracle's output must be CAST(... AS BIGINT).
+    ``rel.types`` only binds/plans the query, so this is cheap."""
+    rel = duck.sql(ORACLES[name])
+    bad = [
+        (col, str(typ))
+        for col, typ in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(typ).upper()
+    ]
+    assert not bad, (
+        f"oracle {name} emits HUGEINT columns {bad}; wrap the integer "
+        f"aggregate in CAST(... AS BIGINT)"
+    )

@@ -150,3 +150,18 @@ def test_quantized_topk_recall_vs_exact(spark):
     # int8 codes preserve ranking almost perfectly on unit-ish vectors;
     # require >= 80% top-10 overlap across the 5 queries.
     assert len(exact & quant) >= 0.8 * len(exact)
+
+
+def test_pack_query_buckets_on_three_hex_chars(spark):
+    """pack_docs_for_training must partition its running-sum window on a
+    3-hex-char bucket (4096-way parallelism), not 1 char (16-way ceiling
+    at 100 TB).  Pins both the bucket cardinality shape and the window
+    partitioning key in the physical plan."""
+    from cryptocurrency_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["pack_docs_for_training"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window " in ln or "Window\n" in ln]
+    assert any("pack_bucket" in ln for ln in win_lines), plan
+    buckets = [r.pack_bucket for r in df.select("pack_bucket").distinct().collect()]
+    assert all(len(b) == 3 for b in buckets), buckets[:5]
