@@ -84,6 +84,14 @@ def connected_components(
     ``edges`` is an undirected pair list (each pair listed once in either
     direction). Returns ``(node, cluster_id)`` for every node with at
     least one edge. Deterministic for any input order.
+
+    Lifetime note: the returned frame is backed by the final round's
+    ``localCheckpoint`` blocks, which stay pinned until the ContextCleaner
+    observes the DataFrame garbage-collected. Superseded generations and
+    the edge cache are released eagerly inside the loop; the FINAL
+    generation must outlive the result, so callers that invoke this in a
+    long loop should drop their reference (or copy the result out with a
+    write) when done rather than accumulating label frames.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))

@@ -49,11 +49,21 @@ def with_consecutive_ids(
 ) -> DataFrame:
     """Add a dense consecutive id column: ``start`` + global rank by
     ``order_cols`` (which must be a total order — no duplicate keys)."""
+    # ``parts`` is referenced twice (stats pass + id pass) and
+    # repartitionByRange picks its boundaries by SAMPLING — two independent
+    # instantiations of the subtree could disagree on boundaries and local
+    # ids, corrupting the ranks. persist() collapses both references onto
+    # one InMemoryRelation, so the range exchange is evaluated exactly once
+    # (and the second pass reads cache instead of rescanning the table —
+    # the same materialization RDD.zipWithIndex pays). The cache spills to
+    # disk at scale and is released by the ContextCleaner when the result
+    # is garbage-collected; callers that loop should unpersist explicitly.
     parts = (
         df.repartitionByRange(*[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     stats = parts.groupBy("__pid").agg(
         F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__mid0")

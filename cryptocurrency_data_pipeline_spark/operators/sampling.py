@@ -76,6 +76,13 @@ def mixture_keep(
     id_col: str | Column, source_col: str | Column, rate: Column
 ) -> Column:
     """True for rows kept at ``rate`` (a [0,1] Column, e.g. a per-source
-    weight looked up from the source name)."""
-    threshold = (rate * F.lit(1 << 16)).cast("long")
+    weight looked up from the source name).
+
+    The threshold uses an explicit ``floor``: Spark's ``cast('long')``
+    truncates but DuckDB's ``CAST(x AS BIGINT)`` ROUNDS, so any rate that
+    is not an exact multiple of 1/65536 (e.g. 0.1 -> 6553 vs 6554) would
+    silently disagree with a round-tripping oracle. ``floor`` pins the
+    same semantics on both engines; oracle SQL must mirror it as
+    ``CAST(floor(rate * 65536) AS BIGINT)``."""
+    threshold = F.floor(rate * F.lit(1 << 16)).cast("long")
     return mixture_bucket(id_col, source_col) < threshold

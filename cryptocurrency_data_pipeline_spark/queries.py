@@ -3122,7 +3122,7 @@ def doc_chunk_inventory(spark, sf_dir):
       FROM documents
     )
     SELECT source, mix_rate, count(*) AS n_total,
-           count(*) FILTER (bucket < CAST(mix_rate * 65536 AS BIGINT)) AS n_kept
+           count(*) FILTER (bucket < CAST(floor(mix_rate * 65536) AS BIGINT)) AS n_kept
     FROM r GROUP BY source, mix_rate
     """,
 )

@@ -58,14 +58,11 @@ def test_kmeans_empty_cluster_keeps_previous_center(spark):
     assert all(
         all(x == x for x in vec) for _, vec in centers
     )  # no NaN centers
-    # Non-empty clusters converge to the two true means.
-    means = sorted(
-        tuple(round(x, 6) for x in vec)
-        for _, vec in centers
-        if tuple(vec) != (0.0, 0.0) or True
-    )
-    assert (0.0, 0.0) in {tuple(v) for _, v in centers}
-    assert (100.0, 100.0) in {tuple(v) for _, v in centers}
+    # Non-empty clusters converge exactly to the two true means; any
+    # carried-over empty-cluster center must equal one of the seeds, which
+    # here are corpus points, so every center is one of the two means.
+    means = {tuple(round(x, 6) for x in vec) for _, vec in centers}
+    assert means == {(0.0, 0.0), (100.0, 100.0)}
     assert assigned.count() == 10
 
 
