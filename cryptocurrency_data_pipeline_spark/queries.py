@@ -3449,6 +3449,199 @@ def ann_recall_at_k(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# SimHash near-dup recall: the eval harness for the SimHash path, scoring
+# Hamming-banded candidates against verified-Jaccard ground truth (the
+# minhash LSH + exact-Jaccard pipeline, itself hash-green).  Candidate
+# generation is COMPLETE for Hamming ≤ 3: the 64-bit signature splits into
+# 4 × 16-bit bands, and 3 bit flips cannot touch all 4 bands (pigeonhole),
+# so every qualifying pair shares at least one exact band — candidates come
+# from a band-key self-join only, never an all-pairs scan.  At 100 TB the
+# shuffle is on (band_idx, 16-bit value) keys; collisions per band are
+# birthday-bounded, no quadratic blowup.
+# --------------------------------------------------------------------------
+
+@query(
+    "simhash_recall",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS tk
+      FROM documents
+    ),
+    th AS (SELECT doc_id, md5(tk) AS h FROM tok),
+    bits AS (SELECT unnest(generate_series(0, 63)) AS b),
+    contrib AS (
+      SELECT th.doc_id, bits.b,
+             sum(CASE WHEN ((strpos('0123456789abcdef',
+                                    substr(th.h, 16 - (bits.b // 4), 1)) - 1)
+                            >> (bits.b % 4)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS acc
+      FROM th CROSS JOIN bits GROUP BY th.doc_id, bits.b
+    ),
+    sig0 AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN acc > 0 THEN
+                        CASE WHEN b = 63 THEN -9223372036854775808
+                             ELSE (CAST(1 AS BIGINT) << b) END
+                      ELSE 0 END) AS BIGINT) AS simhash
+      FROM contrib GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+      FROM documents d LEFT JOIN sig0 s USING (doc_id)
+    ),
+    banded AS (
+      SELECT doc_id, simhash, bi,
+             (simhash >> (bi * 16)) & 65535 AS bv
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bi)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             bit_count(xor(a.simhash, b.simhash)) AS ham
+      FROM banded a JOIN banded b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    tk2 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS tg
+      FROM tk2
+    ), hs AS (
+      SELECT doc_id, list_distinct(tg) AS s,
+             list_transform(list_distinct(tg), x -> md5(x)) AS hh
+      FROM sh
+    ), msig AS (
+      SELECT doc_id,
+        [list_aggregate(list_filter(hh, h -> h[1:1] IN ('0','1')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('2','3')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('4','5')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('6','7')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('8','9')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('a','b')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('c','d')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('e','f')), 'min')] AS sg
+      FROM hs
+    ), mbands AS (
+      SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+          '0' || '|' || coalesce(sg[1], '~') || '|' || coalesce(sg[2], '~'),
+          '1' || '|' || coalesce(sg[3], '~') || '|' || coalesce(sg[4], '~'),
+          '2' || '|' || coalesce(sg[5], '~') || '|' || coalesce(sg[6], '~'),
+          '3' || '|' || coalesce(sg[7], '~') || '|' || coalesce(sg[8], '~')]) AS band_key
+        FROM msig)
+    ), mcand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM mbands a JOIN mbands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    truth AS (
+      SELECT a_id, b_id
+      FROM mcand JOIN hs x ON mcand.a_id = x.doc_id JOIN hs y ON mcand.b_id = y.doc_id
+      WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+    ),
+    joined AS (
+      SELECT t.a_id, t.b_id, c.ham
+      FROM truth t LEFT JOIN cand c USING (a_id, b_id)
+    ),
+    aggd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(sum(CASE WHEN ham <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+             CAST(sum(CASE WHEN ham <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+             CAST(sum(CASE WHEN ham <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+             CAST(sum(CASE WHEN ham <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+      FROM joined
+    )
+    SELECT hamming_max, n_truth, n_hits,
+           round(CASE WHEN n_truth = 0 THEN 0.0
+                      ELSE CAST(n_hits AS DOUBLE) / n_truth END, 4) AS recall
+    FROM (
+      SELECT 0 AS hamming_max, n_truth, coalesce(h0, 0) AS n_hits FROM aggd
+      UNION ALL SELECT 1, n_truth, coalesce(h1, 0) FROM aggd
+      UNION ALL SELECT 2, n_truth, coalesce(h2, 0) FROM aggd
+      UNION ALL SELECT 3, n_truth, coalesce(h3, 0) FROM aggd
+    )
+    """,
+)
+def simhash_recall(spark, sf_dir):
+    """Recall curve of SimHash Hamming-≤h candidates (h = 0..3) against
+    the verified-Jaccard (≥ 0.5) near-dup ground truth."""
+    from cryptocurrency_data_pipeline_spark.operators import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    # Persist: the Arrow-batched UDF runs once, both self-join sides and
+    # the truth join read the materialized signatures.
+    sigs = docs.select(
+        "doc_id",
+        F.coalesce(dedup.simhash64(F.col("text")), F.lit(0)).alias("simhash"),
+    ).persist()
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.shiftright("simhash", 16 * b)
+                        .bitwiseAND(F.lit(65535))
+                        .cast("string"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("ham"),
+        )
+        .distinct()
+    )
+    truth = dedup.minhash_near_dups(docs, threshold=0.5, bands=4, n=3).select(
+        "a_id", "b_id"
+    )
+    joined = truth.join(cand, ["a_id", "b_id"], "left")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        *[
+            F.sum(F.when(F.col("ham") <= h, 1).otherwise(0)).alias(f"h{h}")
+            for h in range(4)
+        ],
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 0, h0, 1, h1, 2, h2, 3, h3) AS (hamming_max, n_hits)"
+        ),
+        "n_truth",
+    ).select(
+        "hamming_max",
+        "n_truth",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        F.round(
+            F.when(F.col("n_truth") == 0, F.lit(0.0)).otherwise(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_truth")
+            ),
+            4,
+        ).alias("recall"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two
 # rounds: the checked set is exactly the first 50).  Every query below is
