@@ -7,10 +7,13 @@ Arrow-batched ``mapInPandas`` so bytes cross the Python boundary once per
 batch, never per row.  Partitioning is by content hash so re-runs and
 dedups co-locate identical blobs.
 
-The decode internals are STUBBED (no image/audio libs in this container):
-``decode_image_meta`` parses a tiny deterministic fake header; a real
-deployment swaps ``_parse_header`` for PIL/ffmpeg and nothing else changes
-— schema, batch shape, partitioning, and UDF signatures are the real,
+The decode path handles two REAL formats with pure-python header parsers
+(no libraries needed): binary PPM (``P6``) and BMP (``BM``, both the
+40-byte BITMAPINFOHEADER and the 12-byte BITMAPCOREHEADER).  Compressed
+formats (jpeg/png/video) remain STUBBED behind the deterministic ``FAKE``
+header — no codec libs in this container; a real deployment swaps
+``_parse_header``'s fallback for PIL/ffmpeg and nothing else changes —
+schema, batch shape, partitioning, and UDF signatures are the real,
 tested Spark plumbing.
 """
 
@@ -70,18 +73,67 @@ def encode_fake_media(kind: str, width: int, height: int, frames: int, body: byt
     )
 
 
+def _parse_ppm(payload: bytes) -> tuple[int, int, int]:
+    """Binary PPM (``P6``) header: ASCII ``P6 <w> <h> <maxval>`` with
+    arbitrary whitespace and ``#``-to-newline comments between fields."""
+    i, n, vals = 2, len(payload), []
+    while len(vals) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < n and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            raise ValueError("malformed PPM header")
+    if len(vals) < 3:
+        raise ValueError("truncated PPM header")
+    return vals[0], vals[1], 1
+
+
+def _parse_bmp(payload: bytes) -> tuple[int, int, int]:
+    """BMP: DIB header size at offset 14 selects the layout.  ≥40 =
+    BITMAPINFOHEADER (int32 dims, height negative for top-down rows);
+    12 = BITMAPCOREHEADER (uint16 dims)."""
+    if len(payload) < 26:
+        raise ValueError("truncated BMP header")
+    dib = int.from_bytes(payload[14:18], "little")
+    if dib >= 40:
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+    elif dib == 12:
+        w = int.from_bytes(payload[18:20], "little")
+        h = int.from_bytes(payload[20:22], "little")
+    else:
+        raise ValueError(f"unsupported BMP DIB header size {dib}")
+    if w < 0:
+        raise ValueError("negative BMP width")
+    return w, h, 1
+
+
 def _parse_header(payload: bytes) -> tuple[int, int, int]:
-    """Stub decode.  Swap for PIL/ffmpeg in production — the only
-    function a real deployment replaces."""
-    if payload is None or not payload.startswith(_MAGIC):
-        raise NotImplementedError(
-            "real media decoding is not available in this environment; "
-            "payload must use the FAKE stub header"
-        )
-    w = int.from_bytes(payload[5:9], "big")
-    h = int.from_bytes(payload[9:13], "big")
-    f = int.from_bytes(payload[13:17], "big")
-    return w, h, f
+    """Decode dispatch: real PPM/BMP parsers, FAKE stub for everything a
+    codec library would handle.  The fallback is the only piece a real
+    deployment replaces (with PIL/ffmpeg)."""
+    if payload is not None and payload.startswith(_MAGIC):
+        w = int.from_bytes(payload[5:9], "big")
+        h = int.from_bytes(payload[9:13], "big")
+        f = int.from_bytes(payload[13:17], "big")
+        return w, h, f
+    if payload is not None and payload.startswith(b"P6"):
+        return _parse_ppm(payload)
+    if payload is not None and payload.startswith(b"BM"):
+        return _parse_bmp(payload)
+    raise NotImplementedError(
+        "compressed-format decoding (jpeg/png/video) is not available in "
+        "this environment; payload must be PPM (P6), BMP, or the FAKE stub"
+    )
 
 
 def media_table(df: DataFrame, id_col: str, kind: str, payload_col: str) -> DataFrame:

@@ -1389,6 +1389,45 @@ def media_decode_rollup(spark, sf_dir):
     )
 
 
+@query(
+    "ppm_decode_rollup",
+    # REAL format end-to-end: the P6 header is plain ASCII, so both
+    # engines construct byte-identical payloads from doc stats; Spark
+    # then decodes them through the pure-python PPM parser inside
+    # mapInPandas while the oracle replays the expected dimensions.
+    oracle="""
+    SELECT CAST(32 + n_chars % 32 AS INT) AS width,
+           CAST(16 + doc_id % 16 AS INT) AS height,
+           count(*) AS n_media
+    FROM documents GROUP BY width, height ORDER BY width, height
+    """,
+)
+def ppm_decode_rollup(spark, sf_dir):
+    """Real-codec pipeline: documents → binary PPM (P6) payloads built
+    JVM-side → mapInPandas header decode (``multimodal._parse_ppm``) →
+    rollup by decoded dimensions."""
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    docs = t(spark, sf_dir, "documents")
+    header = F.concat(
+        F.lit("P6\n"),
+        (F.lit(32) + F.col("n_chars") % 32).cast("string"),
+        F.lit(" "),
+        (F.lit(16) + F.col("doc_id") % 16).cast("string"),
+        F.lit("\n255\n"),
+    )
+    payload = F.concat(F.encode(header, "UTF-8"), F.encode("text", "UTF-8"))
+    media = mm.media_table(
+        docs.select("doc_id", payload.alias("p")), "doc_id", "image", "p"
+    )
+    meta = mm.decode_image_meta(media)
+    return (
+        meta.groupBy("width", "height")
+        .agg(F.count(F.lit(1)).alias("n_media"))
+        .orderBy("width", "height")
+    )
+
+
 # --------------------------------------------------------------------------
 # Session windows (T9): activity sessions per user with a 5-minute gap.
 # Spark's session_window vs the classic gaps-and-islands SQL construction.

@@ -76,3 +76,54 @@ def test_resize_images_stub(spark):
     assert len(bytes(got[1].payload)) == 17 + int(1000 * 0.25 * 0.25)
     # Unscaled image keeps its body byte-for-byte in length.
     assert len(bytes(got[2].payload)) == 17 + 64
+
+def test_parse_ppm_variants():
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import _parse_ppm, _parse_header
+
+    # Canonical single-space header.
+    assert _parse_ppm(b"P6 640 480 255\n" + b"\x00" * 10) == (640, 480, 1)
+    # Newline-separated with a comment line between fields.
+    assert _parse_ppm(b"P6\n# made by hand\n12 34\n255\n") == (12, 34, 1)
+    # Comment jammed directly after a value, CR line ending.
+    assert _parse_ppm(b"P6 7#c\r9 255 ") == (7, 9, 1)
+    import pytest
+    with pytest.raises(ValueError):
+        _parse_ppm(b"P6 640 480")          # truncated: only two fields
+    with pytest.raises(ValueError):
+        _parse_ppm(b"P6 640 abc 255")      # non-numeric field
+    # Dispatch routes P6 payloads to the PPM parser.
+    assert _parse_header(b"P6 2 3 255\nxxxxxx") == (2, 3, 1)
+
+
+def test_parse_bmp_variants():
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import _parse_bmp, _parse_header
+
+    def bmp_info(w, h):
+        # 14-byte file header + BITMAPINFOHEADER with only size/dims filled.
+        return (
+            b"BM" + bytes(12)
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+        )
+
+    def bmp_core(w, h):
+        return (
+            b"BM" + bytes(12)
+            + (12).to_bytes(4, "little")
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + bytes(4)
+        )
+
+    assert _parse_bmp(bmp_info(800, 600)) == (800, 600, 1)
+    # Top-down BMP stores height negative; decoded height is its magnitude.
+    assert _parse_bmp(bmp_info(800, -600)) == (800, 600, 1)
+    assert _parse_bmp(bmp_core(320, 200)) == (320, 200, 1)
+    with pytest.raises(ValueError):
+        _parse_bmp(b"BM" + bytes(10))       # truncated
+    with pytest.raises(ValueError):
+        _parse_bmp(b"BM" + bytes(12) + (16).to_bytes(4, "little") + bytes(8))
+    assert _parse_header(bmp_info(1, 2)) == (1, 2, 1)
