@@ -1226,6 +1226,53 @@ def sliding_window_activity(spark, sf_dir):
     )
 
 
+@query(
+    "stream_ohlc_replay",
+    # Sliding 4h/1h windows: each event lands in the 4 hourly starts at or
+    # before its hour, exactly Spark's F.window("4 hours", "1 hour") split.
+    oracle="""
+    WITH wins AS (
+      SELECT unnest([
+               date_trunc('hour', ts) - INTERVAL 3 HOUR,
+               date_trunc('hour', ts) - INTERVAL 2 HOUR,
+               date_trunc('hour', ts) - INTERVAL 1 HOUR,
+               date_trunc('hour', ts)
+             ]) AS ws,
+             event_type, value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(ws + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type AS coin_id,
+           max(value) AS high,
+           min(value) AS low,
+           round(avg(value), 6) AS avg_price,
+           count(*) AS n_ticks
+    FROM wins GROUP BY ws, event_type
+    """,
+)
+def stream_ohlc_replay(spark, sf_dir):
+    """Batch replay of the STREAMING OHLC operator (T8/T9): drives the exact
+    ``streaming.pipeline.windowed_ohlc`` code path the micro-batch job runs —
+    same groupBy(window(...)) aggregation, watermark elided because the input
+    is static — so the streaming window math gets a full oracle-hash signal,
+    not just a pytest row-count. Events stand in for ticks: event_type is
+    the instrument key, value the price."""
+    from cryptocurrency_data_pipeline_spark.streaming.pipeline import windowed_ohlc
+
+    ticks = t(spark, sf_dir, "events").select(
+        F.col("ts").alias("event_time"),
+        F.col("event_type").alias("coin_id"),
+        F.col("value").alias("current_price"),
+    )
+    out = windowed_ohlc(ticks, window="4 hours", slide="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "coin_id", "high", "low", "avg_price", "n_ticks",
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding near-dup pairs (bounded query side × full corpus) and
 # per-document nearest neighbor by trigram Jaccard with blocking.
@@ -3723,6 +3770,28 @@ DEMOTED_PAST_DRIVER_CAP = [
     "tumbling_hourly_stats",
     "session_windows",
     "top_orders_per_customer",
+    # Round-4 demotions: green in BOTH CORRECTNESS_r02 and _r03, so the
+    # rotation criterion (twice driver-green) is met; parity-pinned per
+    # pytest run by tests/test_oracle_parity.py from here on. The flagship
+    # stays in-window deliberately.
+    "pricing_summary",
+    "star_revenue_by_nation",
+    "dq_profile_lineitem",
+    "uniqueness_custkey",
+    "dq_constraint_check",
+    "customers_without_big_orders",
+    "purchase_and_signup_users",
+    "range_join_conversions",
+    "text_stats_docs",
+    "winnow_near_dups",
+    "docs_exact_dedup",
+    "minhash_near_dups",
+    "cosine_topk",
+    "ivf_ann_topk",
+    "dqdl_row_level_routing",
+    "tfidf_top_term_per_doc",
+    "sql_api_shipping_priority",
+    "grouping_sets_revenue",
 ]
 
 
