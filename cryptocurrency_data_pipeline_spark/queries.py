@@ -3727,6 +3727,104 @@ def simhash_recall(spark, sf_dir):
     )
 
 
+@query(
+    "exact_substring_spans",
+    # Lee et al. exact-substring dedup replay: duplicated 50-grams by md5,
+    # then gaps-and-islands span merge — same construction both engines.
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, unnest(generate_series(1, length(text) - 49)) AS p, text
+      FROM documents WHERE length(text) >= 50
+    ), grams AS (
+      SELECT doc_id, p, md5(substring(text, p, 50)) AS g FROM pos
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+    ), hits AS (
+      SELECT doc_id, p FROM grams JOIN dup USING (g)
+    ), flagged AS (
+      SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 50
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), islands AS (
+      SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+      FROM flagged
+    )
+    SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) + 49 AS BIGINT) AS span_end
+    FROM islands GROUP BY doc_id, isl
+    """,
+)
+def exact_substring_spans(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. ACL'22, suffix-array-free): maximal
+    per-doc spans covered by 50-char grams that recur verbatim anywhere in
+    the corpus. Two shuffles: gram-hash exchange + one doc-keyed window."""
+    from cryptocurrency_data_pipeline_spark.operators import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(docs, k=50)
+
+
+@query(
+    "exact_substring_doc_stats",
+    # Per-doc duplication accounting over the merged spans — the "how much
+    # of this doc is copied text" signal a cut-at-threshold filter uses.
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, unnest(generate_series(1, length(text) - 49)) AS p, text
+      FROM documents WHERE length(text) >= 50
+    ), grams AS (
+      SELECT doc_id, p, md5(substring(text, p, 50)) AS g FROM pos
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+    ), hits AS (
+      SELECT doc_id, p FROM grams JOIN dup USING (g)
+    ), flagged AS (
+      SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 50
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), islands AS (
+      SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, min(p) AS s, max(p) + 49 AS e
+      FROM islands GROUP BY doc_id, isl
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(s.e - s.s + 1) AS BIGINT) AS dup_chars,
+           round(sum(s.e - s.s + 1) / any_value(d.n_chars), 4) AS dup_ratio
+    FROM spans s JOIN documents d ON s.doc_id = d.doc_id
+    GROUP BY s.doc_id
+    """,
+)
+def exact_substring_doc_stats(spark, sf_dir):
+    """Span inventory rolled up per doc: span count, duplicated chars, and
+    duplicated fraction of the doc — the filter signal Lee et al. cut on.
+    The doc join is a broadcast of the (small) span rollup against the
+    documents scan keyed on doc_id."""
+    from cryptocurrency_data_pipeline_spark.operators import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    spans = dedup.exact_substring_spans(docs, k=50)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_chars"),
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_chars",
+            F.round(F.col("dup_chars") / F.col("n_chars"), 4).alias("dup_ratio"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two

@@ -213,3 +213,17 @@ def test_bm25_single_doc_shuffle_with_partials_and_topk(spark):
     # The only wide exchanges: doc_id agg + the 1-row stats agg.  No
     # token-keyed shuffle (no df-table join on token).
     assert "SortMergeJoin" not in p
+
+
+def test_exact_substring_spans_shape(spark):
+    # Dup-gram detection must partial-count map-side below the gram
+    # exchange, and the probe side must receive the (small) dup set as a
+    # broadcast — the full gram stream itself never shuffles on g. The
+    # only other wide exchange is the doc-keyed island window.
+    p = plan(QUERIES["exact_substring_spans"](spark, SF), mode="simple")
+    assert "partial_count" in p
+    assert "BroadcastExchange" in p or "SortMergeJoin" in p
+    assert p.count("Exchange hashpartitioning") == 2  # gram agg + doc window
+    # Dup-side scan reads only text (column pruning through the explode).
+    reads = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert any("struct<text:string>" in ln for ln in reads)

@@ -165,3 +165,45 @@ def test_pack_query_buckets_on_three_hex_chars(spark):
     assert any("pack_bucket" in ln for ln in win_lines), plan
     buckets = [r.pack_bucket for r in df.select("pack_bucket").distinct().collect()]
     assert all(len(b) == 3 for b in buckets), buckets[:5]
+
+
+def test_exact_substring_spans_known_corpus(spark):
+    from cryptocurrency_data_pipeline_spark.operators.dedup import exact_substring_spans
+
+    # Shared run must not self-repeat its own k-grams, or the span grows
+    # past the copied region (self-duplication IS duplication to Lee et
+    # al.); aperiodic filler keeps the expectation exact.
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ1234"          # 30 chars, aperiodic
+    docs = spark.createDataFrame(
+        [
+            (1, "quirk flange"[:10] + shared + "zesty mops"[:10]),  # 11..40
+            (2, "wharf"[:5] + shared + "jumble quartz vexing dogs"[:25]),  # 6..35
+            (3, "unique text with no repeats at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in exact_substring_spans(docs, k=20).collect()
+    }
+    # Every 20-gram inside the shared 30-char run duplicates across docs
+    # 1/2; the filler grams are unique, so spans stop at the copied region.
+    assert spans[1] == (11, 40)
+    assert spans[2] == (6, 35)
+    assert 3 not in spans
+
+
+def test_exact_substring_spans_merges_adjacent_islands(spark):
+    from cryptocurrency_data_pipeline_spark.operators.dedup import exact_substring_spans
+
+    # Two copies of the same doc: EVERY position duplicates, all k-gram
+    # intervals chain into one maximal whole-doc span per doc.
+    txt = "the quick brown fox jumps over the lazy dog!"
+    docs = spark.createDataFrame(
+        [(1, txt), (2, txt)], "doc_id long, text string"
+    )
+    rows = exact_substring_spans(docs, k=10).collect()
+    assert {(r.doc_id, r.span_start, r.span_end) for r in rows} == {
+        (1, 1, len(txt)),
+        (2, 1, len(txt)),
+    }
