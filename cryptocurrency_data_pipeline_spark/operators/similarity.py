@@ -362,3 +362,53 @@ def quantized_cosine_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("q_cosine_sim"))
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    most-similar corpus vectors carrying a DIFFERENT label — near the
+    decision boundary, which is exactly what a contrastive loss wants.
+
+    Same scale shape as :func:`cosine_topk`: the (small) query set is
+    broadcast against the corpus scan, similarity is a JVM ``zip_with`` /
+    ``aggregate`` fold, and per-query top-k resolves as a WindowGroupLimit
+    (partial group-limit below the query-keyed exchange, never a global
+    sort). The label predicate prunes pairs BEFORE the similarity fold, so
+    mismatched-label work is the only work done.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        as_double(F.col(vec_col)).alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        as_double(F.col(vec_col)).alias("c_vec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("n_label").alias("neg_label"),
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id", "neighbor_id", "neg_label",
+            F.round("__sim", 6).alias("cosine_sim"),
+        )
+    )

@@ -3825,6 +3825,114 @@ def exact_substring_doc_stats(spark, sf_dir):
     )
 
 
+def _zorder_sql_terms(cols: list[str], bits: int = 16) -> str:
+    """The exact bit-interleave sum ``maintenance.zorder_key`` builds, as
+    ANSI SQL — generated from the same loop so the two can't drift."""
+    ndim = len(cols)
+    terms = [
+        f"((({c} >> {i}) & 1) << {i * ndim + d})"
+        for i in range(bits)
+        for d, c in enumerate(cols)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_events_locality",
+    # Scale each dimension to 16-bit ints off the global min/max (1-row
+    # agg), interleave to a Morton key, and report the per-bucket min/max
+    # envelope a parquet footer would carry — the data-skipping evidence.
+    oracle=f"""
+    WITH stats AS (
+      SELECT min(user_id) AS umin, max(user_id) AS umax,
+             min(value) AS vmin, max(value) AS vmax
+      FROM events
+    ), scaled AS (
+      SELECT user_id, value,
+             least(65535, CAST(floor(((CAST(user_id AS DOUBLE) - umin) / (umax - umin)) * 65536.0) AS BIGINT)) AS su,
+             least(65535, CAST(floor(((value - vmin) / (vmax - vmin)) * 65536.0) AS BIGINT)) AS sv
+      FROM events, stats
+    ), keyed AS (
+      SELECT user_id, value, ({_zorder_sql_terms(['su', 'sv'])}) AS z
+      FROM scaled
+    )
+    SELECT CAST(z >> 24 AS BIGINT) AS z_bucket,
+           count(*) AS n_rows,
+           CAST(min(user_id) AS BIGINT) AS min_user, CAST(max(user_id) AS BIGINT) AS max_user,
+           round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+    FROM keyed GROUP BY z_bucket
+    """,
+)
+def zorder_events_locality(spark, sf_dir):
+    """Z-order data-skipping layout over events on (user_id, value): the
+    per-z-bucket min/max envelope is what parquet footers expose to scan
+    pruning — narrow in BOTH dimensions at once, which no single-column
+    sort achieves. One 1-row stats agg (broadcast into the plan), map-side
+    bit math, one bucket rollup."""
+    from cryptocurrency_data_pipeline_spark.operators.maintenance import zorder_key
+
+    ev = t(spark, sf_dir, "events").select("user_id", "value")
+    stats = ev.agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+        F.min("value").alias("vmin"), F.max("value").alias("vmax"),
+    )
+    scaled = ev.crossJoin(F.broadcast(stats)).select(
+        "user_id",
+        "value",
+        F.least(
+            F.lit(65535),
+            F.floor(((F.col("user_id").cast("double") - F.col("umin")) / (F.col("umax") - F.col("umin"))) * 65536.0),
+        ).alias("su"),
+        F.least(
+            F.lit(65535),
+            F.floor(((F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin"))) * 65536.0),
+        ).alias("sv"),
+    )
+    keyed = scaled.select(
+        "user_id", "value", zorder_key(["su", "sv"]).alias("z")
+    )
+    return (
+        keyed.groupBy(F.shiftright("z", 24).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").cast("long").alias("min_user"),
+            F.max("user_id").cast("long").alias("max_user"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, label AS n_label,
+                      CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         s AS (SELECT query_id, neighbor_id, n_label AS neg_label,
+                      list_dot_product(qv, cv)
+                      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+               FROM q, c WHERE n_label != q_label),
+         r AS (SELECT query_id, neighbor_id, neg_label, sim,
+                      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+               FROM s)
+    SELECT query_id, neighbor_id, neg_label, round(sim, 6) AS cosine_sim
+    FROM r WHERE rn <= 5
+    """,
+)
+def hard_negative_mining(spark, sf_dir):
+    """Contrastive-training hard negatives: per query vector, the 5 most
+    cosine-similar corpus vectors with a different label. Broadcast query
+    side, JVM similarity fold, WindowGroupLimit top-k."""
+    from cryptocurrency_data_pipeline_spark.operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 # --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two
