@@ -3933,6 +3933,245 @@ def hard_negative_mining(spark, sf_dir):
     return similarity.hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+@query(
+    "doc_char_entropy",
+    # H = log2(n) - sum(c*log2(c))/n — the algebraic form needs n only
+    # once, so the per-char terms combine map-side without carrying n.
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, unnest(generate_series(1, length(text))) AS p, text
+      FROM documents
+    ), chars AS (
+      SELECT doc_id, substring(text, p, 1) AS ch FROM pos
+    ), counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars,
+           round(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS char_entropy
+    FROM counts GROUP BY doc_id
+    """,
+)
+def doc_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal (low entropy = repetitive/boiler-
+    plate, flagged by Gopher-style filters). Char explode → (doc, ch)
+    partial-agged counts → per-doc entropy via the single-pass algebraic
+    identity. Two shuffles, both with map-side combine on short keys."""
+    docs = t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(1), F.length("text"))).alias("_i", "p"),
+            F.col("text").alias("_t"),
+        )
+        .select("doc_id", F.expr("substring(_t, p, 1)").alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.round(
+            F.log2(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log2(F.col("c").cast("double"))) / F.sum("c"),
+            6,
+        ).alias("char_entropy"),
+    )
+
+
+@query(
+    "rolling_7d_user_value",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           round(sum(value) OVER w, 4) AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_7d_user_value(spark, sf_dir):
+    """Rolling 7-day per-user feature (range frame over event time): the
+    classic trailing-window feature-engineering shape. One user-keyed
+    shuffle; the range frame is evaluated in a single sorted pass per
+    partition key."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; the session is
+    # pinned UTC so the timestamp hop is value-preserving.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.round(F.sum("value").over(w), 4).alias("sum_7d"),
+    )
+
+
+@query(
+    "token_budget_curriculum",
+    # Quality-ordered corpus assembly under a token budget: quantize the
+    # quality score to 100 buckets, cumulative tokens over buckets from
+    # best down, keep while under half the corpus tokens. The only
+    # ordered structure is the ~100-row bucket rollup.
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_toks,
+             round((
+               least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+               + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 1.0))
+               + (1.0 - least(abs(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('a','the','of','and'))) AS DOUBLE)
+                              / len(string_split_regex(lower(trim(text)), '\s+')) - 0.1) * 2.0, 1.0))
+             ) / 3.0, 6) AS q
+      FROM documents
+    ), buckets AS (
+      SELECT CAST(floor(q * 100) AS BIGINT) AS qbucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      FROM tk GROUP BY qbucket
+    ), cum AS (
+      SELECT qbucket, n_docs, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY qbucket DESC) AS BIGINT) AS cum_tokens,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+      FROM buckets
+    )
+    SELECT qbucket, n_docs, n_tokens, cum_tokens,
+           cum_tokens <= CAST(total_tokens * 0.5 AS BIGINT) AS kept
+    FROM cum
+    """,
+)
+def token_budget_curriculum(spark, sf_dir):
+    """Corpus assembly under a token budget: docs ranked by quality score,
+    admitted best-first until half the corpus tokens are spent. Per-doc
+    scoring is map-only JVM expressions; the cumulative scan runs over the
+    ~100-row quality-bucket rollup, never over docs — so the single-
+    partition window is bounded by quantization resolution, not data."""
+    from pyspark.sql import Window
+
+    from cryptocurrency_data_pipeline_spark.operators import text as textops
+
+    docs = t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        F.floor(F.round(textops.quality_score("text"), 6) * 100).alias("qbucket"),
+        textops.token_count("text").alias("n_toks"),
+    )
+    buckets = per_doc.groupBy("qbucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    w_cum = Window.orderBy(F.col("qbucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return buckets.select(
+        "qbucket",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(w_cum).cast("long").alias("cum_tokens"),
+        (
+            F.sum("n_tokens").over(w_cum).cast("long")
+            <= (F.sum("n_tokens").over(w_all) * 0.5).cast("long")
+        ).alias("kept"),
+    )
+
+
+@query(
+    "bpe_pair_merge_candidates",
+    # First round of BPE vocabulary induction: global counts of adjacent
+    # char pairs inside whitespace tokens, top-20 merge candidates.
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ), pos AS (
+      SELECT w, unnest(generate_series(1, length(w) - 1)) AS p
+      FROM words WHERE length(w) >= 2
+    ), pairs AS (
+      SELECT substring(w, p, 2) AS pair FROM pos
+    ), counts AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n FROM counts ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_merge_candidates(spark, sf_dir):
+    """Distributed BPE round: count adjacent symbol pairs within words,
+    surface the top-20 merge candidates. Map-side partial agg on 2-char
+    keys, one shuffle, TakeOrderedAndProject top-k (no global sort)."""
+    from cryptocurrency_data_pipeline_spark.operators import text as textops
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.explode(textops.tokens("text")).alias("w"))
+        .where(F.length("w") >= 2)
+        .select(
+            F.posexplode(F.sequence(F.lit(1), F.length("w") - 1)).alias("_i", "p"),
+            F.col("w").alias("_w"),
+        )
+        .select(F.expr("substring(_w, p, 2)").alias("pair"))
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "incremental_dedup_new_batch",
+    # Incremental ingest: sources src0-src4 arrive as the new batch; keep
+    # only fingerprints unseen in the standing corpus AND first-in-batch.
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      FROM documents
+    ), batch AS (
+      SELECT * FROM fp WHERE source IN ('src0','src1','src2','src3','src4')
+    ), seen AS (
+      SELECT DISTINCT f FROM fp
+      WHERE source NOT IN ('src0','src1','src2','src3','src4')
+    )
+    SELECT min(b.doc_id) AS doc_id, b.f AS fingerprint,
+           CAST(count(*) AS BIGINT) AS n_in_batch
+    FROM batch b ANTI JOIN seen s ON b.f = s.f
+    GROUP BY b.f
+    """,
+)
+def incremental_dedup_new_batch(spark, sf_dir):
+    """Incremental exact dedup: a new batch (sources src0-src4) is deduped
+    against the standing corpus by normalized fingerprint with a left-anti
+    join, then within-batch by keep-lowest-id. At 100 TB the standing side
+    is a bucketed fingerprint index; here both sides shuffle on the 32-char
+    hash once."""
+    from cryptocurrency_data_pipeline_spark.operators.text import fingerprint
+
+    new_sources = ["src0", "src1", "src2", "src3", "src4"]
+    docs = t(spark, sf_dir, "documents").withColumn("f", fingerprint("text"))
+    batch = docs.where(F.col("source").isin(new_sources))
+    seen = docs.where(~F.col("source").isin(new_sources)).select("f").distinct()
+    return (
+        batch.join(seen, "f", "left_anti")
+        .groupBy(F.col("f").alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_in_batch"),
+        )
+        .select("doc_id", "fingerprint", "n_in_batch")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two
