@@ -4172,6 +4172,59 @@ def incremental_dedup_new_batch(spark, sf_dir):
     )
 
 
+@query(
+    "dataset_version_diff",
+    # Two synthetic snapshots carved deterministically from documents:
+    # v1 drops doc_id%10==0 and carries a stale fingerprint for
+    # doc_id%7==0; v2 is the table as-is. The diff classifies every key.
+    oracle=r"""
+    WITH v2 AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      FROM documents
+    ), v1 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN md5(text || '_stale')
+                  ELSE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             END AS f
+      FROM documents WHERE doc_id % 10 != 0
+    )
+    SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.f IS NULL THEN 'added'
+                WHEN v2.f IS NULL THEN 'removed'
+                WHEN v1.f != v2.f THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           v1.f AS old_fingerprint, v2.f AS new_fingerprint
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    """,
+)
+def dataset_version_diff(spark, sf_dir):
+    """Delta-style snapshot diff (operators/diff.py): one key-partitioned
+    full-outer join + fingerprint compare classifying every doc as added/
+    removed/changed/unchanged — the gate for incremental re-embedding and
+    re-sharding downstream."""
+    from cryptocurrency_data_pipeline_spark.operators.diff import snapshot_diff
+    from cryptocurrency_data_pipeline_spark.operators.text import fingerprint
+
+    v2 = t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("f")
+    )
+    v1 = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.md5(F.concat(F.col("text"), F.lit("_stale"))),
+            )
+            .otherwise(fingerprint("text"))
+            .alias("f"),
+        )
+    )
+    return snapshot_diff(v1, v2, key="doc_id", fingerprint="f")
+
+
 # --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two

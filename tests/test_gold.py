@@ -201,3 +201,19 @@ def test_scd2_merge_multi_effective_dates_one_batch(spark):
     ).collect()
     assert sum(1 for r in first if r.is_current) == 1
     assert len(first) == 2
+
+
+def test_snapshot_diff_classifies_all_cases(spark):
+    from cryptocurrency_data_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, f string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "doc_id long, f string"
+    )
+    got = {
+        r.doc_id: r.change_type
+        for r in snapshot_diff(old, new, "doc_id", "f").collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
