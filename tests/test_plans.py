@@ -216,14 +216,14 @@ def test_bm25_single_doc_shuffle_with_partials_and_topk(spark):
 
 
 def test_exact_substring_spans_shape(spark):
-    # Dup-gram detection must partial-count map-side below the gram
-    # exchange, and the probe side must receive the (small) dup set as a
-    # broadcast — the full gram stream itself never shuffles on g. The
-    # only other wide exchange is the doc-keyed island window.
+    # The md5-per-position gram subtree must be computed ONCE: duplicate
+    # detection is a window count over the gram hash, not an aggregate
+    # self-join — so exactly one scan, no Join, and exactly two wide
+    # exchanges (gram-hash window + doc-keyed island window).
     p = plan(QUERIES["exact_substring_spans"](spark, SF), mode="simple")
-    assert "partial_count" in p
-    assert "BroadcastExchange" in p or "SortMergeJoin" in p
-    assert p.count("Exchange hashpartitioning") == 2  # gram agg + doc window
-    # Dup-side scan reads only text (column pruning through the explode).
-    reads = [ln for ln in p.splitlines() if "ReadSchema" in ln]
-    assert any("struct<text:string>" in ln for ln in reads)
+    assert "Join" not in p
+    assert p.count("FileScan") == 1
+    assert p.count("Exchange hashpartitioning") == 2
+    # The scan prunes to the two live columns.
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "struct<doc_id:bigint,text:string>" in read
