@@ -4225,6 +4225,61 @@ def dataset_version_diff(spark, sf_dir):
     return snapshot_diff(v1, v2, key="doc_id", fingerprint="f")
 
 
+@query(
+    "scd2_customer_priority_history",
+    # SCD2 first-load chain over per-(customer, day) order priority: keep
+    # only rows where the attribute changed vs the previous kept version,
+    # then validity-range with lead(); exactly one current row per key.
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey AS custkey, o_orderdate AS eff,
+             min(o_orderpriority) AS priority
+      FROM orders WHERE o_custkey < 200 GROUP BY 1, 2
+    ), flagged AS (
+      SELECT custkey, priority, eff,
+             lag(priority) OVER (PARTITION BY custkey ORDER BY eff) AS prev
+      FROM u
+    ), kept AS (
+      SELECT custkey, priority, eff FROM flagged
+      WHERE prev IS NULL OR priority != prev
+    )
+    SELECT custkey, priority,
+           strftime(eff, '%Y-%m-%d') AS valid_from,
+           strftime(lead(eff) OVER (PARTITION BY custkey ORDER BY eff),
+                    '%Y-%m-%d') AS valid_to,
+           lead(eff) OVER (PARTITION BY custkey ORDER BY eff) IS NULL AS is_current
+    FROM kept
+    """,
+)
+def scd2_customer_priority_history(spark, sf_dir):
+    """Type-2 slowly-changing dimension (operators/gold.py:scd2_merge)
+    driven through its first-load path: per-(customer, day) order priority
+    becomes a validity-ranged history with no-op dates collapsed and one
+    is_current row per key — ONE key shuffle for the whole chain rebuild.
+    Updates are pre-aggregated to one deterministic row per (key, date)."""
+    from cryptocurrency_data_pipeline_spark.operators.gold import scd2_merge
+
+    upd = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 200)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("eff"),
+        )
+        .agg(F.min("o_orderpriority").alias("priority"))
+    )
+    hist = scd2_merge(
+        None, upd, key="custkey", attrs=["priority"], effective_col="eff"
+    )
+    return hist.select(
+        "custkey",
+        "priority",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two
