@@ -124,3 +124,76 @@ def test_chunking_covers_and_reassembles(spark, text, size):
     for pos, chunk in chunks:
         covered.update(range(pos - 1, pos - 1 + len(chunk)))
     assert covered == set(range(len(text)))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.text(alphabet="abcdef \n", min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=8),
+)
+def test_exact_substring_spans_invariants(spark, docs, k):
+    """Spans lie inside their doc, are at least k long, never overlap, and
+    every reported span's content really does recur in the corpus."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.exact_substring_spans(df, k=k).collect()
+    by_doc = {}
+    for r in spans:
+        assert r.span_end - r.span_start + 1 >= k
+        assert 1 <= r.span_start <= r.span_end <= len(docs[r.doc_id])
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # Merged islands: no two spans of one doc overlap or touch within k.
+    for d, ss in by_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1 + 1  # a gap of zero would have merged
+    # Cross-check against brute force: every duplicated k-gram position
+    # must fall inside some span, and spans contain only covered starts.
+    from collections import Counter
+
+    grams = Counter()
+    for t in docs:
+        for p in range(len(t) - k + 1):
+            grams[t[p : p + k]] += 1
+    for i, t in enumerate(docs):
+        dup_starts = {
+            p + 1 for p in range(len(t) - k + 1) if grams[t[p : p + k]] > 1
+        }
+        covered = set()
+        for s, e in by_doc.get(i, []):
+            covered |= set(range(s, e - k + 2))
+            # Span boundaries are genuine duplicated-gram positions.
+            assert s in dup_starts and e - k + 1 in dup_starts
+        # Every duplicated gram is covered; interior non-duplicated starts
+        # are allowed (islands whose gap <= k merge by design), but each
+        # must lie within k of a duplicated start in the same span.
+        assert dup_starts <= covered
+        for p in covered - dup_starts:
+            assert any(abs(p - q) <= k for q in dup_starts)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_zorder_key_bijective_and_bounded(spark, pts):
+    """Morton key is a bijection over the 16-bit grid: distinct points get
+    distinct keys, all within [0, 2^32)."""
+    from cryptocurrency_data_pipeline_spark.operators.maintenance import zorder_key
+
+    df = spark.createDataFrame(pts, "su long, sv long")
+    zs = [r.z for r in df.select(zorder_key(["su", "sv"]).alias("z")).collect()]
+    assert len(set(zs)) == len(pts)
+    assert all(0 <= z < 2**32 for z in zs)
