@@ -4280,6 +4280,127 @@ def scd2_customer_priority_history(spark, sf_dir):
     )
 
 
+@query(
+    "gopher_quality_flags",
+    # Gopher/MassiveText rule battery (Rae et al. 2021, Appendix A1.1),
+    # thresholds as published, every rule a JVM/ANSI expression.
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks,
+             string_split(text, chr(10)) AS lines,
+             text
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        len(toks) AS n_words,
+        CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+          / len(toks) AS mean_word_len,
+        CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) / len(toks)
+          AS hash_per_word,
+        CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE)
+          / len(lines) AS bullet_frac,
+        CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+          / len(lines) AS ellipsis_frac,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+          / len(toks) AS alpha_word_frac,
+        len(list_distinct(list_filter(toks,
+          x -> x IN ('the','be','to','of','and','that','have','with')))) AS n_stopwords
+      FROM tk
+    )
+    SELECT doc_id,
+           n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+           mean_word_len >= 3 AND mean_word_len <= 10 AS ok_mean_word_len,
+           hash_per_word <= 0.1 AS ok_symbol_ratio,
+           bullet_frac <= 0.9 AS ok_bullets,
+           ellipsis_frac <= 0.3 AS ok_ellipses,
+           alpha_word_frac >= 0.8 AS ok_alpha_words,
+           n_stopwords >= 2 AS ok_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND hash_per_word <= 0.1 AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+            AND n_stopwords >= 2) AS keep
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark, sf_dir):
+    """The full Gopher rule battery as one map-only pass: word-count
+    bounds, mean word length, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, distinct-stopword floor, and the
+    conjunctive keep decision. Zero shuffles, zero UDFs — every rule is a
+    built-in array/string expression inside whole-stage codegen."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(toks)
+    mean_word_len = (
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n_words
+    )
+    hash_per_word = (
+        (F.length("text") - F.length(F.regexp_replace("text", "#", ""))).cast("double")
+        / n_words
+    )
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines, lambda l: l.startswith("-") | l.startswith("*")
+            )
+        ).cast("double")
+        / F.size(lines)
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double")
+        / F.size(lines)
+    )
+    alpha_word_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+        / n_words
+    )
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(
+                toks,
+                lambda x: x.isin(
+                    "the", "be", "to", "of", "and", "that", "have", "with"
+                ),
+            )
+        )
+    )
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mwl"),
+        hash_per_word.alias("hpw"),
+        bullet_frac.alias("bf"),
+        ellipsis_frac.alias("ef"),
+        alpha_word_frac.alias("awf"),
+        n_stop.alias("ns"),
+    )
+    ok = {
+        "ok_word_count": (F.col("n_words") >= 50) & (F.col("n_words") <= 100000),
+        "ok_mean_word_len": (F.col("mwl") >= 3) & (F.col("mwl") <= 10),
+        "ok_symbol_ratio": F.col("hpw") <= 0.1,
+        "ok_bullets": F.col("bf") <= 0.9,
+        "ok_ellipses": F.col("ef") <= 0.3,
+        "ok_alpha_words": F.col("awf") >= 0.8,
+        "ok_stopwords": F.col("ns") >= 2,
+    }
+    keep = F.lit(True)
+    for c in ok.values():
+        keep = keep & c
+    return m.select(
+        "doc_id",
+        *[c.alias(n) for n, c in ok.items()],
+        keep.alias("keep"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two

@@ -227,3 +227,11 @@ def test_exact_substring_spans_shape(spark):
     # The scan prunes to the two live columns.
     read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
     assert "struct<doc_id:bigint,text:string>" in read
+
+
+def test_gopher_flags_map_only(spark):
+    # The whole rule battery must be a single map-side pass: no Exchange,
+    # one pruned scan.
+    p = plan(QUERIES["gopher_quality_flags"](spark, SF), mode="simple")
+    assert "Exchange" not in p
+    assert p.count("FileScan") == 1
