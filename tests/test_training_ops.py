@@ -207,3 +207,33 @@ def test_exact_substring_spans_merges_adjacent_islands(spark):
         (1, 1, len(txt)),
         (2, 1, len(txt)),
     }
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from cryptocurrency_data_pipeline_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.1], 0),   # same label as query: must never appear
+        (3, [0.9, 0.2], 1),
+        (4, [0.0, 1.0], 1),
+        (5, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negatives(df, df.where("vec_id = 1"), k=2).collect()
+    got = [(r.neighbor_id, r.neg_label) for r in out]
+    assert (2, 0) not in got
+    # Nearest cross-label first: 3 (cos≈0.976) then 4 (cos=0).
+    assert [n for n, _ in got] == [3, 4]
+
+
+def test_char_entropy_bounds(spark):
+    from cryptocurrency_data_pipeline_spark.queries import QUERIES
+    import math
+
+    out = QUERIES["doc_char_entropy"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        # 0 <= H <= log2(n_chars) (uniform over distinct chars is the max,
+        # and there are at most n_chars distinct chars).
+        assert -1e-9 <= r.char_entropy <= math.log2(r.n_chars) + 1e-9
