@@ -90,3 +90,41 @@ def test_zorder_layout_is_range_partition_and_sorted(spark):
             prev = row["__z"]
     bad = out.rdd.mapPartitions(lambda it: check(it)).count()
     assert bad == 0
+
+
+def test_zorder_written_files_have_narrow_multi_dim_envelopes(spark, tmp_path):
+    from cryptocurrency_data_pipeline_spark.operators.maintenance import zorder_layout
+
+    # 64x64 grid scaled to the 16-bit domain: both dims uniform.
+    df = spark.range(4096).select(
+        ((F.col("id") % 64) * 1024).alias("su"),
+        ((F.col("id") / 64).cast("long") * 1024).alias("sv"),
+    )
+    out = str(tmp_path / "zorded")
+    zorder_layout(df, ["su", "sv"], n_files=4).write.parquet(out)
+
+    files = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("su").alias("su0"), F.max("su").alias("su1"),
+            F.min("sv").alias("sv0"), F.max("sv").alias("sv1"),
+            F.min("__z").alias("z0"), F.max("__z").alias("z1"),
+        )
+        .collect()
+    )
+    assert len(files) == 4
+    # Z-ranges across files are pairwise disjoint (range partitioning).
+    zr = sorted((r.z0, r.z1) for r in files)
+    for (a0, a1), (b0, b1) in zip(zr, zr[1:]):
+        assert a1 < b0
+    # The data-skipping claim: every file's envelope is narrower than the
+    # full domain in BOTH dimensions simultaneously is impossible for a
+    # linear order, but z-order keeps the AVERAGE per-file area far below
+    # the full grid — a single-column sort pins one dim narrow and leaves
+    # the other at full width (area ratio ~= 1/n_files only in one dim).
+    full_area = (64 * 1024) ** 2
+    areas = [
+        (r.su1 - r.su0 + 1024) * (r.sv1 - r.sv0 + 1024) for r in files
+    ]
+    assert sum(areas) / len(areas) <= full_area / 2
