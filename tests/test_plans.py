@@ -235,3 +235,24 @@ def test_gopher_flags_map_only(spark):
     p = plan(QUERIES["gopher_quality_flags"](spark, SF), mode="simple")
     assert "Exchange" not in p
     assert p.count("FileScan") == 1
+
+
+def test_winsorized_stats_broadcasts_bounds(spark):
+    # The p01/p99 bounds frame (5 rows) must broadcast back onto the
+    # events scan — no shuffle of the fact side for the join.
+    p = plan(QUERIES["winsorized_event_stats"](spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "partial_percentile" in p  # exact percentile still partials
+
+
+def test_scd2_single_key_shuffle(spark):
+    # The whole version-chain rebuild must ride ONE key exchange: the
+    # update pre-agg partitions on (custkey, eff) but the windows reuse
+    # the custkey-compatible exchange; no extra shuffle per window.
+    p = plan(QUERIES["scd2_customer_priority_history"](spark, SF), mode="simple")
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_dataset_diff_is_single_join(spark):
+    p = plan(QUERIES["dataset_version_diff"](spark, SF), mode="simple")
+    assert p.count("SortMergeJoin") + p.count("BroadcastHashJoin") == 1
