@@ -132,3 +132,61 @@ def connected_components(
 
     e.unpersist()
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list.
+
+    The second iterative-graph primitive after ``connected_components``:
+    authority scoring for corpus governance (which documents anchor a
+    near-dup cluster, which hubs dominate a link graph). Fixed ``iters``
+    (no convergence action) keeps it deterministic and replayable as an
+    unrolled ANSI CTE for the oracle.
+
+    Scale shape: degree and rank frames are node-keyed; each iteration is
+    ONE shuffle join (contributions = edges ⋈ ranks on the source) plus a
+    map-side-combinable sum — the same per-round cost as CC. Dangling
+    nodes (no in-edges after symmetrization: impossible here, since
+    symmetric graphs give every edge-touching node in-edges) need no
+    special term; the (1-d)/N base is applied through a left join on the
+    full node set. N enters as a 1-row broadcast, never a collect.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+
+    nodes = e.select(F.col("a").alias("node")).distinct()
+    n_count = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = e.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_count)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "a"), "a")
+            .join(deg.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(n_count))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    e.unpersist()
+    return ranks

@@ -54,3 +54,24 @@ def test_checkpoint_blocks_released_eagerly(spark):
     }
     leaked = _persistent_rdd_ids(sc) - before
     assert len(leaked) <= 1, f"checkpoint blocks leaked: {leaked}"
+
+
+def test_pagerank_triangle_uniform_and_hub_dominates(spark):
+    from cryptocurrency_data_pipeline_spark.operators.graph import pagerank
+
+    # Symmetric triangle: all nodes equivalent -> uniform 1/3 at any iter.
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    r = {x.node: x.rank for x in pagerank(tri, iters=4).collect()}
+    for v in r.values():
+        assert abs(v - 1.0 / 3) < 1e-12
+
+    # Star: the hub out-ranks every leaf.
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = {x.node: x.rank for x in pagerank(star, iters=3).collect()}
+    assert all(r[0] > r[i] for i in range(1, 6))
+    # Ranks of a stochastic process stay a probability distribution.
+    assert abs(sum(r.values()) - 1.0) < 1e-9
