@@ -252,3 +252,89 @@ def resize_images(
         ]
     )
     return df.select("media_id", "kind", "payload").mapInPandas(resize, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Audio: real RIFF/WAVE header decode, dependency-free (mirrors PPM/BMP).
+# --------------------------------------------------------------------------
+
+AUDIO_META = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content_hash", StringType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bits", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+    ]
+)
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """RIFF/WAVE chunk walk: (sample_rate, channels, bits, n_samples).
+
+    Reads the ``fmt `` chunk for the format fields and the ``data`` chunk
+    size for the sample count (``size / block_align``); tolerates extra
+    chunks (LIST, fact) and odd-size padding per the RIFF spec."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    rate = channels = bits = block = None
+    n_samples = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too small")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            block = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            if block is None or block == 0:
+                raise ValueError("data chunk before fmt / zero block align")
+            n_samples = csize // block
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if rate is None or n_samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, channels, bits, n_samples
+
+
+def decode_audio_meta(df: DataFrame) -> DataFrame:
+    """mapInPandas WAV decode: same Arrow-batched, null-on-failure DLQ
+    shape as ``decode_image_meta``; swap ``_parse_wav`` for ffmpeg to add
+    compressed codecs without touching the plumbing."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    rate, ch, bits, ns = _parse_wav(r.payload)
+                except Exception:
+                    rate = ch = bits = ns = None
+                rows.append((r.media_id, r.content_hash, rate, ch, bits, ns))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "content_hash",
+                    "sample_rate", "channels", "bits", "n_samples",
+                ],
+            )
+
+    return df.select("media_id", "content_hash", "payload").mapInPandas(
+        decode, AUDIO_META
+    )
+
+
+def le_hex(col, n_bytes: int):
+    """Little-endian hex encoding of an integer column (JVM expressions
+    only): big-endian hex, zero-padded, byte pairs reversed — feed to
+    ``unhex`` to build binary format headers in-engine."""
+    padded = F.lpad(F.lower(F.hex(col)), 2 * n_bytes, "0")
+    pairs = [
+        F.substring(padded, 2 * i + 1, 2) for i in reversed(range(n_bytes))
+    ]
+    return F.concat(*pairs)

@@ -4613,6 +4613,77 @@ def pagerank_doc_graph(spark, sf_dir):
     )
 
 
+@query(
+    "wav_decode_rollup",
+    # Real audio format end-to-end: RIFF/WAVE payloads are byte-assembled
+    # JVM-side (little-endian fields via hex-pair reversal + unhex),
+    # decoded through the pure-python chunk walker inside mapInPandas,
+    # and rolled up; the oracle replays the expected fields directly.
+    oracle="""
+    SELECT CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(100 + n_chars % 400) AS BIGINT) AS total_samples,
+           round(CAST(sum(100 + n_chars % 400) AS DOUBLE) / sample_rate, 6)
+             AS total_seconds
+    FROM documents GROUP BY sample_rate, channels
+    """,
+)
+def wav_decode_rollup(spark, sf_dir):
+    """Audio pipeline on a REAL format: documents → RIFF/WAVE (PCM fmt +
+    data chunks, LE fields built with multimodal.le_hex) → mapInPandas
+    chunk-walk decode (multimodal._parse_wav) → per-(rate, channels)
+    duration rollup."""
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(8000) * (F.lit(1) + F.col("doc_id") % 3)).cast("long").alias("rate"),
+        (F.lit(1) + F.col("doc_id") % 2).cast("long").alias("channels"),
+        (F.lit(100) + F.col("n_chars") % 400).cast("long").alias("n_samples"),
+    ).withColumn("block", F.col("channels") * 2).withColumn(  # 16-bit PCM
+        "data_size", F.col("n_samples") * F.col("block")
+    )
+    payload = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        F.unhex(mm.le_hex(F.lit(36) + F.col("data_size"), 4)),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        F.unhex(mm.le_hex(F.lit(16), 4)),     # fmt chunk size
+        F.unhex(mm.le_hex(F.lit(1), 2)),      # PCM
+        F.unhex(mm.le_hex(F.col("channels"), 2)),
+        F.unhex(mm.le_hex(F.col("rate"), 4)),
+        F.unhex(mm.le_hex(F.col("rate") * F.col("block"), 4)),  # byte rate
+        F.unhex(mm.le_hex(F.col("block"), 2)),
+        F.unhex(mm.le_hex(F.lit(16), 2)),     # bits per sample
+        F.encode(F.lit("data"), "UTF-8"),
+        F.unhex(mm.le_hex(F.col("data_size"), 4)),
+        F.encode(F.expr("repeat(' ', data_size)"), "UTF-8"),
+    )
+    media = mm.media_table(
+        docs.select("doc_id", payload.alias("p")), "doc_id", "audio", "p"
+    )
+    meta = mm.decode_audio_meta(media)
+    return (
+        meta.groupBy("sample_rate", "channels")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.sum("n_samples").cast("long").alias("total_samples"),
+        )
+        .select(
+            "sample_rate",
+            "channels",
+            "n_media",
+            "total_samples",
+            # Integer-sum first, ONE division after: rate is constant per
+            # group, so both engines divide identical exact integers (a
+            # per-row double sum rounds differently across engines).
+            F.round(
+                F.col("total_samples").cast("double") / F.col("sample_rate"), 6
+            ).alias("total_seconds"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two
@@ -4681,6 +4752,7 @@ DEMOTED_PAST_DRIVER_CAP = [
     # Registered tail-first by design (round 4 filled the 50-slot window):
     # parity-pinned per pytest run until a window slot rotates free.
     "pagerank_doc_graph",
+    "wav_decode_rollup",
 ]
 
 

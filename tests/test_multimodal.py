@@ -127,3 +127,58 @@ def test_parse_bmp_variants():
     with pytest.raises(ValueError):
         _parse_bmp(b"BM" + bytes(12) + (16).to_bytes(4, "little") + bytes(8))
     assert _parse_header(bmp_info(1, 2)) == (1, 2, 1)
+
+
+def _wav(rate=16000, channels=2, bits=16, n_samples=4, extra_chunk=False):
+    block = channels * bits // 8
+    data = b"\x00" * (n_samples * block)
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    mid = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00" if extra_chunk else b""
+    body = fmt + mid + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def test_parse_wav_variants():
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import _parse_wav
+
+    assert _parse_wav(_wav()) == (16000, 2, 16, 4)
+    assert _parse_wav(_wav(rate=8000, channels=1, n_samples=7)) == (8000, 1, 16, 7)
+    # Odd-size intermediate chunk exercises RIFF word-alignment padding.
+    assert _parse_wav(_wav(extra_chunk=True)) == (16000, 2, 16, 4)
+    with pytest.raises(ValueError):
+        _parse_wav(b"RIFX" + b"\x00" * 20)           # wrong magic
+    with pytest.raises(ValueError):
+        _parse_wav(_wav()[:20])                       # truncated: no data chunk
+
+
+def test_decode_audio_meta_roundtrip(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_audio_meta,
+        media_table,
+    )
+
+    rows = [(1, _wav()), (2, _wav(rate=44100, channels=1, n_samples=10)),
+            (3, b"not audio at all")]
+    df = media_table(
+        spark.createDataFrame(rows, "id long, payload binary"), "id", "audio", "payload"
+    )
+    got = {r.media_id: r for r in decode_audio_meta(df).collect()}
+    assert (got[1].sample_rate, got[1].channels, got[1].n_samples) == (16000, 2, 4)
+    assert (got[2].sample_rate, got[2].bits, got[2].n_samples) == (44100, 16, 10)
+    assert got[3].sample_rate is None  # DLQ pattern: nulls, job survives
+
+
+def test_le_hex_matches_python(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import le_hex
+
+    df = spark.createDataFrame([(0,), (1,), (258,), (44100,), (16777215,)], "v long")
+    got = [r.h for r in df.select(le_hex(F.col("v"), 4).alias("h")).orderBy("v").collect()]
+    want = [int.to_bytes(v, 4, "little").hex() for v in [0, 1, 258, 44100, 16777215]]
+    assert got == want
