@@ -197,3 +197,20 @@ def test_zorder_key_bijective_and_bounded(spark, pts):
     zs = [r.z for r in df.select(zorder_key(["su", "sv"]).alias("z")).collect()]
     assert len(set(zs)) == len(pts)
     assert all(0 <= z < 2**32 for z in zs)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.binary(min_size=0, max_size=200))
+def test_media_parsers_fail_closed_on_arbitrary_bytes(payload):
+    """Decoders must terminate and raise only the documented exception
+    types on arbitrary input — never hang, never leak IndexError etc.
+    (the mapInPandas DLQ path catches Exception, but parser behavior
+    should still be contractual)."""
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    for fn in (mm._parse_header, mm._parse_wav):
+        try:
+            out = fn(payload)
+            assert isinstance(out, tuple)
+        except (ValueError, NotImplementedError):
+            pass
