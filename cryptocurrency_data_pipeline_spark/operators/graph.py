@@ -73,6 +73,12 @@ def _unpersist_rdd_id(sc, rid: int | None) -> None:
         jrdd.unpersist(False)
 
 
+#: Final-generation checkpoint of the previous invocation, released when
+#: the next invocation starts (ContextCleaner is too lazy for tight
+#: benchmark/driver loops — without this, every call pins one RDD).
+_PREV_FINAL: list[int] = []
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -85,13 +91,13 @@ def connected_components(
     direction). Returns ``(node, cluster_id)`` for every node with at
     least one edge. Deterministic for any input order.
 
-    Lifetime note: the returned frame is backed by the final round's
-    ``localCheckpoint`` blocks, which stay pinned until the ContextCleaner
-    observes the DataFrame garbage-collected. Superseded generations and
-    the edge cache are released eagerly inside the loop; the FINAL
-    generation must outlive the result, so callers that invoke this in a
-    long loop should drop their reference (or copy the result out with a
-    write) when done rather than accumulating label frames.
+    Lifetime contract: the returned frame is backed by the final round's
+    ``localCheckpoint`` blocks. Superseded generations and the edge cache
+    are released eagerly inside the loop; the final generation is released
+    when the NEXT ``connected_components`` call begins — so consume (or
+    persist elsewhere) a result before starting another run. This keeps
+    the block manager flat at one retained generation no matter how many
+    times a benchmark or driver loop re-invokes the operator.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -101,6 +107,8 @@ def connected_components(
     e = e.persist()
 
     sc = edges.sparkSession.sparkContext
+    while _PREV_FINAL:
+        _unpersist_rdd_id(sc, _PREV_FINAL.pop())
 
     labels = e.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -131,6 +139,8 @@ def connected_components(
         prev_sum = new_sum
 
     e.unpersist()
+    if owned is not None:
+        _PREV_FINAL.append(owned)
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
