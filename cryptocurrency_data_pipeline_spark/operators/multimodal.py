@@ -338,3 +338,82 @@ def le_hex(col, n_bytes: int):
         F.substring(padded, 2 * i + 1, 2) for i in reversed(range(n_bytes))
     ]
     return F.concat(*pairs)
+
+
+# --------------------------------------------------------------------------
+# Video: real YUV4MPEG2 (Y4M) container decode, dependency-free.
+# --------------------------------------------------------------------------
+
+VIDEO_META = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content_hash", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("fps_num", IntegerType(), True),
+        StructField("fps_den", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+
+def _parse_y4m(payload: bytes) -> tuple[int, int, int, int, int]:
+    """YUV4MPEG2 stream: ASCII parameter header (``W`` width, ``H``
+    height, ``F`` num:den framerate), then one ``FRAME`` marker + raw
+    4:2:0 planes per frame. Returns (w, h, fps_num, fps_den, n_frames);
+    frames are WALKED by plane size, not substring-searched, so frame
+    bytes containing the marker can't inflate the count."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated Y4M header")
+    w = h = num = den = None
+    for tok in payload[9:nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"F"):
+            num, den = (int(x) for x in tok[1:].split(b":"))
+    if not w or not h or not num:
+        raise ValueError("Y4M header missing W/H/F")
+    frame_bytes = w * h * 3 // 2          # 4:2:0
+    pos, n, count = nl + 1, len(payload), 0
+    while pos < n:
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        eol = payload.find(b"\n", pos)
+        if eol < 0:
+            raise ValueError("unterminated FRAME header")
+        pos = eol + 1 + frame_bytes
+        if pos > n:
+            raise ValueError("truncated frame payload")
+        count += 1
+    return w, h, num, den or 1, count
+
+
+def decode_video_meta(df: DataFrame) -> DataFrame:
+    """mapInPandas Y4M decode; same Arrow-batched null-on-failure shape
+    as the image and audio paths."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    w, h, fn, fd, nf = _parse_y4m(r.payload)
+                except Exception:
+                    w = h = fn = fd = nf = None
+                rows.append((r.media_id, r.content_hash, w, h, fn, fd, nf))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "content_hash",
+                    "width", "height", "fps_num", "fps_den", "n_frames",
+                ],
+            )
+
+    return df.select("media_id", "content_hash", "payload").mapInPandas(
+        decode, VIDEO_META
+    )

