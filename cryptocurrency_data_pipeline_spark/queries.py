@@ -4987,6 +4987,64 @@ def join_key_skew_report(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# SemDeDup (operators/semdedup.py): embedding-space near-dup pruning —
+# coarse IVF clustering (map-only literal centers) bounds the pair space,
+# then ONE cluster-keyed equi-join shuffle scores within-cluster cosines
+# and drops everything inside a kept exemplar's epsilon-ball (lowest id
+# wins).  Oracle replays the md5 seed sample, the ties-to-lowest-cid L2
+# assignment (same CTE shape as kmeans_embedding_clusters, driver-green
+# r3), and the pair predicate verbatim.  Training-data extension; no
+# reference counterpart.
+# --------------------------------------------------------------------------
+
+@query(
+    "semantic_dedup_keep",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), seed AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+             v AS c
+      FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ), d0 AS (
+      SELECT a.vec_id, a.v, s.cid,
+             list_aggregate(list_transform(generate_series(1, len(a.v)),
+               j -> (a.v[j] - s.c[j]) * (a.v[j] - s.c[j])), 'sum') AS d
+      FROM corpus a CROSS JOIN seed s
+    ), a0 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d0) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM a0 a JOIN a0 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            >= 0.45
+    )
+    SELECT a0.cid AS cluster_id,
+           count(*) AS n_vecs,
+           CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM a0 LEFT JOIN dropped d ON a0.vec_id = d.vec_id
+    GROUP BY a0.cid
+    """,
+)
+def semantic_dedup_keep(spark, sf_dir):
+    """Per-cluster SemDeDup retention audit over the embeddings table."""
+    from cryptocurrency_data_pipeline_spark.operators.semdedup import semantic_dedup
+
+    flags = semantic_dedup(t(spark, sf_dir, "embeddings"), nlist=8, tau=0.45)
+    return flags.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("is_kept"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two
 # rounds: the checked set is exactly the first 50).  Every query below is

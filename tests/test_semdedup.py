@@ -1,0 +1,66 @@
+"""SemDeDup: deterministic epsilon-ball pruning within coarse clusters."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cryptocurrency_data_pipeline_spark.operators.semdedup import semantic_dedup
+from cryptocurrency_data_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_identical_vectors_keep_lowest_id(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),   # exact dup of 1 -> dropped
+        (3, [0.0, 1.0, 0.0]),   # orthogonal -> kept
+        (4, [0.99, 0.01, 0.0]),  # near-dup of 1 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.is_kept for r in semantic_dedup(df, nlist=1, tau=0.9).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_below_threshold_pairs_survive(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, nlist=1, tau=0.5)
+    assert all(r.is_kept for r in out.collect())
+
+
+def test_dedup_is_deterministic_on_corpus(spark):
+    emb = load_table(spark, SF, "embeddings")
+    kept1 = sorted(
+        r.vec_id for r in semantic_dedup(emb, nlist=4, tau=0.45)
+        .filter("is_kept").collect()
+    )
+    kept2 = sorted(
+        r.vec_id for r in semantic_dedup(emb, nlist=4, tau=0.45)
+        .filter("is_kept").collect()
+    )
+    assert kept1 == kept2
+    assert 0 < len(kept1) <= emb.count()
+
+
+def test_pair_space_is_equi_join_not_cartesian(spark):
+    # The within-cluster self-join must be a plain equi-join on cluster_id
+    # (AQE-skew-splittable), never a cartesian/nested-loop product.
+    emb = load_table(spark, SF, "embeddings")
+    plan = (
+        semantic_dedup(emb, nlist=4, tau=0.45)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dropped_rows_have_a_kept_exemplar(spark):
+    # Every dropped vector must actually be within tau of some KEPT
+    # lower-id vector in its cluster, else the greedy rule mis-fired.
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+            for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, nlist=1, tau=0.99).collect()
+    kept = {r.vec_id for r in out if r.is_kept}
+    # axis e_k appears 3x; only the lowest id of each axis group is kept
+    assert kept == {1, 2, 3}
