@@ -1,0 +1,103 @@
+"""DSIR-style importance weighting — data selection for language models.
+
+Public recipe (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling"): estimate a *target* and a *raw* distribution over
+hashed token features, then score every raw document by its log importance
+ratio  sum_b tf(b) * [log p_target(b) - log p_raw(b)] ; resampling keeps
+the highest-weight documents, tilting the corpus toward the target domain
+without training a classifier.
+
+Spark shape, stage by stage:
+
+* **Featurize — map-only.**  Tokens hash into ``n_buckets`` buckets via
+  the md5 idiom every engine replays (``conv(substr(md5(tok),1,4),16,10)
+  % B``); the per-(doc, bucket) term frequencies come from ONE doc-keyed
+  shuffle whose map-side combine collapses each document to at most B
+  partial rows before the exchange.
+* **Distributions — two B-row aggregates.**  Raw and target bucket counts
+  are partial-agged sums over the (doc, bucket) frame; B is a constant
+  (default 64), so both relations are sketch-sized no matter the corpus.
+* **Log-ratio lookup — broadcast.**  Laplace-smoothed
+  ``ln((n_t+1)/(T_t+B)) - ln((n_r+1)/(T_r+B))`` per bucket, totals carried
+  as a 1-row broadcast; the scoring join is bucket->ratio against B rows,
+  never a data-sized side.
+* **Score — reuse of the SAME doc-keyed partitioning.**  The final
+  ``groupBy(doc)`` of ``tf * lr`` lands on the partitioning the tf stage
+  already produced, so Catalyst plans it without a second wide exchange.
+
+Driver state: zero (everything stays in-plan).  At 100 TB the only wide
+shuffle is the (doc, bucket) tf aggregation — the same cost profile as
+the paper's MapReduce featurization.
+
+Reference counterpart: none (the Glue jobs do no corpus selection);
+extends the sampling family (split / mixture / stratified) with the
+distribution-matching member.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cryptocurrency_data_pipeline_spark.operators.text import tokens
+
+
+def hashed_feature_bucket(token_col: str | Column, n_buckets: int = 64) -> Column:
+    """md5-hashed feature bucket in [0, n_buckets) — replayable anywhere
+    (DuckDB: ``CAST('0x' || substr(md5(tok),1,4) AS INT) % B``)."""
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    return (F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long") % n_buckets)
+
+
+def importance_logweights(
+    docs: DataFrame,
+    target: Column,
+    keys: Sequence[str] = ("doc_id",),
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-document DSIR log importance weight.
+
+    ``target`` is a boolean Column marking the documents whose token
+    distribution defines the target domain.  Output: ``keys`` +
+    ``log_weight`` (rounded to 6 dp so cross-engine summation order is
+    absorbed).  Filter/resample on ``log_weight`` downstream.
+    """
+    tf = (
+        docs.select(
+            *keys,
+            target.alias("__is_target"),
+            F.explode(tokens(text_col)).alias("__tok"),
+        )
+        .withColumn("__b", hashed_feature_bucket("__tok", n_buckets))
+        .groupBy(*keys, "__is_target", "__b")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    raw = tf.groupBy("__b").agg(F.sum("__tf").alias("__n_raw"))
+    tgt = (
+        tf.filter(F.col("__is_target"))
+        .groupBy("__b")
+        .agg(F.sum("__tf").alias("__n_tgt"))
+    )
+    joined = raw.join(tgt, "__b", "left").select(
+        "__b", "__n_raw", F.coalesce("__n_tgt", F.lit(0)).alias("__n_tgt")
+    )
+    totals = joined.agg(
+        F.sum("__n_raw").cast("double").alias("__t_raw"),
+        F.sum("__n_tgt").cast("double").alias("__t_tgt"),
+    )
+    lit_b = F.lit(float(n_buckets))
+    ratios = joined.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log((F.col("__n_tgt") + 1) / (F.col("__t_tgt") + lit_b))
+            - F.log((F.col("__n_raw") + 1) / (F.col("__t_raw") + lit_b))
+        ).alias("__lr"),
+    )
+    return (
+        tf.join(F.broadcast(ratios), "__b")
+        .groupBy(*keys)
+        .agg(F.round(F.sum(F.col("__tf") * F.col("__lr")), 6).alias("log_weight"))
+    )

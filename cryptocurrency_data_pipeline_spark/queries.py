@@ -5045,6 +5045,65 @@ def semantic_dedup_keep(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# DSIR importance weights (operators/dsir.py): distribution-matching data
+# selection — hashed-unigram bucket distributions for target (source src0)
+# vs the whole corpus, Laplace-smoothed log ratios broadcast against the
+# per-doc term frequencies.  One doc-keyed shuffle; B-row sketch joins.
+# Per-source mean weight is the audit: the target source must score
+# highest by construction.  Training-data extension; no ref counterpart.
+# --------------------------------------------------------------------------
+
+@query(
+    "dsir_source_weights",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(tk), 1, 4)) AS INT) % 64 AS bk,
+             count(*) AS tf
+      FROM tok GROUP BY doc_id, source, bk
+    ), raw AS (
+      SELECT bk, CAST(sum(tf) AS BIGINT) AS n_raw FROM tf GROUP BY bk
+    ), tgt AS (
+      SELECT bk, CAST(sum(tf) AS BIGINT) AS n_tgt
+      FROM tf WHERE source = 'src0' GROUP BY bk
+    ), tot AS (
+      SELECT (SELECT CAST(sum(n_raw) AS DOUBLE) FROM raw) AS t_raw,
+             (SELECT CAST(coalesce(sum(n_tgt), 0) AS DOUBLE) FROM tgt) AS t_tgt
+    ), ratio AS (
+      SELECT r.bk,
+             ln((coalesce(g.n_tgt, 0) + 1) / (tot.t_tgt + 64))
+             - ln((r.n_raw + 1) / (tot.t_raw + 64)) AS lr
+      FROM raw r LEFT JOIN tgt g USING (bk), tot
+    ), scored AS (
+      SELECT f.doc_id, f.source, round(sum(f.tf * ratio.lr), 6) AS w
+      FROM tf f JOIN ratio USING (bk)
+      GROUP BY f.doc_id, f.source
+    )
+    SELECT source, count(*) AS n_docs, round(avg(w), 4) AS avg_logweight
+    FROM scored GROUP BY source
+    """,
+)
+def dsir_source_weights(spark, sf_dir):
+    """Per-source mean DSIR log weight, target domain = source 'src0'."""
+    from cryptocurrency_data_pipeline_spark.operators.dsir import (
+        importance_logweights,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    w = importance_logweights(
+        docs, target=F.col("source") == "src0", keys=("doc_id", "source")
+    )
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("log_weight"), 4).alias("avg_logweight"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two
 # rounds: the checked set is exactly the first 50).  Every query below is
