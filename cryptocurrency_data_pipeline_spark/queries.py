@@ -5104,6 +5104,39 @@ def dsir_source_weights(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Blocked fuzzy self-join (operators/fuzzy.py): q-gram blocking + built-in
+# levenshtein verify over the distinct part names — the entity-resolution
+# shape that never materializes all-pairs.  The oracle replays the
+# BLOCKING predicate too (shared-gram candidates, then the distance cap),
+# same discipline as the LSH oracles: the blocking is part of the
+# operator's contract, not an approximation to hide.
+# --------------------------------------------------------------------------
+
+@query(
+    "fuzzy_part_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS k FROM part),
+    g AS (
+      SELECT k, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(k) - 2, 0)),
+               i -> substr(k, i, 3)))) AS gram
+      FROM names
+    ), cand AS (
+      SELECT DISTINCT a.k AS key_a, b.k AS key_b
+      FROM g a JOIN g b ON a.gram = b.gram AND a.k < b.k
+    )
+    SELECT key_a, key_b, levenshtein(key_a, key_b) AS edit_distance
+    FROM cand WHERE levenshtein(key_a, key_b) <= 2
+    """,
+)
+def fuzzy_part_name_pairs(spark, sf_dir):
+    """Near-identical part names within 2 edits, q-gram-blocked."""
+    from cryptocurrency_data_pipeline_spark.operators.fuzzy import fuzzy_self_pairs
+
+    return fuzzy_self_pairs(t(spark, sf_dir, "part"), "p_name", q=3, max_distance=2)
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two
 # rounds: the checked set is exactly the first 50).  Every query below is

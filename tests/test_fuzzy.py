@@ -1,0 +1,60 @@
+"""Blocked fuzzy matching: q-gram candidates, levenshtein verify."""
+
+from pyspark.sql import functions as F
+
+from cryptocurrency_data_pipeline_spark.operators.fuzzy import (
+    fuzzy_self_pairs,
+    qgrams,
+)
+
+
+def test_qgrams_basic_and_short_keys(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",), ("aaaa",)], "s string")
+    rows = df.select(qgrams("s", 3).alias("g")).collect()
+    assert rows[0].g == ["abc", "bcd"]
+    assert rows[1].g == []          # shorter than q -> no grams
+    assert rows[2].g == ["aaa"]     # distinct collapses repeats
+
+
+def test_fuzzy_pairs_find_close_names(spark):
+    df = spark.createDataFrame(
+        [("red anvil",), ("old anvil",), ("blue bolt",), ("red anvil",)],
+        "name string",
+    )
+    out = fuzzy_self_pairs(df, "name", q=3, max_distance=2).collect()
+    assert [(r.key_a, r.key_b, r.edit_distance) for r in out] == [
+        ("old anvil", "red anvil", 2)
+    ]
+
+
+def test_no_shared_gram_means_no_pair(spark):
+    # 'abc' vs 'xyz' are distance 3 apart AND share no gram: the blocking
+    # contract says no candidate, regardless of the distance cap.
+    df = spark.createDataFrame([("abc",), ("xyz",)], "name string")
+    assert fuzzy_self_pairs(df, "name", q=3, max_distance=5).count() == 0
+
+
+def test_stop_gram_pruning_drops_hot_gram_only_pairs(spark):
+    # Every name shares the hot suffix ' anvil'; pruning grams seen in >2
+    # keys removes those blocks, so only pairs sharing a rarer prefix
+    # gram survive candidacy.
+    df = spark.createDataFrame(
+        [("red anvil",), ("ted anvil",), ("old anvil",), ("wed anvil",)],
+        "name string",
+    )
+    unpruned = fuzzy_self_pairs(df, "name", q=3, max_distance=1)
+    pruned = fuzzy_self_pairs(df, "name", q=3, max_distance=1, max_gram_df=2)
+    assert unpruned.count() > pruned.count()
+    # 'red'/'ted'/'wed' pairs share their 'ed ' gram (df=3 > 2) and the
+    # anvil grams (df=4), so pruning leaves nothing.
+    assert pruned.count() == 0
+
+
+def test_candidate_join_is_equi_join(spark):
+    df = spark.createDataFrame([(f"name {i}",) for i in range(50)], "name string")
+    plan = (
+        fuzzy_self_pairs(df, "name")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
