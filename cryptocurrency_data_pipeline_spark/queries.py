@@ -5312,6 +5312,15 @@ DEMOTED_PAST_DRIVER_CAP = [
     "tfidf_top_term_per_doc",
     "sql_api_shipping_priority",
     "grouping_sets_revenue",
+    # Round-4 session demotions: driver-green in r3 AND value-replayed at
+    # sf0.01 through tools/check_oracle.py this session; each family keeps
+    # an in-window representative (SRP -> ann_recall_at_k, SimHash ->
+    # simhash_recall, HLL -> hll_weekly_users).  Freed slots go to the new
+    # semdedup / dsir / fuzzy / rrf entries, which have yet to earn a
+    # driver row.
+    "ann_srp_topk",
+    "simhash_signatures",
+    "approx_distinct_users",
     # Registered tail-first by design (round 4 filled the 50-slot window):
     # parity-pinned per pytest run until a window slot rotates free.
     "pagerank_doc_graph",
