@@ -14,16 +14,18 @@ Spark shape, stage by stage:
   % B``); the per-(doc, bucket) term frequencies come from ONE doc-keyed
   shuffle whose map-side combine collapses each document to at most B
   partial rows before the exchange.
-* **Distributions — two B-row aggregates.**  Raw and target bucket counts
-  are partial-agged sums over the (doc, bucket) frame; B is a constant
-  (default 64), so both relations are sketch-sized no matter the corpus.
-* **Log-ratio lookup — broadcast.**  Laplace-smoothed
-  ``ln((n_t+1)/(T_t+B)) - ln((n_r+1)/(T_r+B))`` per bucket, totals carried
-  as a 1-row broadcast; the scoring join is bucket->ratio against B rows,
-  never a data-sized side.
-* **Score — reuse of the SAME doc-keyed partitioning.**  The final
-  ``groupBy(doc)`` of ``tf * lr`` lands on the partitioning the tf stage
-  already produced, so Catalyst plans it without a second wide exchange.
+* **Distributions — ONE B-row aggregate.**  Raw and target bucket counts
+  come from a single conditional-sum groupBy over the cached tf frame; B
+  is a constant (default 64), so the relation is sketch-sized no matter
+  the corpus, and the Laplace totals are window sums over that one
+  single-partition B-row frame.
+* **Log-ratio lookup — broadcast.**  The scoring join is bucket->ratio
+  against B rows, never a data-sized side; the final ``groupBy(doc)`` of
+  ``tf * lr`` shuffles only the collapsed doc x <=B rows.
+* **Single corpus pass.**  tf is persisted because two consumers (sketch,
+  scoring) would otherwise each re-run the token explode — the plan is
+  pinned to one tf exchange + InMemoryTableScan reuse in
+  tests/test_dsir.py.
 
 Driver state: zero (everything stays in-plan).  At 100 TB the only wide
 shuffle is the (doc, bucket) tf aggregation — the same cost profile as
@@ -38,7 +40,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cryptocurrency_data_pipeline_spark.operators.text import tokens
@@ -65,6 +67,11 @@ def importance_logweights(
     ``log_weight`` (rounded to 6 dp so cross-engine summation order is
     absorbed).  Filter/resample on ``log_weight`` downstream.
     """
+    # ``tf`` feeds BOTH the distribution sketch and the final scoring —
+    # persist it so the token explode + shuffle happens exactly once (the
+    # ids.py precedent: un-deduplicated subtree reuse would re-tokenize
+    # the corpus per instantiation; the cache is the collapsed
+    # doc x <=B frame, spill-friendly, reclaimed by the ContextCleaner).
     tf = (
         docs.select(
             *keys,
@@ -74,26 +81,30 @@ def importance_logweights(
         .withColumn("__b", hashed_feature_bucket("__tok", n_buckets))
         .groupBy(*keys, "__is_target", "__b")
         .agg(F.count(F.lit(1)).alias("__tf"))
+        .persist()
     )
-    raw = tf.groupBy("__b").agg(F.sum("__tf").alias("__n_raw"))
-    tgt = (
-        tf.filter(F.col("__is_target"))
-        .groupBy("__b")
-        .agg(F.sum("__tf").alias("__n_tgt"))
+    # Raw + target bucket counts in ONE B-row aggregate (conditional sum),
+    # totals as window sums over that single-partition B-row frame — no
+    # second pass over data for distributions.
+    bucket = tf.groupBy("__b").agg(
+        F.sum("__tf").alias("__n_raw"),
+        F.sum(F.when(F.col("__is_target"), F.col("__tf")).otherwise(0)).alias(
+            "__n_tgt"
+        ),
     )
-    joined = raw.join(tgt, "__b", "left").select(
-        "__b", "__n_raw", F.coalesce("__n_tgt", F.lit(0)).alias("__n_tgt")
-    )
-    totals = joined.agg(
-        F.sum("__n_raw").cast("double").alias("__t_raw"),
-        F.sum("__n_tgt").cast("double").alias("__t_tgt"),
-    )
+    wall = Window.partitionBy()  # B rows total — bounded, never data-sized
     lit_b = F.lit(float(n_buckets))
-    ratios = joined.crossJoin(F.broadcast(totals)).select(
+    ratios = bucket.select(
         "__b",
         (
-            F.log((F.col("__n_tgt") + 1) / (F.col("__t_tgt") + lit_b))
-            - F.log((F.col("__n_raw") + 1) / (F.col("__t_raw") + lit_b))
+            F.log(
+                (F.col("__n_tgt") + 1)
+                / (F.sum("__n_tgt").over(wall).cast("double") + lit_b)
+            )
+            - F.log(
+                (F.col("__n_raw") + 1)
+                / (F.sum("__n_raw").over(wall).cast("double") + lit_b)
+            )
         ).alias("__lr"),
     )
     return (

@@ -51,3 +51,19 @@ def test_every_doc_gets_a_weight(spark):
     out = importance_logweights(df, F.col("is_t"))
     assert out.count() == 5
     assert out.filter(F.col("log_weight").isNull()).count() == 0
+
+
+def test_corpus_is_tokenized_exactly_once(spark):
+    # tf feeds both the distribution sketch and the scoring; the persist
+    # must collapse them onto one exchange + cache reuse, not four
+    # re-tokenizations of the corpus.
+    rows = [(i, f"tok{i % 7} tok{i % 3}", i % 4 == 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = importance_logweights(df, F.col("is_t"))
+    out.count()  # materialize so the cache is live in the executed plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Both consumers (distribution sketch via the broadcast ratio side,
+    # final scoring) must read the CACHE, not re-derive the subtree.  The
+    # tf exchange still prints once per InMemoryRelation description, but
+    # it executes only on cache fill — cache scans are the signal.
+    assert plan.count("InMemoryTableScan") == 2
