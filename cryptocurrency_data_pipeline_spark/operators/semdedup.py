@@ -64,7 +64,11 @@ def semantic_dedup(
     """
     seeds = ivf_centroids(corpus, nlist=nlist, id_col=id_col, vec_col=vec_col)
     centers = sorted((r.centroid_id, list(r.centroid)) for r in seeds.collect())
-    assigned = assign_clusters(corpus, centers, id_col=id_col, vec_col=vec_col)
+    # Three consumers (both pair sides + the flag join) would each rescan
+    # the corpus and recompute the k x dim assignment; persist collapses
+    # them onto one scan + cache reads (spills to disk at scale, reclaimed
+    # by the ContextCleaner — the MLlib caching discipline).
+    assigned = assign_clusters(corpus, centers, id_col=id_col, vec_col=vec_col).persist()
 
     a = assigned.select(
         F.col(id_col).alias("__id_a"),
@@ -84,8 +88,10 @@ def semantic_dedup(
         .distinct()
         .withColumn("__dropped", F.lit(True))
     )
+    # The flag join never needs the vectors — shuffle (id, cluster) only.
+    slim = assigned.select(id_col, "cluster_id")
     return (
-        assigned.join(dropped, id_col, "left")
+        slim.join(dropped, id_col, "left")
         .select(
             id_col,
             "cluster_id",

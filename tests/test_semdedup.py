@@ -64,3 +64,14 @@ def test_dropped_rows_have_a_kept_exemplar(spark):
     kept = {r.vec_id for r in out if r.is_kept}
     # axis e_k appears 3x; only the lowest id of each axis group is kept
     assert kept == {1, 2, 3}
+
+
+def test_assignment_computed_once_and_flag_join_is_slim(spark):
+    emb = load_table(spark, SF, "embeddings")
+    out = semantic_dedup(emb, nlist=4, tau=0.45)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one cache fill feeds all three consumers ("Scan parquet" still
+    # prints inside each InMemoryRelation description, but executes only
+    # on cache fill — cache scans are the signal)
+    assert plan.count("InMemoryTableScan") == 3
