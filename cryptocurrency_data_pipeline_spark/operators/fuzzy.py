@@ -78,6 +78,9 @@ def fuzzy_self_pairs(
             grams.join(F.broadcast(freq.filter(F.col("__df") > max_gram_df)),
                        "__gram", "left_anti")
         )
+    # Both sides of the candidate join (and the freq pass, when pruning)
+    # consume ``grams`` — persist so the distinct + explode runs once.
+    grams = grams.persist()
     a = grams.select(F.col("__k").alias("key_a"), "__gram")
     b = grams.select(F.col("__k").alias("key_b"), "__gram")
     cand = (

@@ -58,3 +58,12 @@ def test_candidate_join_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gram_extraction_runs_once(spark):
+    df = spark.createDataFrame([(f"name {i}",) for i in range(30)], "name string")
+    out = fuzzy_self_pairs(df, "name")
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both candidate sides read the cached gram frame
+    assert plan.count("InMemoryTableScan") == 2
