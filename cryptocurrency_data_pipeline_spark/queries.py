@@ -5302,7 +5302,10 @@ def ngram_diversity_by_source(spark, sf_dir):
         "source", text.tokens("text").alias("t")
     )
 
-    def gram_rows(n):
+    # All three gram sizes come out of ONE scan: each n contributes a
+    # tagged struct array, concat + a single explode replaces a 3-way
+    # union that would rescan the documents three times.
+    def tagged(n):
         idx = F.sequence(
             F.lit(1), F.greatest(F.size("t") - (n - 1), F.lit(0))
         )
@@ -5312,11 +5315,15 @@ def ngram_diversity_by_source(spark, sf_dir):
                 idx, lambda i: F.array_join(F.slice("t", i, n), " ")
             ),
         ).otherwise(F.array().cast("array<string>"))
-        return tok.select(
-            "source", F.lit(n).alias("n"), F.explode(grams).alias("gram")
+        return F.transform(
+            grams,
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
         )
 
-    grams = gram_rows(1).unionByName(gram_rows(2)).unionByName(gram_rows(3))
+    grams = tok.select(
+        "source",
+        F.explode(F.concat(tagged(1), tagged(2), tagged(3))).alias("e"),
+    ).select("source", F.col("e.n").alias("n"), F.col("e.gram").alias("gram"))
     per_gram = grams.groupBy("source", "n", "gram").agg(
         F.count(F.lit(1)).alias("c")
     )
