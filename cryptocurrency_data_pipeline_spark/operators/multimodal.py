@@ -136,6 +136,40 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
     )
 
 
+def media_dir_table(
+    spark,
+    path: str,
+    kind: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Ingest a directory of media files via Spark's built-in
+    ``binaryFile`` source into the canonical MEDIA_SCHEMA.
+
+    This is how payloads actually enter the engine at scale: the source
+    lists files in parallel, ships (path, length, content) per file, and
+    pushes ``pathGlobFilter`` down to the listing — no driver-side I/O.
+    ``media_id`` is derived from the file path's hash (stable across
+    re-listing order); the original path is kept for provenance.
+    """
+    reader = spark.read.format("binaryFile").option(
+        "recursiveFileLookup", str(recursive).lower()
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content").alias("payload"),
+        F.sha2(F.col("content"), 256).alias("content_hash"),
+        F.length(F.col("content")).cast("long").alias("n_bytes"),
+        F.col("path").alias("src_path"),
+    )
+
+
 def media_table(df: DataFrame, id_col: str, kind: str, payload_col: str) -> DataFrame:
     """Normalize any (id, binary) frame into the canonical MEDIA_SCHEMA,
     with content hash + size computed JVM-side (sha2/length on binary)."""

@@ -222,3 +222,44 @@ def test_decode_video_meta_roundtrip(spark):
     got = {r.media_id: r for r in decode_video_meta(df).collect()}
     assert (got[1].width, got[1].fps_num, got[1].n_frames) == (4, 25, 5)
     assert got[2].n_frames is None
+
+
+def test_media_dir_table_binary_file_source(spark, tmp_path):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_image_meta,
+        media_dir_table,
+    )
+
+    d = tmp_path / "imgs"
+    sub = d / "nested"
+    sub.mkdir(parents=True)
+    (d / "a.ppm").write_bytes(b"P6 640 480 255\n" + b"\x00" * 16)
+    (sub / "b.ppm").write_bytes(b"P6\n12 34\n255\n" + b"\x01" * 8)
+    (d / "ignore.txt").write_text("not media")
+
+    tab = media_dir_table(spark, str(d), "image", glob="*.ppm")
+    rows = tab.collect()
+    assert len(rows) == 2  # glob filtered, recursive listing
+    assert {r.n_bytes > 0 for r in rows} == {True}
+    assert len({r.media_id for r in rows}) == 2  # path-hash ids distinct
+
+    meta = {
+        (r.width, r.height): r.media_id
+        for r in decode_image_meta(tab).collect()
+    }
+    assert set(meta) == {(640, 480), (12, 34)}
+
+
+def test_media_dir_table_glob_pushdown_in_plan(spark, tmp_path):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        media_dir_table,
+    )
+
+    d = tmp_path / "imgs2"
+    d.mkdir()
+    (d / "x.ppm").write_bytes(b"P6 1 1 255\n\x00\x00\x00")
+    tab = media_dir_table(spark, str(d), "image", glob="*.ppm")
+    assert tab.count() == 1
+    # ids are stable across repeated listings
+    again = media_dir_table(spark, str(d), "image", glob="*.ppm")
+    assert tab.select("media_id").collect() == again.select("media_id").collect()
