@@ -214,3 +214,44 @@ def test_media_parsers_fail_closed_on_arbitrary_bytes(payload):
             assert isinstance(out, tuple)
         except (ValueError, NotImplementedError):
             pass
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy matching: the q-gram recall bound.  Strings at edit
+# distance d with max length L share >= L - q + 1 - d*q q-grams, so for
+# keys of length >= q + d*q every true pair MUST survive blocking — the
+# operator may never lose a pair the bound guarantees.
+# ---------------------------------------------------------------------------
+
+_word = st.text(alphabet="abcdef", min_size=9, max_size=14)
+
+
+@given(st.lists(_word, min_size=2, max_size=8, unique=True))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_fuzzy_blocking_recall_bound(spark, words):
+    import itertools
+
+    from cryptocurrency_data_pipeline_spark.operators.fuzzy import fuzzy_self_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame([(w,) for w in words], "name string")
+    got = {
+        (r.key_a, r.key_b)
+        for r in fuzzy_self_pairs(df, "name", q=3, max_distance=2).collect()
+    }
+    for a, b in itertools.combinations(sorted(words), 2):
+        d = lev(a, b)
+        if d <= 2 and max(len(a), len(b)) >= 3 + 2 * 3:
+            assert (a, b) in got, f"guaranteed pair lost: {a!r} {b!r} d={d}"
+    # and nothing beyond the cap is ever emitted
+    for a, b in got:
+        assert lev(a, b) <= 2
