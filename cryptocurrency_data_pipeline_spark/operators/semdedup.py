@@ -43,9 +43,15 @@ from pyspark.sql import functions as F
 
 from cryptocurrency_data_pipeline_spark.operators.clustering import assign_clusters
 from cryptocurrency_data_pipeline_spark.operators.similarity import (
-    cosine,
+    dot,
     ivf_centroids,
 )
+
+
+def _self_dot(v):
+    """Sequential-fold self dot product (same order as DuckDB's
+    list_dot_product, so sqrt(self_dot) replays exactly)."""
+    return dot(v, v)
 
 
 def semantic_dedup(
@@ -67,23 +73,38 @@ def semantic_dedup(
     # Three consumers (both pair sides + the flag join) would each rescan
     # the corpus and recompute the k x dim assignment; persist collapses
     # them onto one scan + cache reads (spills to disk at scale, reclaimed
-    # by the ContextCleaner — the MLlib caching discipline).
-    assigned = assign_clusters(corpus, centers, id_col=id_col, vec_col=vec_col).persist()
+    # by the ContextCleaner — the MLlib caching discipline).  Vectors are
+    # L2-normalized HERE, once per row, so every within-cluster pair pays
+    # a single dot-product fold instead of dot + two norms — the pair
+    # space is the quadratic term, the normalization is linear.  (Oracles
+    # must normalize-then-dot the same way: the fold order matters.)
+    assigned = (
+        assign_clusters(corpus, centers, id_col=id_col, vec_col=vec_col)
+        # norm in its OWN column first: inside the transform lambda it
+        # would re-fold the whole vector once per element (O(dim^2)/row)
+        .withColumn("__norm", F.sqrt(_self_dot(F.col(vec_col))))
+        .withColumn(
+            "__nv",
+            F.transform(F.col(vec_col), lambda x: x / F.col("__norm")),
+        )
+        .drop("__norm")
+        .persist()
+    )
 
     a = assigned.select(
         F.col(id_col).alias("__id_a"),
         F.col("cluster_id"),
-        F.col(vec_col).alias("__v_a"),
+        F.col("__nv").alias("__v_a"),
     )
     b = assigned.select(
         F.col(id_col).alias("__id_b"),
         F.col("cluster_id"),
-        F.col(vec_col).alias("__v_b"),
+        F.col("__nv").alias("__v_b"),
     )
     dropped = (
         a.join(b, "cluster_id")
         .filter(F.col("__id_a") < F.col("__id_b"))
-        .filter(cosine(F.col("__v_a"), F.col("__v_b")) >= F.lit(float(tau)))
+        .filter(dot(F.col("__v_a"), F.col("__v_b")) >= F.lit(float(tau)))
         .select(F.col("__id_b").alias(id_col))
         .distinct()
         .withColumn("__dropped", F.lit(True))

@@ -5012,15 +5012,15 @@ def join_key_skew_report(spark, sf_dir):
                j -> (a.v[j] - s.c[j]) * (a.v[j] - s.c[j])), 'sum') AS d
       FROM corpus a CROSS JOIN seed s
     ), a0 AS (
-      SELECT vec_id, v, cid FROM (
+      SELECT vec_id, cid,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         FROM d0) WHERE rn = 1
     ), dropped AS (
       SELECT DISTINCT b.vec_id
       FROM a0 a JOIN a0 b ON a.cid = b.cid AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-            >= 0.45
+      WHERE list_dot_product(a.nv, b.nv) >= 0.45
     )
     SELECT a0.cid AS cluster_id,
            count(*) AS n_vecs,
