@@ -60,6 +60,15 @@ def assign_clusters(
     lowest center id."""
     vec = as_double(F.col(vec_col))
     staged = corpus.select(F.col(id_col), vec.alias("__v"))
+    if not centers:
+        # empty corpus -> empty seed sample: emit the output schema with
+        # zero rows instead of building an empty struct array (VOID type)
+        return staged.select(
+            id_col,
+            F.col("__v").alias(vec_col),
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(None).cast("double").alias("sq_dist"),
+        ).limit(0)
     entries = [
         F.struct(
             _sq_dist_to(F.col("__v"), c).alias("d"), F.lit(cid).alias("c")

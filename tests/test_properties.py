@@ -255,3 +255,61 @@ def test_fuzzy_blocking_recall_bound(spark, words):
     # and nothing beyond the cap is ever emitted
     for a, b in got:
         assert lev(a, b) <= 2
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup greedy rule vs a numpy reference on random corpora: a vector is
+# dropped iff some lower-id vector in the SAME coarse cluster has cosine
+# >= tau; clusters replicate the md5-seeded nearest-center assignment.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(st.floats(min_value=-1, max_value=1, allow_nan=False,
+                           width=32), min_size=3, max_size=3),
+        min_size=2, max_size=10,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_semdedup_matches_reference(spark, vecs):
+    import hashlib
+    import math
+
+    from cryptocurrency_data_pipeline_spark.operators.semdedup import semantic_dedup
+
+    # skip corpora containing (near-)zero vectors: cosine undefined
+    vecs = [v for v in vecs if math.sqrt(sum(x * x for x in v)) > 1e-6]
+    if len(vecs) < 2:
+        return
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs, 1)]
+    nlist, tau = 2, 0.8
+
+    # reference: md5-ordered seeds, nearest-center by L2 (ties lowest cid)
+    seeds = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))[:nlist]
+    centers = [(cid, v) for cid, (_, v) in enumerate(seeds, 1)]
+    def cluster(v):
+        d = [(sum((a - c) ** 2 for a, c in zip(v, cv)), cid) for cid, cv in centers]
+        return min(d)[1]
+    assign = {i: cluster(v) for i, v in rows}
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a)); nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+    expected = {}
+    for i, v in rows:
+        dropped = any(
+            j < i and assign[j] == assign[i] and cos(w, v) >= tau - 1e-9
+            for j, w in rows
+        )
+        near = any(
+            j < i and assign[j] == assign[i] and abs(cos(w, v) - tau) < 1e-7
+            for j, w in rows
+        )
+        if near:
+            continue  # don't assert on float-boundary pairs
+        expected[i] = not dropped
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.is_kept for r in semantic_dedup(df, nlist=nlist, tau=tau).collect()}
+    for i, keep in expected.items():
+        assert got[i] == keep, f"vec {i}: expected is_kept={keep}"

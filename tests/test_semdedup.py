@@ -75,3 +75,15 @@ def test_assignment_computed_once_and_flag_join_is_slim(spark):
     # prints inside each InMemoryRelation description, but executes only
     # on cache fill — cache scans are the signal)
     assert plan.count("InMemoryTableScan") == 3
+
+
+def test_empty_corpus_yields_empty_result(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_dedup(empty, nlist=4, tau=0.5)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cluster_id", "is_kept"]
+
+
+def test_single_row_is_kept(spark):
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    assert [(r.vec_id, r.is_kept) for r in semantic_dedup(one, nlist=4, tau=0.5).collect()] == [(1, True)]
