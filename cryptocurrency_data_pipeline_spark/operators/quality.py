@@ -237,3 +237,35 @@ def route_rows(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         df.filter(F.col("dq_result").startswith("Passed")).drop("dq_result"),
         df.filter(F.col("dq_result").startswith("Failed")).drop("dq_result"),
     )
+
+
+def observed(
+    df: DataFrame,
+    name: str = "dq",
+    completeness_cols: Sequence[str] = (),
+    numeric_cols: Sequence[str] = (),
+):
+    """Attach zero-cost DQ metrics to a DataFrame's NEXT action.
+
+    ``profile()`` answers "what does this table look like" with one
+    dedicated job; ``observed()`` answers "what just flowed through this
+    write" for free — Spark's Observation API accumulates the metrics on
+    the SAME tasks that execute the action (a write, a count), so the
+    100 TB write path gets row counts, completeness and min/max
+    accounting without a second scan.
+
+    Returns ``(df, observation)``; read ``observation.get`` AFTER an
+    action has run.  Metric names match the profile() convention.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("Size(*)")]
+    for c in completeness_cols:
+        metrics.append(
+            F.avg(F.col(c).isNotNull().cast("double")).alias(f"Completeness({c})")
+        )
+    for c in numeric_cols:
+        metrics.append(F.min(c).cast("double").alias(f"Minimum({c})"))
+        metrics.append(F.max(c).cast("double").alias(f"Maximum({c})"))
+    return df.observe(obs, *metrics), obs

@@ -85,3 +85,22 @@ def test_hll_weekly_union_close_to_exact(spark):
     assert rows
     for r in rows:
         assert r.exact_users > 0 and r.within_5pct, (r.week, r.exact_users)
+
+
+def test_observed_metrics_ride_the_write(spark, tmp_path):
+    from cryptocurrency_data_pipeline_spark.operators.quality import observed
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, 8.0)], "k long, v double"
+    )
+    watched, obs = observed(
+        df, completeness_cols=["v"], numeric_cols=["v"]
+    )
+    # the metrics accumulate on the write job itself — no second scan
+    watched.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["Size(*)"] == 3
+    assert abs(got["Completeness(v)"] - 2 / 3) < 1e-9
+    assert got["Minimum(v)"] == 2.0 and got["Maximum(v)"] == 8.0
+    # and the data itself is untouched by observation
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 3
