@@ -54,6 +54,28 @@ def _self_dot(v):
     return dot(v, v)
 
 
+def _normalized_assignment(
+    corpus: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cluster_id, __nv): literal-center assignment + one-time L2
+    normalization, persisted for multi-consumer reuse.  Norm lives in its
+    OWN column first — inside the transform lambda it would re-fold the
+    whole vector once per element (O(dim^2)/row)."""
+    return (
+        assign_clusters(corpus, centers, id_col=id_col, vec_col=vec_col)
+        .withColumn("__norm", F.sqrt(_self_dot(F.col(vec_col))))
+        .withColumn(
+            "__nv",
+            F.transform(F.col(vec_col), lambda x: x / F.col("__norm")),
+        )
+        .select(id_col, "cluster_id", "__nv")
+        .persist()
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     nlist: int = 8,
@@ -74,22 +96,11 @@ def semantic_dedup(
     # the corpus and recompute the k x dim assignment; persist collapses
     # them onto one scan + cache reads (spills to disk at scale, reclaimed
     # by the ContextCleaner — the MLlib caching discipline).  Vectors are
-    # L2-normalized HERE, once per row, so every within-cluster pair pays
-    # a single dot-product fold instead of dot + two norms — the pair
-    # space is the quadratic term, the normalization is linear.  (Oracles
-    # must normalize-then-dot the same way: the fold order matters.)
-    assigned = (
-        assign_clusters(corpus, centers, id_col=id_col, vec_col=vec_col)
-        # norm in its OWN column first: inside the transform lambda it
-        # would re-fold the whole vector once per element (O(dim^2)/row)
-        .withColumn("__norm", F.sqrt(_self_dot(F.col(vec_col))))
-        .withColumn(
-            "__nv",
-            F.transform(F.col(vec_col), lambda x: x / F.col("__norm")),
-        )
-        .drop("__norm")
-        .persist()
-    )
+    # L2-normalized once per row, so every within-cluster pair pays a
+    # single dot-product fold instead of dot + two norms — the pair space
+    # is the quadratic term, the normalization is linear.  (Oracles must
+    # normalize-then-dot the same way: the fold order matters.)
+    assigned = _normalized_assignment(corpus, centers, id_col, vec_col)
 
     a = assigned.select(
         F.col(id_col).alias("__id_a"),
@@ -118,4 +129,87 @@ def semantic_dedup(
             "cluster_id",
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"),
         )
+    )
+
+
+def semantic_dedup_incremental(
+    existing: DataFrame,
+    batch: DataFrame,
+    nlist: int = 8,
+    tau: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dedup a NEW batch against an already-kept corpus — the steady-state
+    mode of a growing corpus.  Output: (id, cluster_id, dup_of_existing,
+    dup_within_batch, is_kept) for the batch rows only.
+
+    Semantics (all deterministic):
+
+    * the coarse quantizer comes from the EXISTING corpus only — a stable
+      center set, so historical cluster assignments never churn as
+      batches arrive (the production IVF discipline);
+    * ``dup_of_existing``: some existing same-cluster vector has cosine
+      >= tau (the existing corpus is immutable — nothing in it is ever
+      re-dropped);
+    * ``dup_within_batch``: not a dup of existing, but a lower-id batch
+      vector has cosine >= tau (the same greedy lowest-id-exemplar rule
+      as ``semantic_dedup``);
+    * ``is_kept``: neither.
+
+    Cost shape: existing x batch and batch x batch pairs, BOTH bounded by
+    the shared cluster key — one equi-join shuffle each, never corpus x
+    batch all-pairs.  The existing side is assigned fresh here; a real
+    deployment persists its normalized assignment alongside the corpus
+    and feeds it back, paying only the (small) batch assignment per
+    increment.
+    """
+    seeds = ivf_centroids(existing, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    centers = sorted((r.centroid_id, list(r.centroid)) for r in seeds.collect())
+    ex = _normalized_assignment(existing, centers, id_col, vec_col)
+    nw = _normalized_assignment(batch, centers, id_col, vec_col)
+
+    n_side = nw.select(
+        F.col(id_col).alias("__id_n"), "cluster_id", F.col("__nv").alias("__v_n")
+    )
+    e_side = ex.select(
+        "cluster_id", F.col("__nv").alias("__v_e")
+    )
+    dup_existing = (
+        n_side.join(e_side, "cluster_id")
+        .filter(dot(F.col("__v_n"), F.col("__v_e")) >= F.lit(float(tau)))
+        .select(F.col("__id_n").alias(id_col))
+        .distinct()
+        .withColumn("__dup_ex", F.lit(True))
+    )
+    lo = nw.select(
+        F.col(id_col).alias("__id_a"), "cluster_id", F.col("__nv").alias("__v_a")
+    )
+    hi = nw.select(
+        F.col(id_col).alias("__id_b"), "cluster_id", F.col("__nv").alias("__v_b")
+    )
+    dup_batch = (
+        lo.join(hi, "cluster_id")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(dot(F.col("__v_a"), F.col("__v_b")) >= F.lit(float(tau)))
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup_new", F.lit(True))
+    )
+    slim = nw.select(id_col, "cluster_id")
+    flags = (
+        slim.join(dup_existing, id_col, "left")
+        .join(dup_batch, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(F.col("__dup_ex"), F.lit(False)).alias("dup_of_existing"),
+            (
+                F.coalesce(F.col("__dup_new"), F.lit(False))
+                & ~F.coalesce(F.col("__dup_ex"), F.lit(False))
+            ).alias("dup_within_batch"),
+        )
+    )
+    return flags.withColumn(
+        "is_kept", ~F.col("dup_of_existing") & ~F.col("dup_within_batch")
     )

@@ -87,3 +87,48 @@ def test_empty_corpus_yields_empty_result(spark):
 def test_single_row_is_kept(spark):
     one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
     assert [(r.vec_id, r.is_kept) for r in semantic_dedup(one, nlist=4, tau=0.5).collect()] == [(1, True)]
+
+
+def test_incremental_dedup_against_existing_and_within_batch(spark):
+    from cryptocurrency_data_pipeline_spark.operators.semdedup import (
+        semantic_dedup_incremental,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, [1.0, 0.01]),   # dup of existing 1
+            (11, [-1.0, 0.0]),   # novel (opposite direction)
+            (12, [-1.0, 0.01]),  # dup of 11 within batch
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: (r.dup_of_existing, r.dup_within_batch, r.is_kept)
+        for r in semantic_dedup_incremental(
+            existing, batch, nlist=1, tau=0.9
+        ).collect()
+    }
+    assert out[10] == (True, False, False)
+    assert out[11] == (False, False, True)
+    assert out[12] == (False, True, False)
+
+
+def test_incremental_existing_rows_never_flagged(spark):
+    from cryptocurrency_data_pipeline_spark.operators.semdedup import (
+        semantic_dedup_incremental,
+    )
+
+    existing = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 5)],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(10, [9.0, 9.0])], "vec_id long, embedding array<double>"
+    )
+    out = semantic_dedup_incremental(existing, batch, nlist=2, tau=0.99)
+    # output contains batch ids only
+    assert sorted(r.vec_id for r in out.collect()) == [10]
