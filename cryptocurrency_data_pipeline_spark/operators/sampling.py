@@ -86,3 +86,42 @@ def mixture_keep(
     ``CAST(floor(rate * 65536) AS BIGINT)``."""
     threshold = F.floor(rate * F.lit(1 << 16)).cast("long")
     return mixture_bucket(id_col, source_col) < threshold
+
+
+def md5_uniform(id_col: str | Column) -> Column:
+    """Deterministic uniform in (0, 1): the first 8 md5 hex digits of the
+    id, midpoint-shifted so the value is never exactly 0 or 1 — retry-
+    stable and replayable in any engine with md5."""
+    cid = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(cid.cast("string")), 1, 8), 16, 10).cast("double")
+    return (h + F.lit(0.5)) / F.lit(float(1 << 32))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sample without replacement, Efraimidis–Spirtes A-ES.
+
+    Each row draws the deterministic uniform ``u = md5_uniform(id)`` and
+    scores ``key = ln(u) / w``; the k LARGEST keys (equivalently the
+    classic ``u^(1/w)`` formulation, log-transformed so the comparison is
+    overflow-safe) are the sample — inclusion probability proportional to
+    weight, no RNG state, identical on every retry.
+
+    The selection is ``orderBy(key desc).limit(k)`` = TakeOrderedAndProject:
+    each task forwards at most k survivors, the classic distributed
+    reservoir.  Zero-or-negative weights are excluded (they cannot be
+    sampled under A-ES).
+    """
+    keyed = (
+        df.filter(weight > 0)
+        .withColumn("__w", weight.cast("double"))
+        .withColumn(
+            "sample_key", F.round(F.log(md5_uniform(id_col)) / F.col("__w"), 9)
+        )
+        .drop("__w")
+    )
+    return keyed.orderBy(F.col("sample_key").desc(), F.col(id_col)).limit(k)

@@ -237,3 +237,48 @@ def test_char_entropy_bounds(spark):
         # 0 <= H <= log2(n_chars) (uniform over distinct chars is the max,
         # and there are at most n_chars distinct chars).
         assert -1e-9 <= r.char_entropy <= math.log2(r.n_chars) + 1e-9
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from cryptocurrency_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from pyspark.sql import functions as F
+
+    # one giant weight among minnows: the heavy row must be sampled with
+    # near-certainty (its key ln(u)/w is ~0 regardless of u)
+    rows = [(i, 1) for i in range(1, 200)] + [(999, 10**9)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r.doc_id for r in weighted_sample(df, F.col("w"), k=10).collect()}
+    assert 999 in got
+    assert len(got) == 10
+    # deterministic across runs
+    again = {r.doc_id for r in weighted_sample(df, F.col("w"), k=10).collect()}
+    assert got == again
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from cryptocurrency_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 7)], "doc_id long, w long"
+    )
+    got = [r.doc_id for r in weighted_sample(df, F.col("w"), k=5).collect()]
+    assert got == [3]
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from cryptocurrency_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, i) for i in range(1, 100)], "doc_id long, w long")
+    plan = (
+        weighted_sample(df, F.col("w"), k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
