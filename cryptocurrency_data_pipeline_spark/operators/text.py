@@ -482,3 +482,23 @@ def bm25_rank(
         "score", sum(contrib(i) for i in range(len(query_terms)))
     )
     return scored.filter(F.col("score") > 0).select(id_col, "score")
+
+
+def normalize_unicode(col: str | Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) as an Arrow-batched
+    pandas UDF — the multilingual-pipeline prerequisite (composed vs
+    decomposed accents, fullwidth/compatibility variants) that Spark has
+    no JVM builtin for, which makes this one of the few legitimately
+    Python steps in the engine.  Vectorized ``pandas.Series.str.normalize``
+    per Arrow batch; nulls pass through.  DuckDB replays NFC via
+    ``nfc_normalize()`` when an oracle needs it."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return norm(c)

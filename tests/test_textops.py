@@ -194,3 +194,38 @@ def test_chunk_docs_covers_every_char_and_short_docs(spark):
         assert covered == set(range(1, len(text) + 1)), doc_id
     # Overlap structure: starts advance by the stride.
     assert [p for p, _ in sorted(by_doc[1])] == [1, 81, 161]
+
+
+def test_unicode_normalization_forms(spark):
+    from cryptocurrency_data_pipeline_spark.operators.text import normalize_unicode
+    from pyspark.sql import functions as F
+
+    composed = "café"              # é as one codepoint
+    decomposed = "café"           # e + combining acute
+    fullwidth = "ＡＢ"          # ＡＢ
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, fullwidth), (4, None)],
+        "id long, s string",
+    )
+    out = {
+        r.id: (r.nfc, r.nfkc)
+        for r in df.select(
+            "id",
+            normalize_unicode("s", "NFC").alias("nfc"),
+            normalize_unicode("s", "NFKC").alias("nfkc"),
+        ).collect()
+    }
+    # NFC folds the decomposed form onto the composed one
+    assert out[1][0] == out[2][0] == composed
+    # NFKC additionally folds compatibility variants to ASCII
+    assert out[3][1] == "AB"
+    assert out[4] == (None, None)
+
+
+def test_unicode_normalization_rejects_bad_form(spark):
+    import pytest as _pytest
+
+    from cryptocurrency_data_pipeline_spark.operators.text import normalize_unicode
+
+    with _pytest.raises(ValueError):
+        normalize_unicode("s", "NFX")
