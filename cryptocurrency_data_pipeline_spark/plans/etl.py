@@ -75,11 +75,20 @@ def transform_stage(spark: SparkSession, paths: EtlPaths):
         out = silver.dedup_latest(
             out, ["coin_id", "update_date"], "last_updated_ts", tiebreak=["market_cap"]
         )
+        # Write-path accounting rides the write job itself (Observation
+        # API — zero extra scans); the dedicated quality stage still runs
+        # its full profile against the landed table afterwards.
+        watched, obs = quality.observed(
+            out, name="silver_write", completeness_cols=["coin_id", "current_price"]
+        )
         (
-            out.write.mode("overwrite")
+            watched.write.mode("overwrite")
             .option("compression", "snappy")
             .partitionBy("update_date")
             .parquet(paths.silver)
+        )
+        quality.profile_df(spark, obs.get).coalesce(1).write.mode("append").parquet(
+            paths.metrics
         )
         return paths.silver
 

@@ -57,7 +57,12 @@ def test_full_pipeline(spark, tmp_path):
     assert silver_df.count() == 60                  # 62 in, 1 DLQ'd, 1 deduped
     assert "coin_id" in silver_df.columns
     assert spark.read.json(paths.dlq).count() == 1
-    assert spark.read.parquet(paths.metrics).count() >= 10
+    metrics_df = spark.read.parquet(paths.metrics)
+    # profile rows (>=10) plus the 3 write-path Observation rows that ride
+    # the silver write at zero extra scans
+    assert metrics_df.count() >= 13
+    sizes = [r.value for r in metrics_df.collect() if r.name == "Size"]
+    assert 60.0 in sizes
 
     fact = spark.read.parquet(paths.gold_fact)
     assert fact.count() == 60

@@ -313,3 +313,50 @@ def test_semdedup_matches_reference(spark, vecs):
     got = {r.vec_id: r.is_kept for r in semantic_dedup(df, nlist=nlist, tau=tau).collect()}
     for i, keep in expected.items():
         assert got[i] == keep, f"vec {i}: expected is_kept={keep}"
+
+
+# ---------------------------------------------------------------------------
+# CSV enforced ingest: conservation — every data line lands in EXACTLY one
+# of (valid, dlq), no matter how malformed the input.
+# ---------------------------------------------------------------------------
+
+_csv_field = st.one_of(
+    st.integers(min_value=-10**9, max_value=10**9).map(str),
+    st.text(alphabet="abcxyz;|'\" \t", max_size=8).filter(
+        lambda s: "," not in s and "\n" not in s and '"' not in s
+    ),
+    st.just(""),
+)
+_csv_line = st.lists(_csv_field, min_size=1, max_size=5).map(",".join)
+
+
+@given(lines=st.lists(_csv_line, min_size=1, max_size=15), salt=st.integers())
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_csv_split_conserves_rows(spark, tmp_path_factory, lines, salt):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from cryptocurrency_data_pipeline_spark.sources.formats import (
+        read_csv_enforced,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), True),
+            StructField("name", StringType(), True),
+            StructField("score", DoubleType(), True),
+        ]
+    )
+    d = tmp_path_factory.mktemp(f"csvfuzz{abs(salt) % 10**6}")
+    p = d / "in.csv"
+    p.write_text("id,name,score\n" + "\n".join(lines) + "\n")
+    valid, dlq = read_csv_enforced(spark, str(p), schema)
+    n_valid, n_dlq = valid.count(), dlq.count()
+    # blank lines are skipped by the csv reader; all others are routed
+    n_data = sum(1 for ln in lines if ln.strip(", \t") or "," in ln)
+    assert n_valid + n_dlq <= len(lines)
+    assert n_valid + n_dlq >= n_data - sum(1 for ln in lines if not ln.strip())
+    # dlq rows keep the raw line for replay
+    for r in dlq.collect():
+        assert r.raw is not None and r.error_reason == "csv_schema_mismatch"
