@@ -1,0 +1,65 @@
+"""Streaming corpus ingestion: incremental, exactly-once, dedup-guarded."""
+
+import json
+
+from cryptocurrency_data_pipeline_spark.streaming.corpus import run_corpus_ingest
+
+
+def _write_docs(path, docs, name):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / name, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+
+def _doc(i, words=40, source="src0", ts="2026-08-13T10:00:00"):
+    body = " ".join(f"word{j % 13} the data" for j in range(words // 3 + 1))
+    return {
+        "doc_id": i,
+        "text": body + f" tail{i}",
+        "source": source,
+        "ingested_at": ts,
+    }
+
+
+def test_incremental_ingest_counts_each_file_once(spark, tmp_path):
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    _write_docs(inp, [_doc(i) for i in range(10)], "batch1.jsonl")
+    run_corpus_ingest(spark, str(inp), str(out), str(ckpt))
+    assert spark.read.parquet(str(out)).count() == 10
+
+    # second invocation: only the NEW file is processed (job-bookmark
+    # semantics via the checkpoint), previously seen docs not re-appended
+    _write_docs(inp, [_doc(i) for i in range(10, 15)], "batch2.jsonl")
+    run_corpus_ingest(spark, str(inp), str(out), str(ckpt))
+    got = spark.read.parquet(str(out))
+    assert got.count() == 15
+    assert got.select("doc_id").distinct().count() == 15
+    assert {"split", "n_tokens", "content_fp"} <= set(got.columns)
+
+
+def test_quality_gate_and_content_dedup_on_stream(spark, tmp_path):
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    docs = [_doc(1), _doc(2)]
+    dup = dict(_doc(3))
+    dup["text"] = docs[0]["text"]          # exact content dup of doc 1
+    junk = {"doc_id": 4, "text": "!!!", "source": "s", "ingested_at": "2026-08-13T10:00:00"}
+    _write_docs(inp, docs + [dup, junk], "b.jsonl")
+    run_corpus_ingest(spark, str(inp), str(out), str(ckpt), min_quality=0.4)
+    got = spark.read.parquet(str(out))
+    ids = sorted(r.doc_id for r in got.collect())
+    # junk gated out; dup collapsed to one of {1, 3}
+    assert 4 not in ids
+    assert len(ids) == 2
+    assert got.select("content_fp").distinct().count() == 2
+
+
+def test_split_partition_layout_on_disk(spark, tmp_path):
+    import os
+
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    _write_docs(inp, [_doc(i) for i in range(40)], "b.jsonl")
+    run_corpus_ingest(spark, str(inp), str(out), str(ckpt))
+    parts = {d for d in os.listdir(out) if d.startswith("split=")}
+    assert parts <= {"split=train", "split=val", "split=test"}
+    assert "split=train" in parts
