@@ -43,6 +43,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cryptocurrency_data_pipeline_spark.operators.caching import track
 from cryptocurrency_data_pipeline_spark.operators.text import tokens
 
 
@@ -71,8 +72,9 @@ def importance_logweights(
     # persist it so the token explode + shuffle happens exactly once (the
     # ids.py precedent: un-deduplicated subtree reuse would re-tokenize
     # the corpus per instantiation; the cache is the collapsed
-    # doc x <=B frame, spill-friendly, reclaimed by the ContextCleaner).
-    tf = (
+    # doc x <=B frame, spill-friendly; tracked for eager release via
+    # caching.release_all after the caller's terminal action).
+    tf = track(
         docs.select(
             *keys,
             target.alias("__is_target"),

@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cryptocurrency_data_pipeline_spark.operators.caching import track
+
 
 def qgrams(col, q: int = 3):
     """Distinct character q-grams of a string column (JVM-side:
@@ -79,8 +81,9 @@ def fuzzy_self_pairs(
                        "__gram", "left_anti")
         )
     # Both sides of the candidate join (and the freq pass, when pruning)
-    # consume ``grams`` — persist so the distinct + explode runs once.
-    grams = grams.persist()
+    # consume ``grams`` — persist so the distinct + explode runs once
+    # (tracked for eager release via caching.release_all).
+    grams = track(grams.persist())
     a = grams.select(F.col("__k").alias("key_a"), "__gram")
     b = grams.select(F.col("__k").alias("key_b"), "__gram")
     cand = (

@@ -73,10 +73,38 @@ def _unpersist_rdd_id(sc, rid: int | None) -> None:
         jrdd.unpersist(False)
 
 
-#: Final-generation checkpoint of the previous invocation, released when
-#: the next invocation starts (ContextCleaner is too lazy for tight
-#: benchmark/driver loops — without this, every call pins one RDD).
-_PREV_FINAL: list[int] = []
+#: Final-generation checkpoint of the previous invocation per
+#: SparkContext (identity-keyed: a parallel session or a restarted
+#: context must never release another context's blocks — checkpoint
+#: blocks have NO lineage, so a wrong release is unrecoverable).
+#: Released when the next invocation on the SAME context starts, or
+#: explicitly via :func:`release_checkpoints` (ContextCleaner is too
+#: lazy for tight benchmark/driver loops — without this, every call
+#: pins one RDD).
+_PREV_FINAL: dict[int, tuple[object, list[int]]] = {}
+
+
+def _prev_final_ids(sc) -> list[int]:
+    """The released-on-next-call id list for exactly this context."""
+    entry = _PREV_FINAL.get(id(sc))
+    if entry is None or entry[0] is not sc:  # id() reuse after GC: reset
+        entry = (sc, [])
+        _PREV_FINAL[id(sc)] = entry
+    return entry[1]
+
+
+def release_checkpoints(spark) -> None:
+    """Eagerly drop the final-generation checkpoint blocks of the last
+    ``connected_components`` run on this session's context.
+
+    Call once the result has been consumed (or persisted elsewhere).
+    After release the result DataFrame is UNUSABLE — ``localCheckpoint``
+    truncates lineage, so the blocks cannot be recomputed.
+    """
+    sc = spark.sparkContext
+    ids = _prev_final_ids(sc)
+    while ids:
+        _unpersist_rdd_id(sc, ids.pop())
 
 
 def connected_components(
@@ -94,7 +122,9 @@ def connected_components(
     Lifetime contract: the returned frame is backed by the final round's
     ``localCheckpoint`` blocks. Superseded generations and the edge cache
     are released eagerly inside the loop; the final generation is released
-    when the NEXT ``connected_components`` call begins — so consume (or
+    when the NEXT ``connected_components`` call begins *on the same
+    SparkContext* (other sessions' results are never touched), or
+    explicitly via :func:`release_checkpoints` — so consume (or
     persist elsewhere) a result before starting another run. This keeps
     the block manager flat at one retained generation no matter how many
     times a benchmark or driver loop re-invokes the operator.
@@ -107,8 +137,9 @@ def connected_components(
     e = e.persist()
 
     sc = edges.sparkSession.sparkContext
-    while _PREV_FINAL:
-        _unpersist_rdd_id(sc, _PREV_FINAL.pop())
+    prev = _prev_final_ids(sc)
+    while prev:
+        _unpersist_rdd_id(sc, prev.pop())
 
     labels = e.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -140,7 +171,7 @@ def connected_components(
 
     e.unpersist()
     if owned is not None:
-        _PREV_FINAL.append(owned)
+        _prev_final_ids(sc).append(owned)
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

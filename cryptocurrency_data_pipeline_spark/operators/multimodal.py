@@ -318,6 +318,12 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int, int]:
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
         csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if csize > n - pos - 8:
+            # Truncated/corrupt chunk: the declared size exceeds the bytes
+            # actually present.  Deriving n_samples (or fmt fields) from
+            # the declared size would silently inflate counts — route to
+            # the null/DLQ path instead.
+            raise ValueError("chunk size exceeds payload")
         body = payload[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
             if csize < 16:
@@ -366,8 +372,17 @@ def decode_audio_meta(df: DataFrame) -> DataFrame:
 def le_hex(col, n_bytes: int):
     """Little-endian hex encoding of an integer column (JVM expressions
     only): big-endian hex, zero-padded, byte pairs reversed — feed to
-    ``unhex`` to build binary format headers in-engine."""
-    padded = F.lpad(F.lower(F.hex(col)), 2 * n_bytes, "0")
+    ``unhex`` to build binary format headers in-engine.
+
+    Values wider than ``n_bytes`` are masked to the low ``n_bytes`` first
+    (the conventional low-byte truncation) — without the mask, ``lpad``
+    would keep the MOST-significant hex digits and emit wrong bytes."""
+    c = F.col(col) if isinstance(col, str) else col
+    # n_bytes >= 8 covers a full long already (hex() of a negative long is
+    # its 16-digit two's complement, i.e. the right bytes) — and the mask
+    # literal would overflow LongType.
+    masked = c if n_bytes >= 8 else c.bitwiseAND(F.lit((1 << (8 * n_bytes)) - 1))
+    padded = F.lpad(F.lower(F.hex(masked)), 2 * n_bytes, "0")
     pairs = [
         F.substring(padded, 2 * i + 1, 2) for i in reversed(range(n_bytes))
     ]

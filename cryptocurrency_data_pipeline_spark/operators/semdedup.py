@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cryptocurrency_data_pipeline_spark.operators.caching import track
 from cryptocurrency_data_pipeline_spark.operators.clustering import assign_clusters
 from cryptocurrency_data_pipeline_spark.operators.similarity import (
     dot,
@@ -63,8 +64,10 @@ def _normalized_assignment(
     """(id, cluster_id, __nv): literal-center assignment + one-time L2
     normalization, persisted for multi-consumer reuse.  Norm lives in its
     OWN column first — inside the transform lambda it would re-fold the
-    whole vector once per element (O(dim^2)/row)."""
-    return (
+    whole vector once per element (O(dim^2)/row).  The persist is
+    registered with ``caching.track`` so composed plans / loops can
+    release it eagerly after their terminal action."""
+    return track(
         assign_clusters(corpus, centers, id_col=id_col, vec_col=vec_col)
         .withColumn("__norm", F.sqrt(_self_dot(F.col(vec_col))))
         .withColumn(

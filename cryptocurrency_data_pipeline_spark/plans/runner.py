@@ -65,6 +65,21 @@ class Pipeline:
             self.notifier(event)
 
     def run(self, initial: Any = None) -> list[StageResult]:
+        # Composed stages invoke operators that persist() multi-consumer
+        # intermediates (MinHash shingles, SemDeDup assignments, ...).
+        # Release them when the plan ends — success, skip, or failure —
+        # so long-lived pipeline processes keep the block manager flat
+        # (operators/caching.py; safe: persist keeps lineage).
+        from cryptocurrency_data_pipeline_spark.operators.caching import (
+            release_all,
+        )
+
+        try:
+            return self._run(initial)
+        finally:
+            release_all()
+
+    def _run(self, initial: Any = None) -> list[StageResult]:
         results: list[StageResult] = []
         carry = initial
         for name, fn in self.stages:

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cryptocurrency_data_pipeline_spark.operators import silver
+from cryptocurrency_data_pipeline_spark.operators.caching import track
 from cryptocurrency_data_pipeline_spark.sources.tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -806,7 +807,7 @@ def winnow_near_dups(spark, sf_dir):
     # Persist: both join branches read the fingerprint set, so the UDF pass
     # runs once (same pattern as the shingle frame in minhash_near_dups; at
     # scale, MEMORY_AND_DISK instead of recomputing the corpus pass twice).
-    fps = (
+    fps = track(
         textops.winnow_fingerprints(docs, "text", k=25, w=8)
         .select("doc_id", F.explode("fingerprints").alias("fp"))
         .persist()
@@ -3660,10 +3661,12 @@ def simhash_recall(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     # Persist: the Arrow-batched UDF runs once, both self-join sides and
     # the truth join read the materialized signatures.
-    sigs = docs.select(
-        "doc_id",
-        F.coalesce(dedup.simhash64(F.col("text")), F.lit(0)).alias("simhash"),
-    ).persist()
+    sigs = track(
+        docs.select(
+            "doc_id",
+            F.coalesce(dedup.simhash64(F.col("text")), F.lit(0)).alias("simhash"),
+        ).persist()
+    )
     banded = sigs.select(
         "doc_id",
         "simhash",
@@ -4044,7 +4047,7 @@ def rolling_7d_user_value(spark, sf_dir):
       FROM buckets
     )
     SELECT qbucket, n_docs, n_tokens, cum_tokens,
-           cum_tokens <= CAST(total_tokens * 0.5 AS BIGINT) AS kept
+           cum_tokens <= CAST(floor(total_tokens * 0.5) AS BIGINT) AS kept
     FROM cum
     """,
 )
@@ -4080,7 +4083,7 @@ def token_budget_curriculum(spark, sf_dir):
         F.sum("n_tokens").over(w_cum).cast("long").alias("cum_tokens"),
         (
             F.sum("n_tokens").over(w_cum).cast("long")
-            <= (F.sum("n_tokens").over(w_all) * 0.5).cast("long")
+            <= F.floor(F.sum("n_tokens").over(w_all) * 0.5).cast("long")
         ).alias("kept"),
     )
 
@@ -5109,7 +5112,15 @@ def dsir_source_weights(spark, sf_dir):
 # shape that never materializes all-pairs.  The oracle replays the
 # BLOCKING predicate too (shared-gram candidates, then the distance cap),
 # same discipline as the LSH oracles: the blocking is part of the
-# operator's contract, not an approximation to hide.
+# operator's contract, not an approximation to hide.  The stop-gram
+# df-cap is SET here (max_gram_df=12): ultra-frequent grams are the skew
+# hazard at 100x — a hot gram ("pro", "ste") makes one join partition
+# quadratic — so the scale-safe configuration is the demonstrated
+# default.  Cap sizing: on this corpus every part name keeps >= 1
+# un-pruned gram at df<=12 (max per-key min-df is 6; measured at
+# sf0.001/0.01/0.1), while the hottest grams (df up to 16) are pruned —
+# tests/test_fuzzy.py asserts both properties.  The oracle replays the
+# pruning with the same anti-join-on-df predicate.
 # --------------------------------------------------------------------------
 
 @query(
@@ -5121,19 +5132,26 @@ def dsir_source_weights(spark, sf_dir):
                generate_series(1, greatest(len(k) - 2, 0)),
                i -> substr(k, i, 3)))) AS gram
       FROM names
+    ), df AS (
+      SELECT gram, count(*) AS d FROM g GROUP BY gram
+    ), kept AS (
+      SELECT g.k, g.gram FROM g JOIN df USING (gram) WHERE df.d <= 12
     ), cand AS (
       SELECT DISTINCT a.k AS key_a, b.k AS key_b
-      FROM g a JOIN g b ON a.gram = b.gram AND a.k < b.k
+      FROM kept a JOIN kept b ON a.gram = b.gram AND a.k < b.k
     )
     SELECT key_a, key_b, levenshtein(key_a, key_b) AS edit_distance
     FROM cand WHERE levenshtein(key_a, key_b) <= 2
     """,
 )
 def fuzzy_part_name_pairs(spark, sf_dir):
-    """Near-identical part names within 2 edits, q-gram-blocked."""
+    """Near-identical part names within 2 edits, q-gram-blocked, with the
+    stop-gram df-cap active (the scale-safe default — see block comment)."""
     from cryptocurrency_data_pipeline_spark.operators.fuzzy import fuzzy_self_pairs
 
-    return fuzzy_self_pairs(t(spark, sf_dir, "part"), "p_name", q=3, max_distance=2)
+    return fuzzy_self_pairs(
+        t(spark, sf_dir, "part"), "p_name", q=3, max_distance=2, max_gram_df=12
+    )
 
 
 # --------------------------------------------------------------------------
@@ -5666,6 +5684,69 @@ def token_drift_report(spark, sf_dir):
         F.round(0.5 * F.sum(F.abs(F.col("pa") - F.col("pb"))), 6).alias(
             "total_variation"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming corpus-ingestion replay (streaming/corpus.py): the EXACT
+# column logic of the continuous ingestion leg — quality gate at 0.25,
+# keep-one-per-raw-md5-content-fingerprint dedup, md5 split assignment,
+# token accounting — run in batch mode over ``documents`` and rolled up
+# per (split, source).  Same discipline as stream_ohlc_replay: the
+# streaming pipeline's transformations are batch-replayed so the driver's
+# DuckDB gate hashes the math the stream runs (the stream keeps the
+# first-ARRIVED row per fingerprint; the batch path is the deterministic
+# lowest-doc_id refinement of the same keep-one rule).  Distinct from
+# corpus_prep_report: raw-md5 fingerprint (not whitespace-normalized),
+# 0.25 gate, token counts (not chars), and the per-source breakdown.
+# --------------------------------------------------------------------------
+
+@query(
+    "corpus_ingest_replay",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, source,
+        md5(text) AS content_fp,
+        len(string_split_regex(lower(trim(text)), '\s+')) AS n_toks,
+        (
+          least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+          + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 1.0))
+          + (1.0 - least(abs(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('a','the','of','and'))) AS DOUBLE)
+                         / len(string_split_regex(lower(trim(text)), '\s+')) - 0.1) * 2.0, 1.0))
+        ) / 3.0 AS q
+      FROM documents
+    ), gated AS (
+      SELECT * FROM scored WHERE q >= 0.25
+    ), dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY content_fp ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    )
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     BETWEEN '0' AND 'b' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('c', 'd') THEN 'val'
+                ELSE 'test' END AS split,
+           source,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
+    FROM dedup GROUP BY split, source
+    """,
+)
+def corpus_ingest_replay(spark, sf_dir):
+    """Batch replay of the streaming ingestion leg (streaming/corpus.py
+    ``prepare_doc_stream``) — gate, content dedup, split, tokens — per
+    (split, source)."""
+    from cryptocurrency_data_pipeline_spark.streaming.corpus import (
+        prepare_doc_stream,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    prepared = prepare_doc_stream(docs, min_quality=0.25)
+    return prepared.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
 
 

@@ -59,7 +59,13 @@ def read_doc_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def prepare_doc_stream(docs: DataFrame, min_quality: float = 0.25) -> DataFrame:
-    """Gate + fingerprint-dedup + split + token accounting, stream-safe."""
+    """Gate + fingerprint-dedup + split + token accounting, stream-safe.
+
+    On a stream the dedup keeps the FIRST-arrived row per content
+    fingerprint (watermark-bounded state); the batch path refines that to
+    the DETERMINISTIC lowest-doc_id row — same keep-one-per-fingerprint
+    semantics, but replayable bit-for-bit for the correctness oracle
+    (a bare ``dropDuplicates`` keeps whichever task wins the shuffle)."""
     gated = docs.filter(text.quality_score("text") >= min_quality)
     fingerprinted = gated.withColumn("content_fp", F.md5(F.col("text")))
     if fingerprinted.isStreaming:
@@ -67,7 +73,14 @@ def prepare_doc_stream(docs: DataFrame, min_quality: float = 0.25) -> DataFrame:
             "ingested_at", "10 minutes"
         ).dropDuplicatesWithinWatermark(["content_fp"])
     else:
-        deduped = fingerprinted.dropDuplicates(["content_fp"])
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("content_fp").orderBy("doc_id")
+        deduped = (
+            fingerprinted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     return deduped.withColumn(
         "split", sampling.split_assignment("doc_id")
     ).withColumn("n_tokens", text.token_count("text"))

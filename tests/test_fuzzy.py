@@ -67,3 +67,25 @@ def test_gram_extraction_runs_once(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # both candidate sides read the cached gram frame
     assert plan.count("InMemoryTableScan") == 2
+
+
+def test_flagship_df_cap_prunes_but_covers_every_key(spark):
+    # The fuzzy_part_name_pairs query runs with max_gram_df=12 — assert on
+    # the real corpus that (a) the cap actually prunes grams (the hottest
+    # part-name grams exceed it) and (b) every distinct key still keeps at
+    # least one un-pruned gram, so the recall bound survives the pruning.
+    from cryptocurrency_data_pipeline_spark.sources.tables import load_table
+
+    part = load_table(spark, "/root/testdata/sf0.001", "part")
+    keys = part.select(F.col("p_name").alias("k")).distinct()
+    grams = keys.select("k", F.explode(qgrams(F.col("k"), 3)).alias("g"))
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("d"))
+    n_pruned = df_counts.filter(F.col("d") > 12).count()
+    assert n_pruned > 0, "cap never fires on this corpus — pick a lower cap"
+    kept_keys = (
+        grams.join(df_counts.filter(F.col("d") <= 12), "g")
+        .select("k")
+        .distinct()
+        .count()
+    )
+    assert kept_keys == keys.count()

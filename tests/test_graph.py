@@ -75,3 +75,24 @@ def test_pagerank_triangle_uniform_and_hub_dominates(spark):
     assert all(r[0] > r[i] for i in range(1, 6))
     # Ranks of a stochastic process stay a probability distribution.
     assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_release_checkpoints_explicit_and_context_guarded(spark):
+    from cryptocurrency_data_pipeline_spark.operators import graph as g
+
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    out = g.connected_components(edges)
+    assert out.count() == 4
+    sc = spark.sparkContext
+    assert g._prev_final_ids(sc), "final generation should be retained"
+    g.release_checkpoints(spark)
+    assert not g._prev_final_ids(sc)
+    # repeated release is a no-op, and the registry is keyed by THIS
+    # context's identity (a fake context id never aliases the real one)
+    g.release_checkpoints(spark)
+
+    class FakeSC:  # different identity -> its own empty slot
+        pass
+
+    assert g._prev_final_ids(FakeSC()) == []
+    assert not g._prev_final_ids(sc)

@@ -263,3 +263,38 @@ def test_media_dir_table_glob_pushdown_in_plan(spark, tmp_path):
     # ids are stable across repeated listings
     again = media_dir_table(spark, str(d), "image", glob="*.ppm")
     assert tab.select("media_id").collect() == again.select("media_id").collect()
+
+
+def test_le_hex_masks_overflow_to_low_bytes(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import le_hex
+
+    # Values wider than n_bytes must keep the LOW bytes (conventional
+    # truncation), not the most-significant hex digits lpad would keep.
+    vals = [65536, 16777216 + 258, (1 << 32) + 5]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [
+        r.h
+        for r in df.select(le_hex(F.col("v"), 2).alias("h"), "v")
+        .orderBy("v")
+        .collect()
+    ]
+    want = [int.to_bytes(v & 0xFFFF, 2, "little").hex() for v in sorted(vals)]
+    assert got == want
+
+
+def test_parse_wav_rejects_truncated_chunks():
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import _parse_wav
+
+    good = _wav()
+    # Truncate the payload mid-data-chunk: the declared chunk size now
+    # exceeds the bytes present; the decoder must raise (-> null/DLQ row),
+    # not report an inflated sample count from the declared size.
+    with pytest.raises(ValueError):
+        _parse_wav(good[:-4])
+    # Same for an over-declared fmt chunk reading zero-filled fields.
+    bad_fmt = bytearray(good)
+    bad_fmt[16:20] = int.to_bytes(1000, 4, "little")  # fmt csize -> 1000
+    with pytest.raises(ValueError):
+        _parse_wav(bytes(bad_fmt))
