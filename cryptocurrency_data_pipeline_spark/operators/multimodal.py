@@ -7,10 +7,12 @@ Arrow-batched ``mapInPandas`` so bytes cross the Python boundary once per
 batch, never per row.  Partitioning is by content hash so re-runs and
 dedups co-locate identical blobs.
 
-The decode path handles two REAL formats with pure-python header parsers
-(no libraries needed): binary PPM (``P6``) and BMP (``BM``, both the
-40-byte BITMAPINFOHEADER and the 12-byte BITMAPCOREHEADER).  Compressed
-formats (jpeg/png/video) remain STUBBED behind the deterministic ``FAKE``
+The decode path handles REAL formats with pure-python parsers (no
+libraries needed): binary PPM (``P6``), BMP (``BM``, both the 40-byte
+BITMAPINFOHEADER and the 12-byte BITMAPCOREHEADER), and — via stdlib
+``zlib`` only — full PNG decode (chunk walk + CRC verify + IDAT inflate
++ all five row unfilters), the first *compressed* format through the
+path.  jpeg/video remain STUBBED behind the deterministic ``FAKE``
 header — no codec libs in this container; a real deployment swaps
 ``_parse_header``'s fallback for PIL/ffmpeg and nothing else changes —
 schema, batch shape, partitioning, and UDF signatures are the real,
@@ -130,9 +132,20 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
         return _parse_ppm(payload)
     if payload is not None and payload.startswith(b"BM"):
         return _parse_bmp(payload)
+    if payload is not None and payload.startswith(_PNG_SIG):
+        # Header-only parse for the metadata path (full pixel decode is
+        # decode_png / decode_png_stats): IHDR must be the first chunk.
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            return (
+                int.from_bytes(payload[16:20], "big"),
+                int.from_bytes(payload[20:24], "big"),
+                1,
+            )
+        raise ValueError("truncated PNG header")
     raise NotImplementedError(
-        "compressed-format decoding (jpeg/png/video) is not available in "
-        "this environment; payload must be PPM (P6), BMP, or the FAKE stub"
+        "compressed-format decoding (jpeg/video) is not available in "
+        "this environment; payload must be PNG, PPM (P6), BMP, or the "
+        "FAKE stub"
     )
 
 
@@ -286,6 +299,219 @@ def resize_images(
         ]
     )
     return df.select("media_id", "kind", "payload").mapInPandas(resize, out_schema)
+
+
+# --------------------------------------------------------------------------
+# PNG: real decode via stdlib zlib only — the first COMPRESSED format
+# through the decode path.  Chunk walk with CRC verification, IDAT
+# inflate, and per-row unfiltering (none/sub/up/average/paeth per the PNG
+# spec §9).  8-bit greyscale (color type 0) and truecolor (2) — the
+# training-corpus common cases; palette/16-bit/interlaced raise into the
+# null/DLQ path like any corrupt payload.  jpeg/video stay stubbed (no
+# codec libs in this container).
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_BPP = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk, verifying length and CRC —
+    a real decoder rejects bit-rot instead of decoding garbage."""
+    import zlib
+
+    pos, n = 8, len(payload)
+    while pos + 8 <= n:
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + clen > n:
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : pos + 8 + clen]
+        crc = int.from_bytes(payload[pos + 8 + clen : pos + 12 + clen], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        yield ctype, data
+        pos += 12 + clen
+        if ctype == b"IEND":
+            return
+    raise ValueError("missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Full PNG decode: (width, height, channels, raw_pixels).
+
+    ``raw_pixels`` is the unfiltered scanline data (row-major, ``channels``
+    bytes per pixel).  Supports 8-bit depth, color types 0 (grey) and 2
+    (RGB), no interlacing — everything else raises (-> null/DLQ row)."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("bad IHDR length")
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            depth, color, comp, filt, interlace = data[8:13]
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if color not in (0, 2):
+                raise ValueError(f"unsupported color type {color}")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard compression/filter method")
+            if interlace != 0:
+                raise ValueError("Adam7 interlacing unsupported")
+            channels = _PNG_BPP[color]
+        elif ctype == b"IDAT":
+            idat += data  # IDAT chunks concatenate into ONE zlib stream
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("decompressed size mismatch")
+    out = bytearray(stride * height)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        prev_off = (y - 1) * stride
+        off = y * stride
+        if ftype == 0:  # None
+            out[off : off + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                a = out[off + x - channels] if x >= channels else 0
+                out[off + x] = (line[x] + a) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                b = out[prev_off + x] if y > 0 else 0
+                out[off + x] = (line[x] + b) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = out[off + x - channels] if x >= channels else 0
+                b = out[prev_off + x] if y > 0 else 0
+                out[off + x] = (line[x] + (a + b) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = out[off + x - channels] if x >= channels else 0
+                b = out[prev_off + x] if y > 0 else 0
+                c = out[prev_off + x - channels] if (y > 0 and x >= channels) else 0
+                out[off + x] = (line[x] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return width, height, channels, out
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, color_type: int = 0
+) -> bytes:
+    """Minimal conforming PNG encoder (test/producer side): 8-bit, no
+    interlace, one IDAT.  Row filters CYCLE through all five types
+    (y % 5) so a decoder must implement every unfilter to round-trip —
+    the property the tests and the oracle query lean on."""
+    import zlib
+
+    channels = _PNG_BPP[color_type]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    filtered = bytearray()
+    for y in range(height):
+        ftype = y % 5
+        filtered.append(ftype)
+        off, prev_off = y * stride, (y - 1) * stride
+        for x in range(stride):
+            cur = pixels[off + x]
+            a = pixels[off + x - channels] if x >= channels else 0
+            b = pixels[prev_off + x] if y > 0 else 0
+            c = pixels[prev_off + x - channels] if (y > 0 and x >= channels) else 0
+            if ftype == 0:
+                v = cur
+            elif ftype == 1:
+                v = cur - a
+            elif ftype == 2:
+                v = cur - b
+            elif ftype == 3:
+                v = cur - (a + b) // 2
+            else:
+                v = cur - _paeth(a, b, c)
+            filtered.append(v & 0xFF)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
+PNG_STATS = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content_hash", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("pixel_sum", LongType(), True),
+    ]
+)
+
+
+def decode_png_stats(df: DataFrame) -> DataFrame:
+    """mapInPandas PNG decode to pixel-level stats: the pixel_sum is over
+    the fully UNFILTERED bytes, so it's wrong unless inflate + all five
+    unfilters are right.  Same Arrow-batched, null-on-failure DLQ shape
+    as the other decoders."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    w, h, ch, raw = decode_png(r.payload)
+                    rows.append(
+                        (r.media_id, r.content_hash, w, h, ch, sum(raw))
+                    )
+                except Exception:
+                    rows.append(
+                        (r.media_id, r.content_hash, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "content_hash",
+                    "width", "height", "channels", "pixel_sum",
+                ],
+            )
+
+    return df.select("media_id", "content_hash", "payload").mapInPandas(
+        decode, PNG_STATS
+    )
 
 
 # --------------------------------------------------------------------------

@@ -5751,6 +5751,70 @@ def corpus_ingest_replay(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Real COMPRESSED-format decode end-to-end (operators/multimodal.py PNG):
+# deterministic pixel buffers derived from part keys are encoded into
+# fully conforming PNGs (zlib-deflated IDAT, CRC'd chunks, row filters
+# cycling through all five types) by an Arrow-batched producer, then
+# decoded back — chunk walk + CRC verify + inflate + unfilter — by
+# decode_png_stats.  The rollup hashes the UNFILTERED pixel sums, so a
+# wrong Paeth predictor, a skipped CRC, or a broken inflate all flip the
+# driver hash.  The oracle computes the expected pixel sums directly
+# from the generating formula — it never needs a PNG codec.
+# --------------------------------------------------------------------------
+
+@query(
+    "png_decode_rollup",
+    oracle="""
+    WITH px AS (
+      SELECT p_partkey,
+             CAST(1 + p_partkey % 8 AS INT) AS w,
+             CAST(1 + p_partkey % 5 AS INT) AS h,
+             CAST(list_sum(list_transform(
+               generate_series(0, (1 + p_partkey % 8) * (1 + p_partkey % 5) - 1),
+               i -> (7 * p_partkey + i) % 256)) AS BIGINT) AS psum
+      FROM part
+    )
+    SELECT w AS width,
+           count(*) AS n_images,
+           CAST(sum(h) AS BIGINT) AS sum_rows,
+           CAST(sum(psum) AS BIGINT) AS sum_pixels
+    FROM px GROUP BY w
+    """,
+)
+def png_decode_rollup(spark, sf_dir):
+    """Real-compressed-codec pipeline: part keys → conforming PNGs
+    (producer mapInPandas, stdlib zlib) → full decode (CRC + inflate +
+    all five unfilters) → pixel-sum rollup by decoded width."""
+    import pandas as pd  # noqa: F811 — executor-side import
+
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    parts = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        (F.lit(1) + F.col("p_partkey") % 8).cast("int").alias("w"),
+        (F.lit(1) + F.col("p_partkey") % 5).cast("int").alias("h"),
+    )
+
+    def produce(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n = r.w * r.h
+                pixels = bytes((7 * r.p_partkey + i) % 256 for i in range(n))
+                rows.append((r.p_partkey, mm.encode_png(r.w, r.h, pixels)))
+            yield pd.DataFrame(rows, columns=["p_partkey", "payload"])
+
+    payloads = parts.mapInPandas(produce, "p_partkey long, payload binary")
+    media = mm.media_table(payloads, "p_partkey", "image", "payload")
+    stats = mm.decode_png_stats(media)
+    return stats.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("height").cast("long").alias("sum_rows"),
+        F.sum("pixel_sum").cast("long").alias("sum_pixels"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two
 # rounds: the checked set is exactly the first 50).  Every query below is

@@ -298,3 +298,124 @@ def test_parse_wav_rejects_truncated_chunks():
     bad_fmt[16:20] = int.to_bytes(1000, 4, "little")  # fmt csize -> 1000
     with pytest.raises(ValueError):
         _parse_wav(bytes(bad_fmt))
+
+
+# ---------------------------------------------------------------------------
+# PNG: real compressed decode (stdlib zlib) — roundtrip + corruption paths.
+# ---------------------------------------------------------------------------
+
+
+def _px(n, seed=0):
+    return bytes((seed + i) % 256 for i in range(n))
+
+
+def test_png_roundtrip_grey_all_filters():
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    # 6 rows -> filter types 0,1,2,3,4,0 all exercised by the encoder.
+    w, h = 7, 6
+    pixels = _px(w * h, seed=13)
+    payload = encode_png(w, h, pixels)
+    gw, gh, ch, raw = decode_png(payload)
+    assert (gw, gh, ch) == (w, h, 1)
+    assert bytes(raw) == pixels
+
+
+def test_png_roundtrip_rgb():
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    w, h = 5, 5
+    pixels = _px(w * h * 3, seed=101)
+    payload = encode_png(w, h, pixels, color_type=2)
+    gw, gh, ch, raw = decode_png(payload)
+    assert (gw, gh, ch) == (w, h, 3)
+    assert bytes(raw) == pixels
+
+
+def test_png_split_idat_streams_concatenate():
+    import zlib
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    # Real encoders split IDAT; rebuild a payload with the zlib stream cut
+    # across two IDAT chunks and re-CRC'd — must decode identically.
+    w, h = 4, 3
+    pixels = _px(w * h, seed=7)
+    one = encode_png(w, h, pixels)
+    sig, rest = one[:8], one[8:]
+    ihdr_len = int.from_bytes(rest[0:4], "big")
+    ihdr = rest[: 12 + ihdr_len]
+    idat_off = 12 + ihdr_len
+    idat_len = int.from_bytes(rest[idat_off : idat_off + 4], "big")
+    stream = rest[idat_off + 8 : idat_off + 8 + idat_len]
+    half = len(stream) // 2
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    two = (
+        sig + ihdr
+        + chunk(b"IDAT", stream[:half]) + chunk(b"IDAT", stream[half:])
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(two)[3] == decode_png(one)[3]
+
+
+def test_png_rejects_bad_crc_and_unsupported():
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(3, 3, _px(9))
+    flipped = bytearray(good)
+    flipped[-16] ^= 0xFF  # corrupt a byte inside IDAT -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(flipped))
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)  # truncated/garbage
+    with pytest.raises(ValueError):
+        decode_png(good[:20])  # mid-IHDR truncation
+
+
+def test_decode_png_stats_and_meta_dispatch(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_image_meta,
+        decode_png_stats,
+        encode_png,
+        media_table,
+    )
+
+    rows = [
+        (1, encode_png(4, 2, _px(8, seed=3))),
+        (2, encode_png(2, 2, _px(12, seed=5), color_type=2)),
+        (3, b"\x89PNG\r\n\x1a\nnot really"),
+    ]
+    df = media_table(
+        spark.createDataFrame(rows, "id long, payload binary"),
+        "id", "image", "payload",
+    )
+    got = {r.media_id: r for r in decode_png_stats(df).collect()}
+    assert (got[1].width, got[1].height, got[1].channels) == (4, 2, 1)
+    assert got[1].pixel_sum == sum(_px(8, seed=3))
+    assert (got[2].width, got[2].channels) == (2, 3)
+    assert got[2].pixel_sum == sum(_px(12, seed=5))
+    assert got[3].width is None  # DLQ: nulls, job survives
+
+    # the generic metadata path dispatches PNG headers too
+    meta = {r.media_id: r for r in decode_image_meta(df).collect()}
+    assert (meta[1].width, meta[1].height) == (4, 2)
