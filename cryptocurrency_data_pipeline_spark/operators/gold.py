@@ -131,7 +131,12 @@ def scd2_merge(
     * new key        → new current row;
     * several effective dates for one key in a single batch → one version
       per *change*, chained in date order (no-op dates collapse into their
-      predecessor), exactly one ``is_current`` row per key.
+      predecessor), exactly one ``is_current`` row per key;
+    * updates at or before the current row's ``valid_from`` → IGNORED
+      (already applied).  This stale-update guard makes the steady-state
+      merge idempotent — re-running the same batch changes nothing —
+      instead of re-inserting versions that already live in history.
+      Corrections to an applied effective date need a new effective date.
 
     Shuffle shape: current rows and updates union into one frame and the
     whole version chain is rebuilt with key-partitioned windows — ONE
@@ -152,6 +157,21 @@ def scd2_merge(
     else:
         history = existing.filter(~F.col("is_current"))
         cur = existing.filter(F.col("is_current"))
+        # Stale-update guard (idempotence): drop update rows already
+        # covered by the current version.  One key-equi join against the
+        # dim-sized current set — broadcast-able, no extra wide shuffle.
+        upd = (
+            upd.join(
+                cur.select(key, F.col("valid_from").alias("__cur_from")),
+                key,
+                "left",
+            )
+            .filter(
+                F.col("__cur_from").isNull()
+                | (F.col("__eff") > F.col("__cur_from"))
+            )
+            .drop("__cur_from")
+        )
 
     # Version-chain rebuild: the current row (anchored at its valid_from)
     # and every update row become candidate versions, ordered per key by

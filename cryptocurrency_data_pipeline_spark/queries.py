@@ -5815,6 +5815,80 @@ def png_decode_rollup(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# SCD2 steady-state merge (operators/gold.py scd2_merge, existing-table
+# path): an SCD2 dimension built from pre-1995 orders receives the 1995+
+# batch — current rows close out, new versions open, keys first seen in
+# the batch enter fresh, and the stale-update guard keeps the merge
+# idempotent.  The oracle is the ONE-SHOT chain over all dates: the
+# incremental result must equal the batch rebuild exactly (the defining
+# correctness property of an SCD2 merge), so any drift in the close-out
+# join, the guard, or the anchor ordering flips the driver hash.
+# --------------------------------------------------------------------------
+
+@query(
+    "scd2_incremental_merge",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey AS custkey, o_orderdate AS eff,
+             min(o_orderpriority) AS priority
+      FROM orders WHERE o_custkey >= 200 AND o_custkey < 400 GROUP BY 1, 2
+    ), flagged AS (
+      SELECT custkey, priority, eff,
+             lag(priority) OVER (PARTITION BY custkey ORDER BY eff) AS prev
+      FROM u
+    ), kept AS (
+      SELECT custkey, priority, eff FROM flagged
+      WHERE prev IS NULL OR priority != prev
+    )
+    SELECT custkey, priority,
+           strftime(eff, '%Y-%m-%d') AS valid_from,
+           strftime(lead(eff) OVER (PARTITION BY custkey ORDER BY eff),
+                    '%Y-%m-%d') AS valid_to,
+           lead(eff) OVER (PARTITION BY custkey ORDER BY eff) IS NULL AS is_current
+    FROM kept
+    """,
+)
+def scd2_incremental_merge(spark, sf_dir):
+    """SCD2 steady-state: first-load on pre-1995 orders, then merge the
+    1995+ batch against the existing table (current-rows join + chain
+    rebuild).  Result must equal the one-shot rebuild the oracle runs."""
+    from cryptocurrency_data_pipeline_spark.operators.gold import scd2_merge
+
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_custkey") >= 200) & (F.col("o_custkey") < 400)
+    )
+
+    def daily_priority(df):
+        return df.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("eff"),
+        ).agg(F.min("o_orderpriority").alias("priority"))
+
+    cutoff = F.lit("1995-01-01").cast("date")
+    existing = scd2_merge(
+        None,
+        daily_priority(orders.where(F.col("o_orderdate") < cutoff)),
+        key="custkey",
+        attrs=["priority"],
+        effective_col="eff",
+    )
+    merged = scd2_merge(
+        existing,
+        daily_priority(orders.where(F.col("o_orderdate") >= cutoff)),
+        key="custkey",
+        attrs=["priority"],
+        effective_col="eff",
+    )
+    return merged.select(
+        "custkey",
+        "priority",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two
 # rounds: the checked set is exactly the first 50).  Every query below is

@@ -217,3 +217,41 @@ def test_snapshot_diff_classifies_all_cases(spark):
         for r in snapshot_diff(old, new, "doc_id", "f").collect()
     }
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_scd2_full_batch_replay_is_noop(spark):
+    """Stale-update guard: replaying a batch whose dates predate the
+    current row's valid_from must NOT re-insert versions that already
+    live in history (the steady-state idempotence contract)."""
+    from cryptocurrency_data_pipeline_spark.operators.gold import scd2_merge
+
+    d = datetime.date
+    batch = spark.createDataFrame(
+        [
+            ("btc", "Bitcoin", d(2024, 1, 1)),
+            ("btc", "Bitcoin Core", d(2024, 2, 1)),
+            ("btc", "Bitcoin", d(2024, 3, 1)),
+        ],
+        "coin_id string, name string, effective_date date",
+    )
+    dim = scd2_merge(None, batch, "coin_id", ["name"])
+    assert dim.count() == 3  # three genuine versions
+
+    # full replay: every date <= current valid_from -> all stale -> no-op
+    replay = scd2_merge(dim, batch, "coin_id", ["name"])
+    assert sorted(
+        (r.coin_id, r.name, r.valid_from, r.valid_to, r.is_current)
+        for r in replay.collect()
+    ) == sorted(
+        (r.coin_id, r.name, r.valid_from, r.valid_to, r.is_current)
+        for r in dim.collect()
+    )
+
+    # a genuinely newer date still merges after the guard
+    newer = spark.createDataFrame(
+        [("btc", "Bitcoin XT", d(2024, 4, 1))],
+        "coin_id string, name string, effective_date date",
+    )
+    dim2 = scd2_merge(dim, newer, "coin_id", ["name"])
+    assert dim2.count() == 4
+    assert dim2.filter("is_current").count() == 1
