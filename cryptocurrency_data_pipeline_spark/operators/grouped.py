@@ -1,0 +1,74 @@
+"""Grouped-map pandas operators (``applyInPandas`` / GROUPED_MAP).
+
+The one pandas execution mode the rest of the engine doesn't use:
+``df.groupBy(k).applyInPandas(fn, schema)`` ships EVERY row of a group
+into a single pandas DataFrame on one executor.  That is exactly right
+for per-key algorithms that are genuinely recursive/imperative (EWMA,
+Kalman-style filters, per-entity curve fitting) and exactly wrong for
+anything a window function can express — a window streams; a grouped
+map materializes.
+
+Scale contract (the reason for the guard): group size is the failure
+mode.  A 100 TB table with a hot key ships that key's entire history
+into one task's memory.  Callers must pick group keys whose cardinality
+profile they know; ``max_group_rows`` turns the silent OOM into a loud,
+attributable error naming the offending key, so the fix (salt the key,
+pre-aggregate, or bound the history) happens in code review, not in a
+3 a.m. executor post-mortem.
+
+Reference counterpart: none (the reference has no per-entity recursive
+analytics); extends the X3 pandas-execution surface (SURVEY.md §2) with
+the GROUPED_MAP member.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def ewma_last_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.25,
+    max_group_rows: int = 5_000_000,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average, final value.
+
+    ``y_0 = x_0;  y_t = alpha * x_t + (1 - alpha) * y_{t-1}`` over the
+    group's rows sorted by ``order_cols`` (pass a total order for
+    determinism).  Output: (key, n_rows, ewma).  The recursion is the
+    point — no Spark window frame expresses it, so this is the honest
+    GROUPED_MAP case rather than a pandas detour around a built-in.
+
+    The per-group loop is O(rows) python-scalar work; fine for the
+    per-entity cardinalities this targets (thousands of rows per key).
+    ``max_group_rows`` aborts loudly on hot keys (see module docstring).
+    """
+    a = float(alpha)
+    b = 1.0 - a
+    order = list(order_cols)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"group {pdf[key_col].iloc[0]!r} has {len(pdf)} rows "
+                f"(max_group_rows={max_group_rows}); salt the key or "
+                "pre-aggregate before the grouped map"
+            )
+        pdf = pdf.sort_values(order, kind="mergesort")
+        acc = None
+        for v in pdf[value_col].to_numpy():
+            acc = float(v) if acc is None else a * float(v) + b * acc
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], "n_rows": [len(pdf)], "ewma": [acc]}
+        )
+
+    out_schema = (
+        f"{key_col} {dict(df.dtypes)[key_col]}, n_rows long, ewma double"
+    )
+    return df.groupBy(key_col).applyInPandas(fn, out_schema)

@@ -5889,6 +5889,199 @@ def scd2_incremental_merge(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# LSH band tuning report: measured precision/recall of every banding of
+# the 8-element OPH MinHash signature (1x8, 2x4, 4x2, 8x1) against
+# verified-Jaccard (>= 0.5) ground truth — the ann_recall_at_k treatment
+# applied to the BANDING choice, so the b/r tradeoff is a measured
+# number, not a formula.  Truth = the most permissive banding's (8 bands
+# of 1 row) candidates verified by exact Jaccard — the same
+# reachable-truth convention as simhash_recall.  All four configs share
+# ONE shingle pass and ONE config-tagged band self-join; the pair space
+# stays bucket-bounded (8x1 is the diagnostic ceiling, not a production
+# config).
+# --------------------------------------------------------------------------
+
+@query(
+    "lsh_band_tuning",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS tg
+      FROM tk
+    ), hs AS (
+      SELECT doc_id, list_distinct(tg) AS s,
+             list_transform(list_distinct(tg), x -> md5(x)) AS hh
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+        [list_aggregate(list_filter(hh, h -> h[1:1] IN ('0','1')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('2','3')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('4','5')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('6','7')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('8','9')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('a','b')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('c','d')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('e','f')), 'min')] AS sg
+      FROM hs
+    ), bands_all AS (
+      SELECT DISTINCT doc_id, bands, band_key FROM (
+        SELECT doc_id, 1 AS bands, unnest([
+          '0' || '|' || coalesce(sg[1], '~') || '|' || coalesce(sg[2], '~')
+              || '|' || coalesce(sg[3], '~') || '|' || coalesce(sg[4], '~')
+              || '|' || coalesce(sg[5], '~') || '|' || coalesce(sg[6], '~')
+              || '|' || coalesce(sg[7], '~') || '|' || coalesce(sg[8], '~')]) AS band_key
+        FROM sig
+        UNION ALL
+        SELECT doc_id, 2 AS bands, unnest([
+          '0' || '|' || coalesce(sg[1], '~') || '|' || coalesce(sg[2], '~')
+              || '|' || coalesce(sg[3], '~') || '|' || coalesce(sg[4], '~'),
+          '1' || '|' || coalesce(sg[5], '~') || '|' || coalesce(sg[6], '~')
+              || '|' || coalesce(sg[7], '~') || '|' || coalesce(sg[8], '~')]) AS band_key
+        FROM sig
+        UNION ALL
+        SELECT doc_id, 4 AS bands, unnest([
+          '0' || '|' || coalesce(sg[1], '~') || '|' || coalesce(sg[2], '~'),
+          '1' || '|' || coalesce(sg[3], '~') || '|' || coalesce(sg[4], '~'),
+          '2' || '|' || coalesce(sg[5], '~') || '|' || coalesce(sg[6], '~'),
+          '3' || '|' || coalesce(sg[7], '~') || '|' || coalesce(sg[8], '~')]) AS band_key
+        FROM sig
+        UNION ALL
+        SELECT doc_id, 8 AS bands, unnest([
+          '0' || '|' || coalesce(sg[1], '~'), '1' || '|' || coalesce(sg[2], '~'),
+          '2' || '|' || coalesce(sg[3], '~'), '3' || '|' || coalesce(sg[4], '~'),
+          '4' || '|' || coalesce(sg[5], '~'), '5' || '|' || coalesce(sg[6], '~'),
+          '6' || '|' || coalesce(sg[7], '~'), '7' || '|' || coalesce(sg[8], '~')]) AS band_key
+        FROM sig)
+    ), cand AS (
+      SELECT DISTINCT a.bands, a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands_all a
+      JOIN bands_all b ON a.bands = b.bands AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id
+    ), truth AS (
+      SELECT c.a_id, c.b_id
+      FROM (SELECT DISTINCT a_id, b_id FROM cand WHERE bands = 8) c
+      JOIN hs x ON c.a_id = x.doc_id
+      JOIN hs y ON c.b_id = y.doc_id
+      WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+    ), nt AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT c.bands,
+           CAST(8 // c.bands AS INT) AS rows_per_band,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(any_value(nt.n_truth) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           round(CAST(sum(CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS prec,
+           round(CAST(sum(CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / any_value(nt.n_truth), 6) AS recall
+    FROM cand c
+    LEFT JOIN truth t ON c.a_id = t.a_id AND c.b_id = t.b_id
+    CROSS JOIN nt
+    GROUP BY c.bands
+    """,
+)
+def lsh_band_tuning(spark, sf_dir):
+    """Precision/recall per MinHash banding config vs verified-Jaccard
+    truth: one shingle pass, one config-tagged band join, truth from the
+    most permissive banding verified exactly."""
+    from cryptocurrency_data_pipeline_spark.operators import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    sh = track(dedup._shingle_frame(docs, "text", "doc_id", 3).persist())
+    sig = sh.select("id", dedup.minhash_signature(F.col("hashes")).alias("sig"))
+
+    banded = None
+    for b in (1, 2, 4, 8):
+        kb = sig.select(
+            F.lit(b).alias("bands"),
+            "id",
+            F.explode(dedup.band_keys(F.col("sig"), b)).alias("bk"),
+        )
+        banded = kb if banded is None else banded.unionByName(kb)
+    a = banded.select("bands", "bk", F.col("id").alias("a_id"))
+    bb = banded.select("bands", "bk", F.col("id").alias("b_id"))
+    cand = (
+        a.join(bb, ["bands", "bk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("bands", "a_id", "b_id")
+        .distinct()
+    )
+
+    sets = sh.select("id", "sh")
+    truth = (
+        cand.filter(F.col("bands") == 8)
+        .select("a_id", "b_id")
+        .join(sets.select(F.col("id").alias("a_id"), F.col("sh").alias("__sa")), "a_id")
+        .join(sets.select(F.col("id").alias("b_id"), F.col("sh").alias("__sb")), "b_id")
+        .filter(dedup.jaccard(F.col("__sa"), F.col("__sb")) >= 0.5)
+        .select("a_id", "b_id")
+    )
+    scored = cand.join(
+        truth.withColumn("__t", F.lit(True)), ["a_id", "b_id"], "left"
+    )
+    agg = scored.groupBy("bands").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("long").alias("n_hits"),
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return agg.crossJoin(F.broadcast(nt)).select(
+        "bands",
+        (F.lit(8) / F.col("bands")).cast("int").alias("rows_per_band"),
+        "n_candidates",
+        "n_truth",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias("prec"),
+        F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPED_MAP pandas execution (operators/grouped.py): per-user EWMA of
+# event values — a genuinely recursive per-key computation no window
+# frame expresses, run through applyInPandas with the bounded-group
+# guard.  The oracle replays the recursion with DuckDB's list_reduce
+# over the identically-ordered value list (same fold order, same float64
+# arithmetic), rounded to 6 dp.
+# --------------------------------------------------------------------------
+
+@query(
+    "grouped_ewma_user_value",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+      FROM events WHERE user_id < 100 GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_rows,
+           round(list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
+    FROM ordered
+    """,
+)
+def grouped_ewma_user_value(spark, sf_dir):
+    """Per-user EWMA (alpha=0.25) over time-ordered event values via the
+    GROUPED_MAP pandas mode; deterministic total order (ts, event_id)."""
+    from cryptocurrency_data_pipeline_spark.operators.grouped import (
+        ewma_last_by_key,
+    )
+
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    out = ewma_last_by_key(
+        ev.select("user_id", "ts", "event_id", "value"),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=0.25,
+    )
+    return out.select("user_id", "n_rows", F.round("ewma", 6).alias("ewma"))
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two
 # rounds: the checked set is exactly the first 50).  Every query below is
