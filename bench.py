@@ -3,10 +3,18 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q": sec, ...}, "sf": <sf>}
+   "queries": {"q": median_sec, ...}, "passes": {"q": [s1, s2, s3]},
+   "sf": <sf>}
 
 Each query executes to completion via the noop sink (full pipeline runs,
 nothing materializes on the driver — measures engine time, not collect()).
+
+Per-query numbers are the MEDIAN of three timed passes (after two untimed
+warm-ups): single-pass timings on a shared box conflate engine regressions
+with load spikes — BASELINE.md documents the same commit measuring 19.3 s
+idle vs 39.0 s loaded — and the median of three absorbs one-off spikes
+while keeping the run short.  The raw passes ship in "passes" so a noisy
+box is visible in the artifact itself.
 """
 
 from __future__ import annotations
@@ -44,6 +52,14 @@ HEADLINE = [
     "bigram_logprob_docs",        # bigram-LM doc scoring (perplexity filter)
     "local_supplier_volume",      # Q5-shape multi-dim star join
     "top_orders_per_customer",    # per-group top-k (WindowGroupLimit)
+    # Round-4/5 heavy paths (appended; the original 20 keep their order
+    # for round-over-round continuity):
+    "semantic_dedup_keep",        # SemDeDup cluster-keyed pair join
+    "exact_substring_spans",      # Lee et al. gram window + span merge
+    "fuzzy_part_name_pairs",      # q-gram blocking join (df-cap active)
+    "dsir_source_weights",        # DSIR hashed-bucket importance weights
+    "stream_ohlc_replay",         # streaming window math, batch replay
+    "pagerank_doc_graph",         # iterative rank over the dup graph
 ]
 
 
@@ -71,20 +87,23 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            passes[name].append(round(time.perf_counter() - t0, 3))
 
+    timings = {name: sorted(ts)[1] for name, ts in passes.items()}
     print(
         json.dumps(
             {
-                "metric": "headline query wall-clock, noop sink",
+                "metric": "headline query wall-clock, noop sink, median of 3",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "passes": passes,
                 "sf": sf,
             }
         )

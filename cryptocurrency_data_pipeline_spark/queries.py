@@ -6173,16 +6173,30 @@ DEMOTED_PAST_DRIVER_CAP = [
     # (same criterion; time-window analytics keep rolling_7d_user_value
     # and token_budget_curriculum in-window)
     "monthly_revenue_growth",
-    # Registered tail-first by design (round 4 filled the 50-slot window):
-    # parity-pinned per pytest run until a window slot rotates free.
-    "pagerank_doc_graph",
-    "wav_decode_rollup",
-    "lang_id_confusion",
-    "mad_outlier_events",
-    "chunk_retrieval_topk",
-    "y4m_decode_rollup",
-    "stratified_exact_k_sample",
-    "join_key_skew_report",
+    # Round-5 demotions: all 13 driver-green in BOTH r3 and r4 (the
+    # twice-green rotation criterion), each family keeping an in-window
+    # representative (sampling -> weighted_doc_sample +
+    # stratified_exact_k_sample, retrieval -> hybrid_rrf_retrieval +
+    # chunk_retrieval_topk, LM -> ccnet_perplexity_buckets, sketch ->
+    # cms_heavy_hitters + approx_price_quantile_sketch, ANN ->
+    # ann_recall_at_k + hard_negative_mining, graph -> dup_clusters +
+    # pagerank_doc_graph).  Freed slots go to the 8 round-4 queries that
+    # registered tail-first and had never faced the driver, plus the 5
+    # new round-5 queries (corpus_ingest_replay, png_decode_rollup,
+    # scd2_incremental_merge, lsh_band_tuning, grouped_ewma_user_value).
+    "asof_next_purchase",
+    "lineitem_price_qty_stats",
+    "hll_weekly_users",
+    "doc_chunk_inventory",
+    "docs_consecutive_ids",
+    "train_val_test_split",
+    "source_mixture_sample",
+    "bigram_logprob_docs",
+    "bm25_top_docs",
+    "benchmark_contamination",
+    "bloom_pruned_building_orders",
+    "kmeans_embedding_clusters",
+    "quantized_cosine_topk",
 ]
 
 
