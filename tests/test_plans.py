@@ -269,3 +269,47 @@ def test_skew_report_is_take_ordered_with_partials(spark):
     p = plan(QUERIES["join_key_skew_report"](spark, SF))
     assert "TakeOrderedAndProject" in p
     assert "partial_count" in p
+
+
+def test_corpus_ingest_replay_two_shuffles(spark):
+    # gate is map-only; the only exchanges are the content-fingerprint
+    # dedup window and the final (split, source) rollup.
+    p = plan(QUERIES["corpus_ingest_replay"](spark, SF), mode="simple")
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_scd2_incremental_guard_join_broadcasts(spark):
+    # The stale-update guard joins the batch against dim-sized current
+    # rows — it must broadcast, not add a wide sort-merge shuffle, and
+    # nothing in the two-stage merge may degenerate to a nested loop.
+    p = plan(QUERIES["scd2_incremental_merge"](spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_grouped_ewma_single_exchange(spark):
+    # GROUPED_MAP = one hash exchange on the key feeding one
+    # FlatMapGroupsInPandas — any second shuffle is a regression.
+    p = plan(QUERIES["grouped_ewma_user_value"](spark, SF), mode="simple")
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_png_rollup_single_shuffle_two_pandas_stages(spark):
+    # producer + decoder are both Arrow-batched map stages; the only
+    # exchange is the final width rollup.
+    p = plan(QUERIES["png_decode_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_lsh_band_tuning_equi_join_reuses_shingle_cache(spark):
+    # Candidate generation must stay a band-key equi-join (never
+    # all-pairs): the only nested-loop allowed is the final 1-row
+    # n_truth broadcast attach (the standard stats-attach pattern).
+    # Both the signature pass and the truth verification must read the
+    # cached shingle frame instead of rescanning the corpus.
+    p = plan(QUERIES["lsh_band_tuning"](spark, SF), mode="simple")
+    assert "Cartesian" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert p.count("InMemoryTableScan") >= 2
