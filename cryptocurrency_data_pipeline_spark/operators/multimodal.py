@@ -119,6 +119,54 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, int]:
     return w, h, 1
 
 
+#: SOFn markers that carry frame dimensions (C4=DHT, C8=JPG, CC=DAC are
+#: NOT frame headers and must be skipped like any other segment).
+_JPEG_SOF = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def _parse_jpeg(payload: bytes) -> tuple[int, int, int]:
+    """JPEG dimensions via the standard marker walk — header metadata
+    needs no codec: segments are length-delimited, so APP/COM/DQT/DHT
+    skip cleanly until a SOFn frame header yields (height, width).
+    Standalone markers (TEM, RSTn) have no length field; fill bytes
+    (0xFF padding before a marker) are tolerated per the spec.  Pixel
+    decode (huffman+DCT) stays behind the stub — this parses metadata
+    only, which is what the corpus-stats path needs."""
+    n = len(payload)
+    if n < 4 or payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG SOI")
+    pos = 2
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            raise ValueError("expected JPEG marker")
+        # skip fill bytes
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone: TEM, SOI, RSTn
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment length")
+        seg_len = int.from_bytes(payload[pos : pos + 2], "big")
+        if seg_len < 2 or pos + seg_len > n:
+            raise ValueError("bad JPEG segment length")
+        if marker in _JPEG_SOF:
+            if seg_len < 7:
+                raise ValueError("SOF segment too short")
+            height = int.from_bytes(payload[pos + 3 : pos + 5], "big")
+            width = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+            return width, height, 1
+        if marker == 0xDA:  # SOS: entropy-coded data follows
+            raise ValueError("no SOF frame header before SOS")
+        pos += seg_len
+    raise ValueError("no SOF frame header found")
+
+
 def _parse_header(payload: bytes) -> tuple[int, int, int]:
     """Decode dispatch: real PPM/BMP parsers, FAKE stub for everything a
     codec library would handle.  The fallback is the only piece a real
@@ -142,10 +190,13 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
                 1,
             )
         raise ValueError("truncated PNG header")
+    if payload is not None and payload.startswith(b"\xff\xd8"):
+        return _parse_jpeg(payload)
     raise NotImplementedError(
-        "compressed-format decoding (jpeg/video) is not available in "
-        "this environment; payload must be PNG, PPM (P6), BMP, or the "
-        "FAKE stub"
+        "compressed-format pixel decoding (jpeg entropy data / video "
+        "codecs) is not available in this environment; metadata parses "
+        "for PNG/JPEG/PPM/BMP are real, pixel decode is real for "
+        "PNG/PPM/BMP; otherwise payload must be the FAKE stub"
     )
 
 

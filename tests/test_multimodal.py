@@ -419,3 +419,36 @@ def test_decode_png_stats_and_meta_dispatch(spark):
     # the generic metadata path dispatches PNG headers too
     meta = {r.media_id: r for r in decode_image_meta(df).collect()}
     assert (meta[1].width, meta[1].height) == (4, 2)
+
+
+def test_parse_jpeg_marker_walk():
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import _parse_jpeg
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    sof0 = seg(0xC0, bytes([8]) + (480).to_bytes(2, "big")
+               + (640).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    # COM body containing 0xFF bytes must be skipped by length, not
+    # mistaken for a marker; DQT/DHT likewise; RST0 is standalone.
+    com = seg(0xFE, b"hello \xff\xd8 world")
+    dqt = seg(0xDB, bytes(65))
+    soi, eoi, rst = b"\xff\xd8", b"\xff\xd9", b"\xff\xd0"
+    assert _parse_jpeg(soi + com + dqt + rst + sof0 + eoi) == (640, 480, 1)
+    # progressive (SOF2) carries dims the same way
+    sof2 = seg(0xC2, bytes([8]) + (12).to_bytes(2, "big")
+               + (34).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    assert _parse_jpeg(soi + sof2 + eoi) == (34, 12, 1)
+    # C4 (DHT) must NOT be treated as a frame header
+    dht = seg(0xC4, bytes(20))
+    assert _parse_jpeg(soi + dht + sof0 + eoi) == (640, 480, 1)
+    with pytest.raises(ValueError):
+        _parse_jpeg(soi + com + eoi)           # no SOF
+    with pytest.raises(ValueError):
+        _parse_jpeg(soi + seg(0xDA, b"\x01\x01\x00") + eoi)  # SOS before SOF
+    with pytest.raises(ValueError):
+        _parse_jpeg((soi + sof0)[: len(soi) + 5])  # truncated segment
+    with pytest.raises(ValueError):
+        _parse_jpeg(b"\x89PNG....")             # wrong magic
