@@ -743,3 +743,294 @@ def decode_video_meta(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content_hash", "payload").mapInPandas(
         decode, VIDEO_META
     )
+
+
+# --------------------------------------------------------------------------
+# GIF: real decode of the SECOND compressed format, again with zero
+# dependencies — the compression here is LZW (GIF89a spec appendix F),
+# implemented directly: LSB-first variable-width codes, clear/EOI codes,
+# dictionary growth to 4096 with reset, and the decoder-lags-encoder
+# width schedule.  Header + logical-screen-descriptor + global color
+# table + extension skip + image descriptor are parsed for real; the
+# pixel rollup is over LZW-DECOMPRESSED palette indices mapped through
+# the parsed color table, so a broken bit unpacker, a mis-synced code
+# width, or a skipped palette all flip the driver hash.  Reference
+# semantics: the reference pipeline treats media as opaque S3 objects
+# (reference: src/ingestion/fetch_coins.py:1 stores raw API payloads);
+# the engine adds typed decode on top.
+# --------------------------------------------------------------------------
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW compress (producer/test side): LSB-first
+    variable-width codes, no early change.
+
+    The emitted code width follows the DECODER's table growth — one
+    append per data code after the first since the last clear — which
+    lags the encoder's own dictionary by exactly one entry (the classic
+    GIF off-by-one; property-tested round-trip in test_multimodal.py)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    width = min_code_size + 1
+    next_code = eoi + 1   # encoder dictionary (compression decisions only)
+    dec_size = eoi + 1    # decoder-table mirror (drives the code width)
+    first = True          # decoder skips the append for the first code
+    emit(clear, width)
+
+    def emit_data(code: int) -> None:
+        nonlocal dec_size, width, first
+        emit(code, width)
+        if first:
+            first = False
+        elif dec_size < 4096:
+            dec_size += 1
+            if dec_size == (1 << width) and width < 12:
+                width += 1
+
+    buf = b""
+    for b in data:
+        nxt = buf + bytes([b])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit_data(table[buf])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = eoi + 1
+            dec_size = eoi + 1
+            first = True
+        buf = bytes([b])
+    if buf:
+        emit_data(table[buf])
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray:
+    """GIF LZW decompress to exactly ``expected`` bytes; raises on any
+    malformed stream (bad code, overrun, missing EOI) -> null/DLQ row."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    pos = 0
+    width = min_code_size + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev = None
+    total_bits = len(data) * 8
+    while pos + width <= total_bits:
+        byte0 = pos // 8
+        code = int.from_bytes(data[byte0 : byte0 + 4], "little") >> (pos % 8)
+        code &= (1 << width) - 1
+        pos += width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            if len(out) != expected:
+                raise ValueError("LZW output length mismatch")
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]  # the kwkwk case
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+        if len(out) > expected:
+            raise ValueError("LZW output overrun")
+    raise ValueError("missing LZW EOI code")
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]], bytearray]:
+    """Full GIF decode of the first image frame:
+    ``(width, height, palette, indices)``.
+
+    Parses header (87a/89a), logical screen descriptor, global color
+    table, skips extension blocks, then image descriptor + LZW-compressed
+    index data (local color table honored when present).  Interlaced
+    images and truncated/corrupt streams raise -> null/DLQ row."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    packed = payload[10]
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:  # global color table
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated global color table")
+        palette = [
+            (payload[pos + 3 * j], payload[pos + 3 * j + 1], payload[pos + 3 * j + 2])
+            for j in range(n)
+        ]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
+        width = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        height = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if ipacked & 0x80:  # local color table overrides global
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated local color table")
+            palette = [
+                (payload[pos + 3 * j], payload[pos + 3 * j + 1], payload[pos + 3 * j + 2])
+                for j in range(n)
+            ]
+            pos += 3 * n
+        if not palette:
+            raise ValueError("GIF image has no color table")
+        if pos >= len(payload):
+            raise ValueError("missing LZW minimum code size")
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 8:
+            raise ValueError(f"bad LZW minimum code size {min_code_size}")
+        stream = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("unterminated image sub-blocks")
+            blen = payload[pos]
+            pos += 1
+            if blen == 0:
+                break
+            if pos + blen > len(payload):
+                raise ValueError("truncated image sub-block")
+            stream += payload[pos : pos + blen]
+            pos += blen
+        indices = _lzw_decode(bytes(stream), min_code_size, width * height)
+        if max(indices, default=0) >= len(palette):
+            raise ValueError("palette index out of range")
+        return width, height, palette, indices
+    raise ValueError("missing GIF trailer")
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: list[tuple[int, int, int]],
+) -> bytes:
+    """Minimal conforming GIF89a encoder (producer/test side): global
+    color table padded to a power of two, one image, real LZW stream in
+    <=255-byte sub-blocks."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match dimensions")
+    if indices and max(indices) >= len(palette):
+        raise ValueError("palette too small for indices")
+    bits = 1
+    while (1 << bits) < len(palette):
+        bits += 1
+    bits = max(bits, 2)  # GIF LZW minimum code size floor
+    padded = palette + [(0, 0, 0)] * ((1 << bits) - len(palette))
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT present, size 2^bits
+    for r, g, b in padded:
+        out += bytes([r, g, b])
+    out += b"\x2c" + b"\x00" * 4  # image descriptor at (0, 0)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += b"\x00"  # no LCT, not interlaced
+    out += bytes([bits])
+    stream = _lzw_encode(indices, bits)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+GIF_STATS = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content_hash", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_colors", IntegerType(), True),
+        StructField("index_sum", LongType(), True),
+        StructField("rgb_sum", LongType(), True),
+    ]
+)
+
+
+def decode_gif_stats(df: DataFrame) -> DataFrame:
+    """mapInPandas GIF decode to pixel-level stats.  ``index_sum`` is over
+    the LZW-decompressed palette indices and ``rgb_sum`` maps every pixel
+    through the parsed color table, so the bit unpacker, width schedule,
+    and palette parse are all on the hash path.  Same Arrow-batched,
+    null-on-failure DLQ shape as the other decoders."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    w, h, palette, idx = decode_gif(r.payload)
+                    isum = sum(idx)
+                    rsum = sum(sum(palette[i]) for i in idx)
+                    rows.append(
+                        (r.media_id, r.content_hash, w, h, len(palette), isum, rsum)
+                    )
+                except Exception:
+                    rows.append(
+                        (r.media_id, r.content_hash, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "content_hash",
+                    "width", "height", "n_colors", "index_sum", "rgb_sum",
+                ],
+            )
+
+    return df.select("media_id", "content_hash", "payload").mapInPandas(
+        decode, GIF_STATS
+    )

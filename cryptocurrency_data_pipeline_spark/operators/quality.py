@@ -269,3 +269,40 @@ def observed(
         metrics.append(F.min(c).cast("double").alias(f"Minimum({c})"))
         metrics.append(F.max(c).cast("double").alias(f"Maximum({c})"))
     return df.observe(obs, *metrics), obs
+
+
+def equi_width_histogram(df, col: str, k: int = 20):
+    """Equi-width histogram profile of a numeric column — the Deequ
+    ``Histogram`` analyzer shape for continuous data.
+
+    Two jobs by construction: a 1-row min/max agg (broadcast), then one
+    partial-agged groupBy over ``k`` buckets.  Per-bucket stats are
+    count/min/max only — all EXACT under floating point, so the result
+    is engine-reproducible (sums/means of doubles are order-sensitive
+    and belong in ``profile()``'s rounded metrics instead).  A constant
+    column collapses to bucket 0 rather than dividing by zero.
+    """
+    bounds = df.agg(
+        F.min(F.col(col)).cast("double").alias("mn"),
+        F.max(F.col(col)).cast("double").alias("mx"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(k))
+    bucket = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(k - 1),
+                F.floor((F.col(col) - F.col("mn")) / width),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(col), 6).alias("lo"),
+            F.round(F.max(col), 6).alias("hi"),
+        )
+    )

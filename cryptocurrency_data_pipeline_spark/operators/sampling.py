@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: 12/2/2 first-hex-char buckets → 75% / 12.5% / 12.5% expected split.
@@ -125,3 +125,44 @@ def weighted_sample(
         .drop("__w")
     )
     return keyed.orderBy(F.col("sample_key").desc(), F.col(id_col)).limit(k)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    weight: Column,
+    alpha: float = 0.3,
+    token_budget: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual-sampling rule,
+    Conneau & Lample-style): ``p_s = n_s^alpha / sum_t n_t^alpha``.
+
+    ``alpha < 1`` flattens the natural distribution, upsampling
+    low-resource sources — the standard knob for balancing a multi-source
+    pretraining mix.  When ``token_budget`` is given, each source also
+    gets its integer token allocation and the implied epoch count
+    (allocation / available), making >1 epochs on small sources explicit.
+
+    Scale shape: one partial-agged shuffle to the per-source rollup;
+    the unpartitioned window for the normalizer runs on the O(#sources)
+    aggregate, never on row data.  The ``+ 1e-6`` inside floor() absorbs
+    last-ulp ``pow`` differences across engines; oracle SQL mirrors it.
+    """
+    per = df.groupBy(source_col).agg(weight.cast("double").alias("n_tokens"))
+    w_all = Window.partitionBy()
+    pw = F.pow(F.col("n_tokens"), F.lit(float(alpha)))
+    out = per.withColumn("p_raw", pw / F.sum(pw).over(w_all))
+    if token_budget is not None:
+        alloc = F.floor(F.col("p_raw") * F.lit(float(token_budget)) + F.lit(1e-6))
+        out = (
+            out.withColumn("target_tokens", alloc.cast("long"))
+            .withColumn(
+                "epochs",
+                F.round(F.col("target_tokens") / F.col("n_tokens"), 4),
+            )
+        )
+    return (
+        out.withColumn("p", F.round("p_raw", 6))
+        .withColumn("n_tokens", F.col("n_tokens").cast("long"))
+        .drop("p_raw")
+    )

@@ -452,3 +452,136 @@ def test_parse_jpeg_marker_walk():
         _parse_jpeg((soi + sof0)[: len(soi) + 5])  # truncated segment
     with pytest.raises(ValueError):
         _parse_jpeg(b"\x89PNG....")             # wrong magic
+
+
+# ---------------------------------------------------------------- GIF / LZW
+
+
+def test_lzw_roundtrip_randomized():
+    import random
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = random.Random(7)
+    for _ in range(150):
+        mcs = rng.choice([2, 3, 4, 5, 8])
+        n = rng.randrange(0, 1500)
+        ncol = 1 << mcs
+        mode = rng.random()
+        if mode < 0.3:
+            data = bytes(rng.randrange(ncol) for _ in range(n))
+        elif mode < 0.6:
+            data = bytes((i * 3) % ncol for i in range(n))
+        else:
+            data = bytes([rng.randrange(ncol)] * n)  # kwkwk runs
+        assert bytes(_lzw_decode(_lzw_encode(data, mcs), mcs, n)) == data
+
+
+def test_lzw_dictionary_reset_path():
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    # >4096 dictionary entries forces the in-stream clear/reset.
+    data = bytes((i * 17 + i // 5) % 16 for i in range(120_000))
+    enc = _lzw_encode(data, 4)
+    assert bytes(_lzw_decode(enc, 4, len(data))) == data
+    assert len(enc) < len(data) // 10  # actually compressing
+
+
+def test_gif_roundtrip_and_palette():
+    import random
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = random.Random(11)
+    for _ in range(40):
+        w, h = rng.randrange(1, 30), rng.randrange(1, 20)
+        nc = rng.randrange(2, 17)
+        palette = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(nc)
+        ]
+        idx = bytes(rng.randrange(nc) for _ in range(w * h))
+        gw, gh, pal, got = decode_gif(encode_gif(w, h, idx, palette))
+        assert (gw, gh) == (w, h)
+        assert bytes(got) == idx
+        assert pal[:nc] == palette  # GCT parsed; padding beyond nc is zeros
+
+
+def test_gif_large_image_crosses_dict_reset():
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    w, h, nc = 400, 300, 16
+    palette = [(j * 7 % 256, j * 11 % 256, j * 13 % 256) for j in range(nc)]
+    idx = bytes((i * 17 + i // 7) % nc for i in range(w * h))
+    gw, gh, _, got = decode_gif(encode_gif(w, h, idx, palette))
+    assert (gw, gh) == (w, h) and bytes(got) == idx
+
+
+def test_gif_skips_extension_blocks():
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    palette = [(1, 2, 3), (4, 5, 6)]
+    idx = bytes([0, 1, 1, 0])
+    g = bytearray(encode_gif(2, 2, idx, palette))
+    # splice a Graphic Control Extension before the image descriptor
+    at = g.index(0x2C, 13)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    g[at:at] = gce
+    gw, gh, _, got = decode_gif(bytes(g))
+    assert (gw, gh) == (2, 2) and bytes(got) == idx
+
+
+def test_gif_rejects_corrupt():
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    g = encode_gif(3, 2, bytes([0, 1, 2, 0, 1, 2]), [(9, 9, 9)] * 3)
+    for bad in (b"", b"GIF89a", g[:15], b"NOPE" + g[4:], g[:-10]):
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+    # interlace flag set -> unsupported, raises (DLQ path)
+    at = g.index(0x2C, 13)
+    tweaked = bytearray(g)
+    tweaked[at + 9] |= 0x40
+    with pytest.raises(ValueError):
+        decode_gif(bytes(tweaked))
+
+
+def test_decode_gif_stats_dlq(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_gif_stats,
+        encode_gif,
+        media_table,
+    )
+
+    palette = [(10, 20, 30), (1, 1, 1), (200, 0, 50)]
+    idx = bytes([0, 2, 1, 2])
+    rows = [(1, encode_gif(2, 2, idx, palette)), (2, b"GIF89a\x00corrupt")]
+    df = media_table(
+        spark.createDataFrame(rows, "id long, payload binary"),
+        "id", "image", "payload",
+    )
+    got = {r.media_id: r for r in decode_gif_stats(df).collect()}
+    assert (got[1].width, got[1].height, got[1].n_colors) == (2, 2, 4)
+    assert got[1].index_sum == sum(idx)
+    assert got[1].rgb_sum == sum(sum(palette[i]) for i in idx)
+    assert got[2].width is None and got[2].rgb_sum is None

@@ -282,3 +282,164 @@ def test_weighted_sample_plan_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------- temperature mixture
+
+
+def test_temperature_mixture_alpha_one_is_proportional(spark):
+    from pyspark.sql import functions as F
+
+    from cryptocurrency_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 900), ("b", 100)], "source string, n long"
+    )
+    got = {
+        r.source: r
+        for r in temperature_mixture(
+            df, "source", F.sum("n"), alpha=1.0, token_budget=1000
+        ).collect()
+    }
+    assert got["a"].p == 0.9 and got["b"].p == 0.1
+    assert got["a"].target_tokens == 900 and got["b"].target_tokens == 100
+    assert got["b"].epochs == 1.0
+
+
+def test_temperature_mixture_flattens_and_upsamples(spark):
+    from pyspark.sql import functions as F
+
+    from cryptocurrency_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [("big", 1_000_000), ("small", 1_000)], "source string, n long"
+    )
+    got = {
+        r.source: r
+        for r in temperature_mixture(
+            df, "source", F.sum("n"), alpha=0.3, token_budget=100_000
+        ).collect()
+    }
+    # alpha<1 flattens: small source gets far more than its natural share
+    assert got["small"].p > 0.001
+    assert abs(got["big"].p + got["small"].p - 1.0) < 1e-5
+    # and the small source's allocation implies multiple epochs
+    assert got["small"].epochs > 1.0
+
+
+# ------------------------------------------------- hashed linear classifier
+
+
+def test_classifier_keep_matches_sign_and_score_range(spark):
+    from cryptocurrency_data_pipeline_spark.operators.classifier import (
+        demo_weight_table,
+        score_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zip zap"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = score_documents(docs, demo_weight_table(spark, 64), 64).collect()
+    assert len(got) == 3
+    for r in got:
+        assert r.keep == (r.weight_sum > 0)
+        assert 0.0 < r.score < 1.0
+
+
+def test_classifier_weight_table_is_broadcast(spark):
+    from cryptocurrency_data_pipeline_spark.operators.classifier import (
+        demo_weight_table,
+        score_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1}") for i in range(50)], "doc_id long, text string"
+    )
+    plan = (
+        score_documents(docs, demo_weight_table(spark, 64), 64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_classifier_deterministic_weights_reproduce(spark):
+    from cryptocurrency_data_pipeline_spark.operators.classifier import (
+        demo_weight_table,
+    )
+
+    rows = {r.bucket: r.weight for r in demo_weight_table(spark, 8).collect()}
+    assert rows == {
+        b: (b * 2654435761) % 10007 - 5003 for b in range(8)
+    }
+
+
+# ------------------------------------------------- segment boilerplate
+
+
+def test_segment_boilerplate_flags_shared_spans(spark):
+    from cryptocurrency_data_pipeline_spark.operators.dedup import (
+        segment_boilerplate,
+    )
+
+    shared = "one two three four"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " aa bb cc dd"),
+            (2, shared + " ee ff gg hh"),
+            (3, "ii jj kk ll mm nn oo pp"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in segment_boilerplate(docs, seg_len=4).collect()}
+    assert got[1].n_segments == 2 and got[1].n_boilerplate == 1
+    assert got[2].n_segments == 2 and got[2].n_boilerplate == 1
+    assert got[3].n_segments == 2 and got[3].n_boilerplate == 0
+    assert got[1].boilerplate_frac == 0.5
+
+
+def test_segment_boilerplate_short_docs_have_no_rows(spark):
+    from cryptocurrency_data_pipeline_spark.operators.dedup import (
+        segment_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "p q r s t u v w")], "doc_id long, text string"
+    )
+    got = segment_boilerplate(docs, seg_len=4).collect()
+    assert [r.doc_id for r in got] == [2]  # doc 1: < seg_len tokens
+
+
+# ------------------------------------------------- equi-width histogram
+
+
+def test_equi_width_histogram_buckets_and_bounds(spark):
+    from cryptocurrency_data_pipeline_spark.operators.quality import (
+        equi_width_histogram,
+    )
+
+    vals = [(float(v),) for v in range(0, 100)]
+    got = {
+        r.bucket: r
+        for r in equi_width_histogram(
+            spark.createDataFrame(vals, "v double"), "v", k=10
+        ).collect()
+    }
+    assert set(got) == set(range(10))
+    assert all(got[b].n == 10 for b in range(9))
+    # max value folds into the last bucket via least()
+    assert got[9].n == 10 and got[9].hi == 99.0
+
+
+def test_equi_width_histogram_constant_column(spark):
+    from cryptocurrency_data_pipeline_spark.operators.quality import (
+        equi_width_histogram,
+    )
+
+    df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "v double")
+    got = equi_width_histogram(df, "v", k=20).collect()
+    assert len(got) == 1 and got[0].bucket == 0 and got[0].n == 3
