@@ -1034,3 +1034,123 @@ def decode_gif_stats(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content_hash", "payload").mapInPandas(
         decode, GIF_STATS
     )
+
+
+# --------------------------------------------------------------------------
+# Audio FEATURE extraction — beyond header metadata, into the samples.
+# The training-corpus audio gate needs signal-level features (silence
+# detection, clipping, energy) computed at scale; this is the 16-bit PCM
+# path with exact integer features, so results are engine-reproducible
+# bit-for-bit (no floating summation anywhere).
+# --------------------------------------------------------------------------
+
+
+def _wav_samples(payload: bytes) -> tuple[int, list[int]]:
+    """Decode a 16-bit mono PCM WAV to ``(sample_rate, samples)``.
+
+    Reuses the chunk walk of ``_parse_wav`` (truncation-clamped) and
+    additionally materializes the signed samples; anything that isn't
+    16-bit mono PCM raises -> null/DLQ row."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    rate = channels = bits = block = None
+    data: bytes | None = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if csize > n - pos - 8:
+            raise ValueError("chunk size exceeds payload")
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too small")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            block = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if channels != 1 or bits != 16 or block != 2:
+        raise ValueError("feature path supports 16-bit mono PCM only")
+    if len(data) % 2:
+        data = data[:-1]
+    samples = [
+        int.from_bytes(data[i : i + 2], "little", signed=True)
+        for i in range(0, len(data), 2)
+    ]
+    return rate, samples
+
+
+AUDIO_FEATURES = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content_hash", StringType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("peak", IntegerType(), True),
+        StructField("sum_sq", LongType(), True),
+        StructField("zero_crossings", IntegerType(), True),
+    ]
+)
+
+
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas PCM feature extraction: peak amplitude, energy
+    (sum of squared samples), and strict zero crossings
+    (``s[i] * s[i-1] < 0``) per clip.
+
+    All features are INTEGER arithmetic over the decoded samples — no
+    floating summation — so the result hashes identically on any engine.
+    RMS/dBFS are cheap post-expressions over ``sum_sq / n_samples`` for
+    callers that want them.  Same Arrow-batched null-on-failure DLQ
+    shape as every other decoder."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    rate, s = _wav_samples(r.payload)
+                    peak = max((abs(x) for x in s), default=0)
+                    sum_sq = sum(x * x for x in s)
+                    zc = sum(
+                        1 for i in range(1, len(s)) if s[i] * s[i - 1] < 0
+                    )
+                    rows.append(
+                        (r.media_id, r.content_hash, rate, len(s), peak, sum_sq, zc)
+                    )
+                except Exception:
+                    rows.append(
+                        (r.media_id, r.content_hash, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "content_hash",
+                    "sample_rate", "n_samples", "peak", "sum_sq",
+                    "zero_crossings",
+                ],
+            )
+
+    return df.select("media_id", "content_hash", "payload").mapInPandas(
+        decode, AUDIO_FEATURES
+    )
+
+
+def encode_wav(rate: int, samples: list[int]) -> bytes:
+    """Minimal conforming 16-bit mono PCM WAV encoder (producer/test
+    side)."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    riff_size = 4 + 8 + len(fmt) + 8 + len(data)
+    return (
+        b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )

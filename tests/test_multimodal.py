@@ -585,3 +585,47 @@ def test_decode_gif_stats_dlq(spark):
     assert got[1].index_sum == sum(idx)
     assert got[1].rgb_sum == sum(sum(palette[i]) for i in idx)
     assert got[2].width is None and got[2].rgb_sum is None
+
+
+# ------------------------------------------------------- audio features
+
+
+def test_wav_samples_roundtrip_and_reject():
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _wav_samples,
+        encode_wav,
+    )
+
+    s = [((7 * 5 + 3 * i) % 4001) - 2000 for i in range(100)]
+    rate, got = _wav_samples(encode_wav(8000, s))
+    assert rate == 8000 and got == s
+    with pytest.raises(ValueError):
+        _wav_samples(b"RIFF\x00\x00\x00\x00WAVEjunk")
+    with pytest.raises(ValueError):
+        _wav_samples(encode_wav(8000, s)[:30])  # truncated chunk
+
+
+def test_decode_audio_features_exact_integers(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_audio_features,
+        encode_wav,
+        media_table,
+    )
+
+    s1 = [0, 100, -50, 50, -1, 2, 0, -3]
+    rows = [(1, encode_wav(16000, s1)), (2, b"not a wav")]
+    df = media_table(
+        spark.createDataFrame(rows, "id long, payload binary"),
+        "id", "audio", "payload",
+    )
+    got = {r.media_id: r for r in decode_audio_features(df).collect()}
+    assert got[1].sample_rate == 16000
+    assert got[1].n_samples == 8
+    assert got[1].peak == 100
+    assert got[1].sum_sq == sum(x * x for x in s1)
+    assert got[1].zero_crossings == sum(
+        1 for i in range(1, len(s1)) if s1[i] * s1[i - 1] < 0
+    )
+    assert got[2].peak is None  # DLQ row

@@ -229,3 +229,77 @@ def test_unicode_normalization_rejects_bad_form(spark):
 
     with _pytest.raises(ValueError):
         normalize_unicode("s", "NFX")
+
+
+# ------------------------------------------------------------- BPE apply
+
+
+def _ref_bpe(toks, merges):
+    """Classic lowest-rank-first BPE apply (pure python reference)."""
+    rank = {m: i for i, m in enumerate(merges)}
+    toks = list(toks)
+    while True:
+        best, bi = None, -1
+        for i in range(len(toks) - 1):
+            r = rank.get((toks[i], toks[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            return toks
+        toks = toks[:bi] + [toks[bi] + toks[bi + 1]] + toks[bi + 2 :]
+
+
+def test_bpe_apply_matches_reference_on_crafted_cases(spark):
+    from cryptocurrency_data_pipeline_spark.operators.text import bpe_apply
+
+    merges = [("a", "b"), ("ab", "c"), ("x", "x"), ("ab", "ab")]
+    cases = [
+        "a b c",            # cascading: ab then abc
+        "a b a b",          # adjacent merged symbols -> abab via rank-4
+        "x x x",            # a==b overlap: leftmost pair wins
+        "c a b c a b c",
+        "a a b b",
+        "q w e",            # no merges apply
+        "a b c a b c x x",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in bpe_apply(df, merges).collect()}
+    for i, s in enumerate(cases):
+        assert list(got[i].bpe_tokens) == _ref_bpe(s.split(), merges), s
+        assert got[i].n_tokens_after == len(_ref_bpe(s.split(), merges))
+
+
+def test_bpe_apply_matches_reference_randomized(spark):
+    import random
+
+    from cryptocurrency_data_pipeline_spark.operators.text import bpe_apply
+
+    rng = random.Random(19)
+    vocab = ["aa", "bb", "cc", "dd"]
+    # well-formed merge list: operands exist before use, outputs unique
+    merges = [("aa", "bb"), ("cc", "dd"), ("aabb", "cc"), ("aabb", "aabb")]
+    cases = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30)))
+        or "aa"
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in bpe_apply(df, merges).collect()}
+    for i, s in enumerate(cases):
+        assert list(got[i].bpe_tokens) == _ref_bpe(s.split(), merges), s
+
+
+def test_bpe_apply_plan_has_no_shuffle_or_python(spark):
+    from cryptocurrency_data_pipeline_spark.operators.text import bpe_apply
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        bpe_apply(df, [("a", "b")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure JVM expressions
