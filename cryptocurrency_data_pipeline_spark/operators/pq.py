@@ -1,0 +1,286 @@
+"""Product quantization (PQ) for embedding search at corpus scale.
+
+IVF prunes *candidates*; PQ shrinks *memory*: a 64-dim float vector
+(256 B) becomes M=8 one-byte codes by quantizing each 8-dim subvector to
+its nearest codebook centroid — a 32× compression that lets a
+100 TB embedding corpus fit executor memory for approximate scoring.
+Queries are answered with asymmetric distance computation (ADC): the
+query builds an M×K lookup table of exact subvector-to-centroid
+distances once, and every corpus vector scores as the SUM of M table
+lookups — no float vector ever leaves storage (Jégou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Engine mapping:
+
+- the **codebook is a table** (``m, code, centroid``), broadcast to the
+  encode and scoring joins — the same exported-artifact pattern as the
+  classifier weight table; a real deployment trains it with
+  ``operators/clustering`` per subspace and swaps the DataFrame;
+- **encode** is explode-by-subspace → broadcast codebook join →
+  per-(vector, subspace) argmin via a rank window — all JVM expressions
+  (``zip_with`` + ``aggregate`` in element order, so distances are
+  bit-identical on any engine);
+- **ADC** is one broadcast lookup-table join + a partial-agged sum, then
+  the standard per-query top-k window.
+
+Reference semantics: the reference has no vector search at all; this is
+part of the engine's training-data surface (SURVEY.md §2 similarity
+family) alongside exact/SRP/IVF/int8 search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cryptocurrency_data_pipeline_spark.operators.similarity import as_double
+
+
+def demo_codebook(
+    spark: SparkSession, m: int = 8, k: int = 16, subdim: int = 8
+) -> DataFrame:
+    """Deterministic stand-in for trained PQ codebooks: centroid
+    component ``c[m][j][d] = ((7j + 3d + 11m) % 17 - 8) / 8`` — exact
+    integer arithmetic over a [-1, 1] grid, replayable in any engine.
+    O(m·k) literal rows, the size of a real exported codebook."""
+    rows = [
+        (
+            mi,
+            j,
+            [((7 * j + 3 * d + 11 * mi) % 17 - 8) / 8.0 for d in range(subdim)],
+        )
+        for mi in range(m)
+        for j in range(k)
+    ]
+    return spark.createDataFrame(rows, "m int, code int, centroid array<double>")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    subdim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: ``(id, m, code)``, one row per
+    subspace.
+
+    Explode by subspace (map-side), broadcast-join the codebook, take
+    the argmin centroid per (vector, subspace) with a rank window
+    ordered ``(distance, code)`` so ties break identically everywhere.
+    The subvector distance folds in ELEMENT ORDER (``zip_with`` +
+    ``aggregate``), making the doubles — and therefore the codes —
+    engine-exact."""
+    sub = (
+        df.select(
+            F.col(id_col),
+            as_double(F.col(vec_col)).alias("v"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+        )
+        .select(
+            id_col,
+            "m",
+            F.slice(F.col("v"), F.col("m") * subdim + 1, subdim).alias("sub"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col, "m").orderBy("dist", "code")
+    return (
+        sub.join(F.broadcast(codebook), "m")
+        .select(id_col, "m", "code", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "m", "code")
+    )
+
+
+def adc_lut(
+    queries: DataFrame,
+    codebook: DataFrame,
+    subdim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query ADC lookup table: exact distance from each query
+    subvector to each codebook centroid — O(|queries|·m·k) rows,
+    broadcast-sized by construction."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qv"), F.col("m") * subdim + 1, subdim),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return q.crossJoin(codebook).select(
+        "query_id", "m", "code", dist.alias("lut_dist")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    lut: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k per query by asymmetric PQ distance.
+
+    One broadcast join of the (query, m, code) lookup table onto the
+    codes, one partial-agged sum over the M subspaces, one per-query
+    top-k window ordered ``(rounded distance, id)`` — the rounding
+    absorbs float summation-order noise so ranking is engine-stable.
+    Self-matches are excluded like every other search operator."""
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("lut_dist"), 6).alias("adc_dist"))
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", id_col)
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "adc_dist",
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+def exact_l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k (the ground truth PQ approximates):
+    broadcast queries, element-order fold, per-query window."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("cv"), F.col("qv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("l2_dist", "neighbor_id")
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(dist, 6).alias("l2_dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "l2_dist")
+    )
+
+
+def _subvectors(
+    df: DataFrame, m: int, subdim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, m, sub) — one row per (vector, subspace), map-side explode."""
+    return df.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+    ).select(
+        id_col,
+        "m",
+        F.slice(F.col("v"), F.col("m") * subdim + 1, subdim).alias("sub"),
+    )
+
+
+def train_codebook(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    subdim: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train PQ codebooks: per-subspace Lloyd's k-means, fully
+    deterministic and engine-replayable.
+
+    - Seeds: the k vectors ranked first by ``(md5(id), id)`` — the same
+      deterministic seeding as ``clustering.kmeans_fit``; seed m's
+      centroid is that vector's m-th subvector, so all M subspaces
+      share one seed scan.
+    - Each round: argmin assignment (ties break ``(dist, code)``), then
+      per-(m, code, dim) means ROUNDED TO 9 DP — the rounding absorbs
+      float summation-order differences so the centroids, and therefore
+      the trained codebook, are bit-identical on any engine (the
+      property every PQ oracle below leans on).  Empty clusters keep
+      their previous centroid.
+    - Driver state: O(m·k·subdim) scalar literals per round (the
+      ``clustering.py`` contract), never data rows.
+
+    Returns ``(m, code, centroid array<double>)``.
+    """
+    spark = df.sparkSession
+    seed_rows = (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    # codebook[m][code] -> centroid list
+    book: dict[int, dict[int, list[float]]] = {
+        mi: {
+            j: list(seed_rows[j].v[mi * subdim : (mi + 1) * subdim])
+            for j in range(len(seed_rows))
+        }
+        for mi in range(m)
+    }
+
+    def as_frame(b) -> DataFrame:
+        rows = [
+            (mi, j, b[mi][j]) for mi in sorted(b) for j in sorted(b[mi])
+        ]
+        return spark.createDataFrame(
+            rows, "m int, code int, centroid array<double>"
+        )
+
+    sub = _subvectors(df, m, subdim, id_col, vec_col)
+    for _ in range(iters):
+        cb = as_frame(book)
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("sub"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy(id_col, "m").orderBy("dist", "code")
+        assigned = (
+            sub.join(F.broadcast(cb), "m")
+            .select(id_col, "m", "code", "sub", dist.alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        means = (
+            assigned.select("m", "code", F.posexplode("sub").alias("i", "x"))
+            .groupBy("m", "code", "i")
+            .agg(F.round(F.avg("x"), 9).alias("c"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            upd.setdefault((r.m, r.code), {})[r.i] = r.c
+        for (mi, j), dims in upd.items():
+            book[mi][j] = [dims[i] for i in sorted(dims)]
+    return as_frame(book)

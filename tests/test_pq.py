@@ -1,0 +1,83 @@
+"""Product-quantization operator tests (operators/pq.py)."""
+
+import pytest
+
+from cryptocurrency_data_pipeline_spark.operators import pq
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # Two clear clusters per 2-dim subspace: around (0,0) and (5,5).
+    rows = [
+        (0, [0.0, 0.1, 5.0, 5.1]),
+        (1, [0.1, 0.0, 5.1, 5.0]),
+        (2, [5.0, 5.1, 0.0, 0.1]),
+        (3, [5.1, 5.0, 0.1, 0.0]),
+        (4, [0.0, 0.0, 0.0, 0.0]),
+        (5, [5.0, 5.0, 5.0, 5.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_trained_codes_separate_clusters(vecs):
+    cb = pq.train_codebook(vecs, m=2, k=2, subdim=2, iters=2)
+    codes = pq.pq_encode(vecs, cb, m=2, subdim=2).collect()
+    assert len(codes) == 6 * 2
+    assert all(r.code in (0, 1) for r in codes)
+    by_vec = {}
+    for r in codes:
+        by_vec.setdefault(r.vec_id, {})[r.m] = r.code
+    # sub-vectors near (0,0) share a code; near (5,5) share the other
+    assert by_vec[0][0] == by_vec[1][0] == by_vec[4][0]
+    assert by_vec[2][0] == by_vec[3][0] == by_vec[5][0]
+    assert by_vec[0][0] != by_vec[2][0]
+    # subspace 1 flips the membership for vectors 0-3
+    assert by_vec[0][1] == by_vec[1][1] == by_vec[5][1]
+    assert by_vec[2][1] == by_vec[3][1] == by_vec[4][1]
+
+
+def test_adc_exact_when_vectors_sit_on_centroids(spark):
+    # Vectors AT the centroids quantize losslessly: ADC == exact L2.
+    rows = [
+        (0, [0.0, 0.0, 1.0, 1.0]),
+        (1, [1.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = spark.createDataFrame(
+        [(m, j, [float(j), float(j)]) for m in (0, 1) for j in (0, 1)],
+        "m int, code int, centroid array<double>",
+    )
+    codes = pq.pq_encode(df, cb, m=2, subdim=2)
+    probes = df.filter("vec_id = 0")
+    approx = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in pq.pq_adc_topk(codes, pq.adc_lut(probes, cb, subdim=2), k=5).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id): r.l2_dist
+        for r in pq.exact_l2_topk(df, probes, k=5).collect()
+    }
+    assert approx == exact
+
+
+def test_train_codebook_keeps_empty_cluster_centroids(spark):
+    # k=3 seeds but only 2 distinct points: the never-assigned seed's
+    # centroid must survive (coalesce path), not turn null/NaN.
+    rows = [(i, [0.0, 0.0]) for i in range(3)] + [(i, [9.0, 9.0]) for i in range(3, 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq.train_codebook(df, m=1, k=3, subdim=2, iters=2)
+    got = cb.collect()
+    assert len(got) == 3
+    assert all(all(c == c for c in r.centroid) for r in got)  # no NaN
+    cents = sorted(tuple(r.centroid) for r in got)
+    assert (0.0, 0.0) in cents and (9.0, 9.0) in cents
+
+
+def test_encode_plan_broadcasts_codebook(vecs):
+    cb = pq.demo_codebook(vecs.sparkSession, m=2, k=4, subdim=2)
+    plan = (
+        pq.pq_encode(vecs, cb, m=2, subdim=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
