@@ -60,6 +60,12 @@ HEADLINE = [
     "dsir_source_weights",        # DSIR hashed-bucket importance weights
     "stream_ohlc_replay",         # streaming window math, batch replay
     "pagerank_doc_graph",         # iterative rank over the dup graph
+    # Round-5 additions (appended; prior order kept for continuity):
+    "gif_decode_rollup",          # LZW encode+decode mapInPandas round-trip
+    "quality_classifier_scores",  # hashed linear model, broadcast weights
+    "boilerplate_segment_stats",  # cross-doc segment-hash dedup
+    "bpe_apply_token_stats",      # JVM-only BPE merge passes
+    "pq_adc_topk",                # PQ train + encode + ADC search
 ]
 
 

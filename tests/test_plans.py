@@ -313,3 +313,60 @@ def test_lsh_band_tuning_equi_join_reuses_shingle_cache(spark):
     assert "Cartesian" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 1
     assert p.count("InMemoryTableScan") >= 2
+
+
+def test_classifier_broadcasts_model_single_doc_shuffle(spark):
+    # The weight table must reach executors as a broadcast (never a
+    # shuffle join against the exploded token stream); the only hash
+    # exchange is the per-doc aggregation.
+    p = plan(QUERIES["quality_classifier_scores"](spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_boilerplate_segments_two_keyed_shuffles(spark):
+    # One groupBy on the segment hash (document frequency), the
+    # hash-keyed join back, one groupBy per doc, one per source: the
+    # segment TEXT never shuffles, only its md5.
+    p = plan(QUERIES["boilerplate_segment_stats"](spark, SF), mode="simple")
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+    assert p.count("Exchange hashpartitioning") <= 4
+
+
+def test_histogram_bounds_broadcast_single_agg_shuffle(spark):
+    # The 1-row min/max attaches via broadcast nested loop (the stats-
+    # attach pattern); bucketing itself is one hash agg.
+    p = plan(QUERIES["events_value_histogram"](spark, SF), mode="simple")
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_bpe_apply_stats_map_only_until_rollup(spark):
+    # Tokenization is pure JVM string expressions: no pandas/python
+    # stages anywhere, single exchange for the source rollup.
+    p = plan(QUERIES["bpe_apply_token_stats"](spark, SF), mode="simple")
+    assert "Python" not in p and "InPandas" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_gif_rollup_single_shuffle_two_pandas_stages(spark):
+    # Mirrors the PNG pin: producer + decoder are Arrow-batched map
+    # stages; the only exchange is the final width rollup.
+    p = plan(QUERIES["gif_decode_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_wav_features_single_shuffle_two_pandas_stages(spark):
+    p = plan(QUERIES["wav_features_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_pq_adc_codebook_and_lut_broadcast(spark):
+    # Codebook (encode) and LUT (scoring) must both be broadcast hash
+    # joins; the heavy exchanges are the argmin window and the
+    # (query, vec) ADC aggregation — no cartesian anywhere.
+    p = plan(QUERIES["pq_adc_topk"](spark, SF), mode="simple")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
