@@ -55,6 +55,17 @@ def demo_codebook(
     return spark.createDataFrame(rows, "m int, code int, centroid array<double>")
 
 
+def _sub_dist() -> "F.Column":
+    """Squared L2 between the ``sub`` and ``centroid`` arrays, folded in
+    ELEMENT ORDER (``zip_with`` + ``aggregate``) so the doubles — and
+    everything derived from them — are engine-exact."""
+    return F.aggregate(
+        F.zip_with(F.col("sub"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebook: DataFrame,
@@ -62,40 +73,27 @@ def pq_encode(
     subdim: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sub: DataFrame | None = None,
 ) -> DataFrame:
     """Encode vectors to PQ codes: ``(id, m, code)``, one row per
     subspace.
 
     Explode by subspace (map-side), broadcast-join the codebook, take
-    the argmin centroid per (vector, subspace) with a rank window
-    ordered ``(distance, code)`` so ties break identically everywhere.
-    The subvector distance folds in ELEMENT ORDER (``zip_with`` +
-    ``aggregate``), making the doubles — and therefore the codes —
-    engine-exact."""
-    sub = (
-        df.select(
-            F.col(id_col),
-            as_double(F.col(vec_col)).alias("v"),
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
-        )
-        .select(
-            id_col,
-            "m",
-            F.slice(F.col("v"), F.col("m") * subdim + 1, subdim).alias("sub"),
-        )
-    )
-    dist = F.aggregate(
-        F.zip_with(F.col("sub"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy(id_col, "m").orderBy("dist", "code")
+    the argmin centroid per (vector, subspace) with ``min_by`` keyed on
+    the UNIQUE ``(distance, code)`` struct — a partial-aggregating
+    shuffle (the K joined candidates combine map-side before the
+    exchange; no sort window), with ties breaking identically on every
+    engine.  Pass a cached ``sub`` frame (from ``_subvectors``) to share
+    the explode with training."""
+    if sub is None:
+        sub = _subvectors(df, m, subdim, id_col, vec_col)
     return (
         sub.join(F.broadcast(codebook), "m")
-        .select(id_col, "m", "code", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "m", "code")
+        .select(id_col, "m", "code", _sub_dist().alias("dist"))
+        .groupBy(id_col, "m")
+        .agg(
+            F.min_by("code", F.struct("dist", "code")).alias("code")
+        )
     )
 
 
@@ -212,6 +210,7 @@ def train_codebook(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sub: DataFrame | None = None,
 ) -> DataFrame:
     """Train PQ codebooks: per-subspace Lloyd's k-means, fully
     deterministic and engine-replayable.
@@ -229,7 +228,9 @@ def train_codebook(
     - Driver state: O(m·k·subdim) scalar literals per round (the
       ``clustering.py`` contract), never data rows.
 
-    Returns ``(m, code, centroid array<double>)``.
+    Returns ``(m, code, centroid array<double>)``.  Pass a cached
+    ``sub`` frame to share the subvector explode across rounds and with
+    the subsequent encode (the flagship query does).
     """
     spark = df.sparkSession
     seed_rows = (
@@ -255,22 +256,21 @@ def train_codebook(
             rows, "m int, code int, centroid array<double>"
         )
 
-    sub = _subvectors(df, m, subdim, id_col, vec_col)
+    if sub is None:
+        sub = _subvectors(df, m, subdim, id_col, vec_col)
     for _ in range(iters):
         cb = as_frame(book)
-        dist = F.aggregate(
-            F.zip_with(
-                F.col("sub"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        w = Window.partitionBy(id_col, "m").orderBy("dist", "code")
         assigned = (
             sub.join(F.broadcast(cb), "m")
-            .select(id_col, "m", "code", "sub", dist.alias("dist"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .select(id_col, "m", "code", "sub", _sub_dist().alias("dist"))
+            .groupBy(id_col, "m")
+            .agg(
+                F.min_by(
+                    F.struct("code", "sub"), F.struct("dist", "code")
+                ).alias("best")
+            )
+            .select(id_col, "m", F.col("best.code").alias("code"),
+                    F.col("best.sub").alias("sub"))
         )
         means = (
             assigned.select("m", "code", F.posexplode("sub").alias("i", "x"))

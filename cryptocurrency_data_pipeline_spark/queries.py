@@ -6658,8 +6658,9 @@ def pq_adc_topk_query(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import pq
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cb = pq.train_codebook(emb)
-    codes = pq.pq_encode(emb, cb)
+    sub = track(pq._subvectors(emb, 8, 8, "vec_id", "embedding"))
+    cb = pq.train_codebook(emb, sub=sub)
+    codes = pq.pq_encode(emb, cb, sub=sub)
     probes = emb.filter(F.col("vec_id") < 3)
     lut = pq.adc_lut(probes, cb)
     return pq.pq_adc_topk(codes, lut, k=10)
@@ -6699,8 +6700,9 @@ def pq_recall_at_10(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import pq
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cb = pq.train_codebook(emb)
-    codes = pq.pq_encode(emb, cb)
+    sub = track(pq._subvectors(emb, 8, 8, "vec_id", "embedding"))
+    cb = pq.train_codebook(emb, sub=sub)
+    codes = pq.pq_encode(emb, cb, sub=sub)
     probes = emb.filter(F.col("vec_id") < 3)
     approx = pq.pq_adc_topk(codes, pq.adc_lut(probes, cb), k=10)
     exact = pq.exact_l2_topk(emb, probes, k=10)
@@ -6710,6 +6712,68 @@ def pq_recall_at_10(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("hits"),
             F.round(F.count(F.lit(1)) / 10.0, 2).alias("recall_at_10"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer-vocabulary coverage: the pre-tokenization health check every
+# corpus ships with — build the top-k vocabulary (deterministic
+# count-then-token tie-break), then measure each source's out-of-
+# vocabulary token mass against it.  One explode feeds BOTH the vocab
+# build and the coverage pass (cached token frame, released after the
+# action); vocab attaches as a broadcast left join.
+# --------------------------------------------------------------------------
+
+@query(
+    "vocab_oov_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT source, tok
+      FROM documents,
+           unnest(string_split(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+             AS u(tok)
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM tok GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 20)
+    )
+    SELECT t.source,
+           count(*) AS n_tokens,
+           sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.source
+    """,
+)
+def vocab_oov_coverage(spark, sf_dir):
+    """Per-source OOV rate against the corpus's own top-20 vocabulary."""
+    from cryptocurrency_data_pipeline_spark.operators.text import tokens
+
+    toks = track(
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(20)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+            F.round(
+                F.sum(F.col("in_vocab").isNull().cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
         )
     )
 
@@ -6872,6 +6936,11 @@ DEMOTED_PAST_DRIVER_CAP = [
     # ccnet_perplexity_buckets)
     "rolling_7d_user_value",
     "doc_char_entropy",
+    # (slot for vocab_oov_coverage; the SCD2 family keeps the stricter
+    # steady-state scd2_incremental_merge in-window — its oracle equals
+    # the one-shot rebuild, subsuming the first-load chain the demoted
+    # query checks)
+    "scd2_customer_priority_history",
 ]
 
 
