@@ -6741,7 +6741,8 @@ def pq_recall_at_10(spark, sf_dir):
     )
     SELECT t.source,
            count(*) AS n_tokens,
-           sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
            round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
                  / count(*), 6) AS oov_rate
     FROM tok t LEFT JOIN vocab v USING (tok)
@@ -6775,6 +6776,120 @@ def vocab_oov_coverage(spark, sf_dir):
                 6,
             ).alias("oov_rate"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Media-directory ingestion END-TO-END (operators/multimodal.py
+# media_dir_table): the binaryFile source earns a driver row.  The query
+# first materializes a deterministic mixed-media directory — conforming
+# PNG/GIF/WAV files built from part keys, written from EXECUTORS via
+# foreachPartition (no driver I/O) — then ingests it back through the
+# parallel-listing binaryFile source and dispatches each file to its
+# real decoder by extension.  Per-kind checksums are the decoders' exact
+# integer stats, so listing, payload transport, dispatch, and all three
+# codecs sit on the driver-hash path.  The oracle computes every
+# checksum from the generating formulas alone.
+# --------------------------------------------------------------------------
+
+@query(
+    "media_ingest_report",
+    oracle="""
+    WITH keys AS (
+      SELECT p_partkey AS k FROM part WHERE p_partkey < 120
+    ), png AS (
+      SELECT 'png' AS kind, count(*) AS n_media,
+             CAST(sum(list_sum(list_transform(
+               generate_series(0, (1 + k % 8) * (1 + k % 5) - 1),
+               i -> (7 * k + i) % 256))) AS BIGINT) AS checksum
+      FROM keys WHERE k % 3 = 0
+    ), gif AS (
+      SELECT 'gif' AS kind, count(*) AS n_media,
+             CAST(sum(list_sum(list_transform(
+               generate_series(0, (1 + k % 7) * (1 + k % 4) - 1),
+               i -> ((5 * k + 7 * ((3 * k + i) % (4 + k % 5))) % 256)
+                  + ((3 + 11 * ((3 * k + i) % (4 + k % 5))) % 256)
+                  + ((k + 13 * ((3 * k + i) % (4 + k % 5))) % 256))))
+               AS BIGINT) AS checksum
+      FROM keys WHERE k % 3 = 1
+    ), wav AS (
+      SELECT 'wav' AS kind, count(*) AS n_media,
+             CAST(sum(list_sum(list_transform(
+               generate_series(0, 50 + k % 97 - 1),
+               i -> ((7 * k + 3 * i) % 4001 - 2000)
+                  * ((7 * k + 3 * i) % 4001 - 2000)))) AS BIGINT)
+               AS checksum
+      FROM keys WHERE k % 3 = 2
+    )
+    SELECT * FROM png UNION ALL SELECT * FROM gif UNION ALL
+    SELECT * FROM wav
+    """,
+)
+def media_ingest_report(spark, sf_dir):
+    """binaryFile-source round trip: executor-written mixed media dir →
+    parallel-listing ingest → per-extension decoder dispatch → exact
+    integer checksums per kind."""
+    import os
+
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    out_dir = os.path.join(
+        "/tmp", "spark_graft_media", os.path.basename(str(sf_dir).rstrip("/"))
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    keys = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k")
+    ).where(F.col("k") < 120)
+
+    def write_partition(rows):
+        # Executor-side writes (local[N] shares the FS; a cluster points
+        # this at shared storage).  Same key -> same bytes, so re-runs
+        # are idempotent overwrites.
+        for r in rows:
+            k = int(r.k)
+            if k % 3 == 0:
+                w, h = 1 + k % 8, 1 + k % 5
+                payload = mm.encode_png(
+                    w, h, bytes((7 * k + i) % 256 for i in range(w * h))
+                )
+                name = f"media_{k}.png"
+            elif k % 3 == 1:
+                w, h, nc = 1 + k % 7, 1 + k % 4, 4 + k % 5
+                palette = [
+                    ((5 * k + 7 * j) % 256, (3 + 11 * j) % 256, (k + 13 * j) % 256)
+                    for j in range(nc)
+                ]
+                idx = bytes((3 * k + i) % nc for i in range(w * h))
+                payload = mm.encode_gif(w, h, idx, palette)
+                name = f"media_{k}.gif"
+            else:
+                n = 50 + k % 97
+                samples = [((7 * k + 3 * i) % 4001) - 2000 for i in range(n)]
+                payload = mm.encode_wav(8000, samples)
+                name = f"media_{k}.wav"
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(payload)
+
+    keys.foreachPartition(write_partition)
+
+    media = mm.media_dir_table(spark, out_dir, "mixed", glob="media_*")
+    ext = F.element_at(F.split(F.col("src_path"), r"\."), -1)
+    tagged = media.withColumn("ext", ext)
+    png = mm.decode_png_stats(tagged.where(F.col("ext") == "png"))
+    gif = mm.decode_gif_stats(tagged.where(F.col("ext") == "gif"))
+    wav = mm.decode_audio_features(tagged.where(F.col("ext") == "wav"))
+
+    def rollup(df, kind, col):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(col).cast("long").alias("checksum"),
+        ).select(F.lit(kind).alias("kind"), "n_media", "checksum")
+
+    return (
+        rollup(png, "png", "pixel_sum")
+        .unionByName(rollup(gif, "gif", "rgb_sum"))
+        .unionByName(rollup(wav, "wav", "sum_sq"))
     )
 
 
@@ -6941,6 +7056,11 @@ DEMOTED_PAST_DRIVER_CAP = [
     # the one-shot rebuild, subsuming the first-load chain the demoted
     # query checks)
     "scd2_customer_priority_history",
+    # (slot for media_ingest_report — the binaryFile source's first
+    # driver row; the SemDeDup family keeps the batch-vs-corpus
+    # semantic_dedup_keep in-window, and the incremental variant stays
+    # parity-pinned)
+    "semantic_dedup_incremental",
 ]
 
 
