@@ -51,10 +51,26 @@ def build_corpus_pipeline(
     capacity: int = 512,
     n_shards: int = 4,
     notifier=None,
+    classifier_weights: DataFrame | None = None,
+    classifier_buckets: int = 64,
+    max_boilerplate: float | None = None,
 ) -> Pipeline:
     """Compose the corpus-prep stages over a ``documents``-shaped frame
     (doc_id, text, ...).  Returns a ready-to-``run()`` Pipeline; the
-    terminal stage output is the shard manifest dict."""
+    terminal stage output is the shard manifest dict.
+
+    Optional gates (each individually oracle-verified via its registry
+    query) slot in after the heuristic quality gate:
+
+    - ``classifier_weights``: the model-based filter
+      (classifier.score_documents / quality_classifier_scores) — docs
+      whose integer weight sum is <= 0 go to the DLQ with reason
+      ``classifier_reject``;
+    - ``max_boilerplate``: the cross-document segment filter
+      (dedup.segment_boilerplate / boilerplate_segment_stats) — docs
+      whose shared-segment fraction exceeds the cap are dropped as
+      templated/boilerplate-heavy.
+    """
 
     def quality_gate(_):
         if docs.isEmpty():
@@ -67,6 +83,33 @@ def build_corpus_pipeline(
         )
         rejected.write.mode("overwrite").parquet(paths.rejected)
         return scored.filter(F.col("__q") >= min_quality).drop("__q")
+
+    def model_gate(kept: DataFrame):
+        from cryptocurrency_data_pipeline_spark.operators import classifier
+
+        scored = classifier.score_documents(
+            kept, classifier_weights, classifier_buckets
+        ).select("doc_id", "score", "keep")
+        rejects = (
+            kept.join(scored.filter(~F.col("keep")), "doc_id")
+            .select(
+                "doc_id",
+                F.col("score").alias("quality_score"),
+                F.lit("classifier_reject").alias("reject_reason"),
+            )
+        )
+        rejects.write.mode("append").parquet(paths.rejected)
+        return kept.join(
+            scored.filter(F.col("keep")).select("doc_id"), "doc_id"
+        )
+
+    def boilerplate_gate(kept: DataFrame):
+        frac = dedup.segment_boilerplate(kept).select(
+            "doc_id", "boilerplate_frac"
+        )
+        # docs too short to segment have no row -> pass (nothing measured)
+        flagged = frac.filter(F.col("boilerplate_frac") > max_boilerplate)
+        return kept.join(flagged.select("doc_id"), "doc_id", "left_anti")
 
     def dedup_stage(kept: DataFrame):
         pairs = dedup.minhash_near_dups(kept, threshold=dup_threshold)
@@ -95,10 +138,13 @@ def build_corpus_pipeline(
             token_col="n_tokens",
         )
 
+    p = Pipeline(notifier=notifier).add("quality_gate", quality_gate)
+    if classifier_weights is not None:
+        p = p.add("model_gate", model_gate)
+    if max_boilerplate is not None:
+        p = p.add("boilerplate_gate", boilerplate_gate)
     return (
-        Pipeline(notifier=notifier)
-        .add("quality_gate", quality_gate)
-        .add("near_dup_removal", dedup_stage)
+        p.add("near_dup_removal", dedup_stage)
         .add("split_assignment", split_stage)
         .add("sequence_packing", pack_stage)
         .add("shard_write", shard_stage)

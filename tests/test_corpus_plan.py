@@ -94,3 +94,38 @@ def test_pipeline_releases_tracked_caches(spark, tmp_path):
     # the pre-run snapshot: other tests in the shared session may pin
     # their own blocks)
     assert pinned() <= before
+
+
+def test_corpus_pipeline_with_model_and_boilerplate_gates(spark, tmp_path):
+    from cryptocurrency_data_pipeline_spark.operators.classifier import (
+        demo_weight_table,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "source")
+    paths = _paths(tmp_path)
+    results = build_corpus_pipeline(
+        spark,
+        docs,
+        paths,
+        classifier_weights=demo_weight_table(spark, 64),
+        max_boilerplate=0.5,
+    ).run()
+
+    names = [r.name for r in results]
+    assert names == [
+        "quality_gate", "model_gate", "boilerplate_gate",
+        "near_dup_removal", "split_assignment", "sequence_packing",
+        "shard_write",
+    ]
+    assert all(r.status == StageStatus.SUCCEEDED for r in results)
+
+    # DLQ carries both reject reasons with disjoint doc sets
+    rejected = spark.read.parquet(paths.rejected)
+    reasons = {r.reject_reason for r in rejected.select("reject_reason").distinct().collect()}
+    assert "classifier_reject" in reasons
+    assert rejected.count() == rejected.select("doc_id").distinct().count()
+
+    # conservation still holds: rejected + dropped + sharded == input
+    sharded = spark.read.parquet(paths.shards)
+    assert sharded.select("doc_id").distinct().count() + rejected.count() <= docs.count()
+    assert sharded.count() > 0
