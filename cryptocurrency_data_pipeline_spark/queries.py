@@ -6623,10 +6623,15 @@ _PQ_ORACLE_PRELUDE = (
     ), lut AS (
       SELECT d.vec_id AS query_id, d.m, d.code, d.dist AS lut_dist
       FROM dfin d WHERE d.vec_id < 3
-    ), adc AS ("""
+    )"""
 )
 
-_PQ_ORACLE_PRELUDE += """
+#: Everything through trained codes + query LUTs — shared by the plain
+#: ADC queries and the IVF-PQ composition below.
+_PQ_CODES_CTES = _PQ_ORACLE_PRELUDE
+
+_PQ_ORACLE_PRELUDE = _PQ_CODES_CTES + """
+    , adc AS (
       SELECT l.query_id, c.vec_id,
              round(sum(l.lut_dist), 6) AS adc_dist
       FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
@@ -6712,6 +6717,131 @@ def pq_recall_at_10(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("hits"),
             F.round(F.count(F.lit(1)) / 10.0, 2).alias("recall_at_10"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (the FAISS IVFPQ architecture): coarse quantizer prunes the
+# CANDIDATES (only vectors in the query's nprobe nearest inverted lists
+# are touched), PQ prunes the MEMORY (candidates score by ADC code
+# lookups, never raw floats) — together the canonical shape for ANN
+# over a 100 TB embedding corpus.  Composition of two independently
+# verified parts: similarity.ivf_centroids' md5-seeded coarse lists and
+# operators/pq.py's trained codebooks; the oracle replays both chains.
+# --------------------------------------------------------------------------
+
+_IVF_COS = (
+    "round(list_dot_product(c.v, s.cv)"
+    " / (sqrt(list_dot_product(c.v, c.v))"
+    "    * sqrt(list_dot_product(s.cv, s.cv))), 9)"
+)
+
+
+@query(
+    "ivfpq_topk",
+    oracle=_PQ_CODES_CTES
+    + f"""
+    , cents AS (
+      SELECT v AS cv,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) AS centroid_id
+      FROM corpus QUALIFY centroid_id <= 8
+    ), cassign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT c.vec_id, s.centroid_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_IVF_COS} DESC,
+                                           s.centroid_id) AS rn
+        FROM corpus c CROSS JOIN cents s) WHERE rn = 1
+    ), plists AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT c.vec_id AS query_id, s.centroid_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_IVF_COS} DESC,
+                                           s.centroid_id) AS rn
+        FROM corpus c CROSS JOIN cents s WHERE c.vec_id < 3)
+      WHERE rn <= 3
+    ), cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM cassign a JOIN plists p USING (centroid_id)
+    ), sc AS (
+      SELECT cd.query_id, cd.vec_id, round(sum(l.lut_dist), 6) AS adc_dist
+      FROM cand cd
+      JOIN codes c ON cd.vec_id = c.vec_id
+      JOIN lut l ON l.query_id = cd.query_id AND l.m = c.m
+                AND l.code = c.code
+      WHERE cd.vec_id != cd.query_id
+      GROUP BY cd.query_id, cd.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc_dist,
+           CAST(rn AS INT) AS rank
+    FROM (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rn
+      FROM sc) WHERE rn <= 10
+    """,
+)
+def ivfpq_topk(spark, sf_dir):
+    """IVF-PQ search: nprobe=3 of 8 coarse lists bound the candidates,
+    trained PQ codes + ADC lookups score them, top-10 per probe."""
+    from cryptocurrency_data_pipeline_spark.operators import pq, similarity
+    from cryptocurrency_data_pipeline_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sub = track(pq._subvectors(emb, 8, 8, "vec_id", "embedding"))
+    cb = pq.train_codebook(emb, sub=sub)
+    codes = pq.pq_encode(emb, cb, sub=sub)
+    probes = emb.filter(F.col("vec_id") < 3)
+    lut = pq.adc_lut(probes, cb)
+
+    cents = similarity.ivf_centroids(emb, nlist=8)
+    simr = F.round(cosine(as_double(F.col("embedding")), F.col("centroid")), 9)
+    corpus_assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "centroid_id", simr.alias("simr"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("simr"), -F.col("centroid_id"))
+            ).alias("centroid_id")
+        )
+    )
+    w3 = Window.partitionBy("query_id").orderBy(
+        F.col("simr").desc(), "centroid_id"
+    )
+    probe_lists = (
+        probes.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"), "centroid_id", simr.alias("simr")
+        )
+        .withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "centroid_id")
+    )
+    cand = corpus_assign.join(probe_lists, "centroid_id").select(
+        "query_id", "vec_id"
+    )
+    scored = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("lut_dist"), 6).alias("adc_dist"))
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_dist",
+            F.col("rn").alias("rank"),
         )
     )
 
@@ -7061,6 +7191,11 @@ DEMOTED_PAST_DRIVER_CAP = [
     # semantic_dedup_keep in-window, and the incremental variant stays
     # parity-pinned)
     "semantic_dedup_incremental",
+    # (slot for ivfpq_topk — the composed IVF+PQ architecture; the
+    # heuristic-quality family keeps ccnet_perplexity_buckets,
+    # ngram_diversity_by_source, the classifier gate and the boilerplate
+    # stats in-window)
+    "gopher_quality_flags",
 ]
 
 
