@@ -66,6 +66,7 @@ HEADLINE = [
     "boilerplate_segment_stats",  # cross-doc segment-hash dedup
     "bpe_apply_token_stats",      # JVM-only BPE merge passes
     "pq_adc_topk",                # PQ train + encode + ADC search
+    "ivfpq_topk",                 # composed IVF coarse lists + PQ ADC
 ]
 
 

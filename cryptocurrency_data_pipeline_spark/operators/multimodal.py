@@ -1154,3 +1154,179 @@ def encode_wav(rate: int, samples: list[int]) -> bytes:
         + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
         + b"data" + len(data).to_bytes(4, "little") + data
     )
+
+
+def decode_gif_frames(
+    payload: bytes,
+) -> tuple[int, int, int, int, int]:
+    """Full ANIMATED GIF decode: walk every image block in the stream
+    (skipping extensions), LZW-decompress each frame against its own
+    local-or-global color table, and fold exact integer stats:
+    ``(screen_w, screen_h, n_frames, index_sum, rgb_sum)`` over ALL
+    frames — the compressed multi-frame path (each frame is an
+    independent LZW stream, like an intra-only video codec)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    screen_w = int.from_bytes(payload[6:8], "little")
+    screen_h = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    gct: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated global color table")
+        gct = [
+            (payload[pos + 3 * j], payload[pos + 3 * j + 1], payload[pos + 3 * j + 2])
+            for j in range(n)
+        ]
+        pos += 3 * n
+    n_frames = 0
+    index_sum = 0
+    rgb_sum = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            if n_frames == 0:
+                raise ValueError("GIF contains no image data")
+            return screen_w, screen_h, n_frames, index_sum, rgb_sum
+        if block == 0x21:  # extension
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
+        fw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        fh = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        palette = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated local color table")
+            palette = [
+                (payload[pos + 3 * j], payload[pos + 3 * j + 1], payload[pos + 3 * j + 2])
+                for j in range(n)
+            ]
+            pos += 3 * n
+        if not palette:
+            raise ValueError("GIF frame has no color table")
+        if pos >= len(payload):
+            raise ValueError("missing LZW minimum code size")
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 8:
+            raise ValueError(f"bad LZW minimum code size {min_code_size}")
+        stream = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("unterminated image sub-blocks")
+            blen = payload[pos]
+            pos += 1
+            if blen == 0:
+                break
+            if pos + blen > len(payload):
+                raise ValueError("truncated image sub-block")
+            stream += payload[pos : pos + blen]
+            pos += blen
+        indices = _lzw_decode(bytes(stream), min_code_size, fw * fh)
+        if max(indices, default=0) >= len(palette):
+            raise ValueError("palette index out of range")
+        n_frames += 1
+        index_sum += sum(indices)
+        rgb_sum += sum(sum(palette[i]) for i in indices)
+    raise ValueError("missing GIF trailer")
+
+
+def encode_gif_anim(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    palette: list[tuple[int, int, int]],
+    delay_cs: int = 4,
+) -> bytes:
+    """Minimal conforming animated GIF89a (producer/test side): shared
+    global color table, NETSCAPE loop extension, per-frame Graphic
+    Control Extension + full-screen image block with its own LZW
+    stream."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    for fr in frames:
+        if len(fr) != width * height:
+            raise ValueError("frame buffer does not match dimensions")
+        if fr and max(fr) >= len(palette):
+            raise ValueError("palette too small for frame indices")
+    bits = 1
+    while (1 << bits) < len(palette):
+        bits += 1
+    bits = max(bits, 2)
+    padded = palette + [(0, 0, 0)] * ((1 << bits) - len(palette))
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    for r, g, b in padded:
+        out += bytes([r, g, b])
+    # NETSCAPE2.0 infinite-loop application extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr in frames:
+        out += b"\x21\xf9\x04\x00" + delay_cs.to_bytes(2, "little") + b"\x00\x00"
+        out += b"\x2c" + b"\x00" * 4
+        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        out += b"\x00"
+        out += bytes([bits])
+        stream = _lzw_encode(fr, bits)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+GIF_ANIM_STATS = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content_hash", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("index_sum", LongType(), True),
+        StructField("rgb_sum", LongType(), True),
+    ]
+)
+
+
+def decode_gif_anim_stats(df: DataFrame) -> DataFrame:
+    """mapInPandas animated-GIF decode to all-frames stats; the usual
+    Arrow-batched null-on-failure DLQ shape."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    w, h, nf, isum, rsum = decode_gif_frames(r.payload)
+                    rows.append((r.media_id, r.content_hash, w, h, nf, isum, rsum))
+                except Exception:
+                    rows.append(
+                        (r.media_id, r.content_hash, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "content_hash",
+                    "width", "height", "n_frames", "index_sum", "rgb_sum",
+                ],
+            )
+
+    return df.select("media_id", "content_hash", "payload").mapInPandas(
+        decode, GIF_ANIM_STATS
+    )
