@@ -12,11 +12,13 @@ libraries needed): binary PPM (``P6``), BMP (``BM``, both the 40-byte
 BITMAPINFOHEADER and the 12-byte BITMAPCOREHEADER), and — via stdlib
 ``zlib`` only — full PNG decode (chunk walk + CRC verify + IDAT inflate
 + all five row unfilters), the first *compressed* format through the
-path.  jpeg/video remain STUBBED behind the deterministic ``FAKE``
-header — no codec libs in this container; a real deployment swaps
-``_parse_header``'s fallback for PIL/ffmpeg and nothing else changes —
-schema, batch shape, partitioning, and UDF signatures are the real,
-tested Spark plumbing.
+path.  Compressed formats are REAL too: PNG (operators here), GIF
+static + animated (LZW, here), and baseline JPEG entropy decode
+(operators/jpeg.py).  Only inter-frame video codecs (H.26x et al.)
+remain behind the deterministic ``FAKE`` stub — genuinely infeasible
+without codec libraries; a real deployment swaps ``_parse_header``'s
+fallback for ffmpeg and nothing else changes — schema, batch shape,
+partitioning, and UDF signatures are the real, tested Spark plumbing.
 """
 
 from __future__ import annotations
@@ -132,8 +134,8 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int]:
     skip cleanly until a SOFn frame header yields (height, width).
     Standalone markers (TEM, RSTn) have no length field; fill bytes
     (0xFF padding before a marker) are tolerated per the spec.  Pixel
-    decode (huffman+DCT) stays behind the stub — this parses metadata
-    only, which is what the corpus-stats path needs."""
+    decode lives in operators/jpeg.py — this parses metadata only,
+    which is what the corpus-stats path needs."""
     n = len(payload)
     if n < 4 or payload[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG SOI")
@@ -358,7 +360,8 @@ def resize_images(
 # inflate, and per-row unfiltering (none/sub/up/average/paeth per the PNG
 # spec §9).  8-bit greyscale (color type 0) and truecolor (2) — the
 # training-corpus common cases; palette/16-bit/interlaced raise into the
-# null/DLQ path like any corrupt payload.  jpeg/video stay stubbed (no
+# null/DLQ path like any corrupt payload.  (JPEG decode has since
+# landed in operators/jpeg.py; inter-frame video codecs stay stubbed —
 # codec libs in this container).
 # --------------------------------------------------------------------------
 

@@ -544,3 +544,67 @@ def bpe_apply(
         .withColumn("bpe_tokens", toks_after)
         .withColumn("n_tokens_after", F.size(toks_after))
     )
+
+
+def hashed_doc_vectors(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing vectorizer: documents → dense L2-normalized
+    ``array<double>`` embeddings, entirely in JVM expressions.
+
+    The hashing trick (sklearn ``HashingVectorizer`` semantics, md5
+    buckets so any engine replays it): token → ``md5 % dim`` bucket,
+    per-doc bucket counts, densified against the 0..dim-1 grid, then
+    L2-normalized.  This is the bridge from the text stack to the
+    vector stack — the output drops straight into cosine_topk /
+    SRP / IVF / PQ, giving similarity search over corpora that ship no
+    model embeddings.
+
+    Scale shape: one explode + ONE partial-agged (doc, bucket) shuffle +
+    one map-side densify per doc (map_from_entries + a sequence
+    transform); the vector never exists in sparse-row form on the wire.
+    Zero Python, zero driver state.
+
+    Output: ``(id_col, embedding array<double>)`` — components rounded
+    to 9 dp so downstream comparisons are engine-stable.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    counts = (
+        toks.select(id_col, (h % F.lit(dim)).cast("int").alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    dense = (
+        counts.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "c"))
+            ).alias("m")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.col("m")[i.cast("int")], F.lit(0.0)),
+            ).alias("v"),
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dense.select(
+        id_col,
+        F.transform(
+            F.col("v"), lambda x: F.round(x / norm, 9)
+        ).alias("embedding"),
+    )

@@ -303,3 +303,43 @@ def test_bpe_apply_plan_has_no_shuffle_or_python(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan  # pure JVM expressions
+
+
+# ------------------------------------------------- hashing vectorizer
+
+
+def test_hashed_doc_vectors_unit_norm_and_counts(spark):
+    from cryptocurrency_data_pipeline_spark.operators.text import (
+        hashed_doc_vectors,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma")], "doc_id long, text string"
+    )
+    got = {r.doc_id: list(r.embedding) for r in hashed_doc_vectors(docs, dim=16).collect()}
+    for v in got.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-6  # L2-normalized
+    # doc 1 has two distinct tokens with counts 2 and 1 -> component
+    # ratio 2:1 (unless they collide into one bucket)
+    nz = sorted(x for x in got[1] if x > 0)
+    assert len(nz) in (1, 2)
+    if len(nz) == 2:
+        assert abs(nz[1] / nz[0] - 2.0) < 1e-6
+    # doc 2: single token -> exactly one component = 1.0
+    assert sorted(x for x in got[2] if x > 0) == [1.0]
+
+
+def test_hashed_doc_vectors_plan_single_shuffle_no_python(spark):
+    from cryptocurrency_data_pipeline_spark.operators.text import (
+        hashed_doc_vectors,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1}") for i in range(20)], "doc_id long, text string"
+    )
+    plan = (
+        hashed_doc_vectors(docs, dim=32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "InPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # (doc,bucket) + doc
