@@ -370,3 +370,24 @@ def test_pq_adc_codebook_and_lut_broadcast(spark):
     p = plan(QUERIES["pq_adc_topk"](spark, SF), mode="simple")
     assert p.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in p
+
+
+def test_gif_anim_rollup_single_shuffle_two_pandas_stages(spark):
+    p = plan(QUERIES["gif_anim_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_jpeg_decode_rollup_single_shuffle_two_pandas_stages(spark):
+    p = plan(QUERIES["jpeg_decode_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_hashed_vector_topk_no_python_vectorization(spark):
+    # The vectorizer is JVM-only; the only pandas anywhere would be a
+    # regression.  Probes broadcast; no cartesian beyond the
+    # broadcast-nested-loop probe attach.
+    p = plan(QUERIES["hashed_vector_topk"](spark, SF), mode="simple")
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
