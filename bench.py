@@ -67,6 +67,9 @@ HEADLINE = [
     "bpe_apply_token_stats",      # JVM-only BPE merge passes
     "pq_adc_topk",                # PQ train + encode + ADC search
     "ivfpq_topk",                 # composed IVF coarse lists + PQ ADC
+    "jpeg_decode_rollup",         # full JPEG entropy encode+decode
+    "gif_anim_rollup",            # multi-frame LZW walk
+    "hashed_vector_topk",         # hashing vectorizer + cosine top-k
 ]
 
 

@@ -194,11 +194,20 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
         raise ValueError("truncated PNG header")
     if payload is not None and payload.startswith(b"\xff\xd8"):
         return _parse_jpeg(payload)
+    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("truncated GIF header")
+        return (
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+            1,  # frame count needs the block walk: decode_gif_frames
+        )
     raise NotImplementedError(
-        "compressed-format pixel decoding (jpeg entropy data / video "
-        "codecs) is not available in this environment; metadata parses "
-        "for PNG/JPEG/PPM/BMP are real, pixel decode is real for "
-        "PNG/PPM/BMP; otherwise payload must be the FAKE stub"
+        "inter-frame video codecs are not decodable in this environment "
+        "(no codec libraries); metadata parses are real for "
+        "PNG/JPEG/GIF/PPM/BMP, pixel decode is real for PNG/GIF/JPEG/"
+        "PPM/BMP (see operators/jpeg.py for JPEG entropy decode); "
+        "otherwise payload must be the FAKE stub"
     )
 
 

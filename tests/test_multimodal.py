@@ -684,3 +684,19 @@ def test_decode_gif_anim_stats_dlq(spark):
     assert got[1].index_sum == 2 + 4
     assert got[1].rgb_sum == 10 * 8
     assert got[2].n_frames is None
+
+
+def test_decode_image_meta_dispatches_gif(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_image_meta,
+        encode_gif,
+        media_table,
+    )
+
+    g = encode_gif(5, 3, bytes([0] * 15), [(1, 2, 3), (4, 5, 6)])
+    df = media_table(
+        spark.createDataFrame([(1, g)], "id long, payload binary"),
+        "id", "image", "payload",
+    )
+    meta = decode_image_meta(df).collect()[0]
+    assert (meta.width, meta.height) == (5, 3)
