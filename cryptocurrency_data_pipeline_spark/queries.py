@@ -5793,7 +5793,7 @@ def png_decode_rollup(spark, sf_dir):
         F.col("p_partkey").cast("long").alias("p_partkey"),
         (F.lit(1) + F.col("p_partkey") % 8).cast("int").alias("w"),
         (F.lit(1) + F.col("p_partkey") % 5).cast("int").alias("h"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def produce(batches):
         for pdf in batches:
@@ -6189,7 +6189,7 @@ def gif_decode_rollup(spark, sf_dir):
         (F.lit(1) + F.col("p_partkey") % 7).cast("int").alias("w"),
         (F.lit(1) + F.col("p_partkey") % 4).cast("int").alias("h"),
         (F.lit(4) + F.col("p_partkey") % 5).cast("int").alias("nc"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def produce(batches):
         for pdf in batches:
@@ -6523,7 +6523,7 @@ def wav_features_rollup(spark, sf_dir):
     parts = t(spark, sf_dir, "part").select(
         F.col("p_partkey").cast("long").alias("k"),
         (F.lit(50) + F.col("p_partkey") % 97).cast("int").alias("n"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def produce(batches):
         for pdf in batches:
@@ -7076,7 +7076,7 @@ def gif_anim_rollup(spark, sf_dir):
         (F.lit(1) + F.col("p_partkey") % 5).cast("int").alias("w"),
         (F.lit(1) + F.col("p_partkey") % 3).cast("int").alias("h"),
         (F.lit(1) + F.col("p_partkey") % 4).cast("int").alias("nf"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def produce(batches):
         for pdf in batches:
@@ -7149,10 +7149,18 @@ def jpeg_decode_rollup(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import jpeg as J
     from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
 
-    parts = t(spark, sf_dir, "part").select(
-        F.col("p_partkey").cast("long").alias("k"),
-        (F.lit(1) + F.col("p_partkey") % 3).cast("int").alias("wb"),
-        (F.lit(1) + F.col("p_partkey") % 2).cast("int").alias("hb"),
+    # The key rows are a few bytes but the per-row encode+decode work is
+    # heavy python: spread the SMALL side across the cluster BEFORE the
+    # pandas stages, or the decode parallelism collapses to the parquet
+    # split count (1-2 partitions at this table size).
+    parts = (
+        t(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").cast("long").alias("k"),
+            (F.lit(1) + F.col("p_partkey") % 3).cast("int").alias("wb"),
+            (F.lit(1) + F.col("p_partkey") % 2).cast("int").alias("hb"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def produce(batches):
@@ -7244,6 +7252,83 @@ def hashed_vector_topk(spark, sf_dir):
     vecs = track(hashed_doc_vectors(docs, dim=64))
     probes = vecs.filter(F.col("doc_id") < 3)
     return cosine_topk(vecs, probes, k=10, id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# Time-series similarity search (operators/timeseries.py): per-user
+# event-value series → z-norm → PAA sketches → top-k nearest series per
+# probe — the EDBT'19/REPOSE capability family on DataFrames.  Every
+# float step is an element-order fold over a totally-ordered array, so
+# the whole chain is bit-identical across engines with no intermediate
+# rounding.
+# --------------------------------------------------------------------------
+
+@query(
+    "ts_paa_similarity_topk",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS series
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ), sized AS (
+      SELECT user_id, series, len(series) AS n
+      FROM pts WHERE len(series) >= 16
+    ), m1 AS (
+      SELECT user_id, n, series, list_sum(series) / n AS mu FROM sized
+    ), m2 AS (
+      SELECT user_id, n, series, mu,
+             sqrt(list_sum(list_transform(series,
+               x -> (x - mu) * (x - mu))) / n) AS sd
+      FROM m1
+    ), zn AS (
+      SELECT user_id, n,
+             CASE WHEN sd > 0
+                  THEN list_transform(series, x -> (x - mu) / sd)
+                  ELSE list_transform(series, x -> 0.0 * x) END AS z
+      FROM m2
+    ), sk AS (
+      SELECT user_id,
+             list_transform(generate_series(0, 7), j ->
+               list_sum(list_slice(z,
+                 CAST(floor(j * n / 8) AS INT) + 1,
+                 CAST(floor((j + 1) * n / 8) AS INT)))
+               / (CAST(floor((j + 1) * n / 8) AS INT)
+                  - CAST(floor(j * n / 8) AS INT))) AS sketch
+      FROM zn
+    ), probes AS (
+      SELECT user_id AS probe_id, sketch AS qs
+      FROM sk ORDER BY probe_id LIMIT 3
+    ), sc AS (
+      SELECT p.probe_id, s.user_id,
+             round(list_sum(list_transform(generate_series(1, 8),
+               d -> (s.sketch[d] - p.qs[d]) * (s.sketch[d] - p.qs[d]))), 6)
+               AS paa_dist
+      FROM sk s, probes p WHERE s.user_id != p.probe_id
+    )
+    SELECT probe_id, user_id AS neighbor_id, paa_dist,
+           CAST(rn AS INT) AS rank
+    FROM (
+      SELECT probe_id, user_id, paa_dist,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY paa_dist, user_id) AS rn
+      FROM sc) WHERE rn <= 5
+    """,
+)
+def ts_paa_similarity_topk(spark, sf_dir):
+    """Top-5 most-similar user value series per probe (3 lowest
+    qualifying user ids) by squared-L2 over 8-segment PAA sketches of
+    the z-normalized series."""
+    from cryptocurrency_data_pipeline_spark.operators import timeseries as T
+
+    events = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    series = T.value_series(events, min_len=16)
+    sk = T.znorm_frame(series).select(
+        "user_id",
+        T.paa(F.col("z"), F.col("n"), 8).alias("sketch"),
+    )
+    sk = track(sk)
+    probes = sk.orderBy("user_id").limit(3)
+    return T.paa_topk(sk, probes, k=5)
 
 
 # --------------------------------------------------------------------------
@@ -7431,6 +7516,10 @@ DEMOTED_PAST_DRIVER_CAP = [
     # sampling family keeps stratified_exact_k_sample and the new
     # mixture_temperature_weights in-window, A-ES stays parity-pinned)
     "weighted_doc_sample",
+    # (slot for ts_paa_similarity_topk — the time-series similarity
+    # family's first entry; corpus-signal coverage stays broad via
+    # ccnet/boilerplate/oov/classifier/bpe in-window)
+    "ngram_diversity_by_source",
 ]
 
 

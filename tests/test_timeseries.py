@@ -1,0 +1,57 @@
+"""Time-series similarity operators (operators/timeseries.py)."""
+
+from pyspark.sql import functions as F
+
+from cryptocurrency_data_pipeline_spark.operators import timeseries as T
+
+
+def _series_df(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, series array<double>").withColumn(
+        "n", F.size("series")
+    )
+
+
+def test_value_series_orders_and_filters(spark):
+    from datetime import datetime
+
+    rows = []
+    for i in range(20):
+        rows.append((1, datetime(2024, 1, 1, 0, i), 100 + i, float(i)))
+    rows.append((2, datetime(2024, 1, 1), 1, 5.0))  # too short -> dropped
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = T.value_series(df, min_len=16).collect()
+    assert len(got) == 1 and got[0].user_id == 1
+    assert list(got[0].series) == [float(i) for i in range(20)]
+
+
+def test_znorm_mean_zero_unit_var_and_constant_guard(spark):
+    df = _series_df(
+        spark,
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [7.0, 7.0, 7.0, 7.0])],
+    )
+    got = {r.user_id: list(r.z) for r in T.znorm_frame(df).collect()}
+    z = got[1]
+    assert abs(sum(z)) < 1e-9
+    assert abs(sum(x * x for x in z) / len(z) - 1.0) < 1e-9
+    assert got[2] == [0.0] * 4  # constant series -> zeros, not NaN
+
+
+def test_paa_segment_means(spark):
+    df = _series_df(spark, [(1, [float(i) for i in range(16)])])
+    got = T.paa(F.col("series"), F.col("n"), 4)
+    segs = df.select(got.alias("s")).collect()[0].s
+    assert segs == [1.5, 5.5, 9.5, 13.5]  # means of 4-element quarters
+
+
+def test_paa_topk_identical_series_rank_first(spark):
+    base = [float(i % 5) for i in range(16)]
+    other = [float((i * 3) % 7) for i in range(16)]
+    df = _series_df(spark, [(1, base), (2, base), (3, other)])
+    zf = T.znorm_frame(df)
+    sk = zf.select("user_id", T.paa(F.col("z"), F.col("n"), 4).alias("sketch"))
+    probes = sk.filter("user_id = 1")
+    got = T.paa_topk(sk, probes, k=2, key_col="user_id").collect()
+    assert got[0].neighbor_id == 2 and got[0].paa_dist == 0.0
+    assert got[1].neighbor_id == 3 and got[1].paa_dist > 0.0
