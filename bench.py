@@ -70,6 +70,7 @@ HEADLINE = [
     "jpeg_decode_rollup",         # full JPEG entropy encode+decode
     "gif_anim_rollup",            # multi-frame LZW walk
     "hashed_vector_topk",         # hashing vectorizer + cosine top-k
+    "ts_paa_similarity_topk",     # PAA time-series similarity search
 ]
 
 

@@ -166,3 +166,84 @@ def temperature_mixture(
         .withColumn("n_tokens", F.col("n_tokens").cast("long"))
         .drop("p_raw")
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    weight: Column,
+    token_budget: Column | int,
+    epoch_cap: int = 3,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR'23): spread a total
+    token budget as evenly as possible across groups (languages), capped
+    at ``epoch_cap`` epochs of any group's available tokens — the
+    water-filling answer to temperature sampling's "how flat is fair".
+
+    Closed form instead of the paper's iterative loop: sort groups by
+    capped supply ``s = epoch_cap * n_tokens`` ascending; a group is
+    **capped** (gets all of ``s``) iff ``s * (#groups from here on) +
+    (supply already granted to smaller groups) <= budget``; every
+    uncapped group gets the equal share of what the capped ones left
+    behind.  All arithmetic is integer (floor division at the end), so
+    any engine replays the allocation exactly.
+
+    Scale shape: the only data-sized shuffle is the per-group rollup;
+    the two windows (running prefix + grand totals) run on the
+    O(#groups) aggregate, never on row data.  ``token_budget`` may be a
+    Column so the budget can itself be derived from the rollup (e.g.
+    half the total supply) without a driver round-trip.
+    """
+    budget = (
+        F.lit(int(token_budget)).cast("long")
+        if isinstance(token_budget, int)
+        else token_budget.cast("long")
+    )
+    per = df.groupBy(group_col).agg(weight.cast("long").alias("n_tokens"))
+    s = per.withColumn(
+        "supply", (F.lit(int(epoch_cap)) * F.col("n_tokens")).cast("long")
+    )
+    asc = Window.partitionBy().orderBy("supply", group_col)
+    w_all = Window.partitionBy()
+    ranked = (
+        s.withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__idx", F.row_number().over(asc))
+        .withColumn(
+            "__cum_prev",
+            F.coalesce(
+                F.sum("supply").over(asc.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("__budget", budget)
+    )
+    flagged = ranked.withColumn(
+        "capped",
+        F.col("supply") * (F.col("__n") - F.col("__idx") + 1) + F.col("__cum_prev")
+        <= F.col("__budget"),
+    )
+    totals = flagged.withColumn(
+        "__capped_sum",
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("supply"))).over(w_all),
+            F.lit(0).cast("long"),
+        ),
+    ).withColumn(
+        "__n_uncapped",
+        F.sum(F.when(~F.col("capped"), 1).otherwise(0)).over(w_all),
+    )
+    share = F.floor(
+        (F.col("__budget") - F.col("__capped_sum")) / F.col("__n_uncapped")
+    ).cast("long")
+    return (
+        totals.withColumn(
+            "alloc_tokens",
+            F.when(F.col("capped"), F.col("supply")).otherwise(share),
+        )
+        .withColumn(
+            "epochs", F.round(F.col("alloc_tokens") / F.col("n_tokens"), 4)
+        )
+        .select(
+            group_col, "n_tokens", "supply", "capped", "alloc_tokens", "epochs"
+        )
+    )

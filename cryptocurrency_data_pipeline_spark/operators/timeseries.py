@@ -147,3 +147,31 @@ def paa_topk(
             F.col("rn").alias("rank"),
         )
     )
+
+
+#: SAX breakpoints for alphabet size 4: the N(0,1) quartile boundaries
+#: (Lin et al., "A Symbolic Representation of Time Series").  Literals,
+#: so any engine replays the discretization exactly.
+SAX4_BREAKPOINTS = (-0.6745, 0.0, 0.6745)
+
+
+def sax_word(sketch: Column) -> Column:
+    """Symbolize a PAA sketch into a SAX word over alphabet {a,b,c,d}:
+    each segment mean maps to its N(0,1) quartile bucket.  Equal-width
+    IN PROBABILITY under the z-norm, so symbols are used evenly — the
+    property that makes SAX words good hash keys.
+
+    A SAX word is the time-series analogue of an LSH bucket: series
+    sharing a word are candidate motifs/near-matches, found with a
+    plain groupBy instead of any pairwise scan."""
+    lo, mid, hi = SAX4_BREAKPOINTS
+    return F.array_join(
+        F.transform(
+            sketch,
+            lambda x: F.when(x < lo, F.lit("a"))
+            .when(x < mid, F.lit("b"))
+            .when(x < hi, F.lit("c"))
+            .otherwise(F.lit("d")),
+        ),
+        "",
+    )

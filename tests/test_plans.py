@@ -391,3 +391,21 @@ def test_hashed_vector_topk_no_python_vectorization(spark):
     p = plan(QUERIES["hashed_vector_topk"](spark, SF), mode="simple")
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_ts_paa_topk_jvm_only_broadcast_probes(spark):
+    # PAA sketching is pure JVM array expressions (transform/aggregate/
+    # slice) — no Python stage; probe sketches attach via broadcast
+    # nested loop, never a shuffle join or full cartesian.
+    p = plan(QUERIES["ts_paa_similarity_topk"](spark, SF), mode="simple")
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_sax_motif_groups_jvm_only_two_shuffles(spark):
+    # Series build (one groupBy on user_id) + SAX-word rollup (one
+    # groupBy on the word): exactly two hash exchanges, zero Python.
+    p = plan(QUERIES["sax_motif_groups"](spark, SF), mode="simple")
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 2

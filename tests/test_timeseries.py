@@ -55,3 +55,16 @@ def test_paa_topk_identical_series_rank_first(spark):
     got = T.paa_topk(sk, probes, k=2, key_col="user_id").collect()
     assert got[0].neighbor_id == 2 and got[0].paa_dist == 0.0
     assert got[1].neighbor_id == 3 and got[1].paa_dist > 0.0
+
+
+def test_sax_word_symbolization(spark):
+    df = spark.createDataFrame(
+        [(1, [-2.0, -0.3, 0.3, 2.0])], "user_id long, sketch array<double>"
+    )
+    got = df.select(T.sax_word(F.col("sketch")).alias("w")).collect()[0].w
+    assert got == "abcd"
+    # boundary values: breakpoints belong to the upper bucket
+    df2 = spark.createDataFrame(
+        [(1, [-0.6745, 0.0, 0.6745])], "user_id long, sketch array<double>"
+    )
+    assert df2.select(T.sax_word(F.col("sketch")).alias("w")).collect()[0].w == "bcd"
