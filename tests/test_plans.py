@@ -409,3 +409,12 @@ def test_sax_motif_groups_jvm_only_two_shuffles(spark):
     p = plan(QUERIES["sax_motif_groups"](spark, SF), mode="simple")
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_unimax_single_rollup_shuffle_jvm_only(spark):
+    # The only data-sized exchange is the per-language token rollup;
+    # the water-filling windows run on the O(#langs) aggregate (single-
+    # partition exchanges are fine there, hash exchanges are not).
+    p = plan(QUERIES["unimax_language_budgets"](spark, SF), mode="simple")
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1

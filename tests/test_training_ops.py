@@ -443,3 +443,54 @@ def test_equi_width_histogram_constant_column(spark):
     df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "v double")
     got = equi_width_histogram(df, "v", k=20).collect()
     assert len(got) == 1 and got[0].bucket == 0 and got[0].n == 3
+
+
+def test_unimax_water_filling_hand_computed(spark):
+    # Supplies (cap=1): a=10, b=40, c=100; budget 100.
+    # Water-filling: a capped (10*3=30 <= 100); b capped
+    # (40*2+10=90 <= 100); c gets floor((100-50)/1)=50.
+    from cryptocurrency_data_pipeline_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 40), ("c", 100)], "lang string, n long"
+    )
+    got = {
+        r.lang: r
+        for r in unimax_allocation(
+            df, "lang", F.sum("n"), 100, epoch_cap=1
+        ).collect()
+    }
+    assert got["a"].capped and got["a"].alloc_tokens == 10
+    assert got["b"].capped and got["b"].alloc_tokens == 40
+    assert not got["c"].capped and got["c"].alloc_tokens == 50
+    assert got["c"].epochs == 0.5
+
+
+def test_unimax_budget_exceeds_supply_all_capped(spark):
+    from cryptocurrency_data_pipeline_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame([("a", 5), ("b", 7)], "lang string, n long")
+    rows = unimax_allocation(df, "lang", F.sum("n"), 10_000, epoch_cap=2).collect()
+    assert all(r.capped for r in rows)
+    assert {r.lang: r.alloc_tokens for r in rows} == {"a": 10, "b": 14}
+
+
+def test_unimax_allocation_is_maximal_within_budget(spark):
+    # Property: total allocation never exceeds the budget, and the
+    # shortfall is only floor-division remainder (< #uncapped groups).
+    from cryptocurrency_data_pipeline_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [(f"l{i}", (i * 37) % 90 + 1) for i in range(12)], "lang string, n long"
+    )
+    rows = unimax_allocation(df, "lang", F.sum("n"), 700, epoch_cap=2).collect()
+    total = sum(r.alloc_tokens for r in rows)
+    n_uncapped = sum(0 if r.capped else 1 for r in rows)
+    assert total <= 700
+    assert 700 - total < max(n_uncapped, 1)
