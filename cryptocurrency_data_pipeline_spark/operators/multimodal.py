@@ -1342,3 +1342,71 @@ def decode_gif_anim_stats(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content_hash", "payload").mapInPandas(
         decode, GIF_ANIM_STATS
     )
+
+
+#: Square-wave analysis periods (samples per cycle) for the band
+#: correlator below.  Powers of two so every period divides the next —
+#: the Rademacher system's natural layout.
+BAND_PERIODS = (2, 4, 8, 16)
+
+AUDIO_BANDS = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content_hash", StringType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("band_p2", LongType(), True),
+        StructField("band_p4", LongType(), True),
+        StructField("band_p8", LongType(), True),
+        StructField("band_p16", LongType(), True),
+    ]
+)
+
+
+def decode_audio_bands(df: DataFrame) -> DataFrame:
+    """Frequency-band analysis with INTEGER-exact arithmetic: per clip,
+    the correlation of the PCM signal with Walsh–Rademacher square
+    waves ``w_p(n) = +1 if n mod p < p/2 else -1`` at periods
+    ``BAND_PERIODS`` — the square-wave analogue of single-bin DFT
+    energy (high correlation at period p ⇔ strong component near
+    rate/p Hz).
+
+    Square waves instead of sin/cos deliberately: every product and sum
+    stays in integer arithmetic, so the result hashes identically on
+    any engine — the same exactness contract as
+    ``decode_audio_features``.  Floating spectra (true DFT bins) would
+    be 1-ulp hostage to each engine's libm.  Same Arrow-batched
+    null-on-failure DLQ shape as every other decoder."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    rate, s = _wav_samples(r.payload)
+                    bands = [
+                        sum(
+                            x if (i % p) < (p // 2) else -x
+                            for i, x in enumerate(s)
+                        )
+                        for p in BAND_PERIODS
+                    ]
+                    rows.append(
+                        (r.media_id, r.content_hash, rate, len(s), *bands)
+                    )
+                except Exception:
+                    rows.append(
+                        (r.media_id, r.content_hash, None, None,
+                         None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "content_hash", "sample_rate", "n_samples",
+                    "band_p2", "band_p4", "band_p8", "band_p16",
+                ],
+            )
+
+    return df.select("media_id", "content_hash", "payload").mapInPandas(
+        decode, AUDIO_BANDS
+    )

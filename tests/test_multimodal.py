@@ -700,3 +700,29 @@ def test_decode_image_meta_dispatches_gif(spark):
     )
     meta = decode_image_meta(df).collect()[0]
     assert (meta.width, meta.height) == (5, 3)
+
+
+def test_decode_audio_bands_square_wave_selectivity(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_audio_bands,
+        encode_wav,
+        media_table,
+    )
+
+    # A period-4 square wave correlates perfectly with w_4 and nulls
+    # against w_2 (orthogonal Rademacher rows).
+    s1 = [100, 100, -100, -100] * 4
+    s2 = [7, -3, 12, 5]  # hand-computable small clip
+    rows = [(1, encode_wav(8000, s1)), (2, encode_wav(8000, s2)),
+            (3, b"RIFFjunk")]
+    df = media_table(
+        spark.createDataFrame(rows, "id long, payload binary"),
+        "id", "audio", "payload",
+    )
+    got = {r.media_id: r for r in decode_audio_bands(df).collect()}
+    assert got[1].band_p4 == 100 * len(s1)  # full-scale correlation
+    assert got[1].band_p2 == 0              # orthogonal band
+    # w_2 = +,-,+,- ; w_4 = +,+,-,-
+    assert got[2].band_p2 == 7 + 3 + 12 - 5
+    assert got[2].band_p4 == 7 - 3 - 12 - 5
+    assert got[3].band_p2 is None  # DLQ row

@@ -418,3 +418,11 @@ def test_unimax_single_rollup_shuffle_jvm_only(spark):
     p = plan(QUERIES["unimax_language_budgets"](spark, SF), mode="simple")
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_audio_band_rollup_single_shuffle_two_pandas_stages(spark):
+    # Producer + band correlator are Arrow-batched map stages; the only
+    # exchange is the per-length energy rollup (mirrors the WAV pin).
+    p = plan(QUERIES["audio_band_energy_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1
