@@ -1410,3 +1410,132 @@ def decode_audio_bands(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content_hash", "payload").mapInPandas(
         decode, AUDIO_BANDS
     )
+
+
+def encode_avi(
+    width: int,
+    height: int,
+    usec_per_frame: int,
+    frames: list[bytes],
+) -> bytes:
+    """Minimal conforming AVI writer (producer/test side): RIFF 'AVI '
+    with an hdrl LIST (avih MainAVIHeader + one 'vids'/'DIB ' strl) and
+    a movi LIST of raw '00db' frame chunks.  Every chunk even-padded
+    per RIFF."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame, 0, 0, 0, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIii4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        usec_per_frame, 1_000_000, 0, len(frames), 0, -1, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, width * height, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _parse_avi(payload: bytes) -> tuple[int, int, int, int, int]:
+    """AVI container walk: RIFF 'AVI ' outer chunk, avih MainAVIHeader
+    (frame period, declared frame count, dimensions) out of the hdrl
+    LIST, and the ACTUAL frame-chunk count ('..db'/'..dc') walked out
+    of the movi LIST — so a writer that lies about dwTotalFrames is
+    detectable (the declared-vs-walked audit, same discipline as the
+    Y4M plane-size walk).  Returns
+    ``(width, height, usec_per_frame, declared_frames, walked_frames)``;
+    chunk sizes clamp-checked against the payload like ``_parse_wav``.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = usec = declared = None
+    walked = 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, usec, declared, walked
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if csize > end - pos - 8:
+                raise ValueError("chunk size exceeds payload")
+            body_start = pos + 8
+            if cid == b"LIST":
+                if csize < 4:
+                    raise ValueError("LIST chunk too small")
+                walk(body_start + 4, body_start + csize)
+            elif cid == b"avih":
+                if csize < 40:
+                    raise ValueError("avih chunk too small")
+                usec = int.from_bytes(payload[body_start : body_start + 4], "little")
+                declared = int.from_bytes(
+                    payload[body_start + 16 : body_start + 20], "little"
+                )
+                width = int.from_bytes(
+                    payload[body_start + 32 : body_start + 36], "little"
+                )
+                height = int.from_bytes(
+                    payload[body_start + 36 : body_start + 40], "little"
+                )
+            elif cid[2:4] in (b"db", b"dc"):
+                walked += 1
+            pos = body_start + csize + (csize & 1)
+
+    walk(12, len(payload))
+    if width is None or usec is None:
+        raise ValueError("missing avih header")
+    return width, height, usec, declared or 0, walked
+
+
+AVI_META = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content_hash", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("usec_per_frame", IntegerType(), True),
+        StructField("declared_frames", IntegerType(), True),
+        StructField("walked_frames", IntegerType(), True),
+    ]
+)
+
+
+def decode_avi_meta(df: DataFrame) -> DataFrame:
+    """mapInPandas AVI container decode; same Arrow-batched
+    null-on-failure DLQ shape as the image/audio/Y4M paths."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    w, h, us, dec, wf = _parse_avi(r.payload)
+                except Exception:
+                    w = h = us = dec = wf = None
+                rows.append((r.media_id, r.content_hash, w, h, us, dec, wf))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "content_hash", "width", "height",
+                    "usec_per_frame", "declared_frames", "walked_frames",
+                ],
+            )
+
+    return df.select("media_id", "content_hash", "payload").mapInPandas(
+        decode, AVI_META
+    )

@@ -726,3 +726,44 @@ def test_decode_audio_bands_square_wave_selectivity(spark):
     assert got[2].band_p2 == 7 + 3 + 12 - 5
     assert got[2].band_p4 == 7 - 3 - 12 - 5
     assert got[3].band_p2 is None  # DLQ row
+
+
+def test_avi_roundtrip_and_tamper_audit():
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_avi,
+        encode_avi,
+    )
+
+    frames = [bytes((i % 251) for i in range(24 * 8)) for _ in range(3)]
+    p = encode_avi(24, 8, 40000, frames)
+    assert _parse_avi(p) == (24, 8, 40000, 3, 3)
+    # Odd-size frames force RIFF even-padding on every chunk.
+    p_odd = encode_avi(7, 3, 33333, [b"x" * 21] * 2)
+    assert _parse_avi(p_odd) == (7, 3, 33333, 2, 2)
+    # Tampered declared count: the movi walk disagrees.
+    tampered = p[:48] + (9).to_bytes(4, "little") + p[52:]
+    w, h, us, declared, walked = _parse_avi(tampered)
+    assert declared == 9 and walked == 3
+    import pytest
+
+    with pytest.raises(ValueError):
+        _parse_avi(p[:40])
+    with pytest.raises(ValueError):
+        _parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_decode_avi_meta_dlq_shape(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_avi_meta,
+        encode_avi,
+        media_table,
+    )
+
+    rows = [(1, encode_avi(16, 16, 40000, [b"\x00" * 256])), (2, b"garbage")]
+    df = media_table(
+        spark.createDataFrame(rows, "id long, payload binary"),
+        "id", "video", "payload",
+    )
+    got = {r.media_id: r for r in decode_avi_meta(df).collect()}
+    assert got[1].width == 16 and got[1].walked_frames == 1
+    assert got[2].width is None  # DLQ row

@@ -426,3 +426,9 @@ def test_audio_band_rollup_single_shuffle_two_pandas_stages(spark):
     p = plan(QUERIES["audio_band_energy_rollup"](spark, SF), mode="simple")
     assert p.count("MapInPandas") == 2
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_avi_rollup_single_shuffle_two_pandas_stages(spark):
+    p = plan(QUERIES["avi_decode_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1
