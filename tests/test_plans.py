@@ -432,3 +432,13 @@ def test_avi_rollup_single_shuffle_two_pandas_stages(spark):
     p = plan(QUERIES["avi_decode_rollup"](spark, SF), mode="simple")
     assert p.count("MapInPandas") == 2
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_l_diversity_two_level_distinct_no_expand(spark):
+    # Distinct diversity via the two-level rollup: two hash exchanges
+    # (QI+value, then QI), no Expand node (count_distinct would add
+    # one), no Python.
+    p = plan(QUERIES["l_diversity_audit"](spark, SF), mode="simple")
+    assert "Expand" not in p
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "InPandas" not in p and "BatchEvalPython" not in p
