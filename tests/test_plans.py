@@ -442,3 +442,12 @@ def test_l_diversity_two_level_distinct_no_expand(spark):
     assert "Expand" not in p
     assert p.count("Exchange hashpartitioning") == 2
     assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_jaccard_prefix_join_no_cartesian(spark):
+    # The candidate stage must be an equi-join on prefix elements —
+    # never a cartesian/BNLJ pair scan; verification joins are hash
+    # joins keyed on candidate ids.
+    p = plan(QUERIES["jaccard_shingle_pairs"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
