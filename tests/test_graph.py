@@ -96,3 +96,36 @@ def test_release_checkpoints_explicit_and_context_guarded(spark):
 
     assert g._prev_final_ids(FakeSC()) == []
     assert not g._prev_final_ids(sc)
+
+
+def test_triangle_stats_known_graph(spark):
+    from cryptocurrency_data_pipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    # K4 (4 triangles) + a pendant edge + a duplicate/reversed edge +
+    # a self-loop: canonicalization must neutralize the junk.
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(3, 4), (1, 0), (2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_stats(df).collect()[0]
+    assert row.n_nodes == 5 and row.n_edges == 7
+    assert row.n_triangles == 4
+    # wedges: degs are [3,3,3,4,1] -> 3+3+3+6+0 = 15
+    assert row.n_wedges == 15
+    assert row.global_clustering_coeff == round(12 / 15, 6)
+
+
+def test_triangle_stats_triangle_free(spark):
+    from cryptocurrency_data_pipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    # A star has wedges but no triangles (and the hub's orientation
+    # pushes enumeration to the leaves — the skew story).
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "src long, dst long"
+    )
+    row = triangle_stats(df).collect()[0]
+    assert row.n_triangles == 0 and row.n_wedges == 21
+    assert row.global_clustering_coeff == 0.0

@@ -451,3 +451,11 @@ def test_jaccard_prefix_join_no_cartesian(spark):
     p = plan(QUERIES["jaccard_shingle_pairs"](spark, SF), mode="simple")
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_triangle_census_equi_joins_only(spark):
+    # Wedge enumeration and closure must be hash equi-joins; the only
+    # BNLJ allowed is the 1-row stats attach at the end.
+    p = plan(QUERIES["doc_graph_triangles"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
