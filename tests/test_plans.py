@@ -459,3 +459,13 @@ def test_triangle_census_equi_joins_only(spark):
     p = plan(QUERIES["doc_graph_triangles"](spark, SF), mode="simple")
     assert "CartesianProduct" not in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_t_closeness_broadcasts_value_dist(spark):
+    # Global value distribution + grand total attach via broadcast; the
+    # only heavy exchanges are the (QI, value) pre-rollup and the class
+    # join — and never a (class x value) cross product.
+    p = plan(QUERIES["t_closeness_audit"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p

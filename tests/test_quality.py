@@ -104,3 +104,39 @@ def test_observed_metrics_ride_the_write(spark, tmp_path):
     assert got["Minimum(v)"] == 2.0 and got["Maximum(v)"] == 8.0
     # and the data itself is untouched by observation
     assert spark.read.parquet(str(tmp_path / "out")).count() == 3
+
+
+def test_t_closeness_math_tiny_fixture(spark):
+    """TV distance cross-check on a 2-class fixture computed by hand
+    through the registered query's exact formula (present + absent
+    terms)."""
+    from cryptocurrency_data_pipeline_spark.queries import QUERIES
+    import collections
+    import duckdb
+    import os
+    import tempfile
+
+    # class A: values [0,0,1]; class B: values [1,1,1]
+    rows = [
+        (0, "A", 100.0), (1, "A", 200.0), (2, "A", 1100.0),
+        (3, "B", 1100.0), (4, "B", 1200.0), (5, "B", 1300.0),
+    ]
+    # Expected: N=6, N_0=2, N_1=4.
+    # A (n_c=3): |2*6-2*3| + |1*6-4*3| = 6+6=12; absent 0 -> D=12; TV=12/36=1/3
+    # B (n_c=3): |3*6-4*3| = 6; absent value 0 -> +3*(6-4)=6 -> D=12; TV=1/3
+    # t=0.2 -> both violate.
+    import pandas as pd
+    with tempfile.TemporaryDirectory() as td:
+        pdf = pd.DataFrame(
+            rows, columns=["c_custkey", "qi", "c_acctbal"]
+        )
+        pdf["c_nationkey"] = pdf["qi"].map({"A": 1, "B": 2})
+        pdf["c_mktsegment"] = "X"
+        duckdb.sql(
+            "COPY (SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal "
+            "FROM pdf) TO '" + os.path.join(td, "customer.parquet") + "'"
+        )
+        got = QUERIES["t_closeness_audit"](spark, td).collect()[0]
+    assert got.n_classes == 2
+    assert got.n_violating == 2
+    assert got.max_tv == round(1 / 3, 6)
