@@ -469,3 +469,12 @@ def test_t_closeness_broadcasts_value_dist(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_user_trend_single_window_two_shuffles(spark):
+    # One user-keyed exchange feeds both the rank window and the sum
+    # rollup (same key -> Spark reuses the partitioning); the trend
+    # rollup is the only other exchange.  No Python anywhere.
+    p = plan(QUERIES["user_value_trend"](spark, SF), mode="simple")
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") <= 2

@@ -68,3 +68,39 @@ def test_sax_word_symbolization(spark):
         [(1, [-0.6745, 0.0, 0.6745])], "user_id long, sketch array<double>"
     )
     assert df2.select(T.sax_word(F.col("sketch")).alias("w")).collect()[0].w == "bcd"
+
+
+def test_user_value_trend_hand_fixture(spark):
+    """Exact OLS on a known ramp: y = 100x cents => slope 100; flat and
+    falling fixtures likewise."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+
+    from cryptocurrency_data_pipeline_spark.queries import QUERIES
+
+    rows = []
+    base = pd.Timestamp("2026-01-01")
+    # user 1: perfect ramp value = x (slope 100 cents/event)
+    for x in range(5):
+        rows.append((x, base + pd.Timedelta(minutes=x), 1, "a", float(x), None))
+    # user 2: constant (slope 0)
+    for x in range(4):
+        rows.append((10 + x, base + pd.Timedelta(minutes=x), 2, "a", 7.5, None))
+    # user 3: descending (slope -100)
+    for x in range(3):
+        rows.append((20 + x, base + pd.Timedelta(minutes=x), 3, "a", float(-x), None))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        duckdb.sql(
+            "COPY (SELECT * FROM pdf) TO '"
+            + os.path.join(td, "events.parquet") + "'"
+        )
+        got = {r.trend: r for r in QUERIES["user_value_trend"](spark, td).collect()}
+    assert got["rising"].max_slope_cents == 100.0
+    assert got["flat"].n_users == 1
+    assert got["falling"].min_slope_cents == -100.0
