@@ -478,3 +478,11 @@ def test_user_trend_single_window_two_shuffles(spark):
     p = plan(QUERIES["user_value_trend"](spark, SF), mode="simple")
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_benford_single_digit_shuffle(spark):
+    # One map-side-combined exchange on the 9 digit keys; the total
+    # attaches via the single-partition window on the 9-row aggregate.
+    p = plan(QUERIES["benford_value_audit"](spark, SF), mode="simple")
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1
