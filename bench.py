@@ -71,6 +71,8 @@ HEADLINE = [
     "gif_anim_rollup",            # multi-frame LZW walk
     "hashed_vector_topk",         # hashing vectorizer + cosine top-k
     "ts_paa_similarity_topk",     # PAA time-series similarity search
+    "jaccard_shingle_pairs",      # PPJoin prefix-filtered exact Jaccard
+    "doc_graph_triangles",        # degree-oriented triangle census
 ]
 
 

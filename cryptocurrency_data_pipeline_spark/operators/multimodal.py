@@ -1539,3 +1539,136 @@ def decode_avi_meta(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content_hash", "payload").mapInPandas(
         decode, AVI_META
     )
+
+
+def encode_mp4(
+    timescale: int,
+    duration: int,
+    width: int,
+    height: int,
+    mdat: bytes = b"",
+) -> bytes:
+    """Minimal conforming ISO-BMFF (MP4) writer: ftyp + moov(mvhd +
+    trak(tkhd)) + mdat.  Version-0 boxes, big-endian sizes, 16.16
+    fixed-point track dimensions — enough structure for any standards-
+    following box walker."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I", 0)            # version 0 + flags
+        + struct.pack(">II", 0, 0)       # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)      # volume 1.0
+        + b"\x00" * 10                   # reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24                   # pre_defined
+        + struct.pack(">I", 2),          # next_track_id
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">I", 0x000007)      # version 0 + enabled flags
+        + struct.pack(">II", 0, 0)       # ctime, mtime
+        + struct.pack(">I", 1)           # track_id
+        + b"\x00" * 4                    # reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8                    # reserved
+        + struct.pack(">hhhh", 0, 0, 0, 0)  # layer, group, volume, rsvd
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov + box(b"mdat", mdat)
+
+
+#: Container boxes whose payload is a sequence of child boxes.
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
+
+
+def _parse_mp4(payload: bytes) -> tuple[int, int, int, int, int]:
+    """ISO-BMFF box walk: returns ``(timescale, duration, width,
+    height, mdat_bytes)`` from mvhd/tkhd/mdat.  Big-endian sizes
+    validated against the payload (a size-0 'to end of file' box is
+    honored; size-1 64-bit boxes and short boxes raise -> DLQ), track
+    dimensions decoded from 16.16 fixed point."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+    timescale = duration = width = height = None
+    mdat_bytes = 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal timescale, duration, width, height, mdat_bytes
+        while pos + 8 <= end:
+            size = int.from_bytes(payload[pos : pos + 4], "big")
+            btype = payload[pos + 4 : pos + 8]
+            if size == 0:
+                size = end - pos  # spec: box extends to end
+            if size == 1 or size < 8 or pos + size > end:
+                raise ValueError(f"bad box size {size} at {pos}")
+            body = pos + 8
+            if btype in _MP4_CONTAINERS:
+                walk(body, pos + size)
+            elif btype == b"mvhd":
+                if size < 8 + 20:
+                    raise ValueError("mvhd too small")
+                if payload[body] != 0:
+                    raise ValueError("mvhd version != 0 unsupported")
+                timescale = int.from_bytes(payload[body + 12 : body + 16], "big")
+                duration = int.from_bytes(payload[body + 16 : body + 20], "big")
+            elif btype == b"tkhd":
+                if size < 8 + 84:
+                    raise ValueError("tkhd too small")
+                width = int.from_bytes(payload[body + 76 : body + 80], "big") >> 16
+                height = int.from_bytes(payload[body + 80 : body + 84], "big") >> 16
+            elif btype == b"mdat":
+                mdat_bytes += size - 8
+            pos += size
+
+    walk(0, len(payload))
+    if timescale is None or width is None:
+        raise ValueError("missing mvhd or tkhd")
+    return timescale, duration, width, height, mdat_bytes
+
+
+MP4_META = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content_hash", StringType(), True),
+        StructField("timescale", IntegerType(), True),
+        StructField("duration", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mdat_bytes", LongType(), True),
+    ]
+)
+
+
+def decode_mp4_meta(df: DataFrame) -> DataFrame:
+    """mapInPandas ISO-BMFF decode; Arrow-batched null-on-failure DLQ
+    shape, like every other decoder."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    ts, du, w, h, mb = _parse_mp4(r.payload)
+                except Exception:
+                    ts = du = w = h = mb = None
+                rows.append((r.media_id, r.content_hash, ts, du, w, h, mb))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "content_hash", "timescale", "duration",
+                    "width", "height", "mdat_bytes",
+                ],
+            )
+
+    return df.select("media_id", "content_hash", "payload").mapInPandas(
+        decode, MP4_META
+    )

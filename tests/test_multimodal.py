@@ -767,3 +767,42 @@ def test_decode_avi_meta_dlq_shape(spark):
     got = {r.media_id: r for r in decode_avi_meta(df).collect()}
     assert got[1].width == 16 and got[1].walked_frames == 1
     assert got[2].width is None  # DLQ row
+
+
+def test_mp4_roundtrip_and_guards():
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_mp4,
+        encode_mp4,
+    )
+
+    p = encode_mp4(30000, 90000, 640, 360, b"\x01" * 100)
+    assert _parse_mp4(p) == (30000, 90000, 640, 360, 100)
+    import pytest
+
+    with pytest.raises(ValueError):
+        _parse_mp4(p[:20])  # truncated ftyp
+    with pytest.raises(ValueError):
+        _parse_mp4(b"\x00\x00\x00\x08mdat")  # no ftyp gate
+    # size-0 box extends to end of file (spec) — still parses
+    import struct
+
+    last = p.rfind(b"mdat") - 4
+    p0 = p[:last] + struct.pack(">I", 0) + p[last + 4:]
+    assert _parse_mp4(p0)[4] == 100
+
+
+def test_decode_mp4_meta_dlq_shape(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_mp4_meta,
+        encode_mp4,
+        media_table,
+    )
+
+    rows = [(1, encode_mp4(1000, 5000, 32, 16)), (2, b"not a box")]
+    df = media_table(
+        spark.createDataFrame(rows, "id long, payload binary"),
+        "id", "video", "payload",
+    )
+    got = {r.media_id: r for r in decode_mp4_meta(df).collect()}
+    assert got[1].timescale == 1000 and got[1].width == 32
+    assert got[2].timescale is None  # DLQ row

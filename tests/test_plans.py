@@ -486,3 +486,9 @@ def test_benford_single_digit_shuffle(spark):
     p = plan(QUERIES["benford_value_audit"](spark, SF), mode="simple")
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_mp4_rollup_single_shuffle_two_pandas_stages(spark):
+    p = plan(QUERIES["mp4_decode_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1
