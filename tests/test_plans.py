@@ -492,3 +492,9 @@ def test_mp4_rollup_single_shuffle_two_pandas_stages(spark):
     p = plan(QUERIES["mp4_decode_rollup"](spark, SF), mode="simple")
     assert p.count("MapInPandas") == 2
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_tiff_rollup_single_shuffle_two_pandas_stages(spark):
+    p = plan(QUERIES["tiff_decode_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1
