@@ -1781,3 +1781,128 @@ def decode_tiff_meta(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content_hash", "payload").mapInPandas(
         decode, TIFF_META
     )
+
+
+#: MPEG-1 Layer III bitrate table (kbps) by 4-bit index; 0 = free, 15 =
+#: invalid (ISO/IEC 11172-3 Table B.2).
+_MP3_BITRATES = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1
+)
+#: MPEG-1 sample rates by 2-bit index; index 3 reserved.
+_MP3_RATES = (44100, 48000, 32000, -1)
+
+
+def encode_mp3(
+    bitrate_idx: int, rate_idx: int, n_frames: int, pad_every: int = 0
+) -> bytes:
+    """Minimal conforming MPEG-1 Layer III frame stream (producer/test
+    side): valid 4-byte headers + zero payload, optional ID3v2 prefix
+    skipped by the parser, optional padding bit every ``pad_every``-th
+    frame to exercise the +1 length rule."""
+    out = bytearray()
+    # ID3v2 tag: 'ID3', version, flags, 4-byte synchsafe size (10 bytes
+    # of tag body).
+    body = b"\x00" * 10
+    out += b"ID3\x04\x00\x00" + bytes(
+        (len(body) >> s) & 0x7F for s in (21, 14, 7, 0)
+    )
+    out += body
+    for i in range(n_frames):
+        pad = 1 if pad_every and (i % pad_every == 0) else 0
+        hdr = bytes(
+            [
+                0xFF,
+                0xFB,  # MPEG1, Layer III, no CRC
+                (bitrate_idx << 4) | (rate_idx << 2) | (pad << 1),
+                0x00,
+            ]
+        )
+        flen = (
+            144 * _MP3_BITRATES[bitrate_idx] * 1000 // _MP3_RATES[rate_idx]
+            + pad
+        )
+        out += hdr + b"\x00" * (flen - 4)
+    return bytes(out)
+
+
+def _parse_mp3(payload: bytes) -> tuple[int, int, int]:
+    """MPEG-1 Layer III frame walk: skip an optional ID3v2 tag
+    (synchsafe size), then validate every frame's sync/bitrate/rate
+    fields and step by the computed frame length — a stream whose
+    declared lengths drift off the sync pattern raises (DLQ).  Returns
+    ``(sample_rate, bitrate_kbps, n_frames)``; constant-bitrate streams
+    only (a changed bitrate mid-stream raises)."""
+    pos, n = 0, len(payload)
+    if payload[:3] == b"ID3":
+        if n < 10:
+            raise ValueError("truncated ID3v2 header")
+        size = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                raise ValueError("bad synchsafe byte")
+            size = (size << 7) | b
+        pos = 10 + size
+    rate = kbps = None
+    frames = 0
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("truncated frame header")
+        h0, h1, h2 = payload[pos], payload[pos + 1], payload[pos + 2]
+        if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost sync at {pos}")
+        if (h1 & 0x18) != 0x18 or (h1 & 0x06) != 0x02:
+            raise ValueError("not MPEG-1 Layer III")
+        br = _MP3_BITRATES[h2 >> 4]
+        sr = _MP3_RATES[(h2 >> 2) & 0x3]
+        if br <= 0 or sr <= 0:
+            raise ValueError("invalid bitrate/samplerate index")
+        if rate is None:
+            rate, kbps = sr, br
+        elif sr != rate or br != kbps:
+            raise ValueError("VBR/mixed-rate stream unsupported")
+        pad = (h2 >> 1) & 1
+        flen = 144 * br * 1000 // sr + pad
+        if pos + flen > n:
+            raise ValueError("truncated frame payload")
+        pos += flen
+        frames += 1
+    if rate is None:
+        raise ValueError("no frames")
+    return rate, kbps, frames
+
+
+MP3_META = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content_hash", StringType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("bitrate_kbps", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+
+def decode_mp3_meta(df: DataFrame) -> DataFrame:
+    """mapInPandas MP3 frame-walk decode; Arrow-batched null-on-failure
+    DLQ shape."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    sr, br, nf = _parse_mp3(r.payload)
+                except Exception:
+                    sr = br = nf = None
+                rows.append((r.media_id, r.content_hash, sr, br, nf))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "content_hash",
+                    "sample_rate", "bitrate_kbps", "n_frames",
+                ],
+            )
+
+    return df.select("media_id", "content_hash", "payload").mapInPandas(
+        decode, MP3_META
+    )

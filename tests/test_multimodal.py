@@ -834,3 +834,30 @@ def test_tiff_roundtrip_both_endians(spark):
     got = {r.media_id: r for r in decode_tiff_meta(df).collect()}
     assert got[1].byte_order == "MM" and got[1].width == 8
     assert got[2].width is None
+
+
+def test_mp3_frame_walk_and_guards(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_mp3,
+        decode_mp3_meta,
+        encode_mp3,
+        media_table,
+    )
+
+    p = encode_mp3(9, 0, 7, pad_every=3)  # 128 kbps, 44100, padded
+    assert _parse_mp3(p) == (44100, 128, 7)
+    import pytest
+
+    with pytest.raises(ValueError):
+        _parse_mp3(p[:-1])  # truncated final frame
+    with pytest.raises(ValueError):
+        _parse_mp3(b"\xff\xfb" + b"\x00" * 10)  # bad bitrate index 0 len
+    rows = [(1, encode_mp3(11, 1, 4)), (2, b"ID3 but junk")]
+    df = media_table(
+        spark.createDataFrame(rows, "id long, payload binary"),
+        "id", "audio", "payload",
+    )
+    got = {r.media_id: r for r in decode_mp3_meta(df).collect()}
+    assert got[1].sample_rate == 48000 and got[1].bitrate_kbps == 192
+    assert got[1].n_frames == 4
+    assert got[2].sample_rate is None  # DLQ row

@@ -498,3 +498,9 @@ def test_tiff_rollup_single_shuffle_two_pandas_stages(spark):
     p = plan(QUERIES["tiff_decode_rollup"](spark, SF), mode="simple")
     assert p.count("MapInPandas") == 2
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_mp3_rollup_single_shuffle_two_pandas_stages(spark):
+    p = plan(QUERIES["mp3_decode_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1
