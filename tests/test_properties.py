@@ -360,3 +360,163 @@ def test_csv_split_conserves_rows(spark, tmp_path_factory, lines, salt):
     # dlq rows keep the raw line for replay
     for r in dlq.collect():
         assert r.raw is not None and r.error_reason == "csv_schema_mismatch"
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: UniMax water-filling, triangle census, codec
+# roundtrips.
+# --------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=500), min_size=1, max_size=8
+    ),
+    st.integers(min_value=1, max_value=3000),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_unimax_matches_iterative_reference(spark, counts, budget, cap):
+    """The closed-form allocation equals the paper's iterative
+    water-filling loop on arbitrary inputs."""
+    from pyspark.sql import functions as F
+
+    from cryptocurrency_data_pipeline_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    # Reference: repeatedly grant equal shares, capped, until stable.
+    supplies = {f"g{i}": cap * c for i, c in enumerate(counts)}
+    remaining, active = budget, dict(supplies)
+    alloc = {g: 0 for g in supplies}
+    while active and remaining > 0:
+        share = remaining // len(active)
+        if share == 0:
+            break
+        capped = {g: s for g, s in active.items() if s <= share}
+        if capped:
+            for g, s in capped.items():
+                alloc[g] = supplies[g]
+                remaining -= s
+                del active[g]
+        else:
+            for g in active:
+                alloc[g] = supplies[g] - active[g] + share
+            remaining -= share * len(active)
+            break
+    df = spark.createDataFrame(
+        [(f"g{i}", c) for i, c in enumerate(counts)], "lang string, n long"
+    )
+    got = {
+        r.lang: r.alloc_tokens
+        for r in unimax_allocation(
+            df, "lang", F.sum("n"), budget, epoch_cap=cap
+        ).collect()
+    }
+    assert got == alloc
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_triangle_census_matches_brute_force(spark, raw_edges):
+    import itertools
+
+    from cryptocurrency_data_pipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw_edges if a != b}
+    if not edges:
+        return
+    nodes = sorted({n for e in edges for n in e})
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    df = spark.createDataFrame(list(raw_edges), "src long, dst long")
+    row = triangle_stats(df).collect()[0]
+    assert row.n_triangles == tri
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(nodes)
+
+
+@given(
+    st.integers(min_value=1, max_value=2000),
+    st.integers(min_value=1, max_value=2000),
+    st.integers(min_value=1, max_value=5),
+    st.booleans(),
+)
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+def test_tiff_roundtrip_property(width, height, frames, big_endian):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_tiff,
+        encode_tiff,
+    )
+
+    got = _parse_tiff(encode_tiff(width, height, 8, big_endian))
+    assert got == (width, height, 8, "MM" if big_endian else "II")
+
+
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.sampled_from([1, 2, 4, 5, 7, 9, 11, 14]),
+    st.sampled_from([0, 1, 2]),
+    st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+def test_mp3_roundtrip_property(n_frames, bidx, ridx, pad_every):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _MP3_BITRATES,
+        _MP3_RATES,
+        _parse_mp3,
+        encode_mp3,
+    )
+
+    p = encode_mp3(bidx, ridx, n_frames, pad_every=pad_every)
+    assert _parse_mp3(p) == (_MP3_RATES[ridx], _MP3_BITRATES[bidx], n_frames)
+
+
+@given(
+    st.integers(min_value=1, max_value=10**6),
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=0, max_value=300),
+)
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+def test_mp4_roundtrip_property(timescale, duration, width, height, nbytes):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_mp4,
+        encode_mp4,
+    )
+
+    p = encode_mp4(timescale, duration, width, height, b"\xab" * nbytes)
+    assert _parse_mp4(p) == (timescale, duration, width, height, nbytes)
+
+
+@given(
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=33333, max_value=100000),
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+def test_avi_roundtrip_property(width, height, n_frames, usec):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_avi,
+        encode_avi,
+    )
+
+    frames = [bytes((i % 251) for i in range(width * height))] * n_frames
+    got = _parse_avi(encode_avi(width, height, usec, frames))
+    assert got == (width, height, usec, n_frames, n_frames)
