@@ -1906,3 +1906,99 @@ def decode_mp3_meta(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content_hash", "payload").mapInPandas(
         decode, MP3_META
     )
+
+
+def encode_warc(records: list[tuple[str, str, bytes]]) -> bytes:
+    """Minimal conforming WARC/1.0 writer (ISO 28500): each record is
+    ``(warc_type, target_uri, payload)`` — named headers,
+    Content-Length framing, CRLF discipline, blank-line terminator plus
+    record separator."""
+    out = bytearray()
+    for i, (wtype, uri, payload) in enumerate(records):
+        hdrs = [
+            b"WARC/1.0",
+            b"WARC-Type: " + wtype.encode(),
+            b"WARC-Record-ID: <urn:rec:%d>" % i,
+            b"WARC-Date: 2026-01-01T00:00:00Z",
+        ]
+        if uri:
+            hdrs.append(b"WARC-Target-URI: " + uri.encode())
+        hdrs.append(b"Content-Length: %d" % len(payload))
+        out += b"\r\n".join(hdrs) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+    return bytes(out)
+
+
+def _parse_warc(payload: bytes) -> list[tuple[str, str, int]]:
+    """WARC/1.0 record walk (the Common Crawl container): per record,
+    parse the header block (case-insensitive names, CRLF lines, blank-
+    line terminator), step over the body by Content-Length — NEVER by
+    scanning for a separator, so bodies containing ``WARC/1.0`` can't
+    desync the walk — and require the trailing CRLF CRLF.  Returns
+    ``[(warc_type, target_uri, content_length), ...]``; malformed
+    framing raises (DLQ)."""
+    recs: list[tuple[str, str, int]] = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        end = payload.find(b"\r\n\r\n", pos)
+        if end < 0:
+            raise ValueError("unterminated WARC header block")
+        lines = payload[pos:end].split(b"\r\n")
+        if lines[0] != b"WARC/1.0":
+            raise ValueError(f"bad WARC version line at {pos}")
+        wtype = uri = None
+        clen = None
+        for line in lines[1:]:
+            k, _, v = line.partition(b":")
+            key, val = k.strip().lower(), v.strip()
+            if key == b"warc-type":
+                wtype = val.decode()
+            elif key == b"warc-target-uri":
+                uri = val.decode()
+            elif key == b"content-length":
+                clen = int(val)
+        if wtype is None or clen is None or clen < 0:
+            raise ValueError("record missing WARC-Type or Content-Length")
+        body_start = end + 4
+        if body_start + clen + 4 > n:
+            raise ValueError("truncated record body")
+        if payload[body_start + clen : body_start + clen + 4] != b"\r\n\r\n":
+            raise ValueError("missing record separator")
+        recs.append((wtype, uri or "", clen))
+        pos = body_start + clen + 4
+    return recs
+
+
+WARC_RECORDS = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("rec_index", IntegerType(), True),
+        StructField("warc_type", StringType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("content_length", LongType(), True),
+    ]
+)
+
+
+def decode_warc_records(df: DataFrame) -> DataFrame:
+    """mapInPandas WARC walk, ONE OUTPUT ROW PER RECORD (the exploding
+    decoder shape); a malformed archive yields a single DLQ row with
+    null record fields."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    for i, (wt, uri, cl) in enumerate(_parse_warc(r.payload)):
+                        rows.append((r.media_id, i, wt, uri, cl))
+                except Exception:
+                    rows.append((r.media_id, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "rec_index", "warc_type",
+                    "target_uri", "content_length",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(decode, WARC_RECORDS)

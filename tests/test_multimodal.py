@@ -861,3 +861,40 @@ def test_mp3_frame_walk_and_guards(spark):
     assert got[1].sample_rate == 48000 and got[1].bitrate_kbps == 192
     assert got[1].n_frames == 4
     assert got[2].sample_rate is None  # DLQ row
+
+
+def test_warc_walk_desync_resistance(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_warc,
+        decode_warc_records,
+        encode_warc,
+    )
+
+    # A body containing the literal record header must NOT desync the
+    # Content-Length walk.
+    recs = [
+        ("warcinfo", "", b"software: test"),
+        ("response", "http://e/x", b"WARC/1.0\r\n\r\nfake inner record"),
+    ]
+    p = encode_warc(recs)
+    got = _parse_warc(p)
+    assert [(t, u) for t, u, _ in got] == [
+        ("warcinfo", ""), ("response", "http://e/x"),
+    ]
+    assert got[1][2] == len(recs[1][2])
+    import pytest
+
+    with pytest.raises(ValueError):
+        _parse_warc(p[:-2])  # missing separator
+    with pytest.raises(ValueError):
+        _parse_warc(b"WARC/0.9\r\n\r\n\r\n\r\n")
+    # Exploding decoder: one row per record; DLQ row for garbage.
+    df = spark.createDataFrame(
+        [(1, p), (2, b"not warc")], "media_id long, payload binary"
+    )
+    rows = decode_warc_records(df).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 2 and by_id[1][0].warc_type == "warcinfo"
+    assert len(by_id[2]) == 1 and by_id[2][0].warc_type is None

@@ -504,3 +504,11 @@ def test_mp3_rollup_single_shuffle_two_pandas_stages(spark):
     p = plan(QUERIES["mp3_decode_rollup"](spark, SF), mode="simple")
     assert p.count("MapInPandas") == 2
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_warc_rollup_single_shuffle_two_pandas_stages(spark):
+    p = plan(QUERIES["warc_record_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    # countDistinct adds an Expand-free two-level agg on the tiny
+    # per-type frame; allow its exchange plus the type rollup.
+    assert p.count("Exchange hashpartitioning") <= 2
