@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -2002,3 +2003,112 @@ def decode_warc_records(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(decode, WARC_RECORDS)
+
+
+def encode_zip(members: list[tuple[str, bytes]]) -> bytes:
+    """Minimal conforming ZIP writer (store-only, APPNOTE layout):
+    local file headers + central directory + EOCD, real CRC-32s."""
+    import struct
+    import zlib
+
+    out = bytearray()
+    central = bytearray()
+    for name, data in members:
+        nb = name.encode()
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        offset = len(out)
+        local = struct.pack(
+            "<4sHHHHHIIIHH",
+            b"PK\x03\x04", 20, 0, 0, 0, 0x21, crc, len(data), len(data),
+            len(nb), 0,
+        )
+        out += local + nb + data
+        central += struct.pack(
+            "<4sHHHHHHIIIHHHHHII",
+            b"PK\x01\x02", 20, 20, 0, 0, 0, 0x21, crc, len(data), len(data),
+            len(nb), 0, 0, 0, 0, 0, offset,
+        ) + nb
+    cd_off = len(out)
+    out += central
+    out += struct.pack(
+        "<4sHHHHIIH",
+        b"PK\x05\x06", 0, 0, len(members), len(members),
+        len(central), cd_off, 0,
+    )
+    return bytes(out)
+
+
+def _parse_zip(payload: bytes) -> list[tuple[str, int, bool]]:
+    """ZIP central-directory walk with per-member CRC validation:
+    locate the EOCD from the end (bounded comment scan), walk the
+    central directory (names, sizes, stored offsets), then re-read each
+    STORED member's bytes via its local header and verify the CRC-32 —
+    so a flipped payload byte is caught, not just a malformed
+    directory.  Returns ``[(name, size, crc_ok), ...]``; structural
+    damage raises (DLQ), data damage flags ``crc_ok=False``."""
+    import zlib
+
+    n = len(payload)
+    eocd = payload.rfind(b"PK\x05\x06", max(0, n - 65557))
+    if eocd < 0 or eocd + 22 > n:
+        raise ValueError("no EOCD record")
+    n_entries = int.from_bytes(payload[eocd + 10 : eocd + 12], "little")
+    cd_off = int.from_bytes(payload[eocd + 16 : eocd + 20], "little")
+    out: list[tuple[str, int, bool]] = []
+    pos = cd_off
+    for _ in range(n_entries):
+        if payload[pos : pos + 4] != b"PK\x01\x02":
+            raise ValueError(f"bad central-directory signature at {pos}")
+        method = int.from_bytes(payload[pos + 10 : pos + 12], "little")
+        crc = int.from_bytes(payload[pos + 16 : pos + 20], "little")
+        usize = int.from_bytes(payload[pos + 24 : pos + 28], "little")
+        namelen = int.from_bytes(payload[pos + 28 : pos + 30], "little")
+        extralen = int.from_bytes(payload[pos + 30 : pos + 32], "little")
+        commentlen = int.from_bytes(payload[pos + 32 : pos + 34], "little")
+        offset = int.from_bytes(payload[pos + 42 : pos + 46], "little")
+        name = payload[pos + 46 : pos + 46 + namelen].decode()
+        if method != 0:
+            raise ValueError("only STORED members supported")
+        # Local header: skip to the stored bytes and verify.
+        if payload[offset : offset + 4] != b"PK\x03\x04":
+            raise ValueError(f"bad local-header signature at {offset}")
+        lnam = int.from_bytes(payload[offset + 26 : offset + 28], "little")
+        lext = int.from_bytes(payload[offset + 28 : offset + 30], "little")
+        data_start = offset + 30 + lnam + lext
+        if data_start + usize > n:
+            raise ValueError("member data out of range")
+        data = payload[data_start : data_start + usize]
+        out.append((name, usize, (zlib.crc32(data) & 0xFFFFFFFF) == crc))
+        pos += 46 + namelen + extralen + commentlen
+    return out
+
+
+ZIP_MEMBERS = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("member_name", StringType(), True),
+        StructField("size_bytes", LongType(), True),
+        StructField("crc_ok", BooleanType(), True),
+    ]
+)
+
+
+def decode_zip_members(df: DataFrame) -> DataFrame:
+    """mapInPandas ZIP manifest, one output row per member; malformed
+    archives yield a single null DLQ row."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    for name, size, ok in _parse_zip(r.payload):
+                        rows.append((r.media_id, name, size, ok))
+                except Exception:
+                    rows.append((r.media_id, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "member_name", "size_bytes", "crc_ok"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(decode, ZIP_MEMBERS)

@@ -898,3 +898,41 @@ def test_warc_walk_desync_resistance(spark):
         by_id.setdefault(r.media_id, []).append(r)
     assert len(by_id[1]) == 2 and by_id[1][0].warc_type == "warcinfo"
     assert len(by_id[2]) == 1 and by_id[2][0].warc_type is None
+
+
+def test_zip_roundtrip_stdlib_crosscheck_and_crc(spark):
+    import io
+    import zipfile
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_zip,
+        decode_zip_members,
+        encode_zip,
+    )
+
+    p = encode_zip([("a/text.txt", b"hello world"), ("meta.json", b'{"k":1}')])
+    assert _parse_zip(p) == [("a/text.txt", 11, True), ("meta.json", 7, True)]
+    # The stdlib must accept our writer's output byte-for-byte.
+    zf = zipfile.ZipFile(io.BytesIO(p))
+    assert [(z.filename, z.file_size) for z in zf.infolist()] == [
+        ("a/text.txt", 11), ("meta.json", 7),
+    ]
+    assert zf.read("a/text.txt") == b"hello world"
+    # Data damage -> crc_ok False for that member only.
+    i = p.find(b"hello")
+    pc = p[:i] + b"jello" + p[i + 5:]
+    assert _parse_zip(pc) == [("a/text.txt", 11, False), ("meta.json", 7, True)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        _parse_zip(p[:-10])  # EOCD destroyed
+    rows = decode_zip_members(
+        spark.createDataFrame(
+            [(1, p), (2, b"PK but junk")], "media_id long, payload binary"
+        )
+    ).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 2 and all(r.crc_ok for r in by_id[1])
+    assert by_id[2][0].member_name is None  # DLQ row

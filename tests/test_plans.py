@@ -512,3 +512,9 @@ def test_warc_rollup_single_shuffle_two_pandas_stages(spark):
     # countDistinct adds an Expand-free two-level agg on the tiny
     # per-type frame; allow its exchange plus the type rollup.
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_zip_rollup_single_shuffle_two_pandas_stages(spark):
+    p = plan(QUERIES["zip_manifest_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1
