@@ -2112,3 +2112,74 @@ def decode_zip_members(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(decode, ZIP_MEMBERS)
+
+
+WARC_HTTP = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("target_uri", StringType(), True),
+        StructField("http_status", IntegerType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("title", StringType(), True),
+        StructField("visible_chars", LongType(), True),
+    ]
+)
+
+
+def decode_warc_http(df: DataFrame) -> DataFrame:
+    """The Common Crawl extraction chain in one decoder: WARC record
+    walk → HTTP message split (status line + headers at the first
+    CRLF CRLF) → HTML text extraction (tag strip + <title> capture) —
+    one output row per *response* record.  Request/warcinfo records are
+    skipped, non-HTTP bodies yield null HTTP fields, malformed archives
+    yield a single null DLQ row."""
+    import re
+
+    tag = re.compile(r"<[^>]*>")
+    title_re = re.compile(r"<title>(.*?)</title>", re.S | re.I)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    payload = bytes(r.payload)
+                    pos = 0
+                    for wtype, uri, clen in _parse_warc(payload):
+                        # Re-walk to the body start for this record.
+                        hdr_end = payload.find(b"\r\n\r\n", pos)
+                        body = payload[hdr_end + 4 : hdr_end + 4 + clen]
+                        pos = hdr_end + 4 + clen + 4
+                        if wtype != "response":
+                            continue
+                        status = ctype = title = None
+                        visible = None
+                        split = body.find(b"\r\n\r\n")
+                        if split >= 0 and body[:5] == b"HTTP/":
+                            head = body[:split].decode("utf-8", "replace")
+                            lines = head.split("\r\n")
+                            parts = lines[0].split(" ")
+                            if len(parts) >= 2 and parts[1].isdigit():
+                                status = int(parts[1])
+                            for ln in lines[1:]:
+                                k, _, v = ln.partition(":")
+                                if k.strip().lower() == "content-type":
+                                    ctype = v.strip()
+                            html = body[split + 4 :].decode("utf-8", "replace")
+                            m = title_re.search(html)
+                            title = m.group(1).strip() if m else None
+                            visible = len(tag.sub("", html))
+                        rows.append(
+                            (r.media_id, uri, status, ctype, title, visible)
+                        )
+                except Exception:
+                    rows.append((r.media_id, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "target_uri", "http_status",
+                    "content_type", "title", "visible_chars",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(decode, WARC_HTTP)

@@ -936,3 +936,43 @@ def test_zip_roundtrip_stdlib_crosscheck_and_crc(spark):
         by_id.setdefault(r.media_id, []).append(r)
     assert len(by_id[1]) == 2 and all(r.crc_ok for r in by_id[1])
     assert by_id[2][0].member_name is None  # DLQ row
+
+
+def test_warc_http_extraction_chain(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_warc_http,
+        encode_warc,
+    )
+
+    html = (
+        "<html><head><title> T1 </title></head>"
+        "<body><p>hello <b>bold</b> world</p></body></html>"
+    )
+    ok = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html).encode()
+    nf = b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\ngone"
+    raw = b"not an http message at all"
+    p = encode_warc(
+        [
+            ("warcinfo", "", b"x"),
+            ("request", "u1", b"GET / HTTP/1.1"),
+            ("response", "u1", ok),
+            ("response", "u2", nf),
+            ("response", "u3", raw),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, p), (2, b"garbage")], "media_id long, payload binary"
+    )
+    rows = decode_warc_http(df).collect()
+    by_uri = {r.target_uri: r for r in rows if r.media_id == 1}
+    assert set(by_uri) == {"u1", "u2", "u3"}  # responses only
+    r1 = by_uri["u1"]
+    assert r1.http_status == 200 and r1.content_type == "text/html"
+    assert r1.title == "T1"
+    import re
+
+    assert r1.visible_chars == len(re.sub(r"<[^>]*>", "", html))
+    assert by_uri["u2"].http_status == 404 and by_uri["u2"].title is None
+    assert by_uri["u3"].http_status is None  # non-HTTP body, kept row
+    dlq = [r for r in rows if r.media_id == 2]
+    assert len(dlq) == 1 and dlq[0].target_uri is None

@@ -518,3 +518,9 @@ def test_zip_rollup_single_shuffle_two_pandas_stages(spark):
     p = plan(QUERIES["zip_manifest_rollup"](spark, SF), mode="simple")
     assert p.count("MapInPandas") == 2
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_warc_http_rollup_single_shuffle_two_pandas_stages(spark):
+    p = plan(QUERIES["warc_http_extract_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") <= 2
