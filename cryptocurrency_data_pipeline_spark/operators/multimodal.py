@@ -2122,6 +2122,7 @@ WARC_HTTP = StructType(
         StructField("content_type", StringType(), True),
         StructField("title", StringType(), True),
         StructField("visible_chars", LongType(), True),
+        StructField("visible_text", StringType(), True),
     ]
 )
 
@@ -2152,7 +2153,7 @@ def decode_warc_http(df: DataFrame) -> DataFrame:
                         pos = hdr_end + 4 + clen + 4
                         if wtype != "response":
                             continue
-                        status = ctype = title = None
+                        status = ctype = title = vtext = None
                         visible = None
                         split = body.find(b"\r\n\r\n")
                         if split >= 0 and body[:5] == b"HTTP/":
@@ -2168,17 +2169,22 @@ def decode_warc_http(df: DataFrame) -> DataFrame:
                             html = body[split + 4 :].decode("utf-8", "replace")
                             m = title_re.search(html)
                             title = m.group(1).strip() if m else None
-                            visible = len(tag.sub("", html))
+                            vtext = tag.sub("", html)
+                            visible = len(vtext)
                         rows.append(
-                            (r.media_id, uri, status, ctype, title, visible)
+                            (r.media_id, uri, status, ctype, title,
+                             visible, vtext)
                         )
                 except Exception:
-                    rows.append((r.media_id, None, None, None, None, None))
+                    rows.append(
+                        (r.media_id, None, None, None, None, None, None)
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "target_uri", "http_status",
                     "content_type", "title", "visible_chars",
+                    "visible_text",
                 ],
             )
 

@@ -524,3 +524,11 @@ def test_warc_http_rollup_single_shuffle_two_pandas_stages(spark):
     p = plan(QUERIES["warc_http_extract_rollup"](spark, SF), mode="simple")
     assert p.count("MapInPandas") == 2
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_web_corpus_ingest_composed_plan(spark):
+    # Producer + extractor are the two pandas stages; dedup window and
+    # split rollup are the only exchanges beyond them.
+    p = plan(QUERIES["web_corpus_ingest_report"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") <= 2
