@@ -73,6 +73,8 @@ HEADLINE = [
     "ts_paa_similarity_topk",     # PAA time-series similarity search
     "jaccard_shingle_pairs",      # PPJoin prefix-filtered exact Jaccard
     "doc_graph_triangles",        # degree-oriented triangle census
+    "web_corpus_ingest_report",   # WARC -> HTTP -> HTML -> dedup -> split
+    "zip_manifest_rollup",        # archive manifest + CRC audit
 ]
 
 
