@@ -2189,3 +2189,92 @@ def decode_warc_http(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(decode, WARC_HTTP)
+
+
+def encode_flac_header(
+    sample_rate: int, channels: int, bits: int, total_samples: int
+) -> bytes:
+    """Minimal FLAC stream prefix: 'fLaC' + a last-flagged STREAMINFO
+    metadata block with the bit-packed rate/channels/bits/samples
+    fields (frame data omitted — header-only, like real indexers
+    read)."""
+    body = bytearray()
+    body += (4096).to_bytes(2, "big")  # min block
+    body += (4096).to_bytes(2, "big")  # max block
+    body += (0).to_bytes(3, "big")     # min frame
+    body += (0).to_bytes(3, "big")     # max frame
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | total_samples
+    )
+    body += packed.to_bytes(8, "big")
+    body += b"\x00" * 16               # md5 of raw samples (unset)
+    hdr = bytes([0x80]) + len(body).to_bytes(3, "big")  # last | type 0
+    return b"fLaC" + hdr + bytes(body)
+
+
+def _parse_flac(payload: bytes) -> tuple[int, int, int, int]:
+    """FLAC STREAMINFO parse (bit-packed per the spec): 20-bit sample
+    rate, 3-bit channels-1, 5-bit bits-1, 36-bit total samples; walks
+    the metadata-block chain to find block type 0 wherever it sits."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos, n = 4, len(payload)
+    while pos + 4 <= n:
+        flags = payload[pos]
+        btype, last = flags & 0x7F, flags & 0x80
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("truncated metadata block")
+        if btype == 0:
+            if blen < 34:
+                raise ValueError("STREAMINFO too small")
+            packed = int.from_bytes(body[10:18], "big")
+            rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            if rate == 0:
+                raise ValueError("zero sample rate")
+            return rate, channels, bits, total
+        if last:
+            break
+        pos += 4 + blen
+    raise ValueError("no STREAMINFO block")
+
+
+FLAC_META = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bits", IntegerType(), True),
+        StructField("total_samples", LongType(), True),
+    ]
+)
+
+
+def decode_flac_meta(df: DataFrame) -> DataFrame:
+    """mapInPandas FLAC STREAMINFO decode; null-on-failure DLQ shape."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    sr, ch, b, tot = _parse_flac(r.payload)
+                except Exception:
+                    sr = ch = b = tot = None
+                rows.append((r.media_id, sr, ch, b, tot))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "channels", "bits",
+                    "total_samples",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(decode, FLAC_META)

@@ -976,3 +976,34 @@ def test_warc_http_extraction_chain(spark):
     assert by_uri["u3"].http_status is None  # non-HTTP body, kept row
     dlq = [r for r in rows if r.media_id == 2]
     assert len(dlq) == 1 and dlq[0].target_uri is None
+
+
+def test_flac_streaminfo_roundtrip_and_dlq(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_flac,
+        decode_flac_meta,
+        encode_flac_header,
+    )
+
+    assert _parse_flac(encode_flac_header(44100, 2, 16, 1234567)) == (
+        44100, 2, 16, 1234567,
+    )
+    # 36-bit total-samples ceiling and 8-channel/24-bit packing.
+    assert _parse_flac(encode_flac_header(96000, 8, 24, (1 << 36) - 1)) == (
+        96000, 8, 24, (1 << 36) - 1,
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        _parse_flac(b"fLaC\x80\x00\x00\x22" + b"\x00" * 10)  # truncated
+    with pytest.raises(ValueError):
+        _parse_flac(b"OggS")
+    rows = [(1, encode_flac_header(48000, 1, 16, 480000)), (2, b"junk")]
+    got = {
+        r.media_id: r
+        for r in decode_flac_meta(
+            spark.createDataFrame(rows, "media_id long, payload binary")
+        ).collect()
+    }
+    assert got[1].sample_rate == 48000 and got[1].total_samples == 480000
+    assert got[2].sample_rate is None

@@ -532,3 +532,9 @@ def test_web_corpus_ingest_composed_plan(spark):
     p = plan(QUERIES["web_corpus_ingest_report"](spark, SF), mode="simple")
     assert p.count("MapInPandas") == 2
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_flac_rollup_single_shuffle_two_pandas_stages(spark):
+    p = plan(QUERIES["flac_streaminfo_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1

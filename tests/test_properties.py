@@ -520,3 +520,78 @@ def test_avi_roundtrip_property(width, height, n_frames, usec):
     frames = [bytes((i % 251) for i in range(width * height))] * n_frames
     got = _parse_avi(encode_avi(width, height, usec, frames))
     assert got == (width, height, usec, n_frames, n_frames)
+
+
+@given(
+    st.sampled_from([8000, 22050, 44100, 48000, 96000, 192000]),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=4, max_value=32),
+    st.integers(min_value=0, max_value=(1 << 36) - 1),
+)
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+def test_flac_roundtrip_property(rate, channels, bits, total):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_flac,
+        encode_flac_header,
+    )
+
+    got = _parse_flac(encode_flac_header(rate, channels, bits, total))
+    assert got == (rate, channels, bits, total)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["warcinfo", "request", "response", "metadata"]),
+            st.text(
+                alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                max_size=20,
+            ),
+            st.binary(max_size=200),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+def test_warc_roundtrip_property(records):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_warc,
+        encode_warc,
+    )
+
+    got = _parse_warc(encode_warc(records))
+    assert got == [(t, u, len(b)) for t, u, b in records]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(min_codepoint=48, max_codepoint=122),
+                min_size=1,
+                max_size=30,
+            ),
+            st.binary(max_size=300),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda m: m[0],
+    )
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zip_roundtrip_property(members):
+    import io
+    import zipfile
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_zip,
+        encode_zip,
+    )
+
+    p = encode_zip(members)
+    assert _parse_zip(p) == [(n, len(d), True) for n, d in members]
+    # stdlib agreement on names, sizes, and bytes
+    zf = zipfile.ZipFile(io.BytesIO(p))
+    for n, d in members:
+        assert zf.read(n) == d
