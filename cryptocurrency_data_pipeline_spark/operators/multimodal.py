@@ -2278,3 +2278,65 @@ def decode_flac_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(decode, FLAC_META)
+
+
+def gzip_member_split(payload: bytes) -> list[bytes]:
+    """Walk a concatenation of gzip members (the ``.warc.gz`` /
+    multistream layout) and return each member DECOMPRESSED, using
+    stdlib zlib only.  Every member's CRC-32 and ISIZE trailer is
+    validated by the inflater; a truncated or corrupted member
+    raises."""
+    import zlib
+
+    out: list[bytes] = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        data = d.decompress(payload[pos:])
+        data += d.flush()
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at {pos}")
+        out.append(data)
+        pos = n - len(d.unused_data)
+    if not out:
+        raise ValueError("empty gzip stream")
+    return out
+
+
+def encode_warc_gz(records: list[tuple[str, str, bytes]]) -> bytes:
+    """The Common Crawl wire layout: each WARC record gzipped as its
+    OWN member, members concatenated — so consumers can split archives
+    at member boundaries without decompressing the whole file."""
+    import gzip
+
+    return b"".join(
+        gzip.compress(encode_warc([rec]), mtime=0) for rec in records
+    )
+
+
+def decode_warc_gz_records(df: DataFrame) -> DataFrame:
+    """mapInPandas ``.warc.gz`` decode: gzip member walk (stdlib
+    inflate, CRC-validated) → per-member WARC record parse — one output
+    row per record, same schema/DLQ shape as ``decode_warc_records``."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    i = 0
+                    for member in gzip_member_split(bytes(r.payload)):
+                        for wt, uri, cl in _parse_warc(member):
+                            rows.append((r.media_id, i, wt, uri, cl))
+                            i += 1
+                except Exception:
+                    rows.append((r.media_id, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "rec_index", "warc_type",
+                    "target_uri", "content_length",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(decode, WARC_RECORDS)

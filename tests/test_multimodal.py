@@ -1007,3 +1007,39 @@ def test_flac_streaminfo_roundtrip_and_dlq(spark):
     }
     assert got[1].sample_rate == 48000 and got[1].total_samples == 480000
     assert got[2].sample_rate is None
+
+
+def test_warc_gz_member_walk(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_warc_gz_records,
+        encode_warc_gz,
+        gzip_member_split,
+        _parse_warc,
+    )
+
+    recs = [
+        ("warcinfo", "", b"sw: x"),
+        ("response", "http://e/1", b"HTTP/1.1 200 OK\r\n\r\nhello"),
+    ]
+    p = encode_warc_gz(recs)
+    members = gzip_member_split(p)
+    assert len(members) == 2  # one member per record (the CC layout)
+    assert _parse_warc(members[1])[0][0] == "response"
+    import pytest
+
+    # A flipped compressed byte fails the member's CRC.
+    pc = p[:20] + bytes([p[20] ^ 0xFF]) + p[21:]
+    with pytest.raises(Exception):
+        gzip_member_split(pc)
+    with pytest.raises(ValueError):
+        gzip_member_split(p[:-4])  # truncated trailer
+    rows = decode_warc_gz_records(
+        spark.createDataFrame(
+            [(1, p), (2, b"\x1f\x8b junk")], "media_id long, payload binary"
+        )
+    ).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert [r.warc_type for r in by_id[1]] == ["warcinfo", "response"]
+    assert by_id[2][0].warc_type is None  # DLQ

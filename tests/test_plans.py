@@ -538,3 +538,9 @@ def test_flac_rollup_single_shuffle_two_pandas_stages(spark):
     p = plan(QUERIES["flac_streaminfo_rollup"](spark, SF), mode="simple")
     assert p.count("MapInPandas") == 2
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_warc_gz_rollup_single_shuffle_two_pandas_stages(spark):
+    p = plan(QUERIES["warc_gz_record_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1
