@@ -2340,3 +2340,88 @@ def decode_warc_gz_records(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(decode, WARC_RECORDS)
+
+
+def encode_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Minimal conforming USTAR writer: 512-byte headers (octal size,
+    real checksum over a space-filled chksum field), data padded to
+    block size, two zero end-blocks — stdlib-tarfile-readable."""
+    out = bytearray()
+    for name, data in members:
+        nb = name.encode()
+        hdr = bytearray(512)
+        hdr[0 : len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = ("%011o" % len(data)).encode() + b"\x00"
+        hdr[136:148] = b"00000000000\x00"
+        hdr[148:156] = b" " * 8          # chksum field spaces for the sum
+        hdr[156] = ord("0")               # regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = ("%06o" % chk).encode() + b"\x00 "
+        out += hdr + data
+        pad = (-len(data)) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def _parse_tar(payload: bytes) -> list[tuple[str, int]]:
+    """USTAR walk with REAL checksum verification: each 512-byte
+    header's stored octal checksum must equal the byte sum computed
+    with the chksum field spaced out (the spec's rule); octal size
+    fields drive the block stepping; ends at the zero block.  Returns
+    ``[(name, size), ...]``; a bad magic, checksum, or truncated member
+    raises (DLQ)."""
+    out: list[tuple[str, int]] = []
+    pos, n = 0, len(payload)
+    while pos + 512 <= n:
+        hdr = payload[pos : pos + 512]
+        if hdr == b"\x00" * 512:
+            return out
+        if hdr[257:263] != b"ustar\x00":
+            raise ValueError(f"bad ustar magic at {pos}")
+        stored = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if stored != calc:
+            raise ValueError(f"header checksum mismatch at {pos}")
+        name = hdr[:100].split(b"\x00")[0].decode()
+        size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        data_end = pos + 512 + size
+        if data_end > n:
+            raise ValueError("truncated member data")
+        out.append((name, size))
+        pos = data_end + ((-size) % 512)
+    raise ValueError("missing end-of-archive blocks")
+
+
+TAR_MEMBERS = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("member_name", StringType(), True),
+        StructField("size_bytes", LongType(), True),
+    ]
+)
+
+
+def decode_tar_members(df: DataFrame) -> DataFrame:
+    """mapInPandas USTAR manifest, one output row per member; archives
+    failing magic/checksum/framing yield a single null DLQ row."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    for name, size in _parse_tar(bytes(r.payload)):
+                        rows.append((r.media_id, name, size))
+                except Exception:
+                    rows.append((r.media_id, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "member_name", "size_bytes"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(decode, TAR_MEMBERS)

@@ -1043,3 +1043,40 @@ def test_warc_gz_member_walk(spark):
         by_id.setdefault(r.media_id, []).append(r)
     assert [r.warc_type for r in by_id[1]] == ["warcinfo", "response"]
     assert by_id[2][0].warc_type is None  # DLQ
+
+
+def test_tar_roundtrip_stdlib_and_checksum(spark):
+    import io
+    import tarfile
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_tar,
+        decode_tar_members,
+        encode_tar,
+    )
+
+    p = encode_tar([("docs/a.txt", b"hello world"), ("m.json", b'{"x":1}')])
+    assert _parse_tar(p) == [("docs/a.txt", 11), ("m.json", 7)]
+    tf = tarfile.open(fileobj=io.BytesIO(p))
+    assert [(m.name, m.size) for m in tf.getmembers()] == [
+        ("docs/a.txt", 11), ("m.json", 7),
+    ]
+    assert tf.extractfile("docs/a.txt").read() == b"hello world"
+    import pytest
+
+    pc = bytearray(p)
+    pc[10] ^= 0x01  # name byte flip -> checksum mismatch
+    with pytest.raises(ValueError):
+        _parse_tar(bytes(pc))
+    with pytest.raises(ValueError):
+        _parse_tar(p[:700])  # no end blocks
+    rows = decode_tar_members(
+        spark.createDataFrame(
+            [(1, p), (2, bytes(pc))], "media_id long, payload binary"
+        )
+    ).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 2
+    assert by_id[2][0].member_name is None  # whole archive DLQs

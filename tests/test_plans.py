@@ -544,3 +544,9 @@ def test_warc_gz_rollup_single_shuffle_two_pandas_stages(spark):
     p = plan(QUERIES["warc_gz_record_rollup"](spark, SF), mode="simple")
     assert p.count("MapInPandas") == 2
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_tar_rollup_single_shuffle_two_pandas_stages(spark):
+    p = plan(QUERIES["tar_manifest_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1
