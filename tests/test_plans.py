@@ -550,3 +550,21 @@ def test_tar_rollup_single_shuffle_two_pandas_stages(spark):
     p = plan(QUERIES["tar_manifest_rollup"](spark, SF), mode="simple")
     assert p.count("MapInPandas") == 2
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_cohort_retention_two_shuffles(spark):
+    # distinct (user, week) + the first-week rollup share the user key;
+    # the matrix rollup is the only other exchange.
+    p = plan(QUERIES["cohort_retention_matrix"](spark, SF), mode="simple")
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") <= 3
+
+
+def test_basket_lift_broadcasts_dims_topk(spark):
+    # Part lookup + singles + total attach by broadcast; top-20 by lift
+    # compiles to TakeOrderedAndProject; the basket self-join is the
+    # only heavy exchange pair.
+    p = plan(QUERIES["basket_brand_lift"](spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
