@@ -568,3 +568,13 @@ def test_basket_lift_broadcasts_dims_topk(spark):
     assert "TakeOrderedAndProject" in p
     assert p.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in p
+
+
+def test_rfm_single_partition_windows_on_rollup_only(spark):
+    # The three ntile windows run on the O(#customers) rollup; the only
+    # data-sized exchange is the orders rollup.  (Single-partition
+    # windows on an aggregate are the documented trade; at larger
+    # scale rank-based quartiles would move to approx percentiles.)
+    p = plan(QUERIES["rfm_customer_segments"](spark, SF), mode="simple")
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 2
