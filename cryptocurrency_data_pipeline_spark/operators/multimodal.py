@@ -2425,3 +2425,134 @@ def decode_tar_members(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(decode, TAR_MEMBERS)
+
+
+def _ogg_crc_table() -> list[int]:
+    """OGG's page CRC: CRC-32 poly 0x04C11DB7, NON-reflected, init 0,
+    no final xor (deliberately not zlib's reflected CRC)."""
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 else (r << 1) & 0xFFFFFFFF
+        table.append(r)
+    return table
+
+
+_OGG_CRC = _ogg_crc_table()
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def encode_ogg(
+    serial: int, payloads: list[bytes], granule_step: int = 960
+) -> bytes:
+    """Minimal conforming OGG stream: one page per payload, real page
+    CRCs, 255-lacing segmentation, BOS/EOS header flags."""
+    out = bytearray()
+    for seq, payload in enumerate(payloads):
+        lacing = []
+        rest = len(payload)
+        while rest >= 255:
+            lacing.append(255)
+            rest -= 255
+        lacing.append(rest)
+        htype = (0x02 if seq == 0 else 0) | (
+            0x04 if seq == len(payloads) - 1 else 0
+        )
+        page = bytearray()
+        page += b"OggS\x00" + bytes([htype])
+        page += ((seq + 1) * granule_step).to_bytes(8, "little")
+        page += serial.to_bytes(4, "little")
+        page += seq.to_bytes(4, "little")
+        page += b"\x00\x00\x00\x00"  # CRC placeholder
+        page += bytes([len(lacing)]) + bytes(lacing)
+        page += payload
+        crc = _ogg_crc(bytes(page))
+        page[22:26] = crc.to_bytes(4, "little")
+        out += page
+    return bytes(out)
+
+
+def _parse_ogg(payload: bytes) -> tuple[int, int, int, int]:
+    """OGG page walk with REAL CRC verification (the spec's
+    non-reflected CRC-32 over the page with a zeroed CRC field):
+    returns ``(serial, n_pages, last_granule, payload_bytes)``; a
+    corrupted page, bad capture pattern, or truncation raises (DLQ)."""
+    pos, n = 0, len(payload)
+    serial = None
+    pages = 0
+    granule = 0
+    body_bytes = 0
+    while pos < n:
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError(f"bad capture pattern at {pos}")
+        if pos + 27 > n:
+            raise ValueError("truncated page header")
+        if payload[pos + 4] != 0:
+            raise ValueError("unsupported OGG version")
+        gran = int.from_bytes(payload[pos + 6 : pos + 14], "little")
+        ser = int.from_bytes(payload[pos + 14 : pos + 18], "little")
+        stored_crc = int.from_bytes(payload[pos + 22 : pos + 26], "little")
+        nseg = payload[pos + 26]
+        lace_end = pos + 27 + nseg
+        if lace_end > n:
+            raise ValueError("truncated lacing table")
+        blen = sum(payload[pos + 27 : lace_end])
+        page_end = lace_end + blen
+        if page_end > n:
+            raise ValueError("truncated page body")
+        page = bytearray(payload[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != stored_crc:
+            raise ValueError(f"page CRC mismatch at {pos}")
+        if serial is None:
+            serial = ser
+        elif ser != serial:
+            raise ValueError("multiplexed streams unsupported")
+        pages += 1
+        granule = gran
+        body_bytes += blen
+        pos = page_end
+    if serial is None:
+        raise ValueError("no pages")
+    return serial, pages, granule, body_bytes
+
+
+OGG_META = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("serial", LongType(), True),
+        StructField("n_pages", IntegerType(), True),
+        StructField("last_granule", LongType(), True),
+        StructField("payload_bytes", LongType(), True),
+    ]
+)
+
+
+def decode_ogg_meta(df: DataFrame) -> DataFrame:
+    """mapInPandas OGG stream decode; null-on-failure DLQ shape."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    ser, np_, gran, bb = _parse_ogg(bytes(r.payload))
+                except Exception:
+                    ser = np_ = gran = bb = None
+                rows.append((r.media_id, ser, np_, gran, bb))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "serial", "n_pages", "last_granule",
+                    "payload_bytes",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(decode, OGG_META)

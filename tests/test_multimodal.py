@@ -1080,3 +1080,32 @@ def test_tar_roundtrip_stdlib_and_checksum(spark):
         by_id.setdefault(r.media_id, []).append(r)
     assert len(by_id[1]) == 2
     assert by_id[2][0].member_name is None  # whole archive DLQs
+
+
+def test_ogg_page_walk_crc(spark):
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_ogg,
+        decode_ogg_meta,
+        encode_ogg,
+    )
+
+    # 300-byte payload forces a 255+45 lacing split; 255 exactly forces
+    # a 255+0 split (spec rule).
+    p = encode_ogg(7, [b"a" * 10, b"b" * 300, b"c" * 255])
+    assert _parse_ogg(p) == (7, 3, 2880, 565)
+    import pytest
+
+    pc = bytearray(p)
+    pc[30] ^= 1  # payload byte of page 0 -> CRC mismatch
+    with pytest.raises(ValueError):
+        _parse_ogg(bytes(pc))
+    with pytest.raises(ValueError):
+        _parse_ogg(p[:-3])  # truncated page body
+    rows = decode_ogg_meta(
+        spark.createDataFrame(
+            [(1, p), (2, b"OggS junk")], "media_id long, payload binary"
+        )
+    ).collect()
+    got = {r.media_id: r for r in rows}
+    assert got[1].n_pages == 3 and got[1].payload_bytes == 565
+    assert got[2].serial is None  # DLQ

@@ -580,3 +580,9 @@ def test_rfm_single_partition_windows_on_rollup_only(spark):
     assert p.count("Exchange hashpartitioning") <= 2
     # All three ntile windows share ONE single-partition exchange.
     assert p.count("Exchange SinglePartition") == 1
+
+
+def test_ogg_rollup_single_shuffle_two_pandas_stages(spark):
+    p = plan(QUERIES["ogg_decode_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1
