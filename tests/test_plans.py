@@ -586,3 +586,12 @@ def test_ogg_rollup_single_shuffle_two_pandas_stages(spark):
     p = plan(QUERIES["ogg_decode_rollup"](spark, SF), mode="simple")
     assert p.count("MapInPandas") == 2
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionization_single_user_exchange(spark):
+    # lag, cumulative sum, and the per-session rollup all ride ONE
+    # user-keyed exchange (same partitioning reused); only the final
+    # 1-row agg follows.
+    p = plan(QUERIES["user_sessionization_stats"](spark, SF), mode="simple")
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1
