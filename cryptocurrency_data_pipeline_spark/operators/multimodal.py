@@ -2556,3 +2556,85 @@ def decode_ogg_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(decode, OGG_META)
+
+
+def sniff_media(payload: bytes) -> tuple[str, str]:
+    """Classify an opaque payload by magic bytes into
+    ``(family, format)`` — the triage step a lake ingest runs before
+    dispatching to the per-format decoders above.  Covers every format
+    the engine decodes; unknown payloads raise (DLQ)."""
+    p = payload
+    if p is None or len(p) < 4:
+        raise ValueError("payload too short to sniff")
+    if p.startswith(b"P6"):
+        return "image", "ppm"
+    if p.startswith(b"BM"):
+        return "image", "bmp"
+    if p.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "image", "png"
+    if p.startswith(b"\xff\xd8"):
+        return "image", "jpeg"
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "image", "gif"
+    if p[:2] in (b"II", b"MM") and len(p) >= 4 and p[2:4] in (
+        b"\x2a\x00", b"\x00\x2a"
+    ):
+        return "image", "tiff"
+    if p.startswith(b"RIFF") and len(p) >= 12:
+        if p[8:12] == b"WAVE":
+            return "audio", "wav"
+        if p[8:12] == b"AVI ":
+            return "video", "avi"
+    if p.startswith(b"fLaC"):
+        return "audio", "flac"
+    if p.startswith(b"OggS"):
+        return "audio", "ogg"
+    if p.startswith(b"ID3") or (
+        p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+    ):
+        return "audio", "mp3"
+    if p.startswith(b"YUV4MPEG2"):
+        return "video", "y4m"
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        return "video", "mp4"
+    if p.startswith(b"WARC/1.0"):
+        return "archive", "warc"
+    if p.startswith(b"\x1f\x8b"):
+        return "archive", "gzip"
+    if p.startswith(b"PK\x03\x04"):
+        return "archive", "zip"
+    if len(p) >= 263 and p[257:263] == b"ustar\x00":
+        return "archive", "tar"
+    raise ValueError("unrecognized magic bytes")
+
+
+MEDIA_TRIAGE = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("family", StringType(), True),
+        StructField("format", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def decode_media_triage(df: DataFrame) -> DataFrame:
+    """mapInPandas magic-byte triage; unknowns DLQ as null family."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    fam, fmt = sniff_media(bytes(r.payload))
+                except Exception:
+                    fam = fmt = None
+                rows.append(
+                    (r.media_id, fam, fmt,
+                     len(r.payload) if r.payload is not None else None)
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "family", "format", "n_bytes"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(decode, MEDIA_TRIAGE)

@@ -1109,3 +1109,40 @@ def test_ogg_page_walk_crc(spark):
     got = {r.media_id: r for r in rows}
     assert got[1].n_pages == 3 and got[1].payload_bytes == 565
     assert got[2].serial is None  # DLQ
+
+
+def test_sniff_media_all_formats(spark):
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    cases = {
+        ("image", "ppm"): b"P6\n1 1\n255\n\x00\x00\x00",
+        ("image", "png"): b"\x89PNG\r\n\x1a\n" + b"\x00" * 20,
+        ("image", "jpeg"): b"\xff\xd8\xff\xe0rest",
+        ("image", "gif"): b"GIF89a" + b"\x00" * 10,
+        ("image", "tiff"): mm.encode_tiff(1, 1),
+        ("audio", "wav"): mm.encode_wav(8000, [0]),
+        ("audio", "flac"): mm.encode_flac_header(8000, 1, 16, 1),
+        ("audio", "ogg"): mm.encode_ogg(1, [b"x"]),
+        ("audio", "mp3"): mm.encode_mp3(9, 0, 1),
+        ("video", "y4m"): b"YUV4MPEG2 W2 H2 F25:1\n",
+        ("video", "avi"): mm.encode_avi(2, 2, 40000, [b"\x00" * 4]),
+        ("video", "mp4"): mm.encode_mp4(1000, 1, 2, 2),
+        ("archive", "warc"): mm.encode_warc([("warcinfo", "", b"x")]),
+        ("archive", "gzip"): mm.encode_warc_gz([("warcinfo", "", b"x")]),
+        ("archive", "zip"): mm.encode_zip([("a", b"b")]),
+        ("archive", "tar"): mm.encode_tar([("a", b"b")]),
+    }
+    for expect, payload in cases.items():
+        assert mm.sniff_media(payload) == expect, expect
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.sniff_media(b"\x00\x01\x02\x03unknown")
+    rows = mm.decode_media_triage(
+        spark.createDataFrame(
+            [(1, mm.encode_tiff(1, 1)), (2, b"????")],
+            "media_id long, payload binary",
+        )
+    ).collect()
+    got = {r.media_id: r for r in rows}
+    assert got[1].format == "tiff" and got[2].family is None

@@ -595,3 +595,9 @@ def test_sessionization_single_user_exchange(spark):
     p = plan(QUERIES["user_sessionization_stats"](spark, SF), mode="simple")
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_media_triage_single_shuffle_two_pandas_stages(spark):
+    p = plan(QUERIES["media_triage_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert p.count("Exchange hashpartitioning") == 1
