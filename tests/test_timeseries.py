@@ -104,3 +104,39 @@ def test_user_value_trend_hand_fixture(spark):
     assert got["rising"].max_slope_cents == 100.0
     assert got["flat"].n_users == 1
     assert got["falling"].min_slope_cents == -100.0
+
+
+def test_cusum_changepoint_hand_fixture(spark):
+    """A level shift at index k maximizes |n*S_i - i*S_n| exactly at k."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+
+    from cryptocurrency_data_pipeline_spark.queries import QUERIES
+
+    rows = []
+    base = pd.Timestamp("2026-01-01")
+    # user 1: 6 zeros then 6 tens -> change point at i=6
+    for x in range(12):
+        rows.append(
+            (x, base + pd.Timedelta(minutes=x), 1, "a",
+             0.0 if x < 6 else 10.0, None)
+        )
+    # user 2: constant -> score 0 everywhere, change_index ties to 1
+    for x in range(10):
+        rows.append((100 + x, base + pd.Timedelta(minutes=x), 2, "a", 5.0, None))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        duckdb.sql(
+            "COPY (SELECT * FROM pdf) TO '"
+            + os.path.join(td, "events.parquet") + "'"
+        )
+        got = {r.user_id: r for r in QUERIES["user_value_changepoint"](spark, td).collect()}
+    assert got[1].change_index == 6
+    # scaled score at the true break: |12*0 - 6*6000| = 36000
+    assert got[1].cusum_score == 36000
+    assert got[2].cusum_score == 0 and got[2].change_index == 1
