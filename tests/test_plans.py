@@ -610,3 +610,11 @@ def test_cusum_single_user_exchange_topk(spark):
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "TakeOrderedAndProject" in p
+
+
+def test_attribution_user_join_then_conv_windows(spark):
+    # One user-keyed equi-join (range predicate as filter), windows on
+    # the conversion key, channel rollup; no cartesian, no Python.
+    p = plan(QUERIES["purchase_attribution_report"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
