@@ -618,3 +618,10 @@ def test_attribution_user_join_then_conv_windows(spark):
     p = plan(QUERIES["purchase_attribution_report"](spark, SF), mode="simple")
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_ab_chi_square_two_shuffles_one_row_out(spark):
+    # User rollup + the single global cell aggregation; no Python.
+    p = plan(QUERIES["ab_test_chi_square"](spark, SF), mode="simple")
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1

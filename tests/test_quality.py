@@ -140,3 +140,51 @@ def test_t_closeness_math_tiny_fixture(spark):
     assert got.n_classes == 2
     assert got.n_violating == 2
     assert got.max_tv == round(1 / 3, 6)
+
+
+def test_ab_chi_square_known_table(spark):
+    """chi2 on a hand-built 2x2 via the registered query's ladder:
+    users 0..99, arm by md5 first hex; conversions chosen so the
+    cells are known."""
+    import os
+    import tempfile
+
+    import duckdb
+    import hashlib
+    import pandas as pd
+
+    from cryptocurrency_data_pipeline_spark.queries import QUERIES
+
+    rows = []
+    base = pd.Timestamp("2026-01-01")
+    a = b = c = d = 0
+    for uid in range(100):
+        arm_a = hashlib.md5(str(uid).encode()).hexdigest()[0] < "8"
+        # arm A converts ~80%, arm B ~20% (deterministic by uid)
+        conv = (uid % 10 < 8) if arm_a else (uid % 10 < 2)
+        if arm_a and conv:
+            a += 1
+        elif arm_a:
+            b += 1
+        elif conv:
+            c += 1
+        else:
+            d += 1
+        rows.append((uid * 2, base, uid, "purchase" if conv else "view",
+                     1.0, None))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        duckdb.sql(
+            "COPY (SELECT * FROM pdf) TO '"
+            + os.path.join(td, "events.parquet") + "'"
+        )
+        got = QUERIES["ab_test_chi_square"](spark, td).collect()[0]
+    n = a + b + c + d
+    det = a * d - b * c
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    expect = round(float(n * det) * det / max(den, 1), 6)
+    assert got.conv_a == a and got.conv_b == c
+    assert got.chi2 == expect
+    assert got.significant_05 == (float(n * det) * det / max(den, 1) > 3.841)
