@@ -2580,6 +2580,8 @@ def sniff_media(payload: bytes) -> tuple[str, str]:
         b"\x2a\x00", b"\x00\x2a"
     ):
         return "image", "tiff"
+    if p[:4] == b"\x00\x00\x01\x00":
+        return "image", "ico"
     if p.startswith(b"RIFF") and len(p) >= 12:
         if p[8:12] == b"WAVE":
             return "audio", "wav"
@@ -2638,3 +2640,53 @@ def decode_media_triage(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(decode, MEDIA_TRIAGE)
+
+
+def encode_ico(sizes: list[tuple[int, int]]) -> bytes:
+    """Minimal conforming ICO directory: ICONDIR + one ICONDIRENTRY per
+    image (256 encodes as 0 per spec); payloads are stub BMP bodies
+    whose offsets/sizes are real."""
+    import struct
+
+    n = len(sizes)
+    out = bytearray(struct.pack("<HHH", 0, 1, n))
+    bodies = []
+    offset = 6 + 16 * n
+    for w, h in sizes:
+        body = b"\x28\x00\x00\x00" + bytes(36)  # stub BITMAPINFOHEADER
+        out += struct.pack(
+            "<BBBBHHII",
+            w % 256, h % 256, 0, 0, 1, 32, len(body), offset,
+        )
+        bodies.append(body)
+        offset += len(body)
+    for body in bodies:
+        out += body
+    return bytes(out)
+
+
+def _parse_ico(payload: bytes) -> list[tuple[int, int]]:
+    """ICO directory walk: validates the ICONDIR header and each
+    entry's offset/size against the payload; returns [(w, h), ...]
+    with the spec's 0-means-256 rule applied."""
+    import struct
+
+    if len(payload) < 6:
+        raise ValueError("truncated ICONDIR")
+    r, t, n = struct.unpack("<HHH", payload[:6])
+    if r != 0 or t != 1:
+        raise ValueError("not an ICO payload")
+    out = []
+    for i in range(n):
+        e = 6 + 16 * i
+        if e + 16 > len(payload):
+            raise ValueError("truncated ICONDIRENTRY")
+        w, h = payload[e], payload[e + 1]
+        size = int.from_bytes(payload[e + 8 : e + 12], "little")
+        off = int.from_bytes(payload[e + 12 : e + 16], "little")
+        if off + size > len(payload):
+            raise ValueError("entry data out of range")
+        out.append((w or 256, h or 256))
+    if not out:
+        raise ValueError("empty icon directory")
+    return out

@@ -1146,3 +1146,21 @@ def test_sniff_media_all_formats(spark):
     ).collect()
     got = {r.media_id: r for r in rows}
     assert got[1].format == "tiff" and got[2].family is None
+
+
+def test_ico_directory_roundtrip():
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        _parse_ico,
+        encode_ico,
+        sniff_media,
+    )
+
+    p = encode_ico([(16, 16), (32, 32), (256, 256)])
+    assert _parse_ico(p) == [(16, 16), (32, 32), (256, 256)]
+    assert sniff_media(p) == ("image", "ico")
+    import pytest
+
+    with pytest.raises(ValueError):
+        _parse_ico(p[:10])
+    with pytest.raises(ValueError):
+        _parse_ico(b"\x00\x00\x02\x00\x01\x00")  # cursor type, not icon

@@ -625,3 +625,11 @@ def test_ab_chi_square_two_shuffles_one_row_out(spark):
     p = plan(QUERIES["ab_test_chi_square"](spark, SF), mode="simple")
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_ico_rollup_single_shuffle_one_pandas_stage(spark):
+    # Producer+parse fused into one exploding pandas stage here; the
+    # only exchange is the per-size rollup (countDistinct two-level).
+    p = plan(QUERIES["ico_directory_rollup"](spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 1
+    assert p.count("Exchange hashpartitioning") <= 2
