@@ -633,3 +633,19 @@ def test_ico_rollup_single_shuffle_one_pandas_stage(spark):
     p = plan(QUERIES["ico_directory_rollup"](spark, SF), mode="simple")
     assert p.count("MapInPandas") == 1
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_lexical_richness_single_token_shuffle(spark):
+    # The (source, token) rollup is the only data-sized exchange; the
+    # per-source report aggregates the vocab-sized frame.
+    p = plan(QUERIES["lexical_richness_report"](spark, SF), mode="simple")
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_seasonal_outliers_broadcast_baseline(spark):
+    # The 24-row hour baseline attaches by broadcast; one scan-side
+    # rollup exchange, no Python.
+    p = plan(QUERIES["hourly_seasonal_outliers"](spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
