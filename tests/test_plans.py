@@ -649,3 +649,17 @@ def test_seasonal_outliers_broadcast_baseline(spark):
     p = plan(QUERIES["hourly_seasonal_outliers"](spark, SF), mode="simple")
     assert "BroadcastHashJoin" in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_gap_histogram_single_user_exchange(spark):
+    p = plan(QUERIES["event_gap_histogram"](spark, SF), mode="simple")
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_gini_windows_on_user_rollup_only(spark):
+    # The unpartitioned rank runs on the O(#users) rollup (documented
+    # trade, as in RFM); the only data-sized exchange is the rollup.
+    p = plan(QUERIES["value_concentration_gini"](spark, SF), mode="simple")
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange SinglePartition") == 1
