@@ -663,3 +663,11 @@ def test_gini_windows_on_user_rollup_only(spark):
     p = plan(QUERIES["value_concentration_gini"](spark, SF), mode="simple")
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert p.count("Exchange SinglePartition") == 1
+
+
+def test_exact_quantiles_single_type_exchange(spark):
+    # Rank + count windows share the type-keyed exchange; the rollup
+    # reuses it.  No Python.
+    p = plan(QUERIES["exact_rank_quantiles_by_type"](spark, SF), mode="simple")
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1
