@@ -287,6 +287,13 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        # The spec permits any number of 0xFF fill bytes between segments
+        # (B.1.1.2); skip them so padded conforming streams decode instead
+        # of landing in the DLQ (mirrors multimodal._parse_jpeg).
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:
             break

@@ -232,8 +232,12 @@ def unimax_allocation(
         "__n_uncapped",
         F.sum(F.when(~F.col("capped"), 1).otherwise(0)).over(w_all),
     )
+    # ``__n_uncapped`` is 0 when the budget covers every group's capped
+    # supply; the share value is unused for capped rows, but ANSI mode
+    # evaluates the division anyway — clamp the denominator to 1.
     share = F.floor(
-        (F.col("__budget") - F.col("__capped_sum")) / F.col("__n_uncapped")
+        (F.col("__budget") - F.col("__capped_sum"))
+        / F.greatest(F.col("__n_uncapped"), F.lit(1))
     ).cast("long")
     return (
         totals.withColumn(

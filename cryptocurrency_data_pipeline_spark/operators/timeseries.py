@@ -110,7 +110,10 @@ def paa(series: Column, n: Column, segments: int = 8) -> Column:
         hi = F.floor((j + 1) * n / segments).cast("int")
         width = hi - lo
         piece = F.slice(series, lo + 1, width)
-        return _fold_sum(piece) / width
+        # Series shorter than ``segments`` produce empty slices (width 0);
+        # emit NULL for those sketch elements instead of dividing by zero
+        # (ANSI mode would raise, non-ANSI would yield NaN poison).
+        return F.when(width > 0, _fold_sum(piece) / width)
 
     return F.transform(F.sequence(F.lit(0), F.lit(segments - 1)), seg)
 

@@ -81,7 +81,18 @@ def build_corpus_pipeline(
             F.round("__q", 6).alias("quality_score"),
             F.lit("below_min_quality").alias("reject_reason"),
         )
-        rejected.write.mode("overwrite").parquet(paths.rejected)
+        # Each gate owns one Hive-style partition directory under
+        # ``paths.rejected`` and overwrites only that directory, so
+        # re-running the pipeline is idempotent for every gate (a plain
+        # append would duplicate the classifier DLQ rows on re-run).
+        # Written as an explicit ``reject_reason=`` path rather than
+        # ``partitionBy`` so an empty reject set still lands a
+        # schema-bearing parquet file and the root stays readable.
+        (
+            rejected.drop("reject_reason")
+            .write.mode("overwrite")
+            .parquet(f"{paths.rejected}/reject_reason=below_min_quality")
+        )
         return scored.filter(F.col("__q") >= min_quality).drop("__q")
 
     def model_gate(kept: DataFrame):
@@ -98,7 +109,11 @@ def build_corpus_pipeline(
                 F.lit("classifier_reject").alias("reject_reason"),
             )
         )
-        rejects.write.mode("append").parquet(paths.rejected)
+        (
+            rejects.drop("reject_reason")
+            .write.mode("overwrite")
+            .parquet(f"{paths.rejected}/reject_reason=classifier_reject")
+        )
         return kept.join(
             scored.filter(F.col("keep")).select("doc_id"), "doc_id"
         )

@@ -96,6 +96,26 @@ def test_pipeline_releases_tracked_caches(spark, tmp_path):
     assert pinned() <= before
 
 
+def test_corpus_pipeline_rerun_is_idempotent(spark, tmp_path):
+    # Re-running the WHOLE pipeline against the same paths must not grow
+    # the DLQ: every gate overwrites its own reject_reason partition
+    # (a mode('append') classifier DLQ used to duplicate rows per run).
+    from cryptocurrency_data_pipeline_spark.operators.classifier import (
+        demo_weight_table,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "source")
+    paths = _paths(tmp_path)
+    weights = demo_weight_table(spark, 64)
+    build_corpus_pipeline(spark, docs, paths, classifier_weights=weights).run()
+    first = spark.read.parquet(paths.rejected).count()
+    build_corpus_pipeline(spark, docs, paths, classifier_weights=weights).run()
+    again = spark.read.parquet(paths.rejected).count()
+    assert again == first
+    rejected = spark.read.parquet(paths.rejected)
+    assert rejected.count() == rejected.select("doc_id").distinct().count()
+
+
 def test_corpus_pipeline_with_model_and_boilerplate_gates(spark, tmp_path):
     from cryptocurrency_data_pipeline_spark.operators.classifier import (
         demo_weight_table,

@@ -35,6 +35,18 @@ def test_block_constant_images_roundtrip_exactly():
         assert bytes(dec) == px  # DC-only blocks are lossless by contract
 
 
+def test_decoder_tolerates_fill_bytes_between_segments():
+    # B.1.1.2: any number of 0xFF fill bytes may pad the gap before a
+    # marker byte; third-party baseline encoders emit them and the decode
+    # must not DLQ the stream.
+    w, h, px = _block_constant_image(2, 1, [40, 200])
+    j = encode_jpeg_gray(w, h, px)
+    padded = j[:2] + b"\xff\xff" + j[2:]  # fill bytes before the first DQT
+    dw, dh, dec = decode_jpeg_gray(padded)
+    assert (dw, dh) == (w, h)
+    assert bytes(dec) == px
+
+
 def test_lossy_roundtrip_bounded_error():
     rng = random.Random(11)
     # random noise is JPEG's worst case; smooth content decodes closely

@@ -45,6 +45,17 @@ def test_paa_segment_means(spark):
     assert segs == [1.5, 5.5, 9.5, 13.5]  # means of 4-element quarters
 
 
+def test_paa_short_series_yields_nulls_not_div_zero(spark):
+    # n < segments makes some slice widths 0; those sketch elements must
+    # come back NULL (not raise under ANSI, not poison with NaN).
+    df = _series_df(spark, [(1, [1.0, 2.0, 3.0])])
+    segs = df.select(T.paa(F.col("series"), F.col("n"), 8).alias("s")).collect()[0].s
+    assert len(segs) == 8
+    assert any(v is None for v in segs)
+    present = [v for v in segs if v is not None]
+    assert present and all(v == v for v in present)  # no NaN
+
+
 def test_paa_topk_identical_series_rank_first(spark):
     base = [float(i % 5) for i in range(16)]
     other = [float((i * 3) % 7) for i in range(16)]
