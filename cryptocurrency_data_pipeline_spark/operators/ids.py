@@ -40,6 +40,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cryptocurrency_data_pipeline_spark.operators.caching import track
+
 
 def with_consecutive_ids(
     df: DataFrame,
@@ -58,7 +60,7 @@ def with_consecutive_ids(
     # the same materialization RDD.zipWithIndex pays). The cache spills to
     # disk at scale and is released by the ContextCleaner when the result
     # is garbage-collected; callers that loop should unpersist explicitly.
-    parts = (
+    parts = track(
         df.repartitionByRange(*[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("__mid", F.monotonically_increasing_id())
@@ -85,4 +87,94 @@ def with_consecutive_ids(
             ),
         )
         .drop("__pid", "__mid", "__mid0", "__off")
+    )
+
+
+def with_grouped_ranks(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    rank_name: str = "grank",
+    count_name: str | None = None,
+) -> DataFrame:
+    """Per-group 1-based rank by ``order_cols`` (and optionally the group's
+    row count) WITHOUT a per-group data window.
+
+    ``row_number() OVER (PARTITION BY g ORDER BY ...)`` puts every row of
+    a group through one task — with a handful of large groups (e.g. ~5
+    event types) each partition holds ~N/5 raw rows at scale, the same
+    100 TB killer as the global window, just divided by the group count.
+    This is the grouped generalization of :func:`with_consecutive_ids`:
+
+    1. range-repartition + sort on ``group_cols + order_cols`` — rows of
+       one group are contiguous within and ACROSS partitions, balanced by
+       data volume rather than by group;
+    2. per-(partition, group) stats (count, min local id) — an
+       O(#partitions x #groups) frame;
+    3. per-group exclusive prefix offsets over that stats frame (the only
+       windows in the plan run over stats rows, never data), broadcast
+       back and added to the local offset.
+
+    ``group_cols + order_cols`` must be a total order (include a unique
+    key last).  The broadcast is O(#partitions x #groups) rows — fine for
+    low-cardinality groups; for high-cardinality groups a plain grouped
+    window is already balanced and should be used instead.
+    """
+    keys = [*group_cols, *order_cols]
+    parts = track(
+        df.repartitionByRange(*[F.col(c) for c in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    stats = parts.groupBy("__pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__mid0")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = stats.select(
+        "__pid",
+        *group_cols,
+        "__mid0",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__n").over(Window.partitionBy(*group_cols)).alias("__tot"),
+    )
+    out = parts.join(F.broadcast(offsets), ["__pid", *group_cols]).withColumn(
+        rank_name,
+        (F.col("__mid") - F.col("__mid0") + F.col("__off") + F.lit(1)).cast("long"),
+    )
+    if count_name is not None:
+        out = out.withColumn(count_name, F.col("__tot").cast("long"))
+    return out.drop("__pid", "__mid", "__mid0", "__off", "__tot")
+
+
+def ntile_from_rank(rank, n, tiles: int = 4):
+    """Closed-form ``ntile(tiles)`` from a global 1-based rank and total
+    count — the distributed replacement for ``ntile() OVER (ORDER BY ...)``
+    (whose plan is a single-partition window): compute the rank with
+    :func:`with_consecutive_ids`, then this pure projection.
+
+    ntile semantics: bucket sizes differ by at most one, larger buckets
+    first — with q = n div tiles and r = n mod tiles, buckets 1..r hold
+    q+1 rows, buckets r+1..tiles hold q.  Integer-exact: the double
+    divisions here are correctly-rounded quotients of integers far below
+    2^52, so ``ceil`` cannot cross a boundary.
+    """
+    rank, n = F.col(rank) if isinstance(rank, str) else rank, (
+        F.col(n) if isinstance(n, str) else n
+    )
+    q = F.floor(n / tiles).cast("long")
+    r = (n - q * tiles).cast("long")
+    cut = r * (q + 1)
+    # CASE evaluates lazily per-row, so the otherwise-branch division by q
+    # never runs when q == 0 (every row then satisfies rank <= cut = n);
+    # greatest() keeps ANSI mode happy anyway.
+    return (
+        F.when(rank <= cut, F.ceil(rank / (q + 1)))
+        .otherwise(r + F.ceil((rank - cut) / F.greatest(q, F.lit(1))))
+        .cast("int")
     )

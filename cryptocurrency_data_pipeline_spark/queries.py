@@ -2934,11 +2934,13 @@ def bloom_pruned_building_orders(spark, sf_dir):
 # collection.  At 100 TB the exact path shuffles every value; the sketch
 # ships fixed-size summaries.  Like the HLL queries, the sketch value is
 # merge-order-dependent, so the hashed columns are the EXACT quantiles
-# plus per-quantile booleans that the sketch landed within 1% — a bound
-# that holds for any merge order at the driver's sf0.01+ group sizes
-# (GK rank error n/accuracy < 1 rank; do NOT demote this entry to the
-# sf0.001 parity set, where 30-row groups make interpolation gaps exceed
-# the 1% band).
+# plus per-quantile booleans asserting the sketch's RANK guarantee: the
+# returned value's rank interval [#lt+1, #le] must intersect
+# ceil(p*n) ± (1 + ceil(n/accuracy)) — the published GK bound, which is
+# SF-invariant (exact at n <= accuracy, rank-proportional above), unlike
+# a fixed 1%-of-value tolerance whose validity depended on group sizes.
+# Verified by a second conditional-count pass over the broadcast-joined
+# sketch values (5 groups -> broadcast; both passes map-side combine).
 # --------------------------------------------------------------------------
 
 @query(
@@ -2949,38 +2951,60 @@ def bloom_pruned_building_orders(spark, sf_dir):
            round(quantile_cont(o_totalprice, 0.90), 4) AS p90_exact,
            round(quantile_cont(o_totalprice, 0.99), 4) AS p99_exact,
            count(*) AS n,
-           TRUE AS p50_within_1pct,
-           TRUE AS p90_within_1pct,
-           TRUE AS p99_within_1pct
+           TRUE AS p50_rank_ok,
+           TRUE AS p90_rank_ok,
+           TRUE AS p99_rank_ok
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def approx_price_quantile_sketch(spark, sf_dir):
-    fracs = F.array(F.lit(0.50), F.lit(0.90), F.lit(0.99))
+    accuracy = 10_000
+    ps = [0.50, 0.90, 0.99]
+    fracs = F.array(*[F.lit(p) for p in ps])
+    orders = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    sketch = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", fracs, F.lit(accuracy)).alias(
+            "__approx"
+        )
+    )
+    counts = [
+        c
+        for i in range(len(ps))
+        for c in (
+            F.sum(
+                F.when(F.col("o_totalprice") < F.get("__approx", i), 1).otherwise(0)
+            ).alias(f"__lt{i}"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.get("__approx", i), 1).otherwise(0)
+            ).alias(f"__le{i}"),
+        )
+    ]
     agg = (
-        t(spark, sf_dir, "orders")
+        orders.join(F.broadcast(sketch), "o_orderpriority")
         .groupBy("o_orderpriority")
         .agg(
             F.percentile("o_totalprice", fracs).alias("__exact"),
-            F.percentile_approx("o_totalprice", fracs, F.lit(10_000)).alias(
-                "__approx"
-            ),
             F.count(F.lit(1)).alias("n"),
+            *counts,
         )
     )
-    within = lambda i: (  # noqa: E731
-        F.abs(F.get("__approx", i) - F.get("__exact", i))
-        <= 0.01 * F.get("__exact", i)
-    )
+    slack = F.lit(1) + F.ceil(F.col("n") / F.lit(accuracy))
+
+    def rank_ok(i: int, p: float):
+        target = F.ceil(F.col("n") * F.lit(p))
+        return (F.col(f"__lt{i}") + 1 <= target + slack) & (
+            F.col(f"__le{i}") >= target - slack
+        )
+
     return agg.select(
         "o_orderpriority",
         F.round(F.get("__exact", 0), 4).alias("p50_exact"),
         F.round(F.get("__exact", 1), 4).alias("p90_exact"),
         F.round(F.get("__exact", 2), 4).alias("p99_exact"),
         "n",
-        within(0).alias("p50_within_1pct"),
-        within(1).alias("p90_within_1pct"),
-        within(2).alias("p99_within_1pct"),
+        rank_ok(0, 0.50).alias("p50_rank_ok"),
+        rank_ok(1, 0.90).alias("p90_rank_ok"),
+        rank_ok(2, 0.99).alias("p99_rank_ok"),
     )
 
 
@@ -8976,11 +9000,18 @@ def basket_brand_lift(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # RFM customer segmentation: recency / frequency / monetary quartiles
-# via ntile(4) under a DETERMINISTIC total order (measure, custkey) —
-# rank-based, so no distributional assumptions and exact cross-engine
-# replay; monetary is cents-quantized so its per-segment sum stays
-# integer.  One orders rollup shuffle + three windows over the
-# customer-sized frame.
+# with ntile(4) SEMANTICS under a DETERMINISTIC total order (measure,
+# custkey) — rank-based, so no distributional assumptions and exact
+# cross-engine replay; monetary is cents-quantized so its per-segment
+# sum stays integer.  The plan is the distributed one: a naive
+# ``ntile() OVER (ORDER BY ...)`` compiles to a single-partition window
+# (every customer row through ONE task — the 100 TB killer), so each
+# quartile is computed as a range-partitioned global rank
+# (ids.with_consecutive_ids: one balanced range exchange + an
+# O(#partitions) offsets broadcast) fed into the closed-form
+# ids.ntile_from_rank projection.  Three range exchanges over the
+# customer-sized aggregate, no single-partition stage anywhere —
+# pinned by tests/test_plans.py.
 # --------------------------------------------------------------------------
 
 @query(
@@ -9009,7 +9040,13 @@ def basket_brand_lift(spark, sf_dir):
 )
 def rfm_customer_segments(spark, sf_dir):
     """RFM quartile segmentation over orders: per-(r,f,m) cell counts
-    and exact integer order/cents totals."""
+    and exact integer order/cents totals.  ntile(4) semantics computed
+    distributedly (rank via range exchange + closed-form tile)."""
+    from cryptocurrency_data_pipeline_spark.operators.ids import (
+        ntile_from_rank,
+        with_consecutive_ids,
+    )
+
     per = (
         t(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("ck"))
@@ -9021,16 +9058,16 @@ def rfm_customer_segments(spark, sf_dir):
             .alias("cents"),
         )
     )
-    w_r = Window.orderBy("last_order", "ck")
-    w_f = Window.orderBy("freq", "ck")
-    w_m = Window.orderBy("cents", "ck")
-    scored = per.select(
-        "ck",
+    ranked = with_consecutive_ids(per, ["last_order", "ck"], "i_r")
+    ranked = with_consecutive_ids(ranked, ["freq", "ck"], "i_f")
+    ranked = with_consecutive_ids(ranked, ["cents", "ck"], "i_m")
+    n_df = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    scored = ranked.crossJoin(F.broadcast(n_df)).select(
         "freq",
         "cents",
-        F.ntile(4).over(w_r).alias("r_q"),
-        F.ntile(4).over(w_f).alias("f_q"),
-        F.ntile(4).over(w_m).alias("m_q"),
+        ntile_from_rank("i_r", "__n").alias("r_q"),
+        ntile_from_rank("i_f", "__n").alias("f_q"),
+        ntile_from_rank("i_m", "__n").alias("m_q"),
     )
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -9796,7 +9833,11 @@ def event_gap_histogram(spark, sf_dir):
 # one source dominate the mix".  Gini from the exact rank identity
 # G = (2·Σ i·x_(i)) / (n·Σx) − (n+1)/n on cents integers (every cross
 # term exact; only the final ratios round); top-1%/top-10% shares by
-# the same rank frame.
+# the same rank frame.  The rank i is the 100 TB-safe two-pass
+# partition-offset rank (ids.with_consecutive_ids: balanced range
+# exchange + O(#partitions) offsets broadcast), NOT a global
+# ``row_number`` window — no single-partition stage; pinned by
+# tests/test_plans.py.
 # --------------------------------------------------------------------------
 
 @query(
@@ -9829,7 +9870,12 @@ def event_gap_histogram(spark, sf_dir):
 )
 def value_concentration_gini(spark, sf_dir):
     """One-row inequality readout: Gini coefficient and top-1%/10%
-    value shares across users (exact rank identity on cents)."""
+    value shares across users (exact rank identity on cents); global
+    rank via the distributed partition-offset pass, not a window."""
+    from cryptocurrency_data_pipeline_spark.operators.ids import (
+        with_consecutive_ids,
+    )
+
     per = (
         t(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
@@ -9840,14 +9886,14 @@ def value_concentration_gini(spark, sf_dir):
             .alias("cents")
         )
     )
-    w = Window.orderBy("cents", "user_id")
-    w_all = Window.partitionBy()
-    ranked = per.select(
-        "cents",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("cents").over(w_all).cast("long").alias("total"),
-    ).withColumn("max_i", F.max("i").over(w_all))
+    with_i = with_consecutive_ids(per, ["cents", "user_id"], "i")
+    totals = with_i.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+    )
+    ranked = with_i.crossJoin(F.broadcast(totals)).withColumn(
+        "max_i", F.col("n").cast("long")
+    )
     top_cut = lambda frac: F.col("max_i") - F.floor(
         F.col("max_i") * F.lit(frac)
     ).cast("long")
@@ -9883,7 +9929,11 @@ def value_concentration_gini(spark, sf_dir):
 # order — the EXACT counterpart to the GK sketch queries
 # (approx_price_quantile_sketch): no interpolation, no epsilon, a
 # concrete row's value every time, so any engine replays it
-# bit-for-bit.  One type-partitioned window over the scan.
+# bit-for-bit.  With only ~5 event types, a type-partitioned window
+# puts ~N/5 raw events through each task at scale — so the rank comes
+# from ids.with_grouped_ranks instead: one balanced range exchange on
+# (type, value, id) + an O(#partitions x #types) offsets broadcast,
+# no per-type data window; pinned by tests/test_plans.py.
 # --------------------------------------------------------------------------
 
 @query(
@@ -9912,23 +9962,24 @@ def value_concentration_gini(spark, sf_dir):
 )
 def exact_rank_quantiles_by_type(spark, sf_dir):
     """Exact p25/p50/p75 (rank-selection, lower method) of event value
-    per type; deterministic tiebreak on event_id."""
-    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
-    w_n = Window.partitionBy("event_type")
-    ev = (
+    per type; deterministic tiebreak on event_id.  Per-type ranks via
+    the grouped partition-offset pass, not a per-type window."""
+    from cryptocurrency_data_pipeline_spark.operators.ids import (
+        with_grouped_ranks,
+    )
+
+    ev = with_grouped_ranks(
         t(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
         .select(
             "event_type",
             F.floor(F.col("value") * 100).cast("long").alias("cents"),
             "event_id",
-        )
-        .select(
-            "event_type",
-            "cents",
-            F.row_number().over(w).alias("r"),
-            F.count(F.lit(1)).over(w_n).alias("n"),
-        )
+        ),
+        ["event_type"],
+        ["cents", "event_id"],
+        rank_name="r",
+        count_name="n",
     )
     pick = lambda q: F.max(
         F.when(

@@ -168,16 +168,20 @@ def test_profile_with_unique_key_is_single_scan(spark):
     assert p.count("Scan parquet") == 1
 
 
-def test_quantile_sketch_is_single_pruned_pass_with_partial_sketch(spark):
+def test_quantile_sketch_partial_sketch_and_broadcast_verify(spark):
     # The GK summary must partial-aggregate map-side (fixed-size sketch
-    # state per group ships through the shuffle, never raw values) and the
-    # scan must read only the two columns the agg touches.
+    # state per group ships through the shuffle, never raw values), the
+    # scan must read only the two columns the agg touches, and the
+    # rank-bound verification pass must attach the 5-row sketch result by
+    # BROADCAST (no second shuffle of orders for the join).
     p = plan(QUERIES["approx_price_quantile_sketch"](spark, SF))
     assert "partial_percentile_approx" in p
-    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
-    assert "o_totalprice" in read and "o_comment" not in read
+    for read in [ln for ln in p.splitlines() if "ReadSchema" in ln]:
+        assert "o_totalprice" in read and "o_comment" not in read
     simple = plan(QUERIES["approx_price_quantile_sketch"](spark, SF), mode="simple")
-    assert simple.count("Exchange") == 1
+    assert "BroadcastHashJoin" in simple
+    # Exchanges: the sketch agg + the verify agg (both map-side partial).
+    assert simple.count("Exchange hashpartitioning") <= 2
 
 
 def test_corpus_prep_single_data_shuffle_with_partial_group_limit(spark):
@@ -570,16 +574,19 @@ def test_basket_lift_broadcasts_dims_topk(spark):
     assert "CartesianProduct" not in p
 
 
-def test_rfm_single_partition_windows_on_rollup_only(spark):
-    # The three ntile windows run on the O(#customers) rollup; the only
-    # data-sized exchange is the orders rollup.  (Single-partition
-    # windows on an aggregate are the documented trade; at larger
-    # scale rank-based quartiles would move to approx percentiles.)
+def test_rfm_no_data_sized_single_partition_window(spark):
+    # ntile semantics WITHOUT an ntile window: each quartile rank comes
+    # from ids.with_consecutive_ids (balanced range exchange + offsets
+    # broadcast) and the closed-form tile projection.  Every Window in
+    # the plan must run over the O(#partitions) __pid stats frame — the
+    # customer rollup itself never flows through a single partition.
     p = plan(QUERIES["rfm_customer_segments"](spark, SF), mode="simple")
     assert "InPandas" not in p and "BatchEvalPython" not in p
-    assert p.count("Exchange hashpartitioning") <= 2
-    # All three ntile windows share ONE single-partition exchange.
-    assert p.count("Exchange SinglePartition") == 1
+    assert "ntile" not in p and "row_number" not in p
+    assert p.count("Exchange rangepartitioning") >= 3
+    for line in p.splitlines():
+        if "Window [" in line:
+            assert "__pid" in line or "__n" in line, f"data-sized window: {line}"
 
 
 def test_ogg_rollup_single_shuffle_two_pandas_stages(spark):
@@ -657,17 +664,28 @@ def test_gap_histogram_single_user_exchange(spark):
     assert p.count("Exchange hashpartitioning") <= 2
 
 
-def test_gini_windows_on_user_rollup_only(spark):
-    # The unpartitioned rank runs on the O(#users) rollup (documented
-    # trade, as in RFM); the only data-sized exchange is the rollup.
+def test_gini_no_data_sized_single_partition_window(spark):
+    # The exact-rank-identity Gini rides the distributed partition-offset
+    # rank (range exchange + offsets broadcast); no global row_number,
+    # and every Window runs over the __pid stats frame.
     p = plan(QUERIES["value_concentration_gini"](spark, SF), mode="simple")
     assert "InPandas" not in p and "BatchEvalPython" not in p
-    assert p.count("Exchange SinglePartition") == 1
+    assert "row_number" not in p
+    assert "Exchange rangepartitioning" in p
+    for line in p.splitlines():
+        if "Window [" in line:
+            assert "__pid" in line or "__n" in line, f"data-sized window: {line}"
 
 
-def test_exact_quantiles_single_type_exchange(spark):
-    # Rank + count windows share the type-keyed exchange; the rollup
-    # reuses it.  No Python.
+def test_exact_quantiles_no_per_type_data_window(spark):
+    # ~5 event types would put ~N/5 raw rows through each per-type
+    # window task; the grouped partition-offset rank replaces it with a
+    # balanced range exchange on (type, value, id) — every Window in the
+    # plan runs over the (pid, type) stats frame, never the data.
     p = plan(QUERIES["exact_rank_quantiles_by_type"](spark, SF), mode="simple")
     assert "InPandas" not in p and "BatchEvalPython" not in p
-    assert p.count("Exchange hashpartitioning") == 1
+    assert "row_number" not in p
+    assert "Exchange rangepartitioning" in p
+    for line in p.splitlines():
+        if "Window [" in line:
+            assert "__pid" in line or "__n" in line, f"data-sized window: {line}"

@@ -39,6 +39,69 @@ def test_consecutive_ids_custom_start(spark):
     assert sorted((r.k, r.rid) for r in out.collect()) == [(1, 100), (2, 101)]
 
 
+def test_grouped_ranks_match_window_row_number(spark):
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice(["a", "b", "c"]), rng.randrange(50), i) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, uid long")
+    got = {
+        (r.g, r.uid): (r.r, r.n)
+        for r in ids.with_grouped_ranks(
+            df, ["g"], ["v", "uid"], rank_name="r", count_name="n"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "uid")
+    wn = Window.partitionBy("g")
+    want = {
+        (r.g, r.uid): (r.r, r.n)
+        for r in df.select(
+            "g",
+            "uid",
+            F.row_number().over(w).alias("r"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ntile_from_rank_matches_ntile_window(spark):
+    from pyspark.sql import Window
+
+    for n in [1, 2, 3, 4, 5, 7, 8, 100, 101, 102, 103]:
+        df = spark.range(1, n + 1).select(F.col("id").alias("i"))
+        got = df.select(
+            "i", ids.ntile_from_rank("i", F.lit(n), 4).alias("t")
+        )
+        want = df.select(
+            "i", F.ntile(4).over(Window.orderBy("i")).alias("t")
+        )
+        g = {r.i: r.t for r in got.collect()}
+        w = {r.i: r.t for r in want.collect()}
+        assert g == w, f"n={n}: {g} != {w}"
+
+
+def test_grouped_ranks_plan_windows_on_stats_only(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    out = ids.with_grouped_ranks(df, ["g"], ["k"], count_name="n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    for ln in plan.splitlines():
+        if "Window [" in ln:
+            # stats-frame windows reference __pid (prefix offsets) or
+            # __n (per-group totals); a data-sized window would not.
+            assert "__pid" in ln or "__n" in ln, plan
+    assert "Exchange rangepartitioning" in plan, plan
+
+
 def test_consecutive_ids_plan_shape(spark):
     # Scale shape: the only Window in the plan is the prefix-sum over the
     # O(#partitions) stats frame — the table itself sees one range exchange
