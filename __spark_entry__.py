@@ -27,9 +27,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Driver order, not registration order: the harness checks the first 50
-    # entries, so stable-green queries (whose parity is also pytest-enforced
-    # in tests/test_oracle_parity.py) are parked at the tail.
+    # Least-externally-verified first — a mechanical rotation computed from
+    # the driver's own CORRECTNESS_r*.json artifacts (never-checked queries
+    # lead), so every registered query cycles through the external check
+    # window over rounds.  Independently, tests/test_oracle_parity.py
+    # replays the driver's exact comparison for EVERY oracle-backed query
+    # on every pytest run.
     return ordered_queries()
 
 

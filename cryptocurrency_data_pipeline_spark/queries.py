@@ -9996,239 +9996,69 @@ def exact_rank_quantiles_by_type(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Driver-harness ordering.  The external correctness gate hashes the FIRST
-# 50 insertion-ordered entries of ``queries()`` only (observed over two
-# rounds: the checked set is exactly the first 50).  Every query below is
-# oracle-backed, so the 10 entries past the cap are chosen as the ones with
-# the most redundant coverage elsewhere — each has been hash-green in every
-# prior driver run AND has its full value parity re-asserted against DuckDB
-# by ``tests/test_oracle_parity.py`` on every pytest run.
+# Driver-harness ordering: least-externally-verified first.
+#
+# The external correctness gate hashes the first 50 ``queries()`` entries
+# per round, while the registry holds far more — so ordering decides which
+# queries get fresh external scrutiny each round.  The policy here is
+# purely MECHANICAL and verification-maximizing: queries are sorted by
+# (number of driver-green rounds, most recent driver-green round,
+# registration order), computed from the CORRECTNESS_r*.json artifacts the
+# driver itself writes.  Never-checked queries therefore always come
+# first (in registration order), then the least/longest-ago-checked —
+# every query cycles through the external window over rounds, and nothing
+# about the ordering depends on what any query is expected to score.
+#
+# Independently of the window, tests/test_oracle_parity.py replays the
+# driver's exact rows/schema/hash comparison for EVERY oracle-backed
+# query at sf0.001 on every pytest run, so each registered query carries
+# a strict per-round correctness signal regardless of its position here.
 # --------------------------------------------------------------------------
 
-#: Queries parked past the driver's 50-entry check window: stable-green
-#: veterans whose operator families keep an in-window representative
-#: (driver-green in rounds 1-2) — never queries that have yet to earn a
-#: driver row. Every entry is oracle-backed and value-parity-checked by
-#: ``tests/test_oracle_parity.py`` on every pytest run.
-DEMOTED_PAST_DRIVER_CAP = [
-    "top_orders_by_value",
-    "order_price_percentiles",
-    "sliding_window_activity",
-    "embedding_near_dups",
-    "winnow_fingerprints",
-    "funnel_signup_view_purchase",
-    "bpe_token_counts",
-    "urgent_only_customers",
-    "daily_event_type_users",
-    "vocab_top_terms",
-    "cube_event_stats",
-    "event_type_daily_pivot",
-    "high_value_days_except",
-    "local_supplier_volume",
-    "rollup_returnflag_status",
-    "doc_nearest_ngram",
-    "stratified_sample_docs",
-    "window_user_deltas",
-    "dim_date_calendar",
-    "threshold_routing_bad",
-    "schema_enforcement_dlq",
-    "asof_last_view",
-    "customers_with_big_orders_semi",
-    "customer_big_order_counts_outer",
-    "tumbling_hourly_stats",
-    "session_windows",
-    "top_orders_per_customer",
-    # Round-4 demotions: green in BOTH CORRECTNESS_r02 and _r03, so the
-    # rotation criterion (twice driver-green) is met; parity-pinned per
-    # pytest run by tests/test_oracle_parity.py from here on. The flagship
-    # stays in-window deliberately.
-    "pricing_summary",
-    "star_revenue_by_nation",
-    "dq_profile_lineitem",
-    "uniqueness_custkey",
-    "dq_constraint_check",
-    "customers_without_big_orders",
-    "purchase_and_signup_users",
-    "range_join_conversions",
-    "text_stats_docs",
-    "winnow_near_dups",
-    "docs_exact_dedup",
-    "minhash_near_dups",
-    "cosine_topk",
-    "ivf_ann_topk",
-    "dqdl_row_level_routing",
-    "tfidf_top_term_per_doc",
-    "sql_api_shipping_priority",
-    "grouping_sets_revenue",
-    # Round-4 session demotions: driver-green in r3 AND value-replayed at
-    # sf0.01 through tools/check_oracle.py this session; each family keeps
-    # an in-window representative (SRP -> ann_recall_at_k, SimHash ->
-    # simhash_recall, HLL -> hll_weekly_users).  Freed slots go to the new
-    # semdedup / dsir / fuzzy / rrf entries, which have yet to earn a
-    # driver row.
-    "ann_srp_topk",
-    "simhash_signatures",
-    "approx_distinct_users",
-    # (same criterion; FAKE-stub media rollup yields its slot to the real
-    # PPM decode path already in-window)
-    "media_decode_rollup",
-    # (same criterion; the kmeans family keeps kmeans_embedding_clusters
-    # in-window — the centroid audit rotates out for ccnet buckets)
-    "label_centroids",
-    # (same criterion; day-level set-compare family keeps
-    # next_day_retention and high_value_days_except parity coverage)
-    "purchase_vs_error_days",
-    # (same criterion; robust-outlier family keeps mad_outlier_events and
-    # winsorized_event_stats coverage)
-    "value_zscore_anomalies",
-    # (same criterion; the day-over-day window family keeps
-    # monthly_revenue_growth in-window)
-    "next_day_retention",
-    # (same criterion; time-window analytics keep rolling_7d_user_value
-    # and token_budget_curriculum in-window)
-    "monthly_revenue_growth",
-    # Round-5 demotions: all 13 driver-green in BOTH r3 and r4 (the
-    # twice-green rotation criterion), each family keeping an in-window
-    # representative (sampling -> weighted_doc_sample +
-    # stratified_exact_k_sample, retrieval -> hybrid_rrf_retrieval +
-    # chunk_retrieval_topk, LM -> ccnet_perplexity_buckets, sketch ->
-    # cms_heavy_hitters + approx_price_quantile_sketch, ANN ->
-    # ann_recall_at_k + hard_negative_mining, graph -> dup_clusters +
-    # pagerank_doc_graph).  Freed slots go to the 8 round-4 queries that
-    # registered tail-first and had never faced the driver, plus the 5
-    # new round-5 queries (corpus_ingest_replay, png_decode_rollup,
-    # scd2_incremental_merge, lsh_band_tuning, grouped_ewma_user_value).
-    "asof_next_purchase",
-    "lineitem_price_qty_stats",
-    "hll_weekly_users",
-    "doc_chunk_inventory",
-    "docs_consecutive_ids",
-    "train_val_test_split",
-    "source_mixture_sample",
-    "bigram_logprob_docs",
-    "bm25_top_docs",
-    "benchmark_contamination",
-    "bloom_pruned_building_orders",
-    "kmeans_embedding_clusters",
-    "quantized_cosine_topk",
-    # (same twice-green criterion; sketch family keeps
-    # approx_price_quantile_sketch in-window — that query's oracle pins
-    # its 1%-tolerance flags TRUE, which holds at the driver's sf0.01
-    # but not at the sf0.001 the parity tail uses, so the CMS rotates
-    # out instead — slot freed for jpeg_meta_rollup)
-    "cms_heavy_hitters",
-    # Round-5 session demotions, freeing slots for gif_decode_rollup,
-    # mixture_temperature_weights, quality_classifier_scores,
-    # boilerplate_segment_stats, events_value_histogram (all new, never
-    # driver-checked — they take priority per the rotation rule).  The
-    # first three meet the twice-green criterion (r3 AND r4); the last
-    # two are once-green (r4) but their operator families keep stronger
-    # in-window representatives (exact-substring -> exact_substring_spans;
-    # media decode -> png/gif/wav/y4m/jpeg rollups) and both are
-    # value-replayed against DuckDB by test_oracle_parity.py every run.
-    # (approx_price_quantile_sketch stays IN-window despite being
-    # twice-green: its 1%-tolerance oracle flags hold at the driver's
-    # sf0.01 but not at the sf0.001 the parity tail replays, so the
-    # robust-outlier family's winsorized_event_stats — r4-green, exact
-    # integer/rounded stats, family keeps mad_outlier_events in-window —
-    # rotates out instead.)
-    "ann_recall_at_k",
-    "winsorized_event_stats",
-    "dup_clusters",
-    "exact_substring_doc_stats",
-    "ppm_decode_rollup",
-    # (slots for bpe_apply_token_stats and wav_features_rollup — both
-    # r4-green once + parity-pinned; the BPE family's in-window rep is
-    # now the apply query itself, and the cross-source audit's dedup
-    # family keeps boilerplate_segment_stats, semantic_dedup_keep/
-    # _incremental, incremental_dedup_new_batch and simhash_recall
-    # in-window)
-    "bpe_pair_merge_candidates",
-    "cross_source_dup_audit",
-    # (slots for pq_adc_topk and pq_recall_at_10 — the new memory-bound
-    # ANN path with trained codebooks; both demotions r4-green once +
-    # parity-pinned, with families covered in-window: window analytics
-    # by grouped_ewma_user_value/token_budget_curriculum, text signals
-    # by gopher_quality_flags/ngram_diversity_by_source/
-    # ccnet_perplexity_buckets)
-    "rolling_7d_user_value",
-    "doc_char_entropy",
-    # (slot for vocab_oov_coverage; the SCD2 family keeps the stricter
-    # steady-state scd2_incremental_merge in-window — its oracle equals
-    # the one-shot rebuild, subsuming the first-load chain the demoted
-    # query checks)
-    "scd2_customer_priority_history",
-    # (slot for media_ingest_report — the binaryFile source's first
-    # driver row; the SemDeDup family keeps the batch-vs-corpus
-    # semantic_dedup_keep in-window, and the incremental variant stays
-    # parity-pinned)
-    "semantic_dedup_incremental",
-    # (slot for ivfpq_topk — the composed IVF+PQ architecture; the
-    # heuristic-quality family keeps ccnet_perplexity_buckets,
-    # ngram_diversity_by_source, the classifier gate and the boilerplate
-    # stats in-window)
-    "gopher_quality_flags",
-    # (slot for gif_anim_rollup — the compressed multi-frame decode
-    # path; the retrieval family keeps chunk_retrieval_topk in-window
-    # and the RRF fusion stays parity-pinned)
-    "hybrid_rrf_retrieval",
-    # (slot for jpeg_decode_rollup — the full-entropy JPEG path; the
-    # privacy family keeps pii_redaction_stats in-window and the
-    # k-anonymity audit stays parity-pinned)
-    "k_anonymity_audit",
-    # (slot for hashed_vector_topk — the text→vector bridge; the
-    # sampling family keeps stratified_exact_k_sample and the new
-    # mixture_temperature_weights in-window, A-ES stays parity-pinned)
-    "weighted_doc_sample",
-    # (slot for ts_paa_similarity_topk — the time-series similarity
-    # family's first entry; corpus-signal coverage stays broad via
-    # ccnet/boilerplate/oov/classifier/bpe in-window)
-    "ngram_diversity_by_source",
-    # Round-5 overflow: registered after the window filled; parity-pinned
-    # here per pytest run, first in line for rotation into the round-6
-    # driver window.
-    "sax_motif_groups",
-    "unimax_language_budgets",
-    "audio_band_energy_rollup",
-    "avi_decode_rollup",
-    "l_diversity_audit",
-    "jaccard_shingle_pairs",
-    "doc_graph_triangles",
-    "t_closeness_audit",
-    "user_value_trend",
-    "benford_value_audit",
-    "mp4_decode_rollup",
-    "tiff_decode_rollup",
-    "mp3_decode_rollup",
-    "warc_record_rollup",
-    "zip_manifest_rollup",
-    "warc_http_extract_rollup",
-    "web_corpus_ingest_report",
-    "flac_streaminfo_rollup",
-    "warc_gz_record_rollup",
-    "tar_manifest_rollup",
-    "cohort_retention_matrix",
-    "basket_brand_lift",
-    "rfm_customer_segments",
-    "ogg_decode_rollup",
-    "user_sessionization_stats",
-    "media_triage_rollup",
-    "user_value_changepoint",
-    "purchase_attribution_report",
-    "ab_test_chi_square",
-    "ico_directory_rollup",
-    "lexical_richness_report",
-    "hourly_seasonal_outliers",
-    "event_gap_histogram",
-    "value_concentration_gini",
-    "exact_rank_quantiles_by_type",
-]
+
+def _driver_green_history() -> dict[str, list[int]]:
+    """Rounds in which each query was fully green (rows+schema+hash, no
+    err) in the driver's own CORRECTNESS_r*.json artifacts.  Empty dict
+    when no artifacts exist (fresh clone) — ordering then degrades to
+    plain registration order."""
+    import json
+    import re
+    from pathlib import Path
+
+    hist: dict[str, list[int]] = {}
+    root = Path(__file__).resolve().parent.parent
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.stem)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                hist.setdefault(name, []).append(rnd)
+    return hist
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry in driver order: un-demoted entries first (registration
-    order, flagship leading), demoted stable-green entries last."""
-    demoted = set(DEMOTED_PAST_DRIVER_CAP)
-    head = {n: f for n, f in QUERIES.items() if n not in demoted}
-    tail = {n: QUERIES[n] for n in DEMOTED_PAST_DRIVER_CAP}
-    return {**head, **tail}
+    """Registry sorted least-externally-verified first (see module note
+    above): never-driver-checked queries lead in registration order,
+    then ascending (times checked, last checked round)."""
+    hist = _driver_green_history()
+    reg = {n: i for i, n in enumerate(QUERIES)}
+
+    def key(name: str) -> tuple[int, int, int]:
+        rounds = sorted(hist.get(name, []))
+        return (len(rounds), rounds[-1] if rounds else 0, reg[name])
+
+    return {n: QUERIES[n] for n in sorted(QUERIES, key=key)}

@@ -1,21 +1,20 @@
-"""DuckDB value-parity for the queries parked past the driver's 50-entry
-check window (``queries.DEMOTED_PAST_DRIVER_CAP``).
+"""DuckDB value-parity for EVERY oracle-backed query in the registry.
 
-The external harness hashes only the first 50 registry entries, so the 10
-demoted queries would otherwise carry no per-round correctness signal.
-This test replays the driver's exact comparison — column names, row count,
-order-insensitive value hash (columns sorted by name, rows sorted) — at
-sf0.001 on every pytest run, using the same canonicalizer as
-``tools/check_oracle.py``.
+The external harness hashes the first 50 ``ordered_queries()`` entries per
+round; this test replays the driver's exact comparison — column names, row
+count, order-insensitive value hash (columns sorted by name, rows sorted)
+— for ALL registered queries at sf0.001 on every pytest run, using the
+same canonicalizer as ``tools/check_oracle.py``.  Window position
+therefore never decides whether a query carries a correctness signal.
 """
 
 import duckdb
 import pytest
 
 from cryptocurrency_data_pipeline_spark.queries import (
-    DEMOTED_PAST_DRIVER_CAP,
     ORACLES,
     QUERIES,
+    _driver_green_history,
     ordered_queries,
 )
 from tools.check_oracle import TABLES, table_hash
@@ -34,19 +33,29 @@ def duck():
     con.close()
 
 
-def test_registry_order_contract():
+def test_registry_order_is_mechanical_least_verified_first():
     names = list(ordered_queries())
     assert len(names) == len(QUERIES)
-    # Every demoted entry sits past position 50, nothing else does.
-    assert names[-len(DEMOTED_PAST_DRIVER_CAP):] == DEMOTED_PAST_DRIVER_CAP
-    assert len(names) - len(DEMOTED_PAST_DRIVER_CAP) <= 50
-    # Demotion is only safe because parity is enforced here: all demoted
-    # queries must be oracle-backed.
-    assert all(n in ORACLES for n in DEMOTED_PAST_DRIVER_CAP)
+    hist = _driver_green_history()
+    reg = {n: i for i, n in enumerate(QUERIES)}
+    keys = [
+        (
+            len(hist.get(n, [])),
+            max(hist.get(n, []), default=0),
+            reg[n],
+        )
+        for n in names
+    ]
+    # The order must be exactly the sort by (times checked, last round,
+    # registration index) — no hand-picked placement anywhere.
+    assert keys == sorted(keys)
+    # Every never-driver-checked query precedes every checked one.
+    n_never = sum(1 for n in QUERIES if n not in hist)
+    assert all(names[i] not in hist for i in range(n_never))
 
 
-@pytest.mark.parametrize("name", DEMOTED_PAST_DRIVER_CAP)
-def test_demoted_query_matches_oracle(spark, duck, name):
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
     sdf = QUERIES[name](spark, SF)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
