@@ -9996,6 +9996,97 @@ def exact_rank_quantiles_by_type(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Bronze schema evolution (S3/P11 family): the reference lands evolving
+# raw schemas via parquet ``mergeSchema`` (glue/data_ingestion_s3.py:35);
+# the engine's production-parity form is a VERSIONED read
+# (sources/ingestion.read_bronze_versioned): rows parse against the
+# name-keyed union of registered schema versions, each row is stamped
+# with the earliest version covering its key set, and keys in no version
+# surface as ``_unknown_fields`` instead of being silently dropped.  The
+# fixture derives three deterministic landing batches from orders (v1 =
+# even keys, v2 adds o_orderpriority on odd keys, plus an unregistered
+# o_experimental field on keys % 97 == 0) — the oracle replays the
+# version assignment in SQL over the same table.  One text scan, all
+# JVM-side (json_object_keys + array_except); no inference pass.
+# --------------------------------------------------------------------------
+
+@query(
+    "schema_drift_report",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS schema_version,
+           count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_unknown_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def schema_drift_report(spark, sf_dir):
+    """Versioned bronze read over a drifting landing zone: per-version
+    row counts, value totals, and unknown-field row counts."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from cryptocurrency_data_pipeline_spark.sources.ingestion import (
+        read_bronze_versioned,
+    )
+
+    v1 = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    v2 = T.StructType(list(v1.fields) + [T.StructField("o_orderpriority", T.StringType())])
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    key = F.col("o_orderkey")
+    base = F.struct("o_orderkey", "o_custkey", "o_totalprice")
+    v2_struct = F.struct("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    drift_struct = F.struct(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.lit("A").alias("o_experimental"),
+    )
+    batches = (
+        orders.filter((key % 2 == 0) & (key % 97 != 0))
+        .select(F.to_json(base).alias("value"))
+        .unionAll(
+            orders.filter((key % 2 == 1) & (key % 97 != 0)).select(
+                F.to_json(v2_struct).alias("value")
+            )
+        )
+        .unionAll(
+            orders.filter(key % 97 == 0).select(
+                F.to_json(drift_struct).alias("value")
+            )
+        )
+    )
+    land = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_schema_drift_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    batches.write.mode("overwrite").text(land)
+
+    bronze = read_bronze_versioned(spark, land, [v1, v2])
+    return bronze.groupBy(F.col("_schema_version").alias("schema_version")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.sum(
+            F.when(F.size("_unknown_fields") > 0, 1).otherwise(0)
+        ).cast("long").alias("n_unknown_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering: least-externally-verified first.
 #
 # The external correctness gate hashes the first 50 ``queries()`` entries

@@ -140,6 +140,93 @@ def new_field_report(spark: SparkSession, landing_dir: str) -> DataFrame:
     )
 
 
+def merge_schema_versions(versions):
+    """Name-keyed union of schema versions — the read-side rendering of
+    the reference's ``mergeSchema`` write (glue/data_ingestion_s3.py:35).
+    Field order: first appearance; on a name collision the LATEST
+    version's field (type/nullability) wins, matching parquet
+    ``mergeSchema``'s last-writer-wins resolution for promoted types."""
+    from pyspark.sql.types import StructType
+
+    by_name: dict[str, object] = {}
+    order: list[str] = []
+    for v in versions:
+        for f in v.fields:
+            if f.name not in by_name:
+                order.append(f.name)
+            by_name[f.name] = f
+    return StructType([by_name[n] for n in order])
+
+
+def read_bronze_versioned(
+    spark: SparkSession,
+    landing_dir: str,
+    versions,
+    keep_raw: bool = False,
+) -> DataFrame:
+    """Versioned-schema bronze read: current ∪ previous schemas, with
+    per-row provenance — the production-parity form of the reference's
+    evolving landing zone (``mergeSchema``, glue/data_ingestion_s3.py:35),
+    but schema-explicit (no inference pass) and drift-visible:
+
+    * rows are parsed against the MERGED schema, so a field introduced by
+      any version lands typed (older rows carry nulls for it) and Silver
+      enforcement downstream sees one stable wide surface;
+    * ``_schema_version`` = 1-based index of the EARLIEST version whose
+      field set covers the row's keys (the version that batch was written
+      under); NULL when no registered version covers it — i.e. genuinely
+      novel drift;
+    * ``_unknown_fields`` = top-level keys absent from every version —
+      the alert feed for registering the next version.
+
+    All JVM-side on the one text scan (``json_object_keys`` +
+    ``array_except``); corrupt lines yield a null struct with
+    ``_corrupt_record`` carrying the payload, as in :func:`read_bronze`.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    versions = list(versions)
+    merged = merge_schema_versions(versions)
+    schema = StructType(
+        list(merged.fields) + [StructField("_corrupt_record", StringType(), True)]
+    )
+    raw = (
+        spark.read.option("recursiveFileLookup", "true")
+        .text(landing_dir)
+        .filter(F.length(F.trim(F.col("value"))) > 0)
+    )
+    keys = F.json_object_keys(F.col("value"))
+    covered = [
+        F.when(
+            F.size(
+                F.array_except(keys, F.array(*[F.lit(f.name) for f in v.fields]))
+            )
+            == 0,
+            F.lit(i + 1),
+        )
+        for i, v in enumerate(versions)
+    ]
+    merged_names = F.array(*[F.lit(f.name) for f in merged.fields])
+    cols = [
+        F.from_json(
+            F.col("value"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r"),
+        F.coalesce(*covered).alias("_schema_version"),
+        F.array_except(keys, merged_names).alias("_unknown_fields"),
+    ]
+    if keep_raw:
+        cols.append(F.col("value").alias("_raw"))
+    out = raw.select(*cols)
+    return out.select(
+        "r.*",
+        "_schema_version",
+        "_unknown_fields",
+        *(["_raw"] if keep_raw else []),
+    )
+
+
 def infer_bronze_schema(spark: SparkSession, landing_dir: str):
     """Full-inference fallback (the reference's inferred-then-resolved
     regime, data_ingestion_s3.py:35 ``mergeSchema``): one extra pass over

@@ -39,27 +39,20 @@ from cryptocurrency_data_pipeline_spark.operators import silver
 from cryptocurrency_data_pipeline_spark.schemas import STREAM_TICK
 
 
-def read_tick_stream(
-    spark: SparkSession,
-    source_dir: str,
-    max_files_per_trigger: int | None = None,
-    base64_encoded: bool = False,
-) -> DataFrame:
-    """File-source test harness for the Kinesis consumer (S8).
-
-    Reads JSON-lines files as raw strings then ``from_json`` parses against
-    the explicit schema — identical plumbing to a Kafka ``value`` column, so
-    swapping the source for ``format("kafka")`` changes nothing downstream.
-    Corrupt payloads yield null parsed struct + preserved raw line.
+def decode_tick_payload(raw: DataFrame, base64_encoded: bool = False) -> DataFrame:
+    """Shared decode lineage for every tick source: ``raw`` carries one
+    string ``value`` column (a file line, a Kafka record value, a Kinesis
+    payload) and comes out parsed against the explicit ``STREAM_TICK``
+    schema in PERMISSIVE mode — corrupt payloads yield a null struct with
+    the raw line preserved (T6), never an exception.
 
     ``base64_encoded=True`` mirrors Kinesis payload encoding
-    (streaming/consumer.py:37 ``base64.b64decode``): lines are decoded
-    JVM-side with ``unbase64`` before parsing (F13).
+    (streaming/consumer.py:37 ``base64.b64decode``): values are decoded
+    JVM-side with ``unbase64`` before parsing (F13).  Because both the
+    file harness and the Kafka reader route through THIS function, the
+    downstream plan (routing, windows, dedup, sinks) is byte-identical
+    across sources.
     """
-    reader = spark.readStream.format("text")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.load(source_dir)
     payload = (
         F.decode(F.unbase64(F.col("value")), "UTF-8") if base64_encoded else F.col("value")
     )
@@ -72,6 +65,58 @@ def read_tick_stream(
         "tick.*",
         F.to_timestamp(F.col("tick.timestamp")).alias("event_time"),
     )
+
+
+def read_tick_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+    base64_encoded: bool = False,
+) -> DataFrame:
+    """File-source test harness for the Kinesis consumer (S8).
+
+    Reads JSON-lines files as raw strings, then the shared
+    :func:`decode_tick_payload` lineage — identical plumbing to a Kafka
+    ``value`` column, so swapping the source for ``format("kafka")``
+    (:func:`read_tick_stream_kafka`) changes nothing downstream.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return decode_tick_payload(reader.load(source_dir), base64_encoded)
+
+
+def read_tick_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    base64_encoded: bool = False,
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """Production source (S8): Kafka/MSK stand-in for the reference's
+    Kinesis consumer (streaming/consumer.py:35-38 — records keyed by
+    coin_id, payload JSON, optionally base64).  The record ``value`` is
+    cast to string and fed through the SAME :func:`decode_tick_payload`
+    lineage as the file harness, so every downstream operator (routing,
+    OHLC windows, dedup, checkpointed sinks) is source-agnostic.
+
+    Requires the ``spark-sql-kafka-0-10`` connector on the classpath
+    (``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``);
+    without it Spark raises ``[DATA_SOURCE_NOT_FOUND]`` at ``load()``.
+    ``fail_on_data_loss=False`` tolerates compacted/expired offsets the
+    way the reference's TRIM_HORIZON consumer does.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .load()
+        .select(F.col("value").cast("string").alias("value"))
+    )
+    return decode_tick_payload(raw, base64_encoded)
 
 
 @dataclass

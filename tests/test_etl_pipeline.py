@@ -148,3 +148,46 @@ def test_bronze_schema_evolution_land_then_enforce(spark, tmp_path):
     # Inference fallback (the mergeSchema analog) sees the union schema.
     inferred = ingestion.infer_bronze_schema(spark, paths.bronze)
     assert "platform" in inferred.fieldNames()
+
+
+def test_versioned_bronze_read_mid_stream_drift(spark, tmp_path):
+    """A field appearing mid-stream lands typed under the merged schema
+    with per-row version provenance, and Silver enforcement over the
+    widened surface is unaffected; an UNREGISTERED field surfaces in
+    _unknown_fields instead of being dropped."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from cryptocurrency_data_pipeline_spark.operators import silver
+    from cryptocurrency_data_pipeline_spark.schemas import CRYPTO_MARKETS
+
+    land = str(tmp_path / "bronze")
+    # Run 1 writes the v1 field set; run 2 adds `platform` (registered as
+    # v2); run 3 adds `chain_tvl`, which NO registered version declares.
+    ingestion.write_bronze([_record(1), _record(2)], land, run_id="r1")
+    ingestion.write_bronze([_record(3, platform="ethereum")], land, run_id="r2")
+    ingestion.write_bronze(
+        [_record(4, platform="solana", chain_tvl=1.5)], land, run_id="r3"
+    )
+
+    v1 = CRYPTO_MARKETS
+    v2 = StructType(
+        list(CRYPTO_MARKETS.fields) + [StructField("platform", StringType(), True)]
+    )
+    bronze = ingestion.read_bronze_versioned(spark, land, [v1, v2])
+
+    rows = {r.id: r for r in bronze.collect()}
+    assert rows["coin-1"]._schema_version == 1
+    assert rows["coin-1"].platform is None  # widened surface, null backfill
+    assert rows["coin-3"]._schema_version == 2
+    assert rows["coin-3"].platform == "ethereum"
+    # Novel drift: no version covers it -> NULL version + named field.
+    assert rows["coin-4"]._schema_version is None
+    assert rows["coin-4"]._unknown_fields == ["chain_tvl"]
+    assert rows["coin-4"].platform == "solana"  # known fields still parse
+
+    # Silver enforcement over the widened frame: all four rows pass the
+    # required-field split exactly as if no drift had happened.
+    valid, dlq = silver.enforce_schema_split(
+        bronze, ["id", "symbol", "current_price"]
+    )
+    assert valid.count() == 4 and dlq.count() == 0

@@ -117,6 +117,59 @@ def test_base64_encoded_source(spark, tmp_path):
     assert {r.coin_id for r in out} >= {"coin-0", "surge-coin"}
 
 
+def test_kafka_decode_lineage_matches_file_source(spark, tmp_path):
+    """The Kafka reader (S8 production mode) routes through the SAME
+    decode_tick_payload lineage as the file harness: applying that decode
+    to a static frame shaped like the Kafka wire schema (binary value →
+    cast string) must yield exactly the rows the file source parses from
+    the same payloads — no broker needed to prove the source swap changes
+    nothing downstream."""
+    ticks = producer.make_batch(3)
+    payloads = [json.dumps(t) for t in ticks] + ["{not valid json"]
+
+    # Kafka wire shape: value arrives as binary, reader casts to string.
+    wire = spark.createDataFrame(
+        [(p.encode("utf-8"),) for p in payloads], "value binary"
+    ).select(F.col("value").cast("string").alias("value"))
+    via_kafka_lineage = pipeline.decode_tick_payload(wire)
+
+    src = str(tmp_path / "kafka_parity_src")
+    producer.write_batch(src, ticks, corrupt_lines=1)
+    q = (
+        pipeline.read_tick_stream(spark, src)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("kafka_parity")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    via_file = spark.sql("SELECT * FROM kafka_parity")
+
+    assert via_kafka_lineage.columns == via_file.columns
+    key = lambda t: (t[0] or "",)  # noqa: E731  (sort by raw_data)
+    assert sorted(map(tuple, via_kafka_lineage.collect()), key=key) == sorted(
+        map(tuple, via_file.collect()), key=key
+    )
+    # The corrupt payload survives as a null-struct row in both lineages.
+    assert via_kafka_lineage.filter(F.col("coin_id").isNull()).count() == 1
+
+
+def test_kafka_reader_requires_connector(spark):
+    """Without spark-sql-kafka on the classpath the reader must fail
+    loudly at load() with the standard missing-data-source error — not
+    silently fall back to anything."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        df = pipeline.read_tick_stream_kafka(spark, "broker:9092", "ticks")
+    except AnalysisException as e:
+        assert "kafka" in str(e).lower()
+        return
+    # Connector present (not this sandbox, but be future-proof): the
+    # unresolved plan must parse and expose the shared decoded surface.
+    assert {"raw_data", "coin_id", "event_time"} <= set(df.columns)
+
+
 def _write_jsonl(path, rows):
     import os
     os.makedirs(path, exist_ok=True)
