@@ -1538,13 +1538,20 @@ def session_windows(spark, sf_dir):
     """,
 )
 def dqdl_row_level_routing(spark, sf_dir):
-    from cryptocurrency_data_pipeline_spark.operators import quality
+    """Rules arrive as a DQDL text ruleset (the reference's contract,
+    glue/data_quality_dqdl.py:67-87) parsed by operators/dqdl.py — not as
+    Python-declared checks."""
+    from cryptocurrency_data_pipeline_spark.operators import dqdl
 
+    ruleset = """
+    Rules = [
+        ColumnValues "o_totalprice" > 0,
+        IsPrimaryKey "o_orderkey"
+    ]
+    """
     orders = t(spark, sf_dir, "orders")
     aug = orders.unionByName(orders.filter(F.col("o_orderkey") % 100 == 0))
-    tagged = quality.row_level_rules(
-        aug, positive_cols=["o_totalprice"], primary_key="o_orderkey"
-    )
+    tagged = dqdl.row_verdict(aug, dqdl.parse_ruleset(ruleset))
     return tagged.groupBy("dq_result").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
