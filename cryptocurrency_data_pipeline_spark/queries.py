@@ -6702,6 +6702,43 @@ def pq_adc_topk_query(spark, sf_dir):
     return pq.pq_adc_topk(codes, lut, k=10)
 
 
+# --------------------------------------------------------------------------
+# PQ serving with a PERSISTED codebook: the training jobs (seed scan +
+# 2 Lloyd rounds, ~6 driver-scheduled jobs) run once and export the
+# O(m·k) codebook as a parquet artifact; the serving query is then scan
+# → broadcast codebook → encode/ADC — the deployment shape (FAISS's
+# train-offline / search-online split).  Training is deterministic, so
+# the served result is bit-identical to pq_adc_topk's train-inline path
+# and shares its oracle verbatim.
+# --------------------------------------------------------------------------
+
+@query(
+    "pq_adc_topk_served",
+    oracle=_PQ_ORACLE_PRELUDE
+    + """
+    SELECT query_id, neighbor_id, adc_dist, rank FROM adc_top
+    """,
+)
+def pq_adc_topk_served(spark, sf_dir):
+    """PQ search with the train/serve split: codebook from a persisted
+    parquet artifact (trained once per sf_dir), serving is a single
+    broadcast-join pipeline."""
+    import os
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import pq
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_pq_codebook_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    cb = pq.train_or_load_codebook(emb, path)
+    codes = pq.pq_encode(emb, cb)
+    probes = emb.filter(F.col("vec_id") < 3)
+    return pq.pq_adc_topk(codes, pq.adc_lut(probes, cb), k=10)
+
+
 @query(
     "pq_recall_at_10",
     oracle=_PQ_ORACLE_PRELUDE

@@ -81,3 +81,27 @@ def test_encode_plan_broadcasts_codebook(vecs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_codebook_parquet_round_trip_bit_identical(vecs, tmp_path):
+    cb = pq.train_codebook(vecs, m=2, k=2, subdim=2, iters=2)
+    path = str(tmp_path / "cb")
+    pq.save_codebook(cb, path)
+    loaded = pq.load_codebook(vecs.sparkSession, path)
+    want = sorted((r.m, r.code, tuple(r.centroid)) for r in cb.collect())
+    got = sorted((r.m, r.code, tuple(r.centroid)) for r in loaded.collect())
+    assert got == want  # 9-dp-rounded doubles survive parquet exactly
+
+
+def test_train_or_load_takes_load_path_when_persisted(vecs, tmp_path, monkeypatch):
+    path = str(tmp_path / "cb")
+    first = pq.train_or_load_codebook(vecs, path, m=2, k=2, subdim=2, iters=2)
+    rows1 = sorted((r.m, r.code, tuple(r.centroid)) for r in first.collect())
+
+    def boom(*a, **kw):  # serving must never retrain once the artifact exists
+        raise AssertionError("train_codebook called on the serving path")
+
+    monkeypatch.setattr(pq, "train_codebook", boom)
+    second = pq.train_or_load_codebook(vecs, path, m=2, k=2, subdim=2, iters=2)
+    rows2 = sorted((r.m, r.code, tuple(r.centroid)) for r in second.collect())
+    assert rows1 == rows2
