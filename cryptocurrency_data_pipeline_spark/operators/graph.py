@@ -73,38 +73,64 @@ def _unpersist_rdd_id(sc, rid: int | None) -> None:
         jrdd.unpersist(False)
 
 
-#: Final-generation checkpoint of the previous invocation per
-#: SparkContext (identity-keyed: a parallel session or a restarted
-#: context must never release another context's blocks — checkpoint
-#: blocks have NO lineage, so a wrong release is unrecoverable).
-#: Released when the next invocation on the SAME context starts, or
-#: explicitly via :func:`release_checkpoints` (ContextCleaner is too
-#: lazy for tight benchmark/driver loops — without this, every call
-#: pins one RDD).
-_PREV_FINAL: dict[int, tuple[object, list[int]]] = {}
+class CheckpointHandle:
+    """Caller-held ownership of ONE ``connected_components`` result's
+    final-generation checkpoint blocks.
+
+    ``localCheckpoint`` truncates lineage, so once released the result
+    frame is unrecoverable — which is why the lifetime belongs to the
+    caller that holds the frame, not to the next operator invocation:
+    a result stays queryable across any number of later
+    ``connected_components`` calls until ITS OWN :meth:`release` (or a
+    bulk :func:`release_checkpoints`).  Idempotent; guarded by
+    SparkContext identity so a restarted context is never touched.
+    """
+
+    def __init__(self, sc, rdd_id: int | None):
+        self._sc, self._rid = sc, rdd_id
+        self.released = rdd_id is None
+
+    def release(self) -> None:
+        """Drop the checkpoint blocks NOW (the held frame becomes
+        unusable).  Safe to call more than once."""
+        if not self.released:
+            _unpersist_rdd_id(self._sc, self._rid)
+            self.released = True
 
 
-def _prev_final_ids(sc) -> list[int]:
-    """The released-on-next-call id list for exactly this context."""
-    entry = _PREV_FINAL.get(id(sc))
+#: Live handles per SparkContext (identity-keyed: a parallel session or
+#: a restarted context must never release another context's blocks —
+#: checkpoint blocks have NO lineage, so a wrong release is
+#: unrecoverable).  Drained by :func:`release_checkpoints`; individual
+#: callers release via their own handle.
+_LIVE: dict[int, tuple[object, list[CheckpointHandle]]] = {}
+
+
+def _live_handles(sc) -> list[CheckpointHandle]:
+    """The live-handle list for exactly this context."""
+    entry = _LIVE.get(id(sc))
     if entry is None or entry[0] is not sc:  # id() reuse after GC: reset
         entry = (sc, [])
-        _PREV_FINAL[id(sc)] = entry
+        _LIVE[id(sc)] = entry
     return entry[1]
 
 
 def release_checkpoints(spark) -> None:
-    """Eagerly drop the final-generation checkpoint blocks of the last
-    ``connected_components`` run on this session's context.
+    """Release EVERY live ``connected_components`` checkpoint on this
+    session's context — the bulk form for benchmark/driver loops (the
+    ContextCleaner is too lazy there; without an eager release every
+    loop iteration pins one label generation).
 
-    Call once the result has been consumed (or persisted elsewhere).
-    After release the result DataFrame is UNUSABLE — ``localCheckpoint``
-    truncates lineage, so the blocks cannot be recomputed.
+    After release the corresponding result frames are UNUSABLE —
+    ``localCheckpoint`` truncates lineage, so blocks cannot be
+    recomputed.  Results a caller wants to keep should be persisted
+    elsewhere first, or managed via their own handle
+    (``with_handle=True``) and simply not released.
     """
     sc = spark.sparkContext
-    ids = _prev_final_ids(sc)
-    while ids:
-        _unpersist_rdd_id(sc, ids.pop())
+    handles = _live_handles(sc)
+    while handles:
+        handles.pop().release()
 
 
 def connected_components(
@@ -112,22 +138,23 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
-) -> DataFrame:
+    with_handle: bool = False,
+):
     """Label every node with the MIN node id reachable from it.
 
     ``edges`` is an undirected pair list (each pair listed once in either
     direction). Returns ``(node, cluster_id)`` for every node with at
-    least one edge. Deterministic for any input order.
+    least one edge — or ``(frame, handle)`` with ``with_handle=True``.
+    Deterministic for any input order.
 
     Lifetime contract: the returned frame is backed by the final round's
-    ``localCheckpoint`` blocks. Superseded generations and the edge cache
-    are released eagerly inside the loop; the final generation is released
-    when the NEXT ``connected_components`` call begins *on the same
-    SparkContext* (other sessions' results are never touched), or
-    explicitly via :func:`release_checkpoints` — so consume (or
-    persist elsewhere) a result before starting another run. This keeps
-    the block manager flat at one retained generation no matter how many
-    times a benchmark or driver loop re-invokes the operator.
+    ``localCheckpoint`` blocks, owned by a :class:`CheckpointHandle`.
+    Superseded generations and the edge cache are released eagerly inside
+    the loop; the FINAL generation lives until the caller releases it —
+    via the returned handle (``with_handle=True``), a bulk
+    :func:`release_checkpoints`, or garbage collection.  A held result
+    therefore stays queryable across any number of later
+    ``connected_components`` calls.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -137,9 +164,6 @@ def connected_components(
     e = e.persist()
 
     sc = edges.sparkSession.sparkContext
-    prev = _prev_final_ids(sc)
-    while prev:
-        _unpersist_rdd_id(sc, prev.pop())
 
     labels = e.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -170,9 +194,14 @@ def connected_components(
         prev_sum = new_sum
 
     e.unpersist()
-    if owned is not None:
-        _prev_final_ids(sc).append(owned)
-    return labels.select("node", F.col("label").alias("cluster_id"))
+    handle = CheckpointHandle(sc, owned)
+    live = _live_handles(sc)
+    live[:] = [h for h in live if not h.released]  # prune self-released
+    live.append(handle)
+    result = labels.select("node", F.col("label").alias("cluster_id"))
+    if with_handle:
+        return result, handle
+    return result
 
 
 def pagerank(

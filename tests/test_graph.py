@@ -84,9 +84,9 @@ def test_release_checkpoints_explicit_and_context_guarded(spark):
     out = g.connected_components(edges)
     assert out.count() == 4
     sc = spark.sparkContext
-    assert g._prev_final_ids(sc), "final generation should be retained"
+    assert g._live_handles(sc), "final generation should be retained"
     g.release_checkpoints(spark)
-    assert not g._prev_final_ids(sc)
+    assert not g._live_handles(sc)
     # repeated release is a no-op, and the registry is keyed by THIS
     # context's identity (a fake context id never aliases the real one)
     g.release_checkpoints(spark)
@@ -94,8 +94,37 @@ def test_release_checkpoints_explicit_and_context_guarded(spark):
     class FakeSC:  # different identity -> its own empty slot
         pass
 
-    assert g._prev_final_ids(FakeSC()) == []
-    assert not g._prev_final_ids(sc)
+    assert g._live_handles(FakeSC()) == []
+    assert not g._live_handles(sc)
+
+
+def test_held_result_survives_next_run_until_own_release(spark):
+    # The caller-held handle contract: a result frame must stay fully
+    # queryable across LATER connected_components invocations (the old
+    # invalidation-on-next-call semantics made it unrecoverable), and die
+    # only at its own release.
+    from cryptocurrency_data_pipeline_spark.operators import graph as g
+
+    first_edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    held, handle = g.connected_components(first_edges, with_handle=True)
+    assert not handle.released
+
+    # Two more runs on the same context — held must be untouched.
+    for lo in (10, 20):
+        other = spark.createDataFrame([(lo, lo + 1)], "src long, dst long")
+        g.connected_components(other)
+    assert {r.node: r.cluster_id for r in held.collect()} == {1: 1, 2: 1, 3: 1}
+
+    handle.release()
+    assert handle.released
+    handle.release()  # idempotent
+    # The handle's blocks are gone from the block manager.
+    from cryptocurrency_data_pipeline_spark.operators.graph import (
+        _persistent_rdd_ids,
+    )
+
+    assert handle._rid not in _persistent_rdd_ids(spark.sparkContext)
+    g.release_checkpoints(spark)  # clean up the two unheld runs
 
 
 def test_triangle_stats_known_graph(spark):
