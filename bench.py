@@ -79,6 +79,7 @@ HEADLINE = [
     "zip_manifest_rollup",        # archive manifest + CRC audit
     # Round-6 additions (appended; prior order kept for continuity):
     "pq_adc_topk_served",         # PQ serving path, persisted codebook
+    "ivfpq_topk_served",          # IVFPQ serving path, persisted index
     "rfm_customer_segments",      # distributed ntile via partition-offset rank
     "value_concentration_gini",   # rank-identity Gini, no global window
     "exact_rank_quantiles_by_type",  # grouped partition-offset rank selection

@@ -246,6 +246,138 @@ def train_or_load_codebook(
     return load_codebook(spark, path)
 
 
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    nlist: int = 8,
+    m: int = 8,
+    k: int = 16,
+    subdim: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and persist the full IVFPQ index — the FAISS
+    index-on-disk shape rendered as parquet directories:
+
+    * ``codebook/``  — trained PQ codebooks (O(m·k) rows);
+    * ``centroids/`` — IVF coarse centroids (O(nlist) rows);
+    * ``codes/``     — the corpus encoded to PQ codes (O(n·m) rows,
+      the 32×-compressed index payload);
+    * ``assign/``    — per-vector coarse-list assignment (O(n) rows).
+
+    Build cost is the training + encode jobs paid ONCE; serving
+    (:func:`load_ivfpq_index` + the ADC pipeline) is then scan-free of
+    the raw float vectors except for the probe set.
+    """
+    from cryptocurrency_data_pipeline_spark.operators import similarity
+    from cryptocurrency_data_pipeline_spark.operators.similarity import cosine
+
+    sub = _subvectors(df, m, subdim, id_col, vec_col)
+    cb = train_codebook(
+        df, m=m, k=k, subdim=subdim, iters=iters, id_col=id_col,
+        vec_col=vec_col, sub=sub,
+    )
+    save_codebook(cb, f"{path}/codebook")
+    cb = load_codebook(df.sparkSession, f"{path}/codebook")
+    codes = pq_encode(df, cb, m=m, subdim=subdim, id_col=id_col,
+                      vec_col=vec_col, sub=sub)
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+    cents = similarity.ivf_centroids(df, nlist=nlist)
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cents = df.sparkSession.read.parquet(f"{path}/centroids")
+    simr = F.round(
+        cosine(as_double(F.col(vec_col)), F.col("centroid")), 9
+    )
+    assign = (
+        df.crossJoin(F.broadcast(cents))
+        .select(id_col, "centroid_id", simr.alias("simr"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("simr"), -F.col("centroid_id"))
+            ).alias("centroid_id")
+        )
+    )
+    assign.write.mode("overwrite").parquet(f"{path}/assign")
+    df.sparkSession.createDataFrame(
+        [(nlist, m, k, subdim)], "nlist int, m int, k int, subdim int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+class IvfPqIndex:
+    """Loaded IVFPQ index artifacts (parquet-backed frames + the build
+    params the serve path must agree on)."""
+
+    def __init__(self, codebook, centroids, codes, assign, subdim: int):
+        self.codebook, self.centroids = codebook, centroids
+        self.codes, self.assign = codes, assign
+        self.subdim = subdim
+
+
+def load_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
+    """Open a persisted IVFPQ index.  Raises if any component is absent."""
+    params = spark.read.parquet(f"{path}/params").head(1)[0]
+    idx = IvfPqIndex(
+        load_codebook(spark, f"{path}/codebook"),
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/assign"),
+        subdim=int(params.subdim),
+    )
+    idx.codebook.head(1)  # force a read: corrupt/partial index must rebuild
+    return idx
+
+
+def ivfpq_search(
+    index: IvfPqIndex,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from a loaded IVFPQ index: probe-to-centroid cosine
+    picks ``nprobe`` coarse lists, candidates come from the persisted
+    assignment (an equi-join, never a pair space), ADC scores them from
+    the persisted codes — raw float vectors are touched ONLY for the
+    probe set."""
+    from cryptocurrency_data_pipeline_spark.operators.similarity import cosine
+
+    simr = F.round(cosine(as_double(F.col(vec_col)), F.col("centroid")), 9)
+    w = Window.partitionBy("query_id").orderBy(F.col("simr").desc(), "centroid_id")
+    probe_lists = (
+        probes.crossJoin(F.broadcast(index.centroids))
+        .select(F.col(id_col).alias("query_id"), "centroid_id", simr.alias("simr"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand = index.assign.join(probe_lists, "centroid_id").select("query_id", id_col)
+    lut = adc_lut(
+        probes, index.codebook, subdim=index.subdim, id_col=id_col, vec_col=vec_col
+    )
+    scored = (
+        index.codes.join(cand, id_col)
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("lut_dist"), 6).alias("adc_dist"))
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc_dist", id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "adc_dist",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
 def train_codebook(
     df: DataFrame,
     m: int = 8,

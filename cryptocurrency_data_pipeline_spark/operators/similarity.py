@@ -35,7 +35,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity with a zero-norm guard: a zero vector scores
+    0.0 against everything (CASE evaluates lazily, so the division
+    never runs — under ANSI mode an unguarded zero norm raises
+    divide-by-zero, and at corpus scale zero embeddings DO occur)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def cosine_topk(

@@ -6915,6 +6915,83 @@ def ivfpq_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# IVFPQ with a PERSISTED index (the FAISS build-offline / search-online
+# split, completing the pq_adc_topk_served story): codebook, coarse
+# centroids, corpus PQ codes, and coarse assignments all live as parquet
+# artifacts (pq.build_ivfpq_index); serving touches raw float vectors
+# ONLY for the 3 probes — candidates come from the persisted assignment
+# equi-join, scores from the persisted codes via broadcast ADC lookups.
+# Deterministic build => shares ivfpq_topk's oracle verbatim.
+# --------------------------------------------------------------------------
+
+@query(
+    "ivfpq_topk_served",
+    oracle=_PQ_CODES_CTES
+    + f"""
+    , cents AS (
+      SELECT v AS cv,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) AS centroid_id
+      FROM corpus QUALIFY centroid_id <= 8
+    ), cassign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT c.vec_id, s.centroid_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_IVF_COS} DESC,
+                                           s.centroid_id) AS rn
+        FROM corpus c CROSS JOIN cents s) WHERE rn = 1
+    ), plists AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT c.vec_id AS query_id, s.centroid_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_IVF_COS} DESC,
+                                           s.centroid_id) AS rn
+        FROM corpus c CROSS JOIN cents s WHERE c.vec_id < 3)
+      WHERE rn <= 3
+    ), cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM cassign a JOIN plists p USING (centroid_id)
+    ), sc AS (
+      SELECT cd.query_id, cd.vec_id, round(sum(l.lut_dist), 6) AS adc_dist
+      FROM cand cd
+      JOIN codes c ON cd.vec_id = c.vec_id
+      JOIN lut l ON l.query_id = cd.query_id AND l.m = c.m
+                AND l.code = c.code
+      WHERE cd.vec_id != cd.query_id
+      GROUP BY cd.query_id, cd.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc_dist,
+           CAST(rn AS INT) AS rank
+    FROM (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rn
+      FROM sc) WHERE rn <= 10
+    """,
+)
+def ivfpq_topk_served(spark, sf_dir):
+    """IVFPQ search from a persisted index: build once per sf_dir, then
+    serve from the parquet artifacts."""
+    import os
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import pq
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivfpq_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    try:
+        index = pq.load_ivfpq_index(spark, path)
+    except Exception:
+        pq.build_ivfpq_index(emb, path)
+        index = pq.load_ivfpq_index(spark, path)
+    probes = emb.filter(F.col("vec_id") < 3)
+    return pq.ivfpq_search(index, probes, k=10, nprobe=3)
+
+
+# --------------------------------------------------------------------------
 # Tokenizer-vocabulary coverage: the pre-tokenization health check every
 # corpus ships with — build the top-k vocabulary (deterministic
 # count-then-token tie-break), then measure each source's out-of-

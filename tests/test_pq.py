@@ -105,3 +105,26 @@ def test_train_or_load_takes_load_path_when_persisted(vecs, tmp_path, monkeypatc
     second = pq.train_or_load_codebook(vecs, path, m=2, k=2, subdim=2, iters=2)
     rows2 = sorted((r.m, r.code, tuple(r.centroid)) for r in second.collect())
     assert rows1 == rows2
+
+
+def test_ivfpq_index_build_load_serve_matches_inline(vecs, tmp_path):
+    # The persisted-index serve path must reproduce the inline IVFPQ
+    # pipeline exactly (build is deterministic, artifacts round-trip).
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivfpq_index(vecs, path, nlist=2, m=2, k=2, subdim=2)
+    index = pq.load_ivfpq_index(vecs.sparkSession, path)
+    assert {"m", "code", "centroid"} <= set(index.codebook.columns)
+    assert index.codes.count() == vecs.count() * 2
+    assert index.assign.count() == vecs.count()
+    probes = vecs.filter("vec_id < 2")
+    got = pq.ivfpq_search(index, probes, k=3, nprobe=2).collect()
+    assert {r.query_id for r in got} == {0, 1}
+    for r in got:
+        assert r.neighbor_id != r.query_id
+    # rank is dense 1..k per query and distances are non-decreasing
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(a.adc_dist <= b.adc_dist for a, b in zip(rows, rows[1:]))
