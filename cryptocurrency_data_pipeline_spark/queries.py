@@ -1717,6 +1717,125 @@ def local_supplier_volume(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Cross-nation volume shipping (TPC-H Q7 shape): revenue flowing between
+# a block of nations in BOTH directions, by supplier nation x customer
+# nation x ship year.  The classic two-dimension star: both dimension
+# paths (supplier->nation, customer->nation) are FILTERED before the
+# fact join, so the broadcast prunes lineitem early; the only data-sized
+# exchange is the orderkey fact-to-fact join + the final rollup.
+# --------------------------------------------------------------------------
+
+@query(
+    "volume_shipping_nation_pairs",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE s_nationkey <= 4 AND c_nationkey <= 4
+      AND s_nationkey != c_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def volume_shipping_nation_pairs(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_nationkey") <= 4)
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", F.col("n_name").alias("supp_nation"))
+    )
+    cus = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    ord_c = t(spark, sf_dir, "orders").join(
+        F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        li.join(ord_c, li.l_orderkey == ord_c.o_orderkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            # Cents-quantized per row BEFORE the sum: double summation is
+            # order-sensitive across engines and round(,2) can land on
+            # opposite sides of a .005 boundary; integer cents are exact.
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Returned-item revenue loss (TPC-H Q10 shape): which customers returned
+# the most value in the window — l_returnflag pushed into the lineitem
+# scan, date filter into the orders scan, customer attached by broadcast,
+# top-20 by lost revenue compiles to TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+
+@query(
+    "returned_item_top_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) AS BIGINT) AS revenue_lost_cents,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R' AND o_orderdate >= DATE '1995-01-01'
+    GROUP BY 1, 2
+    ORDER BY revenue_lost_cents DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_top_customers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")
+    )
+    customer = t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("revenue_lost_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue_lost_cents").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # Duplicate CLUSTERS: connected components over the MinHash near-dup pair
 # graph (operators/graph.py — iterative min-label propagation, one shuffle
 # per round), then keep ONE canonical doc per cluster (longest text,

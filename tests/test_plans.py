@@ -689,3 +689,22 @@ def test_exact_quantiles_no_per_type_data_window(spark):
     for line in p.splitlines():
         if "Window [" in line:
             assert "__pid" in line or "__n" in line, f"data-sized window: {line}"
+
+
+def test_volume_shipping_broadcasts_filtered_dims(spark):
+    # Both dimension paths are filtered to the nation block BEFORE the
+    # fact join, so the broadcasts prune lineitem/orders early; the only
+    # data-sized exchange pair is the orderkey fact-to-fact join.
+    p = plan(QUERIES["volume_shipping_nation_pairs"](spark, SF), mode="simple")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p and "InPandas" not in p
+
+
+def test_returned_items_pushdown_and_take_ordered(spark):
+    # l_returnflag reaches the lineitem scan, the date filter reaches the
+    # orders scan, and the top-20 compiles to TakeOrderedAndProject.
+    p = plan(QUERIES["returned_item_top_customers"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("l_returnflag" in ln and "EqualTo" in ln for ln in pushed)
+    assert any("o_orderdate" in ln or "GreaterThanOrEqual" in ln for ln in pushed)
