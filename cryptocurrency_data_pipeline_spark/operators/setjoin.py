@@ -140,3 +140,77 @@ def jaccard_self_join(
             F.round(F.col("inter") / union_sz, 6).alias("jaccard"),
         )
     )
+
+
+def containment_join(
+    tok: DataFrame,
+    num: int = 4,
+    den: int = 5,
+) -> DataFrame:
+    """All ORDERED pairs (id_a != id_b) with containment
+    ``|A ∩ B| >= (num/den) * |A|`` — SUBSET-duplicate detection.
+
+    Containment is the asymmetric cousin of Jaccard: a short document A
+    embedded verbatim inside a much longer B has jaccard ≈ |A|/|B| (tiny)
+    but containment(A in B) ≈ 1 — exactly the quote/aggregation/mirror
+    pattern symmetric near-dup passes miss.  Same prefix-lemma machinery
+    as :func:`jaccard_self_join`, asymmetric form: ``o >= ceil(t·|A|)``
+    forces A's ``|A| - ceil(t·|A|) + 1`` rarest elements (the probe
+    prefix) to hit B, while B is indexed on ALL its elements; the size
+    filter ``den·|B| >= num·|A|`` and the positional cap
+    ``den·(|A| - pos_a) >= num·|A|`` (the earliest collision leaves at
+    most ``|A| - pos_a`` shared elements) prune before verification.
+    Verification re-joins candidates only — never all-pairs.  Integer
+    threshold test, so the result hashes identically on any engine.
+    """
+    assert 0 < num <= den
+    tok = track(tok.persist())
+    df_e = tok.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
+    te = tok.join(df_e, "elem")
+    docs = te.groupBy("id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.array_sort(F.collect_list(F.struct("df", "elem"))).alias("ordered"),
+    )
+    ceil_t = F.floor((F.col("sz") * num + (den - 1)) / den).cast("int")
+    a = docs.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.posexplode(
+            F.transform(
+                F.slice(F.col("ordered"), F.lit(1), F.col("sz") - ceil_t + 1),
+                lambda s: s["elem"],
+            )
+        ).alias("pos_a", "elem"),
+    )
+    sizes = docs.select("id", "sz")
+    b = tok.join(sizes, "id").select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "elem"
+    )
+    cand = (
+        a.join(b, "elem")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("sz_b") * den >= F.col("sz_a") * num)
+            & ((F.col("sz_a") - F.col("pos_a")) * den >= F.col("sz_a") * num)
+        )
+        .select("id_a", "id_b", "sz_a")
+        .distinct()
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "elem")
+    tb = tok.select(F.col("id").alias("id_b"), "elem")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "elem"])
+        .groupBy("id_a", "id_b", "sz_a")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.where(F.col("inter") * den >= F.col("sz_a") * num)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment"),
+        )
+    )

@@ -10236,6 +10236,109 @@ def exact_rank_quantiles_by_type(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Asymmetric CONTAINMENT dedup (setjoin.containment_join): ordered pairs
+# where >= 80% of A's 3-shingles appear in B — the subset-duplicate
+# pattern (quote pages, aggregators, mirrors-with-banners) that
+# symmetric Jaccard structurally misses when |B| >> |A|.  Same
+# prefix-filter scale shape as jaccard_shingle_pairs: probe prefixes on
+# A's rarest shingles, full index on B, candidate-bounded verification,
+# all-integer threshold.  Oracle is the O(n²) brute force.
+# --------------------------------------------------------------------------
+
+@query(
+    "containment_shingle_pairs",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)),
+               '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, g
+      FROM base, unnest(list_transform(generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(g)
+    ), sets AS (
+      SELECT doc_id, list(g) AS s, count(*) AS sz FROM sh GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+           CAST(a.sz AS BIGINT) AS sz_a,
+           round(len(list_intersect(a.s, b.s)) * 1.0 / a.sz, 6)
+             AS containment
+    FROM sets a JOIN sets b ON a.doc_id != b.doc_id
+    WHERE 5 * len(list_intersect(a.s, b.s)) >= 4 * a.sz
+    """,
+)
+def containment_shingle_pairs(spark, sf_dir):
+    """Subset-duplicate pairs: containment(A in B) >= 4/5 over 3-word
+    shingle sets, via the asymmetric prefix-filtered join."""
+    from cryptocurrency_data_pipeline_spark.operators.setjoin import (
+        containment_join,
+    )
+    from cryptocurrency_data_pipeline_spark.operators.text import (
+        shingles,
+        tokens,
+    )
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("__toks", tokens("text"))
+        .select(
+            F.col("doc_id").alias("id"),
+            F.explode(shingles(toks=F.col("__toks"), n=3)).alias("elem"),
+        )
+        .distinct()
+    )
+    return containment_join(tok, num=4, den=5).select(
+        "id_a", "id_b", "inter", "sz_a", "containment"
+    )
+# pulls typed fields out of raw JSON payloads per record,
+# streaming/consumer.py:37-45): events.props is a JSON STRING column;
+# the typed field comes out JVM-side with get_json_object (no UDF, no
+# inference scan), then a two-dimension rollup over (event_type, decile
+# of the extracted key) with cents-exact value totals and a two-level
+# distinct-user count.  The JSON path evaluates inside the scan stage.
+# --------------------------------------------------------------------------
+
+@query(
+    "props_json_extraction_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(CAST(props->>'k' AS INTEGER) / 10) AS INT) AS k_decile,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           count(DISTINCT user_id) AS n_users
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def props_json_extraction_stats(spark, sf_dir):
+    """Typed extraction from the JSON props payload + rollup by
+    (event_type, extracted-key decile)."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(
+                F.get_json_object("props", "$.k").cast("int") / 10
+            )
+            .cast("int")
+            .alias("k_decile"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            "user_id",
+        )
+    )
+    return ev.groupBy("event_type", "k_decile").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Bronze schema evolution (S3/P11 family): the reference lands evolving
 # raw schemas via parquet ``mergeSchema`` (glue/data_ingestion_s3.py:35);
 # the engine's production-parity form is a VERSIONED read

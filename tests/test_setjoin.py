@@ -63,3 +63,59 @@ def test_jaccard_join_rounded_ratio_column(spark):
     rows = jaccard_self_join(_tok_frame(spark, sets), 1, 2).collect()
     assert len(rows) == 1
     assert rows[0].jaccard == 0.5  # 2/4
+
+
+def _brute_containment(sets, num, den):
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter * den >= len(sets[a]) * num:
+                out[(a, b)] = (inter, len(sets[a]))
+    return out
+
+
+def test_containment_join_hand_fixture(spark):
+    from cryptocurrency_data_pipeline_spark.operators.setjoin import (
+        containment_join,
+    )
+
+    sets = {
+        1: {"a", "b"},                      # fully inside 2 and 3
+        2: {"a", "b", "c", "d", "e"},       # superset of 1
+        3: {"a", "b", "x", "y", "z", "w"},  # superset of 1, J(1,3) tiny
+        4: {"p", "q", "r"},                 # disjoint
+    }
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.sz_a)
+        for r in containment_join(_tok_frame(spark, sets), 4, 5).collect()
+    }
+    want = _brute_containment(sets, 4, 5)
+    # Asymmetry is the point: (1 in 3) qualifies, (3 in 1) must not.
+    assert (1, 3) in want and (3, 1) not in want
+    assert got == want
+
+
+def test_containment_join_matches_brute_force_random(spark):
+    import random
+
+    from cryptocurrency_data_pipeline_spark.operators.setjoin import (
+        containment_join,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"e{i}" for i in range(30)]
+    sets = {
+        i: set(rng.sample(vocab, rng.randrange(2, 12))) for i in range(40)
+    }
+    # Plant subset duplicates: small sets embedded in larger hosts.
+    sets[100] = set(list(sets[0])[:3])
+    sets[101] = sets[1] | {"extra1", "extra2"}
+    for num, den in [(4, 5), (1, 1), (1, 2)]:
+        got = {
+            (r.id_a, r.id_b): (r.inter, r.sz_a)
+            for r in containment_join(_tok_frame(spark, sets), num, den).collect()
+        }
+        assert got == _brute_containment(sets, num, den), (num, den)
