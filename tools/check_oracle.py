@@ -64,9 +64,11 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -111,7 +113,10 @@ def main():
         else:
             print(f"ok   {name}: {len(srows)} rows match ({spark_s:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed" + (f"; FAILURES: {failures}" if failures else ""))
+    print(
+        f"\n{checked - len(failures)}/{checked} passed"
+        + (f"; FAILURES: {failures}" if failures else "")
+    )
     sys.exit(1 if failures else 0)
 
 
