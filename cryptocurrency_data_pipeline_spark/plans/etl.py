@@ -172,6 +172,81 @@ def gold_stage(spark: SparkSession, paths: EtlPaths):
     return stage
 
 
+def replay_dlq(
+    spark: SparkSession,
+    paths: EtlPaths,
+    required=None,
+    extra_fields=None,
+) -> tuple[int, int]:
+    """Drain the DLQ after an operator fix — the operational second half
+    of the dead-letter contract (a DLQ nobody can drain is just a loss
+    bucket with better logging).
+
+    Reads the DLQ envelope, re-parses each ``raw_data`` payload against
+    the declared schema (plus any promoted ``extra_fields``), re-runs
+    the SAME enforcement split under the (possibly relaxed) ``required``
+    set, appends recovered rows to silver through the standard
+    project/cast/stamp path, and REWRITES the DLQ with only the
+    still-failing envelopes — so replay is idempotent and the DLQ only
+    ever shrinks.  Returns ``(n_recovered, n_still_bad)``.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from cryptocurrency_data_pipeline_spark.schemas import CRYPTO_MARKETS
+
+    try:
+        envelopes = spark.read.json(paths.dlq)
+    except Exception:
+        return (0, 0)
+    if envelopes.isEmpty() or "raw_data" not in envelopes.columns:
+        return (0, 0)
+
+    schema = StructType(list(CRYPTO_MARKETS.fields) + list(extra_fields or []))
+    reparsed = envelopes.select(
+        F.col("raw_data"),
+        F.from_json("raw_data", schema).alias("r"),
+    ).select("raw_data", "r.*")
+    valid, still_bad = silver.enforce_schema_split(
+        reparsed.drop("raw_data"), required if required is not None else REQUIRED_FIELDS
+    )
+    valid = valid.persist()
+    n_recovered = valid.count()
+    if n_recovered:
+        out = (
+            silver.project_cast(valid, SILVER_SPEC)
+            .withColumn("update_date", F.current_date())
+            .withColumn("last_updated_ts", F.current_timestamp())
+        )
+        (
+            out.write.mode("append")
+            .option("compression", "snappy")
+            .partitionBy("update_date")
+            .parquet(paths.silver)
+        )
+    valid.unpersist()
+
+    # Rewrite the DLQ with only the still-failing envelopes.  The source
+    # and destination are the same directory, so materialize through a
+    # tmp swap (the gold_stage idiom) — a direct overwrite would truncate
+    # the files its own tasks still need to read.  An empty JSON dir is
+    # unreadable (no schema), so the drained case writes a typed empty
+    # frame instead of round-tripping through tmp.
+    tmp = paths.dlq.rstrip("/") + "_tmp"
+    still_bad.coalesce(1).write.mode("overwrite").json(tmp)
+    try:
+        remaining = spark.read.json(tmp)
+        n_still_bad = remaining.count()
+    except Exception:  # empty tmp: everything recovered
+        remaining, n_still_bad = None, 0
+    if n_still_bad:
+        remaining.coalesce(1).write.mode("overwrite").json(paths.dlq)
+    else:
+        spark.createDataFrame([], still_bad.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(paths.dlq)
+    return (n_recovered, n_still_bad)
+
+
 def build_etl_pipeline(
     spark: SparkSession,
     paths: EtlPaths,

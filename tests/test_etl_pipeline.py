@@ -150,6 +150,39 @@ def test_bronze_schema_evolution_land_then_enforce(spark, tmp_path):
     assert "platform" in inferred.fieldNames()
 
 
+def test_replay_dlq_recovers_after_rule_relaxation(spark, tmp_path):
+    """The operational half of the DLQ contract: after a rules change
+    (here: a required field demoted to optional), replay drains the
+    recoverable envelopes into silver through the standard path and
+    rewrites the DLQ with only the still-failing ones; a second replay
+    is a no-op."""
+    from cryptocurrency_data_pipeline_spark.schemas import REQUIRED_FIELDS
+
+    paths = _paths(tmp_path)
+    records = [_record(i) for i in range(10)]
+    records.append(_record(90, market_cap=None))   # fails: required field
+    records.append(_record(91, id=None))           # fails forever: no key
+    ingestion.write_bronze(records, paths.bronze, run_id="r1")
+    results = etl.build_etl_pipeline(spark, paths).run()
+    assert all(r.status == StageStatus.SUCCEEDED for r in results)
+    assert spark.read.parquet(paths.silver).count() == 10
+    assert spark.read.json(paths.dlq).count() == 2
+
+    relaxed = [f for f in REQUIRED_FIELDS if f != "market_cap"]
+    recovered, still_bad = etl.replay_dlq(spark, paths, required=relaxed)
+    assert (recovered, still_bad) == (1, 1)
+    silver_df = spark.read.parquet(paths.silver)
+    assert silver_df.count() == 11
+    assert silver_df.filter("coin_id = 'coin-90'").count() == 1
+    # The DLQ now holds only the unrecoverable envelope.
+    assert spark.read.json(paths.dlq).count() == 1
+
+    # Idempotence: replaying again recovers nothing and changes nothing.
+    recovered2, still_bad2 = etl.replay_dlq(spark, paths, required=relaxed)
+    assert (recovered2, still_bad2) == (0, 1)
+    assert spark.read.parquet(paths.silver).count() == 11
+
+
 def test_versioned_bronze_read_mid_stream_drift(spark, tmp_path):
     """A field appearing mid-stream lands typed under the merged schema
     with per-row version provenance, and Silver enforcement over the
