@@ -595,3 +595,61 @@ def test_zip_roundtrip_property(members):
     zf = zipfile.ZipFile(io.BytesIO(p))
     for n, d in members:
         assert zf.read(n) == d
+
+
+grank_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2", "g3", "g4"]),   # group
+        st.integers(min_value=-50, max_value=50),     # order value (ties ok)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(grank_rows)
+@_slow
+def test_grouped_ranks_property(spark, data):
+    """with_grouped_ranks == row_number window per group, for any group
+    mix and tie pattern (uid makes the order total)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cryptocurrency_data_pipeline_spark.operators import ids
+
+    rows_u = [(g, v, i) for i, (g, v) in enumerate(data)]
+    df = spark.createDataFrame(rows_u, "g string, v long, uid long")
+    got = {
+        (r.g, r.uid): (r.r, r.n)
+        for r in ids.with_grouped_ranks(
+            df, ["g"], ["v", "uid"], rank_name="r", count_name="n"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "uid")
+    wn = Window.partitionBy("g")
+    want = {
+        (r.g, r.uid): (r.r, r.n)
+        for r in df.select(
+            "g", "uid",
+            F.row_number().over(w).alias("r"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        ).collect()
+    }
+    assert got == want
+
+
+@given(st.integers(min_value=1, max_value=400), st.integers(min_value=1, max_value=8))
+@_slow
+def test_ntile_from_rank_property(spark, n, k):
+    """Closed-form ntile == the ntile window for any (n, tiles)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cryptocurrency_data_pipeline_spark.operators import ids
+
+    df = spark.range(1, n + 1).select(F.col("id").alias("i"))
+    got = {r.i: r.t for r in df.select(
+        "i", ids.ntile_from_rank("i", F.lit(n), k).alias("t")).collect()}
+    want = {r.i: r.t for r in df.select(
+        "i", F.ntile(k).over(Window.orderBy("i")).alias("t")).collect()}
+    assert got == want
