@@ -579,6 +579,155 @@ def decode_png_stats(df: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BMP: full pixel decode (the uncompressed complement to PNG/GIF/JPEG) —
+# BITMAPINFOHEADER + BI_RGB, 8-bit palettized and 24-bit truecolor,
+# bottom-up AND top-down row order, 4-byte row padding.  Wrong padding,
+# a skipped palette, or an unflipped bottom-up image all flip the
+# pixel-sum hash the oracle pins.
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(
+    width: int, height: int, gray: bytes, bits: int = 24, top_down: bool = False
+) -> bytes:
+    """Conforming BMP encoder (test/producer side): BITMAPINFOHEADER,
+    BI_RGB.  24-bit replicates each gray byte into BGR; 8-bit writes an
+    identity grayscale palette.  Rows are padded to 4 bytes and stored
+    bottom-up unless ``top_down`` (negative biHeight)."""
+    if len(gray) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    if bits not in (8, 24):
+        raise ValueError("encoder supports 8- and 24-bit only")
+    bypp = bits // 8
+    stride = (width * bypp + 3) & ~3
+    palette = (
+        b"".join(bytes((i, i, i, 0)) for i in range(256)) if bits == 8 else b""
+    )
+    data_off = 14 + 40 + len(palette)
+    body = bytearray()
+    rows = range(height) if top_down else range(height - 1, -1, -1)
+    for y in rows:
+        line = bytearray()
+        for x in range(width):
+            v = gray[y * width + x]
+            line += bytes([v] if bits == 8 else [v, v, v])  # BGR replicate
+        line += b"\x00" * (stride - len(line))
+        body += line
+    dib = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + (-height if top_down else height).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+        + (0).to_bytes(4, "little")            # BI_RGB
+        + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little", signed=True) * 2  # 72 dpi
+        + (256 if bits == 8 else 0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    file_size = data_off + len(body)
+    header = b"BM" + file_size.to_bytes(4, "little") + b"\x00\x00\x00\x00" + data_off.to_bytes(4, "little")
+    return header + dib + palette + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytearray]:
+    """Full BMP pixel decode: ``(width, height, gray)`` with ``gray`` in
+    TOP-DOWN row-major order regardless of storage direction.
+
+    Supports BITMAPINFOHEADER (or larger V4/V5 headers) with BI_RGB,
+    8-bit palettized and 24-bit truecolor; grayscale is the integer mean
+    ``(r + g + b) // 3`` (exact, engine-replayable).  RLE/bitfields,
+    16/32-bit, and core headers raise → null/DLQ row."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(payload[10:14], "little")
+    dib = int.from_bytes(payload[14:18], "little")
+    if dib < 40:
+        raise ValueError("BITMAPCOREHEADER pixel decode unsupported")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    raw_h = int.from_bytes(payload[22:26], "little", signed=True)
+    bits = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    colors_used = int.from_bytes(payload[46:50], "little")
+    if width <= 0 or raw_h == 0:
+        raise ValueError("bad BMP dimensions")
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bits not in (8, 24):
+        raise ValueError(f"unsupported BMP bit depth {bits}")
+    height, top_down = abs(raw_h), raw_h < 0
+    palette = None
+    if bits == 8:
+        n_colors = colors_used or 256
+        pal_off = 14 + dib
+        if pal_off + 4 * n_colors > len(payload):
+            raise ValueError("truncated BMP palette")
+        palette = [
+            (
+                payload[pal_off + 4 * i + 2]       # R
+                + payload[pal_off + 4 * i + 1]     # G
+                + payload[pal_off + 4 * i]         # B
+            )
+            // 3
+            for i in range(n_colors)
+        ]
+    bypp = bits // 8
+    stride = (width * bypp + 3) & ~3
+    if data_off + stride * height > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray(width * height)
+    for row in range(height):
+        src = data_off + row * stride
+        y = row if top_down else height - 1 - row
+        for x in range(width):
+            if bits == 8:
+                idx = payload[src + x]
+                if idx >= len(palette):
+                    raise ValueError("BMP palette index out of range")
+                out[y * width + x] = palette[idx]
+            else:
+                b_, g_, r_ = payload[src + 3 * x : src + 3 * x + 3]
+                out[y * width + x] = (r_ + g_ + b_) // 3
+    return width, height, out
+
+
+BMP_STATS = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content_hash", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("pixel_sum", LongType(), True),
+    ]
+)
+
+
+def decode_bmp_stats(df: DataFrame) -> DataFrame:
+    """mapInPandas BMP decode to pixel stats — same Arrow-batched,
+    null-on-failure DLQ shape as the other decoders; the pixel_sum is
+    over the flipped-to-top-down gray buffer, so padding or row-order
+    mistakes flip it."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    w, h, gray = decode_bmp(r.payload)
+                    rows.append((r.media_id, r.content_hash, w, h, sum(gray)))
+                except Exception:
+                    rows.append((r.media_id, r.content_hash, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "content_hash", "width", "height", "pixel_sum"],
+            )
+
+    return df.select("media_id", "content_hash", "payload").mapInPandas(
+        decode, BMP_STATS
+    )
+
+
+# --------------------------------------------------------------------------
 # Audio: real RIFF/WAVE header decode, dependency-free (mirrors PPM/BMP).
 # --------------------------------------------------------------------------
 

@@ -5965,6 +5965,79 @@ def png_decode_rollup(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Real UNCOMPRESSED-format decode end-to-end (multimodal.decode_bmp):
+# the BMP complement to the PNG rollup — deterministic gray buffers
+# encoded into conforming BMPs alternating 8-bit palettized / 24-bit
+# truecolor and bottom-up / top-down row order by key, decoded back
+# through the palette + padding + row-flip path.  A wrong stride pad,
+# skipped palette, or unflipped bottom-up image flips the pixel-sum
+# hash; the oracle replays the generating formula, no codec needed.
+# --------------------------------------------------------------------------
+
+@query(
+    "bmp_decode_rollup",
+    oracle="""
+    WITH px AS (
+      SELECT p_partkey,
+             CAST(1 + p_partkey % 7 AS INT) AS w,
+             CAST(1 + p_partkey % 4 AS INT) AS h,
+             CAST(list_sum(list_transform(
+               generate_series(0, (1 + p_partkey % 7) * (1 + p_partkey % 4) - 1),
+               i -> (7 * p_partkey + i) % 256)) AS BIGINT) AS psum
+      FROM part
+    )
+    SELECT w AS width,
+           count(*) AS n_images,
+           CAST(sum(h) AS BIGINT) AS sum_rows,
+           CAST(sum(psum) AS BIGINT) AS sum_pixels
+    FROM px GROUP BY w
+    """,
+)
+def bmp_decode_rollup(spark, sf_dir):
+    """Uncompressed-codec pipeline: part keys → conforming BMPs (8/24
+    bit, both row orders) → full decode (palette + padding + flip) →
+    pixel-sum rollup by decoded width."""
+    import pandas as pd  # noqa: F811 — executor-side import
+
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    parts = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        (F.lit(1) + F.col("p_partkey") % 7).cast("int").alias("w"),
+        (F.lit(1) + F.col("p_partkey") % 4).cast("int").alias("h"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def produce(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n = r.w * r.h
+                gray = bytes((7 * r.p_partkey + i) % 256 for i in range(n))
+                rows.append(
+                    (
+                        r.p_partkey,
+                        mm.encode_bmp(
+                            r.w,
+                            r.h,
+                            gray,
+                            bits=8 if r.p_partkey % 2 else 24,
+                            top_down=bool(r.p_partkey % 3 == 0),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["p_partkey", "payload"])
+
+    payloads = parts.mapInPandas(produce, "p_partkey long, payload binary")
+    media = mm.media_table(payloads, "p_partkey", "image", "payload")
+    stats = mm.decode_bmp_stats(media)
+    return stats.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("height").cast("long").alias("sum_rows"),
+        F.sum("pixel_sum").cast("long").alias("sum_pixels"),
+    )
+
+
+# --------------------------------------------------------------------------
 # SCD2 steady-state merge (operators/gold.py scd2_merge, existing-table
 # path): an SCD2 dimension built from pre-1995 orders receives the 1995+
 # batch — current rows close out, new versions open, keys first seen in

@@ -1164,3 +1164,55 @@ def test_ico_directory_roundtrip():
         _parse_ico(p[:10])
     with pytest.raises(ValueError):
         _parse_ico(b"\x00\x00\x02\x00\x01\x00")  # cursor type, not icon
+
+
+def test_bmp_roundtrip_all_variants():
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # Width 5 forces row padding (5*3=15 -> 16; 5*1 -> 8); exercise both
+    # depths and both row orders.
+    gray = bytes((i * 37) % 256 for i in range(5 * 3))
+    for bits in (8, 24):
+        for top_down in (False, True):
+            payload = encode_bmp(5, 3, gray, bits=bits, top_down=top_down)
+            w, h, out = decode_bmp(payload)
+            assert (w, h) == (5, 3)
+            assert bytes(out) == gray, (bits, top_down)
+
+
+def test_bmp_decode_rejects_unsupported():
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    good = encode_bmp(4, 2, bytes(8), bits=24)
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 20)  # truncated
+    rle = bytearray(good)
+    rle[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+    with pytest.raises(ValueError, match="compression"):
+        decode_bmp(bytes(rle))
+    sixteen = bytearray(good)
+    sixteen[28:30] = (16).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_bmp(bytes(sixteen))
+
+
+def test_bmp_stats_dlq_on_corrupt(spark):
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    good = mm.encode_bmp(3, 2, bytes(range(6)), bits=8)
+    df = spark.createDataFrame(
+        [(1, good), (2, b"BMnot really a bitmap")],
+        "media_id long, payload binary",
+    )
+    media = mm.media_table(df, "media_id", "image", "payload")
+    got = {r.media_id: r for r in mm.decode_bmp_stats(media).collect()}
+    assert (got[1].width, got[1].height, got[1].pixel_sum) == (3, 2, 15)
+    assert got[2].width is None and got[2].pixel_sum is None
