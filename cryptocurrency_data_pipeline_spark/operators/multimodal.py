@@ -78,9 +78,12 @@ def encode_fake_media(kind: str, width: int, height: int, frames: int, body: byt
     )
 
 
-def _parse_ppm(payload: bytes) -> tuple[int, int, int]:
-    """Binary PPM (``P6``) header: ASCII ``P6 <w> <h> <maxval>`` with
-    arbitrary whitespace and ``#``-to-newline comments between fields."""
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Binary PPM (``P6``) header scan: ``(w, h, maxval, pixel_offset)``.
+    ASCII ``P6 <w> <h> <maxval>`` with arbitrary whitespace and
+    ``#``-to-newline comments between fields; exactly ONE whitespace
+    byte separates the maxval from the raster (the spec's rule that
+    makes the pixel offset unambiguous)."""
     i, n, vals = 2, len(payload), []
     while len(vals) < 3 and i < n:
         c = payload[i : i + 1]
@@ -99,7 +102,29 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, int]:
             raise ValueError("malformed PPM header")
     if len(vals) < 3:
         raise ValueError("truncated PPM header")
-    return vals[0], vals[1], 1
+    if i >= n or not payload[i : i + 1].isspace():
+        raise ValueError("missing raster separator")
+    return vals[0], vals[1], vals[2], i + 1
+
+
+def _parse_ppm(payload: bytes) -> tuple[int, int, int]:
+    w, h, _maxval, _off = _ppm_header(payload)
+    return w, h, 1
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytearray]:
+    """Full binary-PPM pixel decode: ``(width, height, rgb)`` with the
+    raster's ``w*h*3`` bytes row-major.  8-bit maxval only (the 2-byte
+    16-bit raster raises → null/DLQ row, like every other decoder)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM")
+    w, h, maxval, off = _ppm_header(payload)
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = w * h * 3
+    if off + need > len(payload):
+        raise ValueError("truncated PPM raster")
+    return w, h, bytearray(payload[off : off + need])
 
 
 def _parse_bmp(payload: bytes) -> tuple[int, int, int]:
@@ -700,6 +725,31 @@ BMP_STATS = StructType(
         StructField("pixel_sum", LongType(), True),
     ]
 )
+
+
+def decode_ppm_stats(df: DataFrame) -> DataFrame:
+    """mapInPandas full-raster PPM decode to pixel stats (same schema
+    and null-on-failure contract as :func:`decode_bmp_stats`); the
+    pixel_sum covers every RGB raster byte, so a wrong pixel offset or
+    a tolerated-truncated raster flips it."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    w, h, rgb = decode_ppm(r.payload)
+                    rows.append((r.media_id, r.content_hash, w, h, sum(rgb)))
+                except Exception:
+                    rows.append((r.media_id, r.content_hash, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "content_hash", "width", "height", "pixel_sum"],
+            )
+
+    return df.select("media_id", "content_hash", "payload").mapInPandas(
+        decode, BMP_STATS
+    )
 
 
 def decode_bmp_stats(df: DataFrame) -> DataFrame:

@@ -5975,6 +5975,61 @@ def png_decode_rollup(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 @query(
+    "ppm_pixel_rollup",
+    # Full-raster PPM decode (vs ppm_decode_rollup's header-only path):
+    # conforming P6 files with exact w*h*3 rasters; the oracle replays
+    # the raster-byte sum from the generating formula.
+    oracle="""
+    WITH px AS (
+      SELECT p_partkey,
+             CAST(1 + p_partkey % 6 AS INT) AS w,
+             CAST(1 + p_partkey % 3 AS INT) AS h,
+             CAST(list_sum(list_transform(
+               generate_series(0, (1 + p_partkey % 6) * (1 + p_partkey % 3) * 3 - 1),
+               i -> (11 * p_partkey + i) % 256)) AS BIGINT) AS psum
+      FROM part
+    )
+    SELECT w AS width,
+           count(*) AS n_images,
+           CAST(sum(h) AS BIGINT) AS sum_rows,
+           CAST(sum(psum) AS BIGINT) AS sum_pixels
+    FROM px GROUP BY w
+    """,
+)
+def ppm_pixel_rollup(spark, sf_dir):
+    """Full-raster P6 pipeline: part keys → conforming PPMs → raster
+    decode (header scan + exact w*h*3 read) → RGB-byte-sum rollup."""
+    import pandas as pd  # noqa: F811 — executor-side import
+
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    parts = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        (F.lit(1) + F.col("p_partkey") % 6).cast("int").alias("w"),
+        (F.lit(1) + F.col("p_partkey") % 3).cast("int").alias("h"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def produce(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n = r.w * r.h * 3
+                raster = bytes((11 * r.p_partkey + i) % 256 for i in range(n))
+                header = f"P6\n{r.w} {r.h}\n255\n".encode()
+                rows.append((r.p_partkey, header + raster))
+            yield pd.DataFrame(rows, columns=["p_partkey", "payload"])
+
+    payloads = parts.mapInPandas(produce, "p_partkey long, payload binary")
+    media = mm.media_table(payloads, "p_partkey", "image", "payload")
+    stats = mm.decode_ppm_stats(media)
+    return stats.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("height").cast("long").alias("sum_rows"),
+        F.sum("pixel_sum").cast("long").alias("sum_pixels"),
+    )
+
+
+@query(
     "bmp_decode_rollup",
     oracle="""
     WITH px AS (

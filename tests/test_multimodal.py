@@ -1216,3 +1216,22 @@ def test_bmp_stats_dlq_on_corrupt(spark):
     got = {r.media_id: r for r in mm.decode_bmp_stats(media).collect()}
     assert (got[1].width, got[1].height, got[1].pixel_sum) == (3, 2, 15)
     assert got[2].width is None and got[2].pixel_sum is None
+
+
+def test_ppm_pixel_roundtrip_and_rejects():
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    raster = bytes((i * 29) % 256 for i in range(4 * 2 * 3))
+    payload = b"P6\n# a comment\n4 2\n255\n" + raster
+    w, h, rgb = decode_ppm(payload)
+    assert (w, h) == (4, 2) and bytes(rgb) == raster
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        decode_ppm(payload[:-1])
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n4 2\n65535\n" + raster * 2)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n4 2\n255\n" + raster)
