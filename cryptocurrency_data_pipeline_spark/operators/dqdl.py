@@ -190,6 +190,7 @@ def evaluate(
     df: DataFrame,
     ruleset: str,
     raise_on_failure: bool = False,
+    dataset_failure_fails_rows: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The full DQDL gate from a ruleset STRING:
 
@@ -205,6 +206,14 @@ def evaluate(
     Returns ``(constraint_results, tagged_rows)``; route the tagged rows
     with ``quality.route_rows``.  At most one Uniqueness column is
     supported per ruleset (the single-scan profile carries one key).
+
+    ``dataset_failure_fails_rows=True`` reproduces Glue
+    ``EvaluateDataQuality.process_rows`` granularity (the reference's
+    observed routing, glue/data_quality_dqdl.py:89-106): any FAILED
+    dataset-level rule stamps EVERY row 'Failed', not just the rows the
+    row-level rules reject.  Default False keeps the two layers
+    independent (dataset failures gate the batch via ``verify``/abort,
+    row failures route rows).
     """
     rules = parse_ruleset(ruleset)
     uniq = [r.column for r in rules if r.rule_type == "Uniqueness"]
@@ -223,4 +232,12 @@ def evaluate(
         constraints,
         raise_on_failure=raise_on_failure,
     )
-    return results, row_verdict(df, rules)
+    tagged = row_verdict(df, rules)
+    if dataset_failure_fails_rows:
+        # O(#constraints) driver-side check — the verify frame is tiny.
+        any_failed = any(
+            r.constraint_status == "Failure" for r in results.collect()
+        )
+        if any_failed:
+            tagged = tagged.withColumn("dq_result", F.lit("Failed"))
+    return results, tagged

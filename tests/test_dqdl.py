@@ -127,3 +127,18 @@ def test_column_exists_failure_is_synthesized(spark):
     status = {r.constraint_name: r.constraint_status for r in results.collect()}
     assert status['ColumnExists "market_cap"'] == "Failure"
     assert status["RowCount between 50 and 150"] == "Success"
+
+
+def test_dataset_failure_fails_all_rows_mode(spark):
+    # Glue process_rows granularity (reference observed behavior): a
+    # failed DATASET rule stamps every row Failed in this mode, while
+    # the default keeps the two layers independent.
+    df = _frame(spark, 30)  # RowCount between 50 and 150 fails at 30
+    ruleset = 'Rules = [ RowCount between 50 and 150, ColumnValues "current_price" > 0 ]'
+    _, default_tagged = dqdl.evaluate(df, ruleset)
+    good, bad = quality.route_rows(default_tagged)
+    assert good.count() == 30 and bad.count() == 0  # rows pass row rules
+
+    _, glue_tagged = dqdl.evaluate(df, ruleset, dataset_failure_fails_rows=True)
+    good2, bad2 = quality.route_rows(glue_tagged)
+    assert good2.count() == 0 and bad2.count() == 30
