@@ -10421,6 +10421,103 @@ def containment_shingle_pairs(spark, sf_dir):
     return containment_join(tok, num=4, den=5).select(
         "id_a", "id_b", "inter", "sz_a", "containment"
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-safe two-phase aggregation (operators/skew.py salted_agg): the
+# explicit tool for the groupBy AQE can't fix — one key holding 30% of
+# 100 TB.  Phase 1 groups on (key, salt) spreading the hot key over S
+# tasks with map-side combine intact; phase 2 merges the S partials.
+# Value-IDENTICAL to the plain aggregate for algebraic functions on
+# integers (salting only re-associates), so the oracle is the plain
+# GROUP BY — any partial/merge decomposition bug flips the hash.
+# --------------------------------------------------------------------------
+
+@query(
+    "salted_event_type_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def salted_event_type_stats(spark, sf_dir):
+    """Per-type event stats THROUGH the two-phase salted aggregation
+    (~5 hot keys, the salted_agg worst case) — exact integer results."""
+    from cryptocurrency_data_pipeline_spark.operators.skew import salted_agg
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("cents", "count"),
+            "total_cents": ("cents", "sum"),
+            "min_cents": ("cents", "min"),
+            "max_cents": ("cents", "max"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.col("min_cents").cast("long").alias("min_cents"),
+        F.col("max_cents").cast("long").alias("max_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-safe replicated join (skew.salted_join): big side salted, small
+# side replicated S× so a hot join key lands in S tasks instead of one.
+# Value-identical to the plain equi-join; the rollup's integer totals
+# make the oracle the plain JOIN + GROUP BY.
+# --------------------------------------------------------------------------
+
+@query(
+    "salted_join_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def salted_join_segment_revenue(spark, sf_dir):
+    """Orders⋈customer THROUGH the salt-and-replicate join, rolled up by
+    market segment — exact integer totals."""
+    from cryptocurrency_data_pipeline_spark.operators.skew import salted_join
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(orders, cust, "c_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured payload extraction (F-family: the reference's consumer
 # pulls typed fields out of raw JSON payloads per record,
 # streaming/consumer.py:37-45): events.props is a JSON STRING column;
 # the typed field comes out JVM-side with get_json_object (no UDF, no
