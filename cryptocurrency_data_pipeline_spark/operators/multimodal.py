@@ -467,9 +467,15 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
             idat += data  # IDAT chunks concatenate into ONE zlib stream
     if width is None:
         raise ValueError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # Decompress with an output BOUND: a crafted IDAT can inflate a few
+    # KB to gigabytes (zip bomb) — at corpus scale a poisoned payload
+    # must cost one DLQ row, not an executor OOM.  The +1 detects
+    # streams longer than the declared raster.
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or not (d.eof and not d.unconsumed_tail):
         raise ValueError("decompressed size mismatch")
     out = bytearray(stride * height)
     for y in range(height):

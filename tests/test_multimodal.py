@@ -1235,3 +1235,72 @@ def test_ppm_pixel_roundtrip_and_rejects():
         decode_ppm(b"P6\n4 2\n65535\n" + raster * 2)
     with pytest.raises(ValueError):
         decode_ppm(b"P5\n4 2\n255\n" + raster)
+
+
+def test_png_decode_rejects_decompression_bomb():
+    import zlib
+
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    # Valid IHDR declaring 2x2 grey, but the IDAT inflates to a megabyte:
+    # the decoder must reject via the OUTPUT BOUND, never materialize it.
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    bomb = zlib.compress(b"\x00" * (1 << 20), 9)  # ~1 KB -> 1 MB
+    payload = (
+        mm._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="size mismatch"):
+        mm.decode_png(payload)
+    # And the well-formed case still round-trips after the bound.
+    good = mm.encode_png(2, 2, bytes([1, 2, 3, 4]))
+    assert mm.decode_png(good)[3] == bytearray([1, 2, 3, 4])
+
+
+def test_codec_fuzz_truncations_and_bitflips_never_hang_or_leak():
+    """Every pure decoder must fail FAST and CLEANLY (any exception is a
+    DLQ row; what's forbidden is a hang or a giant allocation) on every
+    truncation and on byte-flipped variants of a valid file."""
+    import random
+
+    from cryptocurrency_data_pipeline_spark.operators import jpeg as j
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    gray = bytes((i * 7) % 256 for i in range(16))
+    samples = [
+        (mm.decode_png, mm.encode_png(4, 4, gray)),
+        (mm.decode_bmp, mm.encode_bmp(4, 4, gray, bits=24)),
+        (mm.decode_bmp, mm.encode_bmp(4, 4, gray, bits=8, top_down=True)),
+        (mm.decode_ppm, b"P6\n4 4\n255\n" + gray * 3),
+        (j.decode_jpeg_gray, j.encode_jpeg_gray(8, 8, bytes(range(64)))),
+        (
+            mm.decode_gif,
+            mm.encode_gif(
+                4, 4, bytes(i % 4 for i in range(16)),
+                [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)],
+            ),
+        ),
+    ]
+    rng = random.Random(99)
+    for decode, payload in samples:
+        decode(payload)  # sanity: the pristine file decodes
+        for cut in range(0, len(payload), max(1, len(payload) // 23)):
+            try:
+                decode(payload[:cut])
+            except Exception:
+                pass  # any exception = DLQ row; hangs would fail the suite
+        for _ in range(40):
+            b = bytearray(payload)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            try:
+                decode(bytes(b))
+            except Exception:
+                pass
