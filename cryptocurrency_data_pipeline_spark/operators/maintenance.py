@@ -133,3 +133,101 @@ def zorder_layout(df: DataFrame, scaled_cols, n_files: int, bits: int = 16) -> D
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot-versioned tables: time travel without a table format.
+#
+# The transactional-lakehouse pattern (Delta/Iceberg snapshot isolation)
+# rendered with plain parquet + a JSON manifest: every write lands in a
+# NEW immutable snapshot directory and the manifest's `current` pointer
+# flips last (atomic os.replace), so concurrent readers of any retained
+# version are never disturbed by writers, failed writes leave no
+# partially-visible state (the orphan directory is invisible until the
+# manifest names it), and retention is an explicit vacuum.  The reference
+# overwrites its S3 layers in place (glue/data_transform_s3.py) — a
+# reader racing the writer sees a half-table; this is the
+# production-parity fix at zero dependency cost.
+# --------------------------------------------------------------------------
+
+import json
+
+
+def _manifest_path(table_path: str) -> str:
+    return os.path.join(table_path, "_versions.json")
+
+
+def _load_manifest(table_path: str) -> dict:
+    try:
+        with open(_manifest_path(table_path)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"current": 0, "snapshots": {}}
+
+
+def write_snapshot(df: DataFrame, table_path: str) -> int:
+    """Write ``df`` as the table's next immutable snapshot and flip the
+    manifest pointer.  Returns the new version number (1-based)."""
+    os.makedirs(table_path, exist_ok=True)
+    man = _load_manifest(table_path)
+    version = man["current"] + 1
+    snap_dir = os.path.join(table_path, "snapshots", f"v{version}")
+    df.write.mode("errorifexists").parquet(snap_dir)
+    n_rows = df.sparkSession.read.parquet(snap_dir).count()
+    man["snapshots"][str(version)] = {"dir": f"snapshots/v{version}", "n_rows": n_rows}
+    man["current"] = version
+    tmp = _manifest_path(table_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, _manifest_path(table_path))  # atomic pointer flip
+    return version
+
+
+def read_snapshot(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
+    """Read the table as-of ``version`` (default: current).  Raises a
+    clear error for unknown or vacuumed versions."""
+    man = _load_manifest(table_path)
+    version = man["current"] if version is None else version
+    snap = man["snapshots"].get(str(version))
+    if snap is None:
+        raise ValueError(
+            f"version {version} not available (retained: "
+            f"{sorted(int(v) for v in man['snapshots'])})"
+        )
+    return spark.read.parquet(os.path.join(table_path, snap["dir"]))
+
+
+def list_snapshots(table_path: str) -> list[dict]:
+    """Retained snapshots, oldest first: [{version, n_rows, current}]."""
+    man = _load_manifest(table_path)
+    return [
+        {
+            "version": int(v),
+            "n_rows": meta["n_rows"],
+            "current": int(v) == man["current"],
+        }
+        for v, meta in sorted(man["snapshots"].items(), key=lambda kv: int(kv[0]))
+    ]
+
+
+def vacuum_snapshots(table_path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots (the current one
+    is always kept).  Manifest updates FIRST, then directories are
+    removed — a crash mid-vacuum leaves unreferenced dirs (harmless,
+    re-vacuumable), never a referenced-but-deleted version."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    man = _load_manifest(table_path)
+    versions = sorted(int(v) for v in man["snapshots"])
+    drop = [v for v in versions[:-keep_last] if v != man["current"]]
+    if not drop:
+        return []
+    for v in drop:
+        del man["snapshots"][str(v)]
+    tmp = _manifest_path(table_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, _manifest_path(table_path))
+    for v in drop:
+        shutil.rmtree(os.path.join(table_path, "snapshots", f"v{v}"), ignore_errors=True)
+    return drop

@@ -10424,6 +10424,63 @@ def containment_shingle_pairs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Snapshot-versioned table time travel (maintenance.write_snapshot /
+# read_snapshot): the transactional-lakehouse pattern with plain parquet
+# + an atomically-flipped JSON manifest — immutable snapshot dirs, so a
+# reader of v1 is never disturbed by the v2 writer (the reference
+# overwrites its S3 layers in place, racing readers against writers).
+# The fixture writes two deterministic snapshots of orders, then reports
+# the per-priority row delta by reading BOTH versions back; the oracle
+# replays the delta from the version predicate directly.
+# --------------------------------------------------------------------------
+
+@query(
+    "table_time_travel_diff",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS v2_rows,
+           CAST(sum(CASE WHEN o_orderkey % 3 != 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS v1_rows,
+           CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS added_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def table_time_travel_diff(spark, sf_dir):
+    """Write v1 (keys % 3 != 0) and v2 (all rows) snapshots, read both
+    versions back, report the per-priority delta."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_versioned_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
+    mt.write_snapshot(orders.filter(F.col("o_orderkey") % 3 != 0), table)
+    mt.write_snapshot(orders, table)
+
+    v1 = mt.read_snapshot(spark, table, 1).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("v1_rows")
+    )
+    v2 = mt.read_snapshot(spark, table, 2).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("v2_rows")
+    )
+    return v2.join(v1, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        "v2_rows",
+        F.coalesce("v1_rows", F.lit(0)).cast("long").alias("v1_rows"),
+        (F.col("v2_rows") - F.coalesce("v1_rows", F.lit(0)))
+        .cast("long")
+        .alias("added_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Skew-safe two-phase aggregation (operators/skew.py salted_agg): the
 # explicit tool for the groupBy AQE can't fix — one key holding 30% of
 # 100 TB.  Phase 1 groups on (key, salt) spreading the hot key over S

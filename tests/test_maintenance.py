@@ -128,3 +128,32 @@ def test_zorder_written_files_have_narrow_multi_dim_envelopes(spark, tmp_path):
         (r.su1 - r.su0 + 1024) * (r.sv1 - r.sv0 + 1024) for r in files
     ]
     assert sum(areas) / len(areas) <= full_area / 2
+
+
+def test_snapshot_versioning_time_travel_and_vacuum(spark, tmp_path):
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "versioned")
+    base = spark.range(10).selectExpr("id", "id * 2 AS v")
+    assert mt.write_snapshot(base, table) == 1
+    assert mt.write_snapshot(base.filter("id < 5"), table) == 2
+    # Hold a reader on v1, then write v3: the held version is untouched.
+    v1 = mt.read_snapshot(spark, table, 1)
+    assert mt.write_snapshot(base.filter("id < 3"), table) == 3
+    assert v1.count() == 10
+    assert mt.read_snapshot(spark, table).count() == 3  # default: current
+    snaps = mt.list_snapshots(table)
+    assert [(s["version"], s["n_rows"], s["current"]) for s in snaps] == [
+        (1, 10, False), (2, 5, False), (3, 3, True),
+    ]
+
+    dropped = mt.vacuum_snapshots(table, keep_last=2)
+    assert dropped == [1]
+    assert mt.read_snapshot(spark, table, 2).count() == 5
+    import pytest
+
+    with pytest.raises(ValueError, match="not available"):
+        mt.read_snapshot(spark, table, 1)
+    # Vacuum never drops the current version even with keep_last=1.
+    assert mt.vacuum_snapshots(table, keep_last=1) == [2]
+    assert mt.read_snapshot(spark, table).count() == 3
