@@ -210,6 +210,136 @@ def list_snapshots(table_path: str) -> list[dict]:
     ]
 
 
+# --------------------------------------------------------------------------
+# File-level stats manifest + data-skipping reads.
+#
+# The other half of the z-order story: `zorder_layout` gives every file a
+# narrow min/max range on the clustered columns; this records those ranges
+# in a manifest (the Delta `add.stats` / Iceberg manifest-entry pattern)
+# and prunes the FILE LIST before Spark ever plans the scan.  Parquet
+# row-group statistics prune *after* the reader has listed, footer-read,
+# and scheduled a task per file — at 100 TB / ~1M files, listing and task
+# scheduling are themselves the bottleneck, so a selective predicate wants
+# driver-side pruning to O(matching files).  Stats are one aggregation
+# pass (min/max/valuecount per column, grouped by input file); the
+# manifest is O(files × cols), driver-sized by construction.
+# --------------------------------------------------------------------------
+
+def _stats_manifest_path(path: str) -> str:
+    return os.path.join(path, "_file_stats.json")
+
+
+def write_stats_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -> int:
+    """Index ``path``'s parquet files: per-file min/max/non-null count for
+    each of ``stat_cols``, persisted to ``_file_stats.json``.  One
+    distributed aggregation over the table (map-side combine; the shuffle
+    key is the file name, cardinality = file count); the collect is the
+    manifest itself, never data.  Returns the number of files indexed."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in stat_cols:
+        aggs += [
+            F.min(c).alias(f"min__{c}"),
+            F.max(c).alias(f"max__{c}"),
+            F.count(c).alias(f"nnn__{c}"),
+        ]
+    rows = (
+        df.groupBy(F.input_file_name().alias("__file"))
+        .agg(*aggs)
+        .collect()
+    )
+    files = {}
+    for r in rows:
+        d = r.asDict()
+        fname = d.pop("__file")
+        files[fname] = {
+            c: {
+                "min": _json_safe(d[f"min__{c}"]),
+                "max": _json_safe(d[f"max__{c}"]),
+                "n_nonnull": d[f"nnn__{c}"],
+            }
+            for c in stat_cols
+        }
+    tmp = _stats_manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"columns": stat_cols, "files": files}, f)
+    os.replace(tmp, _stats_manifest_path(path))
+    return len(files)
+
+
+def _json_safe(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return v
+
+
+def read_with_skipping(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple],
+) -> tuple[DataFrame, dict]:
+    """Range-predicate scan that prunes the file list through the stats
+    manifest before planning.
+
+    ``ranges`` maps column → ``(lo, hi)`` (either bound may be None for
+    half-open).  A file is read iff every predicate's ``[lo, hi]``
+    intersects the file's recorded ``[min, max]``; all-null files cannot
+    satisfy a range predicate and are skipped.  The residual predicate is
+    still applied to the surviving rows (skipping is file-granular, the
+    filter is exact).  Returns ``(df, report)`` where report counts
+    ``files_total / files_read / files_skipped`` — the scan's actual task
+    count shrinks with ``files_read``, which is the point at 1M files.
+    """
+    from pyspark.sql import functions as F
+
+    with open(_stats_manifest_path(path)) as f:
+        man = json.load(f)
+    missing = [c for c in ranges if c not in man["columns"]]
+    if missing:
+        raise ValueError(f"no stats recorded for columns: {missing}")
+
+    keep = []
+    for fname, stats in man["files"].items():
+        ok = True
+        for c, (lo, hi) in ranges.items():
+            s = stats[c]
+            if s["n_nonnull"] == 0:
+                ok = False
+                break
+            if lo is not None and s["max"] is not None and s["max"] < lo:
+                ok = False
+                break
+            if hi is not None and s["min"] is not None and s["min"] > hi:
+                ok = False
+                break
+        if ok:
+            keep.append(fname)
+
+    report = {
+        "files_total": len(man["files"]),
+        "files_read": len(keep),
+        "files_skipped": len(man["files"]) - len(keep),
+    }
+    base_schema = spark.read.parquet(path).schema
+    if not keep:
+        df = spark.createDataFrame([], base_schema)
+    else:
+        df = spark.read.schema(base_schema).parquet(*keep)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.where(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(c) <= F.lit(hi))
+    return df, report
+
+
 def vacuum_snapshots(table_path: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (the current one
     is always kept).  Manifest updates FIRST, then directories are

@@ -10712,6 +10712,62 @@ def schema_drift_report(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# File-stats data skipping (maintenance.write_stats_manifest /
+# read_with_skipping): the Delta/Iceberg `add.stats` pattern — per-file
+# min/max recorded in a manifest, file list pruned driver-side BEFORE the
+# scan is planned, residual predicate still applied so the result is
+# exact.  At 100 TB the win is skipping the listing/footer/task cost of
+# non-matching files, not just their row groups.  Value-identical to the
+# plain filtered aggregate, so the oracle is the plain SQL (the pruning
+# itself — files_read < files_total — is pinned in
+# tests/test_maintenance.py).
+# --------------------------------------------------------------------------
+
+@query(
+    "stats_pruned_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+    GROUP BY 1
+    """,
+)
+def stats_pruned_scan(spark, sf_dir):
+    """Range-cluster orders on o_totalprice, index per-file min/max, then
+    answer a selective range query reading only the files whose stats
+    envelope intersects the predicate."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_statskip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic layout per run
+    orders.repartitionByRange(8, "o_totalprice").sortWithinPartitions(
+        "o_totalprice"
+    ).write.parquet(table)
+    mt.write_stats_manifest(spark, table, ["o_totalprice"])
+
+    pruned, _report = mt.read_with_skipping(
+        spark, table, {"o_totalprice": (50000.0, 150000.0)}
+    )
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering: least-externally-verified first.
 #
 # The external correctness gate hashes the first 50 ``queries()`` entries

@@ -180,23 +180,83 @@ def process_micro_batch(batch: DataFrame, epoch_id: int, sinks: StreamSinks) -> 
         batch.unpersist()
 
 
+def process_micro_batch_exactly_once(
+    batch: DataFrame, epoch_id: int, sinks: StreamSinks
+) -> None:
+    """Replay-idempotent foreachBatch body.
+
+    foreachBatch is at-least-once: after a crash between a sink write and
+    the checkpoint commit, Structured Streaming REPLAYS the epoch, and the
+    append-mode body (``process_micro_batch``) lands the rows twice.  Here
+    every sink is partitioned by the (replay-stable) ``epoch_id`` and
+    written with dynamic partition overwrite, so a replay replaces its own
+    epoch partition instead of appending next to it — the output converges
+    to exactly-once without a transactional sink.  Cost: one extra
+    low-cardinality partition column; readers still scan the sink root.
+    """
+    spark = batch.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch = batch.withColumn("epoch", F.lit(epoch_id).cast("long"))
+    batch.persist()
+    try:
+        good, bad, alert, corrupt = split_micro_batch(batch)
+        (
+            good.drop("raw_data")
+            .withColumn("dt", F.to_date("event_time"))
+            .write.mode("overwrite")
+            .partitionBy("epoch", "dt")
+            .parquet(sinks.good)
+        )
+        (
+            bad.select(
+                "raw_data",
+                "error_reason",
+                "epoch",
+                F.date_format("event_time", "yyyy-MM-dd").alias("dt"),
+                F.date_format("event_time", "HH").alias("hour"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("epoch", "dt", "hour")
+            .json(sinks.bad)
+        )
+        (
+            alert.drop("raw_data")
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .json(sinks.alert)
+        )
+        (
+            corrupt.withColumn("epoch", F.lit(epoch_id).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .json(sinks.corrupt)
+        )
+    finally:
+        batch.unpersist()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def run_validation_pipeline(
     spark: SparkSession,
     source_dir: str,
     sinks: StreamSinks,
     available_now: bool = True,
+    exactly_once: bool = False,
 ):
     """Wire source → foreachBatch router with checkpointing (T11).
 
     ``available_now=True`` drains everything currently in the source then
     stops — the micro-batch analog of the reference's one-Lambda-invocation
-    processing model, and what the tests use.
+    processing model, and what the tests use.  ``exactly_once=True`` swaps
+    in the replay-idempotent epoch-partitioned batch body.
     """
+    body = process_micro_batch_exactly_once if exactly_once else process_micro_batch
     stream = read_tick_stream(spark, source_dir)
     writer = (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", os.path.join(sinks.checkpoint, "router"))
-        .foreachBatch(lambda b, e: process_micro_batch(b, e, sinks))
+        .foreachBatch(lambda b, e: body(b, e, sinks))
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

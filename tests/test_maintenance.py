@@ -130,6 +130,54 @@ def test_zorder_written_files_have_narrow_multi_dim_envelopes(spark, tmp_path):
     assert sum(areas) / len(areas) <= full_area / 2
 
 
+def test_stats_manifest_prunes_files_and_result_is_exact(spark, tmp_path):
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_clustered")
+    # Range-cluster on the stat column so per-file envelopes are narrow.
+    src.repartitionByRange(8, "o_totalprice").sortWithinPartitions(
+        "o_totalprice"
+    ).write.parquet(path)
+
+    n_indexed = mt.write_stats_manifest(spark, path, ["o_totalprice"])
+    assert n_indexed == len(glob.glob(f"{path}/part-*.parquet")) == 8
+
+    lo, hi = 1000.0, 20000.0
+    df, report = mt.read_with_skipping(spark, path, {"o_totalprice": (lo, hi)})
+    assert report["files_total"] == 8
+    assert report["files_skipped"] >= 4  # selective range on clustered layout
+    assert report["files_read"] + report["files_skipped"] == 8
+    # The scan really plans only the surviving files.
+    assert len(df.inputFiles()) == report["files_read"]
+    # Exactness: identical to the unpruned filtered scan.
+    want = src.where(
+        (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi)
+    ).count()
+    assert df.count() == want
+
+
+def test_stats_skipping_half_open_empty_and_unindexed(spark, tmp_path):
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    df.repartitionByRange(4, "v").write.parquet(path)
+    mt.write_stats_manifest(spark, path, ["v"])
+
+    # Half-open: only a lower bound.
+    got, rep = mt.read_with_skipping(spark, path, {"v": (90.0, None)})
+    assert got.count() == 10 and rep["files_skipped"] >= 2
+    # Predicate outside the domain: every file pruned, empty frame, schema kept.
+    got, rep = mt.read_with_skipping(spark, path, {"v": (1e9, None)})
+    assert rep["files_read"] == 0 and got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "v"]
+    with pytest.raises(ValueError, match="no stats recorded"):
+        mt.read_with_skipping(spark, path, {"id": (0, 1)})
+
+
 def test_snapshot_versioning_time_travel_and_vacuum(spark, tmp_path):
     from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
 

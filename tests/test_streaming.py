@@ -249,3 +249,33 @@ def test_dedup_within_watermark_catches_retransmits(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select seq_no, count(*) n from ddww group by seq_no").collect()
     assert {r.seq_no: r.n for r in rows} == {1: 1, 2: 1}
+
+
+def test_exactly_once_epoch_replay_is_idempotent(spark, tmp_path):
+    """Crash-and-replay of an epoch converges instead of duplicating:
+    the epoch-partitioned dynamic-overwrite body replaces its own output."""
+    src = str(tmp_path / "src")
+    producer.write_batch(src, producer.make_batch(8), corrupt_lines=1)
+    sinks = _sinks(tmp_path)
+    q = pipeline.run_validation_pipeline(spark, src, sinks, exactly_once=True)
+    q.awaitTermination(120)
+
+    good = spark.read.parquet(sinks.good)
+    assert good.count() == 9 and "epoch" in good.columns
+    assert spark.read.json(sinks.bad).count() == 2
+    assert spark.read.json(sinks.alert).count() == 1
+    assert spark.read.json(sinks.corrupt).count() == 1
+
+    # Simulate Structured Streaming replaying the SAME epoch after a crash
+    # between sink write and checkpoint commit: re-run the batch body with
+    # the identical epoch id.  Counts must not change.
+    epoch = good.select("epoch").distinct().collect()[0][0]
+    batch = pipeline.decode_tick_payload(spark.read.text(src))
+    pipeline.process_micro_batch_exactly_once(batch, epoch, sinks)
+    pipeline.process_micro_batch_exactly_once(batch, epoch, sinks)
+    assert spark.read.parquet(sinks.good).count() == 9
+    assert spark.read.json(sinks.bad).count() == 2
+    assert spark.read.json(sinks.alert).count() == 1
+    assert spark.read.json(sinks.corrupt).count() == 1
+    # The append-mode body under the same replay WOULD duplicate — that is
+    # the at-least-once contract this variant exists to tighten.
