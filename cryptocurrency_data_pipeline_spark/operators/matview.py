@@ -1,0 +1,100 @@
+"""Incremental materialized rollups with mergeable partial state.
+
+The 100 TB pattern the reference's gold layer gestures at
+(glue/data_aggregate_gold.py recomputes its daily aggregates from the
+full Silver scan every run): keep ONE partial-aggregate row per
+(partition, key) whose state is algebraic — count, integer-cent sum,
+min, max, and an Apache DataSketches HLL sketch for distinct keys
+(``hll_sketch_agg``, Spark 3.5+).  Partials merge associatively
+(``sum``/``min``/``max``/``hll_union_agg``), so:
+
+- a NEW day of data touches exactly one partition of the partials table
+  (dynamic partition overwrite — no full recompute, no read of other
+  days), and
+- ANY date-range query is answered by merging the range's partial rows
+  — O(days × keys) input instead of a raw rescan, with the distinct
+  count still correct across partition boundaries because HLL register
+  state is max-mergeable (a plain per-day ``approx_count_distinct``
+  column would double-count returning users).
+
+The merge of per-day sketches is bit-equivalent to a single-pass sketch
+over the union of the days (same lgConfigK ⇒ same registers), pinned in
+tests/test_matview.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTIAL_COLS = ["n_rows", "sum_cents", "min_value", "max_value", "distinct_sketch"]
+
+
+def build_partials(
+    df: DataFrame,
+    part_col: str,
+    keys: list[str],
+    value_col: str,
+    distinct_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """One partial-aggregate row per (``part_col``, ``keys``): algebraic
+    state only, so partials re-aggregate without loss.  Money is
+    quantized to integer cents at the leaf (floor(x*100)) — double sums
+    are order-sensitive and would make increment-vs-full comparisons
+    flaky."""
+    return df.groupBy(part_col, *keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col(value_col) * 100).cast("long")).alias("sum_cents"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("distinct_sketch"),
+    )
+
+
+def merge_partials(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold partial rows (any subset of partitions — a date range, the
+    whole table) down to final aggregates per ``keys``.  Input size is
+    the partials table, never the raw data."""
+    return partials.groupBy(*keys).agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("sum_cents").cast("long").alias("sum_cents"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        F.hll_sketch_estimate(F.hll_union_agg("distinct_sketch"))
+        .alias("approx_distinct"),
+    )
+
+
+def write_partials(partials: DataFrame, path: str, part_col: str) -> None:
+    """Materialize the partials table partitioned by ``part_col``."""
+    (
+        partials.write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(path)
+    )
+
+
+def refresh_partition(
+    spark: SparkSession,
+    path: str,
+    new_rows: DataFrame,
+    part_col: str,
+    keys: list[str],
+    value_col: str,
+    distinct_col: str,
+    lg_k: int = 14,
+) -> int:
+    """Incremental maintenance: rebuild ONLY the partitions present in
+    ``new_rows`` (late or newly-arrived days) via dynamic partition
+    overwrite.  Every untouched partition's files stay in place; the
+    refresh reads the new rows, never the existing table.  Returns the
+    number of partitions rewritten."""
+    fresh = build_partials(new_rows, part_col, keys, value_col, distinct_col, lg_k)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fresh.write.mode("overwrite").partitionBy(part_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return fresh.select(part_col).distinct().count()

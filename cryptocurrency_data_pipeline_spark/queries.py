@@ -10768,6 +10768,86 @@ def stats_pruned_scan(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Incremental materialized rollup with mergeable partial state
+# (operators/matview.py): per-day algebraic partials (count / integer-cent
+# sum / min / max / HLL sketch), the newest day refreshed INCREMENTALLY
+# via dynamic partition overwrite, then any-range answers from merging
+# partial rows — never a raw rescan.  The reference's gold layer
+# recomputes from the full Silver scan every run
+# (glue/data_aggregate_gold.py:50); this is the O(days × keys) version.
+# Exact measures are oracle-checked directly; the sketch path is checked
+# as an invariant (merged per-day sketches within 2% of the exact
+# distinct — and bit-equal to a single-pass sketch, pinned in
+# tests/test_matview.py).
+# --------------------------------------------------------------------------
+
+@query(
+    "mergeable_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS sketch_within_2pct
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def mergeable_sketch_rollup(spark, sf_dir):
+    """Materialize per-day partials for events (all days but the last),
+    refresh the last day incrementally, then answer the all-time rollup
+    by merging partials; distinct users via unioned HLL sketches."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import matview as mv
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn("day", F.to_date("ts"))
+    )
+    last_day = ev.agg(F.max("day")).collect()[0][0]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_matview_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)  # deterministic build per run
+    mv.write_partials(
+        mv.build_partials(
+            ev.where(F.col("day") < F.lit(last_day)),
+            "day", ["event_type"], "value", "user_id",
+        ),
+        path, "day",
+    )
+    mv.refresh_partition(
+        spark, path,
+        ev.where(F.col("day") == F.lit(last_day)),
+        "day", ["event_type"], "value", "user_id",
+    )
+
+    merged = mv.merge_partials(spark.read.parquet(path), ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_rows",
+        "sum_cents",
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.02 * F.col("exact_distinct") + 1
+        ).alias("sketch_within_2pct"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering: least-externally-verified first.
 #
 # The external correctness gate hashes the first 50 ``queries()`` entries
