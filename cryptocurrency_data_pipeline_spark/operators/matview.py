@@ -75,6 +75,85 @@ def write_partials(partials: DataFrame, path: str, part_col: str) -> None:
     )
 
 
+def write_epoch_partials(
+    batch: DataFrame,
+    epoch_id: int,
+    path: str,
+    keys: list[str],
+    value_col: str,
+    distinct_col: str,
+    lg_k: int = 14,
+) -> None:
+    """Streaming incremental view maintenance: a ``foreachBatch`` body
+    that reduces each micro-batch to partial-aggregate rows and lands
+    them under an ``epoch=<id>`` partition with dynamic overwrite.
+
+    Because partials re-aggregate associatively, the reader
+    (:func:`read_merged_partials`) folds ALL epochs' rows with
+    ``merge_partials`` — per-key distinct counts stay exact-to-the-sketch
+    across micro-batch boundaries via HLL union, which a per-batch
+    ``approx_count_distinct`` column could never give.  The epoch
+    partition also makes crash-replay idempotent (same contract as
+    ``streaming.pipeline.process_micro_batch_exactly_once``): a replayed
+    batch overwrites its own epoch, never appends beside it.  State per
+    epoch is O(keys), so the view grows with time × key-cardinality, not
+    with data; fold epochs down with :func:`compact_partials` when the
+    epoch count itself gets large."""
+    partial = build_partials(
+        batch.withColumn("__epoch", F.lit(epoch_id).cast("long")),
+        "__epoch", keys, value_col, distinct_col, lg_k,
+    ).withColumnRenamed("__epoch", "epoch")
+    spark = batch.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        partial.write.mode("overwrite").partitionBy("epoch").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_merged_partials(spark: SparkSession, path: str, keys: list[str]) -> DataFrame:
+    """Final aggregates from a streaming partials view: fold every
+    epoch's partial rows.  Input is the partials table (epochs × keys
+    rows), never the raw stream."""
+    return merge_partials(spark.read.parquet(path).drop("epoch"), keys)
+
+
+def compact_partials(
+    spark: SparkSession, path: str, keys: list[str], lg_k: int = 14
+) -> int:
+    """Fold all epoch partitions into a single epoch-0 partial row per
+    key (sketches union losslessly), bounding reader input when the
+    epoch count grows.  Uses the snapshot-style rewrite: land in a temp
+    dir, swap.  Returns the row count after compaction."""
+    import shutil
+    import uuid
+
+    folded = (
+        spark.read.parquet(path)
+        .drop("epoch")
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
+        )
+        .withColumn("epoch", F.lit(0).cast("long"))
+    )
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    folded.write.partitionBy("epoch").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    import os
+
+    aside = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, aside)
+    os.rename(tmp, path)
+    shutil.rmtree(aside)
+    return n
+
+
 def refresh_partition(
     spark: SparkSession,
     path: str,

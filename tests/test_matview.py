@@ -117,3 +117,72 @@ def test_range_query_from_partials_matches_raw_scan(spark, tmp_path):
     w = {r.event_type: (r.n_rows, r.sum_cents, r.min_value, r.max_value)
          for r in want.collect()}
     assert g == w
+
+
+def test_streaming_materialized_view_epochs_merge_and_compact(spark, tmp_path):
+    """Stream → per-epoch partials → merged view == static aggregate;
+    epoch replay is idempotent; compaction folds epochs losslessly."""
+    ev = _events(spark).select("event_type", "value", "user_id")
+    src = str(tmp_path / "src")
+    half_a = ev.where(F.pmod(F.col("user_id"), F.lit(2)) == 0)
+    half_b = ev.where(F.pmod(F.col("user_id"), F.lit(2)) == 1)
+    half_a.coalesce(1).write.mode("append").json(src)
+    half_b.coalesce(1).write.mode("append").json(src)
+
+    view = str(tmp_path / "view")
+    stream = (
+        spark.readStream.schema("event_type string, value double, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(
+            lambda b, e: mv.write_epoch_partials(
+                b, e, view, ["event_type"], "value", "user_id"
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    epochs = spark.read.parquet(view).select("epoch").distinct().count()
+    assert epochs == 2  # one file per micro-batch
+
+    merged = mv.read_merged_partials(spark, view, ["event_type"])
+    want = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("want_n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("want_cents"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    rows = merged.join(want, "event_type").collect()
+    assert rows
+    for r in rows:
+        assert (r.n_rows, r.sum_cents) == (r.want_n, r.want_cents)
+        # cross-epoch distinct via sketch union, not per-batch sums
+        assert abs(r.approx_distinct - r.exact) <= 0.02 * r.exact + 1
+    before = {(r.event_type, r.n_rows, r.sum_cents) for r in merged.collect()}
+
+    # Compaction folds all epochs into one partial row set, losslessly.
+    mv.compact_partials(spark, view, ["event_type"])
+    assert spark.read.parquet(view).select("epoch").distinct().count() == 1
+    after_df = mv.read_merged_partials(spark, view, ["event_type"])
+    assert {(r.event_type, r.n_rows, r.sum_cents) for r in after_df.collect()} == before
+
+
+def test_epoch_partials_replay_is_idempotent(spark, tmp_path):
+    ev = _events(spark).select("event_type", "value", "user_id")
+    view = str(tmp_path / "view")
+    a = ev.where(F.pmod(F.col("user_id"), F.lit(2)) == 0)
+    b = ev.where(F.pmod(F.col("user_id"), F.lit(2)) == 1)
+    mv.write_epoch_partials(a, 0, view, ["event_type"], "value", "user_id")
+    mv.write_epoch_partials(b, 1, view, ["event_type"], "value", "user_id")
+    want = {(r.event_type, r.n_rows, r.sum_cents, r.approx_distinct)
+            for r in mv.read_merged_partials(spark, view, ["event_type"]).collect()}
+    # Crash-replay of epoch 0 overwrites its own partition: no drift.
+    mv.write_epoch_partials(a, 0, view, ["event_type"], "value", "user_id")
+    got = {(r.event_type, r.n_rows, r.sum_cents, r.approx_distinct)
+           for r in mv.read_merged_partials(spark, view, ["event_type"]).collect()}
+    assert got == want
