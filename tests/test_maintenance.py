@@ -205,3 +205,36 @@ def test_snapshot_versioning_time_travel_and_vacuum(spark, tmp_path):
     # Vacuum never drops the current version even with keep_last=1.
     assert mt.vacuum_snapshots(table, keep_last=1) == [2]
     assert mt.read_snapshot(spark, table).count() == 3
+
+
+def test_zorder_layout_plus_multicolumn_stats_skipping(spark, tmp_path):
+    """The two halves together: a z-ordered write gives every file a
+    narrow envelope in BOTH dimensions, so a conjunctive 2-D range
+    predicate prunes most files through the stats manifest — a
+    single-column sort can only prune on its own column."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    # 64x64 grid scaled to the 16-bit domain, 16 files.
+    df = spark.range(4096).select(
+        ((F.col("id") % 64) * 1024).alias("su"),
+        ((F.col("id") / 64).cast("long") * 1024).alias("sv"),
+    )
+    zpath = str(tmp_path / "z")
+    mt.zorder_layout(df, ["su", "sv"], n_files=16).drop("__z").write.parquet(zpath)
+    mt.write_stats_manifest(spark, zpath, ["su", "sv"])
+
+    box = {"su": (0, 15 * 1024), "sv": (0, 15 * 1024)}  # 1/16 of the grid
+    got, rep = mt.read_with_skipping(spark, zpath, box)
+    assert got.count() == 16 * 16
+    assert rep["files_total"] == 16
+    # Z-order: the corner box intersects only a few z-runs.
+    assert rep["files_skipped"] >= 12
+
+    # Single-column sort baseline: same box prunes on su, but every
+    # surviving file spans the FULL sv domain — strictly fewer skips.
+    spath = str(tmp_path / "s")
+    df.repartitionByRange(16, "su").sortWithinPartitions("su").write.parquet(spath)
+    mt.write_stats_manifest(spark, spath, ["su", "sv"])
+    got_s, rep_s = mt.read_with_skipping(spark, spath, box)
+    assert got_s.count() == 16 * 16
+    assert rep_s["files_skipped"] < rep["files_skipped"]
