@@ -653,3 +653,37 @@ def test_ntile_from_rank_property(spark, n, k):
     want = {r.i: r.t for r in df.select(
         "i", F.ntile(k).over(Window.orderBy("i")).alias("t")).collect()}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),                        # key
+            st.floats(min_value=-50, max_value=50, allow_nan=False),  # value
+            st.integers(min_value=0, max_value=9),              # distinct id
+            st.integers(min_value=0, max_value=3),              # batch split
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_matview_partials_merge_is_split_invariant(spark, data):
+    """Any partition of the rows into batches merges to the same final
+    aggregate as the single-pass build: count/cent-sum/min/max exactly,
+    HLL distinct estimate bit-identically (register max-merge)."""
+    from cryptocurrency_data_pipeline_spark.operators import matview as mv
+
+    df = spark.createDataFrame(data, "k string, v double, u long, b long")
+    split = mv.merge_partials(
+        mv.build_partials(df, "b", ["k"], "v", "u"), ["k"]
+    )
+    single = mv.merge_partials(
+        mv.build_partials(df.withColumn("b", df.b * 0), "b", ["k"], "v", "u"),
+        ["k"],
+    )
+    as_map = lambda rows: {
+        r.k: (r.n_rows, r.sum_cents, r.min_value, r.max_value, r.approx_distinct)
+        for r in rows
+    }
+    assert as_map(split.collect()) == as_map(single.collect())
