@@ -228,9 +228,13 @@ def pagerank(
     full node set. N enters as a 1-row broadcast, never a collect.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # No persist: nothing materializes inside this function (the caller
+    # triggers the one action), so a persist here would never be
+    # populated before its release; the symmetrized edge subtree is
+    # instead deduplicated at runtime by Spark's ReusedExchange.
     e = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().persist()
+    ).distinct()
 
     nodes = e.select(F.col("a").alias("node")).distinct()
     n_count = nodes.agg(F.count(F.lit(1)).alias("n"))
@@ -258,7 +262,6 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-    e.unpersist()
     return ranks
 
 
