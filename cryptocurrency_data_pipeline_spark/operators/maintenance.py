@@ -304,6 +304,17 @@ def read_with_skipping(
     missing = [c for c in ranges if c not in man["columns"]]
     if missing:
         raise ValueError(f"no stats recorded for columns: {missing}")
+    # Hive-partitioned layouts are refused: a by-file read would re-read
+    # the files WITHOUT their dir-derived partition columns (an explicit
+    # schema null-fills them — silently wrong results, not an error).
+    # Index and skip at the leaf-directory level for partitioned tables.
+    root = path.rstrip("/")
+    rel = lambda f: f[f.find(root) + len(root):] if root in f else f
+    if any("=" in rel(f) for f in man["files"]):
+        raise ValueError(
+            "stats skipping over a Hive-partitioned table is not supported; "
+            "point it at a leaf (unpartitioned) directory"
+        )
 
     keep = []
     for fname, stats in man["files"].items():

@@ -238,3 +238,20 @@ def test_zorder_layout_plus_multicolumn_stats_skipping(spark, tmp_path):
     got_s, rep_s = mt.read_with_skipping(spark, spath, box)
     assert got_s.count() == 16 * 16
     assert rep_s["files_skipped"] < rep["files_skipped"]
+
+
+def test_stats_skipping_refuses_partitioned_tables(spark, tmp_path):
+    """A by-file read would null-fill dir-derived partition columns —
+    refuse loudly instead of returning silently wrong rows."""
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    path = str(tmp_path / "pt")
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v", "CAST(id % 4 AS INT) AS p"
+    )
+    df.write.partitionBy("p").parquet(path)
+    mt.write_stats_manifest(spark, path, ["v"])
+    with pytest.raises(ValueError, match="partitioned"):
+        mt.read_with_skipping(spark, path, {"v": (10.0, 20.0)})
