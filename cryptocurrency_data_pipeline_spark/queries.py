@@ -10848,6 +10848,89 @@ def mergeable_sketch_rollup(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Consistent resharding (sources/shards.rendezvous_shard): growing the
+# shard count under md5-mod placement remaps ~n/(n+1) of all ids — a
+# full-corpus rewrite at 100 TB — while rendezvous (highest-random-
+# weight) hashing moves only the ids whose new shard's hash wins,
+# ~1/(n+1).  The query measures both movement fractions for 16 → 17
+# shards over the documents corpus; the oracle replays the identical
+# md5 formulas (mod via hex-prefix cast, argmax via max_by on the hex
+# digest — both sides compare lowercase hex lexically).
+# --------------------------------------------------------------------------
+
+@query(
+    "consistent_reshard_stability",
+    oracle="""
+    WITH g AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents),
+    modshards AS (
+      SELECT CAST(('0x' || substr(md5(id), 1, 8)) AS BIGINT) % 16 AS s16,
+             CAST(('0x' || substr(md5(id), 1, 8)) AS BIGINT) % 17 AS s17
+      FROM g
+    ),
+    rv16 AS (
+      SELECT id, max_by(s, md5(id || ':' || CAST(s AS VARCHAR))) AS s16
+      FROM g, range(16) t(s) GROUP BY id
+    ),
+    rv17 AS (
+      SELECT id, max_by(s, md5(id || ':' || CAST(s AS VARCHAR))) AS s17
+      FROM g, range(17) t(s) GROUP BY id
+    ),
+    n AS (SELECT count(*) AS n_docs FROM g)
+    SELECT strategy, n_docs, n_moved,
+           round(n_moved * 1.0 / n_docs, 4) AS moved_frac
+    FROM (
+      SELECT 'mod' AS strategy, (SELECT n_docs FROM n) AS n_docs,
+             count(*) FILTER (WHERE s16 != s17) AS n_moved
+      FROM modshards
+      UNION ALL
+      SELECT 'rendezvous', (SELECT n_docs FROM n),
+             count(*) FILTER (WHERE rv16.s16 != rv17.s17)
+      FROM rv16 JOIN rv17 USING (id)
+    )
+    ORDER BY strategy
+    """,
+)
+def consistent_reshard_stability(spark, sf_dir):
+    """Fraction of the corpus that changes shard going 16 → 17 shards:
+    md5-mod placement vs rendezvous hashing, one map-only pass."""
+    from cryptocurrency_data_pipeline_spark.sources.shards import (
+        rendezvous_shard,
+        shard_assignment,
+    )
+
+    flags = t(spark, sf_dir, "documents").select(
+        (shard_assignment("doc_id", 16) != shard_assignment("doc_id", 17))
+        .cast("long")
+        .alias("mod_moved"),
+        (rendezvous_shard("doc_id", 16) != rendezvous_shard("doc_id", 17))
+        .cast("long")
+        .alias("rv_moved"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("mod_moved").alias("mod_moved"),
+        F.sum("rv_moved").alias("rv_moved"),
+    )
+    out = agg.select(
+        F.lit("mod").alias("strategy"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("mod_moved").cast("long").alias("n_moved"),
+    ).unionByName(
+        agg.select(
+            F.lit("rendezvous").alias("strategy"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("rv_moved").cast("long").alias("n_moved"),
+        )
+    )
+    return out.select(
+        "strategy",
+        "n_docs",
+        "n_moved",
+        F.round(F.col("n_moved") / F.col("n_docs"), 4).alias("moved_frac"),
+    ).orderBy("strategy")
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering: least-externally-verified first.
 #
 # The external correctness gate hashes the first 50 ``queries()`` entries

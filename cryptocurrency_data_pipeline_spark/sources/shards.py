@@ -42,6 +42,33 @@ def shard_assignment(id_col: str, n_shards: int):
     return F.pmod(h.cast("long"), F.lit(n_shards))
 
 
+def rendezvous_shard(id_col: str, n_shards: int):
+    """Consistent shard id via highest-random-weight (rendezvous)
+    hashing: argmax over shards ``s`` of ``md5(id || ':' || s)``.
+
+    Why it exists next to :func:`shard_assignment`: with mod placement,
+    growing n → n+1 shards remaps ~n/(n+1) of all ids — at 100 TB a
+    reshard is a full-corpus rewrite.  Rendezvous moves exactly the ids
+    whose NEW shard's hash wins, ~1/(n+1) of the corpus, and every mover
+    lands on the new shard — resharding becomes an incremental copy.
+    Pure JVM expression (array of (hash, shard) structs + ``array_max``
+    comparing lexically on the hex digest), O(n_shards) per row, no UDF;
+    reproducible in ANSI SQL as ``max_by(s, md5(id || ':' || s))``.
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat(F.col(id_col).cast("string"), F.lit(f":{s}"))
+                ).alias("h"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return F.array_max(pairs)["s"]
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -91,3 +91,35 @@ def test_in_file_row_order_is_sorted(spark, tmp_path):
     one = glob.glob(f"{path}/split=*/shard=*/part-*.parquet")[0]
     ids = [r.doc_id for r in spark.read.parquet(one).select("doc_id").collect()]
     assert ids == sorted(ids)
+
+
+def test_rendezvous_reshard_moves_few_mod_moves_most(spark):
+    import pyspark.sql.functions as F
+
+    from cryptocurrency_data_pipeline_spark.sources.shards import (
+        rendezvous_shard,
+        shard_assignment,
+    )
+
+    df = spark.range(4000).select(F.col("id").alias("doc_id"))
+    r = df.select(
+        (rendezvous_shard("doc_id", 16) != rendezvous_shard("doc_id", 17))
+        .cast("int").alias("rv"),
+        (shard_assignment("doc_id", 16) != shard_assignment("doc_id", 17))
+        .cast("int").alias("md"),
+        rendezvous_shard("doc_id", 17).alias("s17"),
+    )
+    agg = r.agg(F.avg("rv"), F.avg("md")).collect()[0]
+    rv_frac, mod_frac = agg[0], agg[1]
+    # Rendezvous: ~1/17 ≈ 0.059 of ids move; mod: ~16/17 ≈ 0.94.
+    assert rv_frac < 0.12, rv_frac
+    assert mod_frac > 0.75, mod_frac
+    # Every mover lands on the NEW shard (the defining rendezvous property).
+    movers = df.select(
+        rendezvous_shard("doc_id", 16).alias("a"),
+        rendezvous_shard("doc_id", 17).alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    assert movers.where(F.col("b") != 16).count() == 0
+    # All 17 shards populated, roughly balanced (within 3x of uniform).
+    sizes = [x[1] for x in r.groupBy("s17").count().collect()]
+    assert len(sizes) == 17 and max(sizes) < 3 * (4000 / 17)
