@@ -10931,6 +10931,76 @@ def consistent_reshard_stability(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Pseudonymized join integrity (operators/privacy.pseudonymize): keyed
+# deterministic tokenization — sha2(key:value) — replaces identifiers
+# while preserving join/group topology, so two tables tokenized with the
+# same key still join exactly as their raw keys would.  The query joins
+# customer→orders BOTH ways (raw custkey, tokenized custkey) and proves
+# per-segment order counts identical; the oracle replays the sha256
+# formula verbatim (lowercase hex on both engines).
+# --------------------------------------------------------------------------
+
+@query(
+    "pseudonymized_join_integrity",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             sha256('k1:' || CAST(c_custkey AS VARCHAR)) AS tok
+      FROM customer
+    ),
+    o AS (
+      SELECT o_custkey,
+             sha256('k1:' || CAST(o_custkey AS VARCHAR)) AS tok
+      FROM orders
+    ),
+    raw_j AS (
+      SELECT c_mktsegment, count(*) AS n_orders_raw
+      FROM c JOIN o ON c.c_custkey = o.o_custkey GROUP BY 1
+    ),
+    tok_j AS (
+      SELECT c_mktsegment, count(*) AS n_orders_token
+      FROM c JOIN o ON c.tok = o.tok GROUP BY 1
+    )
+    SELECT c_mktsegment, n_orders_raw, n_orders_token,
+           n_orders_raw = n_orders_token AS joins_match
+    FROM raw_j JOIN tok_j USING (c_mktsegment)
+    ORDER BY c_mktsegment
+    """,
+)
+def pseudonymized_join_integrity(spark, sf_dir):
+    """Per-segment order counts via the raw custkey join vs the
+    tokenized-custkey join — identical by construction."""
+    from cryptocurrency_data_pipeline_spark.operators.privacy import token
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", token("c_custkey", "k1").alias("tok")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", token("o_custkey", "k1").alias("tok")
+    )
+    raw_j = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders_raw"))
+    )
+    tok_j = (
+        cust.join(orders, cust.tok == orders.tok)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders_token"))
+    )
+    return (
+        raw_j.join(tok_j, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_orders_raw",
+            "n_orders_token",
+            (F.col("n_orders_raw") == F.col("n_orders_token")).alias("joins_match"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering: least-externally-verified first.
 #
 # The external correctness gate hashes the first 50 ``queries()`` entries
