@@ -75,6 +75,73 @@ def write_partials(partials: DataFrame, path: str, part_col: str) -> None:
     )
 
 
+def build_histogram_partials(
+    df: DataFrame,
+    part_col: str,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Mergeable quantile state: per (partition, keys, bin) counts over a
+    fixed equi-width binning of ``[lo, hi]`` (values outside clamp to the
+    edge bins).  Unlike a per-partition percentile — which cannot be
+    re-aggregated — bin counts merge by plain summation, so any subset
+    of partitions yields quantiles with error bounded by one bin width.
+    The bin edges are part of the state's contract: all partials that
+    will ever merge must share (lo, hi, n_bins)."""
+    width = (hi - lo) / n_bins
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(part_col, *keys, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantiles(
+    partials: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Quantiles from merged histogram partials: for each q, the upper
+    edge of the first bin whose cumulative count reaches ``ceil(q·n)`` —
+    a deterministic estimate within one bin width of the exact
+    q-quantile.  The only window runs over ≤ ``n_bins`` rows per key
+    (bounded by construction, never data-sized); everything upstream is
+    sum-merged bin counts."""
+    width = (hi - lo) / n_bins
+    merged = partials.groupBy(*keys, "bin").agg(F.sum("n").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = merged.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy(*keys))
+    )
+    aggs = [F.sum("n").cast("long").alias("n_values")]
+    for q in qs:
+        target = F.ceil(F.lit(q) * F.col("total"))
+        est_bin = F.min(F.when(F.col("cum") >= target, F.col("bin")))
+        aggs.append(
+            F.round(F.lit(lo) + (est_bin + 1) * F.lit(width), 6).alias(
+                f"p{int(q * 100):02d}"
+            )
+        )
+    return cum.groupBy(*keys).agg(*aggs)
+
+
 def write_epoch_partials(
     batch: DataFrame,
     epoch_id: int,

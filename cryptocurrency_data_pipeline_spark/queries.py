@@ -11001,6 +11001,61 @@ def pseudonymized_join_integrity(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Mergeable histogram quantiles (matview.build_histogram_partials /
+# histogram_quantiles): per-day equi-width bin counts are the quantile
+# state a per-partition percentile can't be — they merge by summation,
+# so any date range's p50/p95 comes from folding O(days × keys × bins)
+# partial rows with error ≤ one bin width, never re-scanning raw events.
+# Fully deterministic closed form (first bin whose cumulative count
+# reaches ceil(q·n), upper edge), replayed verbatim in the oracle; the
+# ≤-one-bin-width error vs the exact quantile is pinned in
+# tests/test_matview.py.
+# --------------------------------------------------------------------------
+
+@query(
+    "histogram_quantile_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             LEAST(49, GREATEST(0, CAST(floor(value / 20.0) AS INT))) AS bin,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bin, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM b
+    )
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS n_values,
+           round(20.0 * (min(CASE WHEN cum >= ceil(0.50 * total)
+                                  THEN bin END) + 1), 6) AS p50,
+           round(20.0 * (min(CASE WHEN cum >= ceil(0.95 * total)
+                                  THEN bin END) + 1), 6) AS p95
+    FROM c GROUP BY 1
+    """,
+)
+def histogram_quantile_rollup(spark, sf_dir):
+    """Per-type p50/p95 of event value from merged per-day histogram
+    partials (50 bins over [0, 1000])."""
+    from cryptocurrency_data_pipeline_spark.operators import matview as mv
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn("day", F.to_date("ts"))
+    )
+    partials = mv.build_histogram_partials(
+        ev, "day", ["event_type"], "value", lo=0.0, hi=1000.0, n_bins=50
+    )
+    return mv.histogram_quantiles(
+        partials, ["event_type"], [0.50, 0.95], lo=0.0, hi=1000.0, n_bins=50
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering: least-externally-verified first.
 #
 # The external correctness gate hashes the first 50 ``queries()`` entries

@@ -186,3 +186,32 @@ def test_epoch_partials_replay_is_idempotent(spark, tmp_path):
     got = {(r.event_type, r.n_rows, r.sum_cents, r.approx_distinct)
            for r in mv.read_merged_partials(spark, view, ["event_type"]).collect()}
     assert got == want
+
+
+def test_histogram_quantiles_merge_and_error_bound(spark):
+    """Split-merged histogram quantiles equal the single-pass ones and
+    land within one bin width of the exact quantile."""
+    ev = _events(spark)
+    lo, hi, bins = 0.0, 1000.0, 50
+    width = (hi - lo) / bins
+
+    per_day = mv.build_histogram_partials(
+        ev, "day", ["event_type"], "value", lo, hi, bins
+    )
+    single = mv.build_histogram_partials(
+        ev.withColumn("one", F.lit(1)), "one", ["event_type"], "value", lo, hi, bins
+    )
+    q_day = mv.histogram_quantiles(per_day, ["event_type"], [0.5, 0.95], lo, hi, bins)
+    q_one = mv.histogram_quantiles(single, ["event_type"], [0.5, 0.95], lo, hi, bins)
+    m = lambda df: {r.event_type: (r.n_values, r.p50, r.p95) for r in df.collect()}
+    assert m(q_day) == m(q_one)  # partition split is invisible after merge
+
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.95)").alias("e95"),
+    )
+    rows = q_day.join(exact, "event_type").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.p50 - r.e50) <= width + 1e-9, (r.event_type, r.p50, r.e50)
+        assert abs(r.p95 - r.e95) <= width + 1e-9, (r.event_type, r.p95, r.e95)
