@@ -45,3 +45,45 @@ def pseudonymize(
     for c in cols:
         out = out.withColumn(c, token(c, key, bits))
     return out
+
+
+def laplace_noisy_counts(
+    df: DataFrame, keys: Sequence[str], epsilon: float, seed: str
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism
+    with SEEDED noise: count per ``keys`` plus Laplace(1/ε) noise derived
+    by inverse-CDF from a uniform value hashed out of (seed, group key).
+
+    Count queries have sensitivity 1 (one individual moves one group's
+    count by one), so Laplace(1/ε) noise gives ε-DP — PROVIDED the noise
+    is unpredictable.  The seed here is therefore part of the privacy
+    boundary exactly like ``pseudonymize``'s key: with a SECRET seed the
+    release is ε-DP to everyone who doesn't hold it; with a published
+    seed the noise is recomputable and the mechanism is only a
+    reproducible perturbation (useful for pipeline testing, not a
+    privacy guarantee).  Seeding is what makes the operator deterministic
+    enough to oracle-verify and replay; production keeps the seed in the
+    same vault as the pseudonymization key.
+
+    Noise math (one expression, map-side, both engines can replay it):
+    ``u = (hash64(seed, key) + 0.5) / 2^32`` uniform in (0, 1), then the
+    Laplace inverse CDF ``-(1/ε) · sign(u − ½) · ln(1 − 2|u − ½|)``.
+    ``u`` can never hit 0, ½-adjacent, or 1 exactly, so the log argument
+    stays in (0, 1] — no infinities under ANSI."""
+    grouped = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key_str)), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    noise = (
+        -F.lit(1.0 / epsilon)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return grouped.select(
+        *keys,
+        F.col("__n").cast("long").alias("true_count"),
+        F.round(F.col("__n") + noise, 4).alias("noisy_count"),
+    )

@@ -11056,6 +11056,46 @@ def histogram_quantile_rollup(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# DP noisy counts (privacy.laplace_noisy_counts): the release side of
+# the privacy surface — per-segment customer counts with Laplace(1/ε)
+# noise (ε = 0.5, sensitivity-1 count query), noise derived by inverse
+# CDF from a seeded hash so the mechanism is deterministic enough to
+# oracle-verify (the seed is secret in production — see the operator
+# docstring for the exact privacy contract).  true_count is emitted for
+# the verification harness only; a real release drops it.
+# --------------------------------------------------------------------------
+
+@query(
+    "dp_noisy_segment_counts",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1
+    ),
+    u AS (
+      SELECT c_mktsegment, n,
+             (CAST(('0x' || substr(md5('s1:' || c_mktsegment), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0 AS u
+      FROM g
+    )
+    SELECT c_mktsegment,
+           CAST(n AS BIGINT) AS true_count,
+           round(n + (-2.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4)
+             AS noisy_count
+    FROM u ORDER BY c_mktsegment
+    """,
+)
+def dp_noisy_segment_counts(spark, sf_dir):
+    """ε=0.5 Laplace-noised customer counts per market segment."""
+    from cryptocurrency_data_pipeline_spark.operators.privacy import (
+        laplace_noisy_counts,
+    )
+
+    return laplace_noisy_counts(
+        t(spark, sf_dir, "customer"), ["c_mktsegment"], epsilon=0.5, seed="s1"
+    ).orderBy("c_mktsegment")
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering: least-externally-verified first.
 #
 # The external correctness gate hashes the first 50 ``queries()`` entries

@@ -36,3 +36,29 @@ def test_pseudonymized_join_matches_raw_join(spark):
     lt = pseudonymize(left, ["k"], "secret")
     rt = pseudonymize(right, ["k"], "secret")
     assert lt.join(rt, "k").count() == raw == 3
+
+
+def test_laplace_noise_scale_and_determinism(spark):
+    from cryptocurrency_data_pipeline_spark.operators.privacy import (
+        laplace_noisy_counts,
+    )
+
+    df = spark.range(20000).select((F.col("id") % 500).alias("g"))
+    rel = laplace_noisy_counts(df, ["g"], epsilon=0.5, seed="s")
+    rows = rel.collect()
+    assert len(rows) == 500
+    noises = [abs(r.noisy_count - r.true_count) for r in rows]
+    # Laplace(b=1/eps=2): E|noise| = b = 2; 500 samples → tight-ish.
+    assert 1.4 < sum(noises) / len(noises) < 2.8
+    assert max(noises) < 2 * 25  # |noise| <= b * ln(2^31) ≈ 43
+    # Deterministic for the same seed; different for another seed.
+    again = {r.g: r.noisy_count for r in laplace_noisy_counts(
+        df, ["g"], epsilon=0.5, seed="s").collect()}
+    other = {r.g: r.noisy_count for r in laplace_noisy_counts(
+        df, ["g"], epsilon=0.5, seed="t").collect()}
+    byg = {r.g: r.noisy_count for r in rows}
+    assert again == byg and other != byg
+    # Bigger epsilon → smaller noise.
+    loose = laplace_noisy_counts(df, ["g"], epsilon=5.0, seed="s").collect()
+    loose_mean = sum(abs(r.noisy_count - r.true_count) for r in loose) / len(loose)
+    assert loose_mean < sum(noises) / len(noises) / 5
