@@ -180,6 +180,26 @@ def process_micro_batch(batch: DataFrame, epoch_id: int, sinks: StreamSinks) -> 
         batch.unpersist()
 
 
+def enrich_with_dim(
+    ticks: DataFrame, dim: DataFrame, key: str = "coin_id", how: str = "left"
+) -> DataFrame:
+    """Stream–static enrichment: join the tick stream against a bounded
+    dimension table (reference: the consumer hand-looks-up per-record
+    metadata, streaming/consumer.py:72-84 — here it's one declarative
+    join).
+
+    Stream–static joins need NO watermark or join state: Spark re-plans
+    the static side per micro-batch, so a broadcast hint keeps every
+    batch a map-side hash join — the dim rides to executors once per
+    batch and the stream side never shuffles.  ``left`` keeps unmatched
+    ticks flowing (enrichment, not filtering); use ``inner`` to gate the
+    stream on dim membership.  The static side may be re-read between
+    batches, which is exactly what you want for a slowly-refreshed dim
+    dir (new file → next batch sees it) — for frozen dims, cache the
+    frame before passing it in."""
+    return ticks.join(F.broadcast(dim), key, how)
+
+
 def process_micro_batch_exactly_once(
     batch: DataFrame, epoch_id: int, sinks: StreamSinks
 ) -> None:

@@ -279,3 +279,37 @@ def test_exactly_once_epoch_replay_is_idempotent(spark, tmp_path):
     assert spark.read.json(sinks.corrupt).count() == 1
     # The append-mode body under the same replay WOULD duplicate — that is
     # the at-least-once contract this variant exists to tighten.
+
+
+def test_stream_static_enrichment_broadcast(spark, tmp_path):
+    """Stream-static join: every micro-batch hash-joins against the
+    broadcast dim with no watermark/state; unmatched ticks still flow."""
+    src = str(tmp_path / "src")
+    producer.write_batch(src, producer.make_batch(4))
+    dim = spark.createDataFrame(
+        [("coin-0", "L1"), ("coin-1", "L1"), ("coin-2", "L2")],
+        "coin_id string, tier string",
+    )
+    out = str(tmp_path / "enriched")
+    stream = pipeline.enrich_with_dim(pipeline.read_tick_stream(spark, src), dim)
+    q = (
+        stream.drop("raw_data")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # 4 normal coins + the 3 injected anomaly records, ALL kept (left join).
+    assert got.count() == 7
+    tiers = {r.coin_id: r.tier for r in got.select("coin_id", "tier").collect()}
+    assert tiers["coin-0"] == "L1" and tiers["coin-2"] == "L2"
+    assert tiers["surge-coin"] is None  # unmatched flows through
+    # Static plan equivalent keeps the broadcast hash join.
+    static = pipeline.enrich_with_dim(
+        pipeline.decode_tick_payload(spark.read.text(src)), dim
+    )
+    plan = static._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
