@@ -83,6 +83,10 @@ HEADLINE = [
     "rfm_customer_segments",      # distributed ntile via partition-offset rank
     "value_concentration_gini",   # rank-identity Gini, no global window
     "exact_rank_quantiles_by_type",  # grouped partition-offset rank selection
+    # Late round-6 additions (appended; the 45-query subtotal above stays
+    # comparable to the BASELINE.md round-6 band):
+    "histogram_quantile_rollup",  # mergeable bin-count quantile state
+    "consistent_reshard_stability",  # rendezvous vs mod reshard movement
 ]
 
 
