@@ -351,6 +351,29 @@ def read_with_skipping(
     return df, report
 
 
+def snapshot_changes(
+    spark: SparkSession, table_path: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Change feed between two retained snapshot versions: every row of
+    ``v_to`` not present in ``v_from`` tagged ``insert``, every row of
+    ``v_from`` missing from ``v_to`` tagged ``delete`` (an update
+    appears as its delete + insert pair — row-identity semantics, like a
+    table format's change-data-feed without primary-key metadata).
+
+    Implementation is two ``exceptAll`` passes — each ONE hash-partition
+    exchange per side on the full row, no driver-side diffing — so a
+    downstream consumer can incrementally apply v_from → v_to instead of
+    re-reading the whole new snapshot.  Multiset semantics: duplicate
+    rows diff by count, not presence."""
+    from pyspark.sql import functions as F
+
+    a = read_snapshot(spark, table_path, v_from)
+    b = read_snapshot(spark, table_path, v_to)
+    return b.exceptAll(a).withColumn("_change", F.lit("insert")).unionByName(
+        a.exceptAll(b).withColumn("_change", F.lit("delete"))
+    )
+
+
 def vacuum_snapshots(table_path: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (the current one
     is always kept).  Manifest updates FIRST, then directories are

@@ -255,3 +255,36 @@ def test_stats_skipping_refuses_partitioned_tables(spark, tmp_path):
     mt.write_stats_manifest(spark, path, ["v"])
     with pytest.raises(ValueError, match="partitioned"):
         mt.read_with_skipping(spark, path, {"v": (10.0, 20.0)})
+
+
+def test_snapshot_change_feed_applies_incrementally(spark, tmp_path):
+    """insert/delete feed between versions; applying it to v_from
+    reproduces v_to exactly (multiset semantics)."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "cdc")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (3, "c")], "id int, v string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (4, "d")], "id int, v string"
+    )
+    mt.write_snapshot(v1, table)
+    mt.write_snapshot(v2, table)
+
+    feed = mt.snapshot_changes(spark, table, 1, 2)
+    rows = {(r.id, r.v, r._change) for r in feed.collect()}
+    # Update of id=2 appears as delete+insert; dup (3,c) loses ONE copy.
+    assert rows == {
+        (2, "B", "insert"), (4, "d", "insert"),
+        (2, "b", "delete"), (3, "c", "delete"),
+    }
+    # Apply: v_from − deletes + inserts == v_to (as multisets).
+    applied = (
+        mt.read_snapshot(spark, table, 1)
+        .exceptAll(feed.where("_change = 'delete'").drop("_change"))
+        .unionByName(feed.where("_change = 'insert'").drop("_change"))
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, v2.collect())
+    )
