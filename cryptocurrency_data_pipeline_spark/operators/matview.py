@@ -191,8 +191,10 @@ def compact_partials(
 ) -> int:
     """Fold all epoch partitions into a single epoch-0 partial row per
     key (sketches union losslessly), bounding reader input when the
-    epoch count grows.  Uses the snapshot-style rewrite: land in a temp
-    dir, swap.  Returns the row count after compaction."""
+    epoch count grows.  Applies to the value-partials schema
+    (``PARTIAL_COLS``); histogram partials compact by a plain
+    per-(keys, bin) re-sum instead.  Uses the snapshot-style rewrite:
+    land in a temp dir, swap.  Returns the row count after compaction."""
     import shutil
     import uuid
 
