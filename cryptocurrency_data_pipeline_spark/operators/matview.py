@@ -239,10 +239,61 @@ def refresh_partition(
     refresh reads the new rows, never the existing table.  Returns the
     number of partitions rewritten."""
     fresh = build_partials(new_rows, part_col, keys, value_col, distinct_col, lg_k)
+    return _overwrite_partitions(spark, fresh, path, part_col)
+
+
+def upsert_partition(
+    spark: SparkSession,
+    path: str,
+    late_rows: DataFrame,
+    part_col: str,
+    keys: list[str],
+    value_col: str,
+    distinct_col: str,
+    lg_k: int = 14,
+) -> int:
+    """Additive incremental maintenance for LATE data: fold newly-arrived
+    rows INTO their partitions' existing partial state instead of
+    replacing it (``refresh_partition`` is the replace form — use it when
+    ``new_rows`` carries a partition's complete data; use this when rows
+    trickle in).
+
+    Reads the partials table (O(partitions × keys) rows — never raw
+    data), semi-joins it down to the touched partitions, unions in the
+    fresh partials and re-folds state-wise: counts/sums add, min/max
+    fold, HLL sketches union — which is exactly why the state is
+    algebraic.  Untouched partitions' files stay in place (dynamic
+    overwrite).  Returns the number of partitions rewritten."""
+    fresh = build_partials(late_rows, part_col, keys, value_col, distinct_col, lg_k)
+    touched = fresh.select(part_col).distinct()
+    existing = spark.read.parquet(path).join(
+        F.broadcast(touched), part_col, "left_semi"
+    )
+    folded = (
+        existing.unionByName(fresh)
+        .groupBy(part_col, *keys)
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
+        )
+    )
+    # The folded frame READS the path it will overwrite; cut the lineage
+    # first (eager, partials-sized — bounded by partitions × keys) so the
+    # write does not depend on the files it replaces.
+    folded = folded.localCheckpoint(eager=True)
+    return _overwrite_partitions(spark, folded, path, part_col)
+
+
+def _overwrite_partitions(
+    spark: SparkSession, partials: DataFrame, path: str, part_col: str
+) -> int:
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        fresh.write.mode("overwrite").partitionBy(part_col).parquet(path)
+        partials.write.mode("overwrite").partitionBy(part_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return fresh.select(part_col).distinct().count()
+    return partials.select(part_col).distinct().count()

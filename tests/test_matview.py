@@ -215,3 +215,43 @@ def test_histogram_quantiles_merge_and_error_bound(spark):
     for r in rows:
         assert abs(r.p50 - r.e50) <= width + 1e-9, (r.event_type, r.p50, r.e50)
         assert abs(r.p95 - r.e95) <= width + 1e-9, (r.event_type, r.p95, r.e95)
+
+
+def test_upsert_partition_folds_late_rows_additively(spark, tmp_path):
+    """Late rows for an existing day fold INTO its partial state (counts
+    add, sketches union); result equals the full rebuild; other
+    partitions' files untouched."""
+    ev = _events(spark)
+    last_day = ev.agg(F.max("day")).collect()[0][0]
+    path = str(tmp_path / "partials")
+    late = ev.where(
+        (F.col("day") == F.lit(last_day)) & (F.pmod("user_id", F.lit(3)) == 0)
+    )
+    ontime = ev.exceptAll(late)
+
+    mv.write_partials(
+        mv.build_partials(ontime, "day", ["event_type"], "value", "user_id"),
+        path, "day",
+    )
+    other = sorted(
+        d for d in glob.glob(f"{path}/day=*") if f"day={last_day}" not in d
+    )
+    before = {f: os.path.getmtime(f) for d in other for f in glob.glob(f"{d}/*.parquet")}
+
+    n = mv.upsert_partition(
+        spark, path, late, "day", ["event_type"], "value", "user_id"
+    )
+    assert n == 1
+    after = {f: os.path.getmtime(f) for d in other for f in glob.glob(f"{d}/*.parquet")}
+    assert after == before  # only the late day rewritten
+
+    got = mv.merge_partials(spark.read.parquet(path), ["event_type"])
+    want = mv.merge_partials(
+        mv.build_partials(ev, "day", ["event_type"], "value", "user_id"),
+        ["event_type"],
+    )
+    m = lambda df: {
+        r.event_type: (r.n_rows, r.sum_cents, r.min_value, r.max_value, r.approx_distinct)
+        for r in df.collect()
+    }
+    assert m(got) == m(want)
