@@ -15,6 +15,7 @@ overwrite instead of read-union-rewrite merges.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -245,6 +246,59 @@ def replay_dlq(
             "overwrite"
         ).json(paths.dlq)
     return (n_recovered, n_still_bad)
+
+
+def find_missing_fact_partitions(
+    spark: SparkSession,
+    silver_path: str,
+    fact_path: str,
+    date_col: str = "update_date",
+    partition_col: str = "date",
+) -> list[str]:
+    """Backfill work list: dates present in Silver but absent from the
+    Gold fact — the state after a gold run died mid-write, a partition
+    was vacuumed by mistake, or Silver was re-landed for a range.
+    Expected side is one distinct over the Silver partition column
+    (partition-pruned scan, O(days) to the driver); present side is a
+    directory listing, no data read at all."""
+    expected = {
+        r[0]
+        for r in spark.read.parquet(silver_path)
+        .select(F.col(date_col).cast("string"))
+        .where(F.col(date_col).isNotNull())
+        .distinct()
+        .collect()
+    }
+    present: set[str] = set()
+    if os.path.isdir(fact_path):
+        present = {
+            d.split("=", 1)[1]
+            for d in os.listdir(fact_path)
+            if d.startswith(f"{partition_col}=")
+        }
+    return sorted(expected - present)
+
+
+def backfill_fact(
+    spark: SparkSession, paths: EtlPaths, dates: list[str] | None = None
+) -> list[str]:
+    """Recompute ONLY the missing fact partitions from Silver.
+
+    The Silver read filters on its partition column, so the scan prunes
+    to exactly the backfill dates, and ``merge_fact``'s dynamic overwrite
+    writes exactly those partitions — a one-day hole in a 10-year fact
+    costs one day of I/O, not a rebuild.  Returns the dates backfilled
+    (empty = nothing missing, no job ran)."""
+    missing = dates if dates is not None else find_missing_fact_partitions(
+        spark, paths.silver, paths.gold_fact
+    )
+    if not missing:
+        return []
+    sl = spark.read.parquet(paths.silver).where(
+        F.col("update_date").cast("string").isin(list(missing))
+    )
+    gold.merge_fact(gold.build_fact(sl), paths.gold_fact)
+    return list(missing)
 
 
 def build_etl_pipeline(

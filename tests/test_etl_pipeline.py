@@ -224,3 +224,50 @@ def test_versioned_bronze_read_mid_stream_drift(spark, tmp_path):
         bronze, ["id", "symbol", "current_price"]
     )
     assert valid.count() == 4 and dlq.count() == 0
+
+
+def test_backfill_recomputes_only_missing_fact_partitions(spark, tmp_path):
+    """Delete one fact date partition; the backfill finds exactly it,
+    restores its rows, and leaves other partitions' files untouched."""
+    import glob
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    paths = _paths(tmp_path)
+    # Multi-day silver written directly (the live pipeline stamps a single
+    # current_date; backfill is about historical ranges).
+    silver_df = spark.createDataFrame(
+        [
+            (f"coin-{i}", f"c{i}", f"Coin {i}", 10.0 + i, d)
+            for i in range(6)
+            for d in ["2024-01-01", "2024-01-02", "2024-01-03"]
+        ],
+        "coin_id string, symbol string, name string, current_price double, update_date string",
+    ).withColumn("update_date", F.to_date("update_date"))
+    silver_df.write.partitionBy("update_date").parquet(paths.silver)
+    from cryptocurrency_data_pipeline_spark.operators import gold
+
+    gold.merge_fact(gold.build_fact(spark.read.parquet(paths.silver)), paths.gold_fact)
+
+    assert etl.find_missing_fact_partitions(spark, paths.silver, paths.gold_fact) == []
+    before_total = spark.read.parquet(paths.gold_fact).count()
+
+    shutil.rmtree(os.path.join(paths.gold_fact, "date=2024-01-02"))
+    assert etl.find_missing_fact_partitions(
+        spark, paths.silver, paths.gold_fact
+    ) == ["2024-01-02"]
+
+    keep = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{paths.gold_fact}/date=2024-01-0[13]/*.parquet")
+    }
+    assert etl.backfill_fact(spark, paths) == ["2024-01-02"]
+    assert spark.read.parquet(paths.gold_fact).count() == before_total
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{paths.gold_fact}/date=2024-01-0[13]/*.parquet")
+    }
+    assert after == keep  # untouched partitions not rewritten
+    assert etl.backfill_fact(spark, paths) == []  # idempotent: nothing left
