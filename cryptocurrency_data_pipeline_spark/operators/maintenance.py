@@ -236,8 +236,18 @@ def write_stats_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -
     key is the file name, cardinality = file count); the collect is the
     manifest itself, never data.  Returns the number of files indexed."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import DecimalType
 
     df = spark.read.parquet(path)
+    decimals = [
+        c for c in stat_cols if isinstance(df.schema[c].dataType, DecimalType)
+    ]
+    if decimals:
+        # Decimal min/max would round-trip through JSON as strings whose
+        # lexical order is not numeric order ("10" < "9") — wrong pruning,
+        # silently.  Cast to double in a view first if approximate bounds
+        # are acceptable.
+        raise ValueError(f"decimal stat columns unsupported: {decimals}")
     aggs = []
     for c in stat_cols:
         aggs += [
@@ -270,13 +280,15 @@ def write_stats_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -
 
 
 def _json_safe(v):
+    """Manifest-serializable min/max: dates/timestamps become ISO strings
+    (lexical order == temporal order, so string compares prune
+    correctly); numerics and strings pass through.  Caller bounds go
+    through the same mapping (`read_with_skipping`) so both sides of
+    every comparison share a representation."""
     import datetime
-    import decimal
 
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat()
-    if isinstance(v, decimal.Decimal):
-        return str(v)
     return v
 
 
@@ -315,11 +327,29 @@ def read_with_skipping(
             "stats skipping over a Hive-partitioned table is not supported; "
             "point it at a leaf (unpartitioned) directory"
         )
+    # Freshness gate: pruning from a stale manifest silently DROPS every
+    # row of a file appended after indexing (and dangles on files a
+    # compaction rewrote).  The listing is one driver-side readdir.
+    on_disk = {
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    }
+    indexed = {os.path.basename(f) for f in man["files"]}
+    if on_disk != indexed:
+        raise ValueError(
+            "stats manifest is stale (directory changed since "
+            f"write_stats_manifest: +{sorted(on_disk - indexed)[:3]} "
+            f"-{sorted(indexed - on_disk)[:3]}); re-index first"
+        )
+    # Bounds share the manifest's representation (dates → ISO strings).
+    ranges = {c: (_json_safe(lo), _json_safe(hi)) for c, (lo, hi) in ranges.items()}
 
     keep = []
     for fname, stats in man["files"].items():
         ok = True
         for c, (lo, hi) in ranges.items():
+            if lo is None and hi is None:
+                continue  # no constraint — never prunes, not even all-null files
             s = stats[c]
             if s["n_nonnull"] == 0:
                 ok = False

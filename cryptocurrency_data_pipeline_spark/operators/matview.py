@@ -52,17 +52,36 @@ def build_partials(
     )
 
 
-def merge_partials(partials: DataFrame, keys: list[str]) -> DataFrame:
-    """Fold partial rows (any subset of partitions — a date range, the
-    whole table) down to final aggregates per ``keys``.  Input size is
-    the partials table, never the raw data."""
-    return partials.groupBy(*keys).agg(
+def _fold_state_aggs() -> list:
+    """The one state-preserving fold of ``PARTIAL_COLS`` (counts/sums
+    add, min/max fold, sketches union to a still-mergeable sketch) —
+    shared by every re-aggregation site so the fold cannot drift from
+    the schema."""
+    return [
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.sum("sum_cents").cast("long").alias("sum_cents"),
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
-        F.hll_sketch_estimate(F.hll_union_agg("distinct_sketch"))
-        .alias("approx_distinct"),
+        F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
+    ]
+
+
+def merge_partials(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold partial rows (any subset of partitions — a date range, the
+    whole table) down to final aggregates per ``keys``, finalizing the
+    sketch into its estimate.  Input size is the partials table, never
+    the raw data."""
+    return (
+        partials.groupBy(*keys)
+        .agg(*_fold_state_aggs())
+        .select(
+            *keys,
+            "n_rows",
+            "sum_cents",
+            "min_value",
+            "max_value",
+            F.hll_sketch_estimate("distinct_sketch").alias("approx_distinct"),
+        )
     )
 
 
@@ -130,16 +149,25 @@ def histogram_quantiles(
     cum = merged.withColumn("cum", F.sum("n").over(w)).withColumn(
         "total", F.sum("n").over(Window.partitionBy(*keys))
     )
+    labels = [_q_label(q) for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"quantile labels collide: {labels}")
     aggs = [F.sum("n").cast("long").alias("n_values")]
-    for q in qs:
+    for q, label in zip(qs, labels):
         target = F.ceil(F.lit(q) * F.col("total"))
         est_bin = F.min(F.when(F.col("cum") >= target, F.col("bin")))
         aggs.append(
-            F.round(F.lit(lo) + (est_bin + 1) * F.lit(width), 6).alias(
-                f"p{int(q * 100):02d}"
-            )
+            F.round(F.lit(lo) + (est_bin + 1) * F.lit(width), 6).alias(label)
         )
     return cum.groupBy(*keys).agg(*aggs)
+
+
+def _q_label(q: float) -> str:
+    """Column label for quantile ``q``: p50, p95, p99_9 — exact for
+    fractional quantiles (int truncation would turn 0.999 into p99 and
+    collide 0.56 with 0.565)."""
+    s = f"{q * 100:.4f}".rstrip("0").rstrip(".").replace(".", "_")
+    return f"p{s}"
 
 
 def write_epoch_partials(
@@ -195,31 +223,35 @@ def compact_partials(
     (``PARTIAL_COLS``); histogram partials compact by a plain
     per-(keys, bin) re-sum instead.  Uses the snapshot-style rewrite:
     land in a temp dir, swap.  Returns the row count after compaction."""
+    import os
     import shutil
     import uuid
+
+    from cryptocurrency_data_pipeline_spark.operators.maintenance import (
+        _exchange_dirs,
+    )
 
     folded = (
         spark.read.parquet(path)
         .drop("epoch")
         .groupBy(*keys)
-        .agg(
-            F.sum("n_rows").cast("long").alias("n_rows"),
-            F.sum("sum_cents").cast("long").alias("sum_cents"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
-            F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
-        )
+        .agg(*_fold_state_aggs())
         .withColumn("epoch", F.lit(0).cast("long"))
     )
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
     folded.write.partitionBy("epoch").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    import os
-
-    aside = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, aside)
-    os.rename(tmp, path)
-    shutil.rmtree(aside)
+    # Same swap discipline as maintenance.compact_parquet: atomic
+    # renameat2 exchange where the platform has it, rename-aside fallback
+    # elsewhere (old data survives a crash; a reader can hit ENOENT only
+    # in the fallback's rename window).
+    if _exchange_dirs(path, tmp):
+        shutil.rmtree(tmp)  # tmp now holds the pre-compaction epochs
+    else:
+        aside = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, aside)
+        os.rename(tmp, path)
+        shutil.rmtree(aside)
     return n
 
 
@@ -269,27 +301,20 @@ def upsert_partition(
     existing = spark.read.parquet(path).join(
         F.broadcast(touched), part_col, "left_semi"
     )
-    folded = (
-        existing.unionByName(fresh)
-        .groupBy(part_col, *keys)
-        .agg(
-            F.sum("n_rows").cast("long").alias("n_rows"),
-            F.sum("sum_cents").cast("long").alias("sum_cents"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
-            F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
-        )
+    folded = existing.unionByName(fresh).groupBy(part_col, *keys).agg(
+        *_fold_state_aggs()
     )
-    # The folded frame READS the path it will overwrite; cut the lineage
-    # first (eager, partials-sized — bounded by partitions × keys) so the
-    # write does not depend on the files it replaces.
-    folded = folded.localCheckpoint(eager=True)
     return _overwrite_partitions(spark, folded, path, part_col)
 
 
 def _overwrite_partitions(
     spark: SparkSession, partials: DataFrame, path: str, part_col: str
 ) -> int:
+    # Cut the lineage before writing: the frame may READ the path it
+    # overwrites (upsert), and the post-write partition count must not
+    # re-run the whole build (refresh).  Eager + partials-sized — bounded
+    # by partitions × keys.
+    partials = partials.localCheckpoint(eager=True)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -10748,7 +10748,9 @@ def stats_pruned_scan(spark, sf_dir):
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
     table = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_statskip_{os.path.basename(sf_dir.rstrip('/'))}",
+        # pid-scoped: concurrent harness/bench processes on the same
+        # sf_dir must not rmtree each other's mid-scan fixture.
+        f"spark_graft_statskip_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     shutil.rmtree(table, ignore_errors=True)  # deterministic layout per run
     orders.repartitionByRange(8, "o_totalprice").sortWithinPartitions(
@@ -10813,7 +10815,8 @@ def mergeable_sketch_rollup(spark, sf_dir):
     last_day = ev.agg(F.max("day")).collect()[0][0]
     path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_matview_{os.path.basename(sf_dir.rstrip('/'))}",
+        # pid-scoped: see stats_pruned_scan.
+        f"spark_graft_matview_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     shutil.rmtree(path, ignore_errors=True)  # deterministic build per run
     mv.write_partials(

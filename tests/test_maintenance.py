@@ -288,3 +288,43 @@ def test_snapshot_change_feed_applies_incrementally(spark, tmp_path):
     assert sorted(map(tuple, applied.collect())) == sorted(
         map(tuple, v2.collect())
     )
+
+
+def test_stats_skipping_stale_manifest_and_typed_bounds(spark, tmp_path):
+    import datetime
+
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v",
+        "CAST(DATE '2024-01-01' + CAST(id AS INT) AS DATE) AS d",
+    )
+    df.repartitionByRange(4, "v").write.parquet(path)
+    mt.write_stats_manifest(spark, path, ["v", "d"])
+
+    # Date bounds as date objects: normalized to the manifest's ISO form.
+    got, rep = mt.read_with_skipping(
+        spark, path, {"d": (datetime.date(2024, 1, 1), datetime.date(2024, 1, 10))}
+    )
+    assert got.count() == 10 and rep["files_skipped"] >= 2
+    # (None, None) = no constraint: nothing pruned, nothing filtered.
+    got, rep = mt.read_with_skipping(spark, path, {"v": (None, None)})
+    assert rep["files_skipped"] == 0 and got.count() == 100
+
+    # Appending after indexing makes the manifest stale -> loud error,
+    # not silently-missing rows.
+    spark.range(100, 120).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v",
+        "CAST(DATE '2024-01-01' + CAST(id AS INT) AS DATE) AS d",
+    ).coalesce(1).write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="stale"):
+        mt.read_with_skipping(spark, path, {"v": (0.0, 50.0)})
+
+    # Decimal stat columns refused at write time (lexical != numeric).
+    dpath = str(tmp_path / "dec")
+    spark.range(10).selectExpr("CAST(id AS DECIMAL(10,2)) AS m").write.parquet(dpath)
+    with pytest.raises(ValueError, match="decimal"):
+        mt.write_stats_manifest(spark, dpath, ["m"])

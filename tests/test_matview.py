@@ -255,3 +255,20 @@ def test_upsert_partition_folds_late_rows_additively(spark, tmp_path):
         for r in df.collect()
     }
     assert m(got) == m(want)
+
+
+def test_histogram_quantile_labels_exact_and_collision_guarded(spark):
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators.matview import _q_label
+
+    assert _q_label(0.5) == "p50"
+    assert _q_label(0.95) == "p95"
+    assert _q_label(0.29) == "p29"      # int() truncation would say p28
+    assert _q_label(0.999) == "p99_9"   # ...and would say p99
+    assert _q_label(0.565) == "p56_5"
+    df = spark.createDataFrame([(1, 0)], "bin int, n long").withColumn(
+        "k", F.lit("a")
+    )
+    with pytest.raises(ValueError, match="collide"):
+        mv.histogram_quantiles(df, ["k"], [0.5, 0.5], 0.0, 1.0, 10)
