@@ -298,8 +298,23 @@ def upsert_partition(
     overwrite).  Returns the number of partitions rewritten."""
     fresh = build_partials(late_rows, part_col, keys, value_col, distinct_col, lg_k)
     touched = fresh.select(part_col).distinct()
-    existing = spark.read.parquet(path).join(
-        F.broadcast(touched), part_col, "left_semi"
+    # Partition discovery re-infers the partition column's type from its
+    # directory values — a string part_col with numeric-looking values
+    # ("20240101") would come back as int and poison the unionByName.
+    # Read the raw directory strings (inference off — discovery happens
+    # eagerly at read time, so the conf flip is safe to restore) and cast
+    # to fresh's declared type, a lossless round-trip of what we wrote.
+    part_type = dict(fresh.dtypes)[part_col]
+    inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_inf = spark.conf.get(inf_key, "true")
+    spark.conf.set(inf_key, "false")
+    try:
+        existing_all = spark.read.parquet(path)
+    finally:
+        spark.conf.set(inf_key, prev_inf)
+    existing = (
+        existing_all.withColumn(part_col, F.col(part_col).cast(part_type))
+        .join(F.broadcast(touched), part_col, "left_semi")
     )
     folded = existing.unionByName(fresh).groupBy(part_col, *keys).agg(
         *_fold_state_aggs()

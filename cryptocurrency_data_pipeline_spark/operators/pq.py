@@ -30,10 +30,26 @@ family) alongside exact/SRP/IVF/int8 search.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cryptocurrency_data_pipeline_spark.operators.similarity import as_double
+
+
+def is_missing_artifact(e: Exception) -> bool:
+    """True iff ``e`` means "the artifact simply isn't there" — a missing
+    path or a present-but-fileless directory.  Everything else (corrupt
+    footers, permission errors, schema mismatches) is a real failure the
+    caller must surface: silently retraining over it would mask a storage
+    problem AND burn the training cost (ADVICE r6)."""
+    if not isinstance(e, AnalysisException):
+        return False
+    get = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+    cond = (get() if get is not None else None) or ""
+    return cond.startswith("PATH_NOT_FOUND") or cond.startswith(
+        "UNABLE_TO_INFER_SCHEMA"
+    )
 
 
 def demo_codebook(
@@ -235,10 +251,13 @@ def train_or_load_codebook(
     spark = df.sparkSession
     try:
         cb = load_codebook(spark, path)
-        cb.head(1)  # force a read: an empty/corrupt dir must retrain
-        return cb
-    except Exception:
-        pass
+        if cb.head(1):  # zero-row artifact = aborted write: retrain
+            return cb
+    except Exception as e:
+        # Retrain ONLY on artifact-absent; a corrupt-but-present dir or a
+        # transient storage error must raise, not silently retrain.
+        if not is_missing_artifact(e):
+            raise
     cb = train_codebook(
         df, m=m, k=k, subdim=subdim, iters=iters, id_col=id_col, vec_col=vec_col
     )

@@ -78,13 +78,34 @@ def salted_join(
     key: str,
     n_salts: int = 16,
     how: str = "inner",
+    max_small_rows: int | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, replicate the small side.
 
     Use when the small side is too large to broadcast outright but the big
     side's key distribution is pathological.  Replication factor = S, so
-    pick the smallest S that spreads the hot keys.
+    pick the smallest S that spreads the hot keys — the shuffle carries
+    ``n_salts × |small|`` replica rows, so this is a SMALL×BIG tool only.
+    For big×big skew, AQE's skew-join splitting
+    (``spark.sql.adaptive.skewJoin.enabled``, on in ``session.py``) is the
+    right first resort; reach for salting only when a single logical key
+    overflows what AQE can split.
+
+    ``max_small_rows`` (off by default — counting costs a job) bounds the
+    replication blast radius: when set, a ``limit(max+1).count()`` probe
+    (O(max) work, never a full count) raises ``ValueError`` if the small
+    side exceeds it, instead of silently materializing an ``n_salts×``
+    copy of a table that was never actually small.
     """
+    if max_small_rows is not None:
+        probe = small.limit(max_small_rows + 1).count()
+        if probe > max_small_rows:
+            raise ValueError(
+                f"salted_join small side exceeds max_small_rows="
+                f"{max_small_rows}; replicating it {n_salts}x would be its "
+                f"own scale problem — broadcast a smaller dim, lower "
+                f"n_salts, or use AQE skew-join splitting for big-big skew"
+            )
     salted_big = big.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
     replicated = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

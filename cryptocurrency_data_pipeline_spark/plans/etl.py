@@ -16,6 +16,7 @@ overwrite instead of read-union-rewrite merges.
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -207,8 +208,19 @@ def replay_dlq(
         F.col("raw_data"),
         F.from_json("raw_data", schema).alias("r"),
     ).select("raw_data", "r.*")
-    valid, still_bad = silver.enforce_schema_split(
-        reparsed.drop("raw_data"), required if required is not None else REQUIRED_FIELDS
+    req = required if required is not None else REQUIRED_FIELDS
+    invalid = silver.required_null_predicate(req)
+    valid = reparsed.filter(~invalid).drop("raw_data")
+    # Still-failing envelopes keep the ORIGINAL raw_data verbatim — a
+    # re-serialize from the parsed row would silently drop any payload
+    # fields outside schema+extra_fields on every replay (ADVICE r6).
+    still_bad = reparsed.filter(invalid).select(
+        "raw_data",
+        silver.missing_reasons(req).alias("error_reason"),
+        F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "timestamp"
+        ),
+        F.lit("schema_enforcement").alias("validation_type"),
     )
     valid = valid.persist()
     n_recovered = valid.count()
@@ -245,6 +257,7 @@ def replay_dlq(
         spark.createDataFrame([], still_bad.schema).coalesce(1).write.mode(
             "overwrite"
         ).json(paths.dlq)
+    shutil.rmtree(tmp, ignore_errors=True)  # the swap dir is scratch, not state
     return (n_recovered, n_still_bad)
 
 

@@ -6978,7 +6978,7 @@ def pq_adc_topk_served(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_pq_codebook_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_pq_codebook_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     cb = pq.train_or_load_codebook(emb, path)
     codes = pq.pq_encode(emb, cb)
@@ -7227,11 +7227,13 @@ def ivfpq_topk_served(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_ivfpq_index_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_ivfpq_index_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     try:
         index = pq.load_ivfpq_index(spark, path)
-    except Exception:
+    except Exception as e:
+        if not pq.is_missing_artifact(e):  # corrupt/perm errors must surface
+            raise
         pq.build_ivfpq_index(emb, path)
         index = pq.load_ivfpq_index(spark, path)
     probes = emb.filter(F.col("vec_id") < 3)
@@ -10458,7 +10460,7 @@ def table_time_travel_diff(spark, sf_dir):
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     table = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_versioned_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_versioned_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
     mt.write_snapshot(orders.filter(F.col("o_orderkey") % 3 != 0), table)
@@ -10697,7 +10699,7 @@ def schema_drift_report(spark, sf_dir):
     )
     land = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_schema_drift_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_schema_drift_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     batches.write.mode("overwrite").text(land)
 

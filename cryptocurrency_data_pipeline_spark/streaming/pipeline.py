@@ -273,9 +273,14 @@ def run_validation_pipeline(
     """
     body = process_micro_batch_exactly_once if exactly_once else process_micro_batch
     stream = read_tick_stream(spark, source_dir)
+    # Distinct checkpoint dirs per batch body: the two bodies write
+    # different sink layouts (epoch-partitioned overwrite vs append), so
+    # resuming one mode from the other's offsets would mix layouts in the
+    # same sink directories (ADVICE r6).
+    ckpt = "router-eo" if exactly_once else "router"
     writer = (
         stream.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(sinks.checkpoint, "router"))
+        .option("checkpointLocation", os.path.join(sinks.checkpoint, ckpt))
         .foreachBatch(lambda b, e: body(b, e, sinks))
     )
     if available_now:

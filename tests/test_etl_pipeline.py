@@ -271,3 +271,31 @@ def test_backfill_recomputes_only_missing_fact_partitions(spark, tmp_path):
     }
     assert after == keep  # untouched partitions not rewritten
     assert etl.backfill_fact(spark, paths) == []  # idempotent: nothing left
+
+
+def test_replay_dlq_preserves_raw_payload_and_cleans_tmp(spark, tmp_path):
+    """Replay must carry the ORIGINAL raw_data through to the rewritten
+    DLQ — re-serializing from the parsed row would drop payload fields
+    outside schema+extra_fields on every pass — and must not leave its
+    tmp swap directory behind."""
+    import json
+    import os
+
+    paths = _paths(tmp_path)
+    payload = json.dumps(
+        {"id": None, "symbol": "btc", "novel_field": {"nested": [1, 2, 3]}}
+    )
+    env = spark.createDataFrame(
+        [(payload, "Missing required field: id", "2026-01-01T00:00:00",
+          "schema_enforcement")],
+        "raw_data string, error_reason string, timestamp string, "
+        "validation_type string",
+    )
+    env.coalesce(1).write.mode("overwrite").json(paths.dlq)
+
+    recovered, still_bad = etl.replay_dlq(spark, paths)
+    assert (recovered, still_bad) == (0, 1)
+    kept = spark.read.json(paths.dlq).collect()[0]
+    # Verbatim payload: the out-of-schema field survived the round trip.
+    assert json.loads(kept.raw_data) == json.loads(payload)
+    assert not os.path.isdir(paths.dlq.rstrip("/") + "_tmp")

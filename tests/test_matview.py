@@ -272,3 +272,28 @@ def test_histogram_quantile_labels_exact_and_collision_guarded(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         mv.histogram_quantiles(df, ["k"], [0.5, 0.5], 0.0, 1.0, 10)
+
+
+def test_upsert_partition_numeric_looking_string_partition(spark, tmp_path):
+    """Partition discovery re-infers a string part_col with numeric-looking
+    values as int on read-back; upsert must still fold against it (the
+    read pins inference off and casts to the fresh side's type)."""
+    schema = "day string, event_type string, value double, user_id long"
+    base = spark.createDataFrame(
+        [("20240101", "a", 1.0, 1), ("20240102", "a", 2.0, 2)], schema
+    )
+    path = str(tmp_path / "partials")
+    mv.write_partials(
+        mv.build_partials(base, "day", ["event_type"], "value", "user_id"),
+        path, "day",
+    )
+    late = spark.createDataFrame([("20240101", "a", 3.0, 3)], schema)
+    n = mv.upsert_partition(
+        spark, path, late, "day", ["event_type"], "value", "user_id"
+    )
+    assert n == 1
+    got = mv.merge_partials(
+        spark.read.parquet(path), ["event_type"]
+    ).collect()[0]
+    assert got.n_rows == 3
+    assert got.sum_cents == 600  # 100 + 200 + 300

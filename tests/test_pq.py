@@ -128,3 +128,36 @@ def test_ivfpq_index_build_load_serve_matches_inline(vecs, tmp_path):
     for rows in by_q.values():
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         assert all(a.adc_dist <= b.adc_dist for a, b in zip(rows, rows[1:]))
+
+
+def test_train_or_load_raises_on_corrupt_artifact(vecs, tmp_path):
+    """A corrupt-but-PRESENT codebook dir must surface the read error, not
+    silently retrain over it (a transient storage fault would otherwise
+    trigger an expensive rebuild and mask the problem)."""
+    import os
+
+    path = str(tmp_path / "cb")
+    os.makedirs(path)
+    garbage = os.path.join(path, "part-00000.parquet")
+    with open(garbage, "wb") as f:
+        f.write(b"definitely not a parquet footer")
+    with pytest.raises(Exception):
+        pq.train_or_load_codebook(vecs, path, m=2, k=2, subdim=2, iters=2)
+    # ...and the broken artifact was NOT clobbered by a retrain.
+    with open(garbage, "rb") as f:
+        assert f.read() == b"definitely not a parquet footer"
+
+
+def test_train_or_load_trains_when_artifact_absent(vecs, tmp_path):
+    """Missing path and present-but-fileless dir both count as 'absent'
+    and fall through to training."""
+    import os
+
+    missing = str(tmp_path / "never_written")
+    cb = pq.train_or_load_codebook(vecs, missing, m=2, k=2, subdim=2, iters=2)
+    assert cb.count() == 4  # m*k rows persisted + returned
+
+    empty = str(tmp_path / "empty_dir")
+    os.makedirs(empty)
+    cb2 = pq.train_or_load_codebook(vecs, empty, m=2, k=2, subdim=2, iters=2)
+    assert cb2.count() == 4

@@ -96,3 +96,19 @@ def test_mixture_keep_rates_and_determinism(spark):
     ka = {r.doc_id for r in df.filter(mixture_keep("doc_id", "source", F.lit(0.5))).collect()}
     kb = {r.doc_id for r in other.filter(mixture_keep("doc_id", "source", F.lit(0.5))).collect()}
     assert ka != kb
+
+
+def test_salted_join_guards_replication_blast_radius(spark):
+    """The optional small-side probe raises before materializing an
+    n_salts-times copy of a 'small' side that is not actually small;
+    under the bound the join proceeds and matches the naive result."""
+    import pytest
+
+    big = spark.createDataFrame([("hot", i) for i in range(50)], "k string, v long")
+    small = spark.createDataFrame(
+        [(f"k{i}", "t") for i in range(200)] + [("hot", "H")], "k string, tag string"
+    )
+    with pytest.raises(ValueError, match="max_small_rows"):
+        skew.salted_join(big, small, "k", n_salts=4, max_small_rows=100)
+    ok = skew.salted_join(big, small, "k", n_salts=4, max_small_rows=500)
+    assert ok.count() == big.join(small, "k").count() == 50

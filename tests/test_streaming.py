@@ -313,3 +313,19 @@ def test_stream_static_enrichment_broadcast(spark, tmp_path):
     )
     plan = static._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_mode_toggle_uses_distinct_checkpoints(spark, tmp_path):
+    """The exactly-once body writes a different sink layout than the
+    append body, so the two modes must not share stream offsets: each
+    gets its own checkpoint subdir."""
+    import os
+
+    src = str(tmp_path / "src")
+    producer.write_batch(src, producer.make_batch(4))
+    sinks = _sinks(tmp_path)
+    pipeline.run_validation_pipeline(
+        spark, src, sinks, exactly_once=True
+    ).awaitTermination(120)
+    assert os.path.isdir(os.path.join(sinks.checkpoint, "router-eo"))
+    assert not os.path.isdir(os.path.join(sinks.checkpoint, "router"))
