@@ -165,16 +165,71 @@ def _load_manifest(table_path: str) -> dict:
         return {"current": 0, "snapshots": {}}
 
 
-def write_snapshot(df: DataFrame, table_path: str) -> int:
+_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_fingerprints(df: DataFrame, part_col: str) -> dict:
+    """Per-partition multiset fingerprint of the NON-partition columns:
+    ``{part_value_str: {"n": row_count, "fp": decimal-sum-of-xxhash64}}``.
+
+    Sum-of-hashes is order-insensitive and multiset-sensitive (a dropped
+    duplicate changes the sum); the sum runs in ``decimal(38,0)`` so it
+    can never hit an ANSI overflow.  Columns are hashed in sorted-name
+    order so the fingerprint is invariant to select order between
+    versions.  One aggregation pass, shuffle key = partition value."""
+    from pyspark.sql import functions as F
+
+    data_cols = sorted(c for c in df.columns if c != part_col)
+    key = F.coalesce(F.col(part_col).cast("string"), F.lit(_NULL_PART))
+    rows = (
+        df.groupBy(key.alias("__part"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.xxhash64(*data_cols).cast("decimal(38,0)")).alias("__fp"),
+        )
+        .collect()
+    )
+    return {r["__part"]: {"n": r["__n"], "fp": str(r["__fp"])} for r in rows}
+
+
+def write_snapshot(df: DataFrame, table_path: str, part_col: str | None = None) -> int:
     """Write ``df`` as the table's next immutable snapshot and flip the
-    manifest pointer.  Returns the new version number (1-based)."""
+    manifest pointer.  Returns the new version number (1-based).
+
+    With ``part_col`` the snapshot lands Hive-partitioned AND the manifest
+    records a per-partition content fingerprint (the Delta/Iceberg
+    per-file-stats pattern at partition granularity), which lets
+    :func:`snapshot_changes` confine a version diff to the partitions
+    whose content actually changed — at 100 TB a one-partition edit must
+    not pay a two-full-table ``exceptAll`` shuffle."""
     os.makedirs(table_path, exist_ok=True)
     man = _load_manifest(table_path)
     version = man["current"] + 1
     snap_dir = os.path.join(table_path, "snapshots", f"v{version}")
-    df.write.mode("errorifexists").parquet(snap_dir)
-    n_rows = df.sparkSession.read.parquet(snap_dir).count()
-    man["snapshots"][str(version)] = {"dir": f"snapshots/v{version}", "n_rows": n_rows}
+    writer = df.write.mode("errorifexists")
+    if part_col:
+        writer = writer.partitionBy(part_col)
+    writer.parquet(snap_dir)
+    # Read back what actually landed (not the input lineage) for the row
+    # count and fingerprints; inference off so partition values round-trip
+    # as the exact directory strings the manifest keys on.
+    spark = df.sparkSession
+    entry: dict = {"dir": f"snapshots/v{version}"}
+    if part_col:
+        inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev_inf = spark.conf.get(inf_key, "true")
+        spark.conf.set(inf_key, "false")
+        try:
+            landed = spark.read.parquet(snap_dir)
+        finally:
+            spark.conf.set(inf_key, prev_inf)
+        parts = _partition_fingerprints(landed, part_col)
+        entry["part_col"] = part_col
+        entry["parts"] = parts
+        entry["n_rows"] = sum(p["n"] for p in parts.values())
+    else:
+        entry["n_rows"] = spark.read.parquet(snap_dir).count()
+    man["snapshots"][str(version)] = entry
     man["current"] = version
     tmp = _manifest_path(table_path) + ".tmp"
     with open(tmp, "w") as f:
@@ -381,6 +436,27 @@ def read_with_skipping(
     return df, report
 
 
+def changed_partitions(
+    table_path: str, v_from: int, v_to: int
+) -> tuple[str, list[str]] | None:
+    """Compare two snapshots' per-partition fingerprints; returns
+    ``(part_col, changed_values)`` — partitions whose content differs or
+    that exist on only one side — or ``None`` when either snapshot lacks
+    fingerprints (unpartitioned write) or the partition columns disagree.
+    Pure manifest work: O(partitions) on the driver, zero data read."""
+    man = _load_manifest(table_path)
+    sa = man["snapshots"].get(str(v_from), {})
+    sb = man["snapshots"].get(str(v_to), {})
+    pc = sa.get("part_col")
+    if not pc or pc != sb.get("part_col"):
+        return None
+    pa, pb = sa["parts"], sb["parts"]
+    changed = sorted(
+        k for k in set(pa) | set(pb) if pa.get(k) != pb.get(k)
+    )
+    return pc, changed
+
+
 def snapshot_changes(
     spark: SparkSession, table_path: str, v_from: int, v_to: int
 ) -> DataFrame:
@@ -394,11 +470,40 @@ def snapshot_changes(
     exchange per side on the full row, no driver-side diffing — so a
     downstream consumer can incrementally apply v_from → v_to instead of
     re-reading the whole new snapshot.  Multiset semantics: duplicate
-    rows diff by count, not presence."""
+    rows diff by count, not presence.
+
+    When both snapshots were written with ``part_col``, the manifest's
+    per-partition fingerprints confine the diff to the CHANGED partitions
+    first (:func:`changed_partitions`): both scans carry a partition-only
+    predicate that Spark prunes at planning, so a one-partition edit
+    reads and shuffles one partition per side, not two full tables.  On
+    this path the snapshots are read with partition type inference OFF —
+    the partition column surfaces as the exact directory string the
+    manifest keys on (a numeric-looking string value must not prune
+    against its re-inferred int form)."""
     from pyspark.sql import functions as F
 
-    a = read_snapshot(spark, table_path, v_from)
-    b = read_snapshot(spark, table_path, v_to)
+    pruned = changed_partitions(table_path, v_from, v_to)
+    if pruned is None:
+        a = read_snapshot(spark, table_path, v_from)
+        b = read_snapshot(spark, table_path, v_to)
+    else:
+        pc, changed = pruned
+        inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev_inf = spark.conf.get(inf_key, "true")
+        spark.conf.set(inf_key, "false")
+        try:
+            a = read_snapshot(spark, table_path, v_from)
+            b = read_snapshot(spark, table_path, v_to)
+        finally:
+            spark.conf.set(inf_key, prev_inf)
+        vals = [v for v in changed if v != _NULL_PART]
+        pred = F.col(pc).isin(vals)
+        if _NULL_PART in changed:
+            pred = pred | F.col(pc).isNull()
+        if not changed:
+            pred = F.lit(False)
+        a, b = a.where(pred), b.where(pred)
     return b.exceptAll(a).withColumn("_change", F.lit("insert")).unionByName(
         a.exceptAll(b).withColumn("_change", F.lit("delete"))
     )

@@ -11101,6 +11101,94 @@ def dp_noisy_segment_counts(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Partition-pruned change feed (maintenance.write_snapshot(part_col=) +
+# snapshot_changes): snapshots written Hive-partitioned carry a
+# per-partition content fingerprint in the manifest (count + decimal sum
+# of row xxhash64 — order-insensitive, multiset-sensitive), so the
+# v_from→v_to diff first compares fingerprints driver-side (O(partitions),
+# zero data read) and then runs its two exceptAll passes over ONLY the
+# changed partitions, with a partition-pruned scan on both sides.  At
+# 100 TB a one-partition edit diffs one partition, not two full tables —
+# the fix for the full-snapshot exceptAll scale note in VERDICT r6.
+# The fixture edits exactly two of five priority partitions (one gains
+# rows, one loses rows); the oracle replays the same multiset diff with
+# DuckDB EXCEPT ALL from the version predicates.
+# --------------------------------------------------------------------------
+
+@query(
+    "partition_change_feed",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    v1 AS (
+      SELECT * FROM snap
+      WHERE NOT (o_orderpriority = '2-HIGH' AND o_orderkey % 7 = 0)
+    ),
+    v2 AS (
+      SELECT * FROM snap
+      WHERE NOT (o_orderpriority = '3-MEDIUM' AND o_orderkey % 11 = 0)
+    ),
+    feed AS (
+      SELECT *, 'insert' AS change FROM (
+        SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+      UNION ALL
+      SELECT *, 'delete' AS change FROM (
+        SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+    )
+    SELECT change, o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(price_cents) AS BIGINT) AS sum_cents
+    FROM feed GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def partition_change_feed(spark, sf_dir):
+    """Diff two partitioned snapshots through the fingerprint-pruned
+    change feed; report per-(change, partition) row and cents totals."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    snap = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_partsnap_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
+    mt.write_snapshot(
+        snap.filter(~((pri == "2-HIGH") & (key % 7 == 0))),
+        table,
+        part_col="o_orderpriority",
+    )
+    mt.write_snapshot(
+        snap.filter(~((pri == "3-MEDIUM") & (key % 11 == 0))),
+        table,
+        part_col="o_orderpriority",
+    )
+    feed = mt.snapshot_changes(spark, table, 1, 2)
+    return (
+        feed.groupBy(
+            F.col("_change").alias("change"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("change", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-harness ordering: least-externally-verified first.
 #
 # The external correctness gate hashes the first 50 ``queries()`` entries

@@ -328,3 +328,102 @@ def test_stats_skipping_stale_manifest_and_typed_bounds(spark, tmp_path):
     spark.range(10).selectExpr("CAST(id AS DECIMAL(10,2)) AS m").write.parquet(dpath)
     with pytest.raises(ValueError, match="decimal"):
         mt.write_stats_manifest(spark, dpath, ["m"])
+
+
+def test_partitioned_change_feed_prunes_to_changed_partitions(spark, tmp_path):
+    """Snapshots written with part_col carry per-partition fingerprints;
+    a one-partition edit diffs (and READS) only that partition — the
+    scan file lists on both sides must exclude every unchanged
+    partition's files."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "cdcp")
+    schema = "id int, day string, v string"
+    v1 = spark.createDataFrame(
+        [(i, f"d{i % 4}", f"v{i}") for i in range(40)], schema
+    )
+    # Edit ONLY day=d2: drop id=2, change id=6's value.
+    v2 = spark.createDataFrame(
+        [
+            (i, f"d{i % 4}", "CHANGED" if i == 6 else f"v{i}")
+            for i in range(40)
+            if i != 2
+        ],
+        schema,
+    )
+    mt.write_snapshot(v1, table, part_col="day")
+    mt.write_snapshot(v2, table, part_col="day")
+
+    pc, changed = mt.changed_partitions(table, 1, 2)
+    assert (pc, changed) == ("day", ["d2"])
+
+    feed = mt.snapshot_changes(spark, table, 1, 2)
+    rows = {(r.id, r.day, r.v, r._change) for r in feed.collect()}
+    assert rows == {
+        (6, "d2", "CHANGED", "insert"),
+        (6, "d2", "v6", "delete"),
+        (2, "d2", "v2", "delete"),
+    }
+    # The pruning pin: both scans carry a partition-only IN-filter on the
+    # changed partition, so planning reads day=d2 alone on each side.
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        feed.explain("formatted")
+    pf = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+    assert len(pf) == 4  # exceptAll x2 -> each snapshot scanned twice
+    assert all("d2" in ln for ln in pf)
+    assert not any("d0" in ln or "d1" in ln or "d3" in ln for ln in pf)
+
+
+def test_partitioned_change_feed_identical_versions_and_part_add_drop(spark, tmp_path):
+    """No content change → empty feed with zero files read; a partition
+    present on only one side is all-insert (or all-delete)."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "cdcp2")
+    schema = "id int, day string, v string"
+    base = [(i, f"d{i % 2}", f"v{i}") for i in range(10)]
+    v1 = spark.createDataFrame(base, schema)
+    mt.write_snapshot(v1, table, part_col="day")
+    mt.write_snapshot(v1, table, part_col="day")  # identical content
+    mt.write_snapshot(  # v3: drop d1 entirely, add d9
+        spark.createDataFrame(
+            [r for r in base if r[1] == "d0"] + [(99, "d9", "new")], schema
+        ),
+        table,
+        part_col="day",
+    )
+
+    assert mt.changed_partitions(table, 1, 2) == ("day", [])
+    empty = mt.snapshot_changes(spark, table, 1, 2)
+    assert empty.count() == 0 and empty.inputFiles() == []
+
+    pc, changed = mt.changed_partitions(table, 2, 3)
+    assert (pc, set(changed)) == ("day", {"d1", "d9"})
+    feed = mt.snapshot_changes(spark, table, 2, 3)
+    got = {(r.id, r.day, r._change) for r in feed.collect()}
+    want = {(i, "d1", "delete") for i in range(10) if i % 2 == 1}
+    want.add((99, "d9", "insert"))
+    assert got == want
+
+
+def test_partitioned_change_feed_numeric_looking_string_partition(spark, tmp_path):
+    """Partition values like '05' must prune by their directory string,
+    not a re-inferred int form."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "cdcp3")
+    schema = "id int, day string, v string"
+    v1 = spark.createDataFrame([(1, "05", "a"), (2, "06", "b")], schema)
+    v2 = spark.createDataFrame([(1, "05", "A"), (2, "06", "b")], schema)
+    mt.write_snapshot(v1, table, part_col="day")
+    mt.write_snapshot(v2, table, part_col="day")
+    assert mt.changed_partitions(table, 1, 2) == ("day", ["05"])
+    feed = mt.snapshot_changes(spark, table, 1, 2)
+    assert {(r.id, r.day, r.v, r._change) for r in feed.collect()} == {
+        (1, "05", "A", "insert"),
+        (1, "05", "a", "delete"),
+    }
