@@ -87,6 +87,11 @@ HEADLINE = [
     # comparable to the BASELINE.md round-6 band):
     "histogram_quantile_rollup",  # mergeable bin-count quantile state
     "consistent_reshard_stability",  # rendezvous vs mod reshard movement
+    # Round-7 additions (appended; prior order kept for continuity) — the
+    # round-6 table-format/matview layer gets bench representatives:
+    "stats_pruned_scan",          # file-stats manifest data skipping
+    "mergeable_sketch_rollup",    # incremental matview partial merge
+    "partition_change_feed",      # fingerprint-pruned snapshot diff
 ]
 
 
