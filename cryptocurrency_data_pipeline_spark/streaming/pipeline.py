@@ -39,7 +39,9 @@ from cryptocurrency_data_pipeline_spark.operators import silver
 from cryptocurrency_data_pipeline_spark.schemas import STREAM_TICK
 
 
-def decode_tick_payload(raw: DataFrame, base64_encoded: bool = False) -> DataFrame:
+def decode_tick_payload(
+    raw: DataFrame, base64_encoded: bool = False, passthrough: tuple = ()
+) -> DataFrame:
     """Shared decode lineage for every tick source: ``raw`` carries one
     string ``value`` column (a file line, a Kafka record value, a Kinesis
     payload) and comes out parsed against the explicit ``STREAM_TICK``
@@ -52,15 +54,20 @@ def decode_tick_payload(raw: DataFrame, base64_encoded: bool = False) -> DataFra
     file harness and the Kafka reader route through THIS function, the
     downstream plan (routing, windows, dedup, sinks) is byte-identical
     across sources.
+
+    ``passthrough`` names source-metadata columns (e.g. a decoded Kafka
+    record key) to carry alongside the parsed payload.
     """
     payload = (
         F.decode(F.unbase64(F.col("value")), "UTF-8") if base64_encoded else F.col("value")
     )
     parsed = raw.select(
+        *passthrough,
         payload.alias("raw_data"),
         F.from_json(payload, STREAM_TICK, {"mode": "PERMISSIVE"}).alias("tick"),
     )
     return parsed.select(
+        *passthrough,
         "raw_data",
         "tick.*",
         F.to_timestamp(F.col("tick.timestamp")).alias("event_time"),
@@ -86,6 +93,30 @@ def read_tick_stream(
     return decode_tick_payload(reader.load(source_dir), base64_encoded)
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The exact option map handed to ``format("kafka")`` — factored out
+    so the offset/data-loss contract is testable without a broker.
+
+    ``starting_offsets`` passes through verbatim: ``"earliest"`` (the
+    reference consumer's TRIM_HORIZON), ``"latest"``, or a per-partition
+    JSON assignment like ``{"ticks":{"0":42}}`` — Spark's native forms.
+    ``fail_on_data_loss`` is stringified to the lowercase form the
+    connector expects; False tolerates compacted/expired offsets."""
+    if not topic or "," in topic:
+        raise ValueError(f"exactly one topic expected, got: {topic!r}")
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+
+
 def read_tick_stream_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -93,6 +124,7 @@ def read_tick_stream_kafka(
     starting_offsets: str = "earliest",
     base64_encoded: bool = False,
     fail_on_data_loss: bool = False,
+    include_key: bool = False,
 ) -> DataFrame:
     """Production source (S8): Kafka/MSK stand-in for the reference's
     Kinesis consumer (streaming/consumer.py:35-38 — records keyed by
@@ -106,17 +138,30 @@ def read_tick_stream_kafka(
     without it Spark raises ``[DATA_SOURCE_NOT_FOUND]`` at ``load()``.
     ``fail_on_data_loss=False`` tolerates compacted/expired offsets the
     way the reference's TRIM_HORIZON consumer does.
+
+    ``include_key=True`` additionally surfaces the record key (the
+    producer keys records by coin_id — streaming/producer.py mirrors
+    consumer.py's partition-key contract) decoded to a ``kafka_key``
+    string column ahead of the parsed payload.
+
+    NOTE: no broker or connector jar exists in the test sandbox, so this
+    reader is exercised by (a) wire-shaped static frames proving the
+    decode lineage is byte-identical to the file harness and (b) the
+    option-map contract test — never against a live broker (README
+    states the limitation).
     """
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
-        .load()
-        .select(F.col("value").cast("string").alias("value"))
-    )
-    return decode_tick_payload(raw, base64_encoded)
+    cols = [F.col("value").cast("string").alias("value")]
+    passthrough: tuple = ()
+    if include_key:
+        cols.insert(0, F.col("key").cast("string").alias("kafka_key"))
+        passthrough = ("kafka_key",)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        bootstrap_servers, topic, starting_offsets, fail_on_data_loss
+    ).items():
+        reader = reader.option(k, v)
+    raw = reader.load().select(*cols)
+    return decode_tick_payload(raw, base64_encoded, passthrough)
 
 
 @dataclass

@@ -329,3 +329,68 @@ def test_mode_toggle_uses_distinct_checkpoints(spark, tmp_path):
     ).awaitTermination(120)
     assert os.path.isdir(os.path.join(sinks.checkpoint, "router-eo"))
     assert not os.path.isdir(os.path.join(sinks.checkpoint, "router"))
+
+
+def test_kafka_option_map_contract(spark):
+    """The option map handed to format('kafka') — offsets pass through
+    verbatim (earliest / latest / per-partition JSON), failOnDataLoss is
+    lowercase-stringified, multi-topic subscribe is refused."""
+    import pytest
+
+    opts = pipeline.kafka_source_options("b:9092", "ticks")
+    assert opts == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "ticks",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+    per_part = '{"ticks":{"0":42,"1":-1}}'
+    assert (
+        pipeline.kafka_source_options(
+            "b:9092", "ticks", starting_offsets=per_part, fail_on_data_loss=True
+        )
+        == {
+            "kafka.bootstrap.servers": "b:9092",
+            "subscribe": "ticks",
+            "startingOffsets": per_part,
+            "failOnDataLoss": "true",
+        }
+    )
+    with pytest.raises(ValueError, match="one topic"):
+        pipeline.kafka_source_options("b:9092", "a,b")
+
+
+def test_kafka_key_decode_lineage(spark):
+    """Recorded wire fixture with (key, value) binary columns: the
+    include_key path surfaces the coin_id record key as kafka_key next
+    to the SAME parsed payload the file harness produces — including the
+    base64-encoded payload variant (the Kinesis encoding)."""
+    import base64
+
+    ticks = producer.make_batch(3)  # 3 normal + 3 injected anomalies
+    wire_rows = [
+        (t["coin_id"].encode(), json.dumps(t).encode()) for t in ticks
+    ]
+    wire = spark.createDataFrame(wire_rows, "key binary, value binary").select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.col("value").cast("string").alias("value"),
+    )
+    decoded = pipeline.decode_tick_payload(wire, passthrough=("kafka_key",))
+    assert decoded.columns[0] == "kafka_key"
+    rows = decoded.select("kafka_key", "coin_id", "current_price").collect()
+    assert len(rows) == 6 and all(r.kafka_key == r.coin_id for r in rows)
+
+    b64 = spark.createDataFrame(
+        [(t["coin_id"].encode(), base64.b64encode(json.dumps(t).encode()))
+         for t in ticks],
+        "key binary, value binary",
+    ).select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.col("value").cast("string").alias("value"),
+    )
+    via_b64 = pipeline.decode_tick_payload(
+        b64, base64_encoded=True, passthrough=("kafka_key",)
+    )
+    assert sorted(map(tuple, via_b64.collect())) == sorted(
+        map(tuple, decoded.collect())
+    )
