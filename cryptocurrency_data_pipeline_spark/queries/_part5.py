@@ -1,0 +1,1841 @@
+"""Round-6/7 additions (epoch 5): rank/quantile two-pass plans, salted
+skew operators, table-format layer (time travel, stats-pruned scans,
+mergeable matviews, histogram quantiles), privacy suite, consistent
+resharding, partition-pruned change feed.
+
+Split from the monolithic ``queries.py`` by REGISTRATION EPOCH — the
+import sequence in ``queries/__init__.py`` preserves the original
+registration order exactly (pinned by ``tests/test_oracle_parity.py``);
+append new queries to the LAST part (or a new part imported last), never
+reorder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from cryptocurrency_data_pipeline_spark.operators import silver  # noqa: F401
+from cryptocurrency_data_pipeline_spark.operators.caching import track  # noqa: F401
+from cryptocurrency_data_pipeline_spark.queries._registry import query, t  # noqa: F401
+from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa: F401
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation: recency / frequency / monetary quartiles
+# with ntile(4) SEMANTICS under a DETERMINISTIC total order (measure,
+# custkey) — rank-based, so no distributional assumptions and exact
+# cross-engine replay; monetary is cents-quantized so its per-segment
+# sum stays integer.  The plan is the distributed one: a naive
+# ``ntile() OVER (ORDER BY ...)`` compiles to a single-partition window
+# (every customer row through ONE task — the 100 TB killer), so each
+# quartile is computed as a range-partitioned global rank
+# (ids.with_consecutive_ids: one balanced range exchange + an
+# O(#partitions) offsets broadcast) fed into the closed-form
+# ids.ntile_from_rank projection.  Three range exchanges over the
+# customer-sized aggregate, no single-partition stage anywhere —
+# pinned by tests/test_plans.py.
+# --------------------------------------------------------------------------
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS ck,
+             max(o_orderdate) AS last_order,
+             count(*) AS freq,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT ck, freq, cents,
+             ntile(4) OVER (ORDER BY last_order, ck) AS r_q,
+             ntile(4) OVER (ORDER BY freq, ck) AS f_q,
+             ntile(4) OVER (ORDER BY cents, ck) AS m_q
+      FROM per
+    )
+    SELECT r_q, f_q, m_q,
+           count(*) AS n_customers,
+           CAST(sum(freq) AS BIGINT) AS total_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM scored GROUP BY r_q, f_q, m_q
+    """,
+)
+def rfm_customer_segments(spark, sf_dir):
+    """RFM quartile segmentation over orders: per-(r,f,m) cell counts
+    and exact integer order/cents totals.  ntile(4) semantics computed
+    distributedly (rank via range exchange + closed-form tile)."""
+    from cryptocurrency_data_pipeline_spark.operators.ids import (
+        ntile_from_rank,
+        with_consecutive_ids,
+    )
+
+    per = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    ranked = with_consecutive_ids(per, ["last_order", "ck"], "i_r")
+    ranked = with_consecutive_ids(ranked, ["freq", "ck"], "i_f")
+    ranked = with_consecutive_ids(ranked, ["cents", "ck"], "i_m")
+    n_df = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    scored = ranked.crossJoin(F.broadcast(n_df)).select(
+        "freq",
+        "cents",
+        ntile_from_rank("i_r", "__n").alias("r_q"),
+        ntile_from_rank("i_f", "__n").alias("f_q"),
+        ntile_from_rank("i_m", "__n").alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("freq").cast("long").alias("total_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# OGG decode (multimodal._parse_ogg): page walk with the spec's
+# NON-reflected CRC-32 (poly 0x04C11DB7, init 0 — deliberately not
+# zlib's) verified on every page with the CRC field zeroed; 255-lacing
+# segmentation, BOS/EOS flags, single-stream enforcement.  Payloads
+# byte-built in-engine; oracle replays the generating formula.
+# --------------------------------------------------------------------------
+
+@query(
+    "ogg_decode_rollup",
+    oracle="""
+    WITH f AS (
+      SELECT p_partkey AS k,
+             CAST(p_partkey % 9 + 1 AS INT) AS pages,
+             CAST((p_partkey % 9 + 1) * 960 AS BIGINT) AS last_granule,
+             CAST(list_sum(list_transform(generate_series(1, p_partkey % 9 + 1),
+               i -> 100 + (p_partkey + i) % 300)) AS BIGINT) AS body
+      FROM part
+    )
+    SELECT pages AS n_pages,
+           count(*) AS n_streams,
+           CAST(sum(body) AS BIGINT) AS total_payload_bytes,
+           CAST(max(last_granule) AS BIGINT) AS max_granule
+    FROM f GROUP BY pages
+    """,
+)
+def ogg_decode_rollup(spark, sf_dir):
+    """Real OGG pipeline: part keys → conforming page streams (real
+    page CRCs, lacing) → CRC-verified walk → per-page-count rollup."""
+    import pandas as pd  # noqa: F811 — executor-side import
+
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    parts = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def produce(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                k = int(r.k)
+                n = k % 9 + 1
+                payloads = [
+                    bytes((j % 251) for j in range(100 + (k + i) % 300))
+                    for i in range(1, n + 1)
+                ]
+                rows.append((k, mm.encode_ogg(k % 65536, payloads)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    payloads = parts.mapInPandas(produce, "media_id long, payload binary")
+    meta = mm.decode_ogg_meta(payloads)
+    return meta.groupBy("n_pages").agg(
+        F.count(F.lit(1)).alias("n_streams"),
+        F.sum("payload_bytes").cast("long").alias("total_payload_bytes"),
+        F.max("last_granule").cast("long").alias("max_granule"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization (gaps-and-islands): the BATCH complement to the
+# streaming session windows — a session is a maximal per-user run with
+# gaps < 30 min, built from one lag + one cumulative sum over the same
+# user-keyed window (single exchange), then a session rollup.  All
+# integer (epoch seconds), exactly replayable.
+# --------------------------------------------------------------------------
+
+@query(
+    "user_sessionization_stats",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             event_id
+      FROM events
+    ), flagged AS (
+      SELECT user_id, sec, event_id,
+             CASE WHEN sec - lag(sec) OVER w > 1800 OR
+                       lag(sec) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), sess AS (
+      SELECT user_id, sec,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), per AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             max(sec) - min(sec) AS dur_s
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(dur_s) AS BIGINT) AS max_duration_s,
+           CAST(sum(dur_s) AS BIGINT) AS total_duration_s,
+           round(sum(n_events) * 1.0 / count(*), 6) AS avg_events_per_session
+    FROM per
+    """,
+)
+def user_sessionization_stats(spark, sf_dir):
+    """30-min-gap sessionization over all user activity: session count,
+    event totals, duration extremes, mean session size."""
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        "event_id",
+    )
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w) > 1800)
+            | F.lag("sec").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("sec") - F.min("sec")).alias("dur_s"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("dur_s").cast("long").alias("max_duration_s"),
+        F.sum("dur_s").cast("long").alias("total_duration_s"),
+        F.round(F.sum("n_events") / F.count(F.lit(1)), 6).alias(
+            "avg_events_per_session"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Media triage (multimodal.sniff_media): the lake-ingest front door —
+# classify a MIXED bag of opaque payloads by magic bytes into
+# (family, format) before any per-format decoder runs.  The producer
+# emits 12 different real formats round-robin (every encoder the
+# engine ships), so one mis-sniff flips a rollup bucket.
+# --------------------------------------------------------------------------
+
+@query(
+    "media_triage_rollup",
+    oracle="""
+    WITH f AS (
+      SELECT p_partkey % 12 AS slot, count(*) AS n FROM part GROUP BY slot
+    ), m(slot, family, fmt) AS (
+      VALUES (0, 'image', 'ppm'), (1, 'image', 'bmp'),
+             (2, 'image', 'tiff'), (3, 'audio', 'wav'),
+             (4, 'audio', 'flac'), (5, 'audio', 'ogg'),
+             (6, 'audio', 'mp3'), (7, 'video', 'avi'),
+             (8, 'video', 'mp4'), (9, 'archive', 'warc'),
+             (10, 'archive', 'zip'), (11, 'archive', 'tar')
+    )
+    SELECT m.family, m.fmt AS format,
+           CAST(sum(f.n) AS BIGINT) AS n_payloads
+    FROM f JOIN m USING (slot)
+    GROUP BY m.family, m.fmt
+    """,
+)
+def media_triage_rollup(spark, sf_dir):
+    """Magic-byte triage over a 12-format mixed corpus: per-(family,
+    format) counts."""
+    import pandas as pd  # noqa: F811 — executor-side import
+
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    parts = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def produce(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                k = int(r.k)
+                slot = k % 12
+                if slot == 0:
+                    pay = b"P6\n2 2\n255\n" + bytes(12)
+                elif slot == 1:
+                    # minimal BM header (sniff keys on the magic only)
+                    pay = (
+                        b"BM" + bytes(12) + (40).to_bytes(4, "little")
+                        + (2).to_bytes(4, "little")
+                        + (2).to_bytes(4, "little") + bytes(100)
+                    )
+                elif slot == 2:
+                    pay = mm.encode_tiff(2, 2, 8, bool(k % 2))
+                elif slot == 3:
+                    pay = mm.encode_wav(8000, [1, -1, 2])
+                elif slot == 4:
+                    pay = mm.encode_flac_header(44100, 1, 16, 100)
+                elif slot == 5:
+                    pay = mm.encode_ogg(k % 1000, [b"x" * 20])
+                elif slot == 6:
+                    pay = mm.encode_mp3(9, 0, 2)
+                elif slot == 7:
+                    pay = mm.encode_avi(4, 2, 40000, [b"\x00" * 8])
+                elif slot == 8:
+                    pay = mm.encode_mp4(1000, 500, 4, 4)
+                elif slot == 9:
+                    pay = mm.encode_warc([("warcinfo", "", b"x")])
+                elif slot == 10:
+                    pay = mm.encode_zip([("a.txt", b"x")])
+                else:
+                    pay = mm.encode_tar([("a.txt", b"x")])
+                rows.append((k, pay))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    payloads = parts.mapInPandas(produce, "media_id long, payload binary")
+    triage = mm.decode_media_triage(payloads)
+    return triage.groupBy("family", "format").agg(
+        F.count(F.lit(1)).alias("n_payloads")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection: per-user maximum cumulative-sum
+# deviation over the cents-quantized value sequence, in the SCALED
+# integer form |n·S_i − i·S_n| (cross-multiplying away the i/n mean
+# fraction, same trick as the OLS and t-closeness queries) so argmax
+# and top-k replay exactly.  One user-keyed window pass; top-10 by
+# score via TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+
+@query(
+    "user_value_changepoint",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(value * 100) AS BIGINT) AS y,
+             row_number() OVER w AS i,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_i,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER
+               (PARTITION BY user_id) AS BIGINT) AS s_n
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), scored AS (
+      SELECT user_id, i, n,
+             abs(n * s_i - i * s_n) AS score
+      FROM seq WHERE n >= 10 AND i < n
+    ), best AS (
+      SELECT user_id, i AS change_index, n, score,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY score DESC, i) AS rn
+      FROM scored
+    )
+    SELECT user_id, change_index, CAST(n AS BIGINT) AS n_events,
+           CAST(score AS BIGINT) AS cusum_score
+    FROM best WHERE rn = 1
+    ORDER BY cusum_score DESC, user_id LIMIT 10
+    """,
+)
+def user_value_changepoint(spark, sf_dir):
+    """Top-10 users by scaled CUSUM deviation, with the change index
+    (first argmax): users whose value level shifts hardest."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    seq = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("y"),
+        )
+        .select(
+            "user_id",
+            F.row_number().over(w).alias("i"),
+            F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("s_i"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+            F.sum("y").over(w_all).cast("long").alias("s_n"),
+        )
+    )
+    scored = seq.where((F.col("n") >= 10) & (F.col("i") < F.col("n"))).select(
+        "user_id",
+        "i",
+        "n",
+        F.abs(F.col("n") * F.col("s_i") - F.col("i") * F.col("s_n")).alias(
+            "score"
+        ),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), "i"
+    )
+    best = scored.withColumn("rn", F.row_number().over(w_best)).where(
+        F.col("rn") == 1
+    )
+    return (
+        best.select(
+            "user_id",
+            F.col("i").alias("change_index"),
+            F.col("n").cast("long").alias("n_events"),
+            F.col("score").cast("long").alias("cusum_score"),
+        )
+        .orderBy(F.col("cusum_score").desc(), "user_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution: first-touch, last-touch, and linear credit
+# for purchases over the preceding 7-day touch window (view/click/
+# signup events).  Linear credit is INTEGER ppm (floor(1e6 /
+# n_touches) per touch), so sums replay exactly — no fractional-credit
+# float drift.  One user-keyed range join + one window for touch
+# counts/rank; per-channel rollup.
+# --------------------------------------------------------------------------
+
+@query(
+    "purchase_attribution_report",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), pairs AS (
+      SELECT p.user_id, p.event_id AS conv_id, t.event_id AS touch_id,
+             t.event_type AS channel, t.sec AS tsec
+      FROM ev p JOIN ev t
+        ON p.user_id = t.user_id
+       AND t.event_type IN ('view', 'click', 'signup')
+       AND t.sec < p.sec AND p.sec - t.sec <= 604800
+      WHERE p.event_type = 'purchase'
+    ), ranked AS (
+      SELECT *,
+             count(*) OVER (PARTITION BY conv_id) AS n_t,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY tsec, touch_id) AS rn_first,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY tsec DESC, touch_id DESC)
+               AS rn_last
+      FROM pairs
+    )
+    SELECT channel,
+           count(*) AS n_touches,
+           CAST(sum(CAST(floor(1000000.0 / n_t) AS BIGINT)) AS BIGINT)
+             AS linear_credit_ppm,
+           CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_first_touch,
+           CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_last_touch
+    FROM ranked GROUP BY channel
+    """,
+)
+def purchase_attribution_report(spark, sf_dir):
+    """Per-channel attribution: touch counts, exact linear ppm credit,
+    first- and last-touch conversions over a 7-day lookback."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("sec").alias("psec"),
+    )
+    tch = ev.where(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("sec").alias("tsec"),
+    )
+    pairs = p.join(tch, "user_id").where(
+        (F.col("tsec") < F.col("psec"))
+        & (F.col("psec") - F.col("tsec") <= 604800)
+    )
+    w_n = Window.partitionBy("conv_id")
+    w_f = Window.partitionBy("conv_id").orderBy("tsec", "touch_id")
+    w_l = Window.partitionBy("conv_id").orderBy(
+        F.col("tsec").desc(), F.col("touch_id").desc()
+    )
+    ranked = pairs.select(
+        "channel",
+        F.count(F.lit(1)).over(w_n).alias("n_t"),
+        F.row_number().over(w_f).alias("rn_first"),
+        F.row_number().over(w_l).alias("rn_last"),
+    )
+    return ranked.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(F.floor(F.lit(1000000.0) / F.col("n_t")).cast("long"))
+        .cast("long")
+        .alias("linear_credit_ppm"),
+        F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_first_touch"),
+        F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_last_touch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment analysis: deterministic md5 arm assignment (the
+# sampling.split_assignment discipline), per-arm conversion rates, and
+# the 2×2 chi-square χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) computed
+# as an EXPLICIT double ladder — ((N·det)·det)/den with N·det still
+# exact in int64 — evaluated with the identical expression tree in
+# both engines (N·det² can exceed int64 at scale, so the one double
+# rounding step is placed deterministically); the α=0.05 decision
+# compares the same ladder against 3.841.
+# --------------------------------------------------------------------------
+
+@query(
+    "ab_test_chi_square",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS arm_a,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ), cells AS (
+      SELECT
+        CAST(sum(CASE WHEN arm_a AND converted = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS a,
+        CAST(sum(CASE WHEN arm_a AND converted = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS b,
+        CAST(sum(CASE WHEN NOT arm_a AND converted = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS c,
+        CAST(sum(CASE WHEN NOT arm_a AND converted = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS d
+      FROM users
+    )
+    SELECT a + b AS n_a, c + d AS n_b,
+           a AS conv_a, c AS conv_b,
+           round(a * 1.0 / (a + b), 6) AS rate_a,
+           round(c * 1.0 / (c + d), 6) AS rate_b,
+           round(CAST((a + b + c + d) * (a * d - b * c) AS DOUBLE)
+                 * (a * d - b * c)
+                 / greatest((a + b) * (c + d) * (a + c) * (b + d), 1), 6)
+             AS chi2,
+           CAST((a + b + c + d) * (a * d - b * c) AS DOUBLE)
+             * (a * d - b * c)
+             / greatest((a + b) * (c + d) * (a + c) * (b + d), 1) > 3.841
+             AS significant_05
+    FROM cells
+    """,
+)
+def ab_test_chi_square(spark, sf_dir):
+    """Deterministic-arm A/B readout: per-arm conversion to purchase,
+    exact-integer chi-square, α=0.05 decision by cross-multiplication."""
+    users = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn(
+            "arm_a",
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+        )
+    )
+    cells = users.agg(
+        F.sum(F.when(F.col("arm_a") & (F.col("converted") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("arm_a") & (F.col("converted") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~F.col("arm_a") & (F.col("converted") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~F.col("arm_a") & (F.col("converted") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    det = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    den = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    # A zero margin (e.g. every user converted) zeroes det as well, so
+    # the greatest(den, 1) guard cleanly yields chi2 = 0.
+    ladder = (n * det).cast("double") * det / F.greatest(den, F.lit(1))
+    return cells.select(
+        (F.col("a") + F.col("b")).alias("n_a"),
+        (F.col("c") + F.col("d")).alias("n_b"),
+        F.col("a").alias("conv_a"),
+        F.col("c").alias("conv_b"),
+        F.round(F.col("a") / (F.col("a") + F.col("b")), 6).alias("rate_a"),
+        F.round(F.col("c") / (F.col("c") + F.col("d")), 6).alias("rate_b"),
+        F.round(ladder, 6).alias("chi2"),
+        (ladder > F.lit(3.841)).alias("significant_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ICO directory decode (multimodal._parse_ico): multi-resolution icon
+# containers — ICONDIR walk with offset/size bounds checks and the
+# spec's 0-means-256 dimension rule (exercised: every 7th icon set
+# includes a 256px entry).  Exploding decoder shape inline (one row
+# per icon size).
+# --------------------------------------------------------------------------
+
+@query(
+    "ico_directory_rollup",
+    oracle="""
+    WITH f AS (
+      SELECT p_partkey AS k,
+             CAST(p_partkey % 3 + 1 AS INT) AS n_entries
+      FROM part
+    ), entries AS (
+      SELECT k, i,
+             CASE WHEN i = 3 AND k % 7 = 0 THEN 256
+                  ELSE 16 * i END AS px
+      FROM f, unnest(generate_series(1, n_entries)) AS u(i)
+    )
+    SELECT px AS icon_px,
+           count(*) AS n_icons,
+           count(DISTINCT k) AS n_files
+    FROM entries GROUP BY px
+    """,
+)
+def ico_directory_rollup(spark, sf_dir):
+    """Real ICO pipeline: part keys → icon directories (1-3 sizes;
+    every 7th 3-entry set carries a 256px icon that encodes as 0) →
+    directory walk → per-size rollup."""
+    import pandas as pd  # noqa: F811 — executor-side import
+
+    from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
+
+    parts = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def produce(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                k = int(r.k)
+                n = k % 3 + 1
+                sizes = [
+                    (256, 256) if (i == 3 and k % 7 == 0) else (16 * i, 16 * i)
+                    for i in range(1, n + 1)
+                ]
+                payload = mm.encode_ico(sizes)
+                try:
+                    parsed = mm._parse_ico(payload)
+                except Exception:
+                    parsed = []
+                for w, h in parsed:
+                    rows.append((k, w))
+            yield pd.DataFrame(rows, columns=["k", "icon_px"])
+
+    icons = parts.mapInPandas(produce, "k long, icon_px int")
+    return icons.groupBy("icon_px").agg(
+        F.count(F.lit(1)).alias("n_icons"),
+        F.countDistinct("k").alias("n_files"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-linguistics profile: per-source token/type counts, hapax
+# legomena (frequency-1 types — the vocabulary's long tail), dis
+# legomena, and type–token ratio — the lexical-richness report a
+# corpus card needs.  One (source, token) rollup is the only
+# data-sized shuffle; everything else is counting over the vocab-sized
+# frame.  All integer except the rounded TTR.
+# --------------------------------------------------------------------------
+
+@query(
+    "lexical_richness_report",
+    oracle="""
+    WITH tok AS (
+      SELECT source, tok, count(*) AS c
+      FROM documents,
+           unnest(string_split(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+             AS u(tok)
+      GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dis_legomena,
+           round(count(*) * 1.0 / sum(c), 6) AS type_token_ratio,
+           CAST(max(c) AS BIGINT) AS top_type_freq
+    FROM tok GROUP BY source
+    """,
+)
+def lexical_richness_report(spark, sf_dir):
+    """Per-source lexical richness: tokens, types, hapax/dis legomena,
+    TTR, and the modal type's frequency."""
+    from cryptocurrency_data_pipeline_spark.operators.text import tokens
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tok.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("dis_legomena"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.max("c").cast("long").alias("top_type_freq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-baseline outliers: flag events whose value exceeds 2× their
+# HOUR-OF-DAY mean — the seasonal complement to the global MAD/z-score
+# outlier family (a value normal at peak hour is anomalous at 4am).
+# The comparison is the integer cross-multiplication
+# ``v·n_h > 2·S_h`` on cents (no division), with the per-hour baseline
+# attached by broadcast.
+# --------------------------------------------------------------------------
+
+@query(
+    "hourly_seasonal_outliers",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(extract(hour FROM ts) AS INT) AS hod,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ), base AS (
+      SELECT hod, count(*) AS n_h,
+             CAST(sum(cents) AS BIGINT) AS s_h
+      FROM ev GROUP BY hod
+    )
+    SELECT e.hod AS hour_of_day,
+           CAST(b.n_h AS BIGINT) AS n_events,
+           round(b.s_h * 1.0 / b.n_h / 100, 6) AS mean_value,
+           CAST(sum(CASE WHEN e.cents * b.n_h > 2 * b.s_h
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM ev e JOIN base b USING (hod)
+    GROUP BY e.hod, b.n_h, b.s_h
+    """,
+)
+def hourly_seasonal_outliers(spark, sf_dir):
+    """Per-hour-of-day event counts, mean value, and the count of
+    events above 2× that hour's mean (exact integer test)."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.hour("ts").alias("hod"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    base = ev.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("cents").cast("long").alias("s_h"),
+    )
+    return (
+        ev.join(F.broadcast(base), "hod")
+        .groupBy("hod", "n_h", "s_h")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("cents") * F.col("n_h") > 2 * F.col("s_h"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            F.col("hod").alias("hour_of_day"),
+            F.col("n_h").cast("long").alias("n_events"),
+            F.round(F.col("s_h") / F.col("n_h") / 100, 6).alias("mean_value"),
+            "n_outliers",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Inter-event gap histogram: per-user consecutive-event gaps bucketed
+# by human-scale thresholds (≤1m / ≤5m / ≤30m / ≤2h / ≤1d / >1d) —
+# the burstiness profile that motivates the 30-min sessionization gap.
+# One user-keyed window (lag) + one 6-key rollup; all integer.
+# --------------------------------------------------------------------------
+
+@query(
+    "event_gap_histogram",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+      FROM events
+    ), gaps AS (
+      SELECT sec - lag(sec) OVER (PARTITION BY user_id
+                                  ORDER BY sec, event_id) AS gap
+      FROM ev
+    )
+    SELECT CASE WHEN gap <= 60 THEN '<=1m'
+                WHEN gap <= 300 THEN '<=5m'
+                WHEN gap <= 1800 THEN '<=30m'
+                WHEN gap <= 7200 THEN '<=2h'
+                WHEN gap <= 86400 THEN '<=1d'
+                ELSE '>1d' END AS bucket,
+           count(*) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS total_gap_s,
+           CAST(max(gap) AS BIGINT) AS max_gap_s
+    FROM gaps WHERE gap IS NOT NULL GROUP BY bucket
+    """,
+)
+def event_gap_histogram(spark, sf_dir):
+    """Distribution of per-user inter-event gaps across six
+    human-scale buckets."""
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").cast("long").alias("sec"),
+            "event_id",
+        )
+        .select((F.col("sec") - F.lag("sec").over(w)).alias("gap"))
+        .where(F.col("gap").isNotNull())
+    )
+    bucket = (
+        F.when(F.col("gap") <= 60, "<=1m")
+        .when(F.col("gap") <= 300, "<=5m")
+        .when(F.col("gap") <= 1800, "<=30m")
+        .when(F.col("gap") <= 7200, "<=2h")
+        .when(F.col("gap") <= 86400, "<=1d")
+        .otherwise(">1d")
+    )
+    return gaps.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").cast("long").alias("total_gap_s"),
+        F.max("gap").cast("long").alias("max_gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Value concentration (Gini + top-share): how unequally total event
+# value spreads across users — the corpus-curation analogue is "does
+# one source dominate the mix".  Gini from the exact rank identity
+# G = (2·Σ i·x_(i)) / (n·Σx) − (n+1)/n on cents integers (every cross
+# term exact; only the final ratios round); top-1%/top-10% shares by
+# the same rank frame.  The rank i is the 100 TB-safe two-pass
+# partition-offset rank (ids.with_consecutive_ids: balanced range
+# exchange + O(#partitions) offsets broadcast), NOT a global
+# ``row_number`` window — no single-partition stage; pinned by
+# tests/test_plans.py.
+# --------------------------------------------------------------------------
+
+@query(
+    "value_concentration_gini",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ), ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, user_id) AS i,
+             count(*) OVER () AS n,
+             CAST(sum(cents) OVER () AS BIGINT) AS total
+      FROM per
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_users,
+           CAST(max(total) AS BIGINT) AS total_cents,
+           round(2.0 * sum(i * cents) / (max(n) * max(total))
+                 - (max(n) + 1.0) / max(n), 6) AS gini,
+           round(CAST(sum(CASE WHEN i > max_i - CAST(floor(max_i * 0.01)
+                         AS BIGINT) THEN cents ELSE 0 END) AS BIGINT)
+                 * 1.0 / max(total), 6) AS top1_share,
+           round(CAST(sum(CASE WHEN i > max_i - CAST(floor(max_i * 0.10)
+                         AS BIGINT) THEN cents ELSE 0 END) AS BIGINT)
+                 * 1.0 / max(total), 6) AS top10_share
+    FROM (SELECT *, max(i) OVER () AS max_i FROM ranked)
+    """,
+)
+def value_concentration_gini(spark, sf_dir):
+    """One-row inequality readout: Gini coefficient and top-1%/10%
+    value shares across users (exact rank identity on cents); global
+    rank via the distributed partition-offset pass, not a window."""
+    from cryptocurrency_data_pipeline_spark.operators.ids import (
+        with_consecutive_ids,
+    )
+
+    per = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    with_i = with_consecutive_ids(per, ["cents", "user_id"], "i")
+    totals = with_i.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+    )
+    ranked = with_i.crossJoin(F.broadcast(totals)).withColumn(
+        "max_i", F.col("n").cast("long")
+    )
+    top_cut = lambda frac: F.col("max_i") - F.floor(
+        F.col("max_i") * F.lit(frac)
+    ).cast("long")
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.max("total").cast("long").alias("total_cents"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("cents"))
+            / (F.max("n") * F.max("total"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(F.col("i") > top_cut(0.01), F.col("cents")).otherwise(0)
+            ).cast("long")
+            / F.max("total"),
+            6,
+        ).alias("top1_share"),
+        F.round(
+            F.sum(
+                F.when(F.col("i") > top_cut(0.10), F.col("cents")).otherwise(0)
+            ).cast("long")
+            / F.max("total"),
+            6,
+        ).alias("top10_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact rank-selected quantiles: per-event-type p25/p50/p75 picked as
+# the element at rank ceil(q·n) under a deterministic (value, id)
+# order — the EXACT counterpart to the GK sketch queries
+# (approx_price_quantile_sketch): no interpolation, no epsilon, a
+# concrete row's value every time, so any engine replays it
+# bit-for-bit.  With only ~5 event types, a type-partitioned window
+# puts ~N/5 raw events through each task at scale — so the rank comes
+# from ids.with_grouped_ranks instead: one balanced range exchange on
+# (type, value, id) + an O(#partitions x #types) offsets broadcast,
+# no per-type data window; pinned by tests/test_plans.py.
+# --------------------------------------------------------------------------
+
+@query(
+    "exact_rank_quantiles_by_type",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(floor(value * 100) AS BIGINT),
+                                         event_id) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN r = CAST(ceil(n * 0.25) AS BIGINT)
+                    THEN cents END) AS BIGINT) AS p25_cents,
+           CAST(max(CASE WHEN r = CAST(ceil(n * 0.50) AS BIGINT)
+                    THEN cents END) AS BIGINT) AS p50_cents,
+           CAST(max(CASE WHEN r = CAST(ceil(n * 0.75) AS BIGINT)
+                    THEN cents END) AS BIGINT) AS p75_cents
+    FROM ev GROUP BY event_type
+    """,
+)
+def exact_rank_quantiles_by_type(spark, sf_dir):
+    """Exact p25/p50/p75 (rank-selection, lower method) of event value
+    per type; deterministic tiebreak on event_id.  Per-type ranks via
+    the grouped partition-offset pass, not a per-type window."""
+    from cryptocurrency_data_pipeline_spark.operators.ids import (
+        with_grouped_ranks,
+    )
+
+    ev = with_grouped_ranks(
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            "event_id",
+        ),
+        ["event_type"],
+        ["cents", "event_id"],
+        rank_name="r",
+        count_name="n",
+    )
+    pick = lambda q: F.max(
+        F.when(
+            F.col("r") == F.ceil(F.col("n") * F.lit(q)).cast("long"),
+            F.col("cents"),
+        )
+    ).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        pick(0.25).alias("p25_cents"),
+        pick(0.50).alias("p50_cents"),
+        pick(0.75).alias("p75_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric CONTAINMENT dedup (setjoin.containment_join): ordered pairs
+# where >= 80% of A's 3-shingles appear in B — the subset-duplicate
+# pattern (quote pages, aggregators, mirrors-with-banners) that
+# symmetric Jaccard structurally misses when |B| >> |A|.  Same
+# prefix-filter scale shape as jaccard_shingle_pairs: probe prefixes on
+# A's rarest shingles, full index on B, candidate-bounded verification,
+# all-integer threshold.  Oracle is the O(n²) brute force.
+# --------------------------------------------------------------------------
+
+@query(
+    "containment_shingle_pairs",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)),
+               '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, g
+      FROM base, unnest(list_transform(generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(g)
+    ), sets AS (
+      SELECT doc_id, list(g) AS s, count(*) AS sz FROM sh GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+           CAST(a.sz AS BIGINT) AS sz_a,
+           round(len(list_intersect(a.s, b.s)) * 1.0 / a.sz, 6)
+             AS containment
+    FROM sets a JOIN sets b ON a.doc_id != b.doc_id
+    WHERE 5 * len(list_intersect(a.s, b.s)) >= 4 * a.sz
+    """,
+)
+def containment_shingle_pairs(spark, sf_dir):
+    """Subset-duplicate pairs: containment(A in B) >= 4/5 over 3-word
+    shingle sets, via the asymmetric prefix-filtered join."""
+    from cryptocurrency_data_pipeline_spark.operators.setjoin import (
+        containment_join,
+    )
+    from cryptocurrency_data_pipeline_spark.operators.text import (
+        shingles,
+        tokens,
+    )
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("__toks", tokens("text"))
+        .select(
+            F.col("doc_id").alias("id"),
+            F.explode(shingles(toks=F.col("__toks"), n=3)).alias("elem"),
+        )
+        .distinct()
+    )
+    return containment_join(tok, num=4, den=5).select(
+        "id_a", "id_b", "inter", "sz_a", "containment"
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot-versioned table time travel (maintenance.write_snapshot /
+# read_snapshot): the transactional-lakehouse pattern with plain parquet
+# + an atomically-flipped JSON manifest — immutable snapshot dirs, so a
+# reader of v1 is never disturbed by the v2 writer (the reference
+# overwrites its S3 layers in place, racing readers against writers).
+# The fixture writes two deterministic snapshots of orders, then reports
+# the per-priority row delta by reading BOTH versions back; the oracle
+# replays the delta from the version predicate directly.
+# --------------------------------------------------------------------------
+
+@query(
+    "table_time_travel_diff",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS v2_rows,
+           CAST(sum(CASE WHEN o_orderkey % 3 != 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS v1_rows,
+           CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS added_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def table_time_travel_diff(spark, sf_dir):
+    """Write v1 (keys % 3 != 0) and v2 (all rows) snapshots, read both
+    versions back, report the per-priority delta."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_versioned_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
+    mt.write_snapshot(orders.filter(F.col("o_orderkey") % 3 != 0), table)
+    mt.write_snapshot(orders, table)
+
+    v1 = mt.read_snapshot(spark, table, 1).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("v1_rows")
+    )
+    v2 = mt.read_snapshot(spark, table, 2).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("v2_rows")
+    )
+    return v2.join(v1, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        "v2_rows",
+        F.coalesce("v1_rows", F.lit(0)).cast("long").alias("v1_rows"),
+        (F.col("v2_rows") - F.coalesce("v1_rows", F.lit(0)))
+        .cast("long")
+        .alias("added_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-safe two-phase aggregation (operators/skew.py salted_agg): the
+# explicit tool for the groupBy AQE can't fix — one key holding 30% of
+# 100 TB.  Phase 1 groups on (key, salt) spreading the hot key over S
+# tasks with map-side combine intact; phase 2 merges the S partials.
+# Value-IDENTICAL to the plain aggregate for algebraic functions on
+# integers (salting only re-associates), so the oracle is the plain
+# GROUP BY — any partial/merge decomposition bug flips the hash.
+# --------------------------------------------------------------------------
+
+@query(
+    "salted_event_type_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def salted_event_type_stats(spark, sf_dir):
+    """Per-type event stats THROUGH the two-phase salted aggregation
+    (~5 hot keys, the salted_agg worst case) — exact integer results."""
+    from cryptocurrency_data_pipeline_spark.operators.skew import salted_agg
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("cents", "count"),
+            "total_cents": ("cents", "sum"),
+            "min_cents": ("cents", "min"),
+            "max_cents": ("cents", "max"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.col("min_cents").cast("long").alias("min_cents"),
+        F.col("max_cents").cast("long").alias("max_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-safe replicated join (skew.salted_join): big side salted, small
+# side replicated S× so a hot join key lands in S tasks instead of one.
+# Value-identical to the plain equi-join; the rollup's integer totals
+# make the oracle the plain JOIN + GROUP BY.
+# --------------------------------------------------------------------------
+
+@query(
+    "salted_join_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def salted_join_segment_revenue(spark, sf_dir):
+    """Orders⋈customer THROUGH the salt-and-replicate join, rolled up by
+    market segment — exact integer totals."""
+    from cryptocurrency_data_pipeline_spark.operators.skew import salted_join
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(orders, cust, "c_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured payload extraction (F-family: the reference's consumer
+# pulls typed fields out of raw JSON payloads per record,
+# streaming/consumer.py:37-45): events.props is a JSON STRING column;
+# the typed field comes out JVM-side with get_json_object (no UDF, no
+# inference scan), then a two-dimension rollup over (event_type, decile
+# of the extracted key) with cents-exact value totals and a two-level
+# distinct-user count.  The JSON path evaluates inside the scan stage.
+# --------------------------------------------------------------------------
+
+@query(
+    "props_json_extraction_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(CAST(props->>'k' AS INTEGER) / 10) AS INT) AS k_decile,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           count(DISTINCT user_id) AS n_users
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def props_json_extraction_stats(spark, sf_dir):
+    """Typed extraction from the JSON props payload + rollup by
+    (event_type, extracted-key decile)."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(
+                F.get_json_object("props", "$.k").cast("int") / 10
+            )
+            .cast("int")
+            .alias("k_decile"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            "user_id",
+        )
+    )
+    return ev.groupBy("event_type", "k_decile").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bronze schema evolution (S3/P11 family): the reference lands evolving
+# raw schemas via parquet ``mergeSchema`` (glue/data_ingestion_s3.py:35);
+# the engine's production-parity form is a VERSIONED read
+# (sources/ingestion.read_bronze_versioned): rows parse against the
+# name-keyed union of registered schema versions, each row is stamped
+# with the earliest version covering its key set, and keys in no version
+# surface as ``_unknown_fields`` instead of being silently dropped.  The
+# fixture derives three deterministic landing batches from orders (v1 =
+# even keys, v2 adds o_orderpriority on odd keys, plus an unregistered
+# o_experimental field on keys % 97 == 0) — the oracle replays the
+# version assignment in SQL over the same table.  One text scan, all
+# JVM-side (json_object_keys + array_except); no inference pass.
+# --------------------------------------------------------------------------
+
+@query(
+    "schema_drift_report",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS schema_version,
+           count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_unknown_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def schema_drift_report(spark, sf_dir):
+    """Versioned bronze read over a drifting landing zone: per-version
+    row counts, value totals, and unknown-field row counts."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from cryptocurrency_data_pipeline_spark.sources.ingestion import (
+        read_bronze_versioned,
+    )
+
+    v1 = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    v2 = T.StructType(list(v1.fields) + [T.StructField("o_orderpriority", T.StringType())])
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    key = F.col("o_orderkey")
+    base = F.struct("o_orderkey", "o_custkey", "o_totalprice")
+    v2_struct = F.struct("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    drift_struct = F.struct(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.lit("A").alias("o_experimental"),
+    )
+    batches = (
+        orders.filter((key % 2 == 0) & (key % 97 != 0))
+        .select(F.to_json(base).alias("value"))
+        .unionAll(
+            orders.filter((key % 2 == 1) & (key % 97 != 0)).select(
+                F.to_json(v2_struct).alias("value")
+            )
+        )
+        .unionAll(
+            orders.filter(key % 97 == 0).select(
+                F.to_json(drift_struct).alias("value")
+            )
+        )
+    )
+    land = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_schema_drift_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    batches.write.mode("overwrite").text(land)
+
+    bronze = read_bronze_versioned(spark, land, [v1, v2])
+    return bronze.groupBy(F.col("_schema_version").alias("schema_version")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.sum(
+            F.when(F.size("_unknown_fields") > 0, 1).otherwise(0)
+        ).cast("long").alias("n_unknown_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# File-stats data skipping (maintenance.write_stats_manifest /
+# read_with_skipping): the Delta/Iceberg `add.stats` pattern — per-file
+# min/max recorded in a manifest, file list pruned driver-side BEFORE the
+# scan is planned, residual predicate still applied so the result is
+# exact.  At 100 TB the win is skipping the listing/footer/task cost of
+# non-matching files, not just their row groups.  Value-identical to the
+# plain filtered aggregate, so the oracle is the plain SQL (the pruning
+# itself — files_read < files_total — is pinned in
+# tests/test_maintenance.py).
+# --------------------------------------------------------------------------
+
+@query(
+    "stats_pruned_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+    GROUP BY 1
+    """,
+)
+def stats_pruned_scan(spark, sf_dir):
+    """Range-cluster orders on o_totalprice, index per-file min/max, then
+    answer a selective range query reading only the files whose stats
+    envelope intersects the predicate."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        # pid-scoped: concurrent harness/bench processes on the same
+        # sf_dir must not rmtree each other's mid-scan fixture.
+        f"spark_graft_statskip_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic layout per run
+    orders.repartitionByRange(8, "o_totalprice").sortWithinPartitions(
+        "o_totalprice"
+    ).write.parquet(table)
+    mt.write_stats_manifest(spark, table, ["o_totalprice"])
+
+    pruned, _report = mt.read_with_skipping(
+        spark, table, {"o_totalprice": (50000.0, 150000.0)}
+    )
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized rollup with mergeable partial state
+# (operators/matview.py): per-day algebraic partials (count / integer-cent
+# sum / min / max / HLL sketch), the newest day refreshed INCREMENTALLY
+# via dynamic partition overwrite, then any-range answers from merging
+# partial rows — never a raw rescan.  The reference's gold layer
+# recomputes from the full Silver scan every run
+# (glue/data_aggregate_gold.py:50); this is the O(days × keys) version.
+# Exact measures are oracle-checked directly; the sketch path is checked
+# as an invariant (merged per-day sketches within 2% of the exact
+# distinct — and bit-equal to a single-pass sketch, pinned in
+# tests/test_matview.py).
+# --------------------------------------------------------------------------
+
+@query(
+    "mergeable_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS sketch_within_2pct
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def mergeable_sketch_rollup(spark, sf_dir):
+    """Materialize per-day partials for events (all days but the last),
+    refresh the last day incrementally, then answer the all-time rollup
+    by merging partials; distinct users via unioned HLL sketches."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import matview as mv
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn("day", F.to_date("ts"))
+    )
+    last_day = ev.agg(F.max("day")).collect()[0][0]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        # pid-scoped: see stats_pruned_scan.
+        f"spark_graft_matview_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)  # deterministic build per run
+    mv.write_partials(
+        mv.build_partials(
+            ev.where(F.col("day") < F.lit(last_day)),
+            "day", ["event_type"], "value", "user_id",
+        ),
+        path, "day",
+    )
+    mv.refresh_partition(
+        spark, path,
+        ev.where(F.col("day") == F.lit(last_day)),
+        "day", ["event_type"], "value", "user_id",
+    )
+
+    merged = mv.merge_partials(spark.read.parquet(path), ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_rows",
+        "sum_cents",
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.02 * F.col("exact_distinct") + 1
+        ).alias("sketch_within_2pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Consistent resharding (sources/shards.rendezvous_shard): growing the
+# shard count under md5-mod placement remaps ~n/(n+1) of all ids — a
+# full-corpus rewrite at 100 TB — while rendezvous (highest-random-
+# weight) hashing moves only the ids whose new shard's hash wins,
+# ~1/(n+1).  The query measures both movement fractions for 16 → 17
+# shards over the documents corpus; the oracle replays the identical
+# md5 formulas (mod via hex-prefix cast, argmax via max_by on the hex
+# digest — both sides compare lowercase hex lexically).
+# --------------------------------------------------------------------------
+
+@query(
+    "consistent_reshard_stability",
+    oracle="""
+    WITH g AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents),
+    modshards AS (
+      SELECT CAST(('0x' || substr(md5(id), 1, 8)) AS BIGINT) % 16 AS s16,
+             CAST(('0x' || substr(md5(id), 1, 8)) AS BIGINT) % 17 AS s17
+      FROM g
+    ),
+    rv16 AS (
+      SELECT id, max_by(s, md5(id || ':' || CAST(s AS VARCHAR))) AS s16
+      FROM g, range(16) t(s) GROUP BY id
+    ),
+    rv17 AS (
+      SELECT id, max_by(s, md5(id || ':' || CAST(s AS VARCHAR))) AS s17
+      FROM g, range(17) t(s) GROUP BY id
+    ),
+    n AS (SELECT count(*) AS n_docs FROM g)
+    SELECT strategy, n_docs, n_moved,
+           round(n_moved * 1.0 / n_docs, 4) AS moved_frac
+    FROM (
+      SELECT 'mod' AS strategy, (SELECT n_docs FROM n) AS n_docs,
+             count(*) FILTER (WHERE s16 != s17) AS n_moved
+      FROM modshards
+      UNION ALL
+      SELECT 'rendezvous', (SELECT n_docs FROM n),
+             count(*) FILTER (WHERE rv16.s16 != rv17.s17)
+      FROM rv16 JOIN rv17 USING (id)
+    )
+    ORDER BY strategy
+    """,
+)
+def consistent_reshard_stability(spark, sf_dir):
+    """Fraction of the corpus that changes shard going 16 → 17 shards:
+    md5-mod placement vs rendezvous hashing, one map-only pass."""
+    from cryptocurrency_data_pipeline_spark.sources.shards import (
+        rendezvous_shard,
+        shard_assignment,
+    )
+
+    flags = t(spark, sf_dir, "documents").select(
+        (shard_assignment("doc_id", 16) != shard_assignment("doc_id", 17))
+        .cast("long")
+        .alias("mod_moved"),
+        (rendezvous_shard("doc_id", 16) != rendezvous_shard("doc_id", 17))
+        .cast("long")
+        .alias("rv_moved"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("mod_moved").alias("mod_moved"),
+        F.sum("rv_moved").alias("rv_moved"),
+    )
+    out = agg.select(
+        F.lit("mod").alias("strategy"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("mod_moved").cast("long").alias("n_moved"),
+    ).unionByName(
+        agg.select(
+            F.lit("rendezvous").alias("strategy"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("rv_moved").cast("long").alias("n_moved"),
+        )
+    )
+    return out.select(
+        "strategy",
+        "n_docs",
+        "n_moved",
+        F.round(F.col("n_moved") / F.col("n_docs"), 4).alias("moved_frac"),
+    ).orderBy("strategy")
+
+
+# --------------------------------------------------------------------------
+# Pseudonymized join integrity (operators/privacy.pseudonymize): keyed
+# deterministic tokenization — sha2(key:value) — replaces identifiers
+# while preserving join/group topology, so two tables tokenized with the
+# same key still join exactly as their raw keys would.  The query joins
+# customer→orders BOTH ways (raw custkey, tokenized custkey) and proves
+# per-segment order counts identical; the oracle replays the sha256
+# formula verbatim (lowercase hex on both engines).
+# --------------------------------------------------------------------------
+
+@query(
+    "pseudonymized_join_integrity",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             sha256('k1:' || CAST(c_custkey AS VARCHAR)) AS tok
+      FROM customer
+    ),
+    o AS (
+      SELECT o_custkey,
+             sha256('k1:' || CAST(o_custkey AS VARCHAR)) AS tok
+      FROM orders
+    ),
+    raw_j AS (
+      SELECT c_mktsegment, count(*) AS n_orders_raw
+      FROM c JOIN o ON c.c_custkey = o.o_custkey GROUP BY 1
+    ),
+    tok_j AS (
+      SELECT c_mktsegment, count(*) AS n_orders_token
+      FROM c JOIN o ON c.tok = o.tok GROUP BY 1
+    )
+    SELECT c_mktsegment, n_orders_raw, n_orders_token,
+           n_orders_raw = n_orders_token AS joins_match
+    FROM raw_j JOIN tok_j USING (c_mktsegment)
+    ORDER BY c_mktsegment
+    """,
+)
+def pseudonymized_join_integrity(spark, sf_dir):
+    """Per-segment order counts via the raw custkey join vs the
+    tokenized-custkey join — identical by construction."""
+    from cryptocurrency_data_pipeline_spark.operators.privacy import token
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", token("c_custkey", "k1").alias("tok")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", token("o_custkey", "k1").alias("tok")
+    )
+    raw_j = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders_raw"))
+    )
+    tok_j = (
+        cust.join(orders, cust.tok == orders.tok)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders_token"))
+    )
+    return (
+        raw_j.join(tok_j, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_orders_raw",
+            "n_orders_token",
+            (F.col("n_orders_raw") == F.col("n_orders_token")).alias("joins_match"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mergeable histogram quantiles (matview.build_histogram_partials /
+# histogram_quantiles): per-day equi-width bin counts are the quantile
+# state a per-partition percentile can't be — they merge by summation,
+# so any date range's p50/p95 comes from folding O(days × keys × bins)
+# partial rows with error ≤ one bin width, never re-scanning raw events.
+# Fully deterministic closed form (first bin whose cumulative count
+# reaches ceil(q·n), upper edge), replayed verbatim in the oracle; the
+# ≤-one-bin-width error vs the exact quantile is pinned in
+# tests/test_matview.py.
+# --------------------------------------------------------------------------
+
+@query(
+    "histogram_quantile_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             LEAST(49, GREATEST(0, CAST(floor(value / 20.0) AS INT))) AS bin,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bin, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM b
+    )
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS n_values,
+           round(20.0 * (min(CASE WHEN cum >= ceil(0.50 * total)
+                                  THEN bin END) + 1), 6) AS p50,
+           round(20.0 * (min(CASE WHEN cum >= ceil(0.95 * total)
+                                  THEN bin END) + 1), 6) AS p95
+    FROM c GROUP BY 1
+    """,
+)
+def histogram_quantile_rollup(spark, sf_dir):
+    """Per-type p50/p95 of event value from merged per-day histogram
+    partials (50 bins over [0, 1000])."""
+    from cryptocurrency_data_pipeline_spark.operators import matview as mv
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn("day", F.to_date("ts"))
+    )
+    partials = mv.build_histogram_partials(
+        ev, "day", ["event_type"], "value", lo=0.0, hi=1000.0, n_bins=50
+    )
+    return mv.histogram_quantiles(
+        partials, ["event_type"], [0.50, 0.95], lo=0.0, hi=1000.0, n_bins=50
+    )
+
+
+# --------------------------------------------------------------------------
+# DP noisy counts (privacy.laplace_noisy_counts): the release side of
+# the privacy surface — per-segment customer counts with Laplace(1/ε)
+# noise (ε = 0.5, sensitivity-1 count query), noise derived by inverse
+# CDF from a seeded hash so the mechanism is deterministic enough to
+# oracle-verify (the seed is secret in production — see the operator
+# docstring for the exact privacy contract).  true_count is emitted for
+# the verification harness only; a real release drops it.
+# --------------------------------------------------------------------------
+
+@query(
+    "dp_noisy_segment_counts",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1
+    ),
+    u AS (
+      SELECT c_mktsegment, n,
+             (CAST(('0x' || substr(md5('s1:' || c_mktsegment), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0 AS u
+      FROM g
+    )
+    SELECT c_mktsegment,
+           CAST(n AS BIGINT) AS true_count,
+           round(n + (-2.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4)
+             AS noisy_count
+    FROM u ORDER BY c_mktsegment
+    """,
+)
+def dp_noisy_segment_counts(spark, sf_dir):
+    """ε=0.5 Laplace-noised customer counts per market segment."""
+    from cryptocurrency_data_pipeline_spark.operators.privacy import (
+        laplace_noisy_counts,
+    )
+
+    return laplace_noisy_counts(
+        t(spark, sf_dir, "customer"), ["c_mktsegment"], epsilon=0.5, seed="s1"
+    ).orderBy("c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Partition-pruned change feed (maintenance.write_snapshot(part_col=) +
+# snapshot_changes): snapshots written Hive-partitioned carry a
+# per-partition content fingerprint in the manifest (count + decimal sum
+# of row xxhash64 — order-insensitive, multiset-sensitive), so the
+# v_from→v_to diff first compares fingerprints driver-side (O(partitions),
+# zero data read) and then runs its two exceptAll passes over ONLY the
+# changed partitions, with a partition-pruned scan on both sides.  At
+# 100 TB a one-partition edit diffs one partition, not two full tables —
+# the fix for the full-snapshot exceptAll scale note in VERDICT r6.
+# The fixture edits exactly two of five priority partitions (one gains
+# rows, one loses rows); the oracle replays the same multiset diff with
+# DuckDB EXCEPT ALL from the version predicates.
+# --------------------------------------------------------------------------
+
+@query(
+    "partition_change_feed",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    v1 AS (
+      SELECT * FROM snap
+      WHERE NOT (o_orderpriority = '2-HIGH' AND o_orderkey % 7 = 0)
+    ),
+    v2 AS (
+      SELECT * FROM snap
+      WHERE NOT (o_orderpriority = '3-MEDIUM' AND o_orderkey % 11 = 0)
+    ),
+    feed AS (
+      SELECT *, 'insert' AS change FROM (
+        SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+      UNION ALL
+      SELECT *, 'delete' AS change FROM (
+        SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+    )
+    SELECT change, o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(price_cents) AS BIGINT) AS sum_cents
+    FROM feed GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def partition_change_feed(spark, sf_dir):
+    """Diff two partitioned snapshots through the fingerprint-pruned
+    change feed; report per-(change, partition) row and cents totals."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    snap = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_partsnap_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
+    mt.write_snapshot(
+        snap.filter(~((pri == "2-HIGH") & (key % 7 == 0))),
+        table,
+        part_col="o_orderpriority",
+    )
+    mt.write_snapshot(
+        snap.filter(~((pri == "3-MEDIUM") & (key % 11 == 0))),
+        table,
+        part_col="o_orderpriority",
+    )
+    feed = mt.snapshot_changes(spark, table, 1, 2)
+    return (
+        feed.groupBy(
+            F.col("_change").alias("change"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("change", "o_orderpriority")
+    )
+

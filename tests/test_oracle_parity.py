@@ -33,6 +33,22 @@ def duck():
     con.close()
 
 
+def test_registration_order_survives_module_split():
+    """The registry was split into queries/_part*.py modules; the
+    mechanical driver-window sort tie-breaks on registration index, so
+    the import sequence is part of the external contract.  The recorded
+    pre-split order must remain a PREFIX of the live registration order
+    (append-only: new queries may follow, nothing may reorder)."""
+    import json
+    from pathlib import Path
+
+    recorded = json.loads(
+        (Path(__file__).parent / "data_registry_order.json").read_text()
+    )["registration"]
+    live = list(QUERIES)
+    assert live[: len(recorded)] == recorded
+
+
 def test_registry_order_is_mechanical_least_verified_first():
     names = list(ordered_queries())
     assert len(names) == len(QUERIES)
