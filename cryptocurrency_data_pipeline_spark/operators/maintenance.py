@@ -202,39 +202,64 @@ def write_snapshot(df: DataFrame, table_path: str, part_col: str | None = None) 
     :func:`snapshot_changes` confine a version diff to the partitions
     whose content actually changed — at 100 TB a one-partition edit must
     not pay a two-full-table ``exceptAll`` shuffle."""
+    from cryptocurrency_data_pipeline_spark.sources.tables import (
+        partition_inference_off,
+    )
+
     os.makedirs(table_path, exist_ok=True)
     man = _load_manifest(table_path)
     version = man["current"] + 1
     snap_dir = os.path.join(table_path, "snapshots", f"v{version}")
-    writer = df.write.mode("errorifexists")
-    if part_col:
-        writer = writer.partitionBy(part_col)
-    writer.parquet(snap_dir)
-    # Read back what actually landed (not the input lineage) for the row
-    # count and fingerprints; inference off so partition values round-trip
-    # as the exact directory strings the manifest keys on.
-    spark = df.sparkSession
-    entry: dict = {"dir": f"snapshots/v{version}"}
-    if part_col:
-        inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        prev_inf = spark.conf.get(inf_key, "true")
-        spark.conf.set(inf_key, "false")
-        try:
-            landed = spark.read.parquet(snap_dir)
-        finally:
-            spark.conf.set(inf_key, prev_inf)
-        parts = _partition_fingerprints(landed, part_col)
-        entry["part_col"] = part_col
-        entry["parts"] = parts
-        entry["n_rows"] = sum(p["n"] for p in parts.values())
-    else:
-        entry["n_rows"] = spark.read.parquet(snap_dir).count()
-    man["snapshots"][str(version)] = entry
-    man["current"] = version
-    tmp = _manifest_path(table_path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(man, f)
-    os.replace(tmp, _manifest_path(table_path))  # atomic pointer flip
+    # Anything that fails between creating the snapshot dir and flipping
+    # the manifest must remove the orphan dir: the manifest still points
+    # at version-1, so the NEXT write computes the same version number and
+    # its errorifexists write would fail forever — a wedged table.
+    committed = False
+    try:
+        writer = df.write.mode("errorifexists")
+        if part_col:
+            writer = writer.partitionBy(part_col)
+        writer.parquet(snap_dir)
+        # Read back what actually landed (not the input lineage) for the
+        # row count and fingerprints; inference off so partition values
+        # round-trip as the exact directory strings the manifest keys on.
+        spark = df.sparkSession
+        entry: dict = {"dir": f"snapshots/v{version}"}
+        if part_col:
+            if not any(
+                files
+                for _root, _dirs, files in os.walk(snap_dir)
+                if any(not f.startswith(("_", ".")) for f in files)
+            ):
+                # Zero-row snapshot: partitionBy wrote no data files, so
+                # the dir carries no schema and could never be read back.
+                # Rewrite it as one empty schema-bearing file (part_col
+                # becomes a regular column — there are no partitions to
+                # prune in an empty version anyway).
+                shutil.rmtree(snap_dir)
+                df.limit(0).write.parquet(snap_dir)
+                entry.update(part_col=part_col, parts={}, n_rows=0)
+            else:
+                with partition_inference_off(spark):
+                    landed = spark.read.parquet(snap_dir)
+                parts = _partition_fingerprints(landed, part_col)
+                entry.update(
+                    part_col=part_col,
+                    parts=parts,
+                    n_rows=sum(p["n"] for p in parts.values()),
+                )
+        else:
+            entry["n_rows"] = spark.read.parquet(snap_dir).count()
+        man["snapshots"][str(version)] = entry
+        man["current"] = version
+        tmp = _manifest_path(table_path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, _manifest_path(table_path))  # atomic pointer flip
+        committed = True
+    finally:
+        if not committed:
+            shutil.rmtree(snap_dir, ignore_errors=True)
     return version
 
 
@@ -477,11 +502,18 @@ def snapshot_changes(
     first (:func:`changed_partitions`): both scans carry a partition-only
     predicate that Spark prunes at planning, so a one-partition edit
     reads and shuffles one partition per side, not two full tables.  On
-    this path the snapshots are read with partition type inference OFF —
-    the partition column surfaces as the exact directory string the
+    this path the snapshots are SCANNED with partition type inference
+    OFF — the partition column prunes by the exact directory string the
     manifest keys on (a numeric-looking string value must not prune
-    against its re-inferred int form)."""
+    against its re-inferred int form) — and the surviving rows are then
+    cast back to the type a plain :func:`read_snapshot` of ``v_to``
+    yields, so the feed's schema matches the snapshots consumers apply
+    it to regardless of whether pruning kicked in."""
     from pyspark.sql import functions as F
+
+    from cryptocurrency_data_pipeline_spark.sources.tables import (
+        partition_inference_off,
+    )
 
     pruned = changed_partitions(table_path, v_from, v_to)
     if pruned is None:
@@ -489,21 +521,20 @@ def snapshot_changes(
         b = read_snapshot(spark, table_path, v_to)
     else:
         pc, changed = pruned
-        inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        prev_inf = spark.conf.get(inf_key, "true")
-        spark.conf.set(inf_key, "false")
-        try:
+        # Schema-only read (driver-side listing, no data scan) to learn
+        # the partition column's consumer-facing inferred type.
+        pc_type = read_snapshot(spark, table_path, v_to).schema[pc].dataType
+        with partition_inference_off(spark):
             a = read_snapshot(spark, table_path, v_from)
             b = read_snapshot(spark, table_path, v_to)
-        finally:
-            spark.conf.set(inf_key, prev_inf)
         vals = [v for v in changed if v != _NULL_PART]
         pred = F.col(pc).isin(vals)
         if _NULL_PART in changed:
             pred = pred | F.col(pc).isNull()
         if not changed:
             pred = F.lit(False)
-        a, b = a.where(pred), b.where(pred)
+        a = a.where(pred).withColumn(pc, F.col(pc).cast(pc_type))
+        b = b.where(pred).withColumn(pc, F.col(pc).cast(pc_type))
     return b.exceptAll(a).withColumn("_change", F.lit("insert")).unionByName(
         a.exceptAll(b).withColumn("_change", F.lit("delete"))
     )

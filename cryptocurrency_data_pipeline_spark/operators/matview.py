@@ -296,6 +296,10 @@ def upsert_partition(
     fold, HLL sketches union — which is exactly why the state is
     algebraic.  Untouched partitions' files stay in place (dynamic
     overwrite).  Returns the number of partitions rewritten."""
+    from cryptocurrency_data_pipeline_spark.sources.tables import (
+        partition_inference_off,
+    )
+
     fresh = build_partials(late_rows, part_col, keys, value_col, distinct_col, lg_k)
     touched = fresh.select(part_col).distinct()
     # Partition discovery re-infers the partition column's type from its
@@ -305,16 +309,20 @@ def upsert_partition(
     # eagerly at read time, so the conf flip is safe to restore) and cast
     # to fresh's declared type, a lossless round-trip of what we wrote.
     part_type = dict(fresh.dtypes)[part_col]
-    inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev_inf = spark.conf.get(inf_key, "true")
-    spark.conf.set(inf_key, "false")
-    try:
+    with partition_inference_off(spark):
         existing_all = spark.read.parquet(path)
-    finally:
-        spark.conf.set(inf_key, prev_inf)
-    existing = (
-        existing_all.withColumn(part_col, F.col(part_col).cast(part_type))
-        .join(F.broadcast(touched), part_col, "left_semi")
+    existing_all = existing_all.withColumn(
+        part_col, F.col(part_col).cast(part_type)
+    )
+    # Null-safe semi-join: a null partition value (the
+    # __HIVE_DEFAULT_PARTITION__ directory) must still match its own
+    # late rows — a plain equality join drops it and the dynamic
+    # overwrite would then replace that partition's state with ONLY the
+    # fresh partials, silently losing the existing counts.
+    existing = existing_all.join(
+        F.broadcast(touched),
+        existing_all[part_col].eqNullSafe(touched[part_col]),
+        "left_semi",
     )
     folded = existing.unionByName(fresh).groupBy(part_col, *keys).agg(
         *_fold_state_aggs()

@@ -53,18 +53,31 @@ def enforce_schema_split(
     df: DataFrame,
     required: Sequence[str],
     validation_type: str = "schema_enforcement",
+    raw_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed rewrite of the reference's collect()-loop validation.
 
     Returns ``(valid_df, dlq_df)``.  ``dlq_df`` carries the reference's DLQ
     envelope (glue/data_transform_s3.py:89-94): the offending row serialized
     as JSON plus per-row reasons naming every missing required field.
+
+    ``raw_col`` names a column already holding the ORIGINAL serialized
+    payload (the DLQ-replay path): the envelope then carries it verbatim
+    — re-serializing from the parsed columns would drop any payload
+    fields outside the declared schema — and ``valid_df`` drops it.
+    This is the single definition of the DLQ envelope; first-pass and
+    replay writes must not diverge.
     """
     reasons = missing_reasons(required)
     invalid = required_null_predicate(required)
     valid_df = df.filter(~invalid)
+    if raw_col is not None:
+        valid_df = valid_df.drop(raw_col)
+        raw = F.col(raw_col)
+    else:
+        raw = F.to_json(F.struct(*df.columns))
     dlq_df = df.filter(invalid).select(
-        F.to_json(F.struct(*df.columns)).alias("raw_data"),
+        raw.alias("raw_data"),
         reasons.alias("error_reason"),
         F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
         F.lit(validation_type).alias("validation_type"),

@@ -209,18 +209,11 @@ def replay_dlq(
         F.from_json("raw_data", schema).alias("r"),
     ).select("raw_data", "r.*")
     req = required if required is not None else REQUIRED_FIELDS
-    invalid = silver.required_null_predicate(req)
-    valid = reparsed.filter(~invalid).drop("raw_data")
-    # Still-failing envelopes keep the ORIGINAL raw_data verbatim — a
-    # re-serialize from the parsed row would silently drop any payload
+    # raw_col keeps the ORIGINAL raw_data verbatim in the rewritten DLQ —
+    # a re-serialize from the parsed row would silently drop any payload
     # fields outside schema+extra_fields on every replay (ADVICE r6).
-    still_bad = reparsed.filter(invalid).select(
-        "raw_data",
-        silver.missing_reasons(req).alias("error_reason"),
-        F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").alias(
-            "timestamp"
-        ),
-        F.lit("schema_enforcement").alias("validation_type"),
+    valid, still_bad = silver.enforce_schema_split(
+        reparsed, req, raw_col="raw_data"
     )
     valid = valid.persist()
     n_recovered = valid.count()

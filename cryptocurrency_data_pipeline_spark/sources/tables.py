@@ -11,9 +11,31 @@ PushedFilters / ReadSchema reach the scan).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+
+
+@contextmanager
+def partition_inference_off(spark: SparkSession):
+    """Scope in which ``spark.read.parquet`` surfaces Hive partition
+    values as their EXACT directory strings instead of re-inferred types
+    (a string column with numeric-looking values must not come back as
+    int).  Partition discovery happens eagerly at read time, so a frame
+    created inside the scope keeps the raw strings after exit.
+
+    The flip is session-global for its duration: a concurrent read
+    planned in the same SparkSession inside the window would also see
+    inference off — keep the scope to the single read it protects."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 TABLE_NAMES = [
     "region", "nation", "customer", "supplier", "part",

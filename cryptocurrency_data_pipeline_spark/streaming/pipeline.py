@@ -58,6 +58,13 @@ def decode_tick_payload(
     ``passthrough`` names source-metadata columns (e.g. a decoded Kafka
     record key) to carry alongside the parsed payload.
     """
+    reserved = {f.name for f in STREAM_TICK.fields} | {"raw_data", "event_time"}
+    clash = sorted(set(passthrough) & reserved)
+    if clash:
+        raise ValueError(
+            f"passthrough columns collide with the decoded payload "
+            f"surface: {clash}; alias them before decoding"
+        )
     payload = (
         F.decode(F.unbase64(F.col("value")), "UTF-8") if base64_encoded else F.col("value")
     )

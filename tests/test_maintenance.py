@@ -423,7 +423,88 @@ def test_partitioned_change_feed_numeric_looking_string_partition(spark, tmp_pat
     mt.write_snapshot(v2, table, part_col="day")
     assert mt.changed_partitions(table, 1, 2) == ("day", ["05"])
     feed = mt.snapshot_changes(spark, table, 1, 2)
-    assert {(r.id, r.day, r.v, r._change) for r in feed.collect()} == {
-        (1, "05", "A", "insert"),
-        (1, "05", "a", "delete"),
+    # The changed partition is keyed by its directory string ("05"), but
+    # the returned rows carry the CONSUMER-facing column — whatever a
+    # plain read_snapshot re-infers (here: int 5) — so applying the feed
+    # to a snapshot read type-checks.
+    snap_day_type = dict(mt.read_snapshot(spark, table, 2).dtypes)["day"]
+    assert dict(feed.dtypes)["day"] == snap_day_type
+    got = {(r.id, str(r.day), r.v, r._change) for r in feed.collect()}
+    assert got == {("1", "5", "A", "insert"), ("1", "5", "a", "delete")} or got == {
+        (1, "5", "A", "insert"),
+        (1, "5", "a", "delete"),
     }
+
+
+def test_write_snapshot_failure_leaves_table_writable(spark, tmp_path):
+    """A write that fails after creating its snapshot dir must remove the
+    orphan — the manifest still points at the previous version, so a
+    leftover dir would make every subsequent errorifexists write of the
+    same version number fail forever (a wedged table)."""
+    import os
+
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "wedge")
+    ok = spark.createDataFrame([(1, "a")], "id int, v string")
+    mt.write_snapshot(ok, table)
+    # A frame whose job fails at write time (division by zero under ANSI).
+    bad = ok.selectExpr("id", "1/(id - id) AS boom")
+    with pytest.raises(Exception):
+        mt.write_snapshot(bad, table)
+    assert not os.path.isdir(os.path.join(table, "snapshots", "v2"))
+    # The table is NOT wedged: the next write takes version 2 cleanly.
+    assert mt.write_snapshot(ok, table) == 2
+    assert mt.read_snapshot(spark, table, 2).count() == 1
+
+
+def test_write_snapshot_empty_partitioned_version_round_trips(spark, tmp_path):
+    """A zero-row partitioned snapshot (a version that deletes all rows)
+    must stay readable and diffable — partitionBy writes no schema-bearing
+    files, so the dir is rewritten as one empty typed file."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "emptysnap")
+    schema = "id int, day string, v string"
+    v1 = spark.createDataFrame([(1, "d0", "a"), (2, "d1", "b")], schema)
+    mt.write_snapshot(v1, table, part_col="day")
+    mt.write_snapshot(v1.limit(0), table, part_col="day")
+
+    empty = mt.read_snapshot(spark, table, 2)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "day", "v"}
+    assert mt.changed_partitions(table, 1, 2) == ("day", ["d0", "d1"])
+    feed = mt.snapshot_changes(spark, table, 1, 2)
+    assert {(r.id, r.day, r._change) for r in feed.collect()} == {
+        (1, "d0", "delete"),
+        (2, "d1", "delete"),
+    }
+
+
+def test_partitioned_change_feed_keeps_consumer_facing_dtype(spark, tmp_path):
+    """The pruned diff must return the partition column with the SAME
+    type a plain read_snapshot gives consumers (int-like directory
+    values re-infer as int), or applying the feed to a snapshot breaks."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "cdctyped")
+    schema = "id int, day int, v string"
+    v1 = spark.createDataFrame([(1, 20240101, "a"), (2, 20240102, "b")], schema)
+    v2 = spark.createDataFrame([(1, 20240101, "A"), (2, 20240102, "b")], schema)
+    mt.write_snapshot(v1, table, part_col="day")
+    mt.write_snapshot(v2, table, part_col="day")
+    feed = mt.snapshot_changes(spark, table, 1, 2)
+    snap = mt.read_snapshot(spark, table, 2)
+    assert dict(feed.dtypes)["day"] == dict(snap.dtypes)["day"] == "int"
+    # Applying the feed type-checks against the consumer's snapshot read.
+    applied = (
+        mt.read_snapshot(spark, table, 1)
+        .exceptAll(feed.where("_change = 'delete'").drop("_change"))
+        .unionByName(feed.where("_change = 'insert'").drop("_change"))
+    )
+    # Partition columns read back last; normalize the column order.
+    assert sorted(map(tuple, applied.select("id", "day", "v").collect())) == sorted(
+        map(tuple, v2.collect())
+    )

@@ -297,3 +297,27 @@ def test_upsert_partition_numeric_looking_string_partition(spark, tmp_path):
     ).collect()[0]
     assert got.n_rows == 3
     assert got.sum_cents == 600  # 100 + 200 + 300
+
+
+def test_upsert_partition_null_partition_folds_not_replaces(spark, tmp_path):
+    """Late rows for the NULL partition (__HIVE_DEFAULT_PARTITION__) must
+    fold into its existing state — a plain-equality semi-join drops the
+    null key and the dynamic overwrite would then silently replace the
+    partition with only the fresh partials."""
+    schema = "day string, event_type string, value double, user_id long"
+    base = spark.createDataFrame(
+        [(None, "a", 1.0, 1), (None, "a", 2.0, 2), ("d1", "a", 4.0, 3)], schema
+    )
+    path = str(tmp_path / "partials")
+    mv.write_partials(
+        mv.build_partials(base, "day", ["event_type"], "value", "user_id"),
+        path, "day",
+    )
+    late = spark.createDataFrame([(None, "a", 3.0, 4)], schema)
+    n = mv.upsert_partition(
+        spark, path, late, "day", ["event_type"], "value", "user_id"
+    )
+    assert n == 1
+    got = mv.merge_partials(spark.read.parquet(path), ["event_type"]).collect()[0]
+    assert got.n_rows == 4          # 2 existing null-day + 1 late + 1 d1
+    assert got.sum_cents == 1000    # 100 + 200 + 300 + 400

@@ -394,3 +394,13 @@ def test_kafka_key_decode_lineage(spark):
     assert sorted(map(tuple, via_b64.collect())) == sorted(
         map(tuple, decoded.collect())
     )
+
+
+def test_decode_passthrough_rejects_colliding_names(spark):
+    """A passthrough column named like a payload field would silently
+    produce duplicate columns; the decode must fail fast instead."""
+    import pytest
+
+    wire = spark.createDataFrame([("x", "{}")], "timestamp string, value string")
+    with pytest.raises(ValueError, match="collide"):
+        pipeline.decode_tick_payload(wire, passthrough=("timestamp",))
