@@ -16,6 +16,7 @@ import math
 import os
 import shutil
 import uuid
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -216,46 +217,125 @@ def write_snapshot(df: DataFrame, table_path: str, part_col: str | None = None) 
     # its errorifexists write would fail forever — a wedged table.
     committed = False
     try:
-        writer = df.write.mode("errorifexists")
-        if part_col:
-            writer = writer.partitionBy(part_col)
-        writer.parquet(snap_dir)
-        # Read back what actually landed (not the input lineage) for the
-        # row count and fingerprints; inference off so partition values
-        # round-trip as the exact directory strings the manifest keys on.
-        spark = df.sparkSession
         entry: dict = {"dir": f"snapshots/v{version}"}
         if part_col:
-            if not any(
-                files
-                for _root, _dirs, files in os.walk(snap_dir)
-                if any(not f.startswith(("_", ".")) for f in files)
-            ):
-                # Zero-row snapshot: partitionBy wrote no data files, so
-                # the dir carries no schema and could never be read back.
-                # Rewrite it as one empty schema-bearing file (part_col
-                # becomes a regular column — there are no partitions to
-                # prune in an empty version anyway).
-                shutil.rmtree(snap_dir)
-                df.limit(0).write.parquet(snap_dir)
-                entry.update(part_col=part_col, parts={}, n_rows=0)
-            else:
-                with partition_inference_off(spark):
-                    landed = spark.read.parquet(snap_dir)
-                parts = _partition_fingerprints(landed, part_col)
-                entry.update(
-                    part_col=part_col,
-                    parts=parts,
-                    n_rows=sum(p["n"] for p in parts.values()),
-                )
+            parts = _write_partitioned_version(df, snap_dir, part_col, version)
+            entry.update(
+                part_col=part_col,
+                part_type=df.schema[part_col].dataType.simpleString(),
+                parts=parts,
+                n_rows=sum(p["n"] for p in parts.values()),
+            )
         else:
-            entry["n_rows"] = spark.read.parquet(snap_dir).count()
-        man["snapshots"][str(version)] = entry
-        man["current"] = version
-        tmp = _manifest_path(table_path) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, _manifest_path(table_path))  # atomic pointer flip
+            df.write.mode("errorifexists").parquet(snap_dir)
+            entry["n_rows"] = df.sparkSession.read.parquet(snap_dir).count()
+        _commit_version(table_path, man, version, entry)
+        committed = True
+    finally:
+        if not committed:
+            shutil.rmtree(snap_dir, ignore_errors=True)
+    return version
+
+
+def _write_partitioned_version(
+    df: DataFrame, snap_dir: str, part_col: str, version: int
+) -> dict:
+    """Land ``df`` Hive-partitioned in ``snap_dir`` and return its
+    fingerprint map (each entry stamped ``src: version`` — the version
+    whose directory physically holds that partition's files)."""
+    from cryptocurrency_data_pipeline_spark.sources.tables import (
+        partition_inference_off,
+    )
+
+    spark = df.sparkSession
+    df.write.mode("errorifexists").partitionBy(part_col).parquet(snap_dir)
+    if not any(
+        any(not f.startswith(("_", ".")) for f in files)
+        for _root, _dirs, files in os.walk(snap_dir)
+    ):
+        # Zero-row write: partitionBy emits no schema-bearing data files,
+        # so the dir could never be read back.  Rewrite it as one empty
+        # typed file (part_col becomes a regular column — there are no
+        # partitions to prune in an empty version anyway).
+        shutil.rmtree(snap_dir)
+        df.limit(0).write.parquet(snap_dir)
+        return {}
+    # Read back what actually landed (not the input lineage); inference
+    # off so partition values round-trip as the exact directory strings
+    # the manifest keys on.
+    with partition_inference_off(spark):
+        landed = spark.read.parquet(snap_dir)
+    parts = _partition_fingerprints(landed, part_col)
+    for meta in parts.values():
+        meta["src"] = version
+    return parts
+
+
+def _commit_version(table_path: str, man: dict, version: int, entry: dict) -> None:
+    man["snapshots"][str(version)] = entry
+    man["current"] = version
+    tmp = _manifest_path(table_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, _manifest_path(table_path))  # atomic pointer flip
+
+
+def upsert_snapshot(
+    new_rows: DataFrame,
+    table_path: str,
+    drop_partitions: Sequence[str] = (),
+) -> int:
+    """Copy-on-write partial snapshot: publish a new version that REWRITES
+    only the partitions present in ``new_rows`` (replace semantics, like
+    ``matview.refresh_partition``) and inherits every other partition
+    from the previous version BY REFERENCE — the manifest's per-partition
+    ``src`` field points at the version directory that physically holds
+    the files, so a one-partition update writes one partition, not the
+    table.  This is the Iceberg/Delta overwrite-by-partition shape
+    rendered on plain parquet: at 100 TB a full-copy version per edit
+    (``write_snapshot``) is untenable.
+
+    ``drop_partitions`` names partition values (directory-string form) to
+    delete in the new version.  The previous version must itself be
+    partitioned on the same column.  Readers of any retained version are
+    never disturbed: old directories are immutable, and
+    :func:`vacuum_snapshots` keeps any directory still referenced by a
+    retained version's ``src`` entries."""
+    man = _load_manifest(table_path)
+    prev = man["snapshots"].get(str(man["current"]))
+    if prev is None or not prev.get("part_col"):
+        raise ValueError(
+            "upsert_snapshot requires an existing partitioned snapshot; "
+            "seed the table with write_snapshot(df, path, part_col=...)"
+        )
+    part_col = prev["part_col"]
+    if part_col not in new_rows.columns:
+        raise ValueError(f"new_rows lacks partition column {part_col!r}")
+    version = man["current"] + 1
+    snap_dir = os.path.join(table_path, "snapshots", f"v{version}")
+    committed = False
+    try:
+        fresh = _write_partitioned_version(new_rows, snap_dir, part_col, version)
+        dropped = {str(d) for d in drop_partitions}
+        clash = sorted(dropped & set(fresh))
+        if clash:
+            raise ValueError(f"partitions both rewritten and dropped: {clash}")
+        parts = {
+            k: meta
+            for k, meta in prev.get("parts", {}).items()
+            if k not in fresh and k not in dropped
+        }
+        parts.update(fresh)
+        entry = {
+            "dir": f"snapshots/v{version}",
+            "part_col": part_col,
+            "part_type": prev.get(
+                "part_type", new_rows.schema[part_col].dataType.simpleString()
+            ),
+            "parts": parts,
+            "n_rows": sum(p["n"] for p in parts.values()),
+        }
+        _commit_version(table_path, man, version, entry)
         committed = True
     finally:
         if not committed:
@@ -265,7 +345,20 @@ def write_snapshot(df: DataFrame, table_path: str, part_col: str | None = None) 
 
 def read_snapshot(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
     """Read the table as-of ``version`` (default: current).  Raises a
-    clear error for unknown or vacuumed versions."""
+    clear error for unknown or vacuumed versions.
+
+    Partitioned versions may inherit partitions from older version
+    directories (``upsert_snapshot``): the read assembles per-source
+    partition-pruned scans and unions them.  Partition values are read
+    with inference OFF and cast back to the recorded ``part_type``, so
+    the column round-trips with the WRITER's exact type — a string
+    ``"05"`` stays ``"05"``, never a re-inferred ``5``."""
+    from pyspark.sql import functions as F
+
+    from cryptocurrency_data_pipeline_spark.sources.tables import (
+        partition_inference_off,
+    )
+
     man = _load_manifest(table_path)
     version = man["current"] if version is None else version
     snap = man["snapshots"].get(str(version))
@@ -274,7 +367,35 @@ def read_snapshot(spark: SparkSession, table_path: str, version: int | None = No
             f"version {version} not available (retained: "
             f"{sorted(int(v) for v in man['snapshots'])})"
         )
-    return spark.read.parquet(os.path.join(table_path, snap["dir"]))
+    pc = snap.get("part_col")
+    if not pc or not snap.get("parts"):
+        # Unpartitioned — or an empty partitioned version, stored as one
+        # empty typed file with part_col as a regular column.
+        return spark.read.parquet(os.path.join(table_path, snap["dir"]))
+    groups: dict[int, list[str]] = {}
+    for k, meta in snap["parts"].items():
+        groups.setdefault(int(meta.get("src", version)), []).append(k)
+    part_type = snap.get("part_type", "string")
+    frames = []
+    with partition_inference_off(spark):
+        for src in sorted(groups):
+            df = spark.read.parquet(
+                os.path.join(table_path, "snapshots", f"v{src}")
+            )
+            if not (len(groups) == 1 and src == version):
+                # Source dirs hold partitions beyond the inherited set;
+                # a partition-only IN filter prunes to ours at planning.
+                keys = groups[src]
+                vals = [k for k in keys if k != _NULL_PART]
+                pred = F.col(pc).isin(vals)
+                if _NULL_PART in keys:
+                    pred = pred | F.col(pc).isNull()
+                df = df.where(pred)
+            frames.append(df)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.withColumn(pc, F.col(pc).cast(part_type))
 
 
 def list_snapshots(table_path: str) -> list[dict]:
@@ -476,8 +597,13 @@ def changed_partitions(
     if not pc or pc != sb.get("part_col"):
         return None
     pa, pb = sa["parts"], sb["parts"]
+
+    def fp(meta):  # compare CONTENT only: an inherited partition whose
+        # src moved (copy-on-write) is not a change
+        return None if meta is None else (meta.get("n"), meta.get("fp"))
+
     changed = sorted(
-        k for k in set(pa) | set(pb) if pa.get(k) != pb.get(k)
+        k for k in set(pa) | set(pb) if fp(pa.get(k)) != fp(pb.get(k))
     )
     return pc, changed
 
@@ -501,40 +627,25 @@ def snapshot_changes(
     per-partition fingerprints confine the diff to the CHANGED partitions
     first (:func:`changed_partitions`): both scans carry a partition-only
     predicate that Spark prunes at planning, so a one-partition edit
-    reads and shuffles one partition per side, not two full tables.  On
-    this path the snapshots are SCANNED with partition type inference
-    OFF — the partition column prunes by the exact directory string the
-    manifest keys on (a numeric-looking string value must not prune
-    against its re-inferred int form) — and the surviving rows are then
-    cast back to the type a plain :func:`read_snapshot` of ``v_to``
-    yields, so the feed's schema matches the snapshots consumers apply
-    it to regardless of whether pruning kicked in."""
+    reads and shuffles one partition per side, not two full tables.
+    :func:`read_snapshot` restores the writer's exact partition type, so
+    the manifest's directory-string keys compare correctly against
+    ``cast(part_col as string)`` and the feed's schema matches the
+    snapshots consumers apply it to."""
     from pyspark.sql import functions as F
 
-    from cryptocurrency_data_pipeline_spark.sources.tables import (
-        partition_inference_off,
-    )
-
+    a = read_snapshot(spark, table_path, v_from)
+    b = read_snapshot(spark, table_path, v_to)
     pruned = changed_partitions(table_path, v_from, v_to)
-    if pruned is None:
-        a = read_snapshot(spark, table_path, v_from)
-        b = read_snapshot(spark, table_path, v_to)
-    else:
+    if pruned is not None:
         pc, changed = pruned
-        # Schema-only read (driver-side listing, no data scan) to learn
-        # the partition column's consumer-facing inferred type.
-        pc_type = read_snapshot(spark, table_path, v_to).schema[pc].dataType
-        with partition_inference_off(spark):
-            a = read_snapshot(spark, table_path, v_from)
-            b = read_snapshot(spark, table_path, v_to)
         vals = [v for v in changed if v != _NULL_PART]
-        pred = F.col(pc).isin(vals)
+        pred = F.col(pc).cast("string").isin(vals)
         if _NULL_PART in changed:
             pred = pred | F.col(pc).isNull()
         if not changed:
             pred = F.lit(False)
-        a = a.where(pred).withColumn(pc, F.col(pc).cast(pc_type))
-        b = b.where(pred).withColumn(pc, F.col(pc).cast(pc_type))
+        a, b = a.where(pred), b.where(pred)
     return b.exceptAll(a).withColumn("_change", F.lit("insert")).unionByName(
         a.exceptAll(b).withColumn("_change", F.lit("delete"))
     )
@@ -544,7 +655,14 @@ def vacuum_snapshots(table_path: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (the current one
     is always kept).  Manifest updates FIRST, then directories are
     removed — a crash mid-vacuum leaves unreferenced dirs (harmless,
-    re-vacuumable), never a referenced-but-deleted version."""
+    re-vacuumable), never a referenced-but-deleted version.
+
+    Copy-on-write aware: a dropped version's DIRECTORY survives as long
+    as any retained version still inherits a partition from it (its
+    ``src`` entries) — expiring a snapshot and deleting its files are
+    separate events, exactly as in Iceberg's expire-snapshots/
+    remove-orphans split.  Returns the versions expired from the
+    manifest."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     man = _load_manifest(table_path)
@@ -558,6 +676,16 @@ def vacuum_snapshots(table_path: str, keep_last: int = 2) -> list[int]:
     with open(tmp, "w") as f:
         json.dump(man, f)
     os.replace(tmp, _manifest_path(table_path))
-    for v in drop:
-        shutil.rmtree(os.path.join(table_path, "snapshots", f"v{v}"), ignore_errors=True)
+    referenced = {int(v) for v in man["snapshots"]}
+    for v, meta in man["snapshots"].items():
+        for p in meta.get("parts", {}).values():
+            referenced.add(int(p.get("src", int(v))))
+    # Remove every on-disk version dir no retained version references —
+    # including dirs kept alive by a PREVIOUS vacuum whose last inheritor
+    # has since expired.
+    snap_root = os.path.join(table_path, "snapshots")
+    if os.path.isdir(snap_root):
+        for d in os.listdir(snap_root):
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) not in referenced:
+                shutil.rmtree(os.path.join(snap_root, d), ignore_errors=True)
     return drop

@@ -1839,3 +1839,66 @@ def partition_change_feed(spark, sf_dir):
         .orderBy("change", "o_orderpriority")
     )
 
+
+
+# --------------------------------------------------------------------------
+# Copy-on-write partial snapshot (maintenance.upsert_snapshot): a new
+# version that rewrites ONLY the partitions present in new_rows and
+# inherits every other partition from the previous version by manifest
+# reference (per-partition `src` pointer) — the Iceberg/Delta
+# overwrite-by-partition shape on plain parquet.  The fixture seeds a
+# full partitioned v1 of orders, then publishes v2 by replacing just the
+# 2-HIGH partition (keys % 3 != 0 survive); the assembled v2 read unions
+# a partition-pruned scan of v2's one rewritten partition with pruned
+# scans of v1's four inherited ones.  The oracle replays the replacement
+# predicate directly.
+# --------------------------------------------------------------------------
+
+@query(
+    "cow_snapshot_upsert",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    WHERE o_orderpriority != '2-HIGH' OR o_orderkey % 3 != 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def cow_snapshot_upsert(spark, sf_dir):
+    """Publish v2 by rewriting one partition copy-on-write; report the
+    assembled v2 per-priority totals."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    snap = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cowsnap_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
+    mt.write_snapshot(snap, table, part_col="o_orderpriority")
+    mt.upsert_snapshot(
+        snap.filter(
+            (F.col("o_orderpriority") == "2-HIGH")
+            & (F.col("o_orderkey") % 3 != 0)
+        ),
+        table,
+    )
+    return (
+        mt.read_snapshot(spark, table, 2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

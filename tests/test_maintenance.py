@@ -423,16 +423,15 @@ def test_partitioned_change_feed_numeric_looking_string_partition(spark, tmp_pat
     mt.write_snapshot(v2, table, part_col="day")
     assert mt.changed_partitions(table, 1, 2) == ("day", ["05"])
     feed = mt.snapshot_changes(spark, table, 1, 2)
-    # The changed partition is keyed by its directory string ("05"), but
-    # the returned rows carry the CONSUMER-facing column — whatever a
-    # plain read_snapshot re-infers (here: int 5) — so applying the feed
-    # to a snapshot read type-checks.
-    snap_day_type = dict(mt.read_snapshot(spark, table, 2).dtypes)["day"]
-    assert dict(feed.dtypes)["day"] == snap_day_type
-    got = {(r.id, str(r.day), r.v, r._change) for r in feed.collect()}
-    assert got == {("1", "5", "A", "insert"), ("1", "5", "a", "delete")} or got == {
-        (1, "5", "A", "insert"),
-        (1, "5", "a", "delete"),
+    # read_snapshot restores the WRITER's partition dtype (part_type in
+    # the manifest), so the string "05" survives the round trip — and the
+    # feed's schema matches what read_snapshot gives consumers.
+    assert dict(feed.dtypes)["day"] == dict(
+        mt.read_snapshot(spark, table, 2).dtypes
+    )["day"] == "string"
+    assert {(r.id, r.day, r.v, r._change) for r in feed.collect()} == {
+        (1, "05", "A", "insert"),
+        (1, "05", "a", "delete"),
     }
 
 
@@ -508,3 +507,135 @@ def test_partitioned_change_feed_keeps_consumer_facing_dtype(spark, tmp_path):
     assert sorted(map(tuple, applied.select("id", "day", "v").collect())) == sorted(
         map(tuple, v2.collect())
     )
+
+
+def test_upsert_snapshot_copy_on_write_inherits_partitions(spark, tmp_path):
+    """A one-partition upsert writes ONE partition's files; every other
+    partition is inherited by manifest reference from the previous
+    version's immutable directory — and reads back identically to a full
+    rewrite."""
+    import os
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "cow")
+    schema = "id int, day string, v string"
+    base = [(i, f"d{i % 4}", f"v{i}") for i in range(40)]
+    v1 = spark.createDataFrame(base, schema)
+    mt.write_snapshot(v1, table, part_col="day")
+    # Rewrite ONLY day=d2 (replace semantics): drop id=2, change id=6.
+    d2_new = spark.createDataFrame(
+        [(i, "d2", "CHANGED" if i == 6 else f"v{i}")
+         for i in range(40) if i % 4 == 2 and i != 2],
+        schema,
+    )
+    assert mt.upsert_snapshot(d2_new, table) == 2
+
+    # Physically: v2's dir holds ONLY day=d2; d0/d1/d3 files live in v1.
+    v2_dirs = sorted(os.listdir(os.path.join(table, "snapshots", "v2")))
+    assert [d for d in v2_dirs if d.startswith("day=")] == ["day=d2"]
+
+    # Logically: v2 == full expected table, v1 untouched.
+    expected = {(i, f"d{i % 4}", "CHANGED" if i == 6 else f"v{i}")
+                for i in range(40) if not (i % 4 == 2 and i == 2)} - {
+        (2, "d2", "v2")
+    }
+    got = {tuple(r) for r in
+           mt.read_snapshot(spark, table, 2).select("id", "day", "v").collect()}
+    assert got == expected
+    assert mt.read_snapshot(spark, table, 1).count() == 40
+
+    # The change feed sees exactly the d2 edit, partition-pruned.
+    pc, changed = mt.changed_partitions(table, 1, 2)
+    assert (pc, changed) == ("day", ["d2"])
+    feed = mt.snapshot_changes(spark, table, 1, 2)
+    assert {(r.id, r.day, r.v, r._change) for r in feed.collect()} == {
+        (6, "d2", "CHANGED", "insert"),
+        (6, "d2", "v6", "delete"),
+        (2, "d2", "v2", "delete"),
+    }
+
+
+def test_upsert_snapshot_drop_partitions_and_vacuum_keeps_referenced_dirs(
+    spark, tmp_path
+):
+    """drop_partitions deletes a partition in the new version; vacuum
+    expires old versions from the manifest but keeps any directory a
+    retained version still inherits from."""
+    import os
+
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "cowvac")
+    schema = "id int, day string, v string"
+    v1 = spark.createDataFrame(
+        [(1, "d0", "a"), (2, "d1", "b"), (3, "d2", "c")], schema
+    )
+    mt.write_snapshot(v1, table, part_col="day")
+    mt.upsert_snapshot(
+        spark.createDataFrame([(9, "d1", "B")], schema), table,
+        drop_partitions=["d2"],
+    )
+    got = {tuple(r) for r in
+           mt.read_snapshot(spark, table, 2).select("id", "day", "v").collect()}
+    assert got == {(1, "d0", "a"), (9, "d1", "B")}
+
+    # Vacuum to the newest version only: v1 expires from the manifest
+    # but its DIRECTORY survives — v2 still inherits day=d0 from it.
+    assert mt.vacuum_snapshots(table, keep_last=1) == [1]
+    with pytest.raises(ValueError, match="not available"):
+        mt.read_snapshot(spark, table, 1)
+    assert os.path.isdir(os.path.join(table, "snapshots", "v1"))
+    got2 = {tuple(r) for r in
+            mt.read_snapshot(spark, table, 2).select("id", "day", "v").collect()}
+    assert got2 == got
+
+    # A full rewrite then makes v1 truly orphaned: the next vacuum
+    # deletes both old dirs.
+    mt.write_snapshot(mt.read_snapshot(spark, table, 2), table, part_col="day")
+    assert mt.vacuum_snapshots(table, keep_last=1) == [2]
+    assert not os.path.isdir(os.path.join(table, "snapshots", "v1"))
+    assert not os.path.isdir(os.path.join(table, "snapshots", "v2"))
+    assert mt.read_snapshot(spark, table).count() == 2
+
+
+def test_upsert_snapshot_requires_partitioned_base_and_rejects_clash(
+    spark, tmp_path
+):
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "cowerr")
+    schema = "id int, day string, v string"
+    df = spark.createDataFrame([(1, "d0", "a")], schema)
+    mt.write_snapshot(df, table)  # unpartitioned seed
+    with pytest.raises(ValueError, match="partitioned snapshot"):
+        mt.upsert_snapshot(df, table)
+
+    table2 = str(tmp_path / "cowerr2")
+    mt.write_snapshot(df, table2, part_col="day")
+    with pytest.raises(ValueError, match="rewritten and dropped"):
+        mt.upsert_snapshot(df, table2, drop_partitions=["d0"])
+    # The failed upsert left no orphan dir: version 2 still writable.
+    assert mt.upsert_snapshot(
+        spark.createDataFrame([(5, "d5", "e")], schema), table2
+    ) == 2
+
+
+def test_partitioned_reads_round_trip_writer_partition_type(spark, tmp_path):
+    """part_type in the manifest restores the WRITER's dtype on read —
+    a string '05' partition value stays '05', never a re-inferred 5."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "typed05")
+    schema = "id int, day string, v string"
+    mt.write_snapshot(
+        spark.createDataFrame([(1, "05", "a"), (2, "06", "b")], schema),
+        table, part_col="day",
+    )
+    snap = mt.read_snapshot(spark, table)
+    assert dict(snap.dtypes)["day"] == "string"
+    assert {r.day for r in snap.collect()} == {"05", "06"}
