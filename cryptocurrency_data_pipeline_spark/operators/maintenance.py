@@ -343,6 +343,68 @@ def upsert_snapshot(
     return version
 
 
+def merge_into_snapshot(
+    updates: DataFrame,
+    table_path: str,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+) -> int:
+    """Row-level MERGE INTO the current snapshot, published copy-on-write:
+    rows in ``updates`` REPLACE current rows with matching ``keys``
+    (matched-update), unmatched keys INSERT, and rows flagged true in
+    ``delete_col`` (if given) DELETE their key.  Only the partitions
+    ``updates`` touches are read, merged, and rewritten
+    (:func:`upsert_snapshot`); everything else is inherited by reference
+    — the Delta ``MERGE`` shape with partition-pruned copy-on-write.
+
+    Contract: the partition column is part of row identity — an update
+    must carry the partition value its key currently lives in (the
+    partition-by-date fact discipline; a cross-partition move is an
+    explicit delete in the old partition + insert in the new).  Keys are
+    assumed non-null.  A touched partition whose rows are all deleted is
+    dropped from the new version."""
+    from pyspark.sql import functions as F
+
+    man = _load_manifest(table_path)
+    prev = man["snapshots"].get(str(man["current"]))
+    if prev is None or not prev.get("part_col"):
+        raise ValueError(
+            "merge_into_snapshot requires an existing partitioned snapshot"
+        )
+    part_col = prev["part_col"]
+    spark = updates.sparkSession
+    part_str = F.coalesce(F.col(part_col).cast("string"), F.lit(_NULL_PART))
+    touched = {
+        r[0] for r in updates.select(part_str.alias("p")).distinct().collect()
+    }
+    current = read_snapshot(spark, table_path)
+    vals = [v for v in touched if v != _NULL_PART]
+    pred = F.col(part_col).cast("string").isin(vals)
+    if _NULL_PART in touched:
+        pred = pred | F.col(part_col).isNull()
+    existing = current.where(pred)
+
+    if delete_col is not None:
+        upserts = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+        matched = updates.drop(delete_col)
+    else:
+        upserts = matched = updates
+    survivors = existing.join(
+        matched.select(*keys).distinct(), list(keys), "left_anti"
+    )
+    merged = survivors.unionByName(upserts)
+    # Partitions whose content is now empty must be DROPPED, not
+    # inherited unchanged (upsert's fresh map would simply omit them).
+    remaining = {
+        r[0] for r in merged.select(part_str.alias("p")).distinct().collect()
+    }
+    return upsert_snapshot(
+        merged, table_path, drop_partitions=sorted(touched - remaining)
+    )
+
+
 def read_snapshot(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
     """Read the table as-of ``version`` (default: current).  Raises a
     clear error for unknown or vacuumed versions.

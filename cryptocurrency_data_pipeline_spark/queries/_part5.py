@@ -1902,3 +1902,89 @@ def cow_snapshot_upsert(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Row-level MERGE INTO on the COW table (maintenance.merge_into_snapshot):
+# matched keys update, unmatched insert, delete-flagged keys vanish, and
+# only the touched partitions are read+rewritten (everything else
+# inherited by reference).  The fixture merges three kinds of edits into
+# a full orders snapshot — urgent price bumps (update), synthetic new
+# keys in 5-LOW (insert), and a deletion sweep in 3-MEDIUM — then reports
+# the merged per-priority totals; the oracle replays the same edits as a
+# closed-form predicate over the base table.
+# --------------------------------------------------------------------------
+
+@query(
+    "merge_into_orders",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+                  THEN price_cents + 7 ELSE price_cents END AS price_cents
+      FROM snap
+      WHERE NOT (o_orderpriority = '3-MEDIUM' AND o_orderkey % 7 = 0)
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderpriority, 999
+      FROM snap WHERE o_orderpriority = '5-LOW' AND o_orderkey % 11 = 0
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(price_cents) AS BIGINT) AS sum_cents
+    FROM v2 GROUP BY 1 ORDER BY 1
+    """,
+)
+def merge_into_orders(spark, sf_dir):
+    """MERGE update/insert/delete batches into a partitioned snapshot;
+    report the merged per-priority totals from the new version."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    snap = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
+    updates = (
+        snap.filter((pri == "1-URGENT") & (key % 5 == 0))
+        .withColumn("price_cents", F.col("price_cents") + 7)
+        .withColumn("_deleted", F.lit(False))
+        .unionByName(
+            snap.filter((pri == "5-LOW") & (key % 11 == 0)).select(
+                (key + 10_000_000).alias("o_orderkey"),
+                "o_orderpriority",
+                F.lit(999).cast("long").alias("price_cents"),
+                F.lit(False).alias("_deleted"),
+            )
+        )
+        .unionByName(
+            snap.filter((pri == "3-MEDIUM") & (key % 7 == 0)).withColumn(
+                "_deleted", F.lit(True)
+            )
+        )
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_mergesnap_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
+    mt.write_snapshot(snap, table, part_col="o_orderpriority")
+    mt.merge_into_snapshot(updates, table, ["o_orderkey"], delete_col="_deleted")
+    return (
+        mt.read_snapshot(spark, table, 2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

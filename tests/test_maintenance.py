@@ -639,3 +639,44 @@ def test_partitioned_reads_round_trip_writer_partition_type(spark, tmp_path):
     snap = mt.read_snapshot(spark, table)
     assert dict(snap.dtypes)["day"] == "string"
     assert {r.day for r in snap.collect()} == {"05", "06"}
+
+
+def test_merge_into_snapshot_update_insert_delete(spark, tmp_path):
+    """Delta-MERGE semantics on the COW table: matched keys update,
+    unmatched insert, delete-flagged keys vanish; untouched partitions
+    are inherited by reference; a fully-deleted partition is dropped."""
+    import os
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "merge")
+    schema = "id int, day string, v string"
+    v1 = spark.createDataFrame(
+        [(1, "d0", "a"), (2, "d0", "b"), (3, "d1", "c"), (4, "d2", "x")], schema
+    )
+    mt.write_snapshot(v1, table, part_col="day")
+    updates = spark.createDataFrame(
+        [
+            (2, "d0", "B", False),    # matched -> update
+            (9, "d0", "new", False),  # unmatched -> insert
+            (4, "d2", None, True),    # delete d2's only row
+        ],
+        "id int, day string, v string, _deleted boolean",
+    )
+    assert mt.merge_into_snapshot(updates, table, ["id"], delete_col="_deleted") == 2
+
+    got = {tuple(r) for r in
+           mt.read_snapshot(spark, table, 2).select("id", "day", "v").collect()}
+    assert got == {(1, "d0", "a"), (2, "d0", "B"), (9, "d0", "new"), (3, "d1", "c")}
+    # d1 was never touched: physically inherited from v1 (v2 holds only d0).
+    v2_parts = [d for d in os.listdir(os.path.join(table, "snapshots", "v2"))
+                if d.startswith("day=")]
+    assert v2_parts == ["day=d0"]
+    # d2 (all rows deleted) is gone from the manifest, not inherited.
+    pc, changed = mt.changed_partitions(table, 1, 2)
+    assert (pc, set(changed)) == ("day", {"d0", "d2"})
+    feed = mt.snapshot_changes(spark, table, 1, 2)
+    assert {(r.id, r.day, r._change) for r in feed.collect()} == {
+        (2, "d0", "insert"), (9, "d0", "insert"),
+        (2, "d0", "delete"), (4, "d2", "delete"),
+    }
