@@ -223,6 +223,7 @@ def write_snapshot(df: DataFrame, table_path: str, part_col: str | None = None) 
             entry.update(
                 part_col=part_col,
                 part_type=df.schema[part_col].dataType.simpleString(),
+                columns=list(df.columns),
                 parts=parts,
                 n_rows=sum(p["n"] for p in parts.values()),
             )
@@ -284,6 +285,7 @@ def upsert_snapshot(
     new_rows: DataFrame,
     table_path: str,
     drop_partitions: Sequence[str] = (),
+    skip_unchanged: bool = False,
 ) -> int:
     """Copy-on-write partial snapshot: publish a new version that REWRITES
     only the partitions present in ``new_rows`` (replace semantics, like
@@ -300,7 +302,22 @@ def upsert_snapshot(
     partitioned on the same column.  Readers of any retained version are
     never disturbed: old directories are immutable, and
     :func:`vacuum_snapshots` keeps any directory still referenced by a
-    retained version's ``src`` entries."""
+    retained version's ``src`` entries.
+
+    Schema evolution: ``new_rows`` defines the new version's column set
+    (recorded in the manifest).  An ADDED column surfaces as null on
+    inherited partitions; a column ``new_rows`` no longer carries is
+    dropped from the assembled read of the new version (older versions
+    keep their own schemas).  The partition column's type must not
+    change.
+
+    ``skip_unchanged=True`` compares the freshly-written partitions'
+    fingerprints against the previous version before committing: a no-op
+    publish (every rewritten partition byte-equal in content, nothing
+    effectively dropped, no schema change) is withdrawn and the CURRENT
+    version number returned — so deterministic replays (a foreachBatch
+    retry re-merging the same micro-batch) do not mint identical
+    versions."""
     man = _load_manifest(table_path)
     prev = man["snapshots"].get(str(man["current"]))
     if prev is None or not prev.get("part_col"):
@@ -320,9 +337,26 @@ def upsert_snapshot(
         clash = sorted(dropped & set(fresh))
         if clash:
             raise ValueError(f"partitions both rewritten and dropped: {clash}")
+        prev_parts = prev.get("parts", {})
+        columns = list(new_rows.columns) if fresh else prev.get(
+            "columns", list(new_rows.columns)
+        )
+        if skip_unchanged:
+            same_content = all(
+                k in prev_parts
+                and (prev_parts[k].get("n"), prev_parts[k].get("fp"))
+                == (meta.get("n"), meta.get("fp"))
+                for k, meta in fresh.items()
+            )
+            no_real_drop = not (dropped & set(prev_parts))
+            same_schema = columns == prev.get("columns", columns)
+            if same_content and no_real_drop and same_schema:
+                shutil.rmtree(snap_dir, ignore_errors=True)
+                committed = True  # nothing to roll back
+                return man["current"]
         parts = {
             k: meta
-            for k, meta in prev.get("parts", {}).items()
+            for k, meta in prev_parts.items()
             if k not in fresh and k not in dropped
         }
         parts.update(fresh)
@@ -332,6 +366,7 @@ def upsert_snapshot(
             "part_type": prev.get(
                 "part_type", new_rows.schema[part_col].dataType.simpleString()
             ),
+            "columns": columns,
             "parts": parts,
             "n_rows": sum(p["n"] for p in parts.values()),
         }
@@ -456,7 +491,16 @@ def read_snapshot(spark: SparkSession, table_path: str, version: int | None = No
             frames.append(df)
     out = frames[0]
     for f in frames[1:]:
-        out = out.unionByName(f)
+        # allowMissingColumns: schema evolution — a column ADDED by the
+        # version that wrote one group is null on groups inherited from
+        # versions that predate it (and vice versa for drops, resolved
+        # by the select below).
+        out = out.unionByName(f, allowMissingColumns=True)
+    cols = snap.get("columns")
+    if cols:
+        # The version's recorded column set wins: columns its writer no
+        # longer carries are dropped from the assembled read.
+        out = out.select(*cols)
     return out.withColumn(pc, F.col(pc).cast(part_type))
 
 

@@ -680,3 +680,49 @@ def test_merge_into_snapshot_update_insert_delete(spark, tmp_path):
         (2, "d0", "insert"), (9, "d0", "insert"),
         (2, "d0", "delete"), (4, "d2", "delete"),
     }
+
+
+def test_upsert_snapshot_schema_evolution_add_column(spark, tmp_path):
+    """A column added by the new version surfaces as null on inherited
+    partitions; older versions keep their own schema."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "evolve")
+    v1 = spark.createDataFrame(
+        [(1, "d0", "a"), (2, "d1", "b")], "id int, day string, v string"
+    )
+    mt.write_snapshot(v1, table, part_col="day")
+    evolved = spark.createDataFrame(
+        [(9, "d1", "B", 42)], "id int, day string, v string, score int"
+    )
+    mt.upsert_snapshot(evolved, table)
+
+    v2 = mt.read_snapshot(spark, table, 2)
+    assert v2.columns == ["id", "day", "v", "score"]
+    got = {(r.id, r.day, r.v, r.score) for r in v2.collect()}
+    assert got == {(1, "d0", "a", None), (9, "d1", "B", 42)}
+    # v1 unchanged, pre-evolution schema.
+    assert mt.read_snapshot(spark, table, 1).columns == ["id", "day", "v"]
+
+
+def test_upsert_snapshot_skip_unchanged_withdraws_noop_publish(spark, tmp_path):
+    """Replaying the same deterministic batch with skip_unchanged=True
+    must not mint an identical new version."""
+    import os
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "noop")
+    schema = "id int, day string, v string"
+    v1 = spark.createDataFrame([(1, "d0", "a"), (2, "d1", "b")], schema)
+    mt.write_snapshot(v1, table, part_col="day")
+    batch = spark.createDataFrame([(1, "d0", "a")], schema)  # same content
+    assert mt.upsert_snapshot(batch, table, skip_unchanged=True) == 1
+    assert [s["version"] for s in mt.list_snapshots(table)] == [1]
+    assert not os.path.isdir(os.path.join(table, "snapshots", "v2"))
+    # A REAL change still publishes.
+    changed = spark.createDataFrame([(1, "d0", "A")], schema)
+    assert mt.upsert_snapshot(changed, table, skip_unchanged=True) == 2
+    assert {tuple(r) for r in
+            mt.read_snapshot(spark, table, 2).select("id", "day", "v").collect()
+            } == {(1, "d0", "A"), (2, "d1", "b")}
