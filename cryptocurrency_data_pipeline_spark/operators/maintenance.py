@@ -383,6 +383,7 @@ def merge_into_snapshot(
     table_path: str,
     keys: Sequence[str],
     delete_col: str | None = None,
+    skip_unchanged: bool = False,
 ) -> int:
     """Row-level MERGE INTO the current snapshot, published copy-on-write:
     rows in ``updates`` REPLACE current rows with matching ``keys``
@@ -429,14 +430,25 @@ def merge_into_snapshot(
     survivors = existing.join(
         matched.select(*keys).distinct(), list(keys), "left_anti"
     )
-    merged = survivors.unionByName(upserts)
+    # The updates frame defines the new version's column SET AND ORDER
+    # (the schema-evolution contract): survivors align to it — an added
+    # column is null on surviving rows, a column updates dropped
+    # disappears — and the explicit projection also undoes the
+    # key-columns-first reorder the list-form join applies, keeping the
+    # recorded column order (and skip_unchanged) stable across replays.
+    merged = survivors.unionByName(upserts, allowMissingColumns=True).select(
+        *upserts.columns
+    )
     # Partitions whose content is now empty must be DROPPED, not
     # inherited unchanged (upsert's fresh map would simply omit them).
     remaining = {
         r[0] for r in merged.select(part_str.alias("p")).distinct().collect()
     }
     return upsert_snapshot(
-        merged, table_path, drop_partitions=sorted(touched - remaining)
+        merged,
+        table_path,
+        drop_partitions=sorted(touched - remaining),
+        skip_unchanged=skip_unchanged,
     )
 
 

@@ -404,3 +404,51 @@ def test_decode_passthrough_rejects_colliding_names(spark):
     wire = spark.createDataFrame([("x", "{}")], "timestamp string, value string")
     with pytest.raises(ValueError, match="collide"):
         pipeline.decode_tick_payload(wire, passthrough=("timestamp",))
+
+
+def test_stream_to_snapshot_table_current_state_and_replay(spark, tmp_path):
+    """Micro-batches merge into a keyed current-state COW snapshot table:
+    latest row per coin survives, a replayed batch is version-stable
+    (skip_unchanged withdraws the no-op publish), and a real update
+    publishes a new time-travel-readable version whose change feed is
+    confined to the merged keys."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+    from cryptocurrency_data_pipeline_spark.streaming import snapshot_sink
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "snap_table")
+    ck = str(tmp_path / "ck")
+    producer.write_batch(src, producer.make_batch(4))
+    snapshot_sink.stream_ticks_to_snapshot(spark, src, table, ck).awaitTermination(120)
+
+    cur = mt.read_snapshot(spark, table)
+    assert cur.count() == 7  # 4 normal + 3 anomalies, one row per coin
+    assert cur.select("coin_id").distinct().count() == 7
+    v1 = mt.list_snapshots(table)[-1]["version"]
+
+    # Replay the SAME content (a foreachBatch retry): no new version.
+    batch = (
+        pipeline.decode_tick_payload(spark.read.text(src))
+        .filter(F.col("coin_id").isNotNull())
+        .withColumn("dt", F.date_format("event_time", "yyyy-MM-dd"))
+    )
+    v_replay = snapshot_sink.merge_batch_into_snapshot(
+        batch, table, ["coin_id"], part_col="dt", order_col="event_time"
+    )
+    assert v_replay == v1
+    assert mt.list_snapshots(table)[-1]["version"] == v1
+
+    # A real price update arrives: new version, updated current state.
+    producer.write_batch(
+        src, [producer.make_tick("coin-0", 555.0, 5_000_000_000, 1.0, 2.0)]
+    )
+    snapshot_sink.stream_ticks_to_snapshot(spark, src, table, ck).awaitTermination(120)
+    assert mt.list_snapshots(table)[-1]["version"] == v1 + 1
+    cur2 = mt.read_snapshot(spark, table)
+    assert cur2.count() == 7
+    assert cur2.filter("coin_id = 'coin-0'").collect()[0].current_price == 555.0
+    # The version diff is exactly the one updated key.
+    feed = mt.snapshot_changes(spark, table, v1, v1 + 1)
+    assert {(r.coin_id, r._change) for r in feed.collect()} == {
+        ("coin-0", "insert"), ("coin-0", "delete"),
+    }
