@@ -452,6 +452,47 @@ def merge_into_snapshot(
     )
 
 
+def compact_snapshot_partition(
+    spark: SparkSession,
+    table_path: str,
+    partition: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Compact ONE partition of the current snapshot into right-sized
+    files, published copy-on-write: reads the partition (wherever its
+    ``src`` directory lives), repartitions to ceil(bytes/target) files,
+    and publishes a new version whose only rewritten partition is this
+    one — content-identical (same fingerprint), so readers see no data
+    change, but the small-file accumulation a streaming MERGE sink
+    builds up (one file set per micro-batch version) is collapsed.
+    Returns the new version.  ``skip_unchanged`` is deliberately NOT
+    applied: the content matches but the file layout is the point."""
+    from pyspark.sql import functions as F
+
+    man = _load_manifest(table_path)
+    prev = man["snapshots"].get(str(man["current"]))
+    if prev is None or not prev.get("part_col"):
+        raise ValueError("compact_snapshot_partition requires a partitioned snapshot")
+    part_col = prev["part_col"]
+    meta = prev.get("parts", {}).get(str(partition))
+    if meta is None:
+        raise ValueError(
+            f"partition {partition!r} not in current version "
+            f"(have: {sorted(prev.get('parts', {}))[:5]}...)"
+        )
+    src_dir = os.path.join(table_path, "snapshots", f"v{meta['src']}")
+    part_dir = os.path.join(
+        src_dir, f"{part_col}={partition}"
+    )
+    n_files = max(1, math.ceil(_dir_bytes(part_dir) / target_file_bytes))
+    if partition == _NULL_PART:
+        pred = F.col(part_col).isNull()
+    else:
+        pred = F.col(part_col).cast("string") == partition
+    rows = read_snapshot(spark, table_path).where(pred).repartition(n_files)
+    return upsert_snapshot(rows, table_path)
+
+
 def read_snapshot(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
     """Read the table as-of ``version`` (default: current).  Raises a
     clear error for unknown or vacuumed versions.

@@ -726,3 +726,42 @@ def test_upsert_snapshot_skip_unchanged_withdraws_noop_publish(spark, tmp_path):
     assert {tuple(r) for r in
             mt.read_snapshot(spark, table, 2).select("id", "day", "v").collect()
             } == {(1, "d0", "A"), (2, "d1", "b")}
+
+
+def test_compact_snapshot_partition_collapses_files_content_identical(
+    spark, tmp_path
+):
+    """Compacting one partition publishes a content-identical new version
+    (same fingerprint) with fewer files; other partitions inherited."""
+    import glob
+    import json
+    import os
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "compact_cow")
+    schema = "id int, day string, v string"
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}", f"v{i}") for i in range(64)], schema
+    ).repartition(16)  # many small files per partition
+    mt.write_snapshot(df, table, part_col="day")
+    v1_files = glob.glob(
+        os.path.join(table, "snapshots", "v1", "day=d0", "*.parquet")
+    )
+    assert len(v1_files) > 4
+
+    v = mt.compact_snapshot_partition(spark, table, "d0")
+    assert v == 2
+    v2_files = glob.glob(
+        os.path.join(table, "snapshots", "v2", "day=d0", "*.parquet")
+    )
+    assert 1 <= len(v2_files) < len(v1_files)
+    man = json.load(open(os.path.join(table, "_versions.json")))
+    s1, s2 = man["snapshots"]["1"]["parts"], man["snapshots"]["2"]["parts"]
+    # Content identical (fingerprints equal), d1 inherited from v1.
+    assert (s1["d0"]["n"], s1["d0"]["fp"]) == (s2["d0"]["n"], s2["d0"]["fp"])
+    assert s2["d1"]["src"] == 1
+    assert mt.changed_partitions(table, 1, 2) == ("day", [])
+    got = {tuple(r) for r in
+           mt.read_snapshot(spark, table).select("id", "day", "v").collect()}
+    assert got == {(i, f"d{i % 2}", f"v{i}") for i in range(64)}

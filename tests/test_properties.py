@@ -687,3 +687,46 @@ def test_matview_partials_merge_is_split_invariant(spark, data):
         for r in rows
     }
     assert as_map(split.collect()) == as_map(single.collect())
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["d0", "d1", "d2"]),            # partition
+            st.integers(min_value=0, max_value=3),          # id
+            st.sampled_from(["x", "y"]),                    # value
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(min_value=0, max_value=19),
+)
+def test_partition_fingerprints_multiset_invariants(spark, data, drop_idx):
+    """Snapshot fingerprints are (a) invariant to row order and physical
+    partitioning, (b) sensitive to dropping ANY single row — the
+    properties the change-feed pruning correctness rests on."""
+    from cryptocurrency_data_pipeline_spark.operators.maintenance import (
+        _partition_fingerprints,
+    )
+
+    schema = "day string, id int, v string"
+    df1 = spark.createDataFrame(data, schema) if data else spark.createDataFrame([], schema)
+    fp1 = _partition_fingerprints(df1.repartition(1), "day")
+    fp2 = _partition_fingerprints(
+        spark.createDataFrame(list(reversed(data)), schema).repartition(7)
+        if data else df1,
+        "day",
+    )
+    assert fp1 == fp2
+    if data:
+        i = drop_idx % len(data)
+        dropped = data[:i] + data[i + 1:]
+        fp3 = _partition_fingerprints(
+            spark.createDataFrame(dropped, schema) if dropped
+            else spark.createDataFrame([], schema),
+            "day",
+        )
+        part = data[i][0]
+        assert fp1.get(part) != fp3.get(part)
