@@ -92,6 +92,7 @@ HEADLINE = [
     "stats_pruned_scan",          # file-stats manifest data skipping
     "mergeable_sketch_rollup",    # incremental matview partial merge
     "partition_change_feed",      # fingerprint-pruned snapshot diff
+    "merge_into_orders",          # row-level MERGE, copy-on-write publish
 ]
 
 

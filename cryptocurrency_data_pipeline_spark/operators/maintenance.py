@@ -273,12 +273,34 @@ def _write_partitioned_version(
 
 
 def _commit_version(table_path: str, man: dict, version: int, entry: dict) -> None:
+    import time
+
+    entry["committed_at"] = time.time()
     man["snapshots"][str(version)] = entry
     man["current"] = version
     tmp = _manifest_path(table_path) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(man, f)
     os.replace(tmp, _manifest_path(table_path))  # atomic pointer flip
+
+
+def snapshot_as_of(table_path: str, ts: float) -> int:
+    """Version visible at wall-clock time ``ts`` (epoch seconds): the
+    newest retained version committed at or before ``ts`` — Delta's
+    ``TIMESTAMP AS OF``.  Raises if every retained version postdates
+    ``ts`` (older ones may have been vacuumed)."""
+    man = _load_manifest(table_path)
+    eligible = [
+        int(v)
+        for v, meta in man["snapshots"].items()
+        if meta.get("committed_at", float("inf")) <= ts
+    ]
+    if not eligible:
+        raise ValueError(
+            f"no retained version committed at or before {ts} "
+            f"(retained: {sorted(int(v) for v in man['snapshots'])})"
+        )
+    return max(eligible)
 
 
 def upsert_snapshot(

@@ -765,3 +765,28 @@ def test_compact_snapshot_partition_collapses_files_content_identical(
     got = {tuple(r) for r in
            mt.read_snapshot(spark, table).select("id", "day", "v").collect()}
     assert got == {(i, f"d{i % 2}", f"v{i}") for i in range(64)}
+
+
+def test_snapshot_as_of_timestamp(spark, tmp_path):
+    """TIMESTAMP AS OF: the newest version committed at or before ts."""
+    import time
+
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "asof")
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    t0 = time.time()
+    mt.write_snapshot(df, table)
+    time.sleep(0.05)
+    t_between = time.time()
+    time.sleep(0.05)
+    mt.write_snapshot(df.withColumn("v", F.lit("b")), table)
+
+    assert mt.snapshot_as_of(table, t_between) == 1
+    assert mt.snapshot_as_of(table, time.time()) == 2
+    with pytest.raises(ValueError, match="no retained version"):
+        mt.snapshot_as_of(table, t0 - 10)
+    v = mt.snapshot_as_of(table, t_between)
+    assert mt.read_snapshot(spark, table, v).collect()[0].v == "a"
