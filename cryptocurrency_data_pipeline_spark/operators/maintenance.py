@@ -203,10 +203,6 @@ def write_snapshot(df: DataFrame, table_path: str, part_col: str | None = None) 
     :func:`snapshot_changes` confine a version diff to the partitions
     whose content actually changed — at 100 TB a one-partition edit must
     not pay a two-full-table ``exceptAll`` shuffle."""
-    from cryptocurrency_data_pipeline_spark.sources.tables import (
-        partition_inference_off,
-    )
-
     os.makedirs(table_path, exist_ok=True)
     man = _load_manifest(table_path)
     version = man["current"] + 1
@@ -350,6 +346,15 @@ def upsert_snapshot(
     part_col = prev["part_col"]
     if part_col not in new_rows.columns:
         raise ValueError(f"new_rows lacks partition column {part_col!r}")
+    new_type = new_rows.schema[part_col].dataType.simpleString()
+    prev_type = prev.get("part_type")
+    if prev_type and new_type != prev_type:
+        # A changed partition dtype silently splits partition identity
+        # (string '05' and int 5 land in different directories).
+        raise ValueError(
+            f"partition column type changed: table has {prev_type}, "
+            f"new_rows carries {new_type}; cast before upserting"
+        )
     version = man["current"] + 1
     snap_dir = os.path.join(table_path, "snapshots", f"v{version}")
     committed = False
@@ -461,17 +466,23 @@ def merge_into_snapshot(
     merged = survivors.unionByName(upserts, allowMissingColumns=True).select(
         *upserts.columns
     )
-    # Partitions whose content is now empty must be DROPPED, not
-    # inherited unchanged (upsert's fresh map would simply omit them).
-    remaining = {
-        r[0] for r in merged.select(part_str.alias("p")).distinct().collect()
-    }
-    return upsert_snapshot(
-        merged,
-        table_path,
-        drop_partitions=sorted(touched - remaining),
-        skip_unchanged=skip_unchanged,
-    )
+    # One materialization of the merge serves both the remaining-partition
+    # collect and the version write below.
+    merged = merged.persist()
+    try:
+        # Partitions whose content is now empty must be DROPPED, not
+        # inherited unchanged (upsert's fresh map would simply omit them).
+        remaining = {
+            r[0] for r in merged.select(part_str.alias("p")).distinct().collect()
+        }
+        return upsert_snapshot(
+            merged,
+            table_path,
+            drop_partitions=sorted(touched - remaining),
+            skip_unchanged=skip_unchanged,
+        )
+    finally:
+        merged.unpersist()
 
 
 def compact_snapshot_partition(
@@ -503,9 +514,23 @@ def compact_snapshot_partition(
             f"(have: {sorted(prev.get('parts', {}))[:5]}...)"
         )
     src_dir = os.path.join(table_path, "snapshots", f"v{meta['src']}")
-    part_dir = os.path.join(
-        src_dir, f"{part_col}={partition}"
-    )
+    part_dir = os.path.join(src_dir, f"{part_col}={partition}")
+    if not os.path.isdir(part_dir):
+        # Hive escapes special characters in partition directory names
+        # (%2F and friends); resolve by unescaping the on-disk names.
+        from urllib.parse import unquote
+
+        for d in os.listdir(src_dir):
+            if d.startswith(f"{part_col}=") and unquote(
+                d.split("=", 1)[1]
+            ) == str(partition):
+                part_dir = os.path.join(src_dir, d)
+                break
+        else:
+            raise ValueError(
+                f"partition directory for {partition!r} not found under "
+                f"{src_dir}"
+            )
     n_files = max(1, math.ceil(_dir_bytes(part_dir) / target_file_bytes))
     if partition == _NULL_PART:
         pred = F.col(part_col).isNull()
@@ -849,24 +874,30 @@ def vacuum_snapshots(table_path: str, keep_last: int = 2) -> list[int]:
     man = _load_manifest(table_path)
     versions = sorted(int(v) for v in man["snapshots"])
     drop = [v for v in versions[:-keep_last] if v != man["current"]]
-    if not drop:
-        return []
-    for v in drop:
-        del man["snapshots"][str(v)]
-    tmp = _manifest_path(table_path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(man, f)
-    os.replace(tmp, _manifest_path(table_path))
+    if drop:
+        for v in drop:
+            del man["snapshots"][str(v)]
+        tmp = _manifest_path(table_path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, _manifest_path(table_path))
     referenced = {int(v) for v in man["snapshots"]}
     for v, meta in man["snapshots"].items():
         for p in meta.get("parts", {}).values():
             referenced.add(int(p.get("src", int(v))))
     # Remove every on-disk version dir no retained version references —
-    # including dirs kept alive by a PREVIOUS vacuum whose last inheritor
-    # has since expired.
+    # the sweep runs even when nothing newly expires, so a crash between
+    # the manifest write and a previous sweep stays re-vacuumable.  Dirs
+    # NUMBERED ABOVE current are excluded: that is an in-flight writer's
+    # uncommitted next version, not an orphan.
     snap_root = os.path.join(table_path, "snapshots")
     if os.path.isdir(snap_root):
         for d in os.listdir(snap_root):
-            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) not in referenced:
+            if (
+                d.startswith("v")
+                and d[1:].isdigit()
+                and int(d[1:]) not in referenced
+                and int(d[1:]) <= man["current"]
+            ):
                 shutil.rmtree(os.path.join(snap_root, d), ignore_errors=True)
     return drop

@@ -1930,7 +1930,7 @@ def cow_snapshot_upsert(spark, sf_dir):
       FROM snap
       WHERE NOT (o_orderpriority = '3-MEDIUM' AND o_orderkey % 7 = 0)
       UNION ALL
-      SELECT o_orderkey + 10000000, o_orderpriority, 999
+      SELECT -(o_orderkey + 1), o_orderpriority, 999
       FROM snap WHERE o_orderpriority = '5-LOW' AND o_orderkey % 11 = 0
     )
     SELECT o_orderpriority,
@@ -1960,7 +1960,11 @@ def merge_into_orders(spark, sf_dir):
         .withColumn("_deleted", F.lit(False))
         .unionByName(
             snap.filter((pri == "5-LOW") & (key % 11 == 0)).select(
-                (key + 10_000_000).alias("o_orderkey"),
+                # Strictly-negative keys are disjoint from orderkeys
+                # (>= 0) at ANY scale factor; an additive offset collides
+                # at SF >= ~2 and the merge would then DELETE the real
+                # colliding row (and bare -key collides at key = 0).
+                (-(key + 1)).alias("o_orderkey"),
                 "o_orderpriority",
                 F.lit(999).cast("long").alias("price_cents"),
                 F.lit(False).alias("_deleted"),

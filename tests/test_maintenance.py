@@ -790,3 +790,42 @@ def test_snapshot_as_of_timestamp(spark, tmp_path):
         mt.snapshot_as_of(table, t0 - 10)
     v = mt.snapshot_as_of(table, t_between)
     assert mt.read_snapshot(spark, table, v).collect()[0].v == "a"
+
+
+def test_vacuum_sweep_reruns_and_spares_inflight_writer_dir(spark, tmp_path):
+    """The orphan sweep runs even when nothing newly expires (a crashed
+    prior vacuum stays re-vacuumable), and never touches a directory
+    numbered above current — that is an in-flight writer's uncommitted
+    next version, not an orphan."""
+    import os
+    import shutil
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "vacrerun")
+    schema = "id int, day string, v string"
+    v1 = spark.createDataFrame([(1, "d0", "a"), (2, "d1", "b")], schema)
+    mt.write_snapshot(v1, table, part_col="day")
+    mt.upsert_snapshot(spark.createDataFrame([(9, "d1", "B")], schema), table)
+    mt.write_snapshot(v1, table, part_col="day")  # v3: full, orphans v1 refs
+
+    # Simulate an in-flight writer: uncommitted v4 dir exists on disk.
+    inflight = os.path.join(table, "snapshots", "v4")
+    os.makedirs(inflight)
+
+    # First vacuum expires v1+v2; v1's dir may survive only while
+    # referenced — after v3 (full) nothing references it.
+    assert mt.vacuum_snapshots(table, keep_last=1) == [1, 2]
+    assert not os.path.isdir(os.path.join(table, "snapshots", "v1"))
+    assert not os.path.isdir(os.path.join(table, "snapshots", "v2"))
+    assert os.path.isdir(inflight)  # spared: numbered above current
+
+    # Simulate a crash that left an expired dir behind: re-running vacuum
+    # with NOTHING new to expire still sweeps it.
+    orphan = os.path.join(table, "snapshots", "v2")
+    os.makedirs(orphan)
+    assert mt.vacuum_snapshots(table, keep_last=1) == []
+    assert not os.path.isdir(orphan)
+    assert os.path.isdir(inflight)
+    shutil.rmtree(inflight)
+    assert mt.read_snapshot(spark, table).count() == 2

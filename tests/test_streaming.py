@@ -430,25 +430,52 @@ def test_stream_to_snapshot_table_current_state_and_replay(spark, tmp_path):
     batch = (
         pipeline.decode_tick_payload(spark.read.text(src))
         .filter(F.col("coin_id").isNotNull())
-        .withColumn("dt", F.date_format("event_time", "yyyy-MM-dd"))
+        .withColumn("bucket", snapshot_sink.key_bucket(["coin_id"]))
     )
     v_replay = snapshot_sink.merge_batch_into_snapshot(
-        batch, table, ["coin_id"], part_col="dt", order_col="event_time"
+        batch, table, ["coin_id"], part_col="bucket",
+        order_col="event_time", tiebreak=["raw_data"],
     )
     assert v_replay == v1
     assert mt.list_snapshots(table)[-1]["version"] == v1
 
-    # A real price update arrives: new version, updated current state.
+    # A real NEXT-DAY price update arrives: the key's partition is
+    # bucket-derived, so crossing a day boundary still REPLACES the
+    # stored row (a date-partitioned state table would strand it).
+    from datetime import datetime, timedelta, timezone
+
+    tomorrow = datetime.now(timezone.utc) + timedelta(days=1)
     producer.write_batch(
-        src, [producer.make_tick("coin-0", 555.0, 5_000_000_000, 1.0, 2.0)]
+        src,
+        [producer.make_tick("coin-0", 555.0, 5_000_000_000, 1.0, 2.0, tomorrow)],
     )
     snapshot_sink.stream_ticks_to_snapshot(spark, src, table, ck).awaitTermination(120)
     assert mt.list_snapshots(table)[-1]["version"] == v1 + 1
     cur2 = mt.read_snapshot(spark, table)
-    assert cur2.count() == 7
+    assert cur2.count() == 7  # still one row per coin — no stranded stale row
     assert cur2.filter("coin_id = 'coin-0'").collect()[0].current_price == 555.0
     # The version diff is exactly the one updated key.
     feed = mt.snapshot_changes(spark, table, v1, v1 + 1)
     assert {(r.coin_id, r._change) for r in feed.collect()} == {
         ("coin-0", "insert"), ("coin-0", "delete"),
     }
+
+    # Late data cannot regress the key: a delayed YESTERDAY tick for
+    # coin-0 is discarded, no version minted.
+    yesterday = datetime.now(timezone.utc) - timedelta(days=1)
+    late = (
+        spark.createDataFrame(
+            [producer.make_tick("coin-0", 111.0, 5_000_000_000, 1.0, 2.0, yesterday)]
+        )
+        .withColumn("event_time", F.to_timestamp("timestamp"))
+        .withColumn("raw_data", F.to_json(F.struct("coin_id", "timestamp")))
+        .withColumn("bucket", snapshot_sink.key_bucket(["coin_id"]))
+    )
+    v_after_late = snapshot_sink.merge_batch_into_snapshot(
+        late, table, ["coin_id"], part_col="bucket",
+        order_col="event_time", tiebreak=["raw_data"],
+    )
+    assert v_after_late == v1 + 1
+    assert mt.read_snapshot(spark, table).filter(
+        "coin_id = 'coin-0'"
+    ).collect()[0].current_price == 555.0
