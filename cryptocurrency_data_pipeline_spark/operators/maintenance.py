@@ -229,7 +229,11 @@ def write_snapshot(df: DataFrame, table_path: str, part_col: str | None = None) 
         _commit_version(table_path, man, version, entry)
         committed = True
     finally:
-        if not committed:
+        if not committed and _load_manifest(table_path)["current"] < version:
+            # Clean OUR orphan only: if a concurrent writer won the same
+            # version number and committed it, snap_dir is now THEIR
+            # referenced data (our errorifexists write refused to touch
+            # it) — deleting it would corrupt the committed version.
             shutil.rmtree(snap_dir, ignore_errors=True)
     return version
 
@@ -268,9 +272,28 @@ def _write_partitioned_version(
     return parts
 
 
+class ConcurrentSnapshotWriteError(RuntimeError):
+    """Another writer committed a version while this write was in flight."""
+
+
 def _commit_version(table_path: str, man: dict, version: int, entry: dict) -> None:
     import time
 
+    # Optimistic concurrency (the Iceberg commit-CAS shape): the write
+    # planned against `man` as the base state; if another writer flipped
+    # the pointer meanwhile, committing would silently ORPHAN its version
+    # (both computed the same version number, or ours would overwrite a
+    # newer current).  Re-read-and-verify narrows the race to the window
+    # between this check and os.replace — on a real deployment back the
+    # manifest with a CAS-capable store (object-store conditional put,
+    # a catalog) for a true atomic gate.
+    on_disk = _load_manifest(table_path)
+    if on_disk["current"] != version - 1:
+        raise ConcurrentSnapshotWriteError(
+            f"expected current version {version - 1} at commit, found "
+            f"{on_disk['current']} — another writer won; retry against "
+            f"the new state"
+        )
     entry["committed_at"] = time.time()
     man["snapshots"][str(version)] = entry
     man["current"] = version
@@ -400,7 +423,11 @@ def upsert_snapshot(
         _commit_version(table_path, man, version, entry)
         committed = True
     finally:
-        if not committed:
+        if not committed and _load_manifest(table_path)["current"] < version:
+            # Clean OUR orphan only: if a concurrent writer won the same
+            # version number and committed it, snap_dir is now THEIR
+            # referenced data (our errorifexists write refused to touch
+            # it) — deleting it would corrupt the committed version.
             shutil.rmtree(snap_dir, ignore_errors=True)
     return version
 

@@ -829,3 +829,53 @@ def test_vacuum_sweep_reruns_and_spares_inflight_writer_dir(spark, tmp_path):
     assert os.path.isdir(inflight)
     shutil.rmtree(inflight)
     assert mt.read_snapshot(spark, table).count() == 2
+
+
+def test_concurrent_snapshot_commit_detected_and_loser_preserves_winner(
+    spark, tmp_path
+):
+    """Optimistic commit check: a writer whose base version moved under it
+    raises instead of orphaning the winner's commit — and its cleanup
+    must NOT delete the winner's committed directory."""
+    import os
+
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "cas")
+    schema = "id int, day string, v string"
+    df = spark.createDataFrame([(1, "d0", "a")], schema)
+    mt.write_snapshot(df, table, part_col="day")
+
+    # Simulate a racing winner: bump the manifest AFTER this writer read
+    # its base state, via a monkeypatched fingerprint step that commits a
+    # competing v2 mid-write.
+    real_fp = mt._partition_fingerprints
+    state = {"fired": False}
+
+    def fp_with_race(frame, part_col):
+        if not state["fired"]:
+            state["fired"] = True
+            man = mt._load_manifest(table)
+            man["current"] = 2
+            man["snapshots"]["2"] = {"dir": "snapshots/v2", "n_rows": 0}
+            import json
+            with open(os.path.join(table, "_versions.json"), "w") as f:
+                json.dump(man, f)
+        return real_fp(frame, part_col)
+
+    mt._partition_fingerprints = fp_with_race
+    try:
+        with pytest.raises(mt.ConcurrentSnapshotWriteError):
+            mt.write_snapshot(
+                spark.createDataFrame([(2, "d0", "b")], schema),
+                table, part_col="day",
+            )
+    finally:
+        mt._partition_fingerprints = real_fp
+    # The loser did NOT delete v2's directory (which it also wrote to
+    # disk before losing — the manifest now references that version).
+    assert os.path.isdir(os.path.join(table, "snapshots", "v2"))
+    # v1 remains readable.
+    assert mt.read_snapshot(spark, table, 1).count() == 1
