@@ -1992,3 +1992,70 @@ def merge_into_orders(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution across snapshot versions: the new version's writer
+# defines the column set (recorded in the manifest); the assembled COW
+# read surfaces an ADDED column as null on partitions inherited from
+# pre-evolution versions.  The fixture seeds v1 without `tier`, then
+# rewrites only the 1-URGENT partition with the new column — so in the
+# assembled v2, tier is populated exactly on the rewritten partition and
+# null everywhere inherited.  The oracle states that closed form.
+# --------------------------------------------------------------------------
+
+@query(
+    "schema_evolution_read",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tiered,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          AND o_orderkey % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gold,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def schema_evolution_read(spark, sf_dir):
+    """Upsert one partition with an added column; report per-priority
+    totals plus how many rows carry the evolved column."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    snap = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_evosnap_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
+    mt.write_snapshot(snap, table, part_col="o_orderpriority")
+    mt.upsert_snapshot(
+        snap.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+            "tier",
+            F.when(F.col("o_orderkey") % 2 == 0, "gold").otherwise("std"),
+        ),
+        table,
+    )
+    return (
+        mt.read_snapshot(spark, table, 2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("tier").cast("long").alias("n_tiered"),
+            F.sum(F.when(F.col("tier") == "gold", 1).otherwise(0))
+            .cast("long")
+            .alias("n_gold"),
+            F.sum("price_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
