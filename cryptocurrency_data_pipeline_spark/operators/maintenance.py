@@ -169,6 +169,23 @@ def _load_manifest(table_path: str) -> dict:
 _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 
+def partition_predicate(part_col: str, touched):
+    """Null-aware partition membership predicate: matches rows whose
+    ``part_col`` (cast to its directory-string form) is in ``touched``;
+    the ``_NULL_PART`` sentinel matches the null partition.  The one
+    definition every touched-partition filter shares."""
+    from pyspark.sql import functions as F
+
+    touched = list(touched)
+    vals = [v for v in touched if v != _NULL_PART]
+    pred = F.col(part_col).cast("string").isin(vals)
+    if _NULL_PART in touched:
+        pred = pred | F.col(part_col).isNull()
+    if not touched:
+        pred = F.lit(False)
+    return pred
+
+
 def _partition_fingerprints(df: DataFrame, part_col: str) -> dict:
     """Per-partition multiset fingerprint of the NON-partition columns:
     ``{part_value_str: {"n": row_count, "fp": decimal-sum-of-xxhash64}}``.
@@ -295,11 +312,15 @@ def _commit_version(table_path: str, man: dict, version: int, entry: dict) -> No
             f"the new state"
         )
     entry["committed_at"] = time.time()
-    man["snapshots"][str(version)] = entry
-    man["current"] = version
+    # Apply OUR DELTA onto the fresh on-disk state, not the stale
+    # load-time copy: a vacuum that expired versions while this write
+    # ran must not see its expiries resurrected (pointing at directories
+    # its sweep already deleted).
+    on_disk["snapshots"][str(version)] = entry
+    on_disk["current"] = version
     tmp = _manifest_path(table_path) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(man, f)
+        json.dump(on_disk, f)
     os.replace(tmp, _manifest_path(table_path))  # atomic pointer flip
 
 
@@ -468,11 +489,7 @@ def merge_into_snapshot(
         r[0] for r in updates.select(part_str.alias("p")).distinct().collect()
     }
     current = read_snapshot(spark, table_path)
-    vals = [v for v in touched if v != _NULL_PART]
-    pred = F.col(part_col).cast("string").isin(vals)
-    if _NULL_PART in touched:
-        pred = pred | F.col(part_col).isNull()
-    existing = current.where(pred)
+    existing = current.where(partition_predicate(part_col, touched))
 
     if delete_col is not None:
         upserts = updates.filter(
@@ -872,12 +889,7 @@ def snapshot_changes(
     pruned = changed_partitions(table_path, v_from, v_to)
     if pruned is not None:
         pc, changed = pruned
-        vals = [v for v in changed if v != _NULL_PART]
-        pred = F.col(pc).cast("string").isin(vals)
-        if _NULL_PART in changed:
-            pred = pred | F.col(pc).isNull()
-        if not changed:
-            pred = F.lit(False)
+        pred = partition_predicate(pc, changed)
         a, b = a.where(pred), b.where(pred)
     return b.exceptAll(a).withColumn("_change", F.lit("insert")).unionByName(
         a.exceptAll(b).withColumn("_change", F.lit("delete"))
@@ -904,6 +916,14 @@ def vacuum_snapshots(table_path: str, keep_last: int = 2) -> list[int]:
     if drop:
         for v in drop:
             del man["snapshots"][str(v)]
+        # Same optimistic gate as _commit_version: a commit that landed
+        # after this vacuum's load would be ERASED by writing the stale
+        # copy (and its data later deleted as an apparent orphan).
+        if _load_manifest(table_path)["current"] != man["current"]:
+            raise ConcurrentSnapshotWriteError(
+                "a writer committed during vacuum; re-run vacuum against "
+                "the new state"
+            )
         tmp = _manifest_path(table_path) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(man, f)

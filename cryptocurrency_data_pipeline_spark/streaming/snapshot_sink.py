@@ -12,11 +12,16 @@ lakehouse table:
   in one partition forever — partitioning current state by event date
   would strand a stale row in yesterday's partition every time a key's
   newest record crosses a day boundary (merge only reads the partitions
-  the batch touches);
+  the batch touches).  The bucket count and partition column are
+  recorded in a ``_sink_meta.json`` sidecar and VALIDATED on every
+  batch: silently changing ``n_buckets`` would move keys between
+  buckets and resurrect the stranded-row bug;
 * each micro-batch is reduced to its latest row per key (one in-batch
-  window, deterministic tiebreak), rows OLDER than the stored state are
-  discarded (late files cannot regress a key), then the rest row-level
-  MERGE into the current snapshot
+  window, deterministic tiebreak), rows ordered strictly below the
+  stored state's ``(order_col, *tiebreak)`` tuple are discarded (late
+  files — including a redelivered tie-LOSER — cannot regress a key;
+  equal tuples re-merge and skip_unchanged withdraws them), then the
+  rest row-level MERGE into the current snapshot
   (:func:`maintenance.merge_into_snapshot`) — only touched buckets
   rewritten, everything else inherited by reference;
 * replays are version-stable: equal-or-newer replay rows re-merge to
@@ -35,6 +40,7 @@ manifest work is O(partitions) on the driver.
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Sequence
 
@@ -50,6 +56,34 @@ def key_bucket(keys: Sequence[str], n_buckets: int = 16):
     return F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
 
 
+def _sink_meta_path(table_path: str) -> str:
+    return os.path.join(table_path, "_sink_meta.json")
+
+
+def _check_sink_meta(table_path: str, meta: dict) -> None:
+    """Record the sink's layout contract on first contact; afterwards a
+    mismatch (changed ``n_buckets``, changed ``part_col``) fails fast
+    with a migration hint instead of silently splitting keys."""
+    path = _sink_meta_path(table_path)
+    if not os.path.exists(path):
+        os.makedirs(table_path, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, path)
+        return
+    with open(path) as f:
+        recorded = json.load(f)
+    if recorded != meta:
+        raise ValueError(
+            f"snapshot-sink layout mismatch: table was created with "
+            f"{recorded}, this job passes {meta}; changing the bucket "
+            f"count or partition column moves keys between partitions "
+            f"and strands stale rows — rebuild the table (full rewrite) "
+            f"to migrate"
+        )
+
+
 def merge_batch_into_snapshot(
     batch: DataFrame,
     table_path: str,
@@ -61,12 +95,14 @@ def merge_batch_into_snapshot(
     """One micro-batch → at most one new snapshot version.
 
     Reduces the batch to its latest row per ``keys`` (``tiebreak``
-    breaks ``order_col`` ties deterministically — pass one or a replayed
-    tied batch may flip winners and mint a spurious version), drops rows
-    older than the key's stored state, seeds the table on first contact,
-    then MERGEs.  ``part_col`` must be key-derived (see
-    :func:`key_bucket`): a key must never move between partitions.
-    Returns the table's current version after the call."""
+    breaks ``order_col`` ties deterministically — pass one, or a
+    replayed tied batch may flip winners and mint a spurious version),
+    drops rows strictly below the key's stored ``(order_col, *tiebreak)``
+    tuple (late files cannot regress a key; equal tuples pass and the
+    no-op publish is withdrawn),
+    seeds the table on first contact, then MERGEs.  ``part_col`` must be
+    key-derived (see :func:`key_bucket`): a key must never move between
+    partitions.  Returns the table's current version after the call."""
     latest = silver.dedup_latest(batch, keys, order_col, tiebreak).persist()
     try:
         if latest.isEmpty():
@@ -76,35 +112,56 @@ def merge_batch_into_snapshot(
             return maintenance.write_snapshot(
                 latest, table_path, part_col=part_col
             )
-        # Late-data guard: a delayed file must not regress a key to older
-        # state.  Current rows for the touched partitions only
-        # (partition-pruned scan), keyed lookup of the stored order.
+        man = maintenance._load_manifest(table_path)
+        prev = man["snapshots"].get(str(man["current"])) or {}
+        if prev.get("part_col") and prev["part_col"] != part_col:
+            raise ValueError(
+                f"table is partitioned on {prev['part_col']!r} but this "
+                f"sink passes part_col={part_col!r}; the partitioning "
+                f"scheme of a current-state table cannot change in place "
+                f"— rebuild the table to migrate"
+            )
+        # Late-data guard: a delayed file must not regress a key.  The
+        # comparison uses the full (order_col, *tiebreak) tuple — a
+        # redelivered tie-LOSER compares strictly below the stored
+        # winner and is discarded; an exact replay compares equal,
+        # re-merges identical content, and skip_unchanged withdraws the
+        # publish.  Current rows for the touched partitions only
+        # (partition-pruned scan), keyed lookup of the stored tuple.
+        ord_tuple = F.struct(order_col, *tiebreak)
         touched = [
             r[0]
             for r in latest.select(
-                F.col(part_col).cast("string").alias("p")
+                F.coalesce(
+                    F.col(part_col).cast("string"),
+                    F.lit(maintenance._NULL_PART),
+                ).alias("p")
             ).distinct().collect()
         ]
         spark = latest.sparkSession
         current = maintenance.read_snapshot(spark, table_path)
         stored = (
-            current.where(F.col(part_col).cast("string").isin(touched))
-            .select(*keys, F.col(order_col).alias("__stored_ord"))
+            current.where(maintenance.partition_predicate(part_col, touched))
+            .select(*keys, ord_tuple.alias("__stored_ord"))
         )
         fresh = (
             latest.join(stored, list(keys), "left")
             .where(
                 F.col("__stored_ord").isNull()
-                | (F.col(order_col) >= F.col("__stored_ord"))
+                | (ord_tuple >= F.col("__stored_ord"))
             )
             .drop("__stored_ord")
             .select(*latest.columns)
+            .persist()
         )
-        if fresh.isEmpty():
-            return maintenance._load_manifest(table_path)["current"]
-        return maintenance.merge_into_snapshot(
-            fresh, table_path, keys, skip_unchanged=True
-        )
+        try:
+            if fresh.isEmpty():
+                return maintenance._load_manifest(table_path)["current"]
+            return maintenance.merge_into_snapshot(
+                fresh, table_path, keys, skip_unchanged=True
+            )
+        finally:
+            fresh.unpersist()
     finally:
         latest.unpersist()
 
@@ -121,6 +178,11 @@ def stream_ticks_to_snapshot(
     current state keyed by ``coin_id``, partitioned by key bucket."""
     from cryptocurrency_data_pipeline_spark.streaming.pipeline import (
         read_tick_stream,
+    )
+
+    _check_sink_meta(
+        table_path,
+        {"part_col": "bucket", "n_buckets": n_buckets, "keys": ["coin_id"]},
     )
 
     def body(batch: DataFrame, _epoch: int) -> None:

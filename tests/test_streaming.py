@@ -479,3 +479,54 @@ def test_stream_to_snapshot_table_current_state_and_replay(spark, tmp_path):
     assert mt.read_snapshot(spark, table).filter(
         "coin_id = 'coin-0'"
     ).collect()[0].current_price == 555.0
+
+
+def test_snapshot_sink_rejects_layout_change_and_tie_loser_replay(spark, tmp_path):
+    """Changing n_buckets on an existing sink table fails fast with a
+    migration message; a redelivered tie-LOSING row (same order_col,
+    lower tiebreak) cannot regress the stored tie-winner."""
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+    from cryptocurrency_data_pipeline_spark.streaming import snapshot_sink
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "snap_table")
+    ck = str(tmp_path / "ck")
+    producer.write_batch(src, producer.make_batch(2))
+    snapshot_sink.stream_ticks_to_snapshot(spark, src, table, ck).awaitTermination(120)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        snapshot_sink.stream_ticks_to_snapshot(
+            spark, src, table, ck, n_buckets=32
+        )
+
+    # Tie-loser replay: two rows share event_time; the raw_data-desc
+    # tiebreak stores the winner. Redelivering ONLY the loser must not
+    # mint a version or change state.
+    base = (
+        pipeline.decode_tick_payload(spark.read.text(src))
+        .filter(F.col("coin_id") == "coin-0")
+        .withColumn("bucket", snapshot_sink.key_bucket(["coin_id"]))
+    )
+    winner_raw = base.select(F.max("raw_data")).collect()[0][0]
+    # Explicit loser: same event_time, raw_data strictly below the
+    # winner's ('!' sorts below any printable payload start).
+    loser = base.withColumn("raw_data", F.lit("!" + winner_raw[1:]))
+    both = base.unionByName(loser)
+    v1 = mt.list_snapshots(table)[-1]["version"]
+    v_after_both = snapshot_sink.merge_batch_into_snapshot(
+        both, table, ["coin_id"], part_col="bucket",
+        order_col="event_time", tiebreak=["raw_data"],
+    )
+    stored = mt.read_snapshot(spark, table).filter(
+        "coin_id = 'coin-0'"
+    ).collect()[0].raw_data
+    # Now redeliver ONLY the loser.
+    v_after_loser = snapshot_sink.merge_batch_into_snapshot(
+        loser, table, ["coin_id"], part_col="bucket",
+        order_col="event_time", tiebreak=["raw_data"],
+    )
+    assert v_after_loser == v_after_both
+    assert mt.read_snapshot(spark, table).filter(
+        "coin_id = 'coin-0'"
+    ).collect()[0].raw_data == stored
