@@ -730,3 +730,80 @@ def test_partition_fingerprints_multiset_invariants(spark, data, drop_idx):
         )
         part = data[i][0]
         assert fp1.get(part) != fp3.get(part)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["full", "upsert", "merge", "drop"]),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=5),        # id
+                    st.sampled_from(["d0", "d1"]),                # part
+                    st.sampled_from(["x", "y", "z"]),             # value
+                ),
+                min_size=0,
+                max_size=5,
+            ),
+            st.sampled_from(["d0", "d1"]),                        # drop target
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_cow_snapshot_model_equivalence(spark, tmp_path_factory, ops):
+    """Model-based check of the copy-on-write layer: a random sequence of
+    full writes / partition upserts / key merges / partition drops must
+    leave every retained version equal to a pure-Python reference model
+    of the same operations."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path_factory.mktemp("cowmodel") / "t")
+    schema = "id int, day string, v string"
+
+    def frame(rows):
+        # one row per id (merge/upsert semantics key on id within a part)
+        return (
+            spark.createDataFrame(rows, schema)
+            if rows
+            else spark.createDataFrame([], schema)
+        )
+
+    model: dict[tuple, tuple] = {}   # (id, day) -> (id, day, v)
+    versions: dict[int, set] = {}
+    seeded = False
+    for kind, rows, drop_part in ops:
+        # model keys on (id, day); keep the LAST row per key in `rows`
+        dedup = {}
+        for r in rows:
+            dedup[(r[0], r[1])] = r
+        rows = list(dedup.values())
+        if not seeded or kind == "full":
+            mt.write_snapshot(frame(rows), table, part_col="day")
+            model = {(r[0], r[1]): r for r in rows}
+            seeded = True
+        elif kind == "upsert":
+            touched = {r[1] for r in rows}
+            mt.upsert_snapshot(frame(rows), table)
+            model = {
+                k: v for k, v in model.items() if k[1] not in touched
+            } | {(r[0], r[1]): r for r in rows}
+        elif kind == "merge":
+            mt.merge_into_snapshot(frame(rows), table, ["id", "day"])
+            model = model | {(r[0], r[1]): r for r in rows}
+        else:  # drop
+            mt.upsert_snapshot(frame([]), table, drop_partitions=[drop_part])
+            model = {k: v for k, v in model.items() if k[1] != drop_part}
+        cur = mt._load_manifest(table)["current"]
+        versions[cur] = set(model.values())
+
+    for v, want in versions.items():
+        got = {
+            tuple(r)
+            for r in mt.read_snapshot(spark, table, v)
+            .select("id", "day", "v")
+            .collect()
+        }
+        assert got == want, f"version {v}: {got} != {want}"
