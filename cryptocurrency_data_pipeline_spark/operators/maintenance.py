@@ -141,14 +141,17 @@ def zorder_layout(df: DataFrame, scaled_cols, n_files: int, bits: int = 16) -> D
 #
 # The transactional-lakehouse pattern (Delta/Iceberg snapshot isolation)
 # rendered with plain parquet + a JSON manifest: every write lands in a
-# NEW immutable snapshot directory and the manifest's `current` pointer
-# flips last (atomic os.replace), so concurrent readers of any retained
-# version are never disturbed by writers, failed writes leave no
-# partially-visible state (the orphan directory is invisible until the
-# manifest names it), and retention is an explicit vacuum.  The reference
-# overwrites its S3 layers in place (glue/data_transform_s3.py) — a
-# reader racing the writer sees a half-table; this is the
-# production-parity fix at zero dependency cost.
+# NEW immutable, UNIQUELY-NAMED snapshot directory (``v{N}-{uuid}`` — two
+# writers, or a writer and its own crashed predecessor, can never collide
+# on a data path), and the manifest flip is the ONE commit point, behind
+# a pluggable :class:`SnapshotCommit` protocol.  Concurrent readers of
+# any retained version are never disturbed by writers; a write that
+# fails or a process that dies mid-write leaves only an unreferenced
+# directory (invisible to readers, swept by vacuum after a grace
+# window) — it can never wedge the table or be mistaken for another
+# writer's data.  The reference overwrites its S3 layers in place
+# (glue/data_transform_s3.py) — a reader racing the writer sees a
+# half-table; this is the production-parity fix at zero dependency cost.
 # --------------------------------------------------------------------------
 
 import json
@@ -164,6 +167,71 @@ def _load_manifest(table_path: str) -> dict:
             return json.load(f)
     except FileNotFoundError:
         return {"current": 0, "snapshots": {}}
+
+
+class SnapshotCommit:
+    """Commit gate for the snapshot manifest — the one operation that
+    must be atomic and serialized per table.  Data directories need no
+    coordination (every writer stages into a uniquely-named directory);
+    only the manifest's load-mutate-publish must not interleave.
+
+    Deployment contract: the default :class:`PosixSnapshotCommit` is
+    correct on filesystems with atomic rename and working advisory locks
+    (local disk, NFSv4).  Object stores have neither — there, implement
+    this interface over a conditional put (S3 ``If-None-Match`` /
+    ``If-Match`` on a versioned manifest key, GCS generation
+    preconditions) or an external log store (the Delta LogStore /
+    DynamoDB-mutex pattern).  A failed or raising commit must leave the
+    previously-published manifest untouched."""
+
+    def commit_manifest(self, table_path: str, mutate) -> dict:
+        """Atomically load the manifest, apply ``mutate(man) -> man``
+        (which may raise :class:`ConcurrentSnapshotWriteError` after
+        inspecting the fresh state), publish the result, and return it.
+        ``mutate`` runs inside the critical section — it sees the latest
+        committed state, not a stale snapshot."""
+        raise NotImplementedError
+
+
+class PosixSnapshotCommit(SnapshotCommit):
+    """``flock``-serialized load-mutate-replace on the local filesystem:
+    an exclusive advisory lock brackets the read-check-write, and the
+    publish itself is an atomic ``os.replace``.  The lock is released
+    even on process death (flock semantics), so a crashed committer
+    never blocks the table."""
+
+    def commit_manifest(self, table_path: str, mutate) -> dict:
+        import fcntl
+
+        os.makedirs(table_path, exist_ok=True)
+        fd = os.open(_manifest_path(table_path) + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            man = mutate(_load_manifest(table_path))
+            tmp = _manifest_path(table_path) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            os.replace(tmp, _manifest_path(table_path))
+            return man
+        finally:
+            os.close(fd)  # closing the fd releases the flock
+
+
+DEFAULT_COMMIT = PosixSnapshotCommit()
+
+
+def snapshot_dir(table_path: str, version: int) -> str:
+    """Absolute path of the directory backing ``version`` — directory
+    names are unique per write attempt (``v{N}-{uuid}``), so tooling and
+    tests must resolve them through the manifest, never construct them."""
+    man = _load_manifest(table_path)
+    snap = man["snapshots"].get(str(version))
+    if snap is None:
+        raise ValueError(
+            f"version {version} not available (retained: "
+            f"{sorted(int(v) for v in man['snapshots'])})"
+        )
+    return os.path.join(table_path, snap["dir"])
 
 
 _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
@@ -198,19 +266,37 @@ def _partition_fingerprints(df: DataFrame, part_col: str) -> dict:
     from pyspark.sql import functions as F
 
     data_cols = sorted(c for c in df.columns if c != part_col)
+    # A partition-only frame has no data columns to hash; xxhash64
+    # requires >=1 argument, so hash a constant — the row count alone
+    # then carries the fingerprint.
+    fp = F.xxhash64(*data_cols) if data_cols else F.xxhash64(F.lit(1))
     key = F.coalesce(F.col(part_col).cast("string"), F.lit(_NULL_PART))
     rows = (
         df.groupBy(key.alias("__part"))
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            F.sum(F.xxhash64(*data_cols).cast("decimal(38,0)")).alias("__fp"),
+            F.sum(fp.cast("decimal(38,0)")).alias("__fp"),
         )
         .collect()
     )
     return {r["__part"]: {"n": r["__n"], "fp": str(r["__fp"])} for r in rows}
 
 
-def write_snapshot(df: DataFrame, table_path: str, part_col: str | None = None) -> int:
+def _new_snap_dir(table_path: str, version: int) -> tuple[str, str]:
+    """(relative, absolute) path for a NEW snapshot directory — unique
+    per write attempt, so no two writers (or a writer and a crashed
+    predecessor) can ever collide on a data path."""
+    rel = os.path.join("snapshots", f"v{version}-{uuid.uuid4().hex[:8]}")
+    return rel, os.path.join(table_path, rel)
+
+
+def write_snapshot(
+    df: DataFrame,
+    table_path: str,
+    part_col: str | None = None,
+    record_keys: Sequence[str] | None = None,
+    commit: SnapshotCommit | None = None,
+) -> int:
     """Write ``df`` as the table's next immutable snapshot and flip the
     manifest pointer.  Returns the new version number (1-based).
 
@@ -219,20 +305,28 @@ def write_snapshot(df: DataFrame, table_path: str, part_col: str | None = None) 
     per-file-stats pattern at partition granularity), which lets
     :func:`snapshot_changes` confine a version diff to the partitions
     whose content actually changed — at 100 TB a one-partition edit must
-    not pay a two-full-table ``exceptAll`` shuffle."""
+    not pay a two-full-table ``exceptAll`` shuffle.
+
+    ``record_keys`` notes the table's row-identity columns in the
+    manifest (used by ``snapshot_changes(collapse=True)`` to pair an
+    update's delete+insert rows).  The data lands in a uniquely-named
+    directory and becomes visible only when ``commit`` (default: the
+    POSIX flock protocol) publishes the manifest — a failure at any
+    point leaves an unreferenced directory, never a half-visible or
+    wedged table."""
     os.makedirs(table_path, exist_ok=True)
     man = _load_manifest(table_path)
     version = man["current"] + 1
-    snap_dir = os.path.join(table_path, "snapshots", f"v{version}")
-    # Anything that fails between creating the snapshot dir and flipping
-    # the manifest must remove the orphan dir: the manifest still points
-    # at version-1, so the NEXT write computes the same version number and
-    # its errorifexists write would fail forever — a wedged table.
+    rel_dir, snap_dir = _new_snap_dir(table_path, version)
     committed = False
     try:
-        entry: dict = {"dir": f"snapshots/v{version}"}
+        entry: dict = {"dir": rel_dir}
+        if record_keys:
+            entry["keys"] = list(record_keys)
         if part_col:
-            parts = _write_partitioned_version(df, snap_dir, part_col, version)
+            parts = _write_partitioned_version(
+                df, snap_dir, part_col, version, rel_dir
+            )
             entry.update(
                 part_col=part_col,
                 part_type=df.schema[part_col].dataType.simpleString(),
@@ -243,29 +337,40 @@ def write_snapshot(df: DataFrame, table_path: str, part_col: str | None = None) 
         else:
             df.write.mode("errorifexists").parquet(snap_dir)
             entry["n_rows"] = df.sparkSession.read.parquet(snap_dir).count()
-        _commit_version(table_path, man, version, entry)
+        _commit_version(table_path, version, entry, commit)
         committed = True
     finally:
-        if not committed and _load_manifest(table_path)["current"] < version:
-            # Clean OUR orphan only: if a concurrent writer won the same
-            # version number and committed it, snap_dir is now THEIR
-            # referenced data (our errorifexists write refused to touch
-            # it) — deleting it would corrupt the committed version.
+        if not committed:
+            # The directory is uniquely OURS (uuid suffix): removing it
+            # can never touch a concurrent writer's data, and leaving it
+            # can never block a future write — cleanup here is just
+            # tidiness; vacuum would sweep it after the grace window.
             shutil.rmtree(snap_dir, ignore_errors=True)
     return version
 
 
 def _write_partitioned_version(
-    df: DataFrame, snap_dir: str, part_col: str, version: int
+    df: DataFrame, snap_dir: str, part_col: str, version: int, rel_dir: str
 ) -> dict:
     """Land ``df`` Hive-partitioned in ``snap_dir`` and return its
-    fingerprint map (each entry stamped ``src: version`` — the version
-    whose directory physically holds that partition's files)."""
+    fingerprint map (each entry stamped with ``src``, the version that
+    wrote it, and ``src_dir``, the directory that physically holds that
+    partition's files — directories are uuid-named, so the path must be
+    recorded, not derived)."""
     from cryptocurrency_data_pipeline_spark.sources.tables import (
         partition_inference_off,
     )
 
     spark = df.sparkSession
+    if list(df.columns) == [part_col]:
+        # Spark refuses to partition by EVERY column
+        # (ALL_PARTITION_COLUMNS_NOT_ALLOWED) — surface the contract
+        # clearly instead of a mid-write AnalysisException.
+        raise ValueError(
+            f"cannot write a snapshot whose only column is the partition "
+            f"column {part_col!r}; a partitioned snapshot needs at least "
+            f"one data column"
+        )
     df.write.mode("errorifexists").partitionBy(part_col).parquet(snap_dir)
     if not any(
         any(not f.startswith(("_", ".")) for f in files)
@@ -286,6 +391,7 @@ def _write_partitioned_version(
     parts = _partition_fingerprints(landed, part_col)
     for meta in parts.values():
         meta["src"] = version
+        meta["src_dir"] = rel_dir
     return parts
 
 
@@ -293,35 +399,34 @@ class ConcurrentSnapshotWriteError(RuntimeError):
     """Another writer committed a version while this write was in flight."""
 
 
-def _commit_version(table_path: str, man: dict, version: int, entry: dict) -> None:
+def _commit_version(
+    table_path: str,
+    version: int,
+    entry: dict,
+    commit: SnapshotCommit | None = None,
+) -> None:
     import time
 
     # Optimistic concurrency (the Iceberg commit-CAS shape): the write
-    # planned against `man` as the base state; if another writer flipped
-    # the pointer meanwhile, committing would silently ORPHAN its version
-    # (both computed the same version number, or ours would overwrite a
-    # newer current).  Re-read-and-verify narrows the race to the window
-    # between this check and os.replace — on a real deployment back the
-    # manifest with a CAS-capable store (object-store conditional put,
-    # a catalog) for a true atomic gate.
-    on_disk = _load_manifest(table_path)
-    if on_disk["current"] != version - 1:
-        raise ConcurrentSnapshotWriteError(
-            f"expected current version {version - 1} at commit, found "
-            f"{on_disk['current']} — another writer won; retry against "
-            f"the new state"
-        )
-    entry["committed_at"] = time.time()
-    # Apply OUR DELTA onto the fresh on-disk state, not the stale
-    # load-time copy: a vacuum that expired versions while this write
-    # ran must not see its expiries resurrected (pointing at directories
-    # its sweep already deleted).
-    on_disk["snapshots"][str(version)] = entry
-    on_disk["current"] = version
-    tmp = _manifest_path(table_path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(on_disk, f)
-    os.replace(tmp, _manifest_path(table_path))  # atomic pointer flip
+    # planned against `current == version - 1` as its base state; the
+    # check runs INSIDE the commit protocol's critical section against
+    # the freshest manifest, so a writer whose base moved raises instead
+    # of silently orphaning the winner — and the delta is applied onto
+    # that fresh state, so a vacuum that expired versions while this
+    # write ran is not resurrected.
+    def mutate(man: dict) -> dict:
+        if man["current"] != version - 1:
+            raise ConcurrentSnapshotWriteError(
+                f"expected current version {version - 1} at commit, found "
+                f"{man['current']} — another writer won; retry against "
+                f"the new state"
+            )
+        entry["committed_at"] = time.time()
+        man["snapshots"][str(version)] = entry
+        man["current"] = version
+        return man
+
+    (commit or DEFAULT_COMMIT).commit_manifest(table_path, mutate)
 
 
 def snapshot_as_of(table_path: str, ts: float) -> int:
@@ -348,6 +453,8 @@ def upsert_snapshot(
     table_path: str,
     drop_partitions: Sequence[str] = (),
     skip_unchanged: bool = False,
+    record_keys: Sequence[str] | None = None,
+    commit: SnapshotCommit | None = None,
 ) -> int:
     """Copy-on-write partial snapshot: publish a new version that REWRITES
     only the partitions present in ``new_rows`` (replace semantics, like
@@ -400,10 +507,12 @@ def upsert_snapshot(
             f"new_rows carries {new_type}; cast before upserting"
         )
     version = man["current"] + 1
-    snap_dir = os.path.join(table_path, "snapshots", f"v{version}")
+    rel_dir, snap_dir = _new_snap_dir(table_path, version)
     committed = False
     try:
-        fresh = _write_partitioned_version(new_rows, snap_dir, part_col, version)
+        fresh = _write_partitioned_version(
+            new_rows, snap_dir, part_col, version, rel_dir
+        )
         dropped = {str(d) for d in drop_partitions}
         clash = sorted(dropped & set(fresh))
         if clash:
@@ -432,7 +541,7 @@ def upsert_snapshot(
         }
         parts.update(fresh)
         entry = {
-            "dir": f"snapshots/v{version}",
+            "dir": rel_dir,
             "part_col": part_col,
             "part_type": prev.get(
                 "part_type", new_rows.schema[part_col].dataType.simpleString()
@@ -441,14 +550,18 @@ def upsert_snapshot(
             "parts": parts,
             "n_rows": sum(p["n"] for p in parts.values()),
         }
-        _commit_version(table_path, man, version, entry)
+        # Row-identity keys: recorded when passed, else inherited from
+        # the previous version (a partial publish doesn't change what
+        # identifies a row).
+        keys = list(record_keys) if record_keys else prev.get("keys")
+        if keys:
+            entry["keys"] = keys
+        _commit_version(table_path, version, entry, commit)
         committed = True
     finally:
-        if not committed and _load_manifest(table_path)["current"] < version:
-            # Clean OUR orphan only: if a concurrent writer won the same
-            # version number and committed it, snap_dir is now THEIR
-            # referenced data (our errorifexists write refused to touch
-            # it) — deleting it would corrupt the committed version.
+        if not committed:
+            # Uniquely OUR directory (uuid suffix) — safe to remove
+            # unconditionally; see write_snapshot.
             shutil.rmtree(snap_dir, ignore_errors=True)
     return version
 
@@ -459,6 +572,8 @@ def merge_into_snapshot(
     keys: Sequence[str],
     delete_col: str | None = None,
     skip_unchanged: bool = False,
+    validate_partition: bool = False,
+    commit: SnapshotCommit | None = None,
 ) -> int:
     """Row-level MERGE INTO the current snapshot, published copy-on-write:
     rows in ``updates`` REPLACE current rows with matching ``keys``
@@ -471,9 +586,14 @@ def merge_into_snapshot(
     Contract: the partition column is part of row identity — an update
     must carry the partition value its key currently lives in (the
     partition-by-date fact discipline; a cross-partition move is an
-    explicit delete in the old partition + insert in the new).  Keys are
-    assumed non-null.  A touched partition whose rows are all deleted is
-    dropped from the new version."""
+    explicit delete in the old partition + insert in the new).  A
+    violation silently leaves the key's OLD row in its untouched
+    partition alongside the new one; ``validate_partition=True`` turns
+    that into a fail-fast ValueError (one extra keys-join against the
+    current snapshot — debug/CI mode, off by default on the hot path).
+    Keys are assumed non-null.  A touched partition whose rows are all
+    deleted is dropped from the new version.  ``keys`` is recorded in
+    the manifest for ``snapshot_changes(collapse=True)``."""
     from pyspark.sql import functions as F
 
     man = _load_manifest(table_path)
@@ -498,6 +618,39 @@ def merge_into_snapshot(
         matched = updates.drop(delete_col)
     else:
         upserts = matched = updates
+
+    if validate_partition:
+        # A key whose update row claims a different partition than the
+        # key's CURRENT row has moved partitions without an explicit
+        # delete — the merge would duplicate it.  Keys the batch
+        # explicitly delete-flags are exempt (that IS the sanctioned
+        # move: delete old partition + insert new).  The probe joins
+        # key→partition projections only and stops at the first hits.
+        upd_kp = upserts.select(*keys, part_str.alias("__upd_p")).distinct()
+        if delete_col is not None:
+            deleted_keys = (
+                updates.filter(F.coalesce(F.col(delete_col), F.lit(False)))
+                .select(*keys)
+                .distinct()
+            )
+            upd_kp = upd_kp.join(deleted_keys, list(keys), "left_anti")
+        cur_kp = current.select(*keys, part_str.alias("__cur_p"))
+        moved = (
+            upd_kp.join(cur_kp, list(keys))
+            .where(F.col("__upd_p") != F.col("__cur_p"))
+            .take(3)
+        )
+        if moved:
+            examples = [
+                {**{k: r[k] for k in keys}, "current": r["__cur_p"], "update": r["__upd_p"]}
+                for r in moved
+            ]
+            raise ValueError(
+                f"cross-partition key move(s) in MERGE on {part_col!r}: "
+                f"{examples} — an update must carry the partition its key "
+                f"currently lives in; move a key with an explicit delete "
+                f"(old partition) + insert (new partition)"
+            )
     survivors = existing.join(
         matched.select(*keys).distinct(), list(keys), "left_anti"
     )
@@ -524,6 +677,8 @@ def merge_into_snapshot(
             table_path,
             drop_partitions=sorted(touched - remaining),
             skip_unchanged=skip_unchanged,
+            record_keys=keys,
+            commit=commit,
         )
     finally:
         merged.unpersist()
@@ -557,7 +712,9 @@ def compact_snapshot_partition(
             f"partition {partition!r} not in current version "
             f"(have: {sorted(prev.get('parts', {}))[:5]}...)"
         )
-    src_dir = os.path.join(table_path, "snapshots", f"v{meta['src']}")
+    src_dir = os.path.join(
+        table_path, meta.get("src_dir", os.path.join("snapshots", f"v{meta['src']}"))
+    )
     part_dir = os.path.join(src_dir, f"{part_col}={partition}")
     if not os.path.isdir(part_dir):
         # Hive escapes special characters in partition directory names
@@ -613,20 +770,22 @@ def read_snapshot(spark: SparkSession, table_path: str, version: int | None = No
         # Unpartitioned — or an empty partitioned version, stored as one
         # empty typed file with part_col as a regular column.
         return spark.read.parquet(os.path.join(table_path, snap["dir"]))
-    groups: dict[int, list[str]] = {}
+    groups: dict[str, list[str]] = {}
     for k, meta in snap["parts"].items():
-        groups.setdefault(int(meta.get("src", version)), []).append(k)
+        src_dir = meta.get(
+            "src_dir",
+            os.path.join("snapshots", f"v{meta.get('src', version)}"),
+        )
+        groups.setdefault(src_dir, []).append(k)
     part_type = snap.get("part_type", "string")
     frames = []
     with partition_inference_off(spark):
-        for src in sorted(groups):
-            df = spark.read.parquet(
-                os.path.join(table_path, "snapshots", f"v{src}")
-            )
-            if not (len(groups) == 1 and src == version):
+        for src_dir in sorted(groups):
+            df = spark.read.parquet(os.path.join(table_path, src_dir))
+            if not (len(groups) == 1 and src_dir == snap["dir"]):
                 # Source dirs hold partitions beyond the inherited set;
                 # a partition-only IN filter prunes to ours at planning.
-                keys = groups[src]
+                keys = groups[src_dir]
                 vals = [k for k in keys if k != _NULL_PART]
                 pred = F.col(pc).isin(vals)
                 if _NULL_PART in keys:
@@ -859,7 +1018,12 @@ def changed_partitions(
 
 
 def snapshot_changes(
-    spark: SparkSession, table_path: str, v_from: int, v_to: int
+    spark: SparkSession,
+    table_path: str,
+    v_from: int,
+    v_to: int,
+    collapse: bool = False,
+    keys: Sequence[str] | None = None,
 ) -> DataFrame:
     """Change feed between two retained snapshot versions: every row of
     ``v_to`` not present in ``v_from`` tagged ``insert``, every row of
@@ -881,9 +1045,29 @@ def snapshot_changes(
     :func:`read_snapshot` restores the writer's exact partition type, so
     the manifest's directory-string keys compare correctly against
     ``cast(part_col as string)`` and the feed's schema matches the
-    snapshots consumers apply it to."""
+    snapshots consumers apply it to.
+
+    ``collapse=True`` upgrades the feed to key-aware CDC (the Delta
+    change-data-feed shape): a key present on both sides has its pair
+    re-tagged ``update_preimage`` (old row) / ``update_postimage`` (new
+    row); keys on one side only stay ``insert`` / ``delete``.  ``keys``
+    defaults to the row-identity columns recorded in ``v_to``'s manifest
+    entry (``merge_into_snapshot`` records them).  Cost: one extra hash
+    exchange on the keys — over the already-pruned change set, never the
+    table."""
     from pyspark.sql import functions as F
 
+    if collapse:
+        man = _load_manifest(table_path)
+        keys = list(keys) if keys else man["snapshots"].get(str(v_to), {}).get(
+            "keys"
+        )
+        if not keys:
+            raise ValueError(
+                "collapse=True needs the row-identity columns: pass keys=… "
+                "or record them at write time (merge_into_snapshot does, "
+                "or write_snapshot/upsert_snapshot record_keys=…)"
+            )
     a = read_snapshot(spark, table_path, v_from)
     b = read_snapshot(spark, table_path, v_to)
     pruned = changed_partitions(table_path, v_from, v_to)
@@ -891,60 +1075,126 @@ def snapshot_changes(
         pc, changed = pruned
         pred = partition_predicate(pc, changed)
         a, b = a.where(pred), b.where(pred)
-    return b.exceptAll(a).withColumn("_change", F.lit("insert")).unionByName(
+    feed = b.exceptAll(a).withColumn("_change", F.lit("insert")).unionByName(
         a.exceptAll(b).withColumn("_change", F.lit("delete"))
     )
+    if collapse:
+        from pyspark.sql.window import Window
+
+        # A key with BOTH an insert and a delete in the feed is an
+        # update; min/max over the key's window detects "both sides
+        # present" in one pass (no self-join).  Under the unique-key
+        # MERGE contract each key carries at most one row per side.
+        w = Window.partitionBy(*keys)
+        both = F.min("_change").over(w) != F.max("_change").over(w)
+        feed = feed.withColumn(
+            "_change",
+            F.when(
+                both,
+                F.when(F.col("_change") == "insert", F.lit("update_postimage"))
+                .otherwise(F.lit("update_preimage")),
+            ).otherwise(F.col("_change")),
+        )
+    return feed
 
 
-def vacuum_snapshots(table_path: str, keep_last: int = 2) -> list[int]:
+def _referenced_dirs(man: dict) -> set[str]:
+    """Relative snapshot-dir names referenced by retained versions —
+    their own directories plus every partition's ``src_dir`` (a dropped
+    version's directory must survive while inherited from)."""
+    refs = set()
+    for v, meta in man["snapshots"].items():
+        refs.add(os.path.basename(meta["dir"]))
+        for p in meta.get("parts", {}).values():
+            refs.add(
+                os.path.basename(
+                    p.get("src_dir", f"snapshots/v{p.get('src', v)}")
+                )
+            )
+    return refs
+
+
+def vacuum_snapshots(
+    table_path: str,
+    keep_last: int = 2,
+    orphan_grace_seconds: float = 3600.0,
+    commit: SnapshotCommit | None = None,
+) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (the current one
-    is always kept).  Manifest updates FIRST, then directories are
-    removed — a crash mid-vacuum leaves unreferenced dirs (harmless,
-    re-vacuumable), never a referenced-but-deleted version.
+    is always kept).  Manifest updates FIRST (through the commit
+    protocol, so a concurrent writer's commit is never erased), then
+    directories are removed — a crash mid-vacuum leaves unreferenced
+    dirs (harmless, re-vacuumable), never a referenced-but-deleted
+    version.
+
+    RETENTION CONTRACT (readers vs vacuum): ``read_snapshot`` returns a
+    lazy DataFrame — the files are opened at ACTION time, not at call
+    time.  A reader holding a frame over a version that stays retained
+    (within ``keep_last``) is safe across a vacuum: its directories are
+    never touched.  A reader over a version the vacuum EXPIRES fails at
+    its next action (file-not-found) once the directory is swept — so
+    size ``keep_last`` to cover your longest reader/job lifetime, the
+    same operational rule as Delta's ``deletedFileRetentionDuration`` vs
+    streaming-consumer lag.  Asking ``read_snapshot`` for an expired
+    version fails fast with a clear ValueError.
 
     Copy-on-write aware: a dropped version's DIRECTORY survives as long
     as any retained version still inherits a partition from it (its
-    ``src`` entries) — expiring a snapshot and deleting its files are
-    separate events, exactly as in Iceberg's expire-snapshots/
-    remove-orphans split.  Returns the versions expired from the
-    manifest."""
+    ``src_dir`` entries) — expiring a snapshot and deleting its files
+    are separate events, exactly as in Iceberg's expire-snapshots/
+    remove-orphans split.
+
+    Directory sweep: dirs the manifest knew (now-expired versions) are
+    removed immediately; dirs the manifest NEVER referenced (a crashed
+    or in-flight writer's uniquely-named staging data) are removed only
+    once older than ``orphan_grace_seconds`` — an in-flight writer's
+    minutes-old directory is spared, a crashed writer's day-old one is
+    reclaimed (Iceberg's ``remove_orphan_files older_than``).  Returns
+    the versions expired from the manifest."""
+    import time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     man = _load_manifest(table_path)
+    known_before = _referenced_dirs(man)
     versions = sorted(int(v) for v in man["snapshots"])
     drop = [v for v in versions[:-keep_last] if v != man["current"]]
     if drop:
-        for v in drop:
-            del man["snapshots"][str(v)]
-        # Same optimistic gate as _commit_version: a commit that landed
-        # after this vacuum's load would be ERASED by writing the stale
-        # copy (and its data later deleted as an apparent orphan).
-        if _load_manifest(table_path)["current"] != man["current"]:
-            raise ConcurrentSnapshotWriteError(
-                "a writer committed during vacuum; re-run vacuum against "
-                "the new state"
-            )
-        tmp = _manifest_path(table_path) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, _manifest_path(table_path))
-    referenced = {int(v) for v in man["snapshots"]}
-    for v, meta in man["snapshots"].items():
-        for p in meta.get("parts", {}).values():
-            referenced.add(int(p.get("src", int(v))))
-    # Remove every on-disk version dir no retained version references —
-    # the sweep runs even when nothing newly expires, so a crash between
-    # the manifest write and a previous sweep stays re-vacuumable.  Dirs
-    # NUMBERED ABOVE current are excluded: that is an in-flight writer's
-    # uncommitted next version, not an orphan.
+        base_current = man["current"]
+
+        def mutate(fresh: dict) -> dict:
+            # A commit that landed after this vacuum's load would be
+            # ERASED by writing the stale copy (and its data later
+            # deleted as an apparent orphan) — same gate as a write.
+            if fresh["current"] != base_current:
+                raise ConcurrentSnapshotWriteError(
+                    "a writer committed during vacuum; re-run vacuum "
+                    "against the new state"
+                )
+            for v in drop:
+                fresh["snapshots"].pop(str(v), None)
+            return fresh
+
+        man = (commit or DEFAULT_COMMIT).commit_manifest(table_path, mutate)
+    referenced = _referenced_dirs(man)
+    # The sweep runs even when nothing newly expires, so a crash between
+    # a previous vacuum's manifest write and its sweep stays
+    # re-vacuumable.
     snap_root = os.path.join(table_path, "snapshots")
+    now = time.time()
     if os.path.isdir(snap_root):
         for d in os.listdir(snap_root):
-            if (
-                d.startswith("v")
-                and d[1:].isdigit()
-                and int(d[1:]) not in referenced
-                and int(d[1:]) <= man["current"]
-            ):
-                shutil.rmtree(os.path.join(snap_root, d), ignore_errors=True)
+            full = os.path.join(snap_root, d)
+            if d in referenced or not os.path.isdir(full):
+                continue
+            if d not in known_before:
+                # Never manifest-referenced: possibly an IN-FLIGHT
+                # writer's data (it commits only after writing) — only
+                # reclaim once clearly abandoned.
+                try:
+                    if now - os.path.getmtime(full) < orphan_grace_seconds:
+                        continue
+                except OSError:
+                    continue
+            shutil.rmtree(full, ignore_errors=True)
     return drop

@@ -102,7 +102,14 @@ def merge_batch_into_snapshot(
     no-op publish is withdrawn),
     seeds the table on first contact, then MERGEs.  ``part_col`` must be
     key-derived (see :func:`key_bucket`): a key must never move between
-    partitions.  Returns the table's current version after the call."""
+    partitions.  Returns the table's current version after the call.
+
+    Rows with a NULL ``order_col`` are dropped up front: a null-ordered
+    row could SEED a key on first contact but could never supersede or
+    be superseded afterwards (the stored-tuple comparison is null), so
+    seed and steady-state behavior would disagree — an unparseable event
+    time is DLQ material upstream, never current state."""
+    batch = batch.filter(F.col(order_col).isNotNull())
     latest = silver.dedup_latest(batch, keys, order_col, tiebreak).persist()
     try:
         if latest.isEmpty():

@@ -436,10 +436,9 @@ def test_partitioned_change_feed_numeric_looking_string_partition(spark, tmp_pat
 
 
 def test_write_snapshot_failure_leaves_table_writable(spark, tmp_path):
-    """A write that fails after creating its snapshot dir must remove the
-    orphan — the manifest still points at the previous version, so a
-    leftover dir would make every subsequent errorifexists write of the
-    same version number fail forever (a wedged table)."""
+    """A write that fails after creating its (uniquely-named) snapshot
+    dir removes it; even if it did not, the next write could never
+    collide — it stages under its own uuid name."""
     import os
 
     import pytest
@@ -449,14 +448,51 @@ def test_write_snapshot_failure_leaves_table_writable(spark, tmp_path):
     table = str(tmp_path / "wedge")
     ok = spark.createDataFrame([(1, "a")], "id int, v string")
     mt.write_snapshot(ok, table)
+    v1_dir = mt.snapshot_dir(table, 1)
     # A frame whose job fails at write time (division by zero under ANSI).
     bad = ok.selectExpr("id", "1/(id - id) AS boom")
     with pytest.raises(Exception):
         mt.write_snapshot(bad, table)
-    assert not os.path.isdir(os.path.join(table, "snapshots", "v2"))
+    # The failed attempt left no directory behind: only v1's remains.
+    dirs = os.listdir(os.path.join(table, "snapshots"))
+    assert dirs == [os.path.basename(v1_dir)]
     # The table is NOT wedged: the next write takes version 2 cleanly.
     assert mt.write_snapshot(ok, table) == 2
     assert mt.read_snapshot(spark, table, 2).count() == 1
+
+
+def test_snapshot_crash_between_write_and_commit_never_wedges(spark, tmp_path):
+    """Hard-crash simulation (SIGKILL: no finally cleanup): an
+    uncommitted data directory left on disk can never block future
+    writes — directory names are unique per attempt and the manifest is
+    the only commit point.  Vacuum reclaims it after the grace window
+    (and spares it within the window, when it may be an in-flight
+    writer)."""
+    import os
+    import time
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "crash")
+    df = spark.createDataFrame([(1, "d0", "a")], "id int, day string, v string")
+    mt.write_snapshot(df, table, part_col="day")
+
+    # Simulate a writer killed after landing data, before committing.
+    stale = os.path.join(table, "snapshots", "v2-deadbeef")
+    os.makedirs(stale)
+    # Future writes are unaffected: version 2 commits under its own name.
+    assert mt.write_snapshot(df, table, part_col="day") == 2
+    assert mt.read_snapshot(spark, table, 2).count() == 1
+
+    # Within the grace window the unknown dir is spared (it might be an
+    # in-flight writer about to commit)…
+    mt.vacuum_snapshots(table, keep_last=5)
+    assert os.path.isdir(stale)
+    # …and reclaimed once clearly abandoned.
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    mt.vacuum_snapshots(table, keep_last=5)
+    assert not os.path.isdir(stale)
 
 
 def test_write_snapshot_empty_partitioned_version_round_trips(spark, tmp_path):
@@ -532,7 +568,7 @@ def test_upsert_snapshot_copy_on_write_inherits_partitions(spark, tmp_path):
     assert mt.upsert_snapshot(d2_new, table) == 2
 
     # Physically: v2's dir holds ONLY day=d2; d0/d1/d3 files live in v1.
-    v2_dirs = sorted(os.listdir(os.path.join(table, "snapshots", "v2")))
+    v2_dirs = sorted(os.listdir(mt.snapshot_dir(table, 2)))
     assert [d for d in v2_dirs if d.startswith("day=")] == ["day=d2"]
 
     # Logically: v2 == full expected table, v1 untouched.
@@ -584,20 +620,22 @@ def test_upsert_snapshot_drop_partitions_and_vacuum_keeps_referenced_dirs(
 
     # Vacuum to the newest version only: v1 expires from the manifest
     # but its DIRECTORY survives — v2 still inherits day=d0 from it.
+    v1_dir, v2_dir = mt.snapshot_dir(table, 1), mt.snapshot_dir(table, 2)
     assert mt.vacuum_snapshots(table, keep_last=1) == [1]
     with pytest.raises(ValueError, match="not available"):
         mt.read_snapshot(spark, table, 1)
-    assert os.path.isdir(os.path.join(table, "snapshots", "v1"))
+    assert os.path.isdir(v1_dir)
     got2 = {tuple(r) for r in
             mt.read_snapshot(spark, table, 2).select("id", "day", "v").collect()}
     assert got2 == got
 
     # A full rewrite then makes v1 truly orphaned: the next vacuum
-    # deletes both old dirs.
+    # deletes both old dirs (immediately — they were manifest-known,
+    # not possibly-in-flight unknowns).
     mt.write_snapshot(mt.read_snapshot(spark, table, 2), table, part_col="day")
     assert mt.vacuum_snapshots(table, keep_last=1) == [2]
-    assert not os.path.isdir(os.path.join(table, "snapshots", "v1"))
-    assert not os.path.isdir(os.path.join(table, "snapshots", "v2"))
+    assert not os.path.isdir(v1_dir)
+    assert not os.path.isdir(v2_dir)
     assert mt.read_snapshot(spark, table).count() == 2
 
 
@@ -669,7 +707,7 @@ def test_merge_into_snapshot_update_insert_delete(spark, tmp_path):
            mt.read_snapshot(spark, table, 2).select("id", "day", "v").collect()}
     assert got == {(1, "d0", "a"), (2, "d0", "B"), (9, "d0", "new"), (3, "d1", "c")}
     # d1 was never touched: physically inherited from v1 (v2 holds only d0).
-    v2_parts = [d for d in os.listdir(os.path.join(table, "snapshots", "v2"))
+    v2_parts = [d for d in os.listdir(mt.snapshot_dir(table, 2))
                 if d.startswith("day=")]
     assert v2_parts == ["day=d0"]
     # d2 (all rows deleted) is gone from the manifest, not inherited.
@@ -719,7 +757,10 @@ def test_upsert_snapshot_skip_unchanged_withdraws_noop_publish(spark, tmp_path):
     batch = spark.createDataFrame([(1, "d0", "a")], schema)  # same content
     assert mt.upsert_snapshot(batch, table, skip_unchanged=True) == 1
     assert [s["version"] for s in mt.list_snapshots(table)] == [1]
-    assert not os.path.isdir(os.path.join(table, "snapshots", "v2"))
+    # The withdrawn publish removed its own staged directory.
+    assert os.listdir(os.path.join(table, "snapshots")) == [
+        os.path.basename(mt.snapshot_dir(table, 1))
+    ]
     # A REAL change still publishes.
     changed = spark.createDataFrame([(1, "d0", "A")], schema)
     assert mt.upsert_snapshot(changed, table, skip_unchanged=True) == 2
@@ -746,14 +787,14 @@ def test_compact_snapshot_partition_collapses_files_content_identical(
     ).repartition(16)  # many small files per partition
     mt.write_snapshot(df, table, part_col="day")
     v1_files = glob.glob(
-        os.path.join(table, "snapshots", "v1", "day=d0", "*.parquet")
+        os.path.join(mt.snapshot_dir(table, 1), "day=d0", "*.parquet")
     )
     assert len(v1_files) > 4
 
     v = mt.compact_snapshot_partition(spark, table, "d0")
     assert v == 2
     v2_files = glob.glob(
-        os.path.join(table, "snapshots", "v2", "day=d0", "*.parquet")
+        os.path.join(mt.snapshot_dir(table, 2), "day=d0", "*.parquet")
     )
     assert 1 <= len(v2_files) < len(v1_files)
     man = json.load(open(os.path.join(table, "_versions.json")))
@@ -794,11 +835,12 @@ def test_snapshot_as_of_timestamp(spark, tmp_path):
 
 def test_vacuum_sweep_reruns_and_spares_inflight_writer_dir(spark, tmp_path):
     """The orphan sweep runs even when nothing newly expires (a crashed
-    prior vacuum stays re-vacuumable), and never touches a directory
-    numbered above current — that is an in-flight writer's uncommitted
-    next version, not an orphan."""
+    prior vacuum stays re-vacuumable), and spares a never-committed
+    directory inside the grace window — that may be an in-flight
+    writer's staged data, not an orphan."""
     import os
     import shutil
+    import time
 
     from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
 
@@ -807,23 +849,27 @@ def test_vacuum_sweep_reruns_and_spares_inflight_writer_dir(spark, tmp_path):
     v1 = spark.createDataFrame([(1, "d0", "a"), (2, "d1", "b")], schema)
     mt.write_snapshot(v1, table, part_col="day")
     mt.upsert_snapshot(spark.createDataFrame([(9, "d1", "B")], schema), table)
+    v1_dir, v2_dir = mt.snapshot_dir(table, 1), mt.snapshot_dir(table, 2)
     mt.write_snapshot(v1, table, part_col="day")  # v3: full, orphans v1 refs
 
-    # Simulate an in-flight writer: uncommitted v4 dir exists on disk.
-    inflight = os.path.join(table, "snapshots", "v4")
+    # Simulate an in-flight writer: freshly-staged uncommitted dir.
+    inflight = os.path.join(table, "snapshots", "v4-aaaa1111")
     os.makedirs(inflight)
 
-    # First vacuum expires v1+v2; v1's dir may survive only while
-    # referenced — after v3 (full) nothing references it.
+    # First vacuum expires v1+v2; their manifest-known dirs are removed
+    # immediately — the fresh unknown dir is spared by the grace window.
     assert mt.vacuum_snapshots(table, keep_last=1) == [1, 2]
-    assert not os.path.isdir(os.path.join(table, "snapshots", "v1"))
-    assert not os.path.isdir(os.path.join(table, "snapshots", "v2"))
-    assert os.path.isdir(inflight)  # spared: numbered above current
+    assert not os.path.isdir(v1_dir)
+    assert not os.path.isdir(v2_dir)
+    assert os.path.isdir(inflight)
 
-    # Simulate a crash that left an expired dir behind: re-running vacuum
-    # with NOTHING new to expire still sweeps it.
-    orphan = os.path.join(table, "snapshots", "v2")
+    # Simulate a crash that left an abandoned staged dir behind (old
+    # mtime): re-running vacuum with NOTHING new to expire still sweeps
+    # it, while the fresh one stays spared.
+    orphan = os.path.join(table, "snapshots", "v9-bbbb2222")
     os.makedirs(orphan)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
     assert mt.vacuum_snapshots(table, keep_last=1) == []
     assert not os.path.isdir(orphan)
     assert os.path.isdir(inflight)
@@ -850,16 +896,18 @@ def test_concurrent_snapshot_commit_detected_and_loser_preserves_winner(
 
     # Simulate a racing winner: bump the manifest AFTER this writer read
     # its base state, via a monkeypatched fingerprint step that commits a
-    # competing v2 mid-write.
+    # competing v2 (with its own unique directory) mid-write.
     real_fp = mt._partition_fingerprints
     state = {"fired": False}
+    winner_dir = os.path.join(table, "snapshots", "v2-feedc0de")
 
     def fp_with_race(frame, part_col):
         if not state["fired"]:
             state["fired"] = True
+            os.makedirs(winner_dir)
             man = mt._load_manifest(table)
             man["current"] = 2
-            man["snapshots"]["2"] = {"dir": "snapshots/v2", "n_rows": 0}
+            man["snapshots"]["2"] = {"dir": "snapshots/v2-feedc0de", "n_rows": 0}
             import json
             with open(os.path.join(table, "_versions.json"), "w") as f:
                 json.dump(man, f)
@@ -874,8 +922,220 @@ def test_concurrent_snapshot_commit_detected_and_loser_preserves_winner(
             )
     finally:
         mt._partition_fingerprints = real_fp
-    # The loser did NOT delete v2's directory (which it also wrote to
-    # disk before losing — the manifest now references that version).
-    assert os.path.isdir(os.path.join(table, "snapshots", "v2"))
+    # The loser cleaned up ONLY its own uniquely-named directory: the
+    # winner's committed dir and v1's dir are the only ones left.
+    assert os.path.isdir(winner_dir)
+    left = sorted(os.listdir(os.path.join(table, "snapshots")))
+    assert left == sorted(
+        [os.path.basename(mt.snapshot_dir(table, 1)), "v2-feedc0de"]
+    )
     # v1 remains readable.
     assert mt.read_snapshot(spark, table, 1).count() == 1
+
+
+def test_commit_protocol_injected_failure_leaves_old_version(spark, tmp_path):
+    """A commit protocol that dies mid-commit must leave the manifest at
+    the old version; the staged data directory is unreferenced and
+    sweepable — never half-visible state (VERDICT r7 ask #2)."""
+    import os
+
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    class ExplodingCommit(mt.SnapshotCommit):
+        def commit_manifest(self, table_path, mutate):
+            mutate(mt._load_manifest(table_path))  # passes the CAS check…
+            raise OSError("simulated publish failure (network/rename died)")
+
+    table = str(tmp_path / "injfail")
+    schema = "id int, day string, v string"
+    df = spark.createDataFrame([(1, "d0", "a")], schema)
+    mt.write_snapshot(df, table, part_col="day")
+
+    with pytest.raises(OSError, match="simulated publish"):
+        mt.write_snapshot(df, table, part_col="day", commit=ExplodingCommit())
+    # Manifest unchanged; reads see v1 only.
+    assert mt._load_manifest(table)["current"] == 1
+    assert [s["version"] for s in mt.list_snapshots(table)] == [1]
+    # The failed attempt's dir was cleaned by its own finally; even a
+    # hard crash would only leave an unreferenced unique dir (sweepable).
+    assert os.listdir(os.path.join(table, "snapshots")) == [
+        os.path.basename(mt.snapshot_dir(table, 1))
+    ]
+    # Upsert path honors the same protocol and cleanup.
+    with pytest.raises(OSError, match="simulated publish"):
+        mt.upsert_snapshot(df, table, commit=ExplodingCommit())
+    assert mt._load_manifest(table)["current"] == 1
+    # The table stays writable with the default protocol.
+    assert mt.write_snapshot(df, table, part_col="day") == 2
+
+
+def test_merge_validate_partition_rejects_cross_partition_move(spark, tmp_path):
+    """validate_partition=True turns the silent insert-duplicate of a
+    cross-partition key move into a fail-fast ValueError; the sanctioned
+    move (explicit delete in the old partition + insert in the new)
+    passes (VERDICT r7 ask #4)."""
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "valpart")
+    schema = "id int, day string, v string"
+    v1 = spark.createDataFrame(
+        [(1, "d0", "a"), (2, "d1", "b"), (3, "d1", "c")], schema
+    )
+    mt.write_snapshot(v1, table, part_col="day")
+
+    # Key 2 currently lives in d1; an update claiming d9 is a move.
+    bad = spark.createDataFrame([(2, "d9", "MOVED")], schema)
+    with pytest.raises(ValueError, match="cross-partition key move"):
+        mt.merge_into_snapshot(bad, table, ["id"], validate_partition=True)
+    # Nothing was published.
+    assert mt._load_manifest(table)["current"] == 1
+
+    # In-place update in the key's current partition: fine.
+    ok = spark.createDataFrame([(2, "d1", "B")], schema)
+    assert mt.merge_into_snapshot(ok, table, ["id"], validate_partition=True) == 2
+
+    # Sanctioned move: delete-flagged row in the old partition + insert
+    # row in the new one, same key — validation exempts it.
+    move = spark.createDataFrame(
+        [(3, "d1", None, True), (3, "d2", "c2", False)],
+        "id int, day string, v string, _deleted boolean",
+    )
+    assert mt.merge_into_snapshot(
+        move, table, ["id"], delete_col="_deleted", validate_partition=True
+    ) == 3
+    got = {tuple(r) for r in
+           mt.read_snapshot(spark, table).select("id", "day", "v").collect()}
+    assert got == {(1, "d0", "a"), (2, "d1", "B"), (3, "d2", "c2")}
+
+
+def test_collapsed_change_feed_pairs_updates_by_key(spark, tmp_path):
+    """snapshot_changes(collapse=True) re-tags an update's delete+insert
+    pair as update_preimage/update_postimage using the keys recorded at
+    MERGE time; pure inserts/deletes keep their tags — and an
+    upsert-only diff contains zero bare deletes (VERDICT r7 ask #3)."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "cdckeys")
+    schema = "id int, day string, v string"
+    v1 = spark.createDataFrame(
+        [(1, "d0", "a"), (2, "d0", "b"), (3, "d1", "c")], schema
+    )
+    mt.write_snapshot(v1, table, part_col="day")
+    updates = spark.createDataFrame(
+        [
+            (2, "d0", "B", False),    # update
+            (9, "d0", "new", False),  # insert
+            (3, "d1", None, True),    # delete
+        ],
+        "id int, day string, v string, _deleted boolean",
+    )
+    mt.merge_into_snapshot(updates, table, ["id"], delete_col="_deleted")
+    # merge recorded its keys in the manifest.
+    assert mt._load_manifest(table)["snapshots"]["2"]["keys"] == ["id"]
+
+    feed = mt.snapshot_changes(spark, table, 1, 2, collapse=True)
+    got = {(r.id, r.v, r._change) for r in feed.collect()}
+    assert got == {
+        (2, "B", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (9, "new", "insert"),
+        (3, "c", "delete"),
+    }
+
+    # Upsert-only batch → zero bare deletes in the collapsed feed.
+    mt.merge_into_snapshot(
+        spark.createDataFrame([(1, "d0", "A2"), (7, "d1", "x")], schema),
+        table, ["id"],
+    )
+    feed2 = mt.snapshot_changes(spark, table, 2, 3, collapse=True)
+    tags = {r._change for r in feed2.collect()}
+    assert "delete" not in tags
+    assert tags == {"update_preimage", "update_postimage", "insert"}
+
+
+def test_collapsed_change_feed_explicit_keys_and_missing_keys_error(
+    spark, tmp_path
+):
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "cdckeys2")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    v2 = spark.createDataFrame([(1, "A"), (3, "c")], "id int, v string")
+    mt.write_snapshot(v1, table)
+    mt.write_snapshot(v2, table)
+    # No keys recorded anywhere → explicit keys required.
+    with pytest.raises(ValueError, match="row-identity columns"):
+        mt.snapshot_changes(spark, table, 1, 2, collapse=True)
+    feed = mt.snapshot_changes(spark, table, 1, 2, collapse=True, keys=["id"])
+    assert {(r.id, r.v, r._change) for r in feed.collect()} == {
+        (1, "A", "update_postimage"),
+        (1, "a", "update_preimage"),
+        (3, "c", "insert"),
+        (2, "b", "delete"),
+    }
+    # record_keys at write time also feeds the default.
+    table2 = str(tmp_path / "cdckeys3")
+    mt.write_snapshot(v1, table2, record_keys=["id"])
+    mt.write_snapshot(v2, table2, record_keys=["id"])
+    assert mt.snapshot_changes(spark, table2, 1, 2, collapse=True).count() == 4
+
+
+def test_vacuum_retention_contract_for_readers(spark, tmp_path):
+    """Ask #7: a reader holding a DataFrame over a RETAINED version
+    survives a vacuum (its directories are never touched); a reader over
+    an EXPIRED version fails at action time once the files are swept,
+    and read_snapshot of the expired version fails fast."""
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "retention")
+    df1 = spark.createDataFrame([(i, "x") for i in range(5)], "id int, v string")
+    mt.write_snapshot(df1, table)
+    mt.write_snapshot(df1.limit(3), table)
+    mt.write_snapshot(df1.limit(1), table)
+
+    held_retained = mt.read_snapshot(spark, table, 2)   # stays within keep_last
+    held_expired = mt.read_snapshot(spark, table, 1)    # will be vacuumed
+    assert held_expired.count() == 5  # action before vacuum: fine
+
+    assert mt.vacuum_snapshots(table, keep_last=2) == [1]
+    # Retained-version reader: unaffected.
+    assert held_retained.count() == 3
+    # Expired-version reader: the lazy frame's files are gone — the next
+    # action raises (file-not-found under the hood), it does NOT return
+    # partial/empty data silently.
+    with pytest.raises(Exception):
+        held_expired.count()
+    # And a fresh read of the expired version is a clear, fast error.
+    with pytest.raises(ValueError, match="not available"):
+        mt.read_snapshot(spark, table, 1)
+
+
+def test_partition_only_frame_rejected_with_clear_error(spark, tmp_path):
+    """A frame whose ONLY column is the partition column cannot be
+    Hive-partitioned (Spark: ALL_PARTITION_COLUMNS_NOT_ALLOWED) — the
+    layer fails fast with a clear contract error instead of a mid-write
+    AnalysisException (and the fingerprint step itself tolerates empty
+    data-column lists via a constant-hash fallback)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "partonly")
+    df = spark.createDataFrame([("d0",), ("d0",), ("d1",)], "day string")
+    with pytest.raises(ValueError, match="only column is the partition"):
+        mt.write_snapshot(df, table, part_col="day")
+    # The fingerprint fallback: count-only fingerprints still distinguish
+    # partitions by row count.
+    fps = mt._partition_fingerprints(df, "day")
+    assert fps["d0"]["n"] == 2 and fps["d1"]["n"] == 1
+    assert fps["d0"]["fp"] != fps["d1"]["fp"]

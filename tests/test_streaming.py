@@ -530,3 +530,54 @@ def test_snapshot_sink_rejects_layout_change_and_tie_loser_replay(spark, tmp_pat
     assert mt.read_snapshot(spark, table).filter(
         "coin_id = 'coin-0'"
     ).collect()[0].raw_data == stored
+
+
+def test_snapshot_sink_null_order_rows_dropped_consistently(spark, tmp_path):
+    """Rows with a NULL order_col (unparseable event time) are dropped
+    up front: they never seed a key, never supersede one, and a later
+    VALID row for the same key merges normally — seed and steady-state
+    behavior agree (ADVICE r7)."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+    from cryptocurrency_data_pipeline_spark.streaming import snapshot_sink
+
+    table = str(tmp_path / "snap_null")
+    schema = "coin_id string, price double, event_time timestamp, raw_data string"
+
+    def with_bucket(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "bucket", snapshot_sink.key_bucket(["coin_id"])
+        )
+
+    from datetime import datetime
+
+    t1 = datetime(2024, 1, 1, 12, 0, 0)
+    # Batch 1: key A has only a null-ordered row (dropped — it must NOT
+    # seed), key B has a valid row.
+    b1 = with_bucket([("A", 1.0, None, "rA0"), ("B", 2.0, t1, "rB1")])
+    snapshot_sink.merge_batch_into_snapshot(
+        b1, table, ["coin_id"], part_col="bucket",
+        order_col="event_time", tiebreak=["raw_data"],
+    )
+    cur = mt.read_snapshot(spark, table)
+    assert {r.coin_id for r in cur.collect()} == {"B"}
+
+    # Batch 2: a null-ordered row for the EXISTING key B is discarded
+    # (not an error, no version minted), and a valid row for A merges.
+    v_before = mt.list_snapshots(table)[-1]["version"]
+    b2 = with_bucket([("B", 9.0, None, "rB9"), ("A", 3.0, t1, "rA1")])
+    snapshot_sink.merge_batch_into_snapshot(
+        b2, table, ["coin_id"], part_col="bucket",
+        order_col="event_time", tiebreak=["raw_data"],
+    )
+    got = {(r.coin_id, r.price) for r in mt.read_snapshot(spark, table).collect()}
+    assert got == {("A", 3.0), ("B", 2.0)}  # B's null row never applied
+    assert mt.list_snapshots(table)[-1]["version"] == v_before + 1
+
+    # An ALL-null batch is a clean no-op: same version, same state.
+    b3 = with_bucket([("A", 7.0, None, "x"), ("B", 8.0, None, "y")])
+    v = snapshot_sink.merge_batch_into_snapshot(
+        b3, table, ["coin_id"], part_col="bucket",
+        order_col="event_time", tiebreak=["raw_data"],
+    )
+    assert v == v_before + 1
+    assert {(r.coin_id, r.price) for r in mt.read_snapshot(spark, table).collect()} == got
