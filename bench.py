@@ -93,6 +93,8 @@ HEADLINE = [
     "mergeable_sketch_rollup",    # incremental matview partial merge
     "partition_change_feed",      # fingerprint-pruned snapshot diff
     "merge_into_orders",          # row-level MERGE, copy-on-write publish
+    # Round-8 addition (appended; prior order kept for continuity):
+    "stream_snapshot_sink_replay",  # sink seed/replay/merge/late cycle
 ]
 
 

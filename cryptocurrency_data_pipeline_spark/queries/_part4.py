@@ -74,7 +74,8 @@ def media_ingest_report(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
 
     out_dir = os.path.join(
-        "/tmp", "spark_graft_media", os.path.basename(str(sf_dir).rstrip("/"))
+        "/tmp",
+        f"spark_graft_media_{os.path.basename(str(sf_dir).rstrip('/'))}_{os.getpid()}",
     )
     os.makedirs(out_dir, exist_ok=True)
 

@@ -2059,3 +2059,180 @@ def schema_evolution_read(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Key-aware change feed (maintenance.snapshot_changes(collapse=True)): the
+# Delta change-data-feed shape — a key present on both sides of a version
+# diff has its delete+insert pair re-tagged update_preimage /
+# update_postimage (one window pass over the already-partition-pruned
+# change set), so an upsert-driven feed carries NO bare deletes and a
+# consumer can apply per-key updates directly.  The merge keys come from
+# the manifest (merge_into_snapshot records them).  The fixture replays
+# merge_into_orders' edit batch, then aggregates the collapsed feed per
+# change type; the oracle states each change class in closed form over
+# the base table.  Reference analog: the DynamoDB put_item upserts in
+# streaming/consumer.py expose no change history at all — this adds it.
+# --------------------------------------------------------------------------
+
+@query(
+    "keyed_change_feed",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    feed AS (
+      SELECT 'update_postimage' AS change_type, price_cents + 7 AS price_cents
+      FROM snap WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+      UNION ALL
+      SELECT 'update_preimage', price_cents
+      FROM snap WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+      UNION ALL
+      SELECT 'insert', 999
+      FROM snap WHERE o_orderpriority = '5-LOW' AND o_orderkey % 11 = 0
+      UNION ALL
+      SELECT 'delete', price_cents
+      FROM snap WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 7 = 0
+    )
+    SELECT change_type,
+           count(*) AS n_rows,
+           CAST(sum(price_cents) AS BIGINT) AS sum_cents
+    FROM feed GROUP BY 1 ORDER BY 1
+    """,
+)
+def keyed_change_feed(spark, sf_dir):
+    """MERGE an update/insert/delete batch into a snapshot of orders,
+    then read the collapsed (key-aware) change feed between the two
+    versions and aggregate it per change type."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    snap = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
+    updates = (
+        snap.filter((pri == "1-URGENT") & (key % 5 == 0))
+        .withColumn("price_cents", F.col("price_cents") + 7)
+        .withColumn("_deleted", F.lit(False))
+        .unionByName(
+            snap.filter((pri == "5-LOW") & (key % 11 == 0)).select(
+                # -(k+1): disjoint from real orderkeys (>= 0) at any SF.
+                (-(key + 1)).alias("o_orderkey"),
+                "o_orderpriority",
+                F.lit(999).cast("long").alias("price_cents"),
+                F.lit(False).alias("_deleted"),
+            )
+        )
+        .unionByName(
+            snap.filter((pri == "3-MEDIUM") & (key % 7 == 0)).withColumn(
+                "_deleted", F.lit(True)
+            )
+        )
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cdcfeed_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
+    mt.write_snapshot(snap, table, part_col="o_orderpriority")
+    mt.merge_into_snapshot(updates, table, ["o_orderkey"], delete_col="_deleted")
+    return (
+        mt.snapshot_changes(spark, table, 1, 2, collapse=True)
+        .groupBy(F.col("_change").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("change_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming snapshot-sink replay cycle (streaming/snapshot_sink.
+# merge_batch_into_snapshot): the keyed current-state table driven through
+# a full micro-batch life cycle — seed, exact replay (version-stable:
+# skip_unchanged withdraws the no-op publish), new data (row-level MERGE,
+# only touched buckets rewritten), and a late file (every row strictly
+# below its key's stored (order, tiebreak) tuple → discarded, no version
+# minted).  The version-stability invariants are asserted in-line (a
+# violation fails the query, which the driver records); the returned
+# frame is the final current state — latest order per customer — which
+# the oracle states directly as a window over the base table.  Reference
+# analog: streaming/consumer.py's DynamoDB put_item upserts, which
+# re-apply replays and late rows blindly.
+# --------------------------------------------------------------------------
+
+@query(
+    "stream_snapshot_sink_replay",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_keys,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_latest_key
+    FROM ranked WHERE rn = 1 GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_snapshot_sink_replay(spark, sf_dir):
+    """Drive the snapshot sink through seed → replay → merge → late-data
+    micro-batches; return the final current state (latest order per
+    customer) aggregated per priority."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+    from cryptocurrency_data_pipeline_spark.streaming import snapshot_sink
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).withColumn("bucket", snapshot_sink.key_bucket(["o_custkey"], 8))
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sinkreplay_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic versions per run
+
+    def merge(batch):
+        return snapshot_sink.merge_batch_into_snapshot(
+            batch, table, ["o_custkey"], part_col="bucket",
+            order_col="o_orderdate", tiebreak=["o_orderkey"],
+        )
+
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    v1 = merge(b1)                      # seed
+    v2 = merge(b1)                      # exact replay: withdrawn, no mint
+    if v2 != v1:
+        raise RuntimeError(f"replay minted a version: {v1} -> {v2}")
+    v3 = merge(orders.filter(F.col("o_orderkey") % 2 == 1))  # real merge
+    # Late file: every key already present with a strictly newer tuple —
+    # all rows discarded, no version minted.
+    late = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderdate", F.date_sub("o_orderdate", 1000)
+    )
+    v4 = merge(late)
+    if v4 != v3:
+        raise RuntimeError(f"late data minted a version: {v3} -> {v4}")
+    return (
+        mt.read_snapshot(spark, table)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("o_orderkey").cast("long").alias("sum_latest_key"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,93 @@
+"""Registry hygiene lints (VERDICT r7 ask #8): with 193 queries across
+five part modules, classes of fixture/oracle bugs are cheaper to prevent
+structurally than to patch instance-by-instance.
+
+Two invariants, enforced CI-style on every pytest run:
+
+1. every oracle's FROM/JOIN targets are either the driver's
+   pre-registered TESTDATA views, the oracle's own CTEs/aliases, or a
+   whitelisted DuckDB table function — a typo'd or out-of-contract table
+   name fails here instead of as a cryptic driver `err`;
+2. every temp fixture path a query writes is pid-scoped — two driver
+   sessions (or a driver and a local pytest) racing on a shared
+   `/tmp/spark_graft_*` path was the round-6/7 `_tmp`-collision bug
+   class.
+"""
+
+import re
+from pathlib import Path
+
+from cryptocurrency_data_pipeline_spark.queries import ORACLES, QUERIES
+
+#: Tables the external driver pre-registers as DuckDB views (TESTDATA.md).
+TESTDATA_TABLES = {
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+}
+
+#: DuckDB table functions that legitimately follow FROM.
+TABLE_FUNCTIONS = {"unnest", "range", "generate_series", "read_parquet"}
+
+
+def _cte_and_alias_names(sql: str) -> set[str]:
+    # CTEs, optionally with a column list: `name AS (` / `name(a, b) AS (`.
+    names = {
+        m.lower()
+        for m in re.findall(r"(\w+)(?:\s*\([^()]*\))?\s+AS\s*\(", sql, re.I)
+    }
+    return names
+
+
+def _referenced_tables(sql: str) -> set[str]:
+    # SQL functions that take a FROM keyword inside their argument list
+    # (extract(hour FROM ts), substring(x FROM 1), trim(c FROM s)) are
+    # not table references — strip them first.
+    sql = re.sub(
+        r"\b(?:extract|substring|trim|overlay)\s*\([^()]*\)", " ", sql, flags=re.I
+    )
+    return {
+        m.lower()
+        for m in re.findall(r"\b(?:FROM|JOIN)\s+([a-zA-Z_][\w.]*)", sql, re.I)
+    }
+
+
+def test_every_oracle_references_only_contract_tables():
+    bad = {}
+    for name, sql in ORACLES.items():
+        local = _cte_and_alias_names(sql)
+        refs = _referenced_tables(sql) - local - TABLE_FUNCTIONS
+        unknown = refs - TESTDATA_TABLES
+        if unknown:
+            bad[name] = sorted(unknown)
+    assert not bad, (
+        f"oracles reference tables outside the driver's pre-registered "
+        f"TESTDATA views: {bad}"
+    )
+
+
+def test_every_query_has_an_oracle_and_vice_versa():
+    assert set(QUERIES) == set(ORACLES)
+
+
+def test_fixture_paths_are_pid_scoped():
+    """Any `spark_graft_*` temp-fixture path built in the queries package
+    must carry os.getpid() in the same expression (±2 lines): shared
+    fixture dirs race across concurrent sessions."""
+    pkg = (
+        Path(__file__).resolve().parents[1]
+        / "cryptocurrency_data_pipeline_spark"
+        / "queries"
+    )
+    violations = []
+    for mod in sorted(pkg.glob("_part*.py")):
+        lines = mod.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if "spark_graft_" not in line or line.lstrip().startswith("#"):
+                continue
+            window = "\n".join(lines[max(0, i - 2): i + 3])
+            if "os.getpid()" not in window:
+                violations.append(f"{mod.name}:{i + 1}: {line.strip()}")
+    assert not violations, (
+        "fixture paths not pid-scoped (add _{os.getpid()} to the dir "
+        "name):\n" + "\n".join(violations)
+    )
