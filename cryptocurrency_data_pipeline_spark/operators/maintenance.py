@@ -290,6 +290,20 @@ def _new_snap_dir(table_path: str, version: int) -> tuple[str, str]:
     return rel, os.path.join(table_path, rel)
 
 
+def _is_published(table_path: str, version: int, rel_dir: str) -> bool:
+    """True iff the manifest already references THIS attempt's directory.
+
+    Guards failure cleanup against the AMBIGUOUS-COMMIT outcome: a
+    commit protocol whose publish actually landed but whose
+    acknowledgement was lost (object-store conditional put succeeds, the
+    HTTP response times out) raises back to the writer — deleting the
+    staged directory then would destroy the data of a version readers
+    can already see.  The uuid dir name makes the check exact: if the
+    manifest's entry names OUR dir, our commit landed."""
+    ent = _load_manifest(table_path)["snapshots"].get(str(version))
+    return bool(ent and ent.get("dir") == rel_dir)
+
+
 def write_snapshot(
     df: DataFrame,
     table_path: str,
@@ -340,23 +354,40 @@ def write_snapshot(
         _commit_version(table_path, version, entry, commit)
         committed = True
     finally:
-        if not committed:
+        if not committed and not _is_published(table_path, version, rel_dir):
             # The directory is uniquely OURS (uuid suffix): removing it
             # can never touch a concurrent writer's data, and leaving it
             # can never block a future write — cleanup here is just
             # tidiness; vacuum would sweep it after the grace window.
+            # The _is_published guard covers the ambiguous-commit case:
+            # a publish that landed but raised its acknowledgement must
+            # not have its (now-referenced) data deleted.
             shutil.rmtree(snap_dir, ignore_errors=True)
     return version
 
 
 def _write_partitioned_version(
-    df: DataFrame, snap_dir: str, part_col: str, version: int, rel_dir: str
+    df: DataFrame,
+    snap_dir: str,
+    part_col: str,
+    version: int,
+    rel_dir: str,
+    precomputed: dict | None = None,
 ) -> dict:
     """Land ``df`` Hive-partitioned in ``snap_dir`` and return its
     fingerprint map (each entry stamped with ``src``, the version that
     wrote it, and ``src_dir``, the directory that physically holds that
     partition's files — directories are uuid-named, so the path must be
-    recorded, not derived)."""
+    recorded, not derived).
+
+    ``precomputed`` short-circuits the post-write read-back aggregation
+    with fingerprints already computed on the INPUT frame (the Delta
+    shape: per-file stats are computed during the write, not by
+    re-scanning what landed).  Content hashes are representation-
+    independent — a deterministic frame and its parquet round-trip
+    fingerprint identically — so callers that already paid the input
+    scan (``skip_unchanged``'s no-op check) publish without a second
+    full aggregation over the freshly-written files."""
     from cryptocurrency_data_pipeline_spark.sources.tables import (
         partition_inference_off,
     )
@@ -383,12 +414,15 @@ def _write_partitioned_version(
         shutil.rmtree(snap_dir)
         df.limit(0).write.parquet(snap_dir)
         return {}
-    # Read back what actually landed (not the input lineage); inference
-    # off so partition values round-trip as the exact directory strings
-    # the manifest keys on.
-    with partition_inference_off(spark):
-        landed = spark.read.parquet(snap_dir)
-    parts = _partition_fingerprints(landed, part_col)
+    if precomputed is not None:
+        parts = {k: dict(meta) for k, meta in precomputed.items()}
+    else:
+        # Read back what actually landed (not the input lineage);
+        # inference off so partition values round-trip as the exact
+        # directory strings the manifest keys on.
+        with partition_inference_off(spark):
+            landed = spark.read.parquet(snap_dir)
+        parts = _partition_fingerprints(landed, part_col)
     for meta in parts.values():
         meta["src"] = version
         meta["src_dir"] = rel_dir
@@ -480,13 +514,16 @@ def upsert_snapshot(
     keep their own schemas).  The partition column's type must not
     change.
 
-    ``skip_unchanged=True`` compares the freshly-written partitions'
-    fingerprints against the previous version before committing: a no-op
-    publish (every rewritten partition byte-equal in content, nothing
-    effectively dropped, no schema change) is withdrawn and the CURRENT
-    version number returned — so deterministic replays (a foreachBatch
-    retry re-merging the same micro-batch) do not mint identical
-    versions."""
+    ``skip_unchanged=True`` fingerprints the INPUT partitions and
+    compares them against the previous version BEFORE writing anything:
+    a no-op publish (every would-be-rewritten partition content-equal,
+    nothing effectively dropped, no schema change) returns the CURRENT
+    version number having cost one aggregation scan and zero writes —
+    so deterministic replays (a foreachBatch retry re-merging the same
+    micro-batch) neither mint identical versions NOR pay a physical
+    write-then-withdraw (at streaming cadence the no-op case is the
+    COMMON case; fingerprints are content hashes, so the input frame
+    and its parquet round-trip agree)."""
     man = _load_manifest(table_path)
     prev = man["snapshots"].get(str(man["current"]))
     if prev is None or not prev.get("part_col"):
@@ -506,34 +543,45 @@ def upsert_snapshot(
             f"partition column type changed: table has {prev_type}, "
             f"new_rows carries {new_type}; cast before upserting"
         )
+    dropped = {str(d) for d in drop_partitions}
+    prev_parts = prev.get("parts", {})
+    pre: dict | None = None
+    if skip_unchanged:
+        # Pre-write no-op detection: fingerprint the INPUT (one agg
+        # scan) and compare against the previous version — a replayed
+        # micro-batch returns here without writing a byte.  Content
+        # hashes are representation-independent, so the input frame and
+        # what its parquet write would land agree exactly.
+        pre = _partition_fingerprints(new_rows, part_col)
+        clash = sorted(dropped & set(pre))
+        if clash:
+            raise ValueError(f"partitions both rewritten and dropped: {clash}")
+        pre_columns = list(new_rows.columns) if pre else prev.get(
+            "columns", list(new_rows.columns)
+        )
+        same_content = all(
+            k in prev_parts
+            and (prev_parts[k].get("n"), prev_parts[k].get("fp"))
+            == (meta.get("n"), meta.get("fp"))
+            for k, meta in pre.items()
+        )
+        no_real_drop = not (dropped & set(prev_parts))
+        same_schema = pre_columns == prev.get("columns", pre_columns)
+        if same_content and no_real_drop and same_schema:
+            return man["current"]
     version = man["current"] + 1
     rel_dir, snap_dir = _new_snap_dir(table_path, version)
     committed = False
     try:
         fresh = _write_partitioned_version(
-            new_rows, snap_dir, part_col, version, rel_dir
+            new_rows, snap_dir, part_col, version, rel_dir, precomputed=pre
         )
-        dropped = {str(d) for d in drop_partitions}
         clash = sorted(dropped & set(fresh))
         if clash:
             raise ValueError(f"partitions both rewritten and dropped: {clash}")
-        prev_parts = prev.get("parts", {})
         columns = list(new_rows.columns) if fresh else prev.get(
             "columns", list(new_rows.columns)
         )
-        if skip_unchanged:
-            same_content = all(
-                k in prev_parts
-                and (prev_parts[k].get("n"), prev_parts[k].get("fp"))
-                == (meta.get("n"), meta.get("fp"))
-                for k, meta in fresh.items()
-            )
-            no_real_drop = not (dropped & set(prev_parts))
-            same_schema = columns == prev.get("columns", columns)
-            if same_content and no_real_drop and same_schema:
-                shutil.rmtree(snap_dir, ignore_errors=True)
-                committed = True  # nothing to roll back
-                return man["current"]
         parts = {
             k: meta
             for k, meta in prev_parts.items()
@@ -559,9 +607,10 @@ def upsert_snapshot(
         _commit_version(table_path, version, entry, commit)
         committed = True
     finally:
-        if not committed:
-            # Uniquely OUR directory (uuid suffix) — safe to remove
-            # unconditionally; see write_snapshot.
+        if not committed and not _is_published(table_path, version, rel_dir):
+            # Uniquely OUR directory (uuid suffix), and not referenced
+            # by a landed-but-unacknowledged commit — safe to remove;
+            # see write_snapshot.
             shutil.rmtree(snap_dir, ignore_errors=True)
     return version
 
@@ -622,19 +671,42 @@ def merge_into_snapshot(
     if validate_partition:
         # A key whose update row claims a different partition than the
         # key's CURRENT row has moved partitions without an explicit
-        # delete — the merge would duplicate it.  Keys the batch
-        # explicitly delete-flags are exempt (that IS the sanctioned
-        # move: delete old partition + insert new).  The probe joins
-        # key→partition projections only and stops at the first hits.
+        # delete — the merge would duplicate it.  The sanctioned move is
+        # a delete row carrying the key's CURRENT (old) partition plus
+        # an insert row in the new one, so validation checks BOTH
+        # halves: a delete row in any partition other than the key's
+        # current one is itself an error (it would silently no-op and
+        # leave the old row alive), and only keys with a VALID delete
+        # are exempt from the upsert-side check.  The probes join
+        # key→partition projections only and stop at the first hits.
+        cur_kp = current.select(*keys, part_str.alias("__cur_p"))
         upd_kp = upserts.select(*keys, part_str.alias("__upd_p")).distinct()
         if delete_col is not None:
-            deleted_keys = (
+            del_kp = (
                 updates.filter(F.coalesce(F.col(delete_col), F.lit(False)))
-                .select(*keys)
+                .select(*keys, part_str.alias("__del_p"))
                 .distinct()
             )
-            upd_kp = upd_kp.join(deleted_keys, list(keys), "left_anti")
-        cur_kp = current.select(*keys, part_str.alias("__cur_p"))
+            bad_del = (
+                del_kp.join(cur_kp, list(keys))
+                .where(F.col("__del_p") != F.col("__cur_p"))
+                .take(3)
+            )
+            if bad_del:
+                examples = [
+                    {**{k: r[k] for k in keys},
+                     "current": r["__cur_p"], "delete_row": r["__del_p"]}
+                    for r in bad_del
+                ]
+                raise ValueError(
+                    f"delete row(s) carry the wrong partition in MERGE on "
+                    f"{part_col!r}: {examples} — a delete must name the "
+                    f"partition its key currently lives in, or it silently "
+                    f"no-ops and strands the old row"
+                )
+            upd_kp = upd_kp.join(
+                del_kp.select(*keys), list(keys), "left_anti"
+            )
         moved = (
             upd_kp.join(cur_kp, list(keys))
             .where(F.col("__upd_p") != F.col("__cur_p"))
@@ -1114,10 +1186,26 @@ def _referenced_dirs(man: dict) -> set[str]:
     return refs
 
 
+def _newest_mtime(path: str) -> float:
+    """Newest modification time anywhere under ``path`` (including the
+    directory entries themselves).  The TOP-LEVEL mtime alone is not a
+    liveness signal for an in-flight Spark write: tasks stream output
+    under ``_temporary/...`` for hours without touching the root dir's
+    mtime.  One driver-side walk, same cost class as ``_dir_bytes``."""
+    newest = 0.0
+    for root, _dirs, files in os.walk(path):
+        for p in [root, *(os.path.join(root, f) for f in files)]:
+            try:
+                newest = max(newest, os.path.getmtime(p))
+            except OSError:
+                pass
+    return newest
+
+
 def vacuum_snapshots(
     table_path: str,
     keep_last: int = 2,
-    orphan_grace_seconds: float = 3600.0,
+    orphan_grace_seconds: float = 86400.0,
     commit: SnapshotCommit | None = None,
 ) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (the current one
@@ -1147,10 +1235,14 @@ def vacuum_snapshots(
     Directory sweep: dirs the manifest knew (now-expired versions) are
     removed immediately; dirs the manifest NEVER referenced (a crashed
     or in-flight writer's uniquely-named staging data) are removed only
-    once older than ``orphan_grace_seconds`` — an in-flight writer's
-    minutes-old directory is spared, a crashed writer's day-old one is
-    reclaimed (Iceberg's ``remove_orphan_files older_than``).  Returns
-    the versions expired from the manifest."""
+    once the NEWEST mtime anywhere inside them is older than
+    ``orphan_grace_seconds`` — an in-flight writer keeps touching files
+    under ``_temporary/`` and is spared, a crashed writer's abandoned
+    dir goes quiet and is reclaimed (Iceberg's ``remove_orphan_files
+    older_than``, which defaults to 3 DAYS for the same reason: the
+    window must exceed your longest write job, so the 1-day default
+    here is a floor, not a recommendation to lower).  Returns the
+    versions expired from the manifest."""
     import time
 
     if keep_last < 1:
@@ -1190,11 +1282,9 @@ def vacuum_snapshots(
             if d not in known_before:
                 # Never manifest-referenced: possibly an IN-FLIGHT
                 # writer's data (it commits only after writing) — only
-                # reclaim once clearly abandoned.
-                try:
-                    if now - os.path.getmtime(full) < orphan_grace_seconds:
-                        continue
-                except OSError:
+                # reclaim once clearly abandoned: no file anywhere
+                # inside has been touched within the grace window.
+                if now - _newest_mtime(full) < orphan_grace_seconds:
                     continue
             shutil.rmtree(full, ignore_errors=True)
     return drop

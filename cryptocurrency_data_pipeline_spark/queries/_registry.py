@@ -25,3 +25,40 @@ def query(name: str, oracle: str | None = None):
 
 
 t = load_table
+
+
+def _sweep_dead_fixture_dirs() -> None:
+    """Reclaim temp fixture dirs left by DEAD driver sessions.
+
+    Every fixture path in the registry is pid-scoped
+    (``spark_graft_*_<pid>``, enforced by tests/test_registry_lint.py),
+    which prevents cross-session races but means each session's own
+    rmtree-at-query-start can never clean a PREDECESSOR's dirs — /tmp
+    would grow by one orders-sized snapshot table per driver/bench run
+    forever.  Sweeping at registry import caps that: any sibling dir
+    whose pid suffix no longer names a live process is dead by
+    construction (a live session's dirs are spared via os.kill(pid, 0)).
+    """
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    root = tempfile.gettempdir()
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for d in entries:
+        m = re.fullmatch(r"spark_graft_.*_(\d+)", d)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user — leave it
+
+
+_sweep_dead_fixture_dirs()

@@ -489,7 +489,7 @@ def test_snapshot_crash_between_write_and_commit_never_wedges(spark, tmp_path):
     mt.vacuum_snapshots(table, keep_last=5)
     assert os.path.isdir(stale)
     # …and reclaimed once clearly abandoned.
-    old = time.time() - 7200
+    old = time.time() - 2 * 86400
     os.utime(stale, (old, old))
     mt.vacuum_snapshots(table, keep_last=5)
     assert not os.path.isdir(stale)
@@ -868,7 +868,7 @@ def test_vacuum_sweep_reruns_and_spares_inflight_writer_dir(spark, tmp_path):
     # it, while the fresh one stays spared.
     orphan = os.path.join(table, "snapshots", "v9-bbbb2222")
     os.makedirs(orphan)
-    old = time.time() - 7200
+    old = time.time() - 2 * 86400
     os.utime(orphan, (old, old))
     assert mt.vacuum_snapshots(table, keep_last=1) == []
     assert not os.path.isdir(orphan)
@@ -1139,3 +1139,79 @@ def test_partition_only_frame_rejected_with_clear_error(spark, tmp_path):
     fps = mt._partition_fingerprints(df, "day")
     assert fps["d0"]["n"] == 2 and fps["d1"]["n"] == 1
     assert fps["d0"]["fp"] != fps["d1"]["fp"]
+
+
+def test_ambiguous_commit_does_not_delete_published_data(spark, tmp_path):
+    """A commit whose publish LANDED but whose acknowledgement was lost
+    (conditional put succeeds, response times out) raises back to the
+    writer — failure cleanup must NOT delete the staged directory, which
+    the manifest now references as the current version."""
+    import os
+
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    class AmbiguousCommit(mt.SnapshotCommit):
+        def commit_manifest(self, table_path, mutate):
+            mt.PosixSnapshotCommit().commit_manifest(table_path, mutate)
+            raise TimeoutError("response lost after successful publish")
+
+    table = str(tmp_path / "ambig")
+    schema = "id int, day string, v string"
+    df = spark.createDataFrame([(1, "d0", "a")], schema)
+    mt.write_snapshot(df, table, part_col="day")
+
+    with pytest.raises(TimeoutError):
+        mt.write_snapshot(
+            spark.createDataFrame([(2, "d0", "b")], schema),
+            table, part_col="day", commit=AmbiguousCommit(),
+        )
+    # The publish actually landed: v2 is current, its data intact.
+    assert mt._load_manifest(table)["current"] == 2
+    assert os.path.isdir(mt.snapshot_dir(table, 2))
+    assert {r.id for r in mt.read_snapshot(spark, table).collect()} == {2}
+
+    # Same guarantee on the upsert path.
+    with pytest.raises(TimeoutError):
+        mt.upsert_snapshot(
+            spark.createDataFrame([(3, "d1", "c")], schema),
+            table, commit=AmbiguousCommit(),
+        )
+    assert mt._load_manifest(table)["current"] == 3
+    assert {r.id for r in mt.read_snapshot(spark, table).collect()} == {2, 3}
+
+
+def test_merge_validate_partition_rejects_wrong_partition_delete(spark, tmp_path):
+    """A delete row naming any partition other than its key's CURRENT
+    one would silently no-op (merge only touches the batch's partitions)
+    and strand the old row — validate_partition rejects it, including
+    the move-with-misplaced-delete shape."""
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "baddel")
+    schema = "id int, day string, v string"
+    mt.write_snapshot(
+        spark.createDataFrame([(1, "d0", "a"), (3, "d1", "c")], schema),
+        table, part_col="day",
+    )
+    # Attempted move with the delete row misplaced into the NEW partition.
+    move = spark.createDataFrame(
+        [(3, "d2", None, True), (3, "d2", "c2", False)],
+        "id int, day string, v string, _deleted boolean",
+    )
+    with pytest.raises(ValueError, match="wrong partition"):
+        mt.merge_into_snapshot(
+            move, table, ["id"], delete_col="_deleted", validate_partition=True
+        )
+    # A lone misplaced delete row is equally rejected.
+    lone = spark.createDataFrame(
+        [(3, "d9", None, True)], "id int, day string, v string, _deleted boolean"
+    )
+    with pytest.raises(ValueError, match="wrong partition"):
+        mt.merge_into_snapshot(
+            lone, table, ["id"], delete_col="_deleted", validate_partition=True
+        )
+    assert mt._load_manifest(table)["current"] == 1  # nothing published
