@@ -1215,3 +1215,61 @@ def test_merge_validate_partition_rejects_wrong_partition_delete(spark, tmp_path
             lone, table, ["id"], delete_col="_deleted", validate_partition=True
         )
     assert mt._load_manifest(table)["current"] == 1  # nothing published
+
+
+def test_concurrent_writers_race_flock_serializes_commits(spark, tmp_path):
+    """Stress the commit protocol: several writer threads race
+    write_snapshot with retry-on-conflict.  Every attempt must either
+    commit a distinct consecutive version or raise
+    ConcurrentSnapshotWriteError (never silently lose/overwrite a
+    commit); the final table must hold exactly one entry per successful
+    commit and every version must be readable."""
+    import threading
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "race")
+    n_threads, per_thread = 4, 3
+    committed = []
+    lock = threading.Lock()
+    errors = []
+
+    def writer(tid):
+        for i in range(per_thread):
+            df = spark.createDataFrame([(tid, i)], "tid int, attempt int")
+            for _retry in range(40):
+                try:
+                    v = mt.write_snapshot(df, table)
+                    with lock:
+                        committed.append((v, tid, i))
+                    break
+                except mt.ConcurrentSnapshotWriteError:
+                    continue
+            else:
+                with lock:
+                    errors.append((tid, i, "retries exhausted"))
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    total = n_threads * per_thread
+    versions = sorted(v for v, _, _ in committed)
+    # Every commit got a DISTINCT consecutive version — no lost updates.
+    assert versions == list(range(1, total + 1))
+    man = mt._load_manifest(table)
+    assert man["current"] == total
+    assert len(man["snapshots"]) == total
+    # Every version reads back as exactly its writer's row.
+    by_version = {v: (tid, i) for v, tid, i in committed}
+    for v in (1, total // 2, total):
+        row = mt.read_snapshot(spark, table, v).collect()[0]
+        assert (row.tid, row.attempt) == by_version[v]
+    # No stray directories: one uniquely-named dir per committed version.
+    import os
+
+    dirs = os.listdir(os.path.join(table, "snapshots"))
+    assert len(dirs) == total

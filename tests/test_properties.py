@@ -807,3 +807,34 @@ def test_cow_snapshot_model_equivalence(spark, tmp_path_factory, ops):
             .collect()
         }
         assert got == want, f"version {v}: {got} != {want}"
+
+    # Collapsed change feed agrees with the model between every pair of
+    # consecutive versions: keys present on both sides with a changed
+    # value appear exactly as update_preimage/update_postimage pairs,
+    # one-sided keys as insert/delete, unchanged keys not at all.
+    for v in range(2, max(versions) + 1):
+        amap = {(r[0], r[1]): r for r in versions[v - 1]}
+        bmap = {(r[0], r[1]): r for r in versions[v]}
+        want_feed = set()
+        for k in amap.keys() | bmap.keys():
+            ra, rb = amap.get(k), bmap.get(k)
+            if ra == rb:
+                continue
+            if ra is None:
+                want_feed.add((*rb, "insert"))
+            elif rb is None:
+                want_feed.add((*ra, "delete"))
+            else:
+                want_feed.add((*ra, "update_preimage"))
+                want_feed.add((*rb, "update_postimage"))
+        got_feed = {
+            tuple(r)
+            for r in mt.snapshot_changes(
+                spark, table, v - 1, v, collapse=True, keys=["id", "day"]
+            )
+            .select("id", "day", "v", "_change")
+            .collect()
+        }
+        assert got_feed == want_feed, (
+            f"feed {v - 1}->{v}: {got_feed} != {want_feed}"
+        )
