@@ -998,25 +998,28 @@ def read_with_skipping(
     missing = [c for c in ranges if c not in man["columns"]]
     if missing:
         raise ValueError(f"no stats recorded for columns: {missing}")
-    # Hive-partitioned layouts are refused: a by-file read would re-read
-    # the files WITHOUT their dir-derived partition columns (an explicit
-    # schema null-fills them — silently wrong results, not an error).
-    # Index and skip at the leaf-directory level for partitioned tables.
+    # Hive-partitioned layouts work: survivors are read with
+    # ``basePath`` so dir-derived partition columns are preserved (a
+    # bare by-file read would lose them — silently wrong results).  A
+    # partition column can itself be a stat column: each file's value is
+    # constant (min == max), so file pruning subsumes partition pruning
+    # for range predicates on it.
     root = path.rstrip("/")
-    rel = lambda f: f[f.find(root) + len(root):] if root in f else f
-    if any("=" in rel(f) for f in man["files"]):
-        raise ValueError(
-            "stats skipping over a Hive-partitioned table is not supported; "
-            "point it at a leaf (unpartitioned) directory"
-        )
+
+    def rel(f: str) -> str:
+        return f[f.find(root) + len(root):].lstrip("/") if root in f else f
+
+    partitioned = any("=" in rel(f) for f in man["files"])
     # Freshness gate: pruning from a stale manifest silently DROPS every
     # row of a file appended after indexing (and dangles on files a
-    # compaction rewrote).  The listing is one driver-side readdir.
-    on_disk = {
-        f for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    }
-    indexed = {os.path.basename(f) for f in man["files"]}
+    # compaction rewrote).  One driver-side recursive listing.
+    on_disk = set()
+    for walk_root, dirs, fnames in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in fnames:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                on_disk.add(rel(os.path.join(walk_root, f)))
+    indexed = {rel(f) for f in man["files"]}
     if on_disk != indexed:
         raise ValueError(
             "stats manifest is stale (directory changed since "
@@ -1053,6 +1056,15 @@ def read_with_skipping(
     base_schema = spark.read.parquet(path).schema
     if not keep:
         df = spark.createDataFrame([], base_schema)
+    elif partitioned:
+        # basePath keeps the dir-derived partition columns on a by-file
+        # read; the explicit schema pins their types to the full-table
+        # read's inference, so pruned and unpruned scans agree.
+        df = (
+            spark.read.option("basePath", path)
+            .schema(base_schema)
+            .parquet(*keep)
+        )
     else:
         df = spark.read.schema(base_schema).parquet(*keep)
     for c, (lo, hi) in ranges.items():

@@ -240,10 +240,15 @@ def test_zorder_layout_plus_multicolumn_stats_skipping(spark, tmp_path):
     assert rep_s["files_skipped"] < rep["files_skipped"]
 
 
-def test_stats_skipping_refuses_partitioned_tables(spark, tmp_path):
-    """A by-file read would null-fill dir-derived partition columns —
-    refuse loudly instead of returning silently wrong rows."""
+def test_stats_skipping_partitioned_tables_keep_partition_columns(spark, tmp_path):
+    """Hive-partitioned layouts: the pruned by-file read goes through
+    basePath, so dir-derived partition columns survive with the same
+    values and types as the unpruned scan — and a range predicate on
+    the partition column itself prunes through the same stats (each
+    file's value is constant, min == max)."""
     import pytest
+
+    import pyspark.sql.functions as F
 
     from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
 
@@ -251,9 +256,33 @@ def test_stats_skipping_refuses_partitioned_tables(spark, tmp_path):
     df = spark.range(100).selectExpr(
         "id", "CAST(id AS DOUBLE) AS v", "CAST(id % 4 AS INT) AS p"
     )
-    df.write.partitionBy("p").parquet(path)
-    mt.write_stats_manifest(spark, path, ["v"])
-    with pytest.raises(ValueError, match="partitioned"):
+    # Cluster v within each partition so per-file envelopes are narrow.
+    df.repartitionByRange(4, "v").write.partitionBy("p").parquet(path)
+    n = mt.write_stats_manifest(spark, path, ["v", "p"])
+    assert n >= 8  # 4 ranges x up to 4 partition dirs
+
+    got, rep = mt.read_with_skipping(spark, path, {"v": (10.0, 20.0)})
+    assert rep["files_skipped"] > 0
+    want = spark.read.parquet(path).where(
+        (F.col("v") >= 10.0) & (F.col("v") <= 20.0)
+    )
+    assert dict(got.dtypes) == dict(want.dtypes)  # p present, same type
+    assert sorted(map(tuple, got.select("id", "v", "p").collect())) == sorted(
+        map(tuple, want.select("id", "v", "p").collect())
+    )
+
+    # Range on the PARTITION column prunes whole partitions' files.
+    got_p, rep_p = mt.read_with_skipping(spark, path, {"p": (2, 2)})
+    assert rep_p["files_skipped"] >= rep_p["files_read"]
+    assert {r.p for r in got_p.select("p").distinct().collect()} == {2}
+    assert got_p.count() == 25
+
+    # Freshness: a file appended into one partition dir AFTER indexing
+    # makes the manifest stale — loud error, not silently-missing rows.
+    spark.range(100, 110).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.mode("append").parquet(path + "/p=3")
+    with pytest.raises(ValueError, match="stale"):
         mt.read_with_skipping(spark, path, {"v": (10.0, 20.0)})
 
 
