@@ -167,6 +167,16 @@ def _load_manifest(table_path: str) -> dict:
             return json.load(f)
     except FileNotFoundError:
         return {"current": 0, "snapshots": {}}
+    except json.JSONDecodeError as e:
+        # NEVER fall back to the empty default here: a writer would
+        # restart versioning at v1 over existing data.  A corrupt
+        # manifest is an operator-recovery situation, not a fresh table.
+        raise RuntimeError(
+            f"snapshot manifest {_manifest_path(table_path)} is corrupt "
+            f"({e}); restore it from a backup or reconstruct it from the "
+            f"snapshots/ directory listing — do not write to this table "
+            f"until repaired"
+        ) from e
 
 
 class SnapshotCommit:
@@ -211,7 +221,17 @@ class PosixSnapshotCommit(SnapshotCommit):
             tmp = _manifest_path(table_path) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(man, f)
+                # Durability before visibility: without the data fsync a
+                # power loss can make the RENAME durable while the bytes
+                # are not — a 0-byte manifest that bricks the table.
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, _manifest_path(table_path))
+            dfd = os.open(table_path, os.O_RDONLY)
+            try:
+                os.fsync(dfd)  # persist the rename itself
+            finally:
+                os.close(dfd)
             return man
         finally:
             os.close(fd)  # closing the fd releases the flock
@@ -235,6 +255,19 @@ def snapshot_dir(table_path: str, version: int) -> str:
 
 
 _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+def partition_key_expr(part_col: str):
+    """The ONE directory-string keying expression for partition values:
+    null AND empty string map to the ``_NULL_PART`` sentinel (Hive lands
+    both in ``__HIVE_DEFAULT_PARTITION__``), everything else is the
+    plain string cast.  Every touched-partition set and fingerprint key
+    must use this so input-side and landed-side keying agree."""
+    from pyspark.sql import functions as F
+
+    return F.coalesce(
+        F.nullif(F.col(part_col).cast("string"), F.lit("")), F.lit(_NULL_PART)
+    )
 
 
 def partition_predicate(part_col: str, touched):
@@ -270,7 +303,10 @@ def _partition_fingerprints(df: DataFrame, part_col: str) -> dict:
     # requires >=1 argument, so hash a constant — the row count alone
     # then carries the fingerprint.
     fp = F.xxhash64(*data_cols) if data_cols else F.xxhash64(F.lit(1))
-    key = F.coalesce(F.col(part_col).cast("string"), F.lit(_NULL_PART))
+    # partition_key_expr maps empty string AND null to the sentinel, so
+    # fingerprints computed on an input frame (skip_unchanged pre-check)
+    # and on the landed read-back agree.
+    key = partition_key_expr(part_col)
     rows = (
         df.groupBy(key.alias("__part"))
         .agg(
@@ -455,6 +491,17 @@ def _commit_version(
                 f"{man['current']} — another writer won; retry against "
                 f"the new state"
             )
+        if not os.path.isdir(os.path.join(table_path, entry["dir"])):
+            # A writer that stalled longer than vacuum's orphan grace
+            # window can have its staged (never-yet-referenced) data
+            # swept as abandoned.  Publishing would flip `current` to a
+            # version with no files — fail the commit instead and let
+            # the writer retry the whole write.
+            raise RuntimeError(
+                f"staged snapshot directory {entry['dir']!r} vanished "
+                f"before commit (swept as an orphan? the write stalled "
+                f"past vacuum's orphan_grace_seconds) — re-run the write"
+            )
         entry["committed_at"] = time.time()
         man["snapshots"][str(version)] = entry
         man["current"] = version
@@ -523,7 +570,12 @@ def upsert_snapshot(
     micro-batch) neither mint identical versions NOR pay a physical
     write-then-withdraw (at streaming cadence the no-op case is the
     COMMON case; fingerprints are content hashes, so the input frame
-    and its parquet round-trip agree)."""
+    and its parquet round-trip agree).  CONTRACT: ``skip_unchanged``
+    requires a DETERMINISTIC input frame — the fingerprint scan and the
+    write are separate jobs over the same lineage, so a frame with
+    ``rand()``/``current_timestamp()``/an unpersisted sample would
+    record fingerprints describing rows that were never written;
+    persist such frames first."""
     man = _load_manifest(table_path)
     prev = man["snapshots"].get(str(man["current"]))
     if prev is None or not prev.get("part_col"):
@@ -653,7 +705,7 @@ def merge_into_snapshot(
         )
     part_col = prev["part_col"]
     spark = updates.sparkSession
-    part_str = F.coalesce(F.col(part_col).cast("string"), F.lit(_NULL_PART))
+    part_str = partition_key_expr(part_col)
     touched = {
         r[0] for r in updates.select(part_str.alias("p")).distinct().collect()
     }
@@ -1004,12 +1056,21 @@ def read_with_skipping(
     # partition column can itself be a stat column: each file's value is
     # constant (min == max), so file pruning subsumes partition pruning
     # for range predicates on it.
+    from urllib.parse import unquote
+
     root = path.rstrip("/")
 
     def rel(f: str) -> str:
         return f[f.find(root) + len(root):].lstrip("/") if root in f else f
 
-    partitioned = any("=" in rel(f) for f in man["files"])
+    def rel_uri(f: str) -> str:
+        # Manifest paths come from input_file_name(): file: URIs with
+        # percent-encoding (space -> %20; a Hive-escaped ':' dir
+        # 'p=a%3Ab' double-encodes to 'p=a%253Ab').  One unquote maps
+        # them back to the raw on-disk names os.walk reports.
+        return unquote(rel(f))
+
+    partitioned = any("=" in rel_uri(f) for f in man["files"])
     # Freshness gate: pruning from a stale manifest silently DROPS every
     # row of a file appended after indexing (and dangles on files a
     # compaction rewrote).  One driver-side recursive listing.
@@ -1019,7 +1080,7 @@ def read_with_skipping(
         for f in fnames:
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 on_disk.add(rel(os.path.join(walk_root, f)))
-    indexed = {rel(f) for f in man["files"]}
+    indexed = {rel_uri(f) for f in man["files"]}
     if on_disk != indexed:
         raise ValueError(
             "stats manifest is stale (directory changed since "
@@ -1046,7 +1107,11 @@ def read_with_skipping(
                 ok = False
                 break
         if ok:
-            keep.append(fname)
+            # Surviving files are read by their DECODED on-disk paths:
+            # Spark's reader treats arguments as paths, not URIs, so the
+            # percent-encoded input_file_name form would be looked up
+            # literally (and miss).
+            keep.append(os.path.join(path, rel_uri(fname)))
 
     report = {
         "files_total": len(man["files"]),
@@ -1165,16 +1230,22 @@ def snapshot_changes(
     if collapse:
         from pyspark.sql.window import Window
 
-        # A key with BOTH an insert and a delete in the feed is an
-        # update; min/max over the key's window detects "both sides
-        # present" in one pass (no self-join).  Under the unique-key
-        # MERGE contract each key carries at most one row per side.
+        # A key with EXACTLY one insert and one delete in the feed is an
+        # update; min/max + count over the key's window detect that in
+        # one pass (no self-join).  Keys that violate the unique-key
+        # contract (more than one row per side — record_keys accepts
+        # arbitrary columns, nothing enforces uniqueness) keep their raw
+        # insert/delete tags rather than being mis-paired: a consumer
+        # applying pre/post 1:1 must never see an unbalanced pair.
         w = Window.partitionBy(*keys)
-        both = F.min("_change").over(w) != F.max("_change").over(w)
+        pair = (
+            (F.min("_change").over(w) != F.max("_change").over(w))
+            & (F.count(F.lit(1)).over(w) == 2)
+        )
         feed = feed.withColumn(
             "_change",
             F.when(
-                both,
+                pair,
                 F.when(F.col("_change") == "insert", F.lit("update_postimage"))
                 .otherwise(F.lit("update_preimage")),
             ).otherwise(F.col("_change")),

@@ -57,8 +57,12 @@ def _sweep_dead_fixture_dirs() -> None:
             os.kill(int(m.group(1)), 0)
         except ProcessLookupError:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        except PermissionError:
-            pass  # pid alive under another user — leave it
+        except Exception:
+            # PermissionError: pid alive under another user.
+            # OverflowError/ValueError: a foreign dir whose digit suffix
+            # is not a real pid.  Either way: not provably dead — leave
+            # it, and never let the sweep break the package import.
+            pass
 
 
 _sweep_dead_fixture_dirs()

@@ -139,10 +139,7 @@ def merge_batch_into_snapshot(
         touched = [
             r[0]
             for r in latest.select(
-                F.coalesce(
-                    F.col(part_col).cast("string"),
-                    F.lit(maintenance._NULL_PART),
-                ).alias("p")
+                maintenance.partition_key_expr(part_col).alias("p")
             ).distinct().collect()
         ]
         spark = latest.sparkSession

@@ -1302,3 +1302,129 @@ def test_concurrent_writers_race_flock_serializes_commits(spark, tmp_path):
 
     dirs = os.listdir(os.path.join(table, "snapshots"))
     assert len(dirs) == total
+
+
+def test_collapse_keeps_raw_tags_for_non_unique_keys(spark, tmp_path):
+    """record_keys accepts arbitrary columns; a key with more than one
+    row per side must NOT be mis-paired into unbalanced update images —
+    it keeps raw insert/delete tags."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "nonuniq")
+    v1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    v2 = spark.createDataFrame([(1, "A"), (1, "B")], "id int, v string")
+    mt.write_snapshot(v1, table, record_keys=["id"])
+    mt.write_snapshot(v2, table, record_keys=["id"])
+    feed = mt.snapshot_changes(spark, table, 1, 2, collapse=True)
+    got = {(r.id, r.v, r._change) for r in feed.collect()}
+    # 2 inserts + 1 delete for id=1 -> no 1:1 pairing exists; raw tags.
+    assert got == {
+        (1, "A", "insert"), (1, "B", "insert"), (1, "a", "delete"),
+    }
+    # A clean single-pair key still collapses.
+    v3 = spark.createDataFrame([(1, "A"), (1, "B"), (2, "x")], "id int, v string")
+    mt.write_snapshot(v3, table, record_keys=["id"])
+    feed2 = mt.snapshot_changes(spark, table, 2, 3, collapse=True)
+    assert {(r.id, r.v, r._change) for r in feed2.collect()} == {(2, "x", "insert")}
+
+
+def test_stats_skipping_partition_values_needing_url_encoding(spark, tmp_path):
+    """Partition values with spaces/colons are percent-encoded by
+    input_file_name() and Hive-escaped on disk; the freshness gate must
+    still match them (decode once), and pruning must return them
+    exactly."""
+    import pyspark.sql.functions as F
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    path = str(tmp_path / "enc")
+    df = spark.createDataFrame(
+        [(i, float(i), f"a b:{i % 2}") for i in range(20)],
+        "id int, v double, p string",
+    )
+    df.repartition(1).write.partitionBy("p").parquet(path)
+    mt.write_stats_manifest(spark, path, ["v"])
+    got, rep = mt.read_with_skipping(spark, path, {"v": (5.0, 9.0)})
+    assert rep["files_total"] == 2
+    want = df.where((F.col("v") >= 5.0) & (F.col("v") <= 9.0))
+    assert sorted(map(tuple, got.select("id", "v", "p").collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert {r.p for r in got.select("p").distinct().collect()} <= {"a b:0", "a b:1"}
+
+
+def test_commit_refuses_vanished_staged_dir(spark, tmp_path):
+    """A writer whose staged directory was swept (stalled past vacuum's
+    grace) must FAIL its commit, not publish a data-less version."""
+    import shutil as sh
+
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "vanish")
+    schema = "id int, day string, v string"
+    df = spark.createDataFrame([(1, "d0", "a")], schema)
+    mt.write_snapshot(df, table, part_col="day")
+
+    class SweepThenCommit(mt.SnapshotCommit):
+        def commit_manifest(self, table_path, mutate):
+            # Simulate the racing vacuum: the staged v2 dir disappears
+            # between write completion and commit.
+            import os as _os
+            snaps = _os.path.join(table_path, "snapshots")
+            for d in _os.listdir(snaps):
+                if d.startswith("v2-"):
+                    sh.rmtree(_os.path.join(snaps, d))
+            return mt.PosixSnapshotCommit().commit_manifest(table_path, mutate)
+
+    with pytest.raises(RuntimeError, match="vanished before commit"):
+        mt.write_snapshot(df, table, part_col="day", commit=SweepThenCommit())
+    assert mt._load_manifest(table)["current"] == 1
+    assert mt.read_snapshot(spark, table).count() == 1
+
+
+def test_empty_string_partition_keys_as_null_sentinel(spark, tmp_path):
+    """Hive lands '' and null in the same __HIVE_DEFAULT_PARTITION__
+    directory; the fingerprint keying must agree between the input-side
+    pre-check and the landed read-back, so a replay with '' partitions
+    is still withdrawn as a no-op."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "emptykey")
+    schema = "id int, day string, v string"
+    df = spark.createDataFrame([(1, "", "a"), (2, "d1", "b")], schema)
+    mt.write_snapshot(df, table, part_col="day")
+    man = mt._load_manifest(table)
+    assert set(man["snapshots"]["1"]["parts"]) == {mt._NULL_PART, "d1"}
+
+    # Replaying the ''-partition row (which reads back as null) as its
+    # read-back form must be a withdrawn no-op, not a minted version.
+    import pyspark.sql.functions as F
+
+    replay = mt.read_snapshot(spark, table).where(F.col("day").isNull())
+    assert mt.upsert_snapshot(replay, table, skip_unchanged=True) == 1
+    # And replaying the ORIGINAL ''-form also keys to the sentinel: the
+    # content hash differs ('' vs null in the day column is a real data
+    # difference once landed), so this publishes — but into the SAME
+    # sentinel partition, never a phantom '' partition.
+    assert [s["version"] for s in mt.list_snapshots(table)] == [1]
+
+
+def test_corrupt_manifest_raises_clear_error_not_fresh_table(spark, tmp_path):
+    """A truncated/corrupt _versions.json must raise loudly — never fall
+    back to the empty default (a writer would restart at v1 over
+    existing data)."""
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "corrupt")
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    mt.write_snapshot(df, table)
+    with open(mt._manifest_path(table), "w") as f:
+        f.write('{"current": 1, "snap')  # simulated torn write
+    with pytest.raises(RuntimeError, match="corrupt"):
+        mt.read_snapshot(spark, table)
+    with pytest.raises(RuntimeError, match="corrupt"):
+        mt.write_snapshot(df, table)
