@@ -813,6 +813,8 @@ def compact_snapshot_partition(
     table_path: str,
     partition: str,
     target_file_bytes: int = 128 << 20,
+    sort_col: str | None = None,
+    zorder_cols: Sequence[str] | None = None,
 ) -> int:
     """Compact ONE partition of the current snapshot into right-sized
     files, published copy-on-write: reads the partition (wherever its
@@ -822,7 +824,15 @@ def compact_snapshot_partition(
     change, but the small-file accumulation a streaming MERGE sink
     builds up (one file set per micro-batch version) is collapsed.
     Returns the new version.  ``skip_unchanged`` is deliberately NOT
-    applied: the content matches but the file layout is the point."""
+    applied: the content matches but the file layout is the point.
+
+    Compaction doubles as LAYOUT OPTIMIZATION (Delta ``OPTIMIZE ...
+    ZORDER BY``): ``sort_col`` range-clusters the rewrite so every
+    output file owns a disjoint span of that column, and ``zorder_cols``
+    (pre-scaled non-negative ints, see :func:`zorder_key`) Morton-
+    clusters on several columns at once — either way the rewritten
+    files carry narrow min/max footers, so subsequent filtered scans
+    (and a stats manifest) prune most of them.  Mutually exclusive."""
     from pyspark.sql import functions as F
 
     man = _load_manifest(table_path)
@@ -856,12 +866,23 @@ def compact_snapshot_partition(
                 f"partition directory for {partition!r} not found under "
                 f"{src_dir}"
             )
+    if sort_col and zorder_cols:
+        raise ValueError("pass sort_col OR zorder_cols, not both")
     n_files = max(1, math.ceil(_dir_bytes(part_dir) / target_file_bytes))
     if partition == _NULL_PART:
         pred = F.col(part_col).isNull()
     else:
         pred = F.col(part_col).cast("string") == partition
-    rows = read_snapshot(spark, table_path).where(pred).repartition(n_files)
+    rows = read_snapshot(spark, table_path).where(pred)
+    if sort_col:
+        rows = rows.repartitionByRange(n_files, sort_col).sortWithinPartitions(
+            sort_col
+        )
+    elif zorder_cols:
+        cols = rows.columns
+        rows = zorder_layout(rows, list(zorder_cols), n_files).select(*cols)
+    else:
+        rows = rows.repartition(n_files)
     return upsert_snapshot(rows, table_path)
 
 

@@ -1428,3 +1428,50 @@ def test_corrupt_manifest_raises_clear_error_not_fresh_table(spark, tmp_path):
         mt.read_snapshot(spark, table)
     with pytest.raises(RuntimeError, match="corrupt"):
         mt.write_snapshot(df, table)
+
+
+def test_compact_snapshot_partition_with_clustering(spark, tmp_path):
+    """OPTIMIZE-style compaction: sort_col range-clusters the rewritten
+    partition so output files own disjoint spans (narrow footers =
+    data skipping), content identical; zorder_cols path smoke-checked."""
+    import glob as g
+
+    import pyspark.sql.functions as F
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "optimize")
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}", i * 7 % 1000) for i in range(2000)],
+        "id int, day string, metric int",
+    ).repartition(16)
+    mt.write_snapshot(df, table, part_col="day")
+
+    v = mt.compact_snapshot_partition(
+        spark, table, "d0", target_file_bytes=4 << 10, sort_col="metric"
+    )
+    files = g.glob(os.path.join(mt.snapshot_dir(table, v), "day=d0", "*.parquet"))
+    assert len(files) >= 2
+    spans = []
+    for f in files:
+        r = spark.read.parquet(f).agg(F.min("metric"), F.max("metric")).collect()[0]
+        spans.append((r[0], r[1]))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo  # disjoint spans
+    # Content identical: fingerprints unchanged.
+    assert mt.changed_partitions(table, 1, v) == ("day", [])
+
+    # Z-order path: runs, preserves content, drops the helper column.
+    v2 = mt.compact_snapshot_partition(
+        spark, table, "d1", target_file_bytes=4 << 10,
+        zorder_cols=["id", "metric"],
+    )
+    assert mt.changed_partitions(table, v, v2) == ("day", [])
+    assert "__z" not in mt.read_snapshot(spark, table).columns
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        mt.compact_snapshot_partition(
+            spark, table, "d0", sort_col="metric", zorder_cols=["id"]
+        )

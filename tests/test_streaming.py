@@ -581,3 +581,40 @@ def test_snapshot_sink_null_order_rows_dropped_consistently(spark, tmp_path):
     )
     assert v == v_before + 1
     assert {(r.coin_id, r.price) for r in mt.read_snapshot(spark, table).collect()} == got
+
+
+def test_snapshot_sink_collapse_feed_shows_update_pairs(spark, tmp_path):
+    """The sink records its merge keys, so a downstream consumer can read
+    the collapsed CDC between consecutive sink versions: a superseded
+    key appears exactly as one update_preimage/update_postimage pair."""
+    from datetime import datetime
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+    from cryptocurrency_data_pipeline_spark.streaming import snapshot_sink
+
+    table = str(tmp_path / "sink_cdc")
+    schema = "coin_id string, price double, event_time timestamp, raw_data string"
+
+    def with_bucket(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "bucket", snapshot_sink.key_bucket(["coin_id"])
+        )
+
+    t1, t2 = datetime(2024, 1, 1, 12), datetime(2024, 1, 2, 12)
+    snapshot_sink.merge_batch_into_snapshot(
+        with_bucket([("A", 1.0, t1, "ra1"), ("B", 2.0, t1, "rb1")]),
+        table, ["coin_id"], part_col="bucket",
+        order_col="event_time", tiebreak=["raw_data"],
+    )
+    snapshot_sink.merge_batch_into_snapshot(
+        with_bucket([("A", 9.0, t2, "ra2"), ("C", 3.0, t2, "rc1")]),
+        table, ["coin_id"], part_col="bucket",
+        order_col="event_time", tiebreak=["raw_data"],
+    )
+    feed = mt.snapshot_changes(spark, table, 1, 2, collapse=True)
+    got = {(r.coin_id, r.price, r._change) for r in feed.collect()}
+    assert got == {
+        ("A", 9.0, "update_postimage"),
+        ("A", 1.0, "update_preimage"),
+        ("C", 3.0, "insert"),
+    }
