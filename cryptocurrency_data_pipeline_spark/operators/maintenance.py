@@ -879,6 +879,13 @@ def compact_snapshot_partition(
             sort_col
         )
     elif zorder_cols:
+        if "__z" in rows.columns:
+            # zorder_layout's helper column would silently REPLACE a
+            # real column of that name and publish Morton keys as data.
+            raise ValueError(
+                "table has a column named '__z', which collides with the "
+                "z-order helper column; rename it before z-compacting"
+            )
         cols = rows.columns
         rows = zorder_layout(rows, list(zorder_cols), n_files).select(*cols)
     else:
@@ -1088,8 +1095,11 @@ def read_with_skipping(
         # Manifest paths come from input_file_name(): file: URIs with
         # percent-encoding (space -> %20; a Hive-escaped ':' dir
         # 'p=a%3Ab' double-encodes to 'p=a%253Ab').  One unquote maps
-        # them back to the raw on-disk names os.walk reports.
-        return unquote(rel(f))
+        # them back to the raw on-disk names os.walk reports.  Decode
+        # BEFORE the root match — the root portion of the URI is encoded
+        # too, so a table path containing a space/'%' would otherwise
+        # never substring-match and every call would read as stale.
+        return rel(unquote(f))
 
     partitioned = any("=" in rel_uri(f) for f in man["files"])
     # Freshness gate: pruning from a stale manifest silently DROPS every
@@ -1378,6 +1388,7 @@ def vacuum_snapshots(
     # re-vacuumable.
     snap_root = os.path.join(table_path, "snapshots")
     now = time.time()
+    unknown_candidates = []
     if os.path.isdir(snap_root):
         for d in os.listdir(snap_root):
             full = os.path.join(snap_root, d)
@@ -1390,5 +1401,26 @@ def vacuum_snapshots(
                 # inside has been touched within the grace window.
                 if now - _newest_mtime(full) < orphan_grace_seconds:
                     continue
+                unknown_candidates.append(d)
+                continue
+            # Expired manifest-known dirs can never be re-referenced (new
+            # versions mint fresh uuid dirs; inheritance only copies
+            # src_dir from still-retained versions) — safe outside the
+            # lock.
             shutil.rmtree(full, ignore_errors=True)
+    if unknown_candidates:
+        # A stalled writer could COMMIT its staged dir between our check
+        # and the rmtree, bricking the newly-published version.  Deleting
+        # under the commit lock with a fresh manifest re-check closes the
+        # race: commits serialize against the same lock, and
+        # _commit_version's own isdir gate covers writers that would
+        # commit right after we release it.
+        def sweep(fresh: dict) -> dict:
+            refs_now = _referenced_dirs(fresh)
+            for d in unknown_candidates:
+                if d not in refs_now:
+                    shutil.rmtree(os.path.join(snap_root, d), ignore_errors=True)
+            return fresh
+
+        (commit or DEFAULT_COMMIT).commit_manifest(table_path, sweep)
     return drop

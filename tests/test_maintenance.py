@@ -1404,10 +1404,12 @@ def test_empty_string_partition_keys_as_null_sentinel(spark, tmp_path):
 
     replay = mt.read_snapshot(spark, table).where(F.col("day").isNull())
     assert mt.upsert_snapshot(replay, table, skip_unchanged=True) == 1
-    # And replaying the ORIGINAL ''-form also keys to the sentinel: the
-    # content hash differs ('' vs null in the day column is a real data
-    # difference once landed), so this publishes — but into the SAME
-    # sentinel partition, never a phantom '' partition.
+    # Replaying the ORIGINAL ''-form is ALSO a withdrawn no-op: the
+    # fingerprint hashes only non-partition columns ('' vs null in the
+    # partition column is invisible to it, and both land in the same
+    # sentinel directory anyway).
+    original = spark.createDataFrame([(1, "", "a")], schema)
+    assert mt.upsert_snapshot(original, table, skip_unchanged=True) == 1
     assert [s["version"] for s in mt.list_snapshots(table)] == [1]
 
 
