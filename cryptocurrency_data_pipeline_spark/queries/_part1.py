@@ -1166,19 +1166,30 @@ def cube_event_stats(spark, sf_dir):
     "tumbling_hourly_stats",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_value_scaled
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
 )
 def tumbling_hourly_stats(spark, sf_dir):
+    # Values are quantized to integer 1e-4 units BEFORE summing: float
+    # sums are summation-order-dependent, and round(avg, 6) straddles a
+    # rounding boundary once hour/type groups grow (surfaced at sf0.1).
+    # Integer sums are exact and order-independent on both engines.
     ev = t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000).cast("long"))
+            .cast("long")
+            .alias("sum_value_scaled"),
+        )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type", "n_events", "avg_value",
+            "event_type", "n_events", "sum_value_scaled",
         )
     )
 

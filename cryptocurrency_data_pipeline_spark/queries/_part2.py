@@ -1804,7 +1804,8 @@ def doc_char_entropy(spark, sf_dir):
     SELECT event_id, user_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
            CAST(count(*) OVER w AS BIGINT) AS n_7d,
-           round(sum(value) OVER w, 4) AS sum_7d
+           CAST(sum(CAST(floor(value * 10000) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_7d_scaled
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
@@ -1818,19 +1819,29 @@ def rolling_7d_user_value(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = t(spark, sf_dir, "events")
-    # TIMESTAMP_NTZ has no direct long cast in Spark 4; the session is
-    # pinned UTC so the timestamp hop is value-preserving.
+    # MICROSECOND-exact frame: ordering by epoch SECONDS truncates the
+    # sub-second part, so an event 7 days minus a fraction of a second
+    # away could fall on the wrong side of the frame boundary vs the
+    # oracle's full-precision INTERVAL arithmetic (surfaced at sf0.1).
+    # The session is pinned UTC so the timestamp hop is value-preserving.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("timestamp").cast("long"))
-        .rangeBetween(-7 * 86400, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
     )
+    # Quantize BEFORE the window sum: a rolling float sum's accumulation
+    # order differs between engines, and round(..., 4) straddles a
+    # boundary once per-user windows grow (surfaced at sf0.1).  Integer
+    # sums are exact and order-independent.
     return ev.select(
         "event_id",
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.count(F.lit(1)).over(w).alias("n_7d"),
-        F.round(F.sum("value").over(w), 4).alias("sum_7d"),
+        F.sum(F.floor(F.col("value") * 10000).cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("sum_7d_scaled"),
     )
 
 

@@ -2242,3 +2242,108 @@ def stream_snapshot_sink_replay(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# CDC apply contract (maintenance.snapshot_changes consumer side): the
+# whole point of a change feed is that a consumer can reconstruct v_to
+# incrementally — v_from MINUS deletes PLUS inserts, multiset semantics —
+# without re-reading the new snapshot.  The fixture publishes two
+# versions of orders (drop 3-MEDIUM %7 keys, bump 1-URGENT %5 prices,
+# add synthetic 5-LOW keys), reads the feed, applies it to v1 with
+# exceptAll/unionByName, and aggregates the RECONSTRUCTED state; the
+# oracle states v2 directly — so a hash match proves apply(v1, feed)
+# == v2 at the driver's scale.  Collapsed update tags fold back into
+# delete+insert for the apply (update_preimage is a delete of the old
+# row, update_postimage an insert of the new).
+# --------------------------------------------------------------------------
+
+@query(
+    "cdc_apply_reconstruction",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+                  THEN price_cents + 7 ELSE price_cents END AS price_cents
+      FROM snap
+      WHERE NOT (o_orderpriority = '3-MEDIUM' AND o_orderkey % 7 = 0)
+      UNION ALL
+      SELECT -(o_orderkey + 1), o_orderpriority, 999
+      FROM snap WHERE o_orderpriority = '5-LOW' AND o_orderkey % 11 = 0
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+    FROM v2 GROUP BY 1 ORDER BY 1
+    """,
+)
+def cdc_apply_reconstruction(spark, sf_dir):
+    """Publish v1 -> v2 via MERGE, then reconstruct v2 FROM v1 + the
+    collapsed change feed (updates folded back to delete+insert) and
+    aggregate the reconstruction."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    snap = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
+    updates = (
+        snap.filter((pri == "1-URGENT") & (key % 5 == 0))
+        .withColumn("price_cents", F.col("price_cents") + 7)
+        .withColumn("_deleted", F.lit(False))
+        .unionByName(
+            snap.filter((pri == "5-LOW") & (key % 11 == 0)).select(
+                (-(key + 1)).alias("o_orderkey"),
+                "o_orderpriority",
+                F.lit(999).cast("long").alias("price_cents"),
+                F.lit(False).alias("_deleted"),
+            )
+        )
+        .unionByName(
+            snap.filter((pri == "3-MEDIUM") & (key % 7 == 0)).withColumn(
+                "_deleted", F.lit(True)
+            )
+        )
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cdcapply_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
+    mt.write_snapshot(snap, table, part_col="o_orderpriority")
+    mt.merge_into_snapshot(updates, table, ["o_orderkey"], delete_col="_deleted")
+
+    feed = mt.snapshot_changes(spark, table, 1, 2, collapse=True)
+    removals = feed.where(
+        F.col("_change").isin("delete", "update_preimage")
+    ).drop("_change")
+    additions = feed.where(
+        F.col("_change").isin("insert", "update_postimage")
+    ).drop("_change")
+    v1 = mt.read_snapshot(spark, table, 1)
+    reconstructed = (
+        v1.select(*additions.columns)
+        .exceptAll(removals)
+        .unionByName(additions)
+    )
+    return (
+        reconstructed.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("sum_cents"),
+            F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        )
+        .orderBy("o_orderpriority")
+    )
