@@ -59,6 +59,14 @@ def compact_parquet(
     )
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp)
+    # Carry the stats sidecar across the swap: it is stale for the new
+    # layout (every entry points at a rewritten file) but the freshness
+    # gate in read_with_skipping blocks stale pruning, and
+    # update_stats_manifest re-indexes incrementally — losing the index
+    # silently on every compaction would force full re-scans.
+    stats = _stats_manifest_path(path)
+    if os.path.exists(stats):
+        shutil.copy2(stats, _stats_manifest_path(tmp))
     if _exchange_dirs(path, tmp):
         shutil.rmtree(tmp)  # tmp now holds the pre-compaction files
     else:
@@ -1052,6 +1060,74 @@ def _json_safe(v):
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat()
     return v
+
+
+def update_stats_manifest(spark: SparkSession, path: str) -> dict:
+    """Incrementally refresh ``_file_stats.json``: aggregate stats for
+    ONLY the files added since the last index, drop entries for files
+    that disappeared (compaction/vacuum rewrote them), leave everything
+    else untouched.  At a streaming-append cadence this is the
+    difference between O(new files) per refresh and re-scanning the
+    whole table (``write_stats_manifest``) every time — the Delta
+    behavior, where each commit carries stats for its own added files
+    only.  Returns ``{"added": n, "removed": n, "total": n}``."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    with open(_stats_manifest_path(path)) as f:
+        man = json.load(f)
+    stat_cols = man["columns"]
+    root = path.rstrip("/")
+
+    def rel(f: str) -> str:
+        return f[f.find(root) + len(root):].lstrip("/") if root in f else f
+
+    on_disk: dict[str, str] = {}
+    for walk_root, dirs, fnames in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in fnames:
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                p = os.path.join(walk_root, fn)
+                on_disk[rel(p)] = p
+    indexed = {rel(unquote(k)): k for k in man["files"]}
+    removed = [orig for r, orig in indexed.items() if r not in on_disk]
+    new_rel = sorted(r for r in on_disk if r not in indexed)
+    for orig in removed:
+        del man["files"][orig]
+    added = 0
+    if new_rel:
+        base_schema = spark.read.parquet(path).schema
+        df = (
+            spark.read.option("basePath", path)
+            .schema(base_schema)
+            .parquet(*[on_disk[r] for r in new_rel])
+        )
+        aggs = []
+        for c in stat_cols:
+            aggs += [
+                F.min(c).alias(f"min__{c}"),
+                F.max(c).alias(f"max__{c}"),
+                F.count(c).alias(f"nnn__{c}"),
+            ]
+        rows = df.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
+        for r in rows:
+            d = r.asDict()
+            fname = d.pop("__file")
+            man["files"][fname] = {
+                c: {
+                    "min": _json_safe(d[f"min__{c}"]),
+                    "max": _json_safe(d[f"max__{c}"]),
+                    "n_nonnull": d[f"nnn__{c}"],
+                }
+                for c in stat_cols
+            }
+        added = len(rows)
+    tmp = _stats_manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, _stats_manifest_path(path))
+    return {"added": added, "removed": len(removed), "total": len(man["files"])}
 
 
 def read_with_skipping(

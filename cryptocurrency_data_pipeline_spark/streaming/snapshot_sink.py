@@ -211,3 +211,43 @@ def stream_ticks_to_snapshot(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def lookup_current(spark: SparkSession, table_path: str, key_values) -> DataFrame:
+    """Point-lookup specific keys in the current-state table, reading
+    ONLY their key-derived bucket partitions — the reference's DynamoDB
+    ``get_item`` (streaming/consumer.py per-key reads) over the
+    lakehouse table: the recorded layout contract (``_sink_meta.json``)
+    gives the bucket function, so a K-key lookup plans a scan over at
+    most K buckets out of ``n_buckets``, never the table.
+
+    ``key_values``: iterable of key tuples (or bare scalars for a
+    single-column key).  Returns current rows for the keys that exist;
+    missing keys simply produce no row."""
+    try:
+        with open(_sink_meta_path(table_path)) as f:
+            meta = json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"{table_path!r} has no _sink_meta.json layout contract — "
+            f"lookup_current only works on tables written by the snapshot "
+            f"sink (the bucket function must be known to prune)"
+        ) from None
+    keys, n_buckets, part_col = meta["keys"], meta["n_buckets"], meta["part_col"]
+    rows = [
+        (v,) if not isinstance(v, (tuple, list)) else tuple(v)
+        for v in key_values
+    ]
+    probe = spark.createDataFrame(rows, list(keys))
+    # The SAME bucket expression the sink writes with, evaluated on the
+    # probe keys; the distinct bucket list then prunes the snapshot read
+    # at planning (partition-only predicate over the assembled scans).
+    buckets = [
+        r[0]
+        for r in probe.select(
+            key_bucket(keys, n_buckets).cast("string").alias("b")
+        ).distinct().collect()
+    ]
+    current = maintenance.read_snapshot(spark, table_path)
+    pruned = current.where(maintenance.partition_predicate(part_col, buckets))
+    return pruned.join(F.broadcast(probe.select(*keys).distinct()), list(keys), "left_semi")

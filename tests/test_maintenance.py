@@ -1477,3 +1477,68 @@ def test_compact_snapshot_partition_with_clustering(spark, tmp_path):
         mt.compact_snapshot_partition(
             spark, table, "d0", sort_col="metric", zorder_cols=["id"]
         )
+
+
+def test_update_stats_manifest_incremental(spark, tmp_path):
+    """Appended files are indexed by scanning ONLY them; files a
+    compaction removed drop out of the manifest; read_with_skipping is
+    fresh and exact again after the update."""
+    import pyspark.sql.functions as F
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    path = str(tmp_path / "incr")
+    spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v").repartitionByRange(
+        4, "v"
+    ).write.parquet(path)
+    assert mt.write_stats_manifest(spark, path, ["v"]) == 4
+
+    # Append a new value range: stale until updated.
+    spark.range(100, 150).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.mode("append").parquet(path)
+    import pytest
+
+    with pytest.raises(ValueError, match="stale"):
+        mt.read_with_skipping(spark, path, {"v": (120.0, 130.0)})
+    rep = mt.update_stats_manifest(spark, path)
+    assert rep == {"added": 1, "removed": 0, "total": 5}
+
+    got, prune = mt.read_with_skipping(spark, path, {"v": (120.0, 130.0)})
+    assert prune["files_total"] == 5 and prune["files_skipped"] == 4
+    assert got.count() == 11
+
+    # Compaction rewrites everything: update drops the dead entries and
+    # indexes the rewritten files.
+    mt.compact_parquet(spark, path, target_file_bytes=1 << 30)
+    rep2 = mt.update_stats_manifest(spark, path)
+    assert rep2["removed"] == 5 and rep2["added"] == rep2["total"]
+    got2, prune2 = mt.read_with_skipping(spark, path, {"v": (120.0, 130.0)})
+    assert got2.count() == 11
+    # Exactness against the unpruned scan.
+    want = spark.read.parquet(path).where(
+        (F.col("v") >= 120.0) & (F.col("v") <= 130.0)
+    ).count()
+    assert got2.count() == want
+
+
+def test_update_stats_manifest_partitioned(spark, tmp_path):
+    """Incremental update over a Hive-partitioned layout: a file added
+    into one partition dir is indexed with partition columns intact."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    path = str(tmp_path / "incrp")
+    spark.createDataFrame(
+        [(i, float(i), i % 2) for i in range(40)], "id int, v double, p int"
+    ).repartition(1).write.partitionBy("p").parquet(path)
+    mt.write_stats_manifest(spark, path, ["v", "p"])
+
+    spark.createDataFrame(
+        [(99, 999.0)], "id int, v double"
+    ).coalesce(1).write.mode("append").parquet(path + "/p=1")
+    rep = mt.update_stats_manifest(spark, path)
+    assert rep["added"] == 1 and rep["removed"] == 0
+    got, prune = mt.read_with_skipping(spark, path, {"v": (900.0, None)})
+    assert prune["files_skipped"] >= 2
+    rows = got.collect()
+    assert [(r.id, r.v, r.p) for r in rows] == [(99, 999.0, 1)]

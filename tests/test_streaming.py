@@ -618,3 +618,56 @@ def test_snapshot_sink_collapse_feed_shows_update_pairs(spark, tmp_path):
         ("A", 1.0, "update_preimage"),
         ("C", 3.0, "insert"),
     }
+
+
+def test_snapshot_sink_lookup_current_prunes_to_key_buckets(spark, tmp_path):
+    """lookup_current reads ONLY the probed keys' bucket partitions (the
+    DynamoDB get_item analog): the plan's partition filters name just
+    those buckets, and results match a full-scan filter."""
+    import io
+    from contextlib import redirect_stdout
+    from datetime import datetime
+
+    from cryptocurrency_data_pipeline_spark.streaming import snapshot_sink
+
+    table = str(tmp_path / "lookup")
+    schema = "coin_id string, price double, event_time timestamp, raw_data string"
+    t1 = datetime(2024, 1, 1, 12)
+    rows = [(f"coin-{i}", float(i), t1, f"r{i}") for i in range(40)]
+    # Record the layout contract, as stream_ticks_to_snapshot does —
+    # lookup_current resolves keys/n_buckets/part_col from it.
+    snapshot_sink._check_sink_meta(
+        table, {"part_col": "bucket", "n_buckets": 16, "keys": ["coin_id"]}
+    )
+    batch = spark.createDataFrame(rows, schema).withColumn(
+        "bucket", snapshot_sink.key_bucket(["coin_id"])
+    )
+    snapshot_sink.merge_batch_into_snapshot(
+        batch, table, ["coin_id"], part_col="bucket",
+        order_col="event_time", tiebreak=["raw_data"],
+    )
+    got = snapshot_sink.lookup_current(spark, table, ["coin-3", "coin-17"])
+    assert {(r.coin_id, r.price) for r in got.collect()} == {
+        ("coin-3", 3.0), ("coin-17", 17.0),
+    }
+    # Missing keys: no rows, no error.
+    assert snapshot_sink.lookup_current(spark, table, ["nope"]).count() == 0
+
+    # Partition-pruning pin: the scan's PartitionFilters reference only
+    # the probed keys' buckets.
+    want_buckets = {
+        str(r[0])
+        for r in batch.filter(F.col("coin_id").isin("coin-3", "coin-17"))
+        .select("bucket").distinct().collect()
+    }
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        snapshot_sink.lookup_current(
+            spark, table, ["coin-3", "coin-17"]
+        ).explain("formatted")
+    pf = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+    assert pf
+    all_buckets = {str(r[0]) for r in batch.select("bucket").distinct().collect()}
+    for ln in pf:
+        for b in all_buckets - want_buckets:
+            assert f" {b}," not in ln and f"({b})" not in ln and f" {b})" not in ln
