@@ -2347,3 +2347,70 @@ def cdc_apply_reconstruction(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Bucket-pruned point lookup (snapshot_sink.lookup_current): the
+# reference's DynamoDB get_item (streaming/consumer.py keyed reads)
+# over the keyed current-state lakehouse table — probe keys are hashed
+# with the recorded layout contract and the scan is pruned to their
+# bucket partitions at planning, so a 5-key lookup reads at most 5 of
+# n_buckets partitions, never the table.  The fixture seeds a
+# current-state table (latest order per customer, one merge batch) and
+# looks up a fixed probe set; the oracle states latest-order-per-key
+# directly.
+# --------------------------------------------------------------------------
+
+@query(
+    "bucket_point_lookup",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders WHERE o_custkey % 10 = 3
+    )
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderpriority
+    FROM ranked
+    WHERE rn = 1 AND o_custkey IN (3, 13, 23, 33, 43)
+    ORDER BY o_custkey
+    """,
+)
+def bucket_point_lookup(spark, sf_dir):
+    """Seed a keyed current-state table from orders, then point-lookup a
+    fixed probe set through the bucket-pruned path."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.streaming import snapshot_sink
+
+    orders = (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+        .filter(F.col("o_custkey") % 10 == 3)
+        .withColumn("bucket", snapshot_sink.key_bucket(["o_custkey"], 16))
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ptlookup_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic per run
+    snapshot_sink._check_sink_meta(
+        table, {"part_col": "bucket", "n_buckets": 16, "keys": ["o_custkey"]}
+    )
+    snapshot_sink.merge_batch_into_snapshot(
+        orders, table, ["o_custkey"], part_col="bucket",
+        order_col="o_orderdate", tiebreak=["o_orderkey"],
+    )
+    return (
+        snapshot_sink.lookup_current(spark, table, [3, 13, 23, 33, 43])
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            "o_orderpriority",
+        )
+        .orderBy("o_custkey")
+    )
