@@ -2228,7 +2228,11 @@ def stream_snapshot_sink_replay(spark, sf_dir):
     # Late file: every key already present with a strictly newer tuple —
     # all rows discarded, no version minted.
     late = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
-        "o_orderdate", F.date_sub("o_orderdate", 1000)
+        # Preserve the column's dtype: date_sub returns DATE, and the
+        # sink fails fast on order-column dtype drift (a drifted type
+        # breaks the stored-tuple comparison silently at scale).
+        "o_orderdate",
+        F.date_sub("o_orderdate", 1000).cast(dict(orders.dtypes)["o_orderdate"]),
     )
     v4 = merge(late)
     if v4 != v3:

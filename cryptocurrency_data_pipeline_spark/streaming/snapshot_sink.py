@@ -144,6 +144,27 @@ def merge_batch_into_snapshot(
         ]
         spark = latest.sparkSession
         current = maintenance.read_snapshot(spark, table_path)
+        # Dtype-drift guard: xxhash64 is TYPE-sensitive (the same numeric
+        # value buckets differently as int vs long), so a batch whose key
+        # column type drifted re-buckets every key — the stored row is in
+        # the old bucket, the pruned lookup below misses it, and the key
+        # ends up current in TWO partitions.  Order/tiebreak drift breaks
+        # the stored-tuple comparison the same silent way.  Fail fast.
+        cur_types = dict(current.dtypes)
+        new_types = dict(latest.dtypes)
+        drift = {
+            c: (new_types.get(c), cur_types[c])
+            for c in [*keys, part_col, order_col, *tiebreak]
+            if c in cur_types and new_types.get(c) != cur_types[c]
+        }
+        if drift:
+            raise ValueError(
+                f"batch column types drifted from the stored table for "
+                f"key/partition/order columns {drift} (batch_type, "
+                f"stored_type); a drifted key type re-buckets keys and "
+                f"strands stale rows — cast the batch to the table's "
+                f"types upstream"
+            )
         stored = (
             current.where(maintenance.partition_predicate(part_col, touched))
             .select(*keys, ord_tuple.alias("__stored_ord"))
@@ -238,16 +259,40 @@ def lookup_current(spark: SparkSession, table_path: str, key_values) -> DataFram
         (v,) if not isinstance(v, (tuple, list)) else tuple(v)
         for v in key_values
     ]
-    probe = spark.createDataFrame(rows, list(keys))
+    current = maintenance.read_snapshot(spark, table_path)
+    # Cast the probe to the TABLE's key dtypes before bucketing:
+    # xxhash64 is type-sensitive (5 as int and 5 as long land in
+    # different buckets), and createDataFrame infers Python ints as
+    # long — probing an int-keyed table without the cast would prune to
+    # the WRONG buckets and silently return no rows.  The stored column
+    # type is what the sink hashed at write time (merge_batch_into_
+    # snapshot rejects dtype drift), so it is the authoritative hash
+    # input type.
+    cur_types = {f.name: f.dataType for f in current.schema.fields}
+    missing = [k for k in keys if k not in cur_types]
+    if missing:
+        raise ValueError(
+            f"recorded key columns {missing} not present in the current "
+            f"snapshot schema {list(cur_types)} — the table no longer "
+            f"matches its _sink_meta.json layout contract"
+        )
+    probe = spark.createDataFrame(rows, list(keys)).select(
+        # try_cast, not cast: under ANSI mode a probe value outside the
+        # key type's range (e.g. 10**12 against an int key) would throw;
+        # it can match nothing, so null-and-drop is the right semantics.
+        *[F.col(k).try_cast(cur_types[k]).alias(k) for k in keys]
+    )
     # The SAME bucket expression the sink writes with, evaluated on the
     # probe keys; the distinct bucket list then prunes the snapshot read
     # at planning (partition-only predicate over the assembled scans).
+    # A null bucket (a probe value that failed its cast) can match
+    # nothing — drop it rather than feed None to the predicate.
     buckets = [
         r[0]
         for r in probe.select(
             key_bucket(keys, n_buckets).cast("string").alias("b")
         ).distinct().collect()
+        if r[0] is not None
     ]
-    current = maintenance.read_snapshot(spark, table_path)
     pruned = current.where(maintenance.partition_predicate(part_col, buckets))
-    return pruned.join(F.broadcast(probe.select(*keys).distinct()), list(keys), "left_semi")
+    return pruned.join(F.broadcast(probe.distinct()), list(keys), "left_semi")

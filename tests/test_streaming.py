@@ -671,3 +671,61 @@ def test_snapshot_sink_lookup_current_prunes_to_key_buckets(spark, tmp_path):
     for ln in pf:
         for b in all_buckets - want_buckets:
             assert f" {b}," not in ln and f"({b})" not in ln and f" {b})" not in ln
+
+
+def test_lookup_current_casts_probe_to_table_key_dtype(spark, tmp_path):
+    """xxhash64 is type-sensitive: the same value buckets differently as
+    int vs long.  createDataFrame infers Python ints as LONG, so probing
+    an INT-keyed table must cast the probe to the table's key dtype
+    before bucketing — without the cast the lookup prunes to the wrong
+    buckets and silently returns no rows."""
+    from datetime import datetime
+
+    from cryptocurrency_data_pipeline_spark.streaming import snapshot_sink
+
+    table = str(tmp_path / "intkey")
+    snapshot_sink._check_sink_meta(
+        table, {"part_col": "bucket", "n_buckets": 8, "keys": ["k"]}
+    )
+    t1 = datetime(2024, 1, 1, 12)
+    batch = spark.createDataFrame(
+        [(i, float(i), t1) for i in range(20)],
+        "k int, v double, event_time timestamp",  # INT key, not long
+    ).withColumn("bucket", snapshot_sink.key_bucket(["k"], 8))
+    snapshot_sink.merge_batch_into_snapshot(
+        batch, table, ["k"], part_col="bucket", order_col="event_time"
+    )
+    # 5 buckets differently as int (0) and long (5) — this probe misses
+    # entirely unless the probe is cast to the stored int type.
+    got = snapshot_sink.lookup_current(spark, table, [5, 17])
+    assert {(r.k, r.v) for r in got.collect()} == {(5, 5.0), (17, 17.0)}
+    # A probe value that cannot cast to the key type yields no row (and
+    # must not break the partition predicate with a null bucket).
+    assert snapshot_sink.lookup_current(spark, table, [10**12]).count() in (0, 1)
+
+
+def test_merge_batch_rejects_key_dtype_drift(spark, tmp_path):
+    """A batch whose key column type drifted from the stored table would
+    re-bucket every key (xxhash64 type-sensitivity) and strand stale
+    rows — merge_batch_into_snapshot fails fast instead."""
+    from datetime import datetime
+
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.streaming import snapshot_sink
+
+    table = str(tmp_path / "drift")
+    t1, t2 = datetime(2024, 1, 1, 12), datetime(2024, 1, 2, 12)
+    seed = spark.createDataFrame(
+        [(1, 1.0, t1)], "k int, v double, event_time timestamp"
+    ).withColumn("bucket", snapshot_sink.key_bucket(["k"], 8))
+    snapshot_sink.merge_batch_into_snapshot(
+        seed, table, ["k"], part_col="bucket", order_col="event_time"
+    )
+    drifted = spark.createDataFrame(
+        [(1, 2.0, t2)], "k long, v double, event_time timestamp"
+    ).withColumn("bucket", snapshot_sink.key_bucket(["k"], 8))
+    with pytest.raises(ValueError, match="drifted"):
+        snapshot_sink.merge_batch_into_snapshot(
+            drifted, table, ["k"], part_col="bucket", order_col="event_time"
+        )
