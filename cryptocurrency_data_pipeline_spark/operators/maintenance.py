@@ -999,16 +999,64 @@ def _stats_manifest_path(path: str) -> str:
     return os.path.join(path, "_file_stats.json")
 
 
-def write_stats_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -> int:
-    """Index ``path``'s parquet files: per-file min/max/non-null count for
-    each of ``stat_cols``, persisted to ``_file_stats.json``.  One
-    distributed aggregation over the table (map-side combine; the shuffle
-    key is the file name, cardinality = file count); the collect is the
-    manifest itself, never data.  Returns the number of files indexed."""
-    from pyspark.sql import functions as F
+def _rel_under(root: str, f: str) -> str:
+    """Path of ``f`` relative to ``root`` (both raw on-disk forms)."""
+    return f[f.find(root) + len(root):].lstrip("/") if root in f else f
+
+
+def _rel_uri_under(root: str, f: str) -> str:
+    """Relative on-disk path for a MANIFEST key.  Manifest keys come
+    from ``input_file_name()``: ``file:`` URIs with percent-encoding
+    (space -> %20; a Hive-escaped ':' dir ``p=a%3Ab`` double-encodes to
+    ``p=a%253Ab``).  One unquote maps them back to the raw names
+    os.walk reports.  Decode BEFORE the root match — the root portion
+    of the URI is encoded too, so a table path containing a space/'%'
+    would otherwise never substring-match and every call would read as
+    stale.  (Entries the indexer backfills for zero-row files are
+    stored ``quote()``-encoded so this same decode applies uniformly.)"""
+    from urllib.parse import unquote
+
+    return _rel_under(root, unquote(f))
+
+
+def _list_parquet_rel(path: str) -> dict[str, str]:
+    """Recursive ``{relative: absolute}`` listing of the table's data
+    files (``_``/``.`` sidecars skipped) — the ONE walk the stats layer
+    shares, so the freshness gate and the indexers can never disagree
+    about what counts as a data file."""
+    root = path.rstrip("/")
+    out: dict[str, str] = {}
+    for walk_root, dirs, fnames in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in fnames:
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                p = os.path.join(walk_root, fn)
+                out[_rel_under(root, p)] = p
+    return out
+
+
+def _write_json_durable(target: str, obj) -> None:
+    """tmp-write + data fsync + atomic rename + directory fsync: the
+    :class:`PosixSnapshotCommit` durability rule applied to every
+    sidecar manifest — without the data fsync a power loss can make the
+    RENAME durable while the bytes are not, leaving a 0-byte manifest
+    that bricks every subsequent read."""
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, target)
+    dfd = os.open(os.path.dirname(target) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _check_stat_cols(df: DataFrame, stat_cols: list[str]) -> None:
     from pyspark.sql.types import DecimalType
 
-    df = spark.read.parquet(path)
     decimals = [
         c for c in stat_cols if isinstance(df.schema[c].dataType, DecimalType)
     ]
@@ -1018,6 +1066,16 @@ def write_stats_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -
         # silently.  Cast to double in a view first if approximate bounds
         # are acceptable.
         raise ValueError(f"decimal stat columns unsupported: {decimals}")
+
+
+def _collect_file_stats(df: DataFrame, stat_cols: list[str]) -> dict:
+    """Per-file min/max/non-null entries keyed by ``input_file_name()``
+    — the one aggregation full and incremental indexing share.  A
+    ZERO-ROW file contributes no group here; callers must backfill
+    :func:`_empty_stats_entry` for listed files that produced none, or
+    the freshness gate reads the table as permanently stale."""
+    from pyspark.sql import functions as F
+
     aggs = []
     for c in stat_cols:
         aggs += [
@@ -1025,16 +1083,11 @@ def write_stats_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -
             F.max(c).alias(f"max__{c}"),
             F.count(c).alias(f"nnn__{c}"),
         ]
-    rows = (
-        df.groupBy(F.input_file_name().alias("__file"))
-        .agg(*aggs)
-        .collect()
-    )
+    rows = df.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
     files = {}
     for r in rows:
         d = r.asDict()
-        fname = d.pop("__file")
-        files[fname] = {
+        files[d.pop("__file")] = {
             c: {
                 "min": _json_safe(d[f"min__{c}"]),
                 "max": _json_safe(d[f"max__{c}"]),
@@ -1042,10 +1095,46 @@ def write_stats_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -
             }
             for c in stat_cols
         }
-    tmp = _stats_manifest_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"columns": stat_cols, "files": files}, f)
-    os.replace(tmp, _stats_manifest_path(path))
+    return files
+
+
+def _empty_stats_entry(stat_cols: list[str]) -> dict:
+    """Entry for a zero-row parquet file (an empty micro-batch append,
+    an over-partitioned write): no values at all, so ``n_nonnull = 0``
+    for every column — :func:`read_with_skipping` prunes it under any
+    constraint and reads it (harmlessly) under none."""
+    return {c: {"min": None, "max": None, "n_nonnull": 0} for c in stat_cols}
+
+
+def _backfill_zero_row_entries(
+    files: dict, stat_cols: list[str], root: str, listed_rel
+) -> None:
+    """Add empty-stats entries for listed files the aggregation never
+    saw (zero-row part files).  Keys are ``quote()``-encoded relative
+    paths so :func:`_rel_uri_under`'s one-unquote decode applies to
+    them exactly as to ``input_file_name()`` URIs."""
+    from urllib.parse import quote
+
+    seen = {_rel_uri_under(root, f) for f in files}
+    for r in listed_rel:
+        if r not in seen:
+            files[quote(r)] = _empty_stats_entry(stat_cols)
+
+
+def write_stats_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -> int:
+    """Index ``path``'s parquet files: per-file min/max/non-null count for
+    each of ``stat_cols``, persisted to ``_file_stats.json``.  One
+    distributed aggregation over the table (map-side combine; the shuffle
+    key is the file name, cardinality = file count); the collect is the
+    manifest itself, never data.  Returns the number of files indexed."""
+    df = spark.read.parquet(path)
+    _check_stat_cols(df, stat_cols)
+    files = _collect_file_stats(df, stat_cols)
+    root = path.rstrip("/")
+    _backfill_zero_row_entries(files, stat_cols, root, _list_parquet_rel(path))
+    _write_json_durable(
+        _stats_manifest_path(path), {"columns": stat_cols, "files": files}
+    )
     return len(files)
 
 
@@ -1071,26 +1160,12 @@ def update_stats_manifest(spark: SparkSession, path: str) -> dict:
     whole table (``write_stats_manifest``) every time — the Delta
     behavior, where each commit carries stats for its own added files
     only.  Returns ``{"added": n, "removed": n, "total": n}``."""
-    from urllib.parse import unquote
-
-    from pyspark.sql import functions as F
-
     with open(_stats_manifest_path(path)) as f:
         man = json.load(f)
     stat_cols = man["columns"]
     root = path.rstrip("/")
-
-    def rel(f: str) -> str:
-        return f[f.find(root) + len(root):].lstrip("/") if root in f else f
-
-    on_disk: dict[str, str] = {}
-    for walk_root, dirs, fnames in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        for fn in fnames:
-            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
-                p = os.path.join(walk_root, fn)
-                on_disk[rel(p)] = p
-    indexed = {rel(unquote(k)): k for k in man["files"]}
+    on_disk = _list_parquet_rel(path)
+    indexed = {_rel_uri_under(root, k): k for k in man["files"]}
     removed = [orig for r, orig in indexed.items() if r not in on_disk]
     new_rel = sorted(r for r in on_disk if r not in indexed)
     for orig in removed:
@@ -1103,30 +1178,12 @@ def update_stats_manifest(spark: SparkSession, path: str) -> dict:
             .schema(base_schema)
             .parquet(*[on_disk[r] for r in new_rel])
         )
-        aggs = []
-        for c in stat_cols:
-            aggs += [
-                F.min(c).alias(f"min__{c}"),
-                F.max(c).alias(f"max__{c}"),
-                F.count(c).alias(f"nnn__{c}"),
-            ]
-        rows = df.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
-        for r in rows:
-            d = r.asDict()
-            fname = d.pop("__file")
-            man["files"][fname] = {
-                c: {
-                    "min": _json_safe(d[f"min__{c}"]),
-                    "max": _json_safe(d[f"max__{c}"]),
-                    "n_nonnull": d[f"nnn__{c}"],
-                }
-                for c in stat_cols
-            }
-        added = len(rows)
-    tmp = _stats_manifest_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(man, f)
-    os.replace(tmp, _stats_manifest_path(path))
+        _check_stat_cols(df, stat_cols)
+        fresh = _collect_file_stats(df, stat_cols)
+        _backfill_zero_row_entries(fresh, stat_cols, root, new_rel)
+        man["files"].update(fresh)
+        added = len(fresh)
+    _write_json_durable(_stats_manifest_path(path), man)
     return {"added": added, "removed": len(removed), "total": len(man["files"])}
 
 
@@ -1160,33 +1217,17 @@ def read_with_skipping(
     # partition column can itself be a stat column: each file's value is
     # constant (min == max), so file pruning subsumes partition pruning
     # for range predicates on it.
-    from urllib.parse import unquote
-
     root = path.rstrip("/")
 
-    def rel(f: str) -> str:
-        return f[f.find(root) + len(root):].lstrip("/") if root in f else f
-
     def rel_uri(f: str) -> str:
-        # Manifest paths come from input_file_name(): file: URIs with
-        # percent-encoding (space -> %20; a Hive-escaped ':' dir
-        # 'p=a%3Ab' double-encodes to 'p=a%253Ab').  One unquote maps
-        # them back to the raw on-disk names os.walk reports.  Decode
-        # BEFORE the root match — the root portion of the URI is encoded
-        # too, so a table path containing a space/'%' would otherwise
-        # never substring-match and every call would read as stale.
-        return rel(unquote(f))
+        return _rel_uri_under(root, f)
 
     partitioned = any("=" in rel_uri(f) for f in man["files"])
     # Freshness gate: pruning from a stale manifest silently DROPS every
     # row of a file appended after indexing (and dangles on files a
-    # compaction rewrote).  One driver-side recursive listing.
-    on_disk = set()
-    for walk_root, dirs, fnames in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        for f in fnames:
-            if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                on_disk.add(rel(os.path.join(walk_root, f)))
+    # compaction rewrote).  One driver-side recursive listing — the SAME
+    # listing the indexers use, so gate and index can never disagree.
+    on_disk = set(_list_parquet_rel(path))
     indexed = {rel_uri(f) for f in man["files"]}
     if on_disk != indexed:
         raise ValueError(

@@ -67,10 +67,9 @@ def _check_sink_meta(table_path: str, meta: dict) -> None:
     path = _sink_meta_path(table_path)
     if not os.path.exists(path):
         os.makedirs(table_path, exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, path)
+        # Durable write: a torn meta file would fail every later batch's
+        # contract check and every lookup until manually repaired.
+        maintenance._write_json_durable(path, meta)
         return
     with open(path) as f:
         recorded = json.load(f)
@@ -128,28 +127,16 @@ def merge_batch_into_snapshot(
                 f"scheme of a current-state table cannot change in place "
                 f"— rebuild the table to migrate"
             )
-        # Late-data guard: a delayed file must not regress a key.  The
-        # comparison uses the full (order_col, *tiebreak) tuple — a
-        # redelivered tie-LOSER compares strictly below the stored
-        # winner and is discarded; an exact replay compares equal,
-        # re-merges identical content, and skip_unchanged withdraws the
-        # publish.  Current rows for the touched partitions only
-        # (partition-pruned scan), keyed lookup of the stored tuple.
-        ord_tuple = F.struct(order_col, *tiebreak)
-        touched = [
-            r[0]
-            for r in latest.select(
-                maintenance.partition_key_expr(part_col).alias("p")
-            ).distinct().collect()
-        ]
         spark = latest.sparkSession
         current = maintenance.read_snapshot(spark, table_path)
-        # Dtype-drift guard: xxhash64 is TYPE-sensitive (the same numeric
-        # value buckets differently as int vs long), so a batch whose key
-        # column type drifted re-buckets every key — the stored row is in
-        # the old bucket, the pruned lookup below misses it, and the key
-        # ends up current in TWO partitions.  Order/tiebreak drift breaks
-        # the stored-tuple comparison the same silent way.  Fail fast.
+        # Dtype-drift guard FIRST (pure metadata — no executor work
+        # before failing fast): xxhash64 is TYPE-sensitive (the same
+        # numeric value buckets differently as int vs long), so a batch
+        # whose key column type drifted re-buckets every key — the
+        # stored row is in the old bucket, the pruned lookup below
+        # misses it, and the key ends up current in TWO partitions.
+        # Order/tiebreak drift breaks the stored-tuple comparison the
+        # same silent way.
         cur_types = dict(current.dtypes)
         new_types = dict(latest.dtypes)
         drift = {
@@ -165,6 +152,20 @@ def merge_batch_into_snapshot(
                 f"strands stale rows — cast the batch to the table's "
                 f"types upstream"
             )
+        # Late-data guard: a delayed file must not regress a key.  The
+        # comparison uses the full (order_col, *tiebreak) tuple — a
+        # redelivered tie-LOSER compares strictly below the stored
+        # winner and is discarded; an exact replay compares equal,
+        # re-merges identical content, and skip_unchanged withdraws the
+        # publish.  Current rows for the touched partitions only
+        # (partition-pruned scan), keyed lookup of the stored tuple.
+        ord_tuple = F.struct(order_col, *tiebreak)
+        touched = [
+            r[0]
+            for r in latest.select(
+                maintenance.partition_key_expr(part_col).alias("p")
+            ).distinct().collect()
+        ]
         stored = (
             current.where(maintenance.partition_predicate(part_col, touched))
             .select(*keys, ord_tuple.alias("__stored_ord"))
@@ -260,6 +261,10 @@ def lookup_current(spark: SparkSession, table_path: str, key_values) -> DataFram
         for v in key_values
     ]
     current = maintenance.read_snapshot(spark, table_path)
+    if not rows:
+        # Zero probe keys → zero rows, same schema — createDataFrame
+        # cannot infer a schema from an empty list, so short-circuit.
+        return current.where(F.lit(False))
     # Cast the probe to the TABLE's key dtypes before bucketing:
     # xxhash64 is type-sensitive (5 as int and 5 as long land in
     # different buckets), and createDataFrame infers Python ints as
@@ -276,23 +281,28 @@ def lookup_current(spark: SparkSession, table_path: str, key_values) -> DataFram
             f"snapshot schema {list(cur_types)} — the table no longer "
             f"matches its _sink_meta.json layout contract"
         )
-    probe = spark.createDataFrame(rows, list(keys)).select(
-        # try_cast, not cast: under ANSI mode a probe value outside the
-        # key type's range (e.g. 10**12 against an int key) would throw;
-        # it can match nothing, so null-and-drop is the right semantics.
-        *[F.col(k).try_cast(cur_types[k]).alias(k) for k in keys]
+    probe = (
+        spark.createDataFrame(rows, list(keys))
+        .select(
+            # try_cast, not cast: under ANSI mode a probe value outside
+            # the key type's range (e.g. 10**12 against an int key)
+            # would throw; it can match nothing, so null is right.
+            *[F.col(k).try_cast(cur_types[k]).alias(k) for k in keys]
+        )
+        # A null key component can never match stored state (the semi-
+        # join is null-rejecting) — and xxhash64 SKIPS null inputs
+        # (returns its seed, not null), so keeping the row would prune
+        # IN one spurious bucket partition per failed-cast probe.
+        .na.drop("any", subset=list(keys))
     )
     # The SAME bucket expression the sink writes with, evaluated on the
     # probe keys; the distinct bucket list then prunes the snapshot read
     # at planning (partition-only predicate over the assembled scans).
-    # A null bucket (a probe value that failed its cast) can match
-    # nothing — drop it rather than feed None to the predicate.
     buckets = [
         r[0]
         for r in probe.select(
             key_bucket(keys, n_buckets).cast("string").alias("b")
         ).distinct().collect()
-        if r[0] is not None
     ]
     pruned = current.where(maintenance.partition_predicate(part_col, buckets))
     return pruned.join(F.broadcast(probe.distinct()), list(keys), "left_semi")

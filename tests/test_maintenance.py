@@ -1542,3 +1542,50 @@ def test_update_stats_manifest_partitioned(spark, tmp_path):
     assert prune["files_skipped"] >= 2
     rows = got.collect()
     assert [(r.id, r.v, r.p) for r in rows] == [(99, 999.0, 1)]
+
+
+def test_stats_manifest_indexes_zero_row_files(spark, tmp_path):
+    """A zero-row part file (empty micro-batch append, over-partitioned
+    write) must still get a manifest entry — otherwise the indexers
+    report success while the freshness gate reads the table as
+    permanently stale (on_disk != indexed, forever)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    path = str(tmp_path / "zr")
+    spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v").coalesce(
+        2
+    ).write.parquet(path)
+
+    def add_empty(name):
+        papq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([], type=pa.int64()),
+                    "v": pa.array([], type=pa.float64()),
+                }
+            ),
+            os.path.join(path, name),
+        )
+
+    # Full index over a layout that already contains a zero-row file.
+    add_empty("part-zero-a.parquet")
+    n = mt.write_stats_manifest(spark, path, ["v"])
+    assert n == 3  # 2 data files + the empty one
+    got, rep = mt.read_with_skipping(spark, path, {"v": (10.0, 20.0)})
+    assert got.count() == 11
+    assert rep["files_total"] == 3
+    # The zero-row file can satisfy no range predicate: pruned.
+    assert rep["files_skipped"] >= 1
+
+    # Incremental refresh discovers a NEW zero-row file and converges
+    # (the regression: it returned added=0 and the gate stayed stale).
+    add_empty("part-zero-b.parquet")
+    out = mt.update_stats_manifest(spark, path)
+    assert out["added"] == 1 and out["total"] == 4
+    got, rep = mt.read_with_skipping(spark, path, {"v": (10.0, 20.0)})
+    assert got.count() == 11 and rep["files_total"] == 4

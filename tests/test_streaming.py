@@ -699,9 +699,15 @@ def test_lookup_current_casts_probe_to_table_key_dtype(spark, tmp_path):
     # entirely unless the probe is cast to the stored int type.
     got = snapshot_sink.lookup_current(spark, table, [5, 17])
     assert {(r.k, r.v) for r in got.collect()} == {(5, 5.0), (17, 17.0)}
-    # A probe value that cannot cast to the key type yields no row (and
-    # must not break the partition predicate with a null bucket).
-    assert snapshot_sink.lookup_current(spark, table, [10**12]).count() in (0, 1)
+    # A probe value that cannot cast to the key type yields NO row — and
+    # contributes no bucket to the pruned scan (xxhash64 of a null key
+    # returns its seed, so an undropped null probe would scan a spurious
+    # partition).
+    assert snapshot_sink.lookup_current(spark, table, [10**12]).count() == 0
+    # Zero probe keys: empty result, same schema, no inference error.
+    empty = snapshot_sink.lookup_current(spark, table, [])
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v", "event_time", "bucket"]
 
 
 def test_merge_batch_rejects_key_dtype_drift(spark, tmp_path):
