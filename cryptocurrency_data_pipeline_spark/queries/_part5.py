@@ -2418,3 +2418,71 @@ def bucket_point_lookup(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental stats-manifest refresh (maintenance.update_stats_manifest):
+# the stats-per-commit Delta shape — a first wave of files is indexed
+# fully, a second wave lands later, and the refresh aggregates ONLY the
+# new files (O(new files), not a table rescan) before a skipping read
+# answers a range query over the combined layout.  The refresh count is
+# asserted in-line (a zero `added` on a changed directory is the
+# permanently-stale regression class); the result is value-identical to
+# the plain filtered aggregate, so the oracle is the plain SQL.
+# --------------------------------------------------------------------------
+
+@query(
+    "incremental_stats_refresh_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_totalprice >= 200000.0 AND o_totalprice <= 280000.0
+    GROUP BY 1
+    """,
+)
+def incremental_stats_refresh_scan(spark, sf_dir):
+    """Index wave 1 of a range-clustered orders layout, append wave 2,
+    refresh the stats manifest incrementally, and answer a range query
+    through the skipping read over both waves."""
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        # pid-scoped: see stats_pruned_scan.
+        f"spark_graft_statrefresh_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic layout per run
+
+    def wave(df):
+        return df.repartitionByRange(4, "o_totalprice").sortWithinPartitions(
+            "o_totalprice"
+        )
+
+    wave(orders.filter(F.col("o_orderkey") % 2 == 0)).write.parquet(table)
+    mt.write_stats_manifest(spark, table, ["o_totalprice"])
+    wave(orders.filter(F.col("o_orderkey") % 2 == 1)).write.mode(
+        "append"
+    ).parquet(table)
+    out = mt.update_stats_manifest(spark, table)
+    if out["added"] == 0:  # refresh must SEE the appended wave
+        raise RuntimeError(f"incremental refresh indexed nothing: {out}")
+
+    pruned, _report = mt.read_with_skipping(
+        spark, table, {"o_totalprice": (200000.0, 280000.0)}
+    )
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
