@@ -132,8 +132,24 @@ def bloom_semi_join(
 
     Value-identical to ``big.join(small, on=key, how='left_semi')`` —
     the bloom pass only decides how few rows reach that join's shuffle.
+
+    The two key columns must share one dtype: ``xxhash64`` is
+    TYPE-sensitive (the same numeric value hashes differently as int vs
+    long), so mismatched sides would produce bloom FALSE NEGATIVES —
+    rows silently missing from an "exact" semi-join.  The plain join
+    below would paper over it with an implicit coercion cast; refusing
+    is the only honest option, so align the types explicitly upstream.
     """
     small_key = small_key or big_key
+    big_t = dict(big.dtypes)[big_key]
+    small_t = dict(small.dtypes)[small_key]
+    if big_t != small_t:
+        raise ValueError(
+            f"bloom_semi_join key dtype mismatch: {big_key!r} is {big_t} "
+            f"but {small_key!r} is {small_t}; xxhash64 is type-sensitive, "
+            f"so hashing mismatched sides drops matching rows (false "
+            f"negatives) — cast one side first"
+        )
     bloom = bloom_build(small, small_key, m_bits, k)
     candidates = bloom_prune(big, big_key, bloom, m_bits, k)
     return candidates.join(

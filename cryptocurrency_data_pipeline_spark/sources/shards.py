@@ -28,7 +28,6 @@ corpus that does not fit in one file.
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Sequence
 
@@ -126,6 +125,11 @@ def write_training_shards(
             key=lambda s: (s["split"], s["shard"]),
         ),
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
+    # Durable atomic publish (fsync before rename): a torn manifest
+    # would strand a fully-written corpus behind a JSON parse error.
+    from cryptocurrency_data_pipeline_spark.operators.maintenance import (
+        _write_json_durable,
+    )
+
+    _write_json_durable(os.path.join(path, "_manifest.json"), manifest)
     return manifest

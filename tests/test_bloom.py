@@ -75,3 +75,20 @@ def test_deterministic_bitset(spark):
     assert w1 == w2
     assert len(w1) == M_BITS // 64
     assert any(w != 0 for w in w1)
+
+
+def test_bloom_semi_join_rejects_key_dtype_mismatch(spark):
+    """xxhash64 is type-sensitive: hashing an int build side against a
+    long probe side produces false negatives — rows silently missing
+    from an 'exact' semi-join.  The composition refuses instead."""
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import bloom
+
+    big = spark.range(100).selectExpr("id AS k")                 # long
+    small = spark.range(10).selectExpr("CAST(id AS INT) AS k")   # int
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        bloom.bloom_semi_join(big, small, "k")
+    # Aligned types: exact semi-join semantics hold.
+    got = bloom.bloom_semi_join(big, small.selectExpr("CAST(k AS LONG) AS k"), "k")
+    assert sorted(r.k for r in got.collect()) == list(range(10))
