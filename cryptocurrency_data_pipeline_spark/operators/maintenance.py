@@ -295,7 +295,9 @@ def partition_predicate(part_col: str, touched):
     return pred
 
 
-def _partition_fingerprints(df: DataFrame, part_col: str) -> dict:
+def _partition_fingerprints(
+    df: DataFrame, part_col: str, stats_cols: Sequence[str] | None = None
+) -> dict:
     """Per-partition multiset fingerprint of the NON-partition columns:
     ``{part_value_str: {"n": row_count, "fp": decimal-sum-of-xxhash64}}``.
 
@@ -303,7 +305,14 @@ def _partition_fingerprints(df: DataFrame, part_col: str) -> dict:
     duplicate changes the sum); the sum runs in ``decimal(38,0)`` so it
     can never hit an ANSI overflow.  Columns are hashed in sorted-name
     order so the fingerprint is invariant to select order between
-    versions.  One aggregation pass, shuffle key = partition value."""
+    versions.  One aggregation pass, shuffle key = partition value.
+
+    ``stats_cols`` additionally records per-partition min/max/non-null
+    counts in the SAME pass (``"stats": {col: {min, max, n_nonnull}}``)
+    — the Delta per-file-stats pattern at the snapshot layer's own
+    management granularity, costing zero extra jobs.  Content-derived,
+    so input-frame and landed-read-back computations agree (the
+    ``precomputed`` path stays valid)."""
     from pyspark.sql import functions as F
 
     data_cols = sorted(c for c in df.columns if c != part_col)
@@ -311,19 +320,62 @@ def _partition_fingerprints(df: DataFrame, part_col: str) -> dict:
     # requires >=1 argument, so hash a constant — the row count alone
     # then carries the fingerprint.
     fp = F.xxhash64(*data_cols) if data_cols else F.xxhash64(F.lit(1))
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(fp.cast("decimal(38,0)")).alias("__fp"),
+    ]
+    for c in stats_cols or ():
+        aggs += [
+            F.min(c).alias(f"__min__{c}"),
+            F.max(c).alias(f"__max__{c}"),
+            F.count(c).alias(f"__nnn__{c}"),
+        ]
     # partition_key_expr maps empty string AND null to the sentinel, so
     # fingerprints computed on an input frame (skip_unchanged pre-check)
     # and on the landed read-back agree.
     key = partition_key_expr(part_col)
-    rows = (
-        df.groupBy(key.alias("__part"))
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum(fp.cast("decimal(38,0)")).alias("__fp"),
+    rows = df.groupBy(key.alias("__part")).agg(*aggs).collect()
+    out = {}
+    for r in rows:
+        meta = {"n": r["__n"], "fp": str(r["__fp"])}
+        if stats_cols:
+            meta["stats"] = {
+                c: {
+                    "min": _json_safe(r[f"__min__{c}"]),
+                    "max": _json_safe(r[f"__max__{c}"]),
+                    "n_nonnull": r[f"__nnn__{c}"],
+                }
+                for c in stats_cols
+            }
+        out[r["__part"]] = meta
+    return out
+
+
+def _validate_stats_cols(
+    df: DataFrame, part_col: str | None, stats_cols: Sequence[str] | None
+) -> list[str] | None:
+    """Checked, normalized ``stats_cols`` for a snapshot write: requires
+    a partitioned table (the envelopes live per partition), existing
+    non-decimal columns, and not the partition column itself (partition
+    values are already prunable by definition)."""
+    if not stats_cols:
+        return None
+    if not part_col:
+        raise ValueError(
+            "stats_cols requires part_col (partition-granular envelopes); "
+            "for an unpartitioned directory use write_stats_manifest"
         )
-        .collect()
-    )
-    return {r["__part"]: {"n": r["__n"], "fp": str(r["__fp"])} for r in rows}
+    stats_cols = list(stats_cols)
+    missing = [c for c in stats_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"stats_cols not in the frame: {missing}")
+    if part_col in stats_cols:
+        raise ValueError(
+            f"stats_cols must not include the partition column "
+            f"{part_col!r} — partition values prune directly"
+        )
+    _check_stat_cols(df, stats_cols)
+    return stats_cols
 
 
 def _new_snap_dir(table_path: str, version: int) -> tuple[str, str]:
@@ -353,6 +405,7 @@ def write_snapshot(
     table_path: str,
     part_col: str | None = None,
     record_keys: Sequence[str] | None = None,
+    stats_cols: Sequence[str] | None = None,
     commit: SnapshotCommit | None = None,
 ) -> int:
     """Write ``df`` as the table's next immutable snapshot and flip the
@@ -367,12 +420,23 @@ def write_snapshot(
 
     ``record_keys`` notes the table's row-identity columns in the
     manifest (used by ``snapshot_changes(collapse=True)`` to pair an
-    update's delete+insert rows).  The data lands in a uniquely-named
+    update's delete+insert rows).
+
+    ``stats_cols`` records per-PARTITION min/max/non-null envelopes in
+    the manifest (computed inside the same aggregation pass as the
+    fingerprints — zero extra jobs), enabling
+    :func:`read_snapshot_with_stats_skipping` to drop whole partitions
+    at planning time.  Requires ``part_col``; later partial versions
+    (:func:`upsert_snapshot` / :func:`merge_into_snapshot`) inherit the
+    setting and keep the envelopes current for rewritten partitions.
+
+    The data lands in a uniquely-named
     directory and becomes visible only when ``commit`` (default: the
     POSIX flock protocol) publishes the manifest — a failure at any
     point leaves an unreferenced directory, never a half-visible or
     wedged table."""
     os.makedirs(table_path, exist_ok=True)
+    stats_cols = _validate_stats_cols(df, part_col, stats_cols)
     man = _load_manifest(table_path)
     version = man["current"] + 1
     rel_dir, snap_dir = _new_snap_dir(table_path, version)
@@ -381,9 +445,11 @@ def write_snapshot(
         entry: dict = {"dir": rel_dir}
         if record_keys:
             entry["keys"] = list(record_keys)
+        if stats_cols:
+            entry["stats_cols"] = stats_cols
         if part_col:
             parts = _write_partitioned_version(
-                df, snap_dir, part_col, version, rel_dir
+                df, snap_dir, part_col, version, rel_dir, stats_cols=stats_cols
             )
             entry.update(
                 part_col=part_col,
@@ -417,6 +483,7 @@ def _write_partitioned_version(
     version: int,
     rel_dir: str,
     precomputed: dict | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> dict:
     """Land ``df`` Hive-partitioned in ``snap_dir`` and return its
     fingerprint map (each entry stamped with ``src``, the version that
@@ -466,7 +533,7 @@ def _write_partitioned_version(
         # directory strings the manifest keys on.
         with partition_inference_off(spark):
             landed = spark.read.parquet(snap_dir)
-        parts = _partition_fingerprints(landed, part_col)
+        parts = _partition_fingerprints(landed, part_col, stats_cols=stats_cols)
     for meta in parts.values():
         meta["src"] = version
         meta["src_dir"] = rel_dir
@@ -543,6 +610,7 @@ def upsert_snapshot(
     drop_partitions: Sequence[str] = (),
     skip_unchanged: bool = False,
     record_keys: Sequence[str] | None = None,
+    stats_cols: Sequence[str] | None = None,
     commit: SnapshotCommit | None = None,
 ) -> int:
     """Copy-on-write partial snapshot: publish a new version that REWRITES
@@ -605,6 +673,19 @@ def upsert_snapshot(
         )
     dropped = {str(d) for d in drop_partitions}
     prev_parts = prev.get("parts", {})
+    # Stats envelopes are a TABLE setting: inherited from the previous
+    # version unless explicitly (re)set, restricted to columns the new
+    # frame still carries (schema evolution may drop a stat column — its
+    # envelope simply stops being recorded from this version on).
+    # Enabling stats on an existing table via the parameter is valid:
+    # inherited partitions simply stay conservatively unprunable until
+    # their next rewrite records an envelope.
+    if stats_cols:
+        stats_cols = _validate_stats_cols(new_rows, part_col, stats_cols)
+    else:
+        stats_cols = [
+            c for c in prev.get("stats_cols", ()) if c in new_rows.columns
+        ] or None
     pre: dict | None = None
     if skip_unchanged:
         # Pre-write no-op detection: fingerprint the INPUT (one agg
@@ -612,7 +693,7 @@ def upsert_snapshot(
         # micro-batch returns here without writing a byte.  Content
         # hashes are representation-independent, so the input frame and
         # what its parquet write would land agree exactly.
-        pre = _partition_fingerprints(new_rows, part_col)
+        pre = _partition_fingerprints(new_rows, part_col, stats_cols=stats_cols)
         clash = sorted(dropped & set(pre))
         if clash:
             raise ValueError(f"partitions both rewritten and dropped: {clash}")
@@ -634,7 +715,8 @@ def upsert_snapshot(
     committed = False
     try:
         fresh = _write_partitioned_version(
-            new_rows, snap_dir, part_col, version, rel_dir, precomputed=pre
+            new_rows, snap_dir, part_col, version, rel_dir,
+            precomputed=pre, stats_cols=stats_cols,
         )
         clash = sorted(dropped & set(fresh))
         if clash:
@@ -664,6 +746,8 @@ def upsert_snapshot(
         keys = list(record_keys) if record_keys else prev.get("keys")
         if keys:
             entry["keys"] = keys
+        if stats_cols:
+            entry["stats_cols"] = stats_cols
         _commit_version(table_path, version, entry, commit)
         committed = True
     finally:
@@ -930,8 +1014,41 @@ def read_snapshot(spark: SparkSession, table_path: str, version: int | None = No
         # Unpartitioned — or an empty partitioned version, stored as one
         # empty typed file with part_col as a regular column.
         return spark.read.parquet(os.path.join(table_path, snap["dir"]))
+    return _assemble_partitioned_read(
+        spark, table_path, snap, version, snap["parts"]
+    )
+
+
+def _assemble_partitioned_read(
+    spark: SparkSession,
+    table_path: str,
+    snap: dict,
+    version: int,
+    parts: dict,
+) -> DataFrame:
+    """Union of per-source partition-pruned scans over ``parts`` (a
+    subset of the version's partition map — the skipping reader passes
+    the survivors).  An EMPTY subset returns an empty frame with the
+    version's schema."""
+    from pyspark.sql import functions as F
+
+    from cryptocurrency_data_pipeline_spark.sources.tables import (
+        partition_inference_off,
+    )
+
+    pc = snap["part_col"]
+    if not parts:
+        # Every partition pruned: empty frame, version schema.  Assemble
+        # over the FULL map (non-empty here — an empty-version snap is
+        # routed to its typed empty file before this helper is reached)
+        # and filter to nothing; the planner collapses it to a zero-task
+        # local scan.
+        full = _assemble_partitioned_read(
+            spark, table_path, snap, version, snap["parts"]
+        )
+        return full.where(F.lit(False))
     groups: dict[str, list[str]] = {}
-    for k, meta in snap["parts"].items():
+    for k, meta in parts.items():
         src_dir = meta.get(
             "src_dir",
             os.path.join("snapshots", f"v{meta.get('src', version)}"),
@@ -942,9 +1059,13 @@ def read_snapshot(spark: SparkSession, table_path: str, version: int | None = No
     with partition_inference_off(spark):
         for src_dir in sorted(groups):
             df = spark.read.parquet(os.path.join(table_path, src_dir))
-            if not (len(groups) == 1 and src_dir == snap["dir"]):
-                # Source dirs hold partitions beyond the inherited set;
-                # a partition-only IN filter prunes to ours at planning.
+            if not (
+                len(groups) == 1
+                and src_dir == snap["dir"]
+                and len(parts) == len(snap["parts"])
+            ):
+                # Source dirs hold partitions beyond the wanted set; a
+                # partition-only IN filter prunes to ours at planning.
                 keys = groups[src_dir]
                 vals = [k for k in keys if k != _NULL_PART]
                 pred = F.col(pc).isin(vals)
@@ -965,6 +1086,83 @@ def read_snapshot(spark: SparkSession, table_path: str, version: int | None = No
         # longer carries are dropped from the assembled read.
         out = out.select(*cols)
     return out.withColumn(pc, F.col(pc).cast(part_type))
+
+
+def read_snapshot_with_stats_skipping(
+    spark: SparkSession,
+    table_path: str,
+    ranges: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Range-predicate read of a snapshot version that drops whole
+    PARTITIONS through the manifest's per-partition min/max envelopes
+    before any scan is planned — the manifest-level half of the
+    data-skipping story (:func:`read_with_skipping` covers per-file
+    pruning inside a plain directory).
+
+    ``ranges`` maps column → ``(lo, hi)``, either bound open.  A
+    partition survives iff every constrained column's envelope
+    intersects ``[lo, hi]``; entries written before stats were enabled
+    carry no envelope and are conservatively kept.  The residual
+    predicate is applied to surviving rows, so the result is EXACT —
+    value-identical to filtering the full read.  Returns ``(df,
+    report)`` with ``partitions_total / read / skipped`` counts.
+
+    Scale shape: pruning is O(partitions) driver-side dict work over
+    state the write path already maintains; a time-correlated predicate
+    on a dt-partitioned 100 TB table plans scans for only the matching
+    days' directories."""
+    from pyspark.sql import functions as F
+
+    man = _load_manifest(table_path)
+    version = man["current"] if version is None else version
+    snap = man["snapshots"].get(str(version))
+    if snap is None:
+        raise ValueError(
+            f"version {version} not available (retained: "
+            f"{sorted(int(v) for v in man['snapshots'])})"
+        )
+    if not snap.get("part_col") or not snap.get("parts"):
+        if snap.get("part_col") and not snap.get("parts"):
+            # Empty partitioned version (one typed empty file): nothing
+            # to prune, nothing to read.
+            df = read_snapshot(spark, table_path, version)
+            return df, {
+                "partitions_total": 0,
+                "partitions_read": 0,
+                "partitions_skipped": 0,
+            }
+        raise ValueError(
+            "read_snapshot_with_stats_skipping requires a partitioned "
+            "version (write the table with part_col= and stats_cols=)"
+        )
+    recorded = snap.get("stats_cols", [])
+    missing = [c for c in ranges if c not in recorded]
+    if missing:
+        raise ValueError(
+            f"no partition stats recorded for columns: {missing} "
+            f"(version {version} records {recorded})"
+        )
+    # Bounds share the manifest's value representation (dates → ISO).
+    ranges = {c: (_json_safe(lo), _json_safe(hi)) for c, (lo, hi) in ranges.items()}
+    parts = snap.get("parts", {})
+    keep = {
+        k: meta
+        for k, meta in parts.items()
+        if _stats_intersects(meta.get("stats"), ranges)
+    }
+    df = _assemble_partitioned_read(spark, table_path, snap, version, keep)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.where(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(c) <= F.lit(hi))
+    report = {
+        "partitions_total": len(parts),
+        "partitions_read": len(keep),
+        "partitions_skipped": len(parts) - len(keep),
+    }
+    return df, report
 
 
 def list_snapshots(table_path: str) -> list[dict]:
@@ -1096,6 +1294,30 @@ def _collect_file_stats(df: DataFrame, stat_cols: list[str]) -> dict:
             for c in stat_cols
         }
     return files
+
+
+def _stats_intersects(stats: dict | None, ranges: dict) -> bool:
+    """True iff a unit (file or partition) with min/max envelope
+    ``stats`` can contain rows satisfying every range in ``ranges``
+    (bounds already in manifest representation).  ``None`` stats —
+    a unit recorded before stats were enabled — is conservatively
+    kept; a column with zero non-null values can satisfy no range
+    constraint, so it prunes."""
+    if stats is None:
+        return True
+    for c, (lo, hi) in ranges.items():
+        if lo is None and hi is None:
+            continue  # no constraint — never prunes, not even all-null units
+        s = stats.get(c)
+        if s is None:
+            continue  # unit predates this stat column: conservative keep
+        if s["n_nonnull"] == 0:
+            return False
+        if lo is not None and s["max"] is not None and s["max"] < lo:
+            return False
+        if hi is not None and s["min"] is not None and s["min"] > hi:
+            return False
+    return True
 
 
 def _empty_stats_entry(stat_cols: list[str]) -> dict:
@@ -1240,21 +1462,7 @@ def read_with_skipping(
 
     keep = []
     for fname, stats in man["files"].items():
-        ok = True
-        for c, (lo, hi) in ranges.items():
-            if lo is None and hi is None:
-                continue  # no constraint — never prunes, not even all-null files
-            s = stats[c]
-            if s["n_nonnull"] == 0:
-                ok = False
-                break
-            if lo is not None and s["max"] is not None and s["max"] < lo:
-                ok = False
-                break
-            if hi is not None and s["min"] is not None and s["min"] > hi:
-                ok = False
-                break
-        if ok:
+        if _stats_intersects(stats, ranges):
             # Surviving files are read by their DECODED on-disk paths:
             # Spark's reader treats arguments as paths, not URIs, so the
             # percent-encoded input_file_name form would be looked up

@@ -930,7 +930,7 @@ def test_concurrent_snapshot_commit_detected_and_loser_preserves_winner(
     state = {"fired": False}
     winner_dir = os.path.join(table, "snapshots", "v2-feedc0de")
 
-    def fp_with_race(frame, part_col):
+    def fp_with_race(frame, part_col, **kwargs):
         if not state["fired"]:
             state["fired"] = True
             os.makedirs(winner_dir)
@@ -940,7 +940,7 @@ def test_concurrent_snapshot_commit_detected_and_loser_preserves_winner(
             import json
             with open(os.path.join(table, "_versions.json"), "w") as f:
                 json.dump(man, f)
-        return real_fp(frame, part_col)
+        return real_fp(frame, part_col, **kwargs)
 
     mt._partition_fingerprints = fp_with_race
     try:
@@ -1589,3 +1589,110 @@ def test_stats_manifest_indexes_zero_row_files(spark, tmp_path):
     assert out["added"] == 1 and out["total"] == 4
     got, rep = mt.read_with_skipping(spark, path, {"v": (10.0, 20.0)})
     assert got.count() == 11 and rep["files_total"] == 4
+
+
+def test_snapshot_partition_stats_skipping(spark, tmp_path):
+    """Partition-granular min/max envelopes in the version manifest
+    (recorded inside the fingerprint pass) let a range read drop whole
+    partitions driver-side; results stay value-identical to filtering
+    the full read, and upsert/merge keep envelopes current while
+    inherited partitions keep theirs."""
+    from pyspark.sql import functions as F
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "pstats")
+    # 4 partitions, v strictly increasing with p: p -> v in [100p, 100p+9]
+    base = spark.range(40).selectExpr(
+        "CAST(id % 4 AS INT) AS p", "CAST(id % 4 AS DOUBLE) * 100 + id AS v", "id"
+    )
+    assert mt.write_snapshot(base, table, part_col="p", stats_cols=["v"]) == 1
+
+    got, rep = mt.read_snapshot_with_stats_skipping(spark, table, {"v": (200.0, 250.0)})
+    want = base.filter("v >= 200.0 AND v <= 250.0")
+    assert sorted(r.id for r in got.collect()) == sorted(r.id for r in want.collect())
+    assert rep == {"partitions_total": 4, "partitions_read": 1, "partitions_skipped": 3}
+
+    # Every partition pruned: empty frame, schema kept.
+    got, rep = mt.read_snapshot_with_stats_skipping(spark, table, {"v": (1e9, None)})
+    assert got.count() == 0 and rep["partitions_read"] == 0
+    assert set(got.columns) == {"p", "v", "id"}
+
+    # Upsert rewrites partition 0 with OUT-OF-BAND values; its envelope
+    # must follow, inherited partitions keep theirs.
+    v2_rows = spark.range(5).selectExpr(
+        "CAST(0 AS INT) AS p", "CAST(id AS DOUBLE) + 9000 AS v", "id + 1000 AS id"
+    )
+    assert mt.upsert_snapshot(v2_rows, table) == 2
+    got, rep = mt.read_snapshot_with_stats_skipping(spark, table, {"v": (9000.0, None)})
+    assert rep["partitions_read"] == 1 and got.count() == 5
+    # The old envelope (0..39) no longer matches partition 0.
+    got, rep = mt.read_snapshot_with_stats_skipping(spark, table, {"v": (0.0, 50.0)})
+    assert rep["partitions_read"] == 0
+    # Time travel: v1 still prunes with ITS envelopes.
+    got, rep = mt.read_snapshot_with_stats_skipping(
+        spark, table, {"v": (0.0, 50.0)}, version=1
+    )
+    assert rep["partitions_read"] == 1 and got.count() == 10
+
+
+def test_snapshot_stats_validation_and_late_enable(spark, tmp_path):
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "pstats2")
+    base = spark.range(20).selectExpr(
+        "CAST(id % 2 AS INT) AS p", "CAST(id AS DOUBLE) AS v", "id"
+    )
+    with pytest.raises(ValueError, match="requires part_col"):
+        mt.write_snapshot(base, str(tmp_path / "x1"), stats_cols=["v"])
+    with pytest.raises(ValueError, match="not in the frame"):
+        mt.write_snapshot(base, str(tmp_path / "x2"), part_col="p", stats_cols=["nope"])
+    with pytest.raises(ValueError, match="partition column"):
+        mt.write_snapshot(base, str(tmp_path / "x3"), part_col="p", stats_cols=["p"])
+
+    # Table created WITHOUT stats; reader refuses an unrecorded column.
+    assert mt.write_snapshot(base, table, part_col="p") == 1
+    with pytest.raises(ValueError, match="no partition stats recorded"):
+        mt.read_snapshot_with_stats_skipping(spark, table, {"v": (0.0, 5.0)})
+
+    # Enable stats via a later partial version: the rewritten partition
+    # gets an envelope; the inherited one is conservatively kept.
+    newer = spark.range(5).selectExpr(
+        "CAST(0 AS INT) AS p", "CAST(id AS DOUBLE) + 500 AS v", "id + 100 AS id"
+    )
+    assert mt.upsert_snapshot(newer, table, stats_cols=["v"]) == 2
+    got, rep = mt.read_snapshot_with_stats_skipping(spark, table, {"v": (0.0, 50.0)})
+    # Partition 0's fresh envelope (500..504) prunes; partition 1 has no
+    # envelope yet and must be read (conservative), then filtered.
+    assert rep == {"partitions_total": 2, "partitions_read": 1, "partitions_skipped": 1}
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(20) if i % 2 == 1 and i <= 50
+    ]
+
+
+def test_snapshot_stats_survive_merge_and_noop_replay(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "pstats3")
+    base = spark.range(30).selectExpr(
+        "CAST(id % 3 AS INT) AS p", "CAST(id AS DOUBLE) AS v", "id AS k"
+    )
+    assert mt.write_snapshot(base, table, part_col="p", stats_cols=["v"]) == 1
+
+    # MERGE bumps one key far out of band; the touched partition's
+    # envelope must cover the new value afterwards.
+    upd = spark.createDataFrame([(0, 7777.0, 0)], "p int, v double, k long")
+    assert mt.merge_into_snapshot(upd, table, ["k"], skip_unchanged=True) == 2
+    got, rep = mt.read_snapshot_with_stats_skipping(spark, table, {"v": (7000.0, None)})
+    assert rep["partitions_read"] == 1 and got.count() == 1
+
+    # Exact replay: no-op withdrawal still works with stats in the
+    # precomputed fingerprints (version unchanged)...
+    assert mt.merge_into_snapshot(upd, table, ["k"], skip_unchanged=True) == 2
+    # ...and the envelopes survived untouched.
+    got, rep = mt.read_snapshot_with_stats_skipping(spark, table, {"v": (7000.0, None)})
+    assert rep["partitions_read"] == 1 and got.count() == 1
