@@ -141,8 +141,15 @@ def bloom_semi_join(
     is the only honest option, so align the types explicitly upstream.
     """
     small_key = small_key or big_key
-    big_t = dict(big.dtypes)[big_key]
-    small_t = dict(small.dtypes)[small_key]
+    big_types, small_types = dict(big.dtypes), dict(small.dtypes)
+    if big_key not in big_types or small_key not in small_types:
+        missing = [
+            f"{k!r} (have: {sorted(t)})"
+            for k, t in ((big_key, big_types), (small_key, small_types))
+            if k not in t
+        ]
+        raise ValueError(f"bloom_semi_join key column missing: {missing[0]}")
+    big_t, small_t = big_types[big_key], small_types[small_key]
     if big_t != small_t:
         raise ValueError(
             f"bloom_semi_join key dtype mismatch: {big_key!r} is {big_t} "

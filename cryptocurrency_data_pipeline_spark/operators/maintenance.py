@@ -226,20 +226,10 @@ class PosixSnapshotCommit(SnapshotCommit):
         try:
             fcntl.flock(fd, fcntl.LOCK_EX)
             man = mutate(_load_manifest(table_path))
-            tmp = _manifest_path(table_path) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(man, f)
-                # Durability before visibility: without the data fsync a
-                # power loss can make the RENAME durable while the bytes
-                # are not — a 0-byte manifest that bricks the table.
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, _manifest_path(table_path))
-            dfd = os.open(table_path, os.O_RDONLY)
-            try:
-                os.fsync(dfd)  # persist the rename itself
-            finally:
-                os.close(dfd)
+            # Durability before visibility (tmp-write + data fsync +
+            # atomic rename + dir fsync): the ONE definition, shared
+            # with every sidecar manifest.
+            write_json_durable(_manifest_path(table_path), man)
             return man
         finally:
             os.close(fd)  # closing the fd releases the flock
@@ -447,6 +437,11 @@ def write_snapshot(
             entry["keys"] = list(record_keys)
         if stats_cols:
             entry["stats_cols"] = stats_cols
+            # Recorded dtypes gate later versions against stat-column
+            # type drift (a mixed-representation version breaks pruning).
+            entry["stats_types"] = {
+                c: df.schema[c].dataType.simpleString() for c in stats_cols
+            }
         if part_col:
             parts = _write_partitioned_version(
                 df, snap_dir, part_col, version, rel_dir, stats_cols=stats_cols
@@ -679,13 +674,32 @@ def upsert_snapshot(
     # envelope simply stops being recorded from this version on).
     # Enabling stats on an existing table via the parameter is valid:
     # inherited partitions simply stay conservatively unprunable until
-    # their next rewrite records an envelope.
-    if stats_cols:
-        stats_cols = _validate_stats_cols(new_rows, part_col, stats_cols)
-    else:
+    # their next rewrite records an envelope.  Both paths run the full
+    # validation (the inherited one too — a decimal or otherwise
+    # unrecordable column must fail BEFORE data is written), and a stat
+    # column whose dtype drifted from the recorded type is rejected: a
+    # drifted envelope would mix representations across partitions of
+    # one version and break the pruning comparison at read time.
+    if not stats_cols:
         stats_cols = [
             c for c in prev.get("stats_cols", ()) if c in new_rows.columns
         ] or None
+    stats_cols = _validate_stats_cols(new_rows, part_col, stats_cols)
+    if stats_cols:
+        prev_types = prev.get("stats_types", {})
+        drifted = {
+            c: (new_rows.schema[c].dataType.simpleString(), prev_types[c])
+            for c in stats_cols
+            if c in prev_types
+            and new_rows.schema[c].dataType.simpleString() != prev_types[c]
+        }
+        if drifted:
+            raise ValueError(
+                f"stat column dtype drifted from the recorded type: "
+                f"{drifted} (new_type, recorded_type) — envelopes of one "
+                f"version must share a representation; cast before "
+                f"upserting"
+            )
     pre: dict | None = None
     if skip_unchanged:
         # Pre-write no-op detection: fingerprint the INPUT (one agg
@@ -748,6 +762,10 @@ def upsert_snapshot(
             entry["keys"] = keys
         if stats_cols:
             entry["stats_cols"] = stats_cols
+            entry["stats_types"] = {
+                c: new_rows.schema[c].dataType.simpleString()
+                for c in stats_cols
+            }
         _commit_version(table_path, version, entry, commit)
         committed = True
     finally:
@@ -1122,20 +1140,14 @@ def read_snapshot_with_stats_skipping(
             f"version {version} not available (retained: "
             f"{sorted(int(v) for v in man['snapshots'])})"
         )
-    if not snap.get("part_col") or not snap.get("parts"):
-        if snap.get("part_col") and not snap.get("parts"):
-            # Empty partitioned version (one typed empty file): nothing
-            # to prune, nothing to read.
-            df = read_snapshot(spark, table_path, version)
-            return df, {
-                "partitions_total": 0,
-                "partitions_read": 0,
-                "partitions_skipped": 0,
-            }
+    if not snap.get("part_col"):
         raise ValueError(
             "read_snapshot_with_stats_skipping requires a partitioned "
             "version (write the table with part_col= and stats_cols=)"
         )
+    # Validate BEFORE the empty-version shortcut: a typo'd range column
+    # must raise identically whether the version happens to hold rows —
+    # otherwise misconfiguration stays silent until data lands.
     recorded = snap.get("stats_cols", [])
     missing = [c for c in ranges if c not in recorded]
     if missing:
@@ -1143,6 +1155,15 @@ def read_snapshot_with_stats_skipping(
             f"no partition stats recorded for columns: {missing} "
             f"(version {version} records {recorded})"
         )
+    if not snap.get("parts"):
+        # Empty partitioned version (one typed empty file): nothing to
+        # prune, nothing to read.
+        df = read_snapshot(spark, table_path, version)
+        return df, {
+            "partitions_total": 0,
+            "partitions_read": 0,
+            "partitions_skipped": 0,
+        }
     # Bounds share the manifest's value representation (dates → ISO).
     ranges = {c: (_json_safe(lo), _json_safe(hi)) for c, (lo, hi) in ranges.items()}
     parts = snap.get("parts", {})
@@ -1233,7 +1254,7 @@ def _list_parquet_rel(path: str) -> dict[str, str]:
     return out
 
 
-def _write_json_durable(target: str, obj) -> None:
+def write_json_durable(target: str, obj) -> None:
     """tmp-write + data fsync + atomic rename + directory fsync: the
     :class:`PosixSnapshotCommit` durability rule applied to every
     sidecar manifest — without the data fsync a power loss can make the
@@ -1354,7 +1375,7 @@ def write_stats_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -
     files = _collect_file_stats(df, stat_cols)
     root = path.rstrip("/")
     _backfill_zero_row_entries(files, stat_cols, root, _list_parquet_rel(path))
-    _write_json_durable(
+    write_json_durable(
         _stats_manifest_path(path), {"columns": stat_cols, "files": files}
     )
     return len(files)
@@ -1405,7 +1426,7 @@ def update_stats_manifest(spark: SparkSession, path: str) -> dict:
         _backfill_zero_row_entries(fresh, stat_cols, root, new_rel)
         man["files"].update(fresh)
         added = len(fresh)
-    _write_json_durable(_stats_manifest_path(path), man)
+    write_json_durable(_stats_manifest_path(path), man)
     return {"added": added, "removed": len(removed), "total": len(man["files"])}
 
 

@@ -128,8 +128,8 @@ def write_training_shards(
     # Durable atomic publish (fsync before rename): a torn manifest
     # would strand a fully-written corpus behind a JSON parse error.
     from cryptocurrency_data_pipeline_spark.operators.maintenance import (
-        _write_json_durable,
+        write_json_durable,
     )
 
-    _write_json_durable(os.path.join(path, "_manifest.json"), manifest)
+    write_json_durable(os.path.join(path, "_manifest.json"), manifest)
     return manifest

@@ -69,7 +69,7 @@ def _check_sink_meta(table_path: str, meta: dict) -> None:
         os.makedirs(table_path, exist_ok=True)
         # Durable write: a torn meta file would fail every later batch's
         # contract check and every lookup until manually repaired.
-        maintenance._write_json_durable(path, meta)
+        maintenance.write_json_durable(path, meta)
         return
     with open(path) as f:
         recorded = json.load(f)

@@ -92,3 +92,13 @@ def test_bloom_semi_join_rejects_key_dtype_mismatch(spark):
     # Aligned types: exact semi-join semantics hold.
     got = bloom.bloom_semi_join(big, small.selectExpr("CAST(k AS LONG) AS k"), "k")
     assert sorted(r.k for r in got.collect()) == list(range(10))
+
+
+def test_bloom_semi_join_missing_key_is_a_clear_error(spark):
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import bloom
+
+    df = spark.range(5).selectExpr("id AS k")
+    with pytest.raises(ValueError, match="key column missing: 'kk'"):
+        bloom.bloom_semi_join(df, df, "kk")

@@ -1696,3 +1696,41 @@ def test_snapshot_stats_survive_merge_and_noop_replay(spark, tmp_path):
     # ...and the envelopes survived untouched.
     got, rep = mt.read_snapshot_with_stats_skipping(spark, table, {"v": (7000.0, None)})
     assert rep["partitions_read"] == 1 and got.count() == 1
+
+
+def test_snapshot_stats_reject_dtype_drift_and_validate_on_empty(spark, tmp_path):
+    """A stat column whose dtype drifts between versions would mix
+    envelope representations (double vs string) inside one version and
+    crash pruning comparisons at read time — the upsert rejects it.  And
+    a typo'd range column raises identically on an EMPTY version (the
+    misconfiguration must not stay silent until data lands)."""
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "pstats4")
+    base = spark.range(10).selectExpr(
+        "CAST(id % 2 AS INT) AS p", "CAST(id AS DOUBLE) AS v", "id"
+    )
+    assert mt.write_snapshot(base, table, part_col="p", stats_cols=["v"]) == 1
+    drifted = spark.range(3).selectExpr(
+        "CAST(0 AS INT) AS p", "CAST(id AS STRING) AS v", "id + 50 AS id"
+    )
+    with pytest.raises(ValueError, match="dtype drifted"):
+        mt.upsert_snapshot(drifted, table)
+    # Inherited path also runs the decimal gate before any write.
+    dec = spark.range(3).selectExpr(
+        "CAST(0 AS INT) AS p", "CAST(id AS DECIMAL(10,2)) AS v", "id + 50 AS id"
+    )
+    with pytest.raises(ValueError, match="decimal"):
+        mt.upsert_snapshot(dec, table)
+
+    # Empty version: a typo'd range column still raises.
+    empty_table = str(tmp_path / "pstats_empty")
+    assert mt.write_snapshot(
+        base.limit(0), empty_table, part_col="p", stats_cols=["v"]
+    ) == 1
+    with pytest.raises(ValueError, match="no partition stats recorded"):
+        mt.read_snapshot_with_stats_skipping(spark, empty_table, {"vv": (0, 1)})
+    got, rep = mt.read_snapshot_with_stats_skipping(spark, empty_table, {"v": (0, 1)})
+    assert got.count() == 0 and rep["partitions_total"] == 0
