@@ -838,3 +838,92 @@ def test_cow_snapshot_model_equivalence(spark, tmp_path_factory, ops):
         assert got_feed == want_feed, (
             f"feed {v - 1}->{v}: {got_feed} != {want_feed}"
         )
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["full", "upsert", "merge"]),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=5),        # id
+                    st.sampled_from(["d0", "d1"]),                # part
+                    st.integers(min_value=-3, max_value=9),       # num
+                ),
+                min_size=0,
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.tuples(
+        st.integers(min_value=-4, max_value=10),
+        st.integers(min_value=-4, max_value=10),
+    ),
+)
+def test_partition_stats_skipping_model(spark, tmp_path_factory, ops, bounds):
+    """Model-based exactness of partition-stats skipping: after any
+    random sequence of full writes / partition upserts / key merges on a
+    stats-enabled table, a range read through
+    read_snapshot_with_stats_skipping equals the pure-Python model
+    filter for EVERY retained version (time travel prunes with that
+    version's own envelopes) — i.e. pruning never drops a matching row
+    and the residual predicate removes everything else."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    lo, hi = min(bounds), max(bounds)
+    table = str(tmp_path_factory.mktemp("pstatsmodel") / "t")
+    schema = "id int, day string, num long"
+
+    def frame(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            if rows
+            else spark.createDataFrame([], schema)
+        )
+
+    model: dict[tuple, tuple] = {}
+    versions: dict[int, set] = {}
+    seeded = False
+    for kind, rows in ops:
+        dedup = {}
+        for r in rows:
+            dedup[(r[0], r[1])] = r
+        rows = list(dedup.values())
+        if not seeded or kind == "full":
+            mt.write_snapshot(frame(rows), table, part_col="day",
+                              stats_cols=["num"])
+            model = {(r[0], r[1]): r for r in rows}
+            seeded = True
+        elif kind == "upsert":
+            touched = {r[1] for r in rows}
+            mt.upsert_snapshot(frame(rows), table)
+            model = {
+                k: v for k, v in model.items() if k[1] not in touched
+            } | {(r[0], r[1]): r for r in rows}
+        else:  # merge
+            mt.merge_into_snapshot(frame(rows), table, ["id", "day"])
+            model = model | {(r[0], r[1]): r for r in rows}
+        cur = mt._load_manifest(table)["current"]
+        versions[cur] = set(model.values())
+
+    for v, snap_model in versions.items():
+        got_df, rep = mt.read_snapshot_with_stats_skipping(
+            spark, table, {"num": (lo, hi)}, version=v
+        )
+        got = {
+            tuple(r)
+            for r in got_df.select("id", "day", "num").collect()
+        }
+        want = {r for r in snap_model if lo <= r[2] <= hi}
+        assert got == want, f"v{v} range [{lo},{hi}]: {got} != {want}"
+        assert rep["partitions_read"] + rep["partitions_skipped"] == rep[
+            "partitions_total"
+        ]
+        # A skipped partition must have contained no matching model row
+        # (never a false drop): matching rows live only in read parts.
+        matching_parts = {r[1] for r in want}
+        assert len(matching_parts) <= rep["partitions_read"]
