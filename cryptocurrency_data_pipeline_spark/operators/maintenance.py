@@ -242,13 +242,7 @@ def snapshot_dir(table_path: str, version: int) -> str:
     """Absolute path of the directory backing ``version`` — directory
     names are unique per write attempt (``v{N}-{uuid}``), so tooling and
     tests must resolve them through the manifest, never construct them."""
-    man = _load_manifest(table_path)
-    snap = man["snapshots"].get(str(version))
-    if snap is None:
-        raise ValueError(
-            f"version {version} not available (retained: "
-            f"{sorted(int(v) for v in man['snapshots'])})"
-        )
+    _, snap = _resolve_snapshot(table_path, version)
     return os.path.join(table_path, snap["dir"])
 
 
@@ -685,20 +679,28 @@ def upsert_snapshot(
             c for c in prev.get("stats_cols", ()) if c in new_rows.columns
         ] or None
     stats_cols = _validate_stats_cols(new_rows, part_col, stats_cols)
+    # stats_types is CUMULATIVE across partial versions: inherited
+    # partitions can carry envelopes recorded many versions ago, so a
+    # column that leaves stats_cols and re-enters later with a new dtype
+    # would still mix representations — the gate must remember every
+    # type ever used while envelopes may survive by reference.  A full
+    # write_snapshot rewrite resets the history (no inherited envelopes
+    # exist after it), which is also the sanctioned way to re-type a
+    # stat column.
+    cum_types = dict(prev.get("stats_types", {}))
     if stats_cols:
-        prev_types = prev.get("stats_types", {})
         drifted = {
-            c: (new_rows.schema[c].dataType.simpleString(), prev_types[c])
+            c: (new_rows.schema[c].dataType.simpleString(), cum_types[c])
             for c in stats_cols
-            if c in prev_types
-            and new_rows.schema[c].dataType.simpleString() != prev_types[c]
+            if c in cum_types
+            and new_rows.schema[c].dataType.simpleString() != cum_types[c]
         }
         if drifted:
             raise ValueError(
                 f"stat column dtype drifted from the recorded type: "
                 f"{drifted} (new_type, recorded_type) — envelopes of one "
-                f"version must share a representation; cast before "
-                f"upserting"
+                f"version must share a representation; re-type a stat "
+                f"column only through a full write_snapshot rewrite"
             )
     pre: dict | None = None
     if skip_unchanged:
@@ -762,10 +764,18 @@ def upsert_snapshot(
             entry["keys"] = keys
         if stats_cols:
             entry["stats_cols"] = stats_cols
-            entry["stats_types"] = {
-                c: new_rows.schema[c].dataType.simpleString()
-                for c in stats_cols
-            }
+            cum_types.update(
+                {
+                    c: new_rows.schema[c].dataType.simpleString()
+                    for c in stats_cols
+                }
+            )
+        if cum_types:
+            # Carried even when stats_cols lapses this version: the
+            # type history must survive a gap so a later re-enable
+            # cannot mix representations with still-referenced
+            # envelopes.
+            entry["stats_types"] = cum_types
         _commit_version(table_path, version, entry, commit)
         committed = True
     finally:
@@ -1003,6 +1013,20 @@ def compact_snapshot_partition(
     return upsert_snapshot(rows, table_path)
 
 
+def _resolve_snapshot(table_path: str, version: int | None) -> tuple[int, dict]:
+    """(version, entry) for ``version`` (default: current), with the
+    one retained-versions error message every resolver shares."""
+    man = _load_manifest(table_path)
+    version = man["current"] if version is None else version
+    snap = man["snapshots"].get(str(version))
+    if snap is None:
+        raise ValueError(
+            f"version {version} not available (retained: "
+            f"{sorted(int(v) for v in man['snapshots'])})"
+        )
+    return version, snap
+
+
 def read_snapshot(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
     """Read the table as-of ``version`` (default: current).  Raises a
     clear error for unknown or vacuumed versions.
@@ -1013,20 +1037,7 @@ def read_snapshot(spark: SparkSession, table_path: str, version: int | None = No
     with inference OFF and cast back to the recorded ``part_type``, so
     the column round-trips with the WRITER's exact type — a string
     ``"05"`` stays ``"05"``, never a re-inferred ``5``."""
-    from pyspark.sql import functions as F
-
-    from cryptocurrency_data_pipeline_spark.sources.tables import (
-        partition_inference_off,
-    )
-
-    man = _load_manifest(table_path)
-    version = man["current"] if version is None else version
-    snap = man["snapshots"].get(str(version))
-    if snap is None:
-        raise ValueError(
-            f"version {version} not available (retained: "
-            f"{sorted(int(v) for v in man['snapshots'])})"
-        )
+    version, snap = _resolve_snapshot(table_path, version)
     pc = snap.get("part_col")
     if not pc or not snap.get("parts"):
         # Unpartitioned — or an empty partitioned version, stored as one
@@ -1057,14 +1068,16 @@ def _assemble_partitioned_read(
     pc = snap["part_col"]
     if not parts:
         # Every partition pruned: empty frame, version schema.  Assemble
-        # over the FULL map (non-empty here — an empty-version snap is
-        # routed to its typed empty file before this helper is reached)
-        # and filter to nothing; the planner collapses it to a zero-task
-        # local scan.
-        full = _assemble_partitioned_read(
-            spark, table_path, snap, version, snap["parts"]
+        # over ONE partition (the map is non-empty here — an
+        # empty-version snap is routed to its typed empty file before
+        # this helper is reached) and filter to nothing — the best case
+        # of the skipping read must not pay footer/listing I/O across
+        # every source directory just to produce zero rows.
+        k = next(iter(snap["parts"]))
+        one = _assemble_partitioned_read(
+            spark, table_path, snap, version, {k: snap["parts"][k]}
         )
-        return full.where(F.lit(False))
+        return one.where(F.lit(False))
     groups: dict[str, list[str]] = {}
     for k, meta in parts.items():
         src_dir = meta.get(
@@ -1130,16 +1143,7 @@ def read_snapshot_with_stats_skipping(
     state the write path already maintains; a time-correlated predicate
     on a dt-partitioned 100 TB table plans scans for only the matching
     days' directories."""
-    from pyspark.sql import functions as F
-
-    man = _load_manifest(table_path)
-    version = man["current"] if version is None else version
-    snap = man["snapshots"].get(str(version))
-    if snap is None:
-        raise ValueError(
-            f"version {version} not available (retained: "
-            f"{sorted(int(v) for v in man['snapshots'])})"
-        )
+    version, snap = _resolve_snapshot(table_path, version)
     if not snap.get("part_col"):
         raise ValueError(
             "read_snapshot_with_stats_skipping requires a partitioned "
@@ -1164,20 +1168,17 @@ def read_snapshot_with_stats_skipping(
             "partitions_read": 0,
             "partitions_skipped": 0,
         }
-    # Bounds share the manifest's value representation (dates → ISO).
-    ranges = {c: (_json_safe(lo), _json_safe(hi)) for c, (lo, hi) in ranges.items()}
+    ranges = _canonical_ranges(ranges)
     parts = snap.get("parts", {})
     keep = {
         k: meta
         for k, meta in parts.items()
         if _stats_intersects(meta.get("stats"), ranges)
     }
-    df = _assemble_partitioned_read(spark, table_path, snap, version, keep)
-    for c, (lo, hi) in ranges.items():
-        if lo is not None:
-            df = df.where(F.col(c) >= F.lit(lo))
-        if hi is not None:
-            df = df.where(F.col(c) <= F.lit(hi))
+    df = _apply_residual(
+        _assemble_partitioned_read(spark, table_path, snap, version, keep),
+        ranges,
+    )
     report = {
         "partitions_total": len(parts),
         "partitions_read": len(keep),
@@ -1259,14 +1260,31 @@ def write_json_durable(target: str, obj) -> None:
     :class:`PosixSnapshotCommit` durability rule applied to every
     sidecar manifest — without the data fsync a power loss can make the
     RENAME durable while the bytes are not, leaving a 0-byte manifest
-    that bricks every subsequent read."""
-    tmp = target + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, target)
-    dfd = os.open(os.path.dirname(target) or ".", os.O_RDONLY)
+    that bricks every subsequent read.
+
+    The temp name is UNIQUE per call (mkstemp): sidecar writers hold no
+    flock, so a fixed ``<target>.tmp`` would let two concurrent
+    refreshes truncate each other's staged bytes and publish a torn
+    file — last-rename-wins over complete staged files is the most a
+    lockless writer can promise, and this delivers exactly that."""
+    import contextlib
+    import tempfile
+
+    d = os.path.dirname(target) or "."
+    fd, tmp = tempfile.mkstemp(
+        dir=d, prefix=os.path.basename(target) + ".", suffix=".tmp"
+    )
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, target)
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        raise
+    dfd = os.open(d, os.O_RDONLY)
     try:
         os.fsync(dfd)
     finally:
@@ -1315,6 +1333,26 @@ def _collect_file_stats(df: DataFrame, stat_cols: list[str]) -> dict:
             for c in stat_cols
         }
     return files
+
+
+def _canonical_ranges(ranges: dict) -> dict:
+    """Caller bounds in the manifest's value representation (dates →
+    ISO strings) so both sides of every pruning comparison agree — the
+    one mapping both skipping readers share."""
+    return {c: (_json_safe(lo), _json_safe(hi)) for c, (lo, hi) in ranges.items()}
+
+
+def _apply_residual(df: DataFrame, ranges: dict) -> DataFrame:
+    """Exact residual predicate over pruning survivors: skipping is
+    unit-granular (file or partition), the filter is row-exact."""
+    from pyspark.sql import functions as F
+
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.where(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(c) <= F.lit(hi))
+    return df
 
 
 def _stats_intersects(stats: dict | None, ranges: dict) -> bool:
@@ -1447,8 +1485,6 @@ def read_with_skipping(
     ``files_total / files_read / files_skipped`` — the scan's actual task
     count shrinks with ``files_read``, which is the point at 1M files.
     """
-    from pyspark.sql import functions as F
-
     with open(_stats_manifest_path(path)) as f:
         man = json.load(f)
     missing = [c for c in ranges if c not in man["columns"]]
@@ -1478,8 +1514,7 @@ def read_with_skipping(
             f"write_stats_manifest: +{sorted(on_disk - indexed)[:3]} "
             f"-{sorted(indexed - on_disk)[:3]}); re-index first"
         )
-    # Bounds share the manifest's representation (dates → ISO strings).
-    ranges = {c: (_json_safe(lo), _json_safe(hi)) for c, (lo, hi) in ranges.items()}
+    ranges = _canonical_ranges(ranges)
 
     keep = []
     for fname, stats in man["files"].items():
@@ -1509,12 +1544,7 @@ def read_with_skipping(
         )
     else:
         df = spark.read.schema(base_schema).parquet(*keep)
-    for c, (lo, hi) in ranges.items():
-        if lo is not None:
-            df = df.where(F.col(c) >= F.lit(lo))
-        if hi is not None:
-            df = df.where(F.col(c) <= F.lit(hi))
-    return df, report
+    return _apply_residual(df, ranges), report
 
 
 def changed_partitions(

@@ -281,14 +281,22 @@ def lookup_current(spark: SparkSession, table_path: str, key_values) -> DataFram
             f"snapshot schema {list(cur_types)} — the table no longer "
             f"matches its _sink_meta.json layout contract"
         )
+    raw = spark.createDataFrame(rows, list(keys))
+    raw_types = {f.name: f.dataType for f in raw.schema.fields}
+    # Round-trip guard on every key component: try_cast avoids ANSI
+    # throws on out-of-range probes, but a LOSSY cast (3.7 → int 3)
+    # would silently answer the point lookup with a DIFFERENT key's
+    # row — so a probe row survives only if casting to the key type and
+    # back reproduces the caller's value exactly.  A value that cannot
+    # round-trip can match nothing; it is dropped, not truncated.
+    keep = None
+    for k in keys:
+        c = F.col(k).try_cast(cur_types[k])
+        ok = c.cast(raw_types[k]).eqNullSafe(F.col(k))
+        keep = ok if keep is None else (keep & ok)
     probe = (
-        spark.createDataFrame(rows, list(keys))
-        .select(
-            # try_cast, not cast: under ANSI mode a probe value outside
-            # the key type's range (e.g. 10**12 against an int key)
-            # would throw; it can match nothing, so null is right.
-            *[F.col(k).try_cast(cur_types[k]).alias(k) for k in keys]
-        )
+        raw.where(keep)
+        .select(*[F.col(k).try_cast(cur_types[k]).alias(k) for k in keys])
         # A null key component can never match stored state (the semi-
         # join is null-rejecting) — and xxhash64 SKIPS null inputs
         # (returns its seed, not null), so keeping the row would prune

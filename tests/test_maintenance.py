@@ -1734,3 +1734,48 @@ def test_snapshot_stats_reject_dtype_drift_and_validate_on_empty(spark, tmp_path
         mt.read_snapshot_with_stats_skipping(spark, empty_table, {"vv": (0, 1)})
     got, rep = mt.read_snapshot_with_stats_skipping(spark, empty_table, {"v": (0, 1)})
     assert got.count() == 0 and rep["partitions_total"] == 0
+
+
+def test_snapshot_stats_drift_gate_is_cumulative(spark, tmp_path):
+    """A stat column that leaves stats_cols and re-enters later with a
+    drifted dtype must still be rejected: inherited partitions can carry
+    envelopes recorded under the old type many versions back.  A full
+    write_snapshot rewrite (no inherited envelopes) is the sanctioned
+    re-type path."""
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "pstats5")
+    base = spark.range(10).selectExpr(
+        "CAST(id % 2 AS INT) AS p", "CAST(id AS DOUBLE) AS v",
+        "CAST(id AS DOUBLE) AS w", "id"
+    )
+    assert mt.write_snapshot(base, table, part_col="p", stats_cols=["v"]) == 1
+    # v2 switches stats to w — v's history must survive the gap.
+    v2 = spark.range(3).selectExpr(
+        "CAST(0 AS INT) AS p", "CAST(id AS DOUBLE) AS v",
+        "CAST(id AS DOUBLE) AS w", "id + 50 AS id"
+    )
+    assert mt.upsert_snapshot(v2, table, stats_cols=["w"]) == 2
+    # v3 re-enables v with a DRIFTED dtype: rejected.
+    v3 = spark.range(3).selectExpr(
+        "CAST(1 AS INT) AS p", "CAST(id AS STRING) AS v",
+        "CAST(id AS DOUBLE) AS w", "id + 90 AS id"
+    )
+    with pytest.raises(ValueError, match="dtype drifted"):
+        mt.upsert_snapshot(v3, table, stats_cols=["v"])
+    # Same dtype re-enable is fine.
+    v3ok = spark.range(3).selectExpr(
+        "CAST(1 AS INT) AS p", "CAST(id AS DOUBLE) + 900 AS v",
+        "CAST(id AS DOUBLE) AS w", "id + 90 AS id"
+    )
+    assert mt.upsert_snapshot(v3ok, table, stats_cols=["v"]) == 3
+    got, rep = mt.read_snapshot_with_stats_skipping(spark, table, {"v": (900.0, None)})
+    # Partition 1 matches via its fresh v-envelope; partition 0 was last
+    # rewritten while v was out of stats_cols (its meta has only a
+    # w-envelope), so it is conservatively read and residual-filtered.
+    assert rep["partitions_read"] == 2 and got.count() == 3
+    # Full rewrite resets the history: re-typing v is now allowed.
+    retyped = base.selectExpr("p", "CAST(v AS STRING) AS v", "w", "id")
+    assert mt.write_snapshot(retyped, table, part_col="p", stats_cols=["v"]) == 4

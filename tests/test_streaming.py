@@ -735,3 +735,30 @@ def test_merge_batch_rejects_key_dtype_drift(spark, tmp_path):
         snapshot_sink.merge_batch_into_snapshot(
             drifted, table, ["k"], part_col="bucket", order_col="event_time"
         )
+
+
+def test_lookup_current_rejects_lossy_probe_casts(spark, tmp_path):
+    """A probe value that does not ROUND-TRIP through the key type must
+    produce no row — try_cast alone truncates 3.7 to 3 and would answer
+    the point lookup with a DIFFERENT key's current row."""
+    from datetime import datetime
+
+    from cryptocurrency_data_pipeline_spark.streaming import snapshot_sink
+
+    table = str(tmp_path / "lossy")
+    snapshot_sink._check_sink_meta(
+        table, {"part_col": "bucket", "n_buckets": 8, "keys": ["k"]}
+    )
+    t1 = datetime(2024, 1, 1, 12)
+    batch = spark.createDataFrame(
+        [(i, float(i), t1) for i in range(10)],
+        "k int, v double, event_time timestamp",
+    ).withColumn("bucket", snapshot_sink.key_bucket(["k"], 8))
+    snapshot_sink.merge_batch_into_snapshot(
+        batch, table, ["k"], part_col="bucket", order_col="event_time"
+    )
+    # Fractional probe: key 3 exists, but 3.7 is not key 3.
+    assert snapshot_sink.lookup_current(spark, table, [3.7]).count() == 0
+    # Exactly-representable double probes still hit.
+    got = snapshot_sink.lookup_current(spark, table, [3.0, 7.0])
+    assert {(r.k, r.v) for r in got.collect()} == {(3, 3.0), (7, 7.0)}
