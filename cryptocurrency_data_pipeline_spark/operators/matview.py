@@ -24,10 +24,49 @@ tests/test_matview.py.
 
 from __future__ import annotations
 
+import json
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PARTIAL_COLS = ["n_rows", "sum_cents", "min_value", "max_value", "distinct_sketch"]
+
+
+@contextmanager
+def _table_lock(path: str):
+    """Exclusive advisory lock serializing epoch writers against the
+    compactor (flock — released on process death).  The lock file lives
+    BESIDE the table directory, not inside it: compaction swaps the
+    directory wholesale, and a lock file inside would be swapped out
+    from under its holder, letting two writers hold 'the' lock on
+    different inodes."""
+    import fcntl
+
+    os.makedirs(os.path.dirname(path.rstrip("/")) or ".", exist_ok=True)
+    fd = os.open(f"{path.rstrip('/')}__partials.lock", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        os.close(fd)
+
+
+def _watermark_path(path: str) -> str:
+    # Beside the table dir for the same swap-survival reason as the lock.
+    return f"{path.rstrip('/')}__compacted_through.json"
+
+
+def compacted_through(path: str) -> int:
+    """Highest epoch id already folded by :func:`compact_partials` (-1 if
+    never compacted).  A replayed epoch at or below this mark is already
+    represented inside the folded partition and must NOT be re-landed."""
+    try:
+        with open(_watermark_path(path)) as f:
+            return json.load(f)["epoch"]
+    except FileNotFoundError:
+        return -1
 
 
 def build_partials(
@@ -109,7 +148,15 @@ def build_histogram_partials(
     re-aggregated — bin counts merge by plain summation, so any subset
     of partitions yields quantiles with error bounded by one bin width.
     The bin edges are part of the state's contract: all partials that
-    will ever merge must share (lo, hi, n_bins)."""
+    will ever merge must share (lo, hi, n_bins).  NaN values are
+    excluded like nulls (their bin arithmetic is NaN, which a cast
+    would silently send to bin 0, dragging every quantile down)."""
+    if not n_bins > 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(
+            f"degenerate histogram bounds: lo={lo} hi={hi} (need hi > lo)"
+        )
     width = (hi - lo) / n_bins
     bin_ = F.least(
         F.lit(n_bins - 1),
@@ -119,7 +166,10 @@ def build_histogram_partials(
         ),
     )
     return (
-        df.where(F.col(value_col).isNotNull())
+        df.where(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
         .groupBy(part_col, *keys, bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -193,18 +243,28 @@ def write_epoch_partials(
     batch overwrites its own epoch, never appends beside it.  State per
     epoch is O(keys), so the view grows with time × key-cardinality, not
     with data; fold epochs down with :func:`compact_partials` when the
-    epoch count itself gets large."""
+    epoch count itself gets large.
+
+    Replay idempotency HOLDS ACROSS COMPACTION: an epoch at or below the
+    compaction watermark is already represented inside the folded
+    partition, so re-landing it (the crash-between-write-and-checkpoint
+    replay) would double-count — such epochs are skipped as no-ops.  The
+    write runs under the table lock, serializing it against a concurrent
+    compaction's read-fold-swap."""
+    from cryptocurrency_data_pipeline_spark.sources.tables import (
+        dynamic_partition_overwrite,
+    )
+
     partial = build_partials(
         batch.withColumn("__epoch", F.lit(epoch_id).cast("long")),
         "__epoch", keys, value_col, distinct_col, lg_k,
     ).withColumnRenamed("__epoch", "epoch")
     spark = batch.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        partial.write.mode("overwrite").partitionBy("epoch").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    with _table_lock(path):
+        if epoch_id <= compacted_through(path):
+            return  # already folded into the compacted partition
+        with dynamic_partition_overwrite(spark):
+            partial.write.mode("overwrite").partitionBy("epoch").parquet(path)
 
 
 def read_merged_partials(spark: SparkSession, path: str, keys: list[str]) -> DataFrame:
@@ -222,36 +282,49 @@ def compact_partials(
     epoch count grows.  Applies to the value-partials schema
     (``PARTIAL_COLS``); histogram partials compact by a plain
     per-(keys, bin) re-sum instead.  Uses the snapshot-style rewrite:
-    land in a temp dir, swap.  Returns the row count after compaction."""
-    import os
+    land in a temp dir, swap.  Returns the row count after compaction.
+
+    The ENTIRE read-fold-swap runs under the table lock: a concurrent
+    :func:`write_epoch_partials` landing an epoch between the scan and
+    the swap would otherwise be deleted with the pre-compaction tree —
+    that micro-batch's aggregates silently gone.  Epoch writers block
+    for the compaction's duration (rare, operator-initiated).  On
+    success the compaction watermark advances to the highest folded
+    epoch, which is what keeps replays of folded epochs no-ops."""
     import shutil
     import uuid
 
     from cryptocurrency_data_pipeline_spark.operators.maintenance import (
         _exchange_dirs,
+        write_json_durable,
     )
 
-    folded = (
-        spark.read.parquet(path)
-        .drop("epoch")
-        .groupBy(*keys)
-        .agg(*_fold_state_aggs())
-        .withColumn("epoch", F.lit(0).cast("long"))
-    )
-    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
-    folded.write.partitionBy("epoch").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    # Same swap discipline as maintenance.compact_parquet: atomic
-    # renameat2 exchange where the platform has it, rename-aside fallback
-    # elsewhere (old data survives a crash; a reader can hit ENOENT only
-    # in the fallback's rename window).
-    if _exchange_dirs(path, tmp):
-        shutil.rmtree(tmp)  # tmp now holds the pre-compaction epochs
-    else:
-        aside = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(path, aside)
-        os.rename(tmp, path)
-        shutil.rmtree(aside)
+    with _table_lock(path):
+        table = spark.read.parquet(path)
+        max_epoch = table.agg(F.max("epoch")).collect()[0][0]
+        folded = (
+            table
+            .drop("epoch")
+            .groupBy(*keys)
+            .agg(*_fold_state_aggs())
+            .withColumn("epoch", F.lit(0).cast("long"))
+        )
+        tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+        folded.write.partitionBy("epoch").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        # Same swap discipline as maintenance.compact_parquet: atomic
+        # renameat2 exchange where the platform has it, rename-aside
+        # fallback elsewhere (old data survives a crash; a reader can hit
+        # ENOENT only in the fallback's rename window).
+        if _exchange_dirs(path, tmp):
+            shutil.rmtree(tmp)  # tmp now holds the pre-compaction epochs
+        else:
+            aside = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(path, aside)
+            os.rename(tmp, path)
+            shutil.rmtree(aside)
+        if max_epoch is not None:
+            write_json_durable(_watermark_path(path), {"epoch": int(max_epoch)})
     return n
 
 
@@ -295,53 +368,68 @@ def upsert_partition(
     fresh partials and re-folds state-wise: counts/sums add, min/max
     fold, HLL sketches union — which is exactly why the state is
     algebraic.  Untouched partitions' files stay in place (dynamic
-    overwrite).  Returns the number of partitions rewritten."""
+    overwrite).  A not-yet-existing table bootstraps from the fresh
+    partials alone (first-ever late batch must not crash a pipeline that
+    only uses the additive form).  Returns the number of partitions
+    rewritten."""
+    import os as _os
+
     from cryptocurrency_data_pipeline_spark.sources.tables import (
         partition_inference_off,
     )
 
     fresh = build_partials(late_rows, part_col, keys, value_col, distinct_col, lg_k)
-    touched = fresh.select(part_col).distinct()
-    # Partition discovery re-infers the partition column's type from its
-    # directory values — a string part_col with numeric-looking values
-    # ("20240101") would come back as int and poison the unionByName.
-    # Read the raw directory strings (inference off — discovery happens
-    # eagerly at read time, so the conf flip is safe to restore) and cast
-    # to fresh's declared type, a lossless round-trip of what we wrote.
-    part_type = dict(fresh.dtypes)[part_col]
-    with partition_inference_off(spark):
-        existing_all = spark.read.parquet(path)
-    existing_all = existing_all.withColumn(
-        part_col, F.col(part_col).cast(part_type)
-    )
-    # Null-safe semi-join: a null partition value (the
-    # __HIVE_DEFAULT_PARTITION__ directory) must still match its own
-    # late rows — a plain equality join drops it and the dynamic
-    # overwrite would then replace that partition's state with ONLY the
-    # fresh partials, silently losing the existing counts.
-    existing = existing_all.join(
-        F.broadcast(touched),
-        existing_all[part_col].eqNullSafe(touched[part_col]),
-        "left_semi",
-    )
-    folded = existing.unionByName(fresh).groupBy(part_col, *keys).agg(
-        *_fold_state_aggs()
-    )
-    return _overwrite_partitions(spark, folded, path, part_col)
+    # The fresh aggregation feeds TWO plan branches below (the touched
+    # broadcast and the union) — persist it so the most expensive stage
+    # (raw-row aggregation) runs once, not twice.
+    fresh = fresh.persist()
+    try:
+        if not _os.path.exists(path):
+            return _overwrite_partitions(spark, fresh, path, part_col)
+        touched = fresh.select(part_col).distinct()
+        # Partition discovery re-infers the partition column's type from
+        # its directory values — a string part_col with numeric-looking
+        # values ("20240101") would come back as int and poison the
+        # unionByName.  Read the raw directory strings (inference off —
+        # discovery happens eagerly at read time, so the conf flip is
+        # safe to restore) and cast to fresh's declared type, a lossless
+        # round-trip of what we wrote.
+        part_type = dict(fresh.dtypes)[part_col]
+        with partition_inference_off(spark):
+            existing_all = spark.read.parquet(path)
+        existing_all = existing_all.withColumn(
+            part_col, F.col(part_col).cast(part_type)
+        )
+        # Null-safe semi-join: a null partition value (the
+        # __HIVE_DEFAULT_PARTITION__ directory) must still match its own
+        # late rows — a plain equality join drops it and the dynamic
+        # overwrite would then replace that partition's state with ONLY
+        # the fresh partials, silently losing the existing counts.
+        existing = existing_all.join(
+            F.broadcast(touched),
+            existing_all[part_col].eqNullSafe(touched[part_col]),
+            "left_semi",
+        )
+        folded = existing.unionByName(fresh).groupBy(part_col, *keys).agg(
+            *_fold_state_aggs()
+        )
+        return _overwrite_partitions(spark, folded, path, part_col)
+    finally:
+        fresh.unpersist()
 
 
 def _overwrite_partitions(
     spark: SparkSession, partials: DataFrame, path: str, part_col: str
 ) -> int:
+    from cryptocurrency_data_pipeline_spark.sources.tables import (
+        dynamic_partition_overwrite,
+    )
+
     # Cut the lineage before writing: the frame may READ the path it
     # overwrites (upsert), and the post-write partition count must not
     # re-run the whole build (refresh).  Eager + partials-sized — bounded
     # by partitions × keys.
     partials = partials.localCheckpoint(eager=True)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with dynamic_partition_overwrite(spark):
         partials.write.mode("overwrite").partitionBy(part_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return partials.select(part_col).distinct().count()

@@ -19,10 +19,19 @@ from pyspark.sql import functions as F
 
 
 def _ledger(spark: SparkSession, ledger_path: str) -> DataFrame | None:
+    """The ledger, or None ONLY when it genuinely does not exist yet.
+    Any other read failure (corrupt footer from a crashed commit,
+    permission error) must propagate: mapping it to 'no ledger' would
+    silently reprocess the entire input history and append duplicates
+    downstream."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
         return spark.read.parquet(ledger_path)
-    except Exception:
-        return None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
 
 
 def new_files(spark: SparkSession, input_dir: str, ledger_path: str) -> list[str]:
@@ -33,7 +42,13 @@ def new_files(spark: SparkSession, input_dir: str, ledger_path: str) -> list[str
     ledger runs in Spark so the ledger itself can grow unbounded.
     """
     listed = []
-    for root, _, files in os.walk(input_dir):
+    for root, dirs, files in os.walk(input_dir):
+        # Prune hidden/underscore DIRECTORIES too: a concurrent Spark
+        # writer's in-flight rows live under _temporary/.staging, and
+        # their part-file basenames pass the name check — ingesting them
+        # reads torn files AND double-processes the data when the writer
+        # commits it to its final (different-path) location.
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for f in sorted(files):
             if not f.startswith((".", "_")):
                 listed.append(os.path.join(root, f))

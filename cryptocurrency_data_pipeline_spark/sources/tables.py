@@ -37,6 +37,23 @@ def partition_inference_off(spark: SparkSession):
     finally:
         spark.conf.set(key, prev)
 
+
+@contextmanager
+def dynamic_partition_overwrite(spark: SparkSession):
+    """Scope in which ``mode("overwrite").partitionBy(...)`` replaces
+    ONLY the partitions present in the written frame instead of the
+    whole table — the one conf flip every partial-refresh writer shares
+    (same session-global caveat as :func:`partition_inference_off`:
+    keep the scope to the single write it protects)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 TABLE_NAMES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

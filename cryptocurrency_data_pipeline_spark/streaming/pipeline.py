@@ -190,15 +190,27 @@ def split_micro_batch(batch: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame
     corrupt = unparseable payload (consumer.py:94-102);
     bad = threshold failures with " | "-joined reasons (consumer.py:47-69);
     alert = good rows with pct_change > 10 (consumer.py:86-92).
+
+    A WELL-FORMED payload missing its ``coin_id`` is a data-quality
+    failure, not a parse error: it routes to ``bad`` with reason
+    ``missing_coin_id``, so the corrupt sink stays a faithful monitor of
+    actual parse failures (``try_parse_json`` distinguishes the two —
+    the flattened decode surface can't, every field of a failed parse
+    is null).
     """
-    corrupt = batch.filter(F.col("coin_id").isNull()).select(
+    null_key = batch.filter(F.col("coin_id").isNull())
+    is_json = F.try_parse_json(F.col("raw_data")).isNotNull()
+    corrupt = null_key.filter(~is_json).select(
         "raw_data",
         F.lit("json_parse_error").alias("error_reason"),
         F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
     )
+    missing_key = null_key.filter(is_json).withColumn(
+        "error_reason", F.lit("missing_coin_id")
+    )
     parsed = batch.filter(F.col("coin_id").isNotNull())
     good, bad, alert = silver.route_by_rules(parsed, silver.validation_reasons())
-    return good, bad, alert, corrupt
+    return good, bad.unionByName(missing_key), alert, corrupt
 
 
 def process_micro_batch(batch: DataFrame, epoch_id: int, sinks: StreamSinks) -> None:
@@ -266,9 +278,18 @@ def process_micro_batch_exactly_once(
     to exactly-once without a transactional sink.  Cost: one extra
     low-cardinality partition column; readers still scan the sink root.
     """
+    from cryptocurrency_data_pipeline_spark.sources.tables import (
+        dynamic_partition_overwrite,
+    )
+
     spark = batch.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    with dynamic_partition_overwrite(spark):
+        _write_epoch_partitioned_sinks(batch, epoch_id, sinks)
+
+
+def _write_epoch_partitioned_sinks(
+    batch: DataFrame, epoch_id: int, sinks: StreamSinks
+) -> None:
     batch = batch.withColumn("epoch", F.lit(epoch_id).cast("long"))
     batch.persist()
     try:
@@ -306,7 +327,6 @@ def process_micro_batch_exactly_once(
         )
     finally:
         batch.unpersist()
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def run_validation_pipeline(
@@ -408,19 +428,29 @@ def join_tick_streams(
 
 
 def dedup_stream_within_watermark(
-    ticks: DataFrame, keys: tuple[str, ...] = ("coin_id", "seq_no")
+    ticks: DataFrame,
+    keys: tuple[str, ...] = ("coin_id", "seq_no"),
+    watermark: str = "10 minutes",
 ) -> DataFrame:
     """T10 variant for retransmissions whose EVENT TIMES differ between
     copies (so exact-key dedup_stream misses them): first arrival per key
     wins, duplicates dropped for as long as the key is within the
     watermark. State per key is dropped at the horizon — bounded, unlike a
     global ``dropDuplicates`` on a stream which grows forever.
+
+    A streaming frame MUST carry ``event_time``: silently skipping the
+    watermark would only defer the failure to query start
+    (``dropDuplicatesWithinWatermark`` cannot run unwatermarked) with a
+    far less actionable error.
     """
-    src = (
-        ticks.withWatermark("event_time", "10 minutes")
-        if "event_time" in ticks.columns and ticks.isStreaming
-        else ticks
-    )
-    if src.isStreaming:
-        return src.dropDuplicatesWithinWatermark(list(keys))
-    return src.dropDuplicates(list(keys))
+    if ticks.isStreaming:
+        if "event_time" not in ticks.columns:
+            raise ValueError(
+                "dedup_stream_within_watermark needs an event_time column "
+                "on a streaming frame to bound its state — synthesize one "
+                "(to_timestamp of the source time field) upstream"
+            )
+        return ticks.withWatermark(
+            "event_time", watermark
+        ).dropDuplicatesWithinWatermark(list(keys))
+    return ticks.dropDuplicates(list(keys))

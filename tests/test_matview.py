@@ -321,3 +321,63 @@ def test_upsert_partition_null_partition_folds_not_replaces(spark, tmp_path):
     got = mv.merge_partials(spark.read.parquet(path), ["event_type"]).collect()[0]
     assert got.n_rows == 4          # 2 existing null-day + 1 late + 1 d1
     assert got.sum_cents == 1000    # 100 + 200 + 300 + 400
+
+
+def test_compact_preserves_replay_idempotency(spark, tmp_path):
+    """The compaction watermark keeps epoch replays no-ops AFTER their
+    partitions were folded away: without it, a crash-replayed epoch
+    re-lands beside the folded partition and double-counts."""
+    from cryptocurrency_data_pipeline_spark.operators import matview as mv
+
+    path = str(tmp_path / "epochs")
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, float(i), f"u{i}") for i in ids], "k long, v double, u string"
+        ).withColumn("g", F.lit("all"))
+
+    for epoch, ids in enumerate([[1, 2], [3], [4, 5]]):
+        mv.write_epoch_partials(batch(ids), epoch, path, ["g"], "v", "u")
+    before = mv.read_merged_partials(spark, path, ["g"]).collect()[0]
+    assert before.n_rows == 5
+
+    assert mv.compact_partials(spark, path, ["g"]) >= 1
+    assert mv.compacted_through(path) == 2
+    # Replay of an already-folded epoch: a no-op, not a double count.
+    mv.write_epoch_partials(batch([4, 5]), 2, path, ["g"], "v", "u")
+    after = mv.read_merged_partials(spark, path, ["g"]).collect()[0]
+    assert (after.n_rows, after.sum_cents) == (before.n_rows, before.sum_cents)
+    # A genuinely NEW epoch still lands.
+    mv.write_epoch_partials(batch([6]), 3, path, ["g"], "v", "u")
+    assert mv.read_merged_partials(spark, path, ["g"]).collect()[0].n_rows == 6
+
+
+def test_upsert_partition_bootstraps_missing_table(spark, tmp_path):
+    from cryptocurrency_data_pipeline_spark.operators import matview as mv
+
+    path = str(tmp_path / "fresh_upsert")
+    rows = spark.createDataFrame(
+        [("d1", 1.0, "u1"), ("d1", 2.0, "u2")], "day string, v double, u string"
+    ).withColumn("g", F.lit("all"))
+    # First-ever call on a nonexistent path must bootstrap, not crash.
+    assert mv.upsert_partition(spark, path, rows, "day", ["g"], "v", "u") == 1
+    got = mv.merge_partials(spark.read.parquet(path).drop("day"), ["g"]).collect()[0]
+    assert got.n_rows == 2 and got.sum_cents == 300
+
+
+def test_histogram_rejects_degenerate_bounds_and_excludes_nan(spark):
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import matview as mv
+
+    df = spark.createDataFrame(
+        [("d", 1.0), ("d", float("nan")), ("d", 2.0), ("d", None)],
+        "day string, v double",
+    )
+    with pytest.raises(ValueError, match="hi > lo"):
+        mv.build_histogram_partials(df, "day", [], "v", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError, match="n_bins"):
+        mv.build_histogram_partials(df, "day", [], "v", lo=0.0, hi=1.0, n_bins=0)
+    parts = mv.build_histogram_partials(df, "day", [], "v", lo=0.0, hi=4.0, n_bins=4)
+    # NaN and null both excluded: 2 real values only.
+    assert parts.agg(F.sum("n")).collect()[0][0] == 2

@@ -112,3 +112,38 @@ def test_salted_join_guards_replication_blast_radius(spark):
         skew.salted_join(big, small, "k", n_salts=4, max_small_rows=100)
     ok = skew.salted_join(big, small, "k", n_salts=4, max_small_rows=500)
     assert ok.count() == big.join(small, "k").count() == 50
+
+
+def test_new_files_skips_inflight_temporary_dirs(spark, tmp_path):
+    """A concurrent Spark writer's _temporary/.staging trees must be
+    invisible to the ledger listing: their part files are torn, and the
+    same data reappears at a different final path when the writer
+    commits — double processing."""
+    import os
+
+    from cryptocurrency_data_pipeline_spark.sources import bookmarks
+
+    src = tmp_path / "in"
+    (src / "_temporary" / "0").mkdir(parents=True)
+    (src / ".staging").mkdir()
+    (src / "_temporary" / "0" / "part-00000.json").write_text('{"a": 1}\n')
+    (src / ".staging" / "part-00001.json").write_text('{"a": 2}\n')
+    (src / "part-00002.json").write_text('{"a": 3}\n')
+    got = bookmarks.new_files(spark, str(src), str(tmp_path / "ledger"))
+    assert got == [str(src / "part-00002.json")]
+
+
+def test_ledger_corruption_propagates_not_reprocesses(spark, tmp_path):
+    """Only PATH_NOT_FOUND maps to 'no ledger yet'; a corrupt ledger
+    must raise, not silently mark the whole input as fresh."""
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.sources import bookmarks
+
+    ledger = tmp_path / "ledger"
+    ledger.mkdir()
+    (ledger / "part-00000.parquet").write_bytes(b"not a parquet file")
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "f.json").write_text("{}\n")
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        bookmarks.new_files(spark, str(tmp_path / "in"), str(ledger))

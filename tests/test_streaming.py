@@ -762,3 +762,32 @@ def test_lookup_current_rejects_lossy_probe_casts(spark, tmp_path):
     # Exactly-representable double probes still hit.
     got = snapshot_sink.lookup_current(spark, table, [3.0, 7.0])
     assert {(r.k, r.v) for r in got.collect()} == {(3, 3.0), (7, 7.0)}
+
+
+def test_missing_coin_id_routes_to_bad_not_corrupt(spark):
+    """Valid JSON without a coin_id is a data-quality failure: it lands
+    in the BAD sink with reason missing_coin_id, while truly unparseable
+    payloads stay in the corrupt sink — parse-error monitoring must not
+    be polluted by schema-level gaps."""
+    payloads = [
+        json.dumps(producer.make_tick("btc", 100.0, 10**9)),
+        '{"symbol": "eth", "current_price": 1.0}',  # valid JSON, no coin_id
+        "{definitely not json",
+    ]
+    wire = spark.createDataFrame([(p,) for p in payloads], "value string")
+    decoded = pipeline.decode_tick_payload(wire)
+    good, bad, alert, corrupt = pipeline.split_micro_batch(decoded)
+    assert corrupt.count() == 1
+    assert corrupt.collect()[0].error_reason == "json_parse_error"
+    missing = bad.filter(F.col("error_reason") == "missing_coin_id")
+    assert missing.count() == 1
+
+
+def test_dedup_within_watermark_requires_event_time_on_streams(spark, tmp_path):
+    import pytest
+
+    src = str(tmp_path / "ddsrc")
+    producer.write_batch(src, producer.make_batch(2))
+    stream = pipeline.read_tick_stream(spark, src).drop("event_time")
+    with pytest.raises(ValueError, match="event_time"):
+        pipeline.dedup_stream_within_watermark(stream)
