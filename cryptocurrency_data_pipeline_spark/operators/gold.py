@@ -72,14 +72,28 @@ def merge_fact(new_fact: DataFrame, path: str, partition_col: str = "date") -> N
 def merge_dim(existing: DataFrame | None, new: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Key-deduped dim upsert (J3 done right).
 
-    ``unionByName`` + ``dropDuplicates(keys)`` with new rows winning (new
-    first — dropDuplicates keeps the first occurrence per key).  The
-    reference's union().distinct() (gold.py:122,174) dedups full rows only,
-    so a changed attribute duplicates the key forever.
+    New rows win by an EXPLICIT precedence rank + window, not by
+    ``dropDuplicates`` position: dropDuplicates' keep-first is an
+    ordering accident of the dedup shuffle (First() per shuffle
+    partition), so "new first in the union" does not guarantee the new
+    row survives — a renamed coin could nondeterministically keep its
+    stale attributes.  The reference's union().distinct()
+    (gold.py:122,174) dedups full rows only, so a changed attribute
+    duplicates the key forever.
     """
     if existing is None:
         return new.dropDuplicates(list(keys))
-    return new.unionByName(existing).dropDuplicates(list(keys))
+    from pyspark.sql import Window
+
+    tagged = new.withColumn("__pref", F.lit(0)).unionByName(
+        existing.withColumn("__pref", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy("__pref")
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__pref", "__rn")
+    )
 
 
 def write_sorted(

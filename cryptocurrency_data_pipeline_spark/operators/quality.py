@@ -220,8 +220,13 @@ def row_level_rules(
     for c in positive_cols:
         checks.append(F.col(c).isNotNull() & (F.col(c) > 0))
     if primary_key:
+        # Glue DQDL's IsPrimaryKey requires complete AND unique: a lone
+        # null key forms its own window partition (count 1) and would
+        # otherwise pass on uniqueness alone.
         w = Window.partitionBy(primary_key)
-        checks.append(F.count(F.lit(1)).over(w) == 1)
+        checks.append(
+            F.col(primary_key).isNotNull() & (F.count(F.lit(1)).over(w) == 1)
+        )
     verdict = F.lit(True)
     for ch in checks:
         verdict = verdict & ch

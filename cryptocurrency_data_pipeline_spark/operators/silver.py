@@ -182,17 +182,24 @@ def validation_reasons(
     )
 
 
-def route_by_rules(df: DataFrame, reasons: Column) -> tuple[DataFrame, DataFrame, DataFrame]:
+def route_by_rules(
+    df: DataFrame,
+    reasons: Column,
+    pct_change: str = "price_change_percentage_24h",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """T4/T5 three-way routing: (good, bad, alert).
 
     ``bad`` rows carry ``error_reason`` (multi-reason, ``" | "``-joined —
     streaming/consumer.py:63); ``alert`` is the good-side surge filter
-    (pct_change > 10, streaming/consumer.py:86).
+    (pct_change > 10, streaming/consumer.py:86).  ``pct_change`` names the
+    surge column — configurable for the same reason it is in
+    :func:`validation_reasons` (a caller that renamed it there would
+    otherwise crash, or silently read the wrong column, here).
     """
     tagged = df.withColumn("__reasons", reasons)
     good = tagged.filter(F.size("__reasons") == 0).drop("__reasons")
     bad = tagged.filter(F.size("__reasons") > 0).withColumn(
         "error_reason", F.array_join("__reasons", " | ")
     ).drop("__reasons")
-    alert = good.filter(F.col("price_change_percentage_24h") > ALERT_SURGE_PCT)
+    alert = good.filter(F.col(pct_change) > ALERT_SURGE_PCT)
     return good, bad, alert

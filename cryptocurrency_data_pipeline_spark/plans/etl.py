@@ -60,39 +60,83 @@ SILVER_SPEC = [
 
 def transform_stage(spark: SparkSession, paths: EtlPaths):
     """Silver: read bronze, split invalid → DLQ, project/cast, stamp audit
-    cols, dedup latest per (coin_id, update_date), write partitioned."""
+    cols, dedup latest per (coin_id, update_date), write partitioned.
+
+    Every bronze line ends up in silver OR the DLQ: corrupt (unparseable)
+    lines get their own envelopes — filtering them out silently would
+    make the parse-failure class the one kind of row that can never be
+    replayed.  The DLQ envelope carries the VERBATIM raw line
+    (``keep_raw``), never a re-serialization that drops undeclared
+    payload fields.  Keep-latest orders on the landing FILE (run-id
+    stamped ``crypto_data_<ts>.json`` — lexical order is fetch order):
+    within one transform run ``current_timestamp()`` is a query
+    constant, so ordering on it would silently degrade keep-latest to
+    keep-max-market-cap across same-day fetches."""
 
     def stage(_):
-        df = ingestion.read_bronze(spark, paths.bronze)
+        df = ingestion.read_bronze(spark, paths.bronze, keep_raw=True)
         if df.isEmpty():  # C2 — not a count() job
             return SKIP
-        parsed = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-        valid, dlq = silver.enforce_schema_split(parsed, REQUIRED_FIELDS)
-        dlq.coalesce(1).write.mode("append").json(paths.dlq)
-        out = (
-            silver.project_cast(valid, SILVER_SPEC)
-            .withColumn("update_date", F.current_date())
-            .withColumn("last_updated_ts", F.current_timestamp())
-        )
-        out = silver.dedup_latest(
-            out, ["coin_id", "update_date"], "last_updated_ts", tiebreak=["market_cap"]
-        )
-        # Write-path accounting rides the write job itself (Observation
-        # API — zero extra scans); the dedicated quality stage still runs
-        # its full profile against the landed table afterwards.
-        watched, obs = quality.observed(
-            out, name="silver_write", completeness_cols=["coin_id", "current_price"]
-        )
-        (
-            watched.write.mode("overwrite")
-            .option("compression", "snappy")
-            .partitionBy("update_date")
-            .parquet(paths.silver)
-        )
-        quality.profile_df(spark, obs.get).coalesce(1).write.mode("append").parquet(
-            paths.metrics
-        )
-        return paths.silver
+        # input_file_name() binds to the file scan — capture BEFORE the
+        # persist below would detach it (an InMemoryTableScan has no
+        # file attribution, the column would come back empty).
+        df = df.withColumn("_src_file", F.input_file_name())
+        # One bronze scan feeds both the DLQ write and the silver write;
+        # unpersisted, the text scan + from_json would run twice and a
+        # file landing between the two actions could split a batch
+        # inconsistently across them.
+        df = df.persist()
+        try:
+            corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select(
+                F.col("_raw").alias("raw_data"),
+                F.lit("json_parse_error").alias("error_reason"),
+                F.date_format(
+                    F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"
+                ).alias("timestamp"),
+                F.lit("corrupt_record").alias("validation_type"),
+            )
+            parsed = df.filter(F.col("_corrupt_record").isNull()).drop(
+                "_corrupt_record"
+            )
+            valid, dlq = silver.enforce_schema_split(
+                parsed, REQUIRED_FIELDS, raw_col="_raw"
+            )
+            dlq.unionByName(corrupt).coalesce(1).write.mode("append").json(
+                paths.dlq
+            )
+            out = (
+                silver.project_cast(
+                    valid, SILVER_SPEC + [("_src_file", "_src_file", "string")]
+                )
+                .withColumn("update_date", F.current_date())
+                .withColumn("last_updated_ts", F.current_timestamp())
+            )
+            out = silver.dedup_latest(
+                out,
+                ["coin_id", "update_date"],
+                "_src_file",
+                tiebreak=["market_cap"],
+            ).drop("_src_file")
+            # Write-path accounting rides the write job itself
+            # (Observation API — zero extra scans); the dedicated quality
+            # stage still runs its full profile against the landed table.
+            watched, obs = quality.observed(
+                out,
+                name="silver_write",
+                completeness_cols=["coin_id", "current_price"],
+            )
+            (
+                watched.write.mode("overwrite")
+                .option("compression", "snappy")
+                .partitionBy("update_date")
+                .parquet(paths.silver)
+            )
+            quality.profile_df(spark, obs.get).coalesce(1).write.mode(
+                "append"
+            ).parquet(paths.metrics)
+            return paths.silver
+        finally:
+            df.unpersist()
 
     return stage
 
@@ -111,15 +155,20 @@ def default_constraints(min_rows: int = 1, max_rows: int = 10**9):
 
 def quality_stage(spark: SparkSession, paths: EtlPaths, constraints=None):
     """DQ gate: one-pass profile → constraints → metrics sink → abort on
-    failure (C4).  Uniqueness is taken per partition date's latest state —
-    matching the reference, which gates each day's batch."""
+    failure (C4).  The profile runs over the LATEST update_date partition
+    only (partition-pruned scan) — matching the reference, which gates
+    each day's batch: profiling the whole multi-date table would fail
+    the Uniqueness(coin_id) constraint from day 2 onward, since every
+    coin legitimately appears once per retained date."""
 
     def stage(silver_path):
         df = spark.read.parquet(silver_path or paths.silver)
         if df.isEmpty():
             return SKIP
+        latest = df.agg(F.max("update_date")).collect()[0][0]
+        day = df.where(F.col("update_date") == F.lit(latest))
         metrics = quality.profile(
-            df,
+            day,
             completeness_cols=["coin_id", "current_price", "market_cap", "symbol", "name"],
             numeric_cols=["current_price", "market_cap"],
             unique_key="coin_id",
@@ -136,6 +185,21 @@ def quality_stage(spark: SparkSession, paths: EtlPaths, constraints=None):
     return stage
 
 
+def _read_parquet_if_exists(spark: SparkSession, path: str):
+    """The table, or None ONLY when it does not exist yet.  Any other
+    read failure (corruption, permission, transient IO) must propagate:
+    treating it as first-load would hand merge_dim an empty 'existing'
+    side and OVERWRITE the dim with only today's rows — history gone."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+
+
 def gold_stage(spark: SparkSession, paths: EtlPaths):
     """Gold: fact (dynamic-partition merge), dims (key-deduped merges)."""
 
@@ -147,10 +211,7 @@ def gold_stage(spark: SparkSession, paths: EtlPaths):
         gold.merge_fact(fact, paths.gold_fact)
 
         new_coins = gold.build_dim(df, ["coin_id", "symbol", "name"])
-        try:
-            existing = spark.read.parquet(paths.gold_dim_coins)
-        except Exception:
-            existing = None
+        existing = _read_parquet_if_exists(spark, paths.gold_dim_coins)
         merged = gold.merge_dim(existing, new_coins, ["coin_id"])
         # Dim is tiny (one row per coin): rewrite wholesale.
         merged.coalesce(1).write.mode("overwrite").parquet(paths.gold_dim_coins + "_tmp")
@@ -159,10 +220,7 @@ def gold_stage(spark: SparkSession, paths: EtlPaths):
         ).parquet(paths.gold_dim_coins)
 
         dim_date = gold.build_dim_date(df, "update_date")
-        try:
-            existing_d = spark.read.parquet(paths.gold_dim_date)
-        except Exception:
-            existing_d = None
+        existing_d = _read_parquet_if_exists(spark, paths.gold_dim_date)
         gold.merge_dim(existing_d, dim_date, ["date"]).coalesce(1).write.mode(
             "overwrite"
         ).parquet(paths.gold_dim_date + "_tmp")
@@ -191,15 +249,28 @@ def replay_dlq(
     project/cast/stamp path, and REWRITES the DLQ with only the
     still-failing envelopes — so replay is idempotent and the DLQ only
     ever shrinks.  Returns ``(n_recovered, n_still_bad)``.
+
+    Recovered payloads are also RE-LANDED in bronze (the layer of
+    record): ``transform_stage`` rebuilds today's silver partition from
+    bronze with dynamic overwrite, so a same-day re-run would otherwise
+    erase the replayed rows from silver AFTER the DLQ was rewritten
+    without them — unrecoverable loss.  With the re-landing, a recompute
+    either re-derives the rows (parse/schema fix visible to the standard
+    read) or re-quarantines them to the DLQ (replay used a relaxed
+    ``required``) — the bronze ∪ DLQ loss-bucket invariant holds either
+    way, and keep-latest dedup absorbs the duplicate payload copies.
     """
+    from pyspark.errors.exceptions.captured import AnalysisException
     from pyspark.sql.types import StringType, StructField, StructType
 
     from cryptocurrency_data_pipeline_spark.schemas import CRYPTO_MARKETS
 
     try:
         envelopes = spark.read.json(paths.dlq)
-    except Exception:
-        return (0, 0)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return (0, 0)  # no DLQ yet — nothing to drain
+        raise
     if envelopes.isEmpty() or "raw_data" not in envelopes.columns:
         return (0, 0)
 
@@ -229,6 +300,15 @@ def replay_dlq(
             .partitionBy("update_date")
             .parquet(paths.silver)
         )
+        # Re-land the recovered raw lines in bronze (see docstring).
+        (
+            envelopes.select("raw_data")
+            .exceptAll(still_bad.select("raw_data"))
+            .select(F.col("raw_data").alias("value"))
+            .coalesce(1)
+            .write.mode("append")
+            .text(paths.bronze)
+        )
     valid.unpersist()
 
     # Rewrite the DLQ with only the still-failing envelopes.  The source
@@ -242,7 +322,7 @@ def replay_dlq(
     try:
         remaining = spark.read.json(tmp)
         n_still_bad = remaining.count()
-    except Exception:  # empty tmp: everything recovered
+    except AnalysisException:  # empty tmp (no schema): everything recovered
         remaining, n_still_bad = None, 0
     if n_still_bad:
         remaining.coalesce(1).write.mode("overwrite").json(paths.dlq)

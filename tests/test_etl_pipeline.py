@@ -299,3 +299,111 @@ def test_replay_dlq_preserves_raw_payload_and_cleans_tmp(spark, tmp_path):
     # Verbatim payload: the out-of-schema field survived the round trip.
     assert json.loads(kept.raw_data) == json.loads(payload)
     assert not os.path.isdir(paths.dlq.rstrip("/") + "_tmp")
+
+
+def test_corrupt_lines_reach_the_dlq(spark, tmp_path):
+    """A truncated/unparseable bronze line must land in the DLQ with its
+    verbatim payload — filtered-out-and-nowhere is silent data loss of
+    exactly the rows most likely to need replay."""
+    import os
+
+    paths = _paths(tmp_path)
+    ingestion.write_bronze([_record(0), _record(1)], paths.bronze, run_id="r1")
+    with open(os.path.join(paths.bronze, "crypto_data_r1.json"), "a") as f:
+        f.write('{"id": "coin-broken", "current_price": \n')  # truncated
+    etl.transform_stage(spark, paths)(None)
+    dlq = spark.read.json(paths.dlq)
+    corrupt = dlq.filter(dlq.error_reason == "json_parse_error")
+    assert corrupt.count() == 1
+    assert corrupt.collect()[0].raw_data.startswith('{"id": "coin-broken"')
+    assert spark.read.parquet(paths.silver).count() == 2
+
+
+def test_quality_gate_survives_multi_day_silver(spark, tmp_path):
+    """The Uniqueness(coin_id) gate profiles the LATEST day only: every
+    coin legitimately recurs once per retained date, so a whole-table
+    profile would hard-fail from day 2 onward."""
+    from pyspark.sql import functions as F
+
+    paths = _paths(tmp_path)
+    ingestion.write_bronze([_record(i) for i in range(5)], paths.bronze, run_id="r1")
+    etl.transform_stage(spark, paths)(None)
+    # Simulate yesterday's retained partition: copy today's rows to D-1.
+    today = spark.read.parquet(paths.silver)
+    (
+        today.withColumn("update_date", F.date_sub("update_date", 1))
+        .write.mode("append").partitionBy("update_date").parquet(paths.silver)
+    )
+    assert spark.read.parquet(paths.silver).count() == 10
+    # Day-2 state: the gate must still pass.
+    assert etl.quality_stage(spark, paths)(paths.silver) == paths.silver
+
+
+def test_replay_survives_same_day_transform_rerun(spark, tmp_path):
+    """Recovered rows must not be silently lost when transform re-runs
+    the same day: the replay re-lands payloads in bronze, so the re-run
+    either re-derives them or re-quarantines them — never neither."""
+    paths = _paths(tmp_path)
+    records = [_record(i) for i in range(3)]
+    records.append(_record(7, current_price=None))  # -> DLQ (required null)
+    ingestion.write_bronze(records, paths.bronze, run_id="r1")
+    etl.transform_stage(spark, paths)(None)
+    assert spark.read.parquet(paths.silver).count() == 3
+    assert spark.read.json(paths.dlq).count() == 1
+
+    # Operator relaxes the required set and drains the DLQ.
+    recovered, still_bad = etl.replay_dlq(
+        spark, paths, required=["id"]
+    )
+    assert (recovered, still_bad) == (1, 0)
+    assert spark.read.parquet(paths.silver).count() == 4
+
+    # Same-day transform re-run: dynamic overwrite rebuilds today's
+    # partition from bronze.  The replayed payload is back in the DLQ
+    # (strict required set again) — in silver ∪ DLQ, not lost.
+    etl.transform_stage(spark, paths)(None)
+    n_silver = spark.read.parquet(paths.silver).count()
+    n_dlq = spark.read.json(paths.dlq).filter(
+        "raw_data IS NOT NULL AND error_reason IS NOT NULL"
+    ).count()
+    assert n_silver == 3 and n_dlq >= 1
+
+
+def test_merge_dim_new_attributes_win_deterministically(spark):
+    from cryptocurrency_data_pipeline_spark.operators import gold
+
+    existing = spark.createDataFrame(
+        [("c1", "Old Name"), ("c2", "Stable")], "coin_id string, name string"
+    )
+    new = spark.createDataFrame([("c1", "New Name")], "coin_id string, name string")
+    got = {(r.coin_id, r.name) for r in gold.merge_dim(existing, new, ["coin_id"]).collect()}
+    assert got == {("c1", "New Name"), ("c2", "Stable")}
+
+
+def test_keep_latest_orders_on_landing_file(spark, tmp_path):
+    """Two same-day fetches of one coin: the LATER landing file's row
+    wins, even when the earlier row has the higher market cap (ordering
+    on the query-constant current_timestamp would pick by market cap)."""
+    paths = _paths(tmp_path)
+    ingestion.write_bronze(
+        [_record(0, current_price=100.0, market_cap=9_999_999_999)],
+        paths.bronze, run_id="20240101_080000",
+    )
+    ingestion.write_bronze(
+        [_record(0, current_price=200.0, market_cap=1_000)],
+        paths.bronze, run_id="20240101_200000",
+    )
+    etl.transform_stage(spark, paths)(None)
+    rows = spark.read.parquet(paths.silver).collect()
+    assert len(rows) == 1 and rows[0].current_price == 200.0
+
+
+def test_is_primary_key_fails_null_keys(spark):
+    from cryptocurrency_data_pipeline_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), ("b", 3.0)], "k string, v double"
+    )
+    out = quality.row_level_rules(df, primary_key="k")
+    got = {(r.k, r.dq_result) for r in out.collect()}
+    assert got == {("a", "Passed"), (None, "Failed"), ("b", "Passed")}
