@@ -84,8 +84,17 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
 
 
 def band_keys(sig: Column, bands: int = 4) -> Column:
-    """Band keys from an 8-element signature: bands of 2 rows each,
-    null-safe (empty OPH buckets hash as a sentinel on both engines)."""
+    """Band keys from an 8-element signature: bands of ``8/bands`` rows,
+    null-safe (empty OPH buckets hash as a sentinel on both engines).
+    ``bands`` must divide the signature length exactly — a non-divisor
+    silently ignores trailing signature elements, and ``bands > 8``
+    degenerates to zero rows per band, where EVERY doc shares every band
+    key and the candidate join explodes to all-pairs."""
+    if bands <= 0 or 8 % bands:
+        raise ValueError(
+            f"bands must be a positive divisor of the signature length 8, "
+            f"got {bands}"
+        )
     rows = 8 // bands
     return F.array(
         *[
@@ -105,17 +114,27 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     n: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing any full band of the
     signature.  Returns distinct (a_id, b_id) with a < b.
 
     rows-per-band = 8/bands; collision prob ≈ jaccard^(8/bands) per band.
     The pair space is generated by a self-equi-join on short band keys —
-    the only shuffle, on ~32-byte keys.
+    the only shuffle, on ~32-byte keys.  ``sh`` injects a pre-built
+    (persisted) shingle frame so callers that also verify pairs share
+    the one shingling pass (:func:`minhash_near_dups`).
+
+    Zero-shingle docs (shorter than the shingle width) are excluded
+    BEFORE banding: their signature is all-null, so every such doc would
+    share every sentinel band key with every other — C(n,2) candidate
+    pairs that all verify to Jaccard 0, a quadratic shuffle for nothing
+    at corpus scale.
     """
-    sh = _shingle_frame(df, text_col, id_col, n)
+    if sh is None:
+        sh = _shingle_frame(df, text_col, id_col, n)
     # No distinct: the band-index prefix makes the exploded keys unique per doc.
-    banded = sh.select(
+    banded = sh.where(F.size("sh") > 0).select(
         "id",
         F.explode(band_keys(minhash_signature(F.col("hashes")), bands)).alias("band_key"),
     )
@@ -149,17 +168,7 @@ def minhash_near_dups(
     signature pass and the verification joins.
     """
     sh = track(_shingle_frame(df, text_col, id_col, n).persist())
-    # No distinct: the band-index prefix makes the exploded keys unique per doc.
-    banded = sh.select(
-        "id",
-        F.explode(band_keys(minhash_signature(F.col("hashes")), bands)).alias("band_key"),
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .distinct()
-    )
+    pairs = lsh_candidate_pairs(df, text_col, id_col, bands, n, sh=sh)
     shingle_sets = sh.select("id", "sh")
     return (
         pairs.join(

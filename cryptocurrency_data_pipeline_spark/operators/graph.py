@@ -170,7 +170,16 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
     owned = _checkpoint_rdd_id(labels)
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # Convergence fingerprint: sum of per-row label HASHES in
+    # decimal(38,0) — type-agnostic (string/hash node ids crash a plain
+    # sum with CAST_INVALID_INPUT, and snowflake-scale long ids overflow
+    # int64 under ANSI) and overflow-proof.  Min-label propagation is
+    # monotone, so an unchanged multiset fingerprint means unchanged
+    # labels (the _partition_fingerprints argument).
+    label_fp = F.sum(
+        F.xxhash64(F.col("label").cast("string")).cast("decimal(38,0)")
+    )
+    prev_sum = labels.agg(label_fp).first()[0]
 
     for _ in range(max_iters):
         nbr = (
@@ -183,7 +192,7 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        new_sum = new_labels.agg(label_fp).first()[0]
         # New generation is materialized; the previous round's checkpoint
         # blocks are dead weight from here on — release them eagerly.
         _unpersist_rdd_id(sc, owned)

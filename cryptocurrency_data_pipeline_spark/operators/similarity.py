@@ -350,13 +350,18 @@ def quantized_cosine_topk(
             ).cast("double")
         )
 
+    # Zero-norm guard, same as cosine(): an all-zero embedding quantizes
+    # to all-zero codes, and the unguarded division raises DIVIDE_BY_ZERO
+    # under ANSI mode (default on) — zero vectors DO occur at corpus
+    # scale and must score 0.0, not kill the job.
+    denom = inorm(F.col("c_codes")) * inorm(F.col("q_codes"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (idot / (inorm(F.col("c_codes")) * inorm(F.col("q_codes")))).alias("sim"),
+            F.when(denom > 0, idot / denom).otherwise(F.lit(0.0)).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -23,6 +23,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, n_salts: int) -> Column:
+    """DETERMINISTIC per-row salt: pmod(xxhash64(all columns), n).
+
+    ``rand(seed)`` is the SPARK-23207 hazard: a stage retry re-rolls the
+    values (upstream row order is not retry-stable), so a row can land
+    in a different (key, salt) phase-1 group than the partials some
+    reducers already fetched — double-counted or dropped rows at exactly
+    the scale these tools target.  Hashing the row's content is
+    retry-stable; identical duplicate rows share a salt, which is
+    harmless (aggregation combines them map-side anyway, and a join
+    replica matches regardless of which salt it lands on)."""
+    return F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -35,7 +49,7 @@ def salted_agg(
     {sum, count, min, max, avg}.  avg is decomposed into sum+count across
     the phases so the result is exact.
     """
-    salt = (F.rand(seed=42) * n_salts).cast("int")
+    salt = _row_salt(df, n_salts)
     phase1_aggs, phase2_aggs, post = [], [], []
     for out, (col, fn) in aggs.items():
         if fn == "sum":
@@ -96,7 +110,22 @@ def salted_join(
     (O(max) work, never a full count) raises ``ValueError`` if the small
     side exceeds it, instead of silently materializing an ``n_salts×``
     copy of a table that was never actually small.
+
+    Only inner/left-side joins are supported: a right or full outer join
+    would emit every UNMATCHED small-side replica — ``n_salts`` copies
+    of each unmatched row — so those shapes are rejected rather than
+    silently multiplied.
     """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "left_anti", "leftanti",
+    }
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left-side joins only, got "
+            f"how={how!r}: an outer right/full join emits each unmatched "
+            f"small-side row once PER REPLICA ({n_salts}x duplicates)"
+        )
     if max_small_rows is not None:
         probe = small.limit(max_small_rows + 1).count()
         if probe > max_small_rows:
@@ -106,7 +135,7 @@ def salted_join(
                 f"own scale problem — broadcast a smaller dim, lower "
                 f"n_salts, or use AQE skew-join splitting for big-big skew"
             )
-    salted_big = big.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salted_big = big.withColumn("__salt", _row_salt(big, n_salts))
     replicated = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

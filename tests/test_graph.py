@@ -158,3 +158,14 @@ def test_triangle_stats_triangle_free(spark):
     row = triangle_stats(df).collect()[0]
     assert row.n_triangles == 0 and row.n_wedges == 21
     assert row.global_clustering_coeff == 0.0
+
+
+def test_connected_components_string_node_ids(spark):
+    """Node ids need not be numeric: the convergence fingerprint hashes
+    labels (a plain SUM(label) crashes with CAST_INVALID_INPUT on string
+    ids under ANSI).  Two components over sha-like string ids."""
+    df = spark.createDataFrame(
+        [("aa", "bb"), ("bb", "cc"), ("xx", "yy")], "src string, dst string"
+    )
+    out = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    assert out == {"aa": "aa", "bb": "aa", "cc": "aa", "xx": "xx", "yy": "xx"}

@@ -147,3 +147,39 @@ def test_ledger_corruption_propagates_not_reprocesses(spark, tmp_path):
     (tmp_path / "in" / "f.json").write_text("{}\n")
     with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
         bookmarks.new_files(spark, str(tmp_path / "in"), str(ledger))
+
+
+def test_salted_join_rejects_outer_shapes(spark):
+    """A right/full outer salted join would emit every unmatched
+    small-side replica n_salts times; the operator refuses those shapes
+    instead of silently multiplying rows."""
+    import pytest
+
+    big = spark.createDataFrame([("a", 1)], "k string, v long")
+    small = spark.createDataFrame([("a", "t"), ("b", "u")], "k string, tag string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            skew.salted_join(big, small, "k", how=how)
+    # Left outer is fine: unmatched BIG rows appear once (they carry one salt).
+    left = skew.salted_join(
+        big.unionByName(spark.createDataFrame([("zz", 9)], "k string, v long")),
+        small, "k", how="left",
+    )
+    assert left.count() == 2
+
+
+def test_row_salt_is_content_deterministic(spark):
+    """The per-row salt must be a pure function of row content, not
+    rand(): a stage retry that re-rolls salts double-counts or drops
+    rows (SPARK-23207).  Pin that identical content always lands on the
+    same salt and re-evaluation is stable."""
+    df = spark.createDataFrame(
+        [("k", i % 10) for i in range(200)], "k string, v long"
+    )
+    salted = df.withColumn("s", skew._row_salt(df, 8))
+    first = salted.groupBy("v", "s").count().collect()
+    second = salted.groupBy("v", "s").count().collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+    # Same content -> same salt: each distinct v maps to exactly one salt.
+    per_v = salted.groupBy("v").agg(F.countDistinct("s").alias("n")).collect()
+    assert all(r.n == 1 for r in per_v)

@@ -343,3 +343,43 @@ def test_hashed_doc_vectors_plan_single_shuffle_no_python(spark):
     )
     assert "Python" not in plan and "InPandas" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # (doc,bucket) + doc
+
+
+def test_band_keys_rejects_non_divisor_bands(spark):
+    """bands must divide the 8-element signature: a non-divisor silently
+    drops trailing signature rows, and bands>8 gives zero rows per band
+    (every doc shares every band key -> all-pairs candidate explosion)."""
+    for bad in (0, -1, 3, 5, 16):
+        with pytest.raises(ValueError, match="divisor"):
+            dedup.band_keys(F.col("x"), bands=bad)
+
+
+def test_zero_shingle_docs_never_pair(spark):
+    """Docs shorter than the shingle width have an all-null signature;
+    without the size guard every such doc shares every sentinel band key
+    with every other -> C(n,2) junk candidates.  They must produce NO
+    candidate pairs, while real near-dups still pair."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base + " extra")] + [(10 + i, "hi") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup.lsh_candidate_pairs(df, "text", "doc_id").collect()
+    }
+    assert (1, 2) in pairs
+    assert all(a < 10 and b < 10 for a, b in pairs), pairs
+
+
+def test_quantized_topk_survives_zero_vectors(spark):
+    """An all-zero embedding quantizes to all-zero codes; the unguarded
+    cosine denominator raises DIVIDE_BY_ZERO under ANSI.  Zero vectors
+    must score 0.0 and never crash the job."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id").isin(1, 2))
+    rows = similarity.quantized_cosine_topk(emb, q, k=2).collect()
+    sims = {(r.query_id, r.neighbor_id): r.q_cosine_sim for r in rows}
+    assert all(v == 0.0 for (a, b), v in sims.items() if 2 in (a, b))
+    assert sims[(1, 3)] > 0.9
