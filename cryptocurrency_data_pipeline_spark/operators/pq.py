@@ -303,7 +303,7 @@ def build_ivfpq_index(
                       vec_col=vec_col, sub=sub)
     codes.write.mode("overwrite").parquet(f"{path}/codes")
 
-    cents = similarity.ivf_centroids(df, nlist=nlist)
+    cents = similarity.ivf_centroids(df, nlist=nlist, id_col=id_col, vec_col=vec_col)
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     cents = df.sparkSession.read.parquet(f"{path}/centroids")
     simr = F.round(
@@ -336,16 +336,29 @@ class IvfPqIndex:
 
 
 def load_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
-    """Open a persisted IVFPQ index.  Raises if any component is absent."""
-    params = spark.read.parquet(f"{path}/params").head(1)[0]
+    """Open a persisted IVFPQ index.  Raises if any component is absent
+    or zero-row (the aborted-write signature — an empty params or
+    codebook artifact means the build never finished and the index must
+    be rebuilt, not served)."""
+    params_rows = spark.read.parquet(f"{path}/params").head(1)
+    if not params_rows:
+        raise ValueError(
+            f"partial IVFPQ index at {path!r}: params artifact is empty "
+            f"(aborted build) — rebuild with build_ivfpq_index"
+        )
     idx = IvfPqIndex(
         load_codebook(spark, f"{path}/codebook"),
         spark.read.parquet(f"{path}/centroids"),
         spark.read.parquet(f"{path}/codes"),
         spark.read.parquet(f"{path}/assign"),
-        subdim=int(params.subdim),
+        subdim=int(params_rows[0].subdim),
     )
-    idx.codebook.head(1)  # force a read: corrupt/partial index must rebuild
+    # Force reads: a corrupt/partial component must raise here, not serve.
+    if not idx.codebook.head(1) or not idx.centroids.head(1):
+        raise ValueError(
+            f"partial IVFPQ index at {path!r}: empty codebook/centroids "
+            f"artifact (aborted build) — rebuild with build_ivfpq_index"
+        )
     return idx
 
 

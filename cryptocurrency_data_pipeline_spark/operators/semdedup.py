@@ -46,13 +46,8 @@ from cryptocurrency_data_pipeline_spark.operators.clustering import assign_clust
 from cryptocurrency_data_pipeline_spark.operators.similarity import (
     dot,
     ivf_centroids,
+    norm,
 )
-
-
-def _self_dot(v):
-    """Sequential-fold self dot product (same order as DuckDB's
-    list_dot_product, so sqrt(self_dot) replays exactly)."""
-    return dot(v, v)
 
 
 def _normalized_assignment(
@@ -66,13 +61,24 @@ def _normalized_assignment(
     OWN column first — inside the transform lambda it would re-fold the
     whole vector once per element (O(dim^2)/row).  The persist is
     registered with ``caching.track`` so composed plans / loops can
-    release it eagerly after their terminal action."""
+    release it eagerly after their terminal action.
+
+    Zero-norm guard: an all-zero embedding (they DO occur at corpus
+    scale) keeps its zero components instead of dividing — the unguarded
+    x/0 raises DIVIDE_BY_ZERO under ANSI mode, and in non-ANSI mode the
+    all-null vector silently nulls every pair dot out of the >= tau
+    filter.  A zero vector then scores dot == 0 against everything,
+    matching :func:`similarity.cosine`'s guarded semantics."""
     return track(
         assign_clusters(corpus, centers, id_col=id_col, vec_col=vec_col)
-        .withColumn("__norm", F.sqrt(_self_dot(F.col(vec_col))))
+        .withColumn("__norm", norm(F.col(vec_col)))
         .withColumn(
             "__nv",
-            F.transform(F.col(vec_col), lambda x: x / F.col("__norm")),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.when(F.col("__norm") > 0, x / F.col("__norm"))
+                .otherwise(F.lit(0.0)),
+            ),
         )
         .select(id_col, "cluster_id", "__nv")
         .persist()

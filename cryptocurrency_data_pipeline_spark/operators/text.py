@@ -41,9 +41,19 @@ def _isin_any(values: tuple[str, ...]):
 
 
 def tokens(col: str | Column = "text") -> Column:
-    """Whitespace tokenization (lowercased)."""
+    """Whitespace tokenization (lowercased).
+
+    Blank-safe: null or whitespace-only text yields ``[]``, not the
+    ``['']`` that a raw split of the empty string produces — a blank doc
+    has ZERO tokens, and the phantom empty-string token would otherwise
+    count as one token, hash into a real feature bucket, and give blank
+    docs nonzero embeddings.  (DuckDB's ``string_split_regex`` has the
+    same ``['']`` artifact; oracles over real corpora must guard the
+    same way.)"""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.lower(F.trim(c)), r"\s+")
+    return F.when(
+        F.length(F.trim(c)) > 0, F.split(F.lower(F.trim(c)), r"\s+")
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def token_count(col: str | Column = "text") -> Column:
@@ -77,15 +87,22 @@ def char_count(col: str | Column = "text") -> Column:
 
 
 def stopword_ratio(col: str | Column = "text") -> Column:
+    """Fraction of tokens that are stopwords; 0.0 for blank docs (the
+    unguarded 0/0 is null — a silent row-dropper in downstream filters —
+    or DIVIDE_BY_ZERO under ANSI mode)."""
     toks = tokens(col)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
-    return n_stop / F.size(toks)
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
 
 
 def punct_ratio(col: str | Column = "text") -> Column:
+    """Fraction of characters that are punctuation; 0.0 for empty text
+    (same zero-denominator guard as :func:`stopword_ratio`)."""
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(c, r"[^\w\s]", "")
-    return (F.length(c) - F.length(stripped)) / F.length(c)
+    return F.when(
+        F.length(c) > 0, (F.length(c) - F.length(stripped)) / F.length(c)
+    ).otherwise(F.lit(0.0))
 
 
 def nonspace_chars(col: str | Column = "text") -> Column:
@@ -96,17 +113,24 @@ def nonspace_chars(col: str | Column = "text") -> Column:
 
 
 def avg_token_len(col: str | Column = "text") -> Column:
-    return nonspace_chars(col) / F.size(tokens(col))
+    n = F.size(tokens(col))
+    return F.when(n > 0, nonspace_chars(col) / n).otherwise(F.lit(0.0))
 
 
 def quality_score(col: str | Column = "text") -> Column:
     """Composite [0,1] quality score: long enough, low punctuation, sane
-    stopword density — the standard cheap pre-filter for LLM corpora."""
+    stopword density — the standard cheap pre-filter for LLM corpora.
+    Blank/null docs score 0.0 outright: letting the components run on a
+    tokenless doc yields a misleading mid-range composite (and nulls
+    that silently drop the row from ``score > x`` filters instead of
+    scoring it low)."""
     length_ok = F.least(char_count(col) / F.lit(200.0), F.lit(1.0))
     punct_ok = 1.0 - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
     stop = stopword_ratio(col)
     stop_ok = 1.0 - F.least(F.abs(stop - 0.1) * 2.0, F.lit(1.0))
-    return (length_ok + punct_ok + stop_ok) / 3.0
+    return F.when(
+        F.size(tokens(col)) > 0, (length_ok + punct_ok + stop_ok) / 3.0
+    ).otherwise(F.lit(0.0))
 
 
 def lang_id(col: str | Column = "text", toks: Column | None = None) -> Column:
@@ -198,7 +222,12 @@ def _winnow_udf(k: int, w: int):
 
     from pyspark.sql.functions import pandas_udf
 
-    ws = _re.compile(r"\s+")
+    # ASCII \s + space-only strip, NOT Python defaults: Java/RE2 \s is
+    # [ \t\n\x0B\f\r] and SQL trim() strips only spaces, while Python's
+    # unicode-aware \s and str.strip() also eat U+00A0/U+2028/leading
+    # tabs — a doc with any of those would fingerprint differently here
+    # than in the SQL replay the docstring promises byte-identity with.
+    ws = _re.compile(r"\s+", _re.ASCII)
 
     from collections import deque
 
@@ -211,7 +240,7 @@ def _winnow_udf(k: int, w: int):
             if txt is None:
                 out.append([])
                 continue
-            norm = ws.sub(" ", txt.strip().lower())
+            norm = ws.sub(" ", txt.strip(" ").lower())
             # Slice CODEPOINTS (SQL substr semantics), encode per gram; min
             # over raw digests == min over hexdigests (hex preserves byte
             # order), so hex only the selected minima.
@@ -273,13 +302,15 @@ def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
         "*",
         F.size(toks).alias("n_tokens"),
         F.length(c).alias("n_chars_computed"),
-        (
-            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / F.size(toks)
-        ).alias("__stop_ratio"),
-        (
+        F.when(
+            F.size(toks) > 0,
+            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / F.size(toks),
+        ).otherwise(F.lit(0.0)).alias("__stop_ratio"),
+        F.when(
+            F.length(c) > 0,
             (F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", "")))
-            / F.length(c)
-        ).alias("__punct_ratio"),
+            / F.length(c),
+        ).otherwise(F.lit(0.0)).alias("__punct_ratio"),
         lang_id(col, toks=toks).alias("lang_pred"),
         fingerprint(col).alias("fingerprint"),
     )
@@ -288,10 +319,21 @@ def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     stop_ok = 1.0 - F.least(F.abs(F.col("__stop_ratio") - 0.1) * 2.0, F.lit(1.0))
     return staged.select(
         "*",
-        F.round(nonspace_chars(col) / F.size(toks), 6).alias("avg_token_len"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0, nonspace_chars(col) / F.size(toks)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
         F.round(F.col("__stop_ratio"), 6).alias("stopword_ratio"),
         F.round(F.col("__punct_ratio"), 6).alias("punct_ratio"),
-        F.round((length_ok + punct_ok + stop_ok) / 3.0, 6).alias("quality_score"),
+        # Blank/null docs score 0.0 — see quality_score().
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0, (length_ok + punct_ok + stop_ok) / 3.0
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("quality_score"),
     ).drop("__toks", "__stop_ratio", "__punct_ratio")
 
 
@@ -411,14 +453,21 @@ def chunk_docs(
     stride: int = 80,
 ) -> DataFrame:
     """One row per (doc, chunk): ``id_col, pos, chunk`` with ``pos`` the
-    1-based start offset (chunk index == (pos-1)/stride)."""
-    starts = chunk_starts(text_col, size, stride)
+     1-based start offset (chunk index == (pos-1)/stride).
+
+    Null text is treated as empty: the doc still emits its single
+    (pos=1, chunk='') row.  Without the coalesce, chunk_starts(null) is
+    null and the explode silently erases the document from the output —
+    a no-silent-row-loss violation for any caller that joins chunks
+    back against the corpus."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    starts = chunk_starts(txt, size, stride)
     return df.select(
-        F.col(id_col), F.col(text_col), F.explode(starts).alias("pos")
+        F.col(id_col), txt.alias("__txt"), F.explode(starts).alias("pos")
     ).select(
         id_col,
         "pos",
-        F.col(text_col).substr(F.col("pos"), F.lit(size)).alias("chunk"),
+        F.col("__txt").substr(F.col("pos"), F.lit(size)).alias("chunk"),
     )
 
 
@@ -478,8 +527,11 @@ def bm25_rank(
         norm = tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
         return F.when(tf > 0, idf * tf * (k1 + 1.0) / norm).otherwise(0.0)
 
+    # F.lit(0.0) start value: Python sum() over an EMPTY generator
+    # returns the int 0, and withColumn(score, 0) rejects the non-Column
+    # — an empty term list must yield an empty result, not a crash.
     scored = per_doc.crossJoin(F.broadcast(stats)).withColumn(
-        "score", sum(contrib(i) for i in range(len(query_terms)))
+        "score", sum((contrib(i) for i in range(len(query_terms))), F.lit(0.0))
     )
     return scored.filter(F.col("score") > 0).select(id_col, "score")
 
@@ -538,7 +590,11 @@ def bpe_apply(
     s = F.concat(F.lit(" "), F.regexp_replace(norm, " ", "  "), F.lit(" "))
     for a, b in merges:
         s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
-    toks_after = F.split(F.trim(F.regexp_replace(s, r"\s+", " ")), " ")
+    collapsed = F.trim(F.regexp_replace(s, r"\s+", " "))
+    # Same blank guard as tokens(): split('') is [''], not zero tokens.
+    toks_after = F.when(
+        F.length(collapsed) > 0, F.split(collapsed, " ")
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.withColumn("n_tokens_before", F.size(tokens(text_col)))
         .withColumn("bpe_tokens", toks_after)

@@ -383,3 +383,84 @@ def test_quantized_topk_survives_zero_vectors(spark):
     sims = {(r.query_id, r.neighbor_id): r.q_cosine_sim for r in rows}
     assert all(v == 0.0 for (a, b), v in sims.items() if 2 in (a, b))
     assert sims[(1, 3)] > 0.9
+
+
+def test_blank_and_null_docs_score_zero_not_null(spark):
+    """Blank/whitespace/null text: 0 tokens (not the phantom [''] of a
+    raw split), all ratios 0.0, quality_score 0.0 — never null (nulls
+    silently drop rows from score filters) and never DIVIDE_BY_ZERO."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real text here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.text_stats(df).collect()}
+    for d in (1, 2, 3):
+        r = out[d]
+        assert r.n_tokens == 0
+        assert r.stopword_ratio == 0.0 and r.punct_ratio == 0.0
+        assert r.avg_token_len == 0.0 and r.quality_score == 0.0
+    assert out[4].n_tokens == 3 and out[4].quality_score > 0.0
+    # Standalone column helpers agree.
+    cols = df.select(
+        "doc_id",
+        text.token_count("text").alias("n"),
+        text.quality_score("text").alias("q"),
+    ).collect()
+    got = {r.doc_id: (r.n, r.q) for r in cols}
+    assert got[1] == (0, 0.0) and got[2] == (0, 0.0) and got[3] == (0, 0.0)
+
+
+def test_blank_docs_emit_no_term_rows_or_vectors(spark):
+    """A tokenless doc contributes no (doc, token) rows and no feature
+    buckets — before the tokens() guard an empty-string doc emitted a
+    bogus '' token that hashed into a real bucket."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "a b a")], "doc_id long, text string"
+    )
+    tf = text.term_doc_counts(df).collect()
+    assert {r.doc_id for r in tf} == {3}
+    vecs = text.hashed_doc_vectors(df, dim=8).collect()
+    assert {r.doc_id for r in vecs} == {3}
+
+
+def test_chunk_docs_keeps_null_text_docs(spark):
+    """Null text chunks as empty text: one (pos=1, chunk='') row, the
+    doc never silently vanishes from the chunk table."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "x" * 250)], "doc_id long, text string"
+    )
+    rows = text.chunk_docs(df, size=100, stride=80).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.chunk))
+    assert by_doc[1] == [(1, "")]
+    assert len(by_doc[2]) == 3  # starts 1, 81, 161 cover all 250 chars
+
+
+def test_bm25_empty_query_terms_returns_empty(spark):
+    df = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
+    assert text.bm25_rank(df, []).collect() == []
+
+
+def test_winnow_normalization_matches_sql_semantics(spark):
+    """The winnow UDF must normalize exactly like the JVM/SQL form it
+    claims byte-identity with: trim strips SPACES only and \\s is ASCII.
+    A leading tab therefore survives as a collapsed leading space, and
+    U+00A0 is NOT whitespace — pin by comparing against the explicitly
+    pre-normalized equivalents."""
+    base = "the quick brown fox jumps over the dog"
+    df = spark.createDataFrame(
+        [
+            (1, "\t" + base),      # tab: trim keeps it, \s+ collapses to ' '
+            (2, " " + base),       # the SQL-normalized equivalent of 1
+            (3, base.replace(" ", "\u00a0")),  # NBSP: not ASCII whitespace
+            (4, base),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.doc_id: tuple(r.fingerprints)
+        for r in text.winnow_fingerprints(df).collect()
+    }
+    assert fps[1] == fps[2]       # tab == explicit leading space
+    assert fps[3] != fps[4]       # NBSP-joined text is a DIFFERENT doc
