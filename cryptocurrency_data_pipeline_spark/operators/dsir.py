@@ -74,11 +74,16 @@ def importance_logweights(
     # the corpus per instantiation; the cache is the collapsed
     # doc x <=B frame, spill-friendly; tracked for eager release via
     # caching.release_all after the caller's terminal action).
+    # explode_outer, not explode: a zero-token doc (blank/null text) keeps
+    # one null-token row — with a plain explode it would silently vanish
+    # from the output instead of getting its well-defined empty-sum
+    # weight of 0.  The phantom row's bucket is null, so it is excluded
+    # from the distribution sketch below and contributes 0 to scoring.
     tf = track(
         docs.select(
             *keys,
             target.alias("__is_target"),
-            F.explode(tokens(text_col)).alias("__tok"),
+            F.explode_outer(tokens(text_col)).alias("__tok"),
         )
         .withColumn("__b", hashed_feature_bucket("__tok", n_buckets))
         .groupBy(*keys, "__is_target", "__b")
@@ -88,7 +93,7 @@ def importance_logweights(
     # Raw + target bucket counts in ONE B-row aggregate (conditional sum),
     # totals as window sums over that single-partition B-row frame — no
     # second pass over data for distributions.
-    bucket = tf.groupBy("__b").agg(
+    bucket = tf.where(F.col("__b").isNotNull()).groupBy("__b").agg(
         F.sum("__tf").alias("__n_raw"),
         F.sum(F.when(F.col("__is_target"), F.col("__tf")).otherwise(0)).alias(
             "__n_tgt"
@@ -109,8 +114,14 @@ def importance_logweights(
             )
         ).alias("__lr"),
     )
+    # Left join + coalesce keeps the zero-token docs' null-bucket rows
+    # (no ratio matches them) at contribution 0 instead of dropping them.
     return (
-        tf.join(F.broadcast(ratios), "__b")
+        tf.join(F.broadcast(ratios), "__b", "left")
         .groupBy(*keys)
-        .agg(F.round(F.sum(F.col("__tf") * F.col("__lr")), 6).alias("log_weight"))
+        .agg(
+            F.round(
+                F.sum(F.col("__tf") * F.coalesce(F.col("__lr"), F.lit(0.0))), 6
+            ).alias("log_weight")
+        )
     )

@@ -71,19 +71,22 @@ def fuzzy_self_pairs(
     emitted — see the recall bound in the module docstring).
     """
     keys = df.select(F.col(key_col).alias("__k")).distinct()
-    grams = keys.select(
-        "__k", F.explode(qgrams(F.col("__k"), q)).alias("__gram")
+    # Persist BEFORE the frequency pass: freq and the pruning anti-join's
+    # left side both consume the raw gram frame, so an un-cached subtree
+    # would run the distinct + explode twice.  The pruned frame is then
+    # persisted separately — it feeds both sides of the candidate join.
+    grams = track(
+        keys.select(
+            "__k", F.explode(qgrams(F.col("__k"), q)).alias("__gram")
+        ).persist()
     )
     if max_gram_df is not None:
         freq = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df"))
-        grams = (
+        grams = track(
             grams.join(F.broadcast(freq.filter(F.col("__df") > max_gram_df)),
                        "__gram", "left_anti")
+            .persist()
         )
-    # Both sides of the candidate join (and the freq pass, when pruning)
-    # consume ``grams`` — persist so the distinct + explode runs once
-    # (tracked for eager release via caching.release_all).
-    grams = track(grams.persist())
     a = grams.select(F.col("__k").alias("key_a"), "__gram")
     b = grams.select(F.col("__k").alias("key_b"), "__gram")
     cand = (

@@ -49,18 +49,27 @@ def asof_join(
     keys = [key] if isinstance(key, str) else list(key)
     out_cols = [f"{prefix}{c}" for c in value_cols]
 
-    l_tag = left.select(
-        *[F.col(c) for c in left.columns],
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
-          for c, o in zip(value_cols, out_cols)],
-    )
+    # All value columns travel in ONE struct, null on left rows.  The
+    # ignorenulls fill then skips exactly the left rows — NOT right rows
+    # whose individual values are null.  Per-column fills would (a) carry
+    # a stale older value over a matched row's genuine NULL and (b) with
+    # several value_cols stitch fields from DIFFERENT right rows into one
+    # result; the struct keeps the matched row atomic, which is what
+    # DuckDB ASOF JOIN (the documented semantics) returns.
     r_tag = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)],
+        F.struct(
+            *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)]
+        ).alias("__r"),
+    )
+    r_type = r_tag.schema["__r"].dataType
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_type).alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
@@ -73,11 +82,11 @@ def asof_join(
         .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        *[c for c in unioned.columns if c not in out_cols],
-        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_cols],
+    filled = unioned.withColumn("__f", F.last("__r", ignorenulls=True).over(w))
+    return filled.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__f")[o].alias(o) for o in out_cols],
     )
-    return filled.filter(F.col("__side") == 1).drop("__ts", "__side")
 
 
 def range_join(

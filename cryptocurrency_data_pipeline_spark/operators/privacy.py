@@ -69,9 +69,30 @@ def laplace_noisy_counts(
     ``u = (hash64(seed, key) + 0.5) / 2^32`` uniform in (0, 1), then the
     Laplace inverse CDF ``-(1/ε) · sign(u − ½) · ln(1 − 2|u − ½|)``.
     ``u`` can never hit 0, ½-adjacent, or 1 exactly, so the log argument
-    stays in (0, 1] — no infinities under ANSI."""
+    stays in (0, 1] — no infinities under ANSI.
+
+    The group key is hashed FIELD-BY-FIELD with a null marker before the
+    seed hash: a plain separator-joined concat lets distinct groups
+    collide (NULL fields are skipped by concat_ws; a field containing
+    the separator shifts the boundaries), and two groups with identical
+    noise leak their exact count difference — the ε-DP proof requires
+    independent per-group draws.
+
+    RELEASE CONTRACT: ``true_count`` is emitted for verification
+    harnesses only.  A real ε-DP release must DROP it (and any other
+    exact aggregate) — publishing the true counts next to the noisy ones
+    voids the guarantee entirely."""
     grouped = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
-    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    # Injective field framing: 1-byte null marker + md5 of the value.
+    key_str = F.concat(
+        *[
+            F.concat(
+                F.when(F.col(k).isNull(), F.lit("0")).otherwise(F.lit("1")),
+                F.md5(F.coalesce(F.col(k).cast("string"), F.lit(""))),
+            )
+            for k in keys
+        ]
+    )
     u = (
         F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key_str)), 1, 8), 16, 10)
         .cast("double")

@@ -34,6 +34,28 @@ def split_assignment(
     character of ``md5(id)``. ``splits`` is ``[(name, hex_chars), ...]``
     and must cover all 16 characters."""
     cid = F.col(id_col) if isinstance(id_col, str) else id_col
+    # Validate the 16-char contract up front: an uncovered (or
+    # uppercase — md5 output is lowercase) hex char would silently
+    # assign split=NULL and drop those rows from every split's
+    # accounting; an overlap would double-assign by declaration order.
+    seen: dict[str, str] = {}
+    for name, chars in splits:
+        for ch in chars:
+            if ch not in "0123456789abcdef":
+                raise ValueError(
+                    f"split {name!r}: {ch!r} is not a lowercase hex char"
+                )
+            if ch in seen:
+                raise ValueError(
+                    f"hex char {ch!r} assigned to both {seen[ch]!r} and {name!r}"
+                )
+            seen[ch] = name
+    missing = set("0123456789abcdef") - set(seen)
+    if missing:
+        raise ValueError(
+            f"splits leave hex chars uncovered (rows would get split=NULL): "
+            f"{sorted(missing)}"
+        )
     h = F.substring(F.md5(cid.cast("string")), 1, 1)
     expr: Column | None = None
     for name, chars in splits:
@@ -65,10 +87,26 @@ def assign_split(
 
 
 def mixture_bucket(id_col: str | Column, source_col: str | Column) -> Column:
-    """Uniform 16-bit bucket from md5(source | id)."""
+    """Uniform 16-bit bucket from a framed hash of (source, id).
+
+    Each field is hashed separately with a null marker before the outer
+    md5: the naive ``md5(source || '|' || id)`` (a) NULLs out for a NULL
+    source, so those rows are silently dropped at ANY rate (NULL <
+    threshold is NULL-false), and (b) lets ``('a|b','c')`` collide with
+    ``('a','b|c')``, perfectly correlating keep decisions that should be
+    independent draws.  Oracle SQL mirrors the framing:
+    ``md5((CASE WHEN source IS NULL THEN '0' ELSE '1' END) ||
+    md5(coalesce(source,'')) || '1' || md5(CAST(id AS VARCHAR)))``."""
     cid = F.col(id_col) if isinstance(id_col, str) else id_col
     src = F.col(source_col) if isinstance(source_col, str) else source_col
-    h = F.md5(F.concat(src, F.lit("|"), cid.cast("string")))
+
+    def framed(c: Column) -> Column:
+        return F.concat(
+            F.when(c.isNull(), F.lit("0")).otherwise(F.lit("1")),
+            F.md5(F.coalesce(c.cast("string"), F.lit(""))),
+        )
+
+    h = F.md5(F.concat(framed(src), framed(cid)))
     return F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
 
 

@@ -141,6 +141,12 @@ def paa_topk(
         corpus.crossJoin(F.broadcast(q))
         .filter(F.col(key_col) != F.col("probe_id"))
         .select(key_col, "probe_id", F.round(dist, 6).alias("paa_dist"))
+        # A NULL sketch element (paa's zero-width-segment marker, e.g. a
+        # series shorter than `segments`) nulls the whole distance; the
+        # ascending sort would rank those NULLs FIRST, so null-poisoned
+        # series would displace real neighbors at rn=1.  Incomparable
+        # candidates are excluded, not ranked.
+        .filter(F.col("paa_dist").isNotNull())
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(
@@ -166,9 +172,15 @@ def sax_word(sketch: Column) -> Column:
 
     A SAX word is the time-series analogue of an LSH bucket: series
     sharing a word are candidate motifs/near-matches, found with a
-    plain groupBy instead of any pairwise scan."""
+    plain groupBy instead of any pairwise scan.
+
+    A sketch containing any NULL segment (paa's zero-width marker) maps
+    to a NULL word: every ``when`` condition is NULL-false, so the
+    otherwise branch would silently symbolize an undefined segment as
+    'd' (top quartile) and group incomparable short series with
+    genuinely-high ones as false motif candidates."""
     lo, mid, hi = SAX4_BREAKPOINTS
-    return F.array_join(
+    word = F.array_join(
         F.transform(
             sketch,
             lambda x: F.when(x < lo, F.lit("a"))
@@ -178,3 +190,6 @@ def sax_word(sketch: Column) -> Column:
         ),
         "",
     )
+    return F.when(
+        F.exists(sketch, lambda x: x.isNull()), F.lit(None).cast("string")
+    ).otherwise(word)

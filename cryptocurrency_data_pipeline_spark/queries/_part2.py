@@ -1018,9 +1018,11 @@ def doc_chunk_inventory(spark, sf_dir):
     "source_mixture_sample",
     oracle=r"""
     WITH r AS (
+      -- framed per-field hashing mirrors sampling.mixture_bucket
       SELECT source,
              (1 + CAST(regexp_extract(source, '\d+') AS INT) % 4) / 4.0 AS mix_rate,
-             CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 4))
+             CAST(('0x' || substr(md5('1' || md5(source) || '1'
+                                      || md5(CAST(doc_id AS VARCHAR))), 1, 4))
                   AS BIGINT) AS bucket
       FROM documents
     )

@@ -1729,8 +1729,10 @@ def histogram_quantile_rollup(spark, sf_dir):
       SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1
     ),
     u AS (
+      -- field framing mirrors privacy.laplace_noisy_counts: null marker
+      -- ('1' = non-null) + md5(field), then the seeded hash
       SELECT c_mktsegment, n,
-             (CAST(('0x' || substr(md5('s1:' || c_mktsegment), 1, 8))
+             (CAST(('0x' || substr(md5('s1:' || '1' || md5(c_mktsegment)), 1, 8))
                    AS BIGINT) + 0.5) / 4294967296.0 AS u
       FROM g
     )

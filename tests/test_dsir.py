@@ -67,3 +67,32 @@ def test_corpus_is_tokenized_exactly_once(spark):
     # tf exchange still prints once per InMemoryRelation description, but
     # it executes only on cache fill — cache scans are the signal.
     assert plan.count("InMemoryTableScan") == 2
+
+
+def test_zero_token_docs_get_weight_zero_not_dropped(spark):
+    """Blank/null-text docs keep a log_weight row (the empty sum = 0);
+    a plain explode would silently erase them from the output, and their
+    phantom null-bucket row must not perturb the bucket distributions."""
+    from cryptocurrency_data_pipeline_spark.operators import dsir
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", True), (2, "alpha beta delta", False),
+         (3, "", False), (4, None, False)],
+        "doc_id long, text string, is_tgt boolean",
+    )
+    out = {
+        r.doc_id: r.log_weight
+        for r in dsir.importance_logweights(df, F.col("is_tgt")).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3] == 0.0 and out[4] == 0.0
+    # Distributions unchanged by the phantom rows: weights for docs 1/2
+    # equal those computed on the corpus without the blank docs.
+    base = {
+        r.doc_id: r.log_weight
+        for r in dsir.importance_logweights(
+            df.filter(F.col("doc_id") < 3), F.col("is_tgt")
+        ).collect()
+    }
+    assert out[1] == base[1] and out[2] == base[2]

@@ -62,3 +62,20 @@ def test_laplace_noise_scale_and_determinism(spark):
     loose = laplace_noisy_counts(df, ["g"], epsilon=5.0, seed="s").collect()
     loose_mean = sum(abs(r.noisy_count - r.true_count) for r in loose) / len(loose)
     assert loose_mean < sum(noises) / len(noises) / 5
+
+
+def test_laplace_noise_is_independent_across_colliding_key_shapes(spark):
+    """(x, NULL) vs (NULL, x) and ('x|y','z') vs ('x','y|z') are DISTINCT
+    groups and must draw DIFFERENT noise — a shared draw leaks the exact
+    count difference, voiding the ε-DP guarantee."""
+    from cryptocurrency_data_pipeline_spark.operators.privacy import (
+        laplace_noisy_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("x", None), (None, "x"), ("x|y", "z"), ("x", "y|z")],
+        "a string, b string",
+    )
+    rows = laplace_noisy_counts(df, ["a", "b"], epsilon=0.5, seed="s").collect()
+    noise = [round(r.noisy_count - r.true_count, 4) for r in rows]
+    assert len(set(noise)) == 4, noise

@@ -183,3 +183,29 @@ def test_row_salt_is_content_deterministic(spark):
     # Same content -> same salt: each distinct v maps to exactly one salt.
     per_v = salted.groupBy("v").agg(F.countDistinct("s").alias("n")).collect()
     assert all(r.n == 1 for r in per_v)
+
+
+def test_split_assignment_validates_coverage_and_overlap(spark):
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import sampling
+
+    with pytest.raises(ValueError, match="uncovered"):
+        sampling.split_assignment("id", (("train", "0123456789"), ("test", "abcde")))
+    with pytest.raises(ValueError, match="both"):
+        sampling.split_assignment("id", (("a", "0123456789ab"), ("b", "bcdef")))
+    with pytest.raises(ValueError, match="hex"):
+        sampling.split_assignment("id", (("a", "0123456789ABCDEF"),))
+
+
+def test_mixture_keep_null_source_kept_at_full_rate(spark):
+    """A NULL source must not silently drop rows: at rate 1.0 every row
+    is kept (the un-framed md5(source || id) hash was NULL for NULL
+    sources, and NULL < threshold filtered them at ANY rate)."""
+    from cryptocurrency_data_pipeline_spark.operators.sampling import mixture_keep
+
+    df = spark.createDataFrame(
+        [(1, "web"), (2, None), (3, "books")], "doc_id long, source string"
+    )
+    assert df.filter(mixture_keep("doc_id", "source", F.lit(1.0))).count() == 3
+    assert df.filter(mixture_keep("doc_id", "source", F.lit(0.0))).count() == 0

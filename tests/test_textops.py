@@ -464,3 +464,24 @@ def test_winnow_normalization_matches_sql_semantics(spark):
     }
     assert fps[1] == fps[2]       # tab == explicit leading space
     assert fps[3] != fps[4]       # NBSP-joined text is a DIFFERENT doc
+
+
+def test_asof_join_carries_matched_rows_null_not_stale_value(spark):
+    """DuckDB ASOF semantics: the matched right row's NULL value is the
+    answer — not the last non-null value from an OLDER row.  And with
+    several value_cols the result must come from ONE right row, never
+    stitched across rows."""
+    left = spark.createDataFrame([("k", 3), ("k", 10)], "key string, ts long")
+    right = spark.createDataFrame(
+        [("k", 1, 5.0, 9.0), ("k", 2, None, 7.0)],
+        "key string, ts long, a double, b double",
+    )
+    out = {
+        r.ts: (r.asof_a, r.asof_b)
+        for r in joins.asof_join(
+            left, right, "key", "ts", "ts", ["a", "b"]
+        ).collect()
+    }
+    # Both left rows match the ts=2 right row: a=NULL (not the stale 5.0
+    # from ts=1), b=7.0 — an atomic (None, 7.0), never (5.0, 7.0).
+    assert out == {3: (None, 7.0), 10: (None, 7.0)}

@@ -151,3 +151,30 @@ def test_cusum_changepoint_hand_fixture(spark):
     # scaled score at the true break: |12*0 - 6*6000| = 36000
     assert got[1].cusum_score == 36000
     assert got[2].cusum_score == 0 and got[2].change_index == 1
+
+
+def test_sax_word_null_segment_yields_null_word(spark):
+    from cryptocurrency_data_pipeline_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame(
+        [(1, [0.1, None, -0.9]), (2, [0.1, 0.8, -0.9])],
+        "sid long, sketch array<double>",
+    )
+    out = {r.sid: r.w for r in df.select("sid", ts.sax_word(F.col("sketch")).alias("w")).collect()}
+    # A null PAA segment must NOT silently symbolize as 'd' (top quartile).
+    assert out[1] is None
+    assert out[2] == "cda"
+
+
+def test_paa_topk_excludes_null_distance_candidates(spark):
+    from cryptocurrency_data_pipeline_spark.operators import timeseries as ts
+
+    corpus = spark.createDataFrame(
+        [("good", [1.0, 1.0]), ("poison", [None, 2.0]), ("q", [0.0, 0.0])],
+        "user_id string, sketch array<double>",
+    )
+    probes = corpus.filter(F.col("user_id") == "q")
+    out = ts.paa_topk(corpus, probes, k=2).collect()
+    # Ascending sort would rank the NULL distance FIRST; it must instead
+    # be excluded entirely.
+    assert [r.neighbor_id for r in out] == ["good"]
