@@ -22,10 +22,18 @@ restarted context in tests) never release each other's blocks.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 
-#: (SparkContext, DataFrame) pairs whose ``persist()`` the engine owns.
-_TRACKED: list[tuple[object, DataFrame]] = []
+#: (SparkContext, weakref-to-DataFrame) pairs whose ``persist()`` the
+#: engine owns.  WEAK references on purpose: a strong module-global ref
+#: would pin every tracked frame for the session lifetime, so a caller
+#: that never invokes release_all could no longer rely on the
+#: ContextCleaner-at-GC fallback — the module would worsen the very leak
+#: it exists to fix.  A frame the caller dropped simply GCs (cleaner
+#: reclaims its blocks) and its entry here goes dead.
+_TRACKED: list[tuple[object, weakref.ReferenceType]] = []
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -34,7 +42,7 @@ def track(df: DataFrame) -> DataFrame:
     Returns ``df`` unchanged so call sites stay one expression:
     ``track(frame.persist())``.
     """
-    _TRACKED.append((df.sparkSession.sparkContext, df))
+    _TRACKED.append((df.sparkSession.sparkContext, weakref.ref(df)))
     return df
 
 
@@ -47,12 +55,15 @@ def release_all(spark=None) -> int:
     already stopped are dropped from tracking without error.
     """
     target_sc = spark.sparkContext if spark is not None else None
-    kept: list[tuple[object, DataFrame]] = []
+    kept: list[tuple[object, weakref.ReferenceType]] = []
     released = 0
-    for sc, df in _TRACKED:
+    for sc, ref in _TRACKED:
         if target_sc is not None and sc is not target_sc:
-            kept.append((sc, df))
+            kept.append((sc, ref))
             continue
+        df = ref()
+        if df is None:
+            continue  # caller dropped it; ContextCleaner reclaimed at GC
         try:
             df.unpersist(False)
             released += 1

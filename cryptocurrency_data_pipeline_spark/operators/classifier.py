@@ -80,33 +80,55 @@ def score_documents(
 
     Plan: explode tokens -> hashed bucket -> broadcast-join the weight
     table -> partial-agged groupBy(id).  One shuffle, keyed by the doc
-    id; the model never leaves the executors after the broadcast."""
+    id; the model never leaves the executors after the broadcast.
+
+    "Every document" is literal: explode_outer keeps zero-token docs
+    (blank/null text) as a single null-bucket row, and the weight join
+    is a LEFT join with weight-0 backfill — a real exported model
+    parquet stores only its nonzero buckets, and the old inner join
+    silently dropped unmatched tokens (deflating the sigmoid
+    denominator) and erased fully-unmatched docs from the output.
+    Zero-token docs come out as (n_tokens=0, weight_sum=0, score=0.5,
+    keep=false) — sigmoid of zero evidence, not a NULL and not a
+    missing row."""
     toks = df.select(
         F.col(id_col),
-        F.explode(tokens(text_col)).alias("tok"),
+        F.explode_outer(tokens(text_col)).alias("tok"),
     ).select(id_col, hashed_bucket(F.col("tok"), n_buckets))
     scored = (
-        toks.join(F.broadcast(weights), "bucket")
+        toks.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("weight").alias("weight_sum"),
+            # count(bucket): real tokens only, never the explode_outer
+            # phantom row (its bucket is null).
+            F.count(F.col("bucket")).alias("n_tokens"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("bucket").isNotNull(),
+                           F.coalesce(F.col("weight"), F.lit(0)))
+                ),
+                F.lit(0),
+            ).alias("weight_sum"),
         )
     )
     return scored.select(
         id_col,
         "n_tokens",
         "weight_sum",
-        F.round(
-            F.lit(1.0)
-            / (
+        F.when(F.col("n_tokens") == 0, F.lit(0.5))
+        .otherwise(
+            F.round(
                 F.lit(1.0)
-                + F.exp(
-                    -F.col("weight_sum")
-                    / (F.lit(float(_DEN)) * F.col("n_tokens"))
-                )
-            ),
-            6,
-        ).alias("score"),
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -F.col("weight_sum")
+                        / (F.lit(float(_DEN)) * F.col("n_tokens"))
+                    )
+                ),
+                6,
+            )
+        )
+        .alias("score"),
         (F.col("weight_sum") > 0).alias("keep"),
     )

@@ -29,15 +29,32 @@ def snapshot_diff(
     """Classify every key across two snapshots: ``added`` (new only),
     ``removed`` (old only), ``changed`` (both, fingerprints differ),
     ``unchanged``. Returns (key, change_type, old_fingerprint,
-    new_fingerprint)."""
-    o = old.select(F.col(key).alias("k"), F.col(fingerprint).alias("old_fingerprint"))
-    n = new.select(F.col(key).alias("k"), F.col(fingerprint).alias("new_fingerprint"))
+    new_fingerprint).
+
+    Presence is carried by explicit per-side markers, NOT inferred from
+    fingerprint nullness: a row whose fingerprint VALUE is null (md5 of
+    a null content column) would otherwise be misclassified — old-only
+    with a null fingerprint read as "added", and a null-vs-value pair
+    fell through the null-unsafe ``!=`` to "unchanged"."""
+    o = old.select(
+        F.col(key).alias("k"),
+        F.col(fingerprint).alias("old_fingerprint"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(key).alias("k"),
+        F.col(fingerprint).alias("new_fingerprint"),
+        F.lit(True).alias("__in_new"),
+    )
     joined = o.join(n, "k", "full_outer")
     return joined.select(
         F.col("k").alias(key),
-        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
-        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
-        .when(F.col("old_fingerprint") != F.col("new_fingerprint"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_fingerprint").eqNullSafe(F.col("new_fingerprint")),
+            F.lit("changed"),
+        )
         .otherwise(F.lit("unchanged"))
         .alias("change_type"),
         "old_fingerprint",

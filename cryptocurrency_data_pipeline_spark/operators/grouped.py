@@ -62,7 +62,12 @@ def ewma_last_by_key(
             )
         pdf = pdf.sort_values(order, kind="mergesort")
         acc = None
-        for v in pdf[value_col].to_numpy():
+        # Skip missing observations (NULL value -> NaN after the Arrow
+        # float64 conversion): one NaN would otherwise poison every
+        # subsequent a*x + b*acc step, silently turning the key's ewma
+        # into NaN.  n_rows still counts ALL rows; an all-null key's
+        # ewma is NULL.
+        for v in pdf[value_col].dropna().to_numpy():
             acc = float(v) if acc is None else a * float(v) + b * acc
         return pd.DataFrame(
             {key_col: [pdf[key_col].iloc[0]], "n_rows": [len(pdf)], "ewma": [acc]}

@@ -143,7 +143,17 @@ def with_grouped_ranks(
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
         F.sum("__n").over(Window.partitionBy(*group_cols)).alias("__tot"),
     )
-    out = parts.join(F.broadcast(offsets), ["__pid", *group_cols]).withColumn(
+    # eqNullSafe on the group columns: the USING-style join's null-unsafe
+    # equality would silently drop every row whose group key is NULL
+    # (the groupBy above produces a stats row for the NULL group, but the
+    # join back would never match it).
+    p, o = parts.alias("__p"), F.broadcast(offsets).alias("__o")
+    cond = F.col("__p.__pid") == F.col("__o.__pid")
+    for c in group_cols:
+        cond = cond & F.col(f"__p.{c}").eqNullSafe(F.col(f"__o.{c}"))
+    out = p.join(o, cond).select(
+        "__p.*", "__o.__mid0", "__o.__off", "__o.__tot"
+    ).withColumn(
         rank_name,
         (F.col("__mid") - F.col("__mid0") + F.col("__off") + F.lit(1)).cast("long"),
     )

@@ -43,14 +43,23 @@ def read_csv_enforced(
     full = StructType(
         [*schema.fields, StructField(CORRUPT_COL, StringType(), True)]
     )
-    df = (
-        spark.read.schema(full)
-        .option("header", str(header).lower())
-        .option("sep", sep)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .csv(path)
-    ).cache()
+    from cryptocurrency_data_pipeline_spark.operators.caching import track
+
+    # The cache is load-bearing (filtering on the corrupt-record column
+    # requires materializing the permissive scan once); track it so
+    # caching.release_all can reclaim the blocks eagerly — a loop over
+    # CSV batches would otherwise accumulate full-scan-sized caches for
+    # the session lifetime.
+    df = track(
+        (
+            spark.read.schema(full)
+            .option("header", str(header).lower())
+            .option("sep", sep)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .csv(path)
+        ).cache()
+    )
     bad = F.col(CORRUPT_COL).isNotNull()
     valid = df.filter(~bad).drop(CORRUPT_COL)
     dlq = df.filter(bad).select(

@@ -83,7 +83,16 @@ def write_training_shards(
     token sum, and id range — written to ``path/_manifest.json``.
     """
     order = list(order_cols) if order_cols else [id_col]
-    sharded = df.withColumn("shard", shard_assignment(id_col, n_shards))
+    # Persist: the stats pass and the write pass both consume the
+    # sharded frame — un-cached, each would instantiate the full input
+    # subtree independently (a second 100 TB scan, and with any
+    # nondeterminism in the lineage the manifest could describe
+    # different rows than the parquet actually written).
+    from cryptocurrency_data_pipeline_spark.operators.caching import track
+
+    sharded = track(
+        df.withColumn("shard", shard_assignment(id_col, n_shards)).persist()
+    )
 
     stats = (
         sharded.groupBy(split_col, "shard")
@@ -99,12 +108,18 @@ def write_training_shards(
     )
 
     (
+        # The partition columns LEAD the explicit sort: the dynamic
+        # partition write requires child ordering by (split, shard), and
+        # an order-cols-only sort would make FileFormatWriter insert its
+        # own (not-stable-under-spill) sort on top — wasting this one
+        # and voiding the deterministic in-file row order contract.
         sharded.repartition(F.col(split_col), F.col("shard"))
-        .sortWithinPartitions(*order)
+        .sortWithinPartitions(split_col, "shard", *order)
         .write.mode("overwrite")
         .partitionBy(split_col, "shard")
         .parquet(path)
     )
+    sharded.unpersist(False)
 
     manifest = {
         "n_shards": n_shards,

@@ -255,3 +255,25 @@ def test_scd2_full_batch_replay_is_noop(spark):
     dim2 = scd2_merge(dim, newer, "coin_id", ["name"])
     assert dim2.count() == 4
     assert dim2.filter("is_current").count() == 1
+
+
+def test_snapshot_diff_null_fingerprints_classified_by_presence(spark):
+    """Presence comes from per-side markers, not fingerprint nullness:
+    a null fingerprint value must not flip removed->added or make a
+    null-vs-value pair read as unchanged."""
+    from cryptocurrency_data_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "aa"), (3, "bb"), (4, None)], "k long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(2, None), (3, "bb"), (4, None), (5, None)], "k long, fp string"
+    )
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, "k", "fp").collect()}
+    assert out == {
+        1: "removed",     # old-only, null fp: NOT 'added'
+        2: "changed",     # value -> null: NOT 'unchanged'
+        3: "unchanged",
+        4: "unchanged",   # null == null under eqNullSafe
+        5: "added",
+    }
