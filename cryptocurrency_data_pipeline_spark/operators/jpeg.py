@@ -373,6 +373,13 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
                     break
                 if sym == 0xF0:  # ZRL
                     i += 16
+                    # A conforming ZRL only appears at i <= 47; running
+                    # past 64 would exit the loop WITHOUT consuming an
+                    # EOB, desynchronizing the entropy stream so the
+                    # next block decodes mid-codeword — plausible wrong
+                    # stats instead of the contract's raise -> DLQ row.
+                    if i >= 64:
+                        raise ValueError("ZRL run past block end")
                     continue
                 run, acat = sym >> 4, sym & 0x0F
                 i += run

@@ -773,7 +773,7 @@ def corpus_ingest_replay(spark, sf_dir):
     )
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    prepared = prepare_doc_stream(docs, min_quality=0.25)
+    prepared, _rejects = prepare_doc_stream(docs, min_quality=0.25)
     return prepared.groupBy("split", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),

@@ -10,8 +10,14 @@ and exactly-once).
 Stage mapping, all on unbounded input:
 
 * **quality gate** — the same map-only ``text.quality_score`` predicate
-  as the batch plan; rejects flow to a parquet DLQ via the same
-  ``foreachBatch`` split-write the tick pipeline uses (S9/S10 shape).
+  as the batch plan; rejects (and, on streams, docs with a null event
+  time that cannot participate in watermarked dedup) land in a parquet
+  DLQ with the silver envelope (raw payload + reason) via a SECOND
+  exactly-once file-sink query — never silently discarded.  The DLQ
+  query re-reads the source files (the price of keeping BOTH sinks
+  exactly-once: a foreachBatch split-write is at-least-once on retry);
+  at scale the reject scan is the same file listing and prunes to the
+  reject predicate immediately.
 * **near-dup guard** — ``dropDuplicatesWithinWatermark`` on the md5
   content fingerprint: state per fingerprint is BOUNDED by the watermark
   horizon (contrast a global dropDuplicates, which grows forever on a
@@ -58,15 +64,42 @@ def read_doc_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def prepare_doc_stream(docs: DataFrame, min_quality: float = 0.25) -> DataFrame:
-    """Gate + fingerprint-dedup + split + token accounting, stream-safe.
+def reject_reason(docs: DataFrame, min_quality: float = 0.25):
+    """NULL for accepted docs, else the reason string.
+
+    ``null_event_time`` only applies to streaming frames carrying
+    ``ingested_at``: a null event time fails the watermark predicate
+    inside ``dropDuplicatesWithinWatermark``, so without this routing
+    the row would be SILENTLY dropped from the stream while the batch
+    path kept it — a stream/batch divergence and silent row loss."""
+    reason = F.when(
+        text.quality_score("text") < min_quality, F.lit("low_quality")
+    )
+    if docs.isStreaming and "ingested_at" in docs.columns:
+        reason = reason.when(
+            F.col("ingested_at").isNull(), F.lit("null_event_time")
+        )
+    return reason
+
+
+def prepare_doc_stream(
+    docs: DataFrame, min_quality: float = 0.25
+) -> tuple[DataFrame, DataFrame]:
+    """(accepted, rejects): gate + fingerprint-dedup + split + token
+    accounting, stream-safe.  ``rejects`` carries the silver DLQ
+    envelope (``raw`` payload JSON + ``error_reason``).
 
     On a stream the dedup keeps the FIRST-arrived row per content
     fingerprint (watermark-bounded state); the batch path refines that to
     the DETERMINISTIC lowest-doc_id row — same keep-one-per-fingerprint
     semantics, but replayable bit-for-bit for the correctness oracle
     (a bare ``dropDuplicates`` keeps whichever task wins the shuffle)."""
-    gated = docs.filter(text.quality_score("text") >= min_quality)
+    reason = reject_reason(docs, min_quality)
+    rejects = docs.filter(reason.isNotNull()).select(
+        F.to_json(F.struct(*[F.col(c) for c in docs.columns])).alias("raw"),
+        reason.alias("error_reason"),
+    )
+    gated = docs.filter(reason.isNull())
     fingerprinted = gated.withColumn("content_fp", F.md5(F.col("text")))
     if fingerprinted.isStreaming:
         deduped = fingerprinted.withWatermark(
@@ -81,9 +114,10 @@ def prepare_doc_stream(docs: DataFrame, min_quality: float = 0.25) -> DataFrame:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-    return deduped.withColumn(
+    accepted = deduped.withColumn(
         "split", sampling.split_assignment("doc_id")
     ).withColumn("n_tokens", text.token_count("text"))
+    return accepted, rejects
 
 
 def run_corpus_ingest(
@@ -92,16 +126,32 @@ def run_corpus_ingest(
     out_path: str,
     checkpoint: str,
     min_quality: float = 0.25,
+    dlq_path: str | None = None,
 ) -> None:
     """One availableNow pass: new files only, exactly-once, partitioned
-    append by split."""
-    prepared = prepare_doc_stream(read_doc_stream(spark, in_path), min_quality)
+    append by split; rejects land at ``dlq_path`` (default
+    ``out_path + '_dlq'``) via a second exactly-once file-sink query
+    with its own checkpoint (see module docstring for the two-query
+    trade)."""
+    if dlq_path is None:
+        dlq_path = out_path.rstrip("/") + "_dlq"
+    accepted, rejects = prepare_doc_stream(
+        read_doc_stream(spark, in_path), min_quality
+    )
     (
-        prepared.drop("ingested_at")
+        accepted.drop("ingested_at")
         .writeStream.format("parquet")
         .option("path", out_path)
-        .option("checkpointLocation", checkpoint)
+        .option("checkpointLocation", f"{checkpoint}/accepted")
         .partitionBy("split")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    (
+        rejects.writeStream.format("parquet")
+        .option("path", dlq_path)
+        .option("checkpointLocation", f"{checkpoint}/dlq")
         .trigger(availableNow=True)
         .start()
         .awaitTermination()

@@ -52,15 +52,28 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _make_tracker(alert_pct: float):
+def _make_tracker(alert_pct: float, timeout_ms: int | None = None):
     """Build the per-group stateful function (closure over the threshold —
-    default-arg lambdas break PySpark's UDF introspection)."""
+    default-arg lambdas break PySpark's UDF introspection).
+
+    Null guards use ``pd.isna``, never ``is None``: after the Arrow
+    transfer a null price is ``NaN`` in the float64 column and a null
+    event_time is ``pd.NaT`` — both are ``is not None``, so identity
+    checks would let NaN into the state store (poisoning every later
+    delta) and call ``.timestamp()`` on NaT (ValueError, killing the
+    whole streaming query for one bad row)."""
 
     def track(
         key: tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: "GroupState",
     ) -> Iterator[pd.DataFrame]:
+        if timeout_ms is not None and state.hasTimedOut:
+            # Expired key: drop its state entirely.  (Without this
+            # branch the fall-through would re-update state from the
+            # stale values, resurrecting it forever.)
+            state.remove()
+            return
         last_price, last_ts = state.get if state.exists else (None, None)
         # A group's micro-batch rows arrive as MULTIPLE Arrow chunks with no
         # ordering guarantee across them; sorting each chunk alone would let
@@ -76,15 +89,15 @@ def _make_tracker(alert_pct: float):
             prevs, pcts, alerts = [], [], []
             for price, ts in zip(pdf["current_price"], pdf["event_time"]):
                 prevs.append(last_price)
-                if last_price is None or price is None or last_price == 0.0:
+                if last_price is None or pd.isna(price) or last_price == 0.0:
                     pct = None
                 else:
                     pct = (price - last_price) / last_price * 100.0
                 pcts.append(pct)
                 alerts.append(pct is not None and abs(pct) > alert_pct)
-                if price is not None:
+                if not pd.isna(price):
                     last_price = float(price)
-                    last_ts = ts.timestamp() if ts is not None else None
+                    last_ts = None if pd.isna(ts) else ts.timestamp()
             yield pd.DataFrame(
                 {
                     "coin_id": pdf["coin_id"],
@@ -97,12 +110,19 @@ def _make_tracker(alert_pct: float):
             )
         if last_price is not None:
             state.update((last_price, last_ts))
+            if timeout_ms is not None:
+                # Re-arm on every batch that touches the key: the state
+                # expires timeout_ms after the key's LAST activity.
+                state.setTimeoutDuration(timeout_ms)
 
     return track
 
 
 def stateful_price_deltas(
-    ticks: DataFrame, alert_pct: float = 10.0, timeout: str = "NoTimeout"
+    ticks: DataFrame,
+    alert_pct: float = 10.0,
+    timeout: str = "NoTimeout",
+    timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-coin cross-batch price-change tracking (streaming).
 
@@ -111,6 +131,12 @@ def stateful_price_deltas(
     stream where each tick carries the previous price from the state store
     and the alert flag the reference computes producer-side
     (streaming/producer.py:58 ``price_change_pct``; consumer.py:86 threshold).
+
+    ``timeout="ProcessingTimeTimeout"`` REQUIRES ``timeout_ms`` and
+    evicts a coin's state ``timeout_ms`` after its last activity — the
+    bound on state growth for dead keys.  The duration must be plumbed
+    through to ``state.setTimeoutDuration`` per invocation; accepting
+    the conf without it would be a silent no-op (no expiry ever fires).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -118,11 +144,20 @@ def stateful_price_deltas(
         "NoTimeout": GroupStateTimeout.NoTimeout,
         "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
     }
+    if timeout == "ProcessingTimeTimeout":
+        if not timeout_ms or timeout_ms <= 0:
+            raise ValueError(
+                "ProcessingTimeTimeout requires timeout_ms > 0: without a "
+                "registered duration no timeout ever fires and state for "
+                "dead keys grows forever"
+            )
+    elif timeout_ms is not None:
+        raise ValueError("timeout_ms only applies to ProcessingTimeTimeout")
     return (
         ticks.select("coin_id", "event_time", "current_price")
         .groupBy("coin_id")
         .applyInPandasWithState(
-            _make_tracker(alert_pct),
+            _make_tracker(alert_pct, timeout_ms),
             outputStructType=PRICE_DELTA_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

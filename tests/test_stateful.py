@@ -86,3 +86,94 @@ def test_stateful_ordering_within_batch(spark, tmp_path):
     assert by_price[100.0].prev_price is None
     assert by_price[200.0].prev_price == 100.0
     assert by_price[200.0].price_change_pct == 100.0
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the tracker closure."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_tracker_nan_price_and_nat_ts_do_not_poison_state():
+    """A null tick (NaN price / NaT event_time after Arrow transfer)
+    must be skipped, not stored: 'is None' checks pass for NaN/NaT, so
+    the old guards stored NaN (poisoning every later delta) and called
+    .timestamp() on NaT (ValueError killing the whole query)."""
+    import pandas as pd
+
+    track = stateful._make_tracker(alert_pct=10.0)
+    st = _FakeState()
+    pdf = pd.DataFrame(
+        {
+            "coin_id": ["btc"] * 3,
+            "event_time": pd.to_datetime(
+                ["2024-01-01 00:00:00", None, "2024-01-01 00:02:00"]
+            ),
+            "current_price": [100.0, float("nan"), 110.0],
+        }
+    )
+    [out] = list(track(("btc",), [pdf], st))
+    # NaT sorts last, so order is (100.0, 110.0, NaN-price row).
+    by_price = {
+        None if pd.isna(p) else p: pct
+        for p, pct in zip(out["current_price"], out["price_change_pct"])
+    }
+    assert pd.isna(by_price[100.0])          # first real tick: no prev
+    assert round(by_price[110.0], 6) == 10.0  # 100 -> 110, NaN skipped
+    assert pd.isna(by_price[None])           # null tick emits no pct
+    assert st.get[0] == 110.0  # state holds the last REAL price, not NaN
+
+
+def test_tracker_timeout_removes_state():
+    import pandas as pd
+
+    track = stateful._make_tracker(alert_pct=10.0, timeout_ms=60_000)
+    st = _FakeState(value=(100.0, 0.0), timed_out=True)
+    assert list(track(("btc",), [], st)) == []
+    assert st.removed
+
+    # With data, the timeout is re-armed after the state update.
+    st2 = _FakeState()
+    pdf = pd.DataFrame(
+        {
+            "coin_id": ["btc"],
+            "event_time": pd.to_datetime(["2024-01-01"]),
+            "current_price": [5.0],
+        }
+    )
+    list(track(("btc",), [pdf], st2))
+    assert st2.get[0] == 5.0 and st2.timeout_set == 60_000
+
+
+def test_timeout_conf_requires_duration(spark):
+    import pytest
+
+    ticks = spark.createDataFrame(
+        [], "coin_id string, event_time timestamp, current_price double"
+    )
+    with pytest.raises(ValueError, match="timeout_ms"):
+        stateful.stateful_price_deltas(ticks, timeout="ProcessingTimeTimeout")
+    with pytest.raises(ValueError, match="only applies"):
+        stateful.stateful_price_deltas(ticks, timeout_ms=1000)

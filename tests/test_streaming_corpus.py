@@ -63,3 +63,27 @@ def test_split_partition_layout_on_disk(spark, tmp_path):
     parts = {d for d in os.listdir(out) if d.startswith("split=")}
     assert parts <= {"split=train", "split=val", "split=test"}
     assert "split=train" in parts
+
+
+def test_rejects_land_in_dlq_not_silently_dropped(spark, tmp_path):
+    """Quality rejects AND null-event-time docs (which watermarked dedup
+    would silently drop from the stream) must be auditable in the DLQ
+    with the silver envelope; accepted rows are unaffected."""
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    good = _doc(1)
+    junk = {"doc_id": 2, "text": "!!!", "source": "s",
+            "ingested_at": "2026-08-13T10:00:00"}
+    no_ts = dict(_doc(3))
+    no_ts["ingested_at"] = None
+    _write_docs(inp, [good, junk, no_ts], "b.jsonl")
+    run_corpus_ingest(spark, str(inp), str(out), str(ckpt), min_quality=0.4)
+
+    ids = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert ids == [1]
+    dlq = spark.read.parquet(str(out) + "_dlq").collect()
+    reasons = {}
+    import json as _json
+
+    for r in dlq:
+        reasons[_json.loads(r.raw)["doc_id"]] = r.error_reason
+    assert reasons == {2: "low_quality", 3: "null_event_time"}
