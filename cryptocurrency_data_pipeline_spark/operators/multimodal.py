@@ -172,6 +172,12 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int]:
         # skip fill bytes
         while pos + 1 < n and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= n:
+            # Payload ends in fill bytes: raising ValueError (not the
+            # IndexError the unchecked read below would throw) keeps the
+            # parser contract — only ValueError/NotImplementedError
+            # escape _parse_header.
+            raise ValueError("JPEG ends in fill bytes before a marker")
         marker = payload[pos + 1]
         pos += 2
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
@@ -200,6 +206,11 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
     codec library would handle.  The fallback is the only piece a real
     deployment replaces (with PIL/ffmpeg)."""
     if payload is not None and payload.startswith(_MAGIC):
+        if len(payload) < 17:
+            # int.from_bytes of a short/empty slice silently yields 0 or
+            # a partial value — truncation must DLQ like every other
+            # format branch, not return plausible garbage dimensions.
+            raise ValueError("truncated FAKE stub header")
         w = int.from_bytes(payload[5:9], "big")
         h = int.from_bytes(payload[9:13], "big")
         f = int.from_bytes(payload[13:17], "big")
@@ -319,9 +330,15 @@ def decode_image_meta(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
 
 def exact_media_dedup(df: DataFrame) -> DataFrame:
     """Content-hash dedup: identical to document exact-dedup but on the
-    binary hash (one shuffle on a 64-char key)."""
+    binary hash (one shuffle on a 64-char key).
+
+    Rows with a NULL content_hash (URI-referenced payloads not yet
+    resolved) are excluded: groupBy would lump every such row into ONE
+    null group and report distinct media as exact copies of each
+    other."""
     return (
-        df.groupBy("content_hash")
+        df.filter(F.col("content_hash").isNotNull())
+        .groupBy("content_hash")
         .agg(F.min("media_id").alias("media_id"), F.count(F.lit(1)).alias("n_copies"))
     )
 
@@ -331,13 +348,18 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     computed from metadata only (sequence + explode, JVM-side).  The
     actual pixel extraction would live in the decode UDF; the row
     explosion — the part that matters for partitioning/shuffle sizing at
-    scale — is real."""
+    scale — is real.
+
+    Only videos with ``n_frames > 0`` are planned: the old
+    ``greatest(n_frames-1, 0)`` emitted a phantom frame_idx 0 for
+    frameless videos (pixel extraction would target a nonexistent
+    frame), and null n_frames (DLQ'd decodes) have nothing to sample."""
     return (
-        df.filter(F.col("kind") == "video")
+        df.filter((F.col("kind") == "video") & (F.col("n_frames") > 0))
         .select(
             "media_id",
             F.explode(
-                F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
             ).alias("frame_idx"),
         )
     )
@@ -355,6 +377,12 @@ def resize_images(
     A real deployment swaps the body transform for PIL's ``thumbnail``;
     the Spark side — binary-in/binary-out Arrow batches, output schema,
     null-safe error handling — is the part that runs at scale and is real.
+
+    ONLY FAKE-stub payloads are resizable here: a real PNG/JPEG/PPM row
+    must land in the null/DLQ path, because "parse its dims, then
+    re-encode a zero-filled stub body" would silently destroy the image
+    while looking like a successful resize (non-null payload, plausible
+    dimensions).
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -362,6 +390,8 @@ def resize_images(
             rows = []
             for r in pdf.itertuples(index=False):
                 try:
+                    if r.payload is None or not bytes(r.payload).startswith(_MAGIC):
+                        raise ValueError("resize stub handles FAKE payloads only")
                     w, h, f = _parse_header(r.payload)
                     scale = min(1.0, max_side / max(w, h, 1))
                     nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
@@ -791,7 +821,7 @@ AUDIO_META = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("content_hash", StringType(), True),
-        StructField("sample_rate", IntegerType(), True),
+        StructField("sample_rate", LongType(), True),
         StructField("channels", IntegerType(), True),
         StructField("bits", IntegerType(), True),
         StructField("n_samples", LongType(), True),
@@ -799,25 +829,24 @@ AUDIO_META = StructType(
 )
 
 
-def _parse_wav(payload: bytes) -> tuple[int, int, int, int]:
-    """RIFF/WAVE chunk walk: (sample_rate, channels, bits, n_samples).
+def _walk_riff(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """THE RIFF/WAVE chunk walk, shared by the meta and sample paths:
+    (sample_rate, channels, bits, block_align, data_body).
 
-    Reads the ``fmt `` chunk for the format fields and the ``data`` chunk
-    size for the sample count (``size / block_align``); tolerates extra
-    chunks (LIST, fact) and odd-size padding per the RIFF spec."""
+    Reads the ``fmt `` chunk for the format fields and the ``data``
+    chunk for the payload body; tolerates extra chunks (LIST, fact) and
+    odd-size padding per the RIFF spec.  A declared chunk size past the
+    actual bytes raises (deriving counts from it would silently inflate
+    them), as does a data chunk before fmt."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(payload)
     rate = channels = bits = block = None
-    n_samples = None
+    data: bytes | None = None
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
         csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         if csize > n - pos - 8:
-            # Truncated/corrupt chunk: the declared size exceeds the bytes
-            # actually present.  Deriving n_samples (or fmt fields) from
-            # the declared size would silently inflate counts — route to
-            # the null/DLQ path instead.
             raise ValueError("chunk size exceeds payload")
         body = payload[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
@@ -830,11 +859,18 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int, int]:
         elif cid == b"data":
             if block is None or block == 0:
                 raise ValueError("data chunk before fmt / zero block align")
-            n_samples = csize // block
+            data = body
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
-    if rate is None or n_samples is None:
+    if rate is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    return rate, channels, bits, n_samples
+    return rate, channels, bits, block, data
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, channels, bits, n_samples) via :func:`_walk_riff`;
+    sample count is ``len(data) / block_align``."""
+    rate, channels, bits, block, data = _walk_riff(payload)
+    return rate, channels, bits, len(data) // block
 
 
 def decode_audio_meta(df: DataFrame) -> DataFrame:
@@ -922,6 +958,11 @@ def _parse_y4m(payload: bytes) -> tuple[int, int, int, int, int]:
             num, den = (int(x) for x in tok[1:].split(b":"))
     if not w or not h or not num:
         raise ValueError("Y4M header missing W/H/F")
+    if w <= 0 or h <= 0 or num <= 0 or (den is not None and den <= 0):
+        # A negative W/H makes frame_bytes negative and the frame walk
+        # below NON-TERMINATING (pos never advances past n) — a crafted
+        # payload would hang the task, which no except can catch.
+        raise ValueError("Y4M header fields must be positive")
     frame_bytes = w * h * 3 // 2          # 4:2:0
     pos, n, count = nl + 1, len(payload), 0
     while pos < n:
@@ -1266,32 +1307,10 @@ def decode_gif_stats(df: DataFrame) -> DataFrame:
 def _wav_samples(payload: bytes) -> tuple[int, list[int]]:
     """Decode a 16-bit mono PCM WAV to ``(sample_rate, samples)``.
 
-    Reuses the chunk walk of ``_parse_wav`` (truncation-clamped) and
-    additionally materializes the signed samples; anything that isn't
-    16-bit mono PCM raises -> null/DLQ row."""
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    pos, n = 12, len(payload)
-    rate = channels = bits = block = None
-    data: bytes | None = None
-    while pos + 8 <= n:
-        cid = payload[pos : pos + 4]
-        csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
-        if csize > n - pos - 8:
-            raise ValueError("chunk size exceeds payload")
-        body = payload[pos + 8 : pos + 8 + csize]
-        if cid == b"fmt ":
-            if csize < 16:
-                raise ValueError("fmt chunk too small")
-            channels = int.from_bytes(body[2:4], "little")
-            rate = int.from_bytes(body[4:8], "little")
-            block = int.from_bytes(body[12:14], "little")
-            bits = int.from_bytes(body[14:16], "little")
-        elif cid == b"data":
-            data = body
-        pos += 8 + csize + (csize & 1)
-    if rate is None or data is None:
-        raise ValueError("missing fmt or data chunk")
+    Same :func:`_walk_riff` chunk walk as the meta path, plus the signed
+    sample materialization; anything that isn't 16-bit mono PCM raises
+    -> null/DLQ row."""
+    rate, channels, bits, block, data = _walk_riff(payload)
     if channels != 1 or bits != 16 or block != 2:
         raise ValueError("feature path supports 16-bit mono PCM only")
     if len(data) % 2:
@@ -1307,7 +1326,7 @@ AUDIO_FEATURES = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("content_hash", StringType(), True),
-        StructField("sample_rate", IntegerType(), True),
+        StructField("sample_rate", LongType(), True),
         StructField("n_samples", IntegerType(), True),
         StructField("peak", IntegerType(), True),
         StructField("sum_sq", LongType(), True),
@@ -1559,7 +1578,7 @@ AUDIO_BANDS = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("content_hash", StringType(), True),
-        StructField("sample_rate", IntegerType(), True),
+        StructField("sample_rate", LongType(), True),
         StructField("n_samples", IntegerType(), True),
         StructField("band_p2", LongType(), True),
         StructField("band_p4", LongType(), True),
@@ -1714,8 +1733,8 @@ AVI_META = StructType(
         StructField("content_hash", StringType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
-        StructField("usec_per_frame", IntegerType(), True),
-        StructField("declared_frames", IntegerType(), True),
+        StructField("usec_per_frame", LongType(), True),
+        StructField("declared_frames", LongType(), True),
         StructField("walked_frames", IntegerType(), True),
     ]
 )
@@ -1845,8 +1864,8 @@ MP4_META = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("content_hash", StringType(), True),
-        StructField("timescale", IntegerType(), True),
-        StructField("duration", IntegerType(), True),
+        StructField("timescale", LongType(), True),
+        StructField("duration", LongType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("mdat_bytes", LongType(), True),
@@ -2081,7 +2100,7 @@ MP3_META = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("content_hash", StringType(), True),
-        StructField("sample_rate", IntegerType(), True),
+        StructField("sample_rate", LongType(), True),
         StructField("bitrate_kbps", IntegerType(), True),
         StructField("n_frames", IntegerType(), True),
     ]
@@ -2454,7 +2473,7 @@ def _parse_flac(payload: bytes) -> tuple[int, int, int, int]:
 FLAC_META = StructType(
     [
         StructField("media_id", LongType(), False),
-        StructField("sample_rate", IntegerType(), True),
+        StructField("sample_rate", LongType(), True),
         StructField("channels", IntegerType(), True),
         StructField("bits", IntegerType(), True),
         StructField("total_samples", LongType(), True),

@@ -1304,3 +1304,73 @@ def test_codec_fuzz_truncations_and_bitflips_never_hang_or_leak():
                 decode(bytes(b))
             except Exception:
                 pass
+
+
+def test_y4m_negative_dims_raise_not_hang(spark):
+    """A crafted negative W makes frame_bytes negative and the frame
+    walk non-terminating — must raise into the DLQ path, because no
+    except can catch a hang."""
+    import pytest
+
+    for bad in (b"YUV4MPEG2 W-4 H1 F1:1\nFRAME\n",
+                b"YUV4MPEG2 W4 H-1 F1:1\nFRAME\n",
+                b"YUV4MPEG2 W4 H2 F-1:1\nFRAME\n",
+                b"YUV4MPEG2 W4 H2 F1:-1\nFRAME\n"):
+        with pytest.raises(ValueError):
+            mm._parse_y4m(bad)
+
+
+def test_jpeg_trailing_fill_bytes_raise_valueerror(spark):
+    """Payload ending in 0xFF fill bytes must raise ValueError (the
+    parser contract), not IndexError from an unchecked marker read."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm._parse_header(b"\xff\xd8\xff\xff")
+
+
+def test_fake_stub_truncation_raises(spark):
+    import pytest
+
+    for bad in (mm._MAGIC, mm._MAGIC + b"\x00\x02"):
+        with pytest.raises(ValueError, match="truncated"):
+            mm._parse_header(bad)
+
+
+def test_resize_rejects_real_formats_into_dlq(spark):
+    """A real PNG through the stub resize must DLQ (null payload), not
+    come back as a zero-filled FAKE body that looks like a successful
+    resize."""
+    png = mm.encode_png(4, 4, bytes(range(16)), color_type=0)
+    df = mm.media_table(
+        spark.createDataFrame(
+            [(1, png), (2, mm.encode_fake_media("image", 512, 256, 1, bytes(100)))],
+            "media_id long, payload binary",
+        ),
+        "media_id", "image", "payload",
+    )
+    got = {r.media_id: r for r in mm.resize_images(df, max_side=128).collect()}
+    assert got[1].payload is None and got[1].width is None
+    assert (got[2].width, got[2].height) == (128, 64)
+
+
+def test_frame_sample_plan_skips_frameless_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, "video", "h", 25), (2, "video", "h2", 0), (3, "video", "h3", None)],
+        "media_id long, kind string, content_hash string, n_frames int",
+    )
+    frames = mm.frame_sample_plan(df, every_n=10).collect()
+    # Frameless (0) gets no phantom frame 0; null n_frames has nothing
+    # to sample.
+    assert {r.media_id for r in frames} == {1}
+
+
+def test_exact_media_dedup_ignores_null_hashes(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, None), (4, None)],
+        "media_id long, content_hash string",
+    )
+    out = {r.media_id: r.n_copies for r in mm.exact_media_dedup(df).collect()}
+    # Distinct unresolved-payload rows must NOT collapse into one
+    # "duplicate" null-hash cluster.
+    assert out == {1: 2}
