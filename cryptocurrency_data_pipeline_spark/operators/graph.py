@@ -173,12 +173,12 @@ def connected_components(
     # Convergence fingerprint: sum of per-row label HASHES in
     # decimal(38,0) — type-agnostic (string/hash node ids crash a plain
     # sum with CAST_INVALID_INPUT, and snowflake-scale long ids overflow
-    # int64 under ANSI) and overflow-proof.  Min-label propagation is
+    # int64 under ANSI) and overflow-proof.  xxhash64 hashes the native
+    # type directly (no string cast: fingerprints are only ever compared
+    # across iterations of the same column).  Min-label propagation is
     # monotone, so an unchanged multiset fingerprint means unchanged
     # labels (the _partition_fingerprints argument).
-    label_fp = F.sum(
-        F.xxhash64(F.col("label").cast("string")).cast("decimal(38,0)")
-    )
+    label_fp = F.sum(F.xxhash64(F.col("label")).cast("decimal(38,0)"))
     prev_sum = labels.agg(label_fp).first()[0]
 
     for _ in range(max_iters):
