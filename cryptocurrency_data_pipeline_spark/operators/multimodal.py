@@ -294,6 +294,36 @@ def media_table(df: DataFrame, id_col: str, kind: str, payload_col: str) -> Data
     )
 
 
+def _payload_decoder(df: DataFrame, parse, schema: StructType,
+                     keys: tuple[str, ...] = ("media_id", "content_hash")) -> DataFrame:
+    """THE Arrow-batched decode shape, shared by every single-row format
+    decoder: one output row per input row, ``parse(payload)`` supplies
+    the value columns, any exception -> all-null values (the
+    one-DLQ-row-per-bad-payload contract).  Column names and null arity
+    derive from ``schema`` (key columns first), so a decoder's null row
+    can never drift from its declared shape.  Fifteen decoders differ
+    only in their parse function and schema; a DLQ-contract change lands
+    here once."""
+    key_list = list(keys)
+    names = [f.name for f in schema.fields]
+    if names[: len(key_list)] != key_list:
+        raise ValueError(f"schema must lead with {key_list}, got {names}")
+    nulls = (None,) * (len(names) - len(key_list))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    vals = tuple(parse(r.payload))
+                except Exception:
+                    vals = nulls
+                rows.append(tuple(getattr(r, k) for k in key_list) + vals)
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.select(*key_list, "payload").mapInPandas(decode, schema)
+
+
 def decode_image_meta(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     """mapInPandas decode: payload → (width, height, n_frames, feature).
 
@@ -613,30 +643,11 @@ def decode_png_stats(df: DataFrame) -> DataFrame:
     unfilters are right.  Same Arrow-batched, null-on-failure DLQ shape
     as the other decoders."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    w, h, ch, raw = decode_png(r.payload)
-                    rows.append(
-                        (r.media_id, r.content_hash, w, h, ch, sum(raw))
-                    )
-                except Exception:
-                    rows.append(
-                        (r.media_id, r.content_hash, None, None, None, None)
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "content_hash",
-                    "width", "height", "channels", "pixel_sum",
-                ],
-            )
+    def parse(payload):
+        w, h, ch, raw = decode_png(payload)
+        return w, h, ch, sum(raw)
 
-    return df.select("media_id", "content_hash", "payload").mapInPandas(
-        decode, PNG_STATS
-    )
+    return _payload_decoder(df, parse, PNG_STATS)
 
 
 # --------------------------------------------------------------------------
@@ -769,23 +780,11 @@ def decode_ppm_stats(df: DataFrame) -> DataFrame:
     pixel_sum covers every RGB raster byte, so a wrong pixel offset or
     a tolerated-truncated raster flips it."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    w, h, rgb = decode_ppm(r.payload)
-                    rows.append((r.media_id, r.content_hash, w, h, sum(rgb)))
-                except Exception:
-                    rows.append((r.media_id, r.content_hash, None, None, None))
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "content_hash", "width", "height", "pixel_sum"],
-            )
+    def parse(payload):
+        w, h, rgb = decode_ppm(payload)
+        return w, h, sum(rgb)
 
-    return df.select("media_id", "content_hash", "payload").mapInPandas(
-        decode, BMP_STATS
-    )
+    return _payload_decoder(df, parse, BMP_STATS)
 
 
 def decode_bmp_stats(df: DataFrame) -> DataFrame:
@@ -794,23 +793,11 @@ def decode_bmp_stats(df: DataFrame) -> DataFrame:
     over the flipped-to-top-down gray buffer, so padding or row-order
     mistakes flip it."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    w, h, gray = decode_bmp(r.payload)
-                    rows.append((r.media_id, r.content_hash, w, h, sum(gray)))
-                except Exception:
-                    rows.append((r.media_id, r.content_hash, None, None, None))
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "content_hash", "width", "height", "pixel_sum"],
-            )
+    def parse(payload):
+        w, h, gray = decode_bmp(payload)
+        return w, h, sum(gray)
 
-    return df.select("media_id", "content_hash", "payload").mapInPandas(
-        decode, BMP_STATS
-    )
+    return _payload_decoder(df, parse, BMP_STATS)
 
 
 # --------------------------------------------------------------------------
@@ -878,26 +865,7 @@ def decode_audio_meta(df: DataFrame) -> DataFrame:
     shape as ``decode_image_meta``; swap ``_parse_wav`` for ffmpeg to add
     compressed codecs without touching the plumbing."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    rate, ch, bits, ns = _parse_wav(r.payload)
-                except Exception:
-                    rate = ch = bits = ns = None
-                rows.append((r.media_id, r.content_hash, rate, ch, bits, ns))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "content_hash",
-                    "sample_rate", "channels", "bits", "n_samples",
-                ],
-            )
-
-    return df.select("media_id", "content_hash", "payload").mapInPandas(
-        decode, AUDIO_META
-    )
+    return _payload_decoder(df, _parse_wav, AUDIO_META)
 
 
 def le_hex(col, n_bytes: int):
@@ -982,26 +950,7 @@ def decode_video_meta(df: DataFrame) -> DataFrame:
     """mapInPandas Y4M decode; same Arrow-batched null-on-failure shape
     as the image and audio paths."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    w, h, fn, fd, nf = _parse_y4m(r.payload)
-                except Exception:
-                    w = h = fn = fd = nf = None
-                rows.append((r.media_id, r.content_hash, w, h, fn, fd, nf))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "content_hash",
-                    "width", "height", "fps_num", "fps_den", "n_frames",
-                ],
-            )
-
-    return df.select("media_id", "content_hash", "payload").mapInPandas(
-        decode, VIDEO_META
-    )
+    return _payload_decoder(df, _parse_y4m, VIDEO_META)
 
 
 # --------------------------------------------------------------------------
@@ -1133,33 +1082,40 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray:
     raise ValueError("missing LZW EOI code")
 
 
-def decode_gif(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]], bytearray]:
-    """Full GIF decode of the first image frame:
-    ``(width, height, palette, indices)``.
+def _gif_frames(payload: bytes):
+    """THE GIF block walk, shared by the first-frame and all-frames
+    decoders: yield ``(frame_w, frame_h, palette, indices)`` per image
+    block.
 
-    Parses header (87a/89a), logical screen descriptor, global color
-    table, skips extension blocks, then image descriptor + LZW-compressed
-    index data (local color table honored when present).  Interlaced
-    images and truncated/corrupt streams raise -> null/DLQ row."""
+    Parses header (87a/89a) + global color table, skips extensions,
+    honors per-frame local color tables, LZW-decompresses each frame.
+    Interlaced images and truncated/corrupt streams raise -> null/DLQ
+    row; a trailer before any image raises, as does a stream that ends
+    without a trailer.  (Lazy: a caller that stops after the first
+    yield — :func:`decode_gif` — never walks the remaining frames and
+    never requires the trailer, preserving its original semantics.)"""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF signature")
     packed = payload[10]
     pos = 13
-    palette: list[tuple[int, int, int]] = []
+    gct: list[tuple[int, int, int]] = []
     if packed & 0x80:  # global color table
         n = 2 << (packed & 0x07)
         if pos + 3 * n > len(payload):
             raise ValueError("truncated global color table")
-        palette = [
+        gct = [
             (payload[pos + 3 * j], payload[pos + 3 * j + 1], payload[pos + 3 * j + 2])
             for j in range(n)
         ]
         pos += 3 * n
+    n_frames = 0
     while pos < len(payload):
         block = payload[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
-            raise ValueError("GIF contains no image data")
+        if block == 0x3B:  # trailer
+            if n_frames == 0:
+                raise ValueError("GIF contains no image data")
+            return
         if block == 0x21:  # extension: label + sub-blocks
             pos += 1
             while pos < len(payload) and payload[pos] != 0:
@@ -1176,6 +1132,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]], by
         pos += 9
         if ipacked & 0x40:
             raise ValueError("interlaced GIF unsupported")
+        palette = gct
         if ipacked & 0x80:  # local color table overrides global
             n = 2 << (ipacked & 0x07)
             if pos + 3 * n > len(payload):
@@ -1208,8 +1165,15 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]], by
         indices = _lzw_decode(bytes(stream), min_code_size, width * height)
         if max(indices, default=0) >= len(palette):
             raise ValueError("palette index out of range")
-        return width, height, palette, indices
+        n_frames += 1
+        yield width, height, palette, indices
     raise ValueError("missing GIF trailer")
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]], bytearray]:
+    """Full GIF decode of the first image frame:
+    ``(width, height, palette, indices)`` via :func:`_gif_frames`."""
+    return next(_gif_frames(payload))
 
 
 def encode_gif(
@@ -1267,32 +1231,11 @@ def decode_gif_stats(df: DataFrame) -> DataFrame:
     and palette parse are all on the hash path.  Same Arrow-batched,
     null-on-failure DLQ shape as the other decoders."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    w, h, palette, idx = decode_gif(r.payload)
-                    isum = sum(idx)
-                    rsum = sum(sum(palette[i]) for i in idx)
-                    rows.append(
-                        (r.media_id, r.content_hash, w, h, len(palette), isum, rsum)
-                    )
-                except Exception:
-                    rows.append(
-                        (r.media_id, r.content_hash, None, None, None, None, None)
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "content_hash",
-                    "width", "height", "n_colors", "index_sum", "rgb_sum",
-                ],
-            )
+    def parse(payload):
+        w, h, palette, idx = decode_gif(payload)
+        return w, h, len(palette), sum(idx), sum(sum(palette[i]) for i in idx)
 
-    return df.select("media_id", "content_hash", "payload").mapInPandas(
-        decode, GIF_STATS
-    )
+    return _payload_decoder(df, parse, GIF_STATS)
 
 
 # --------------------------------------------------------------------------
@@ -1346,36 +1289,14 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
     callers that want them.  Same Arrow-batched null-on-failure DLQ
     shape as every other decoder."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    rate, s = _wav_samples(r.payload)
-                    peak = max((abs(x) for x in s), default=0)
-                    sum_sq = sum(x * x for x in s)
-                    zc = sum(
-                        1 for i in range(1, len(s)) if s[i] * s[i - 1] < 0
-                    )
-                    rows.append(
-                        (r.media_id, r.content_hash, rate, len(s), peak, sum_sq, zc)
-                    )
-                except Exception:
-                    rows.append(
-                        (r.media_id, r.content_hash, None, None, None, None, None)
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "content_hash",
-                    "sample_rate", "n_samples", "peak", "sum_sq",
-                    "zero_crossings",
-                ],
-            )
+    def parse(payload):
+        rate, s = _wav_samples(payload)
+        peak = max((abs(x) for x in s), default=0)
+        sum_sq = sum(x * x for x in s)
+        zc = sum(1 for i in range(1, len(s)) if s[i] * s[i - 1] < 0)
+        return rate, len(s), peak, sum_sq, zc
 
-    return df.select("media_id", "content_hash", "payload").mapInPandas(
-        decode, AUDIO_FEATURES
-    )
+    return _payload_decoder(df, parse, AUDIO_FEATURES)
 
 
 def encode_wav(rate: int, samples: list[int]) -> bytes:
@@ -1401,86 +1322,19 @@ def decode_gif_frames(
     local-or-global color table, and fold exact integer stats:
     ``(screen_w, screen_h, n_frames, index_sum, rgb_sum)`` over ALL
     frames — the compressed multi-frame path (each frame is an
-    independent LZW stream, like an intra-only video codec)."""
-    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF signature")
-    screen_w = int.from_bytes(payload[6:8], "little")
-    screen_h = int.from_bytes(payload[8:10], "little")
-    packed = payload[10]
-    pos = 13
-    gct: list[tuple[int, int, int]] = []
-    if packed & 0x80:
-        n = 2 << (packed & 0x07)
-        if pos + 3 * n > len(payload):
-            raise ValueError("truncated global color table")
-        gct = [
-            (payload[pos + 3 * j], payload[pos + 3 * j + 1], payload[pos + 3 * j + 2])
-            for j in range(n)
-        ]
-        pos += 3 * n
+    independent LZW stream, like an intra-only video codec).  The block
+    walk itself is :func:`_gif_frames`, shared with the first-frame
+    decoder so the two can never drift."""
     n_frames = 0
     index_sum = 0
     rgb_sum = 0
-    while pos < len(payload):
-        block = payload[pos]
-        pos += 1
-        if block == 0x3B:  # trailer
-            if n_frames == 0:
-                raise ValueError("GIF contains no image data")
-            return screen_w, screen_h, n_frames, index_sum, rgb_sum
-        if block == 0x21:  # extension
-            pos += 1
-            while pos < len(payload) and payload[pos] != 0:
-                pos += 1 + payload[pos]
-            pos += 1
-            continue
-        if block != 0x2C:
-            raise ValueError(f"unknown GIF block 0x{block:02x}")
-        if pos + 9 > len(payload):
-            raise ValueError("truncated image descriptor")
-        fw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
-        fh = int.from_bytes(payload[pos + 6 : pos + 8], "little")
-        ipacked = payload[pos + 8]
-        pos += 9
-        if ipacked & 0x40:
-            raise ValueError("interlaced GIF unsupported")
-        palette = gct
-        if ipacked & 0x80:
-            n = 2 << (ipacked & 0x07)
-            if pos + 3 * n > len(payload):
-                raise ValueError("truncated local color table")
-            palette = [
-                (payload[pos + 3 * j], payload[pos + 3 * j + 1], payload[pos + 3 * j + 2])
-                for j in range(n)
-            ]
-            pos += 3 * n
-        if not palette:
-            raise ValueError("GIF frame has no color table")
-        if pos >= len(payload):
-            raise ValueError("missing LZW minimum code size")
-        min_code_size = payload[pos]
-        pos += 1
-        if not 2 <= min_code_size <= 8:
-            raise ValueError(f"bad LZW minimum code size {min_code_size}")
-        stream = bytearray()
-        while True:
-            if pos >= len(payload):
-                raise ValueError("unterminated image sub-blocks")
-            blen = payload[pos]
-            pos += 1
-            if blen == 0:
-                break
-            if pos + blen > len(payload):
-                raise ValueError("truncated image sub-block")
-            stream += payload[pos : pos + blen]
-            pos += blen
-        indices = _lzw_decode(bytes(stream), min_code_size, fw * fh)
-        if max(indices, default=0) >= len(palette):
-            raise ValueError("palette index out of range")
+    for _fw, _fh, palette, indices in _gif_frames(payload):
         n_frames += 1
         index_sum += sum(indices)
         rgb_sum += sum(sum(palette[i]) for i in indices)
-    raise ValueError("missing GIF trailer")
+    screen_w = int.from_bytes(payload[6:8], "little")
+    screen_h = int.from_bytes(payload[8:10], "little")
+    return screen_w, screen_h, n_frames, index_sum, rgb_sum
 
 
 def encode_gif_anim(
@@ -1545,28 +1399,7 @@ def decode_gif_anim_stats(df: DataFrame) -> DataFrame:
     """mapInPandas animated-GIF decode to all-frames stats; the usual
     Arrow-batched null-on-failure DLQ shape."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    w, h, nf, isum, rsum = decode_gif_frames(r.payload)
-                    rows.append((r.media_id, r.content_hash, w, h, nf, isum, rsum))
-                except Exception:
-                    rows.append(
-                        (r.media_id, r.content_hash, None, None, None, None, None)
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "content_hash",
-                    "width", "height", "n_frames", "index_sum", "rgb_sum",
-                ],
-            )
-
-    return df.select("media_id", "content_hash", "payload").mapInPandas(
-        decode, GIF_ANIM_STATS
-    )
+    return _payload_decoder(df, decode_gif_frames, GIF_ANIM_STATS)
 
 
 #: Square-wave analysis periods (samples per cycle) for the band
@@ -1603,38 +1436,15 @@ def decode_audio_bands(df: DataFrame) -> DataFrame:
     be 1-ulp hostage to each engine's libm.  Same Arrow-batched
     null-on-failure DLQ shape as every other decoder."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    rate, s = _wav_samples(r.payload)
-                    bands = [
-                        sum(
-                            x if (i % p) < (p // 2) else -x
-                            for i, x in enumerate(s)
-                        )
-                        for p in BAND_PERIODS
-                    ]
-                    rows.append(
-                        (r.media_id, r.content_hash, rate, len(s), *bands)
-                    )
-                except Exception:
-                    rows.append(
-                        (r.media_id, r.content_hash, None, None,
-                         None, None, None, None)
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "content_hash", "sample_rate", "n_samples",
-                    "band_p2", "band_p4", "band_p8", "band_p16",
-                ],
-            )
+    def parse(payload):
+        rate, s = _wav_samples(payload)
+        bands = [
+            sum(x if (i % p) < (p // 2) else -x for i, x in enumerate(s))
+            for p in BAND_PERIODS
+        ]
+        return (rate, len(s), *bands)
 
-    return df.select("media_id", "content_hash", "payload").mapInPandas(
-        decode, AUDIO_BANDS
-    )
+    return _payload_decoder(df, parse, AUDIO_BANDS)
 
 
 def encode_avi(
@@ -1744,26 +1554,7 @@ def decode_avi_meta(df: DataFrame) -> DataFrame:
     """mapInPandas AVI container decode; same Arrow-batched
     null-on-failure DLQ shape as the image/audio/Y4M paths."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    w, h, us, dec, wf = _parse_avi(r.payload)
-                except Exception:
-                    w = h = us = dec = wf = None
-                rows.append((r.media_id, r.content_hash, w, h, us, dec, wf))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "content_hash", "width", "height",
-                    "usec_per_frame", "declared_frames", "walked_frames",
-                ],
-            )
-
-    return df.select("media_id", "content_hash", "payload").mapInPandas(
-        decode, AVI_META
-    )
+    return _payload_decoder(df, _parse_avi, AVI_META)
 
 
 def encode_mp4(
@@ -1877,26 +1668,7 @@ def decode_mp4_meta(df: DataFrame) -> DataFrame:
     """mapInPandas ISO-BMFF decode; Arrow-batched null-on-failure DLQ
     shape, like every other decoder."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    ts, du, w, h, mb = _parse_mp4(r.payload)
-                except Exception:
-                    ts = du = w = h = mb = None
-                rows.append((r.media_id, r.content_hash, ts, du, w, h, mb))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "content_hash", "timescale", "duration",
-                    "width", "height", "mdat_bytes",
-                ],
-            )
-
-    return df.select("media_id", "content_hash", "payload").mapInPandas(
-        decode, MP4_META
-    )
+    return _payload_decoder(df, _parse_mp4, MP4_META)
 
 
 def encode_tiff(
@@ -1986,26 +1758,7 @@ TIFF_META = StructType(
 def decode_tiff_meta(df: DataFrame) -> DataFrame:
     """mapInPandas TIFF decode; Arrow-batched null-on-failure DLQ shape."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    w, h, b, bo = _parse_tiff(r.payload)
-                except Exception:
-                    w = h = b = bo = None
-                rows.append((r.media_id, r.content_hash, w, h, b, bo))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "content_hash",
-                    "width", "height", "bits", "byte_order",
-                ],
-            )
-
-    return df.select("media_id", "content_hash", "payload").mapInPandas(
-        decode, TIFF_META
-    )
+    return _payload_decoder(df, _parse_tiff, TIFF_META)
 
 
 #: MPEG-1 Layer III bitrate table (kbps) by 4-bit index; 0 = free, 15 =
@@ -2111,26 +1864,7 @@ def decode_mp3_meta(df: DataFrame) -> DataFrame:
     """mapInPandas MP3 frame-walk decode; Arrow-batched null-on-failure
     DLQ shape."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    sr, br, nf = _parse_mp3(r.payload)
-                except Exception:
-                    sr = br = nf = None
-                rows.append((r.media_id, r.content_hash, sr, br, nf))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "content_hash",
-                    "sample_rate", "bitrate_kbps", "n_frames",
-                ],
-            )
-
-    return df.select("media_id", "content_hash", "payload").mapInPandas(
-        decode, MP3_META
-    )
+    return _payload_decoder(df, _parse_mp3, MP3_META)
 
 
 def encode_warc(records: list[tuple[str, str, bytes]]) -> bytes:
@@ -2484,24 +2218,7 @@ FLAC_META = StructType(
 def decode_flac_meta(df: DataFrame) -> DataFrame:
     """mapInPandas FLAC STREAMINFO decode; null-on-failure DLQ shape."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    sr, ch, b, tot = _parse_flac(r.payload)
-                except Exception:
-                    sr = ch = b = tot = None
-                rows.append((r.media_id, sr, ch, b, tot))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "sample_rate", "channels", "bits",
-                    "total_samples",
-                ],
-            )
-
-    return df.select("media_id", "payload").mapInPandas(decode, FLAC_META)
+    return _payload_decoder(df, _parse_flac, FLAC_META, keys=("media_id",))
 
 
 def gzip_member_split(payload: bytes) -> list[bytes]:
@@ -2762,24 +2479,10 @@ OGG_META = StructType(
 def decode_ogg_meta(df: DataFrame) -> DataFrame:
     """mapInPandas OGG stream decode; null-on-failure DLQ shape."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                try:
-                    ser, np_, gran, bb = _parse_ogg(bytes(r.payload))
-                except Exception:
-                    ser = np_ = gran = bb = None
-                rows.append((r.media_id, ser, np_, gran, bb))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "serial", "n_pages", "last_granule",
-                    "payload_bytes",
-                ],
-            )
+    def parse(payload):
+        return _parse_ogg(bytes(payload))
 
-    return df.select("media_id", "payload").mapInPandas(decode, OGG_META)
+    return _payload_decoder(df, parse, OGG_META, keys=("media_id",))
 
 
 def sniff_media(payload: bytes) -> tuple[str, str]:
