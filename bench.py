@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -100,7 +101,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    # Parse the scale factor out of a canonical "sf<number>" basename; any
+    # other layout reports sf=-1 rather than crashing before the run starts.
+    m = re.fullmatch(r"sf(\d+(?:\.\d+)?)", Path(sf_dir).name)
+    sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 

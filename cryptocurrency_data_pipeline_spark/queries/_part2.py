@@ -1761,7 +1761,7 @@ def hard_negative_mining(spark, sf_dir):
     oracle="""
     WITH pos AS (
       SELECT doc_id, unnest(generate_series(1, length(text))) AS p, text
-      FROM documents
+      FROM documents WHERE length(text) >= 1
     ), chars AS (
       SELECT doc_id, substring(text, p, 1) AS ch FROM pos
     ), counts AS (
@@ -1780,8 +1780,13 @@ def doc_char_entropy(spark, sf_dir):
     partial-agged counts → per-doc entropy via the single-pass algebraic
     identity. Two shuffles, both with map-side combine on short keys."""
     docs = t(spark, sf_dir, "documents")
+    # Empty docs must be excluded BEFORE sequence(): Spark's sequence(1, 0)
+    # auto-steps -1 and yields [1, 0] (two phantom char positions), whereas
+    # the oracle's generate_series(1, 0) is empty.  The guard is mirrored
+    # in the oracle's WHERE so both sides skip zero-length text identically.
     counts = (
-        docs.select(
+        docs.where(F.length("text") >= 1)
+        .select(
             "doc_id",
             F.posexplode(F.sequence(F.lit(1), F.length("text"))).alias("_i", "p"),
             F.col("text").alias("_t"),

@@ -1252,11 +1252,20 @@ def grouped_ewma_user_value(spark, sf_dir):
 
 @query(
     "jpeg_meta_rollup",
+    # A NULL in ANY payload input (text/n_chars/doc_id) nulls the whole
+    # Spark-side byte concat, so no container exists and the decode emits
+    # (NULL, NULL) — the oracle must null BOTH dims together, not compute
+    # height from doc_id for a document whose container was never built.
     oracle="""
-    SELECT CAST(100 + n_chars % 200 AS INT) AS width,
-           CAST(50 + doc_id % 100 AS INT) AS height,
+    WITH ok AS (
+      SELECT *, (text IS NOT NULL AND n_chars IS NOT NULL
+                 AND doc_id IS NOT NULL) AS built
+      FROM documents
+    )
+    SELECT CAST(CASE WHEN built THEN 100 + n_chars % 200 END AS INT) AS width,
+           CAST(CASE WHEN built THEN 50 + doc_id % 100 END AS INT) AS height,
            count(*) AS n_media
-    FROM documents GROUP BY width, height
+    FROM ok GROUP BY width, height
     """,
 )
 def jpeg_meta_rollup(spark, sf_dir):
@@ -1266,7 +1275,12 @@ def jpeg_meta_rollup(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import multimodal as mm
 
     docs = t(spark, sf_dir, "documents")
-    com_payload = F.encode("text", "UTF-8")
+    # A COM segment length field is 2 bytes (includes itself), so the
+    # payload caps at 65533 bytes — beyond that F.lpad(hex, 4) would
+    # silently TRUNCATE the 5-hex-char length and desync the marker walk.
+    # The decoded dims come from n_chars/doc_id, not the COM bytes, so the
+    # cap never changes results; it only keeps the container conforming.
+    com_payload = F.expr("substring(encode(text, 'UTF-8'), 1, 65533)")
     be2 = lambda c: F.unhex(F.lpad(F.hex(c), 4, "0"))  # noqa: E731
     payload = F.concat(
         F.lit(b"\xff\xd8"),                               # SOI

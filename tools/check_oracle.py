@@ -32,7 +32,10 @@ def norm_value(v):
     if isinstance(v, float):
         if v != v:
             return "NaN"
-        return repr(round(v, 9))
+        # +0.0 collapses -0.0 so sign-of-zero disagreements between engines
+        # (e.g. summation order yielding -1e-10 vs +1e-10 before rounding)
+        # don't show up as spurious value-hash mismatches.
+        return repr(round(v, 9) + 0.0)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_value(x) for x in v) + "]"
     return str(v)
@@ -63,6 +66,10 @@ def main():
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     failures = []
     checked = 0
     for name, fn in qs.items():
@@ -117,7 +124,8 @@ def main():
         f"\n{checked - len(failures)}/{checked} passed"
         + (f"; FAILURES: {failures}" if failures else "")
     )
-    sys.exit(1 if failures else 0)
+    # A run that verified zero queries is not a pass.
+    sys.exit(1 if failures or checked == 0 else 0)
 
 
 if __name__ == "__main__":

@@ -36,7 +36,8 @@ def main():
         )
 
     failures = []
-    for name in list(qs)[:n]:
+    window = list(qs)[:n]
+    for name in window:
         try:
             sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
@@ -48,8 +49,13 @@ def main():
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(srows)} rows")
             continue
-        rel = con.sql(oracles[name])
-        dcols, drows = rel.columns, rel.fetchall()
+        try:
+            rel = con.sql(oracles[name])
+            dcols, drows = rel.columns, rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append("schema")
@@ -63,9 +69,10 @@ def main():
         else:
             print(f"ok   {name}: {len(srows)} rows")
 
-    print(f"\n{n - len(failures)}/{n} window queries green under the vanilla session"
+    total = len(window)
+    print(f"\n{total - len(failures)}/{total} window queries green under the vanilla session"
           + (f"; FAILURES: {failures}" if failures else ""))
-    sys.exit(1 if failures else 0)
+    sys.exit(1 if failures or total == 0 else 0)
 
 
 if __name__ == "__main__":
