@@ -1,0 +1,77 @@
+"""Shared DuckDB oracle SQL fragments.
+
+The MinHash truth construction (whitespace shingle 3-grams -> md5 "hash
+family" -> 8-slot one-permutation signature -> 4 two-slot LSH bands ->
+banded candidate pairs) verifies ONE Spark operator
+(``operators/dedup.py:minhash_near_dups``) but is needed by five oracles
+across three part files.  Keeping the CTE text here means an edit to the
+minhash oracle semantics changes every consumer at once instead of
+requiring five synchronized copies (the drift hazard the PQ family
+already solved with its shared codes-CTE constant).
+
+CTE names are parameters because ``simhash_recall`` embeds the block
+alongside its own ``sig``/``cand`` CTEs and needs non-colliding names.
+The fragments are used inside f-string oracles, so callers compose e.g.
+``f"WITH {minhash_sig_ctes()}, {minhash_bands_cte()} ..."``.
+"""
+
+
+def minhash_sig_ctes(tk="tk", sig="sig"):
+    """CTE chain ``tk -> sh -> hs -> sig``: tokenized shingle sets plus
+    the 8-slot one-permutation MinHash signature per document.  Exposes
+    ``hs(doc_id, s, hh)`` (the exact shingle set, for truth Jaccard) and
+    ``sig(doc_id, sg)``."""
+    return SIG_TEMPLATE.format(tk=tk, sig=sig)
+
+
+def minhash_bands_cte(bands="bands", sig="sig"):
+    """CTE ``bands(doc_id, band_key)``: 4 two-slot LSH band keys per
+    signature ('~' fills null slots of short docs)."""
+    return BANDS_TEMPLATE.format(bands=bands, sig=sig)
+
+
+def minhash_cand_cte(cand="cand", bands="bands"):
+    """CTE ``cand(a_id, b_id)``: distinct ordered candidate pairs that
+    share at least one band key."""
+    return CAND_TEMPLATE.format(cand=cand, bands=bands)
+
+
+SIG_TEMPLATE = r'''{tk} AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS tg
+      FROM {tk}
+    ), hs AS (
+      SELECT doc_id, list_distinct(tg) AS s,
+             list_transform(list_distinct(tg), x -> md5(x)) AS hh
+      FROM sh
+    ), {sig} AS (
+      SELECT doc_id,
+        [list_aggregate(list_filter(hh, h -> h[1:1] IN ('0','1')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('2','3')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('4','5')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('6','7')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('8','9')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('a','b')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('c','d')), 'min'),
+         list_aggregate(list_filter(hh, h -> h[1:1] IN ('e','f')), 'min')] AS sg
+      FROM hs
+    )'''
+
+BANDS_TEMPLATE = r'''{bands} AS (
+      SELECT DISTINCT doc_id, band_key FROM (
+        SELECT doc_id, unnest([
+          '0' || '|' || coalesce(sg[1], '~') || '|' || coalesce(sg[2], '~'),
+          '1' || '|' || coalesce(sg[3], '~') || '|' || coalesce(sg[4], '~'),
+          '2' || '|' || coalesce(sg[5], '~') || '|' || coalesce(sg[6], '~'),
+          '3' || '|' || coalesce(sg[7], '~') || '|' || coalesce(sg[8], '~')]) AS band_key
+        FROM {sig})
+    )'''
+
+CAND_TEMPLATE = r'''{cand} AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM {bands} a JOIN {bands} b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )'''

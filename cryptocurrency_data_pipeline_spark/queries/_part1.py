@@ -17,6 +17,11 @@ from pyspark.sql import functions as F  # noqa: F401
 
 from cryptocurrency_data_pipeline_spark.operators import silver  # noqa: F401
 from cryptocurrency_data_pipeline_spark.operators.caching import track  # noqa: F401
+from cryptocurrency_data_pipeline_spark.queries._fragments import (  # noqa: F401
+    minhash_bands_cte,
+    minhash_cand_cte,
+    minhash_sig_ctes,
+)
 from cryptocurrency_data_pipeline_spark.queries._registry import query, t  # noqa: F401
 from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa: F401
 
@@ -852,42 +857,8 @@ def docs_exact_dedup(spark, sf_dir):
 
 @query(
     "minhash_near_dups",
-    oracle=r"""
-    WITH tk AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
-                            i -> array_to_string(toks[i:i+2], ' ')) AS tg
-      FROM tk
-    ), hs AS (
-      SELECT doc_id, list_distinct(tg) AS s,
-             list_transform(list_distinct(tg), x -> md5(x)) AS hh
-      FROM sh
-    ), sig AS (
-      SELECT doc_id,
-        [list_aggregate(list_filter(hh, h -> h[1:1] IN ('0','1')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('2','3')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('4','5')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('6','7')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('8','9')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('a','b')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('c','d')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('e','f')), 'min')] AS sg
-      FROM hs
-    ), bands AS (
-      SELECT DISTINCT doc_id, band_key FROM (
-        SELECT doc_id, unnest([
-          '0' || '|' || coalesce(sg[1], '~') || '|' || coalesce(sg[2], '~'),
-          '1' || '|' || coalesce(sg[3], '~') || '|' || coalesce(sg[4], '~'),
-          '2' || '|' || coalesce(sg[5], '~') || '|' || coalesce(sg[6], '~'),
-          '3' || '|' || coalesce(sg[7], '~') || '|' || coalesce(sg[8], '~')]) AS band_key
-        FROM sig)
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
+    oracle=f"""
+    WITH {minhash_sig_ctes()}, {minhash_bands_cte()}, {minhash_cand_cte()}
     SELECT a_id, b_id,
            round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
                  / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard_sim
@@ -1838,42 +1809,8 @@ def returned_item_top_customers(spark, sf_dir):
 
 @query(
     "dup_clusters",
-    oracle=r"""
-    WITH RECURSIVE tk AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
-                            i -> array_to_string(toks[i:i+2], ' ')) AS tg
-      FROM tk
-    ), hs AS (
-      SELECT doc_id, list_distinct(tg) AS s,
-             list_transform(list_distinct(tg), x -> md5(x)) AS hh
-      FROM sh
-    ), sig AS (
-      SELECT doc_id,
-        [list_aggregate(list_filter(hh, h -> h[1:1] IN ('0','1')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('2','3')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('4','5')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('6','7')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('8','9')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('a','b')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('c','d')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('e','f')), 'min')] AS sg
-      FROM hs
-    ), bands AS (
-      SELECT DISTINCT doc_id, band_key FROM (
-        SELECT doc_id, unnest([
-          '0' || '|' || coalesce(sg[1], '~') || '|' || coalesce(sg[2], '~'),
-          '1' || '|' || coalesce(sg[3], '~') || '|' || coalesce(sg[4], '~'),
-          '2' || '|' || coalesce(sg[5], '~') || '|' || coalesce(sg[6], '~'),
-          '3' || '|' || coalesce(sg[7], '~') || '|' || coalesce(sg[8], '~')]) AS band_key
-        FROM sig)
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ), pairs AS (
+    oracle=f"""
+    WITH RECURSIVE {minhash_sig_ctes()}, {minhash_bands_cte()}, {minhash_cand_cte()}, pairs AS (
       SELECT a_id, b_id
       FROM cand JOIN hs x ON cand.a_id = x.doc_id JOIN hs y ON cand.b_id = y.doc_id
       WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)

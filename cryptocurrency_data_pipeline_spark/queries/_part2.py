@@ -17,6 +17,11 @@ from pyspark.sql import functions as F  # noqa: F401
 
 from cryptocurrency_data_pipeline_spark.operators import silver  # noqa: F401
 from cryptocurrency_data_pipeline_spark.operators.caching import track  # noqa: F401
+from cryptocurrency_data_pipeline_spark.queries._fragments import (  # noqa: F401
+    minhash_bands_cte,
+    minhash_cand_cte,
+    minhash_sig_ctes,
+)
 from cryptocurrency_data_pipeline_spark.queries._registry import query, t  # noqa: F401
 from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa: F401
 
@@ -1367,7 +1372,7 @@ def ann_recall_at_k(spark, sf_dir):
 
 @query(
     "simhash_recall",
-    oracle=r"""
+    oracle=rf"""
     WITH tok AS (
       SELECT doc_id,
              unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -1407,41 +1412,9 @@ def ann_recall_at_k(spark, sf_dir):
       FROM banded a JOIN banded b
         ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
     ),
-    tk2 AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
-                            i -> array_to_string(toks[i:i+2], ' ')) AS tg
-      FROM tk2
-    ), hs AS (
-      SELECT doc_id, list_distinct(tg) AS s,
-             list_transform(list_distinct(tg), x -> md5(x)) AS hh
-      FROM sh
-    ), msig AS (
-      SELECT doc_id,
-        [list_aggregate(list_filter(hh, h -> h[1:1] IN ('0','1')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('2','3')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('4','5')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('6','7')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('8','9')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('a','b')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('c','d')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('e','f')), 'min')] AS sg
-      FROM hs
-    ), mbands AS (
-      SELECT DISTINCT doc_id, band_key FROM (
-        SELECT doc_id, unnest([
-          '0' || '|' || coalesce(sg[1], '~') || '|' || coalesce(sg[2], '~'),
-          '1' || '|' || coalesce(sg[3], '~') || '|' || coalesce(sg[4], '~'),
-          '2' || '|' || coalesce(sg[5], '~') || '|' || coalesce(sg[6], '~'),
-          '3' || '|' || coalesce(sg[7], '~') || '|' || coalesce(sg[8], '~')]) AS band_key
-        FROM msig)
-    ), mcand AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM mbands a JOIN mbands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ),
+    {minhash_sig_ctes(tk="tk2", sig="msig")},
+    {minhash_bands_cte(bands="mbands", sig="msig")},
+    {minhash_cand_cte(cand="mcand", bands="mbands")},
     truth AS (
       SELECT a_id, b_id
       FROM mcand JOIN hs x ON mcand.a_id = x.doc_id JOIN hs y ON mcand.b_id = y.doc_id
@@ -2244,42 +2217,8 @@ def gopher_quality_flags(spark, sf_dir):
     # near-dup pair list is the verified-Jaccard MinHash+LSH output
     # (same construction as minhash_near_dups), rolled up per unordered
     # source pair.
-    oracle=r"""
-    WITH tk AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
-                            i -> array_to_string(toks[i:i+2], ' ')) AS tg
-      FROM tk
-    ), hs AS (
-      SELECT doc_id, list_distinct(tg) AS s,
-             list_transform(list_distinct(tg), x -> md5(x)) AS hh
-      FROM sh
-    ), sig AS (
-      SELECT doc_id,
-        [list_aggregate(list_filter(hh, h -> h[1:1] IN ('0','1')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('2','3')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('4','5')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('6','7')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('8','9')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('a','b')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('c','d')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('e','f')), 'min')] AS sg
-      FROM hs
-    ), bands AS (
-      SELECT DISTINCT doc_id, band_key FROM (
-        SELECT doc_id, unnest([
-          '0' || '|' || coalesce(sg[1], '~') || '|' || coalesce(sg[2], '~'),
-          '1' || '|' || coalesce(sg[3], '~') || '|' || coalesce(sg[4], '~'),
-          '2' || '|' || coalesce(sg[5], '~') || '|' || coalesce(sg[6], '~'),
-          '3' || '|' || coalesce(sg[7], '~') || '|' || coalesce(sg[8], '~')]) AS band_key
-        FROM sig)
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ), pairs AS (
+    oracle=f"""
+    WITH {minhash_sig_ctes()}, {minhash_bands_cte()}, {minhash_cand_cte()}, pairs AS (
       SELECT a_id, b_id,
              CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
              / len(list_distinct(list_concat(x.s, y.s))) AS j

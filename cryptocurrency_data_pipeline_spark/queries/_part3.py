@@ -16,6 +16,9 @@ from pyspark.sql import functions as F  # noqa: F401
 
 from cryptocurrency_data_pipeline_spark.operators import silver  # noqa: F401
 from cryptocurrency_data_pipeline_spark.operators.caching import track  # noqa: F401
+from cryptocurrency_data_pipeline_spark.queries._fragments import (  # noqa: F401
+    minhash_sig_ctes,
+)
 from cryptocurrency_data_pipeline_spark.queries._registry import query, t  # noqa: F401
 from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa: F401
 
@@ -1061,31 +1064,8 @@ def scd2_incremental_merge(spark, sf_dir):
 
 @query(
     "lsh_band_tuning",
-    oracle=r"""
-    WITH tk AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
-                            i -> array_to_string(toks[i:i+2], ' ')) AS tg
-      FROM tk
-    ), hs AS (
-      SELECT doc_id, list_distinct(tg) AS s,
-             list_transform(list_distinct(tg), x -> md5(x)) AS hh
-      FROM sh
-    ), sig AS (
-      SELECT doc_id,
-        [list_aggregate(list_filter(hh, h -> h[1:1] IN ('0','1')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('2','3')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('4','5')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('6','7')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('8','9')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('a','b')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('c','d')), 'min'),
-         list_aggregate(list_filter(hh, h -> h[1:1] IN ('e','f')), 'min')] AS sg
-      FROM hs
-    ), bands_all AS (
+    oracle=f"""
+    WITH {minhash_sig_ctes()}, bands_all AS (
       SELECT DISTINCT doc_id, bands, band_key FROM (
         SELECT doc_id, 1 AS bands, unnest([
           '0' || '|' || coalesce(sg[1], '~') || '|' || coalesce(sg[2], '~')

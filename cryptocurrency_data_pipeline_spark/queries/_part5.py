@@ -20,6 +20,63 @@ from cryptocurrency_data_pipeline_spark.operators.caching import track  # noqa: 
 from cryptocurrency_data_pipeline_spark.queries._registry import query, t  # noqa: F401
 from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa: F401
 
+
+def _orders_merged_snapshot(spark, sf_dir, purpose):
+    """Shared fixture for the MERGE family: publish v1 of orders
+    (priority-partitioned, prices in integer cents), then MERGE ONE
+    deterministic update/insert/delete batch to produce v2.
+
+    ``merge_into_orders``, ``keyed_change_feed``, and
+    ``cdc_apply_reconstruction`` — and their three oracles — all assume
+    this exact batch (the %5/%7/%11 predicates and the -(key+1) insert
+    rule), so it lives in one place: an edit here changes all three
+    queries together and each oracle's WITH-block mirrors this function.
+    Strictly-negative insert keys are disjoint from real orderkeys
+    (>= 0) at ANY scale factor; an additive offset would collide at
+    SF >= ~2 and the merge would then DELETE the real colliding row
+    (and bare -key collides at key = 0).
+
+    Returns the snapshot table path with v1 and v2 published.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    snap = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
+    updates = (
+        snap.filter((pri == "1-URGENT") & (key % 5 == 0))
+        .withColumn("price_cents", F.col("price_cents") + 7)
+        .withColumn("_deleted", F.lit(False))
+        .unionByName(
+            snap.filter((pri == "5-LOW") & (key % 11 == 0)).select(
+                (-(key + 1)).alias("o_orderkey"),
+                "o_orderpriority",
+                F.lit(999).cast("long").alias("price_cents"),
+                F.lit(False).alias("_deleted"),
+            )
+        )
+        .unionByName(
+            snap.filter((pri == "3-MEDIUM") & (key % 7 == 0)).withColumn(
+                "_deleted", F.lit(True)
+            )
+        )
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{purpose}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
+    mt.write_snapshot(snap, table, part_col="o_orderpriority")
+    mt.merge_into_snapshot(updates, table, ["o_orderkey"], delete_col="_deleted")
+    return table
+
 # --------------------------------------------------------------------------
 # RFM customer segmentation: recency / frequency / monetary quartiles
 # with ntile(4) SEMANTICS under a DETERMINISTIC total order (measure,
@@ -1944,47 +2001,9 @@ def cow_snapshot_upsert(spark, sf_dir):
 def merge_into_orders(spark, sf_dir):
     """MERGE update/insert/delete batches into a partitioned snapshot;
     report the merged per-priority totals from the new version."""
-    import os
-    import shutil
-    import tempfile
-
     from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
 
-    snap = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
-    )
-    key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
-    updates = (
-        snap.filter((pri == "1-URGENT") & (key % 5 == 0))
-        .withColumn("price_cents", F.col("price_cents") + 7)
-        .withColumn("_deleted", F.lit(False))
-        .unionByName(
-            snap.filter((pri == "5-LOW") & (key % 11 == 0)).select(
-                # Strictly-negative keys are disjoint from orderkeys
-                # (>= 0) at ANY scale factor; an additive offset collides
-                # at SF >= ~2 and the merge would then DELETE the real
-                # colliding row (and bare -key collides at key = 0).
-                (-(key + 1)).alias("o_orderkey"),
-                "o_orderpriority",
-                F.lit(999).cast("long").alias("price_cents"),
-                F.lit(False).alias("_deleted"),
-            )
-        )
-        .unionByName(
-            snap.filter((pri == "3-MEDIUM") & (key % 7 == 0)).withColumn(
-                "_deleted", F.lit(True)
-            )
-        )
-    )
-    table = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_mergesnap_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
-    )
-    shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
-    mt.write_snapshot(snap, table, part_col="o_orderpriority")
-    mt.merge_into_snapshot(updates, table, ["o_orderkey"], delete_col="_deleted")
+    table = _orders_merged_snapshot(spark, sf_dir, "mergesnap")
     return (
         mt.read_snapshot(spark, table, 2)
         .groupBy("o_orderpriority")
@@ -2108,44 +2127,9 @@ def keyed_change_feed(spark, sf_dir):
     """MERGE an update/insert/delete batch into a snapshot of orders,
     then read the collapsed (key-aware) change feed between the two
     versions and aggregate it per change type."""
-    import os
-    import shutil
-    import tempfile
-
     from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
 
-    snap = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
-    )
-    key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
-    updates = (
-        snap.filter((pri == "1-URGENT") & (key % 5 == 0))
-        .withColumn("price_cents", F.col("price_cents") + 7)
-        .withColumn("_deleted", F.lit(False))
-        .unionByName(
-            snap.filter((pri == "5-LOW") & (key % 11 == 0)).select(
-                # -(k+1): disjoint from real orderkeys (>= 0) at any SF.
-                (-(key + 1)).alias("o_orderkey"),
-                "o_orderpriority",
-                F.lit(999).cast("long").alias("price_cents"),
-                F.lit(False).alias("_deleted"),
-            )
-        )
-        .unionByName(
-            snap.filter((pri == "3-MEDIUM") & (key % 7 == 0)).withColumn(
-                "_deleted", F.lit(True)
-            )
-        )
-    )
-    table = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_cdcfeed_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
-    )
-    shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
-    mt.write_snapshot(snap, table, part_col="o_orderpriority")
-    mt.merge_into_snapshot(updates, table, ["o_orderkey"], delete_col="_deleted")
+    table = _orders_merged_snapshot(spark, sf_dir, "cdcfeed")
     return (
         mt.snapshot_changes(spark, table, 1, 2, collapse=True)
         .groupBy(F.col("_change").alias("change_type"))
@@ -2293,44 +2277,9 @@ def cdc_apply_reconstruction(spark, sf_dir):
     """Publish v1 -> v2 via MERGE, then reconstruct v2 FROM v1 + the
     collapsed change feed (updates folded back to delete+insert) and
     aggregate the reconstruction."""
-    import os
-    import shutil
-    import tempfile
-
     from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
 
-    snap = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
-    )
-    key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
-    updates = (
-        snap.filter((pri == "1-URGENT") & (key % 5 == 0))
-        .withColumn("price_cents", F.col("price_cents") + 7)
-        .withColumn("_deleted", F.lit(False))
-        .unionByName(
-            snap.filter((pri == "5-LOW") & (key % 11 == 0)).select(
-                (-(key + 1)).alias("o_orderkey"),
-                "o_orderpriority",
-                F.lit(999).cast("long").alias("price_cents"),
-                F.lit(False).alias("_deleted"),
-            )
-        )
-        .unionByName(
-            snap.filter((pri == "3-MEDIUM") & (key % 7 == 0)).withColumn(
-                "_deleted", F.lit(True)
-            )
-        )
-    )
-    table = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_cdcapply_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
-    )
-    shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
-    mt.write_snapshot(snap, table, part_col="o_orderpriority")
-    mt.merge_into_snapshot(updates, table, ["o_orderkey"], delete_col="_deleted")
-
+    table = _orders_merged_snapshot(spark, sf_dir, "cdcapply")
     feed = mt.snapshot_changes(spark, table, 1, 2, collapse=True)
     removals = feed.where(
         F.col("_change").isin("delete", "update_preimage")
