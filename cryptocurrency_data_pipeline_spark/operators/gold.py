@@ -40,9 +40,10 @@ def calendar_columns(date_col: Column) -> list[Column]:
         F.weekofyear(date_col).alias("week_of_year"),
         F.date_format(date_col, "MMMM").alias("month_name"),
         F.date_format(date_col, "EEEE").alias("day_name"),
-        F.when(F.dayofweek(date_col).isin([1, 7]), F.lit(True))
-        .otherwise(F.lit(False))
-        .alias("is_weekend"),
+        # Plain boolean expression, NOT when/otherwise(False): a NULL
+        # date has an UNKNOWN weekend flag, and otherwise() would
+        # silently collapse that NULL to False (three-valued logic).
+        F.dayofweek(date_col).isin([1, 7]).alias("is_weekend"),
     ]
 
 

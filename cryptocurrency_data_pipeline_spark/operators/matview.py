@@ -158,13 +158,15 @@ def build_histogram_partials(
             f"degenerate histogram bounds: lo={lo} hi={hi} (need hi > lo)"
         )
     width = (hi - lo) / n_bins
-    bin_ = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
-        ),
-    )
+    # Clamp in DOUBLE space BEFORE floor/cast: a value far outside
+    # [lo, hi] (or +/-inf) would otherwise overflow the int cast, which
+    # under ANSI mode (Spark 4 default) kills the whole job instead of
+    # landing in the edge bin.  floor(min(x, n-1)) == min(floor(x), n-1)
+    # for x >= 0, so the clamp order is value-preserving.
+    scaled = (F.col(value_col) - F.lit(lo)) / F.lit(width)
+    bin_ = F.floor(
+        F.least(F.lit(float(n_bins - 1)), F.greatest(F.lit(0.0), scaled))
+    ).cast("int")
     return (
         df.where(
             F.col(value_col).isNotNull()

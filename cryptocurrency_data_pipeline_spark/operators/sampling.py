@@ -283,7 +283,11 @@ def unimax_allocation(
             F.when(F.col("capped"), F.col("supply")).otherwise(share),
         )
         .withColumn(
-            "epochs", F.round(F.col("alloc_tokens") / F.col("n_tokens"), 4)
+            # try_divide: a zero-token group (e.g. a language whose docs
+            # are all blank) has undefined epochs — NULL, not an ANSI
+            # divide-by-zero that kills the job.
+            "epochs",
+            F.round(F.try_divide(F.col("alloc_tokens"), F.col("n_tokens")), 4),
         )
         .select(
             group_col, "n_tokens", "supply", "capped", "alloc_tokens", "epochs"

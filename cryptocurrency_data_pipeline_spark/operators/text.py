@@ -43,17 +43,21 @@ def _isin_any(values: tuple[str, ...]):
 def tokens(col: str | Column = "text") -> Column:
     """Whitespace tokenization (lowercased).
 
-    Blank-safe: null or whitespace-only text yields ``[]``, not the
-    ``['']`` that a raw split of the empty string produces — a blank doc
-    has ZERO tokens, and the phantom empty-string token would otherwise
-    count as one token, hash into a real feature bucket, and give blank
-    docs nonzero embeddings.  (DuckDB's ``string_split_regex`` has the
-    same ``['']`` artifact; oracles over real corpora must guard the
-    same way.)"""
+    Blank-safe for EVERY whitespace shape: null, empty, and
+    whitespace-only text all yield ``[]``, and text with leading
+    whitespace yields no phantom ``''`` first token.  ``trim`` strips
+    only ASCII spaces, so the earlier trim-then-split form left ``['',
+    '']`` for tab/newline-only docs and ``['', 'word', ...]`` for
+    newline-led docs — phantom tokens that count, hash into real
+    feature buckets, and give blank docs nonzero embeddings.  Split
+    first, then drop empties.  (DuckDB's ``string_split_regex`` has the
+    same artifact; the oracle mirror is
+    ``list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')``.)"""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(
-        F.length(F.trim(c)) > 0, F.split(F.lower(F.trim(c)), r"\s+")
-    ).otherwise(F.array().cast("array<string>"))
+    return F.coalesce(
+        F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit("")),
+        F.array().cast("array<string>"),
+    )
 
 
 def token_count(col: str | Column = "text") -> Column:

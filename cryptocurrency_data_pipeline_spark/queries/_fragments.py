@@ -75,3 +75,13 @@ CAND_TEMPLATE = r'''{cand} AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM {bands} a JOIN {bands} b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     )'''
+
+
+def tokens_sql(col="text"):
+    """DuckDB mirror of ``operators/text.py:tokens``: whitespace split,
+    lowercased, with empty fragments dropped — so null/blank/odd-
+    whitespace docs tokenize identically on both sides (len(NULL
+    list) is NULL; wrap in coalesce(..., 0) where a count is needed)."""
+    return (
+        f"list_filter(string_split_regex(lower({col}), '\\s+'), t -> t <> '')"
+    )

@@ -194,18 +194,24 @@ def top_orders_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_user_deltas",
+    # Null placement is EXPLICIT on both sides: Spark's ASC default is
+    # NULLS FIRST, DuckDB's is NULLS LAST — a NULL event time would
+    # silently shift every window assignment in its partition otherwise.
+    # (DESC agrees across engines: both NULLS LAST.)
     oracle="""
     SELECT event_id, user_id, value,
            round(value - lag(value) OVER w, 6) AS value_delta,
            rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
            row_number() OVER w AS seq
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     """,
 )
 def window_user_deltas(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
     wr = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
     return ev.select(
         "event_id",
@@ -1140,7 +1146,7 @@ def cube_event_stats(spark, sf_dir):
            event_type, count(*) AS n_events,
            CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
              AS sum_value_scaled
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY date_trunc('hour', ts), event_type
     """,
 )
@@ -1149,7 +1155,9 @@ def tumbling_hourly_stats(spark, sf_dir):
     # sums are summation-order-dependent, and round(avg, 6) straddles a
     # rounding boundary once hour/type groups grow (surfaced at sf0.1).
     # Integer sums are exact and order-independent on both engines.
-    ev = t(spark, sf_dir, "events")
+    # NULL event times belong to no time bucket: F.window() drops them
+    # silently — the filter (mirrored in the oracle) makes it explicit.
+    ev = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -1171,7 +1179,7 @@ def tumbling_hourly_stats(spark, sf_dir):
     WITH starts AS (
       SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
              value
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
            count(*) AS n_events, round(sum(value), 4) AS sum_value
@@ -1179,7 +1187,9 @@ def tumbling_hourly_stats(spark, sf_dir):
     """,
 )
 def sliding_window_activity(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
+    # NULL event times belong to no window (F.window() drops them;
+    # the explicit filter is mirrored in the oracle).
+    ev = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -1203,7 +1213,7 @@ def sliding_window_activity(spark, sf_dir):
                date_trunc('hour', ts)
              ]) AS ws,
              event_type, value
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
            strftime(ws + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
@@ -1452,7 +1462,7 @@ def ppm_decode_rollup(spark, sf_dir):
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
@@ -1467,7 +1477,9 @@ def ppm_decode_rollup(spark, sf_dir):
     """,
 )
 def session_windows(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
+    # NULL event times belong to no session (session_window drops them;
+    # the explicit filter is mirrored in the oracle).
+    ev = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))

@@ -104,11 +104,13 @@ def bigram_logprob_docs(spark, sf_dir):
            count(DISTINCT CAST(ts AS DATE)) AS n_days,
            count(DISTINCT user_id) AS exact_users,
            TRUE AS within_5pct
-    FROM events GROUP BY week ORDER BY week
+    FROM events WHERE ts IS NOT NULL GROUP BY week ORDER BY week
     """,
 )
 def hll_weekly_users(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
+    # NULL event times have no week; without the filter the NULL week
+    # group would silently vanish in the inner join (NULL != NULL).
+    ev = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_events"),

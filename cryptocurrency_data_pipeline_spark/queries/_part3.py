@@ -1193,7 +1193,9 @@ def lsh_band_tuning(spark, sf_dir):
     WITH ordered AS (
       SELECT user_id,
              list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
-      FROM events WHERE user_id < 100 GROUP BY user_id
+      FROM events
+      WHERE user_id < 100 AND ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY user_id
     )
     SELECT user_id,
            CAST(len(vs) AS BIGINT) AS n_rows,
@@ -1208,7 +1210,15 @@ def grouped_ewma_user_value(spark, sf_dir):
         ewma_last_by_key,
     )
 
-    ev = t(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    # The recursion is defined over OBSERVED points: a NULL value would
+    # poison the fold as NaN, and a NULL ts has no position in the order
+    # (the engines place NULL sort keys on opposite ends) — both are
+    # excluded identically on both sides.
+    ev = t(spark, sf_dir, "events").where(
+        (F.col("user_id") < 100)
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
     out = ewma_last_by_key(
         ev.select("user_id", "ts", "event_id", "value"),
         key_col="user_id",
@@ -1587,26 +1597,28 @@ _BPE_MERGES = [
       SELECT doc_id, source,
              ' ' || replace(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                             ' ', '  ') || ' ' AS s,
-             len(string_split(
-               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS nb
+             -- blank-safe token count, mirrors tokens() exactly
+             coalesce(len(list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> '')), 0) AS nb
       FROM documents
     ), merged AS (
       SELECT source, nb,
-             len(string_split(trim(regexp_replace(
+             CASE WHEN nb = 0 THEN 0
+                  ELSE len(string_split(trim(regexp_replace(
                replace(replace(replace(replace(replace(s,
                  ' table  hash ', ' tablehash '),
                  ' part  filter ', ' partfilter '),
                  ' customer  join ', ' customerjoin '),
                  ' filter  small ', ' filtersmall '),
                  ' tablehash  table ', ' tablehashtable '),
-               '\\s+', ' ', 'g')), ' ')) AS na
+               '\\s+', ' ', 'g')), ' ')) END AS na
       FROM norm
     )
     SELECT source,
            count(*) AS n_docs,
            CAST(sum(nb) AS BIGINT) AS tokens_before,
            CAST(sum(na) AS BIGINT) AS tokens_after,
-           round(1.0 - sum(na) * 1.0 / sum(nb), 6) AS compression
+           round(1.0 - sum(na) * 1.0 / nullif(sum(nb), 0), 6) AS compression
     FROM merged GROUP BY source
     """,
 )
@@ -1621,8 +1633,13 @@ def bpe_apply_token_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens_before").cast("long").alias("tokens_before"),
         F.sum("n_tokens_after").cast("long").alias("tokens_after"),
+        # try_divide: an all-blank source group sums to 0 tokens, and
+        # under ANSI mode (Spark 4 default) a bare / would kill the JOB
+        # on one degenerate group — NULL compression is the answer.
         F.round(
-            F.lit(1.0) - F.sum("n_tokens_after") / F.sum("n_tokens_before"), 6
+            F.lit(1.0)
+            - F.try_divide(F.sum("n_tokens_after"), F.sum("n_tokens_before")),
+            6,
         ).alias("compression"),
     )
 

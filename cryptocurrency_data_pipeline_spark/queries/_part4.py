@@ -533,8 +533,9 @@ def sax_motif_groups(spark, sf_dir):
     oracle="""
     WITH per AS (
       SELECT lang,
-             CAST(sum(len(string_split(
-               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))
+             -- blank-safe token count, mirrors tokens() exactly
+             CAST(sum(coalesce(len(list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> '')), 0))
                AS BIGINT) AS n_tokens
       FROM documents GROUP BY lang
     ), s AS (
@@ -565,7 +566,7 @@ def sax_motif_groups(spark, sf_dir):
                 END AS BIGINT) AS alloc_tokens,
            round(CAST(CASE WHEN capped THEN supply
                       ELSE floor((budget - capped_sum) / n_uncapped)
-                      END AS BIGINT) * 1.0 / n_tokens, 4) AS epochs
+                      END AS BIGINT) * 1.0 / nullif(n_tokens, 0), 4) AS epochs
     FROM g
     """,
 )

@@ -228,7 +228,7 @@ def ogg_decode_rollup(spark, sf_dir):
     WITH ev AS (
       SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
              event_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), flagged AS (
       SELECT user_id, sec, event_id,
              CASE WHEN sec - lag(sec) OVER w > 1800 OR
@@ -256,10 +256,17 @@ def user_sessionization_stats(spark, sf_dir):
     """30-min-gap sessionization over all user activity: session count,
     event totals, duration extremes, mean session size."""
     w = Window.partitionBy("user_id").orderBy("sec", "event_id")
-    ev = t(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_timestamp("ts").cast("long").alias("sec"),
-        "event_id",
+    # NULL event times can't be sessionized: the two engines place NULL
+    # sort keys on opposite ends (Spark ASC=first, DuckDB=last), so an
+    # unfiltered NULL row would shift every session id in its partition.
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").cast("long").alias("sec"),
+            "event_id",
+        )
     )
     flagged = ev.withColumn(
         "new_s",
@@ -1298,7 +1305,10 @@ def salted_join_segment_revenue(spark, sf_dir):
     "props_json_extraction_stats",
     oracle="""
     SELECT event_type,
-           CAST(floor(CAST(props->>'k' AS INTEGER) / 10) AS INT) AS k_decile,
+           -- try_cast mirrors get_json_object: malformed JSON is NULL,
+           -- never an error (one bad payload must not kill the rollup)
+           CAST(floor(try_cast(try_cast(props AS JSON)->>'k' AS INTEGER) / 10)
+             AS INT) AS k_decile,
            count(*) AS n_events,
            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
              AS total_cents,
@@ -1315,8 +1325,11 @@ def props_json_extraction_stats(spark, sf_dir):
         .where(F.col("value").isNotNull())
         .select(
             "event_type",
+            # try_cast: a non-numeric extracted value is NULL, never an
+            # ANSI cast error (get_json_object already nulls malformed
+            # JSON; the cast must be as forgiving).
             F.floor(
-                F.get_json_object("props", "$.k").cast("int") / 10
+                F.get_json_object("props", "$.k").try_cast("int") / 10
             )
             .cast("int")
             .alias("k_decile"),
@@ -1731,7 +1744,10 @@ def pseudonymized_join_integrity(spark, sf_dir):
     oracle="""
     WITH b AS (
       SELECT event_type,
-             LEAST(49, GREATEST(0, CAST(floor(value / 20.0) AS INT))) AS bin,
+             -- clamp in double space BEFORE the cast (mirrors
+             -- build_histogram_partials: an extreme value must land in
+             -- the edge bin, not overflow the INT cast)
+             CAST(floor(LEAST(49.0, GREATEST(0.0, value / 20.0))) AS INT) AS bin,
              count(*) AS n
       FROM events WHERE value IS NOT NULL
       GROUP BY 1, 2
