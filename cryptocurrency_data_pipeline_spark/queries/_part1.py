@@ -668,7 +668,9 @@ def range_join_conversions(spark, sf_dir):
     "text_stats_docs",
     oracle=r"""
     WITH tk AS (
-      SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, text,
+             coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> ''), []) AS toks
       FROM documents
     ), scored AS (
       SELECT doc_id, text, toks,
@@ -682,17 +684,22 @@ def range_join_conversions(spark, sf_dir):
     SELECT doc_id,
       len(toks) AS n_tokens,
       length(text) AS n_chars_computed,
-      round(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
-            / len(toks), 6) AS avg_token_len,
-      round(CAST(len(list_filter(toks, x -> x IN ('a','the','of','and'))) AS DOUBLE)
-            / len(toks), 6) AS stopword_ratio,
-      round(CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
-            / length(text), 6) AS punct_ratio,
-      round((
+      -- blank/null docs pin every ratio and the score to 0.0, mirroring
+      -- the operator guards (an unguarded 0/0 is a silent row-dropper)
+      round(CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+            / len(toks) END, 6) AS avg_token_len,
+      round(CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(toks, x -> x IN ('a','the','of','and'))) AS DOUBLE)
+            / len(toks) END, 6) AS stopword_ratio,
+      round(CASE WHEN coalesce(length(text), 0) = 0 THEN 0.0
+            ELSE CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+            / length(text) END, 6) AS punct_ratio,
+      round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE (
         least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
         + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 1.0))
         + (1.0 - least(abs(CAST(len(list_filter(toks, x -> x IN ('a','the','of','and'))) AS DOUBLE) / len(toks) - 0.1) * 2.0, 1.0))
-      ) / 3.0, 6) AS quality_score,
+      ) / 3.0 END, 6) AS quality_score,
       CASE
         WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh AND s_en > 0 THEN 'en'
         WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh AND s_fr > 0 THEN 'fr'
@@ -736,7 +743,9 @@ def text_stats_docs(spark, sf_dir):
       FROM h
     )
     SELECT doc_id,
-           len(list_distinct(m)) AS n_fps,
+           -- null text has zero fingerprints, not a NULL count (the
+           -- operator returns an empty array for null/short docs)
+           coalesce(len(list_distinct(m)), 0) AS n_fps,
            list_aggregate(m, 'min') AS min_fp,
            list_aggregate(m, 'max') AS max_fp
     FROM mins
@@ -821,7 +830,8 @@ def winnow_near_dups(spark, sf_dir):
     SELECT doc_id,
            len(regexp_extract_all(lower(text),
                '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS n_bpe_tokens,
-           len(string_split_regex(lower(trim(text)), '\s+')) AS n_ws_tokens
+           coalesce(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> t <> '')), 0) AS n_ws_tokens
     FROM documents
     """,
 )
@@ -1043,7 +1053,11 @@ def ann_srp_topk(spark, sf_dir):
                       ELSE 0 END) AS BIGINT) AS simhash
       FROM contrib GROUP BY doc_id
     )
-    SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+    -- NULL text -> NULL signature (unknown content); zero-TOKEN text ->
+    -- 0 (a defined empty accumulation) — exactly _simhash_batch's split
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(s.simhash, 0) END AS BIGINT) AS simhash
     FROM documents d LEFT JOIN sig s USING (doc_id)
     """,
 )
@@ -1886,7 +1900,8 @@ def dup_clusters(spark, sf_dir):
     "vocab_top_terms",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> t <> '')) AS token
       FROM documents
     ), dt AS (
       SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
@@ -1919,7 +1934,8 @@ def vocab_top_terms(spark, sf_dir):
     "tfidf_top_term_per_doc",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> t <> '')) AS token
       FROM documents
     ), dt AS (
       SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token

@@ -39,7 +39,9 @@ from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa
     "bigram_logprob_docs",
     oracle=r"""
     WITH tk AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id,
+             coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> ''), []) AS toks
       FROM documents
     ), bgl AS (
       SELECT doc_id,
@@ -297,7 +299,9 @@ def asof_next_purchase(spark, sf_dir):
     "doc_repetition_stats",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      SELECT doc_id,
+             coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> ''), []) AS t
       FROM documents
     ), bg AS (
       SELECT doc_id,
@@ -387,9 +391,11 @@ def train_val_test_split(spark, sf_dir):
 
 @query(
     "docs_consecutive_ids",
+    # NULLS FIRST mirrors Spark's ASC sort default: a NULL lang row
+    # would otherwise shift every rid by one (DuckDB default is LAST).
     oracle="""
     SELECT doc_id, lang,
-           row_number() OVER (ORDER BY lang, doc_id) AS rid
+           row_number() OVER (ORDER BY lang NULLS FIRST, doc_id) AS rid
     FROM documents
     """,
 )
@@ -414,7 +420,8 @@ def docs_consecutive_ids(spark, sf_dir):
     WITH sized AS (
       SELECT doc_id,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS pack_bucket,
-             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+             coalesce(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                      t -> t <> '')), 0) AS n_tokens
       FROM documents
     ), binned AS (
       SELECT *,
@@ -822,16 +829,21 @@ def approx_price_quantile_sketch(spark, sf_dir):
 @query(
     "corpus_prep_report",
     oracle=r"""
-    WITH scored AS (
+    WITH toked AS (
+      SELECT *, coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+                                     t -> t <> ''), []) AS toks
+      FROM documents
+    ), scored AS (
       SELECT doc_id, n_chars,
         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-        (
+        -- blank/null docs score 0.0 outright (quality_score guard)
+        CASE WHEN len(toks) = 0 THEN 0.0 ELSE (
           least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
           + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 1.0))
-          + (1.0 - least(abs(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('a','the','of','and'))) AS DOUBLE)
-                         / len(string_split_regex(lower(trim(text)), '\s+')) - 0.1) * 2.0, 1.0))
-        ) / 3.0 AS q
-      FROM documents
+          + (1.0 - least(abs(CAST(len(list_filter(toks, x -> x IN ('a','the','of','and'))) AS DOUBLE)
+                         / len(toks) - 0.1) * 2.0, 1.0))
+        ) / 3.0 END AS q
+      FROM toked
     ), quality AS (
       SELECT * FROM scored WHERE q >= 0.5
     ), dedup AS (
@@ -988,8 +1000,10 @@ def pii_redaction_stats(spark, sf_dir):
     "doc_chunk_inventory",
     oracle="""
     WITH s AS (
-      SELECT doc_id, text,
-             generate_series(1, greatest(length(text) - 20, 1), 80) AS starts
+      -- null text chunks as empty (chunk_docs' no-silent-row-loss rule:
+      -- the doc still emits its single (pos=1, chunk='') row)
+      SELECT doc_id, coalesce(text, '') AS text,
+             generate_series(1, greatest(length(coalesce(text, '')) - 20, 1), 80) AS starts
       FROM documents
     ), e AS (
       SELECT doc_id, text, unnest(starts) AS pos FROM s
@@ -1154,7 +1168,8 @@ def kmeans_embedding_clusters(spark, sf_dir):
     "bm25_top_docs",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> t <> '')) AS token
       FROM documents
     ), per_doc AS (
       SELECT doc_id, count(*) AS dl,
@@ -1834,16 +1849,21 @@ def rolling_7d_user_value(spark, sf_dir):
     # best down, keep while under half the corpus tokens. The only
     # ordered structure is the ~100-row bucket rollup.
     oracle=r"""
-    WITH tk AS (
+    WITH toked AS (
+      SELECT *, coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+                                     t -> t <> ''), []) AS toks
+      FROM documents
+    ), tk AS (
       SELECT doc_id,
-             len(string_split_regex(lower(trim(text)), '\s+')) AS n_toks,
-             round((
+             len(toks) AS n_toks,
+             -- blank/null docs score 0.0 outright (quality_score guard)
+             round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE (
                least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
                + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 1.0))
-               + (1.0 - least(abs(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('a','the','of','and'))) AS DOUBLE)
-                              / len(string_split_regex(lower(trim(text)), '\s+')) - 0.1) * 2.0, 1.0))
-             ) / 3.0, 6) AS q
-      FROM documents
+               + (1.0 - least(abs(CAST(len(list_filter(toks, x -> x IN ('a','the','of','and'))) AS DOUBLE)
+                              / len(toks) - 0.1) * 2.0, 1.0))
+             ) / 3.0 END, 6) AS q
+      FROM toked
     ), buckets AS (
       SELECT CAST(floor(q * 100) AS BIGINT) AS qbucket,
              CAST(count(*) AS BIGINT) AS n_docs,

@@ -94,7 +94,8 @@ def semantic_dedup_keep(spark, sf_dir):
     oracle=r"""
     WITH tok AS (
       SELECT doc_id, source,
-             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS tk
       FROM documents
     ), tf AS (
       SELECT doc_id, source,
@@ -114,10 +115,15 @@ def semantic_dedup_keep(spark, sf_dir):
              ln((coalesce(g.n_tgt, 0) + 1) / (tot.t_tgt + 64))
              - ln((r.n_raw + 1) / (tot.t_raw + 64)) AS lr
       FROM raw r LEFT JOIN tgt g USING (bk), tot
-    ), scored AS (
-      SELECT f.doc_id, f.source, round(sum(f.tf * ratio.lr), 6) AS w
+    ), contrib AS (
+      SELECT f.doc_id, sum(f.tf * ratio.lr) AS w
       FROM tf f JOIN ratio USING (bk)
-      GROUP BY f.doc_id, f.source
+      GROUP BY f.doc_id
+    ), scored AS (
+      -- zero-token docs keep their well-defined empty-sum weight of 0
+      -- (mirrors the operator's explode_outer)
+      SELECT d.doc_id, d.source, round(coalesce(c.w, 0.0), 6) AS w
+      FROM documents d LEFT JOIN contrib c ON d.doc_id = c.doc_id
     )
     SELECT source, count(*) AS n_docs, round(avg(w), 4) AS avg_logweight
     FROM scored GROUP BY source
@@ -312,7 +318,9 @@ def hybrid_rrf_retrieval(spark, sf_dir):
     "ngram_diversity_by_source",
     oracle=r"""
     WITH tok AS (
-      SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+      SELECT source,
+             coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> ''), []) AS t
       FROM documents
     ), grams AS (
       SELECT source, n, gram FROM (
@@ -407,7 +415,9 @@ def ngram_diversity_by_source(spark, sf_dir):
     "ccnet_perplexity_buckets",
     oracle=r"""
     WITH tk AS (
-      SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, lang,
+             coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> ''), []) AS toks
       FROM documents
     ), bgl AS (
       SELECT doc_id, lang,
@@ -649,7 +659,8 @@ def weighted_doc_sample(spark, sf_dir):
     WITH tok AS (
       SELECT CASE WHEN doc_id < 250 THEN 'a' ELSE 'b' END AS snap,
              CAST(('0x' || substr(md5(unnest(
-               string_split_regex(lower(trim(text)), '\s+'))), 1, 4)) AS INT)
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> t <> ''))), 1, 4)) AS INT)
                % 64 AS bk
       FROM documents
     ), counts AS (
@@ -737,17 +748,22 @@ def token_drift_report(spark, sf_dir):
 @query(
     "corpus_ingest_replay",
     oracle=r"""
-    WITH scored AS (
+    WITH toked AS (
+      SELECT *, coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+                                     t -> t <> ''), []) AS toks
+      FROM documents
+    ), scored AS (
       SELECT doc_id, source,
         md5(text) AS content_fp,
-        len(string_split_regex(lower(trim(text)), '\s+')) AS n_toks,
-        (
+        len(toks) AS n_toks,
+        -- blank/null docs score 0.0 outright (quality_score guard)
+        CASE WHEN len(toks) = 0 THEN 0.0 ELSE (
           least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
           + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 1.0))
-          + (1.0 - least(abs(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('a','the','of','and'))) AS DOUBLE)
-                         / len(string_split_regex(lower(trim(text)), '\s+')) - 0.1) * 2.0, 1.0))
-        ) / 3.0 AS q
-      FROM documents
+          + (1.0 - least(abs(CAST(len(list_filter(toks, x -> x IN ('a','the','of','and'))) AS DOUBLE)
+                         / len(toks) - 0.1) * 2.0, 1.0))
+        ) / 3.0 END AS q
+      FROM toked
     ), gated AS (
       SELECT * FROM scored WHERE q >= 0.25
     ), dedup AS (
