@@ -195,8 +195,12 @@ def temperature_mixture(
         out = (
             out.withColumn("target_tokens", alloc.cast("long"))
             .withColumn(
+                # try_divide: a zero-token source has undefined epochs —
+                # NULL, not an ANSI divide-by-zero that kills the job.
                 "epochs",
-                F.round(F.col("target_tokens") / F.col("n_tokens"), 4),
+                F.round(
+                    F.try_divide(F.col("target_tokens"), F.col("n_tokens")), 4
+                ),
             )
         )
     return (

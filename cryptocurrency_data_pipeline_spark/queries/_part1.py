@@ -1302,12 +1302,20 @@ def embedding_near_dups(spark, sf_dir):
 @query(
     "doc_nearest_ngram",
     oracle=r"""
-    WITH tk AS (
+    WITH toked AS (
+      SELECT doc_id, lang, n_chars,
+             coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> ''), []) AS toks
+      FROM documents
+    ), tk AS (
+      -- docs with no 3-gram shingles have no n-gram identity: excluded
+      -- on both sides rather than pairing at an undefined 0/0 Jaccard
       SELECT doc_id, lang, n_chars // 25 AS sz,
              list_distinct(list_transform(
-               generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 0)),
-               i -> array_to_string((string_split_regex(lower(trim(text)), '\s+'))[i:i+2], ' '))) AS s
-      FROM documents
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s
+      FROM toked
+      WHERE len(toks) >= 3
     ), pairs AS (
       SELECT a.doc_id AS doc_id, b.doc_id AS nbr_id,
              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -1329,6 +1337,9 @@ def doc_nearest_ngram(spark, sf_dir):
     docs = (
         t(spark, sf_dir, "documents")
         .withColumn("__toks", textops.tokens("text"))  # staged: see shingles()
+        # < 3 tokens -> no shingles -> no n-gram identity; excluded on
+        # both sides (pairing two empty sets is an undefined 0/0 Jaccard)
+        .where(F.size("__toks") >= 3)
         .select(
             "doc_id", "lang", (F.col("n_chars") / 25).cast("long").alias("sz"),
             F.array_distinct(textops.shingles(toks=F.col("__toks"), n=3)).alias("s"),
@@ -2034,13 +2045,18 @@ def sql_api_shipping_priority(spark, sf_dir):
       FROM embeddings
     ), c AS (
       SELECT label, pos,
-             CAST(round(avg(v) * 1000000) AS BIGINT) AS m
+             -- TRY_CAST mirrors the Spark side: a centroid cell whose
+             -- micro-unit quantization exceeds int64 is NULL, never an
+             -- overflow error
+             TRY_CAST(round(avg(v) * 1000000) AS BIGINT) AS m
       FROM p GROUP BY label, pos
     ), n AS (
       SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
     )
     SELECT c.label, any_value(n.n_vecs) AS n_vecs,
-           array_to_string(list(m ORDER BY pos), ',') AS centroid
+           -- coalesce: concat_ws renders an all-NULL centroid as '',
+           -- array_to_string as NULL
+           coalesce(array_to_string(list(m ORDER BY pos), ','), '') AS centroid
     FROM c JOIN n ON c.label = n.label
     GROUP BY c.label
     """,
@@ -2052,8 +2068,10 @@ def label_centroids(spark, sf_dir):
         .groupBy("label", "pos")
         # Integer micro-units: float->string formatting differs across
         # engines, so the stringified centroid is comma-joined round(avg*1e6)
-        # bigints — exact-matchable against the DuckDB oracle.
-        .agg(F.round(F.avg("v") * 1e6).cast("long").alias("m"))
+        # bigints — exact-matchable against the DuckDB oracle.  try_cast:
+        # a cell past int64 (degenerate-magnitude embeddings) is NULL,
+        # not an ANSI overflow that kills the job.
+        .agg(F.round(F.avg("v") * 1e6).try_cast("long").alias("m"))
     )
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
     return (

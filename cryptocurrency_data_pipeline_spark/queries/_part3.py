@@ -48,8 +48,12 @@ from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa
                j -> (a.v[j] - s.c[j]) * (a.v[j] - s.c[j])), 'sum') AS d
       FROM corpus a CROSS JOIN seed s
     ), a0 AS (
+      -- zero-norm guard mirrors _normalized_assignment: an all-zero
+      -- embedding keeps its zero components (dot 0 vs everything, kept)
       SELECT vec_id, cid,
-             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+             CASE WHEN list_dot_product(v, v) > 0
+                  THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                  ELSE v END AS nv
       FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         FROM d0) WHERE rn = 1
@@ -548,8 +552,12 @@ def k_anonymity_audit(spark, sf_dir):
                j -> (a.v[j] - s.c[j]) * (a.v[j] - s.c[j])), 'sum') AS d
       FROM ex a CROSS JOIN seed s
     ), exa AS (
+      -- zero-norm guard mirrors _normalized_assignment (see
+      -- semantic_dedup_keep)
       SELECT vec_id, cid,
-             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+             CASE WHEN list_dot_product(v, v) > 0
+                  THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                  ELSE v END AS nv
       FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         FROM exd) WHERE rn = 1
@@ -560,7 +568,9 @@ def k_anonymity_audit(spark, sf_dir):
       FROM nw a CROSS JOIN seed s
     ), nwa AS (
       SELECT vec_id, cid,
-             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+             CASE WHEN list_dot_product(v, v) > 0
+                  THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                  ELSE v END AS nv
       FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         FROM nwd) WHERE rn = 1
@@ -1408,8 +1418,9 @@ def gif_decode_rollup(spark, sf_dir):
     oracle="""
     WITH per AS (
       SELECT source,
-             CAST(sum(len(string_split(
-               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))
+             -- blank-safe token count, mirrors tokens() exactly
+             CAST(sum(coalesce(len(list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> '')), 0))
                AS DOUBLE) AS n_tokens
       FROM documents GROUP BY source
     )
@@ -1419,7 +1430,7 @@ def gif_decode_rollup(spark, sf_dir):
                       * 100000 + 1e-6) AS BIGINT) AS target_tokens,
            round(CAST(floor(pow(n_tokens, 0.3)
                             / sum(pow(n_tokens, 0.3)) OVER ()
-                            * 100000 + 1e-6) AS BIGINT) / n_tokens, 4)
+                            * 100000 + 1e-6) AS BIGINT) / nullif(n_tokens, 0), 4)
              AS epochs,
            round(pow(n_tokens, 0.3) / sum(pow(n_tokens, 0.3)) OVER (), 6)
              AS p
@@ -1457,21 +1468,24 @@ def mixture_temperature_weights(spark, sf_dir):
       SELECT doc_id,
              CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket
       FROM documents,
-           unnest(string_split(
-             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
-             AS u(tok)
-    ), scored AS (
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS u(tok)
+    ), agg AS (
       SELECT doc_id,
              count(*) AS n_tokens,
              sum((bucket * 2654435761) % 10007 - 5003) AS weight_sum
       FROM tok GROUP BY doc_id
     )
-    SELECT doc_id, n_tokens,
-           CAST(weight_sum AS BIGINT) AS weight_sum,
-           round(1.0 / (1.0 + exp(-(weight_sum / (10007.0 * n_tokens)))), 6)
-             AS score,
-           weight_sum > 0 AS keep
-    FROM scored
+    -- "every document" is literal (score_documents explode_outer):
+    -- zero-token docs come out (0, 0, 0.5, false), never a missing row
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.weight_sum, 0) AS BIGINT) AS weight_sum,
+           round(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.5
+                 ELSE 1.0 / (1.0 + exp(-(a.weight_sum / (10007.0 * a.n_tokens))))
+                 END, 6) AS score,
+           coalesce(a.weight_sum, 0) > 0 AS keep
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )
 def quality_classifier_scores(spark, sf_dir):
@@ -2162,9 +2176,8 @@ def ivfpq_topk_served(spark, sf_dir):
     WITH tok AS (
       SELECT source, tok
       FROM documents,
-           unnest(string_split(
-             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
-             AS u(tok)
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS u(tok)
     ), vocab AS (
       SELECT tok FROM (
         SELECT tok, count(*) AS c FROM tok GROUP BY tok

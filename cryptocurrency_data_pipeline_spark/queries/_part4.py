@@ -380,7 +380,8 @@ def hashed_vector_topk(spark, sf_dir):
     WITH pts AS (
       SELECT user_id,
              list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS series
-      FROM events WHERE value IS NOT NULL GROUP BY user_id
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
     ), sized AS (
       SELECT user_id, series, len(series) AS n
       FROM pts WHERE len(series) >= 16
@@ -431,7 +432,11 @@ def ts_paa_similarity_topk(spark, sf_dir):
     the z-normalized series."""
     from cryptocurrency_data_pipeline_spark.operators import timeseries as T
 
-    events = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # A NULL-ts point has no position in the series (and the engines
+    # place NULL sort keys on opposite ends) — excluded on both sides.
+    events = t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     series = T.value_series(events, min_len=16)
     sk = T.znorm_frame(series).select(
         "user_id",
@@ -456,7 +461,8 @@ def ts_paa_similarity_topk(spark, sf_dir):
     WITH pts AS (
       SELECT user_id,
              list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS series
-      FROM events WHERE value IS NOT NULL GROUP BY user_id
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
     ), sized AS (
       SELECT user_id, series, len(series) AS n
       FROM pts WHERE len(series) >= 16
@@ -502,7 +508,11 @@ def sax_motif_groups(spark, sf_dir):
     shared words are motif candidates, discovered with one groupBy."""
     from cryptocurrency_data_pipeline_spark.operators import timeseries as T
 
-    events = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # A NULL-ts point has no position in the series (and the engines
+    # place NULL sort keys on opposite ends) — excluded on both sides.
+    events = t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     series = T.value_series(events, min_len=16)
     sk = T.znorm_frame(series).select(
         "user_id", T.paa(F.col("z"), F.col("n"), 8).alias("sketch")

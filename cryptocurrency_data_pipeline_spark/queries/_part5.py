@@ -744,9 +744,8 @@ def ico_directory_rollup(spark, sf_dir):
     WITH tok AS (
       SELECT source, tok, count(*) AS c
       FROM documents,
-           unnest(string_split(
-             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
-             AS u(tok)
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS u(tok)
       GROUP BY source, tok
     )
     SELECT source,
