@@ -1404,11 +1404,17 @@ def approx_distinct_users(spark, sf_dir):
     # oracle replays the EXPECTED decode (width = 64 + n_chars % 64,
     # height = 64) straight from the documents table — an end-to-end check
     # that encode → binary header → mapInPandas decode round-trips exactly.
+    # A NULL in any payload input nulls the whole byte concat — no
+    # container, decode emits (NULL, NULL); the oracle nulls BOTH dims.
     oracle="""
-    SELECT CAST(64 + n_chars % 64 AS INT) AS width,
-           CAST(64 AS INT) AS height,
+    WITH ok AS (
+      SELECT *, (text IS NOT NULL AND n_chars IS NOT NULL) AS built
+      FROM documents
+    )
+    SELECT CAST(CASE WHEN built THEN 64 + n_chars % 64 END AS INT) AS width,
+           CAST(CASE WHEN built THEN 64 END AS INT) AS height,
            count(*) AS n_media
-    FROM documents GROUP BY width, height ORDER BY width
+    FROM ok GROUP BY width, height ORDER BY width
     """,
 )
 def media_decode_rollup(spark, sf_dir):
@@ -1441,11 +1447,18 @@ def media_decode_rollup(spark, sf_dir):
     # engines construct byte-identical payloads from doc stats; Spark
     # then decodes them through the pure-python PPM parser inside
     # mapInPandas while the oracle replays the expected dimensions.
+    # NULL payload inputs -> no container -> (NULL, NULL) dims (see
+    # media_decode_rollup).
     oracle="""
-    SELECT CAST(32 + n_chars % 32 AS INT) AS width,
-           CAST(16 + doc_id % 16 AS INT) AS height,
+    WITH ok AS (
+      SELECT *, (text IS NOT NULL AND n_chars IS NOT NULL
+                 AND doc_id IS NOT NULL) AS built
+      FROM documents
+    )
+    SELECT CAST(CASE WHEN built THEN 32 + n_chars % 32 END AS INT) AS width,
+           CAST(CASE WHEN built THEN 16 + doc_id % 16 END AS INT) AS height,
            count(*) AS n_media
-    FROM documents GROUP BY width, height ORDER BY width, height
+    FROM ok GROUP BY width, height ORDER BY width, height
     """,
 )
 def ppm_decode_rollup(spark, sf_dir):

@@ -785,8 +785,15 @@ def approx_price_quantile_sketch(spark, sf_dir):
             ).alias(f"__le{i}"),
         )
     ]
+    # eqNullSafe: a NULL group key must survive the sketch join (a plain
+    # inner join on the column silently drops the whole NULL group).
+    sk = sketch.withColumnRenamed("o_orderpriority", "__p")
     agg = (
-        orders.join(F.broadcast(sketch), "o_orderpriority")
+        orders.join(
+            F.broadcast(sk),
+            orders["o_orderpriority"].eqNullSafe(sk["__p"]),
+        )
+        .drop("__p")
         .groupBy("o_orderpriority")
         .agg(
             F.percentile("o_totalprice", fracs).alias("__exact"),
@@ -2022,9 +2029,12 @@ def incremental_dedup_new_batch(spark, sf_dir):
       FROM documents WHERE doc_id % 10 != 0
     )
     SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
-           CASE WHEN v1.f IS NULL THEN 'added'
-                WHEN v2.f IS NULL THEN 'removed'
-                WHEN v1.f != v2.f THEN 'changed'
+           -- presence by KEY, not fingerprint nullness, and a null-safe
+           -- compare — mirrors snapshot_diff's presence markers (a null
+           -- CONTENT fingerprint must not read as a missing row)
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.f IS DISTINCT FROM v2.f THEN 'changed'
                 ELSE 'unchanged' END AS change_type,
            v1.f AS old_fingerprint, v2.f AS new_fingerprint
     FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
@@ -2066,14 +2076,19 @@ def dataset_version_diff(spark, sf_dir):
     WITH u AS (
       SELECT o_custkey AS custkey, o_orderdate AS eff,
              min(o_orderpriority) AS priority
-      FROM orders WHERE o_custkey < 200 GROUP BY 1, 2
+      FROM orders WHERE o_custkey < 200 AND o_orderdate IS NOT NULL
+      GROUP BY 1, 2
     ), flagged AS (
+      -- rn (not prev IS NULL) detects the first version, and IS DISTINCT
+      -- FROM is the null-safe change test — a NULL attr value must
+      -- neither read as "first row" nor collapse as a false no-op
       SELECT custkey, priority, eff,
-             lag(priority) OVER (PARTITION BY custkey ORDER BY eff) AS prev
+             lag(priority) OVER (PARTITION BY custkey ORDER BY eff) AS prev,
+             row_number() OVER (PARTITION BY custkey ORDER BY eff) AS rn
       FROM u
     ), kept AS (
       SELECT custkey, priority, eff FROM flagged
-      WHERE prev IS NULL OR priority != prev
+      WHERE rn = 1 OR priority IS DISTINCT FROM prev
     )
     SELECT custkey, priority,
            strftime(eff, '%Y-%m-%d') AS valid_from,
@@ -2091,9 +2106,12 @@ def scd2_customer_priority_history(spark, sf_dir):
     Updates are pre-aggregated to one deterministic row per (key, date)."""
     from cryptocurrency_data_pipeline_spark.operators.gold import scd2_merge
 
+    # An update with no effective date has no place on the validity
+    # timeline (and the engines order NULL keys oppositely) — excluded
+    # identically on both sides.
     upd = (
         t(spark, sf_dir, "orders")
-        .where(F.col("o_custkey") < 200)
+        .where((F.col("o_custkey") < 200) & F.col("o_orderdate").isNotNull())
         .groupBy(
             F.col("o_custkey").alias("custkey"),
             F.col("o_orderdate").alias("eff"),
@@ -2417,14 +2435,22 @@ def pagerank_doc_graph(spark, sf_dir):
     # JVM-side (little-endian fields via hex-pair reversal + unhex),
     # decoded through the pure-python chunk walker inside mapInPandas,
     # and rolled up; the oracle replays the expected fields directly.
+    # NULL payload inputs -> no container -> the doc lands in the
+    # (NULL, NULL) decode group, not a real (rate, channels) bucket.
     oracle="""
-    SELECT CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
-           CAST(1 + doc_id % 2 AS INT) AS channels,
+    WITH ok AS (
+      SELECT *, (n_chars IS NOT NULL AND doc_id IS NOT NULL) AS built
+      FROM documents
+    )
+    SELECT CAST(CASE WHEN built THEN 8000 * (1 + doc_id % 3) END AS INT)
+             AS sample_rate,
+           CAST(CASE WHEN built THEN 1 + doc_id % 2 END AS INT) AS channels,
            CAST(count(*) AS BIGINT) AS n_media,
-           CAST(sum(100 + n_chars % 400) AS BIGINT) AS total_samples,
-           round(CAST(sum(100 + n_chars % 400) AS DOUBLE) / sample_rate, 6)
-             AS total_seconds
-    FROM documents GROUP BY sample_rate, channels
+           CAST(sum(CASE WHEN built THEN 100 + n_chars % 400 END) AS BIGINT)
+             AS total_samples,
+           round(CAST(sum(CASE WHEN built THEN 100 + n_chars % 400 END)
+                      AS DOUBLE) / sample_rate, 6) AS total_seconds
+    FROM ok GROUP BY sample_rate, channels
     """,
 )
 def wav_decode_rollup(spark, sf_dir):

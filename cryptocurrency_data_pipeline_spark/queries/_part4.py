@@ -1448,7 +1448,11 @@ def mp3_decode_rollup(spark, sf_dir):
     "warc_record_rollup",
     oracle="""
     WITH d AS (
-      SELECT doc_id, source, strlen(text) AS blen FROM documents
+      -- coalesce mirrors the producer: a missing text is an empty
+      -- response body, a missing source an empty URI segment
+      SELECT doc_id, coalesce(source, '') AS source,
+             strlen(coalesce(text, '')) AS blen
+      FROM documents
     ), recs AS (
       SELECT 'warcinfo' AS warc_type, CAST(19 AS BIGINT) AS clen,
              '' AS uri FROM d
@@ -1482,12 +1486,16 @@ def warc_record_rollup(spark, sf_dir):
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                uri = f"http://corpus.example/{r.source}/{r.doc_id}"
+                # NULL source/text coalesce explicitly (str(None) would
+                # leak a literal 'None' URI segment / 4-byte body)
+                src = r.source if r.source is not None else ""
+                body = r.text if r.text is not None else ""
+                uri = f"http://corpus.example/{src}/{r.doc_id}"
                 payload = mm.encode_warc(
                     [
                         ("warcinfo", "", b"engine: spark-graft"),
                         ("request", uri, b"GET / HTTP/1.1"),
-                        ("response", uri, str(r.text).encode("utf-8")),
+                        ("response", uri, body.encode("utf-8")),
                     ]
                 )
                 rows.append((int(r.doc_id), payload))
@@ -1516,7 +1524,7 @@ def warc_record_rollup(spark, sf_dir):
     "zip_manifest_rollup",
     oracle="""
     WITH d AS (
-      SELECT doc_id, strlen(text) AS blen FROM documents
+      SELECT doc_id, strlen(coalesce(text, '')) AS blen FROM documents
     ), members AS (
       SELECT 'txt' AS ext, CAST(blen AS BIGINT) AS sz,
              (doc_id % 13 = 0 AND blen > 0) AS bad
@@ -1551,7 +1559,7 @@ def zip_manifest_rollup(spark, sf_dir):
             rows = []
             for r in pdf.itertuples(index=False):
                 did = int(r.doc_id)
-                text = str(r.text).encode("utf-8")
+                text = (r.text if r.text is not None else "").encode("utf-8")
                 name = f"docs/{did}.txt"
                 payload = mm.encode_zip(
                     [
@@ -1596,7 +1604,7 @@ def zip_manifest_rollup(spark, sf_dir):
     "warc_http_extract_rollup",
     oracle="""
     WITH d AS (
-      SELECT doc_id, length(text) AS tlen FROM documents
+      SELECT doc_id, length(coalesce(text, '')) AS tlen FROM documents
     )
     SELECT CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS http_status,
            count(*) AS n_pages,
@@ -1633,9 +1641,10 @@ def warc_http_extract_rollup(spark, sf_dir):
                         b"Content-Type: text/html\r\n\r\nNot Found"
                     )
                 else:
+                    body = r.text if r.text is not None else ""
                     html = (
                         f"<html><head><title>Doc {did}</title></head>"
-                        f"<body><p>{r.text}</p></body></html>"
+                        f"<body><p>{body}</p></body></html>"
                     )
                     http = (
                         "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
@@ -1675,7 +1684,8 @@ def warc_http_extract_rollup(spark, sf_dir):
     "web_corpus_ingest_report",
     oracle="""
     WITH pages AS (
-      SELECT doc_id, 'Page' || text AS vtext,
+      -- coalesce mirrors the producer: null text renders an empty <p>
+      SELECT doc_id, 'Page' || coalesce(text, '') AS vtext,
              CASE WHEN doc_id % 23 = 0 THEN 2 ELSE 1 END AS n_copies
       FROM documents WHERE doc_id % 17 != 0
     ), kept AS (
@@ -1727,9 +1737,10 @@ def web_corpus_ingest_report(spark, sf_dir):
                         b"Content-Type: text/html\r\n\r\nNot Found"
                     )
                 else:
+                    body = r.text if r.text is not None else ""
                     html = (
                         f"<html><head><title>Page</title></head>"
-                        f"<body><p>{r.text}</p></body></html>"
+                        f"<body><p>{body}</p></body></html>"
                     )
                     http = (
                         "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
@@ -1842,7 +1853,8 @@ def flac_streaminfo_rollup(spark, sf_dir):
     "warc_gz_record_rollup",
     oracle="""
     WITH d AS (
-      SELECT doc_id, source, strlen(text) AS blen FROM documents
+      SELECT doc_id, coalesce(source, '') AS source,
+             strlen(coalesce(text, '')) AS blen FROM documents
     ), recs AS (
       SELECT 'warcinfo' AS warc_type, CAST(19 AS BIGINT) AS clen FROM d
       UNION ALL
@@ -1869,11 +1881,12 @@ def warc_gz_record_rollup(spark, sf_dir):
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                uri = f"http://corpus.example/{r.source}/{r.doc_id}"
+                src = r.source if r.source is not None else ""
+                uri = f"http://corpus.example/{src}/{r.doc_id}"
                 payload = mm.encode_warc_gz(
                     [
                         ("warcinfo", "", b"engine: spark-graft"),
-                        ("response", uri, str(r.text).encode("utf-8")),
+                        ("response", uri, (r.text if r.text is not None else "").encode("utf-8")),
                     ]
                 )
                 rows.append((int(r.doc_id), payload))
@@ -1900,7 +1913,7 @@ def warc_gz_record_rollup(spark, sf_dir):
     "tar_manifest_rollup",
     oracle="""
     WITH d AS (
-      SELECT doc_id, strlen(text) AS blen FROM documents
+      SELECT doc_id, strlen(coalesce(text, '')) AS blen FROM documents
     ), m AS (
       SELECT CASE WHEN doc_id % 19 = 0 THEN '__dlq'
                   ELSE 'txt' END AS ext,
@@ -1938,7 +1951,7 @@ def tar_manifest_rollup(spark, sf_dir):
                 did = int(r.doc_id)
                 payload = mm.encode_tar(
                     [
-                        (f"docs/{did}.txt", str(r.text).encode("utf-8")),
+                        (f"docs/{did}.txt", (r.text if r.text is not None else "").encode("utf-8")),
                         (f"meta/{did}.json", b'{"doc_id":%d}' % did),
                     ]
                 )

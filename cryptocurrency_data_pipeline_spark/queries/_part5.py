@@ -1516,7 +1516,7 @@ def stats_pruned_scan(spark, sf_dir):
            round(max(value), 6) AS max_value,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
            TRUE AS sketch_within_2pct
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     GROUP BY 1
     """,
 )
@@ -1530,9 +1530,12 @@ def mergeable_sketch_rollup(spark, sf_dir):
 
     from cryptocurrency_data_pipeline_spark.operators import matview as mv
 
+    # NULL ts has no day partition: the day-range predicates below would
+    # silently drop such an event from every partial — excluded
+    # explicitly on both sides instead.
     ev = (
         t(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .withColumn("day", F.to_date("ts"))
     )
     last_day = ev.agg(F.max("day")).collect()[0][0]
@@ -1559,7 +1562,12 @@ def mergeable_sketch_rollup(spark, sf_dir):
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
-    return merged.join(exact, "event_type").select(
+    # eqNullSafe: the NULL event_type group must survive the exact-side
+    # join (a plain inner join on the column silently drops it).
+    ex = exact.withColumnRenamed("event_type", "__et")
+    return merged.join(
+        ex, merged["event_type"].eqNullSafe(ex["__et"])
+    ).drop("__et").select(
         "event_type",
         "n_rows",
         "sum_cents",
@@ -1802,9 +1810,12 @@ def histogram_quantile_rollup(spark, sf_dir):
     ),
     u AS (
       -- field framing mirrors privacy.laplace_noisy_counts: null marker
-      -- ('1' = non-null) + md5(field), then the seeded hash
+      -- ('1' = non-null, '0' = null) + md5(coalesced field), then the
+      -- seeded hash — a NULL group gets its own independent draw
       SELECT c_mktsegment, n,
-             (CAST(('0x' || substr(md5('s1:' || '1' || md5(c_mktsegment)), 1, 8))
+             (CAST(('0x' || substr(md5('s1:'
+                     || (CASE WHEN c_mktsegment IS NULL THEN '0' ELSE '1' END)
+                     || md5(coalesce(c_mktsegment, ''))), 1, 8))
                    AS BIGINT) + 0.5) / 4294967296.0 AS u
       FROM g
     )
@@ -1936,7 +1947,9 @@ def partition_change_feed(spark, sf_dir):
            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS sum_cents
     FROM orders
-    WHERE o_orderpriority != '2-HIGH' OR o_orderkey % 3 != 0
+    -- IS DISTINCT FROM: a NULL-priority partition is untouched by the
+    -- 2-HIGH rewrite and must survive the predicate (plain != is NULL)
+    WHERE o_orderpriority IS DISTINCT FROM '2-HIGH' OR o_orderkey % 3 != 0
     GROUP BY 1 ORDER BY 1
     """,
 )
