@@ -180,9 +180,12 @@ def lineitem_price_qty_stats(spark, sf_dir):
     "monthly_revenue_growth",
     oracle="""
     WITH m AS (
+      -- a NULL order date has no month: it must not take part in the
+      -- month-over-month chain (the engines would also order the NULL
+      -- month on opposite ends of the lag window)
       SELECT date_trunc('month', o_orderdate) AS month,
              sum(o_totalprice) AS rev
-      FROM orders GROUP BY month
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY month
     )
     SELECT strftime(month, '%Y-%m') AS month,
            round(rev, 2) AS revenue,
@@ -193,7 +196,7 @@ def lineitem_price_qty_stats(spark, sf_dir):
     """,
 )
 def monthly_revenue_growth(spark, sf_dir):
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
     m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
         F.sum("o_totalprice").alias("rev")
     )
