@@ -37,7 +37,9 @@ def minhash_cand_cte(cand="cand", bands="bands"):
 
 
 SIG_TEMPLATE = r'''{tk} AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id,
+             coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> ''), []) AS toks
       FROM documents
     ), sh AS (
       SELECT doc_id,

@@ -212,7 +212,8 @@ def fuzzy_part_name_pairs(spark, sf_dir):
     "hybrid_rrf_retrieval",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> t <> '')) AS token
       FROM documents
     ), per_doc AS (
       SELECT doc_id, count(*) AS dl,

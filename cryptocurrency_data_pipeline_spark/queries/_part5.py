@@ -1862,11 +1862,15 @@ def dp_noisy_segment_counts(spark, sf_dir):
     ),
     v1 AS (
       SELECT * FROM snap
-      WHERE NOT (o_orderpriority = '2-HIGH' AND o_orderkey % 7 = 0)
+      WHERE NOT (o_orderpriority IS NOT DISTINCT FROM '2-HIGH'
+                 AND o_orderkey % 7 = 0)
     ),
     v2 AS (
       SELECT * FROM snap
-      WHERE NOT (o_orderpriority = '3-MEDIUM' AND o_orderkey % 11 = 0)
+      -- null-safe: a NULL-priority key is NOT swept by the 3-MEDIUM
+      -- delete rule (plain = makes the NOT(...) NULL and drops it)
+      WHERE NOT (o_orderpriority IS NOT DISTINCT FROM '3-MEDIUM'
+                 AND o_orderkey % 11 = 0)
     ),
     feed AS (
       SELECT *, 'insert' AS change FROM (
@@ -1901,13 +1905,16 @@ def partition_change_feed(spark, sf_dir):
         f"spark_graft_partsnap_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
+    # eqNullSafe: a NULL-priority key is not 2-HIGH/3-MEDIUM and must
+    # SURVIVE these exclusions — with a plain ==, ~(NULL & true) is NULL
+    # and the filter silently drops the row from one version only.
     mt.write_snapshot(
-        snap.filter(~((pri == "2-HIGH") & (key % 7 == 0))),
+        snap.filter(~(pri.eqNullSafe("2-HIGH") & (key % 7 == 0))),
         table,
         part_col="o_orderpriority",
     )
     mt.write_snapshot(
-        snap.filter(~((pri == "3-MEDIUM") & (key % 11 == 0))),
+        snap.filter(~(pri.eqNullSafe("3-MEDIUM") & (key % 11 == 0))),
         table,
         part_col="o_orderpriority",
     )
@@ -2015,7 +2022,10 @@ def cow_snapshot_upsert(spark, sf_dir):
              CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
                   THEN price_cents + 7 ELSE price_cents END AS price_cents
       FROM snap
-      WHERE NOT (o_orderpriority = '3-MEDIUM' AND o_orderkey % 7 = 0)
+      -- null-safe: a NULL-priority key is NOT swept by the 3-MEDIUM
+      -- delete rule (plain = makes the NOT(...) NULL and drops it)
+      WHERE NOT (o_orderpriority IS NOT DISTINCT FROM '3-MEDIUM'
+                 AND o_orderkey % 7 = 0)
       UNION ALL
       SELECT -(o_orderkey + 1), o_orderpriority, 999
       FROM snap WHERE o_orderpriority = '5-LOW' AND o_orderkey % 11 = 0
@@ -2289,7 +2299,10 @@ def stream_snapshot_sink_replay(spark, sf_dir):
              CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
                   THEN price_cents + 7 ELSE price_cents END AS price_cents
       FROM snap
-      WHERE NOT (o_orderpriority = '3-MEDIUM' AND o_orderkey % 7 = 0)
+      -- null-safe: a NULL-priority key is NOT swept by the 3-MEDIUM
+      -- delete rule (plain = makes the NOT(...) NULL and drops it)
+      WHERE NOT (o_orderpriority IS NOT DISTINCT FROM '3-MEDIUM'
+                 AND o_orderkey % 7 = 0)
       UNION ALL
       SELECT -(o_orderkey + 1), o_orderpriority, 999
       FROM snap WHERE o_orderpriority = '5-LOW' AND o_orderkey % 11 = 0

@@ -104,6 +104,10 @@ def build(out_dir: str) -> None:
             (1505, 9, "O", 1234.5, None, "2-HIGH"),                     # NULL date
             (1506, 2, "F", 88.25, ts("2000-07-07"), None),              # NULL priority
             (1507, 4, "O", -42.5, ts("1997-07-07"), "5-LOW"),           # negative price
+            # NULL priority on a key hit by the merge family's %7
+            # delete sweep AND the COW %3 rewrite predicate — probes
+            # null-safety of every priority-gated edit rule:
+            (1512, 8, "F", 99.99, ts("1998-03-03"), None),
         ],
         out_dir,
     )
@@ -151,6 +155,8 @@ def build(out_dir: str) -> None:
             (507, "100% [sure]? (yes) 'q' \"dq\" back\\slash|pipe~tilde", "en", "src6", 49),
             (508, ("spam " * 500).strip(), "en", "src7", 2999),         # low entropy
             (509, "x", "de", "src8", 1),                                # single char
+            (510, "\n\nhello\nworld or not\n", "en", "src9", 21),       # newline-led
+            (511, "!!! ??? ... ;;; %%%", "en", "src10", 19),            # all punctuation
         ],
         out_dir,
     )
