@@ -1,60 +1,71 @@
 """Oracle parity on ADVERSARIAL fixture data.
 
-The driver's testdata exercises the common-case distribution; these tests
-replay the driver's exact Spark-vs-DuckDB comparison on a hand-built
-``documents`` table stuffed with the input classes the generator never
-emits — empty text, NULL text, a document past the JPEG COM 65535-byte
-segment limit, and multi-byte UTF-8 where char length != byte length.
+The driver's testdata exercises the common-case distribution; these
+tests replay the driver's exact Spark-vs-DuckDB comparison on the
+``sfedge`` dataset (tools/make_edge_sf.py): every sf0.001 table plus
+hand-built edge rows — NULLs in each nullable column, empty/multibyte/
+oversized/whitespace-led text, exact value ties at top-k boundaries,
+orphan foreign keys, zero vectors, duplicate documents.
 
-Each case here pins a real divergence class found by review:
-
-- ``doc_char_entropy``: Spark ``sequence(1, 0)`` auto-steps -1 and yields
-  ``[1, 0]`` while DuckDB ``generate_series(1, 0)`` is empty, so an empty
-  document produced two phantom char rows (n_chars=2 for a 0-char doc).
-- ``jpeg_meta_rollup``: ``F.lpad(hex(len), 4)`` silently TRUNCATES once
-  the COM payload exceeds 65533 bytes, desyncing the marker walk.
+The round-8 sweep of all 196 queries over this dataset surfaced ~60
+latent divergences (ANSI divide-by-zero and cast-overflow job-killers,
+NULL groups silently dropped by inner joins, phantom ''-token features,
+opposite NULL sort ends, str(None) leaking into byte containers,
+null-unsafe edit predicates).  This suite replays one representative
+per bug class on every pytest run; the full-registry edge sweep is
+``python tools/check_oracle.py /tmp/spark_graft_sfedge`` after
+``python tools/make_edge_sf.py``.
 """
 
 import os
 import shutil
 
 import duckdb
-import pandas as pd
-import pyarrow as pa
-import pyarrow.parquet as pq
 import pytest
 
 from cryptocurrency_data_pipeline_spark.queries import ORACLES, QUERIES
-from tools.check_oracle import table_hash
+from tools.check_oracle import TABLES, table_hash
+from tools.make_edge_sf import build
 
-EDGE_QUERIES = ["doc_char_entropy", "jpeg_meta_rollup"]
+#: One representative per divergence class found by the round-8 sweep.
+EDGE_REPS = [
+    "doc_char_entropy",          # sequence(1,0) descending-array trap
+    "jpeg_meta_rollup",          # 2-byte length-field overflow + NULL container
+    "text_stats_docs",           # blank-doc ratio/score guards
+    "vocab_top_terms",           # phantom '' token in the vocabulary
+    "bpe_apply_token_stats",     # ANSI divide-by-zero on a blank group
+    "window_user_deltas",        # NULL sort key: ASC NULLS FIRST vs LAST
+    "tumbling_hourly_stats",     # F.window() drops NULL event times
+    "sax_motif_groups",          # NULL-ts point shifting a value series
+    "hll_weekly_users",          # NULL group lost by an inner join
+    "mergeable_sketch_rollup",   # NULL day lost between partial predicates
+    "histogram_quantile_rollup", # clamp-before-cast overflow
+    "props_json_extraction_stats",  # malformed JSON must be NULL, not error
+    "merge_into_orders",         # null-safe MERGE edit predicates
+    "partition_change_feed",     # null-safe version filters (Spark side!)
+    "cow_snapshot_upsert",       # IS DISTINCT FROM partition predicate
+    "warc_record_rollup",        # str(None) leaked into container bytes
+    "wav_decode_rollup",         # NULL payload inputs -> (NULL,...) group
+    "semantic_dedup_keep",       # zero-norm embedding normalization guard
+    "label_centroids",           # int64 overflow in centroid quantization
+    "doc_nearest_ngram",         # undefined 0/0 Jaccard of empty shingle sets
+    "dataset_version_diff",      # presence by key, not fingerprint nullness
+    "scd2_customer_priority_history",  # null-safe change test, rn first-row
+    "dp_noisy_segment_counts",   # per-field framed noise key incl. NULL group
+    "simhash_signatures",        # NULL text -> NULL sig; zero tokens -> 0
+    "dsir_source_weights",       # explode_outer keeps zero-token docs
+    "minhash_near_dups",         # shared sig-fragment token mirror
+    "quality_classifier_scores", # every-doc contract via LEFT JOIN
+    "unimax_language_budgets",   # try_divide epochs on zero-token language
+    "monthly_revenue_growth",    # NULL month out of the MoM lag chain
+    "docs_consecutive_ids",      # NULLS FIRST rank order
+]
 
 
 @pytest.fixture(scope="module")
 def edge_sf_dir():
-    d = f"/tmp/spark_graft_edge_docs_{os.getpid()}"
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
-    rows = [
-        # (doc_id, text, lang, source, n_chars)
-        (1, "", "en", "web", 0),                      # empty text
-        (2, None, "en", "web", None),                 # NULL text
-        (3, "a" * 70_000, "en", "books", 70_000),     # > COM segment max
-        (4, "héllo \U0001f30d!", "fr", "web", 8),  # bytes != chars
-        (5, "hello world hello", "en", "web", 17),    # ordinary doc
-        (6, "zz", "en", "code", 2),                   # minimal repeated
-    ]
-    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
-    schema = pa.schema(
-        [
-            ("doc_id", pa.int64()),
-            ("text", pa.string()),
-            ("lang", pa.string()),
-            ("source", pa.string()),
-            ("n_chars", pa.int64()),
-        ]
-    )
-    pq.write_table(pa.Table.from_pandas(df, schema=schema), f"{d}/documents.parquet")
+    d = f"/tmp/spark_graft_sfedge_{os.getpid()}"
+    build(d)
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
@@ -62,16 +73,17 @@ def edge_sf_dir():
 @pytest.fixture(scope="module")
 def edge_duck(edge_sf_dir):
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{edge_sf_dir}/documents.parquet')"
-    )
+    for tab in TABLES:
+        con.execute(
+            f"CREATE VIEW {tab} AS SELECT * FROM "
+            f"read_parquet('{edge_sf_dir}/{tab}.parquet')"
+        )
     yield con
     con.close()
 
 
-@pytest.mark.parametrize("name", EDGE_QUERIES)
-def test_edge_docs_parity(spark, edge_sf_dir, edge_duck, name):
+@pytest.mark.parametrize("name", EDGE_REPS)
+def test_edge_parity(spark, edge_sf_dir, edge_duck, name):
     sdf = QUERIES[name](spark, edge_sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
@@ -93,13 +105,12 @@ def test_edge_docs_parity(spark, edge_sf_dir, edge_duck, name):
 
 def test_entropy_skips_empty_and_null_docs(spark, edge_sf_dir):
     out = {r["doc_id"]: r for r in QUERIES["doc_char_entropy"](spark, edge_sf_dir).collect()}
-    assert 1 not in out and 2 not in out  # empty + NULL text excluded
-    assert out[3]["n_chars"] == 70_000 and out[3]["char_entropy"] == 0.0
-    assert out[6]["n_chars"] == 2 and out[6]["char_entropy"] == 0.0
+    assert 500 not in out and 501 not in out  # empty + NULL text excluded
+    assert out[502]["n_chars"] == 70_000 and out[502]["char_entropy"] == 0.0
 
 
 def test_jpeg_meta_survives_oversized_com_payload(spark, edge_sf_dir):
     rows = QUERIES["jpeg_meta_rollup"](spark, edge_sf_dir).collect()
-    # doc 3: width = 100 + 70000 % 200 = 100, height = 50 + 3 % 100 = 53 —
-    # the truncated COM payload must not desync the SOF0 dimension parse.
-    assert any(r["width"] == 100 and r["height"] == 53 for r in rows)
+    # doc 502: width = 100 + 70000 % 200 = 100, height = 50 + 502 % 100
+    # = 52 — the truncated COM payload must not desync the SOF0 parse.
+    assert any(r["width"] == 100 and r["height"] == 52 for r in rows)
