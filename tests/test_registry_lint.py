@@ -42,9 +42,14 @@ def _referenced_tables(sql: str) -> set[str]:
     # SQL functions that take a FROM keyword inside their argument list
     # (extract(hour FROM ts), substring(x FROM 1), trim(c FROM s)) are
     # not table references — strip them first.
+    # SQL comments are prose, not references.
+    sql = re.sub(r"--[^\n]*", " ", sql)
     sql = re.sub(
         r"\b(?:extract|substring|trim|overlay)\s*\([^()]*\)", " ", sql, flags=re.I
     )
+    # The null-safe comparison operator `IS [NOT] DISTINCT FROM x` is not
+    # a table reference either.
+    sql = re.sub(r"\bDISTINCT\s+FROM\s+[a-zA-Z_][\w.]*", " ", sql, flags=re.I)
     return {
         m.lower()
         for m in re.findall(r"\b(?:FROM|JOIN)\s+([a-zA-Z_][\w.]*)", sql, re.I)
