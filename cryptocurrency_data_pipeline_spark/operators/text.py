@@ -49,15 +49,18 @@ def tokens(col: str | Column = "text") -> Column:
     only ASCII spaces, so the earlier trim-then-split form left ``['',
     '']`` for tab/newline-only docs and ``['', 'word', ...]`` for
     newline-led docs — phantom tokens that count, hash into real
-    feature buckets, and give blank docs nonzero embeddings.  Split
-    first, then drop empties.  (DuckDB's ``string_split_regex`` has the
-    same artifact; the oracle mirror is
+    feature buckets, and give blank docs nonzero embeddings.  Strip
+    EVERY edge whitespace with one regexp, then split: equivalent to
+    split-then-drop-empties, but stays inside whole-stage codegen — an
+    ``F.filter`` HOF lambda is CodegenFallback and would evaluate this
+    hot-path expression interpreted.  (DuckDB's ``string_split_regex``
+    has the same artifact; the oracle mirror is
     ``list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')``.)"""
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(
-        F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit("")),
-        F.array().cast("array<string>"),
-    )
+    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
+    return F.when(
+        F.length(stripped) > 0, F.split(F.lower(stripped), r"\s+")
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def token_count(col: str | Column = "text") -> Column:
