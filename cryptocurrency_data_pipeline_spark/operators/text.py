@@ -40,6 +40,14 @@ def _isin_any(values: tuple[str, ...]):
     return pred
 
 
+#: The EXPLICIT whitespace class shared by tokens() and its oracle
+#: mirror.  Java's \s is [ \t\n\x0B\f\r] but RE2's (DuckDB) excludes
+#: \x0B — a vertical tab (common in bad PDF extractions) would
+#: tokenize differently per engine under a bare \s.  Spelling the class
+#: out is semantics-preserving on the Java side and pins RE2 to it.
+WS_CLASS = r"[ \t\n\x0B\f\r]+"
+
+
 def tokens(col: str | Column = "text") -> Column:
     """Whitespace tokenization (lowercased).
 
@@ -55,11 +63,13 @@ def tokens(col: str | Column = "text") -> Column:
     ``F.filter`` HOF lambda is CodegenFallback and would evaluate this
     hot-path expression interpreted.  (DuckDB's ``string_split_regex``
     has the same artifact; the oracle mirror is
-    ``list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')``.)"""
+    ``queries/_fragments.py:tokens_sql`` — both sides split on the
+    explicit ``WS_CLASS``, never a bare ``\\s``, because Java's ``\\s``
+    includes the vertical tab and RE2's does not.)"""
     c = F.col(col) if isinstance(col, str) else col
-    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
+    stripped = F.regexp_replace(c, f"^{WS_CLASS}|{WS_CLASS}$", "")
     return F.when(
-        F.length(stripped) > 0, F.split(F.lower(stripped), r"\s+")
+        F.length(stripped) > 0, F.split(F.lower(stripped), WS_CLASS)
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -172,7 +182,9 @@ def fingerprint(col: str | Column = "text") -> Column:
 #: runs, punctuation runs — the GPT-2 pre-split shape, restricted to a
 #: lookahead-free pattern so Java regex (Spark) and RE2 (DuckDB/oracle)
 #: agree match-for-match.
-BPE_SPLIT = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]+"
+#: The whitespace exclusion is the explicit WS_CLASS body, not \s —
+#: see WS_CLASS (RE2's \s lacks \x0B, so the oracle twin must spell it).
+BPE_SPLIT = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]+"
 
 
 def bpe_token_count(col: str | Column = "text") -> Column:

@@ -9,10 +9,13 @@ minhash oracle semantics changes every consumer at once instead of
 requiring five synchronized copies (the drift hazard the PQ family
 already solved with its shared codes-CTE constant).
 
-CTE names are parameters because ``simhash_recall`` embeds the block
-alongside its own ``sig``/``cand`` CTEs and needs non-colliding names.
-The fragments are used inside f-string oracles, so callers compose e.g.
-``f"WITH {minhash_sig_ctes()}, {minhash_bands_cte()} ..."``.
+The ``tk``/``sig``/``bands``/``cand`` CTE names are parameters because
+``simhash_recall`` embeds the block alongside its own ``sig``/``cand``
+CTEs and needs non-colliding names.  NOTE: the intermediate ``sh`` and
+``hs`` CTEs are NOT parameterized — a composing oracle must not define
+CTEs with those names (and the fragment can appear at most once per
+statement).  The fragments are used inside f-string oracles, so callers
+compose e.g. ``f"WITH {minhash_sig_ctes()}, {minhash_bands_cte()} ..."``.
 """
 
 
@@ -38,7 +41,7 @@ def minhash_cand_cte(cand="cand", bands="bands"):
 
 SIG_TEMPLATE = r'''{tk} AS (
       SELECT doc_id,
-             coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+             coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                   t -> t <> ''), []) AS toks
       FROM documents
     ), sh AS (
@@ -79,11 +82,19 @@ CAND_TEMPLATE = r'''{cand} AS (
     )'''
 
 
+#: RE2 whitespace class matching Java's \s EXACTLY (RE2's own \s lacks
+#: the vertical tab).  Every oracle tokenization/normalization regex
+#: must use this text, never a bare \s — pinned by
+#: tests/test_registry_lint.py::test_oracle_token_mirrors_are_canonical.
+WS_CLASS_SQL = r"[ \t\n\x0B\f\r]"
+
+
 def tokens_sql(col="text"):
     """DuckDB mirror of ``operators/text.py:tokens``: whitespace split,
     lowercased, with empty fragments dropped — so null/blank/odd-
     whitespace docs tokenize identically on both sides (len(NULL
     list) is NULL; wrap in coalesce(..., 0) where a count is needed)."""
     return (
-        f"list_filter(string_split_regex(lower({col}), '\\s+'), t -> t <> '')"
+        f"list_filter(string_split_regex(lower({col}), "
+        f"'{WS_CLASS_SQL}+'), t -> t <> '')"
     )

@@ -669,7 +669,7 @@ def range_join_conversions(spark, sf_dir):
     oracle=r"""
     WITH tk AS (
       SELECT doc_id, text,
-             coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+             coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                   t -> t <> ''), []) AS toks
       FROM documents
     ), scored AS (
@@ -693,11 +693,11 @@ def range_join_conversions(spark, sf_dir):
             ELSE CAST(len(list_filter(toks, x -> x IN ('a','the','of','and'))) AS DOUBLE)
             / len(toks) END, 6) AS stopword_ratio,
       round(CASE WHEN coalesce(length(text), 0) = 0 THEN 0.0
-            ELSE CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+            ELSE CAST(length(text) - length(regexp_replace(text, '[^\w \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
             / length(text) END, 6) AS punct_ratio,
       round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE (
         least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-        + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 1.0))
+        + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 1.0))
         + (1.0 - least(abs(CAST(len(list_filter(toks, x -> x IN ('a','the','of','and'))) AS DOUBLE) / len(toks) - 0.1) * 2.0, 1.0))
       ) / 3.0 END, 6) AS quality_score,
       CASE
@@ -707,7 +707,7 @@ def range_join_conversions(spark, sf_dir):
         WHEN s_es >= s_zh AND s_es > 0 THEN 'es'
         WHEN s_zh > 0 THEN 'zh'
         ELSE 'und' END AS lang_pred,
-      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fingerprint
     FROM scored
     """,
 )
@@ -725,7 +725,7 @@ def text_stats_docs(spark, sf_dir):
     "winnow_fingerprints",
     oracle=r"""
     WITH nrm AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
       FROM documents
     ),
     h AS (
@@ -770,7 +770,7 @@ def winnow_fingerprints(spark, sf_dir):
     "winnow_near_dups",
     oracle=r"""
     WITH nrm AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
       FROM documents
     ),
     h AS (
@@ -829,8 +829,9 @@ def winnow_near_dups(spark, sf_dir):
     oracle=r"""
     SELECT doc_id,
            len(regexp_extract_all(lower(text),
-               '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS n_bpe_tokens,
-           coalesce(len(list_filter(string_split_regex(lower(text), '\s+'),
+               '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]+'))
+             AS n_bpe_tokens,
+           coalesce(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                     t -> t <> '')), 0) AS n_ws_tokens
     FROM documents
     """,
@@ -857,7 +858,7 @@ def bpe_token_counts(spark, sf_dir):
     oracle=r"""
     SELECT min(doc_id) AS doc_id, count(*) AS n_copies
     FROM documents
-    GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    GROUP BY md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
     """,
 )
 def docs_exact_dedup(spark, sf_dir):
@@ -1031,7 +1032,7 @@ def ann_srp_topk(spark, sf_dir):
     oracle=r"""
     WITH tok AS (
       SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                 t -> t <> '')) AS tk
       FROM documents
     ),
@@ -1304,7 +1305,7 @@ def embedding_near_dups(spark, sf_dir):
     oracle=r"""
     WITH toked AS (
       SELECT doc_id, lang, n_chars,
-             coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+             coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                   t -> t <> ''), []) AS toks
       FROM documents
     ), tk AS (
@@ -1924,7 +1925,7 @@ def dup_clusters(spark, sf_dir):
     "vocab_top_terms",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                         t -> t <> '')) AS token
       FROM documents
     ), dt AS (
@@ -1958,7 +1959,7 @@ def vocab_top_terms(spark, sf_dir):
     "tfidf_top_term_per_doc",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                         t -> t <> '')) AS token
       FROM documents
     ), dt AS (

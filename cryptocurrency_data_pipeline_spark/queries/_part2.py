@@ -40,7 +40,7 @@ from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa
     oracle=r"""
     WITH tk AS (
       SELECT doc_id,
-             coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+             coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                   t -> t <> ''), []) AS toks
       FROM documents
     ), bgl AS (
@@ -303,7 +303,7 @@ def asof_next_purchase(spark, sf_dir):
     oracle=r"""
     WITH tok AS (
       SELECT doc_id,
-             coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+             coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                   t -> t <> ''), []) AS t
       FROM documents
     ), bg AS (
@@ -423,7 +423,7 @@ def docs_consecutive_ids(spark, sf_dir):
     WITH sized AS (
       SELECT doc_id,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS pack_bucket,
-             coalesce(len(list_filter(string_split_regex(lower(text), '\s+'),
+             coalesce(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                       t -> t <> '')), 0) AS n_tokens
       FROM documents
     ), binned AS (
@@ -481,7 +481,7 @@ def pack_docs_for_training(spark, sf_dir):
                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                        IN ('c', 'd') THEN 'val'
                   ELSE 'test' END AS split,
-             string_split_regex(lower(trim(text)), '\s+') AS t
+             string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
       FROM documents
     ), sh AS (
       SELECT doc_id, split,
@@ -552,7 +552,7 @@ def benchmark_contamination(spark, sf_dir):
     "cms_heavy_hitters",
     oracle=r"""
     WITH tok AS (
-      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term
       FROM documents
     ), cells AS (
       SELECT d, substr(md5(CAST(d AS VARCHAR) || '_' || term), 1, 3) AS cell,
@@ -840,16 +840,16 @@ def approx_price_quantile_sketch(spark, sf_dir):
     "corpus_prep_report",
     oracle=r"""
     WITH toked AS (
-      SELECT *, coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+      SELECT *, coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                      t -> t <> ''), []) AS toks
       FROM documents
     ), scored AS (
       SELECT doc_id, n_chars,
-        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp,
         -- blank/null docs score 0.0 outright (quality_score guard)
         CASE WHEN len(toks) = 0 THEN 0.0 ELSE (
           least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-          + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 1.0))
+          + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 1.0))
           + (1.0 - least(abs(CAST(len(list_filter(toks, x -> x IN ('a','the','of','and'))) AS DOUBLE)
                          / len(toks) - 0.1) * 2.0, 1.0))
         ) / 3.0 END AS q
@@ -1178,7 +1178,7 @@ def kmeans_embedding_clusters(spark, sf_dir):
     "bm25_top_docs",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                         t -> t <> '')) AS token
       FROM documents
     ), per_doc AS (
@@ -1402,7 +1402,7 @@ def ann_recall_at_k(spark, sf_dir):
     oracle=rf"""
     WITH tok AS (
       SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                 t -> t <> '')) AS tk
       FROM documents
     ),
@@ -1860,7 +1860,7 @@ def rolling_7d_user_value(spark, sf_dir):
     # ordered structure is the ~100-row bucket rollup.
     oracle=r"""
     WITH toked AS (
-      SELECT *, coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+      SELECT *, coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                      t -> t <> ''), []) AS toks
       FROM documents
     ), tk AS (
@@ -1869,7 +1869,7 @@ def rolling_7d_user_value(spark, sf_dir):
              -- blank/null docs score 0.0 outright (quality_score guard)
              round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE (
                least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-               + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 1.0))
+               + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 1.0))
                + (1.0 - least(abs(CAST(len(list_filter(toks, x -> x IN ('a','the','of','and'))) AS DOUBLE)
                               / len(toks) - 0.1) * 2.0, 1.0))
              ) / 3.0 END, 6) AS q
@@ -1933,7 +1933,7 @@ def token_budget_curriculum(spark, sf_dir):
     # char pairs inside whitespace tokens, top-20 merge candidates.
     oracle=r"""
     WITH words AS (
-      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS w
       FROM documents
     ), pos AS (
       SELECT w, unnest(generate_series(1, length(w) - 1)) AS p
@@ -1977,7 +1977,7 @@ def bpe_pair_merge_candidates(spark, sf_dir):
     oracle=r"""
     WITH fp AS (
       SELECT doc_id, source,
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+             md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS f
       FROM documents
     ), batch AS (
       SELECT * FROM fp WHERE source IN ('src0','src1','src2','src3','src4')
@@ -2022,12 +2022,12 @@ def incremental_dedup_new_batch(spark, sf_dir):
     oracle=r"""
     WITH v2 AS (
       SELECT doc_id,
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+             md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS f
       FROM documents
     ), v1 AS (
       SELECT doc_id,
              CASE WHEN doc_id % 7 = 0 THEN md5(text || '_stale')
-                  ELSE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                  ELSE md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
              END AS f
       FROM documents WHERE doc_id % 10 != 0
     )
@@ -2140,7 +2140,7 @@ def scd2_customer_priority_history(spark, sf_dir):
     oracle=r"""
     WITH tk AS (
       SELECT doc_id,
-             string_split_regex(lower(trim(text)), '\s+') AS toks,
+             string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS toks,
              string_split(text, chr(10)) AS lines,
              text
       FROM documents
@@ -2519,7 +2519,7 @@ def wav_decode_rollup(spark, sf_dir):
     oracle=r"""
     WITH tk AS (
       SELECT doc_id, lang,
-             string_split_regex(lower(trim(text)), '\s+') AS toks
+             string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS toks
       FROM documents
     ), scored AS (
       SELECT doc_id, lang,
@@ -2634,11 +2634,11 @@ def mad_outlier_events(spark, sf_dir):
       FROM s
     ), probes AS (
       SELECT doc_id AS query_id,
-             list_distinct(string_split_regex(lower(trim(substr(text, 41, 120))), '\s+')) AS q
+             list_distinct(string_split_regex(lower(trim(substr(text, 41, 120))), '[ \t\n\x0B\f\r]+')) AS q
       FROM documents WHERE doc_id < 3
     ), ct AS (
       SELECT doc_id, pos,
-             list_distinct(string_split_regex(lower(trim(chunk)), '\s+')) AS c
+             list_distinct(string_split_regex(lower(trim(chunk)), '[ \t\n\x0B\f\r]+')) AS c
       FROM chunks
     ), scored AS (
       SELECT p.query_id, ct.doc_id, ct.pos,

@@ -98,7 +98,7 @@ def semantic_dedup_keep(spark, sf_dir):
     oracle=r"""
     WITH tok AS (
       SELECT doc_id, source,
-             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                 t -> t <> '')) AS tk
       FROM documents
     ), tf AS (
@@ -212,7 +212,7 @@ def fuzzy_part_name_pairs(spark, sf_dir):
     "hybrid_rrf_retrieval",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                         t -> t <> '')) AS token
       FROM documents
     ), per_doc AS (
@@ -324,7 +324,7 @@ def hybrid_rrf_retrieval(spark, sf_dir):
     oracle=r"""
     WITH tok AS (
       SELECT source,
-             coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+             coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                   t -> t <> ''), []) AS t
       FROM documents
     ), grams AS (
@@ -421,7 +421,7 @@ def ngram_diversity_by_source(spark, sf_dir):
     oracle=r"""
     WITH tk AS (
       SELECT doc_id, lang,
-             coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+             coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                   t -> t <> ''), []) AS toks
       FROM documents
     ), bgl AS (
@@ -670,7 +670,7 @@ def weighted_doc_sample(spark, sf_dir):
     WITH tok AS (
       SELECT CASE WHEN doc_id < 250 THEN 'a' ELSE 'b' END AS snap,
              CAST(('0x' || substr(md5(unnest(
-               list_filter(string_split_regex(lower(text), '\s+'),
+               list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                            t -> t <> ''))), 1, 4)) AS INT)
                % 64 AS bk
       FROM documents
@@ -760,7 +760,7 @@ def token_drift_report(spark, sf_dir):
     "corpus_ingest_replay",
     oracle=r"""
     WITH toked AS (
-      SELECT *, coalesce(list_filter(string_split_regex(lower(text), '\s+'),
+      SELECT *, coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                      t -> t <> ''), []) AS toks
       FROM documents
     ), scored AS (
@@ -770,7 +770,7 @@ def token_drift_report(spark, sf_dir):
         -- blank/null docs score 0.0 outright (quality_score guard)
         CASE WHEN len(toks) = 0 THEN 0.0 ELSE (
           least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-          + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 1.0))
+          + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\w \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 1.0))
           + (1.0 - least(abs(CAST(len(list_filter(toks, x -> x IN ('a','the','of','and'))) AS DOUBLE)
                          / len(toks) - 0.1) * 2.0, 1.0))
         ) / 3.0 END AS q
@@ -1421,7 +1421,7 @@ def gif_decode_rollup(spark, sf_dir):
       SELECT source,
              -- blank-safe token count, mirrors tokens() exactly
              CAST(sum(coalesce(len(list_filter(
-               string_split_regex(lower(text), '\\s+'), t -> t <> '')), 0))
+               string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')), 0))
                AS DOUBLE) AS n_tokens
       FROM documents GROUP BY source
     )
@@ -1469,7 +1469,7 @@ def mixture_temperature_weights(spark, sf_dir):
       SELECT doc_id,
              CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket
       FROM documents,
-           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+           unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                               t -> t <> '')) AS u(tok)
     ), agg AS (
       SELECT doc_id,
@@ -1515,7 +1515,7 @@ def quality_classifier_scores(spark, sf_dir):
     oracle="""
     WITH toks AS (
       SELECT doc_id, source,
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+             string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
                           ' ') AS tk
       FROM documents
     ), seg AS (
@@ -1626,11 +1626,11 @@ _BPE_MERGES = [
     oracle="""
     WITH norm AS (
       SELECT doc_id, source,
-             ' ' || replace(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+             ' ' || replace(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
                             ' ', '  ') || ' ' AS s,
              -- blank-safe token count, mirrors tokens() exactly
              coalesce(len(list_filter(
-               string_split_regex(lower(text), '\\s+'), t -> t <> '')), 0) AS nb
+               string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')), 0) AS nb
       FROM documents
     ), merged AS (
       SELECT source, nb,
@@ -1642,7 +1642,7 @@ _BPE_MERGES = [
                  ' customer  join ', ' customerjoin '),
                  ' filter  small ', ' filtersmall '),
                  ' tablehash  table ', ' tablehashtable '),
-               '\\s+', ' ', 'g')), ' ')) END AS na
+               '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) END AS na
       FROM norm
     )
     SELECT source,
@@ -2177,7 +2177,7 @@ def ivfpq_topk_served(spark, sf_dir):
     WITH tok AS (
       SELECT source, tok
       FROM documents,
-           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+           unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                               t -> t <> '')) AS u(tok)
     ), vocab AS (
       SELECT tok FROM (

@@ -744,7 +744,7 @@ def ico_directory_rollup(spark, sf_dir):
     WITH tok AS (
       SELECT source, tok, count(*) AS c
       FROM documents,
-           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+           unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                               t -> t <> '')) AS u(tok)
       GROUP BY source, tok
     )
@@ -1096,7 +1096,7 @@ def exact_rank_quantiles_by_type(spark, sf_dir):
     WITH base AS (
       SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)),
-               '\\s+', ' ', 'g'), ' ') AS w
+               '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ') AS w
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, g

@@ -96,3 +96,31 @@ def test_fixture_paths_are_pid_scoped():
         "fixture paths not pid-scoped (add _{os.getpid()} to the dir "
         "name):\n" + "\n".join(violations)
     )
+
+
+def test_oracle_token_mirrors_are_canonical():
+    """No oracle regex may use a bare RE2 \\s for tokenization or
+    normalization: Java's \\s includes the vertical tab (\\x0B), RE2's
+    does not, so a bare \\s diverges on corpora containing one.  Every
+    split/replace whitespace class must be the explicit WS_CLASS_SQL
+    (operators/text.py:WS_CLASS is the Java-side twin)."""
+    import re as _re
+
+    from cryptocurrency_data_pipeline_spark.queries._fragments import (
+        WS_CLASS_SQL,
+        tokens_sql,
+    )
+
+    assert "\\x0B" in WS_CLASS_SQL and WS_CLASS_SQL in tokens_sql()
+    offenders = {}
+    for name, sql in ORACLES.items():
+        hits = _re.findall(
+            r"(?:string_split_regex|regexp_replace)\s*\([^;]{0,120}?'(\\+s)\+?'",
+            sql,
+        )
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"bare \\s in oracle tokenization regex (use WS_CLASS_SQL): "
+        f"{offenders}"
+    )

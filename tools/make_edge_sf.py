@@ -146,7 +146,8 @@ def build(out_dir: str) -> None:
             (500, "", "en", "src0", 0),                                 # empty text
             (501, None, None, None, None),                              # all-NULL
             (502, "a" * 70_000, "en", "src1", 70_000),                  # > COM segment max
-            (503, "héllo \U0001f30d wörld ñ 你好", "zh", "src2", 16),  # bytes != chars
+            # 18 chars (code points) but 28 UTF-8 bytes:
+            (503, "héllo \U0001f30d wörld ñ 你好", "zh", "src2", 18),
             # exact duplicate pair (dedup tie — cluster keeps are by len
             # then id, so equal lengths force the id tiebreak):
             (504, "the quick brown fox jumps over the lazy dog", "en", "src3", 44),
@@ -157,6 +158,9 @@ def build(out_dir: str) -> None:
             (509, "x", "de", "src8", 1),                                # single char
             (510, "\n\nhello\nworld or not\n", "en", "src9", 21),       # newline-led
             (511, "!!! ??? ... ;;; %%%", "en", "src10", 19),            # all punctuation
+            # vertical tab + form feed separators: Java \s matches \x0B,
+            # RE2's does not — probes the explicit WS_CLASS mirror
+            (512, "alpha\x0bbeta\fgamma \x0b delta", "en", "src11", 24),
         ],
         out_dir,
     )
