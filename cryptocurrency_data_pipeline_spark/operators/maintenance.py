@@ -238,6 +238,148 @@ class PosixSnapshotCommit(SnapshotCommit):
 DEFAULT_COMMIT = PosixSnapshotCommit()
 
 
+class PreconditionFailedError(RuntimeError):
+    """A conditional put's etag/existence precondition did not hold —
+    the object changed (or appeared) since it was read.  The HTTP 412
+    of S3 ``If-Match`` / GCS generation preconditions."""
+
+
+class EtagObjectStore:
+    """In-memory object store speaking the conditional-put dialect the
+    real backends offer (S3 ``If-None-Match: *`` / ``If-Match: <etag>``,
+    GCS ``ifGenerationMatch``): every successful put bumps an opaque
+    per-key etag, and a put may be made conditional on the exact etag it
+    read (or on the key not existing).  Thread-safe and reentrant.
+
+    Test double by design: ``before_put`` (called OUTSIDE any internal
+    lock, so it may itself drive a competing commit) lets a test
+    interleave a remote writer between a reader's GET and its PUT, or
+    raise to simulate a network fault mid-commit.
+    """
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.RLock()
+        self._data: dict[str, tuple[bytes, int]] = {}
+        self._gen = 0
+        self.before_put = None  # callable (key) -> None, test hook
+
+    def get(self, key: str) -> tuple[bytes | None, str | None]:
+        with self._lock:
+            if key not in self._data:
+                return None, None
+            data, gen = self._data[key]
+            return data, str(gen)
+
+    def put(
+        self,
+        key: str,
+        data: bytes,
+        *,
+        if_match: str | None = None,
+        if_none_match: bool = False,
+    ) -> str:
+        hook = self.before_put
+        if hook is not None:
+            hook(key)
+        with self._lock:
+            held = self._data.get(key)
+            if if_none_match and held is not None:
+                raise PreconditionFailedError(f"{key}: already exists")
+            if if_match is not None and (
+                held is None or str(held[1]) != if_match
+            ):
+                raise PreconditionFailedError(
+                    f"{key}: etag moved (held {None if held is None else held[1]}, "
+                    f"expected {if_match})"
+                )
+            self._gen += 1
+            self._data[key] = (data, self._gen)
+            return str(self._gen)
+
+
+class ConditionalPutSnapshotCommit(SnapshotCommit):
+    """Reference :class:`SnapshotCommit` over a conditional-put object
+    store — the documented contract made executable: the manifest lives
+    in the store under ``<table>/_versions.json`` and every publish is a
+    compare-and-swap on the etag it read (``If-None-Match`` for the
+    first).  A losing writer gets :class:`PreconditionFailedError`,
+    reloads the FRESH manifest, and re-runs ``mutate`` against it — so
+    ``mutate`` keeps the critical-section property (it always sees the
+    latest committed state) without any lock on the store side.
+
+    The winning manifest is mirrored to the local ``_versions.json``
+    (under the same flock ``PosixSnapshotCommit`` uses, so same-host
+    mirrors are ordered) because the read path (:func:`_load_manifest`)
+    is filesystem-based.  The STORE copy is the source of truth; on a
+    multi-host deployment each host's mirror reflects only commits made
+    through that host — refresh with :meth:`sync_local` before reading
+    on a host that doesn't write.
+    """
+
+    def __init__(self, store: EtagObjectStore, max_attempts: int = 16) -> None:
+        self.store = store
+        self.max_attempts = max_attempts
+
+    @staticmethod
+    def _key(table_path: str) -> str:
+        return os.path.normpath(os.path.abspath(table_path)) + "/_versions.json"
+
+    def commit_manifest(self, table_path: str, mutate) -> dict:
+        key = self._key(table_path)
+        for _ in range(self.max_attempts):
+            data, etag = self.store.get(key)
+            man = (
+                json.loads(data.decode())
+                if data is not None
+                else {"current": 0, "snapshots": {}}
+            )
+            man = mutate(man)  # may raise ConcurrentSnapshotWriteError
+            payload = json.dumps(man).encode()
+            try:
+                if etag is None:
+                    self.store.put(key, payload, if_none_match=True)
+                else:
+                    self.store.put(key, payload, if_match=etag)
+            except PreconditionFailedError:
+                continue  # lost the CAS — retry against fresh state
+            self.sync_local(table_path)
+            return man
+        raise ConcurrentSnapshotWriteError(
+            f"lost the manifest CAS {self.max_attempts} times in a row "
+            f"on {key} — pathological contention, back off and retry"
+        )
+
+    def sync_local(self, table_path: str) -> dict:
+        """Refresh the local mirror from the FRESH store copy, under the
+        same flock :class:`PosixSnapshotCommit` uses — so concurrent
+        same-host mirror writes serialize AND each one lands the latest
+        committed manifest (never its own possibly-already-stale copy:
+        re-reading inside the lock makes late mirrors converge instead
+        of regressing).  Also the refresh entry point for hosts that
+        only read a table other hosts write.  Returns the mirrored
+        manifest."""
+        import fcntl
+
+        os.makedirs(table_path, exist_ok=True)
+        fd = os.open(
+            _manifest_path(table_path) + ".lock", os.O_CREAT | os.O_RDWR, 0o644
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            data, _ = self.store.get(self._key(table_path))
+            man = (
+                json.loads(data.decode())
+                if data is not None
+                else {"current": 0, "snapshots": {}}
+            )
+            write_json_durable(_manifest_path(table_path), man)
+            return man
+        finally:
+            os.close(fd)
+
+
 def snapshot_dir(table_path: str, version: int) -> str:
     """Absolute path of the directory backing ``version`` — directory
     names are unique per write attempt (``v{N}-{uuid}``), so tooling and
@@ -1278,6 +1420,20 @@ def write_json_durable(target: str, obj) -> None:
         with os.fdopen(fd, "w") as f:
             json.dump(obj, f)
             f.flush()
+            # mkstemp creates 0600 and os.replace keeps the TEMP file's
+            # permissions — without this a previously world-readable
+            # manifest loses other-user read on its first rewrite.
+            # Preserve the existing target's mode; for a fresh file use
+            # the ordinary open() default (0666 through the umask).
+            try:
+                import stat
+
+                mode = stat.S_IMODE(os.stat(target).st_mode)
+            except FileNotFoundError:
+                um = os.umask(0)
+                os.umask(um)
+                mode = 0o666 & ~um
+            os.fchmod(f.fileno(), mode)
             os.fsync(f.fileno())
         os.replace(tmp, target)
     except BaseException:

@@ -1779,3 +1779,220 @@ def test_snapshot_stats_drift_gate_is_cumulative(spark, tmp_path):
     # Full rewrite resets the history: re-typing v is now allowed.
     retyped = base.selectExpr("p", "CAST(v AS STRING) AS v", "w", "id")
     assert mt.write_snapshot(retyped, table, part_col="p", stats_cols=["v"]) == 4
+
+
+# --------------------------------------------------------------------------
+# Conditional-put SnapshotCommit (the object-store reference impl): the
+# documented etag/if-match contract made executable, with a losing-writer
+# contention test — VERDICT r8 ask #5.
+# --------------------------------------------------------------------------
+
+
+def test_conditional_put_commit_end_to_end(spark, tmp_path):
+    """write -> merge -> read through the conditional-put protocol: the
+    store copy is the truth, the local mirror tracks it, and the normal
+    read path sees every committed version."""
+    import json
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    store = mt.EtagObjectStore()
+    commit = mt.ConditionalPutSnapshotCommit(store)
+    table = str(tmp_path / "condput")
+    schema = "id int, day string, v string"
+    df = spark.createDataFrame([(1, "d0", "a"), (2, "d1", "b")], schema)
+
+    assert mt.write_snapshot(df, table, part_col="day", commit=commit) == 1
+    upd = spark.createDataFrame([(2, "d1", "B"), (3, "d0", "c")], schema)
+    assert mt.merge_into_snapshot(upd, table, ["id"], commit=commit) == 2
+
+    # Store copy is the committed manifest; local mirror is identical.
+    data, etag = store.get(commit._key(table))
+    man = json.loads(data.decode())
+    assert man["current"] == 2 and set(man["snapshots"]) == {"1", "2"}
+    assert mt._load_manifest(table) == man
+    assert int(etag) >= 2  # one successful put per commit
+    # Normal read path (filesystem manifest + data dirs) sees v2.
+    got = {
+        (r.id, r.v) for r in mt.read_snapshot(spark, table, 2).collect()
+    }
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # Time travel to v1 is intact.
+    assert mt.read_snapshot(spark, table, 1).count() == 2
+
+
+def test_conditional_put_losing_writer_raises_cleanly(spark, tmp_path):
+    """Two writers race the SAME base version through the store: the one
+    that loses the CAS retries against the fresh manifest, finds its
+    base version gone, and raises ConcurrentSnapshotWriteError — no
+    orphan manifest entries, no torn state, loser's staged dir cleaned."""
+    import json
+    import os
+
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    store = mt.EtagObjectStore()
+    commit_a = mt.ConditionalPutSnapshotCommit(store)
+    commit_b = mt.ConditionalPutSnapshotCommit(store)
+    table = str(tmp_path / "condput_race")
+    schema = "id int, day string, v string"
+    df_a = spark.createDataFrame([(1, "d0", "A-wrote")], schema)
+    df_b = spark.createDataFrame([(9, "d0", "B-wrote")], schema)
+
+    # Interleave a REMOTE writer (B, its own commit instance — a remote
+    # host shares the store, not the flock) between A's manifest GET and
+    # A's conditional PUT.  B lands v1 first; A's put hits 412, retries,
+    # sees current == 1, and must lose cleanly.
+    def remote_writer_wins(key):
+        store.before_put = None  # B's own put must not re-trigger the hook
+        mt.write_snapshot(df_b, table, part_col="day", commit=commit_b)
+
+    store.before_put = remote_writer_wins
+    with pytest.raises(mt.ConcurrentSnapshotWriteError):
+        mt.write_snapshot(df_a, table, part_col="day", commit=commit_a)
+
+    data, _ = store.get(commit_a._key(table))
+    man = json.loads(data.decode())
+    assert man["current"] == 1 and list(man["snapshots"]) == ["1"]
+    assert mt._load_manifest(table) == man
+    # Winner's data only; the loser cleaned its staged dir on failure.
+    assert os.listdir(os.path.join(table, "snapshots")) == [
+        os.path.basename(mt.snapshot_dir(table, 1))
+    ]
+    assert {r.v for r in mt.read_snapshot(spark, table).collect()} == {"B-wrote"}
+    # The loser can retry against the new state and succeed as v2.
+    assert mt.write_snapshot(df_a, table, part_col="day", commit=commit_a) == 2
+
+
+def test_conditional_put_retry_succeeds_for_nonconflicting_mutate(tmp_path):
+    """A mutate that doesn't assert a base version survives losing the
+    CAS: the retry re-runs it against the fresh state and both writers'
+    effects land (exactly once each)."""
+    import json
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    store = mt.EtagObjectStore()
+    commit = mt.ConditionalPutSnapshotCommit(store)
+    table = str(tmp_path / "condput_merge")
+
+    def add_tag(tag):
+        def mutate(man):
+            man.setdefault("tags", []).append(tag)
+            return man
+        return mutate
+
+    def sneak_in_remote(key):
+        store.before_put = None
+        mt.ConditionalPutSnapshotCommit(store).commit_manifest(
+            table, add_tag("remote")
+        )
+
+    store.before_put = sneak_in_remote
+    man = commit.commit_manifest(table, add_tag("local"))
+    # Remote landed first; local's retry re-applied onto it — once.
+    assert man["tags"] == ["remote", "local"]
+    data, _ = store.get(commit._key(table))
+    assert json.loads(data.decode())["tags"] == ["remote", "local"]
+
+
+def test_conditional_put_two_thread_contention(spark, tmp_path):
+    """Two same-host threads race write_snapshot end-to-end: exactly one
+    v1 lands, the other raises ConcurrentSnapshotWriteError, and the
+    table is left clean and writable (one-must-lose, no orphans)."""
+    import os
+    import threading
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    store = mt.EtagObjectStore()
+    table = str(tmp_path / "condput_threads")
+    schema = "id int, day string, v string"
+    outcomes = {}
+    barrier = threading.Barrier(2)
+
+    def writer(tag):
+        df = spark.createDataFrame([(1, "d0", tag)], schema)
+        commit = mt.ConditionalPutSnapshotCommit(store)
+        barrier.wait()
+        try:
+            mt.write_snapshot(df, table, part_col="day", commit=commit)
+            outcomes[tag] = "won"
+        except mt.ConcurrentSnapshotWriteError:
+            outcomes[tag] = "lost"
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("t1", "t2")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert sorted(outcomes.values()) == ["lost", "won"]
+    man = mt._load_manifest(table)
+    assert man["current"] == 1 and list(man["snapshots"]) == ["1"]
+    assert os.listdir(os.path.join(table, "snapshots")) == [
+        os.path.basename(mt.snapshot_dir(table, 1))
+    ]
+    winner = [t for t, o in outcomes.items() if o == "won"][0]
+    assert {r.v for r in mt.read_snapshot(spark, table).collect()} == {winner}
+    # Table stays writable after the contention.
+    df3 = spark.createDataFrame([(2, "d1", "after")], schema)
+    assert (
+        mt.write_snapshot(
+            df3, table, part_col="day", commit=mt.ConditionalPutSnapshotCommit(store)
+        )
+        == 2
+    )
+
+
+def test_conditional_put_network_fault_leaves_old_version(spark, tmp_path):
+    """A network fault mid-PUT (neither a 412 nor a success) propagates;
+    the previously-committed manifest is untouched in the store AND the
+    mirror, and the table stays writable."""
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    store = mt.EtagObjectStore()
+    commit = mt.ConditionalPutSnapshotCommit(store)
+    table = str(tmp_path / "condput_fault")
+    schema = "id int, day string, v string"
+    df = spark.createDataFrame([(1, "d0", "a")], schema)
+    assert mt.write_snapshot(df, table, part_col="day", commit=commit) == 1
+
+    def explode(key):
+        store.before_put = None
+        raise OSError("simulated store outage")
+
+    store.before_put = explode
+    with pytest.raises(OSError, match="simulated store outage"):
+        mt.write_snapshot(df, table, part_col="day", commit=commit)
+    assert mt._load_manifest(table)["current"] == 1
+    assert mt.write_snapshot(df, table, part_col="day", commit=commit) == 2
+
+
+def test_conditional_put_sync_local_refreshes_reader_mirror(tmp_path):
+    """A host that only reads pulls the store manifest down with
+    sync_local; a deleted/stale mirror is restored byte-equal."""
+    import json
+    import os
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    store = mt.EtagObjectStore()
+    commit = mt.ConditionalPutSnapshotCommit(store)
+    table = str(tmp_path / "condput_sync")
+
+    def mutate(man):
+        man["current"] = 1
+        man["snapshots"]["1"] = {"dir": "snapshots/v1-deadbeef"}
+        return man
+
+    committed = commit.commit_manifest(table, mutate)
+    os.unlink(mt._manifest_path(table))  # simulate a fresh reader host
+    got = commit.sync_local(table)
+    assert got == committed
+    with open(mt._manifest_path(table)) as f:
+        assert json.load(f) == committed
