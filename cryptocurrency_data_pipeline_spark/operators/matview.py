@@ -81,10 +81,14 @@ def build_partials(
     state only, so partials re-aggregate without loss.  Money is
     quantized to integer cents at the leaf (floor(x*100)) — double sums
     are order-sensitive and would make increment-vs-full comparisons
-    flaky."""
+    flaky.  The quantization routes through :func:`quantize.cents` so a
+    NaN/Inf measure degrades to NULL instead of ANSI-aborting the
+    refresh job (matching the registry-wide contract)."""
+    from cryptocurrency_data_pipeline_spark.operators.quantize import cents
+
     return df.groupBy(part_col, *keys).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.floor(F.col(value_col) * 100).cast("long")).alias("sum_cents"),
+        F.sum(cents(value_col)).alias("sum_cents"),
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
         F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("distinct_sketch"),

@@ -29,6 +29,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cryptocurrency_data_pipeline_spark.operators import quantize
+
 
 class DQGateError(Exception):
     """Raised when constraint verification fails (pydeequ.py:133 parity)."""
@@ -73,9 +75,15 @@ def profile_plan(
         for c in completeness_cols:
             aggs.append(completeness(c).alias(f"Completeness({c})"))
         for c in numeric_cols:
+            # Moments (Mean/Stddev) over FINITE values only: one NaN in
+            # 100 TB would otherwise NaN-flood both, and the DuckDB
+            # oracle hard-errors on non-finite stddev input.  Min/Max
+            # stay raw — both engines order NaN above +Inf, so extreme
+            # rows surface there (which is what a profiler wants).
+            fin = F.when(quantize.finite(c), F.col(c).cast("double"))
             aggs += [
-                F.avg(c).alias(f"Mean({c})"),
-                F.stddev_pop(c).alias(f"StandardDeviation({c})"),
+                F.avg(fin).alias(f"Mean({c})"),
+                F.stddev_pop(fin).alias(f"StandardDeviation({c})"),
                 F.min(c).cast("double").alias(f"Minimum({c})"),
                 F.max(c).cast("double").alias(f"Maximum({c})"),
             ]
@@ -98,10 +106,13 @@ def profile_plan(
         partials.append(F.count(F.col(c)).alias(f"__nn_{c}"))
     for c in numeric_cols:
         d = F.col(c).cast("double")
+        # Moment partials over FINITE values only (same contract as the
+        # single-agg path above); min/max partials stay raw.
+        fin = F.when(quantize.finite(c), d)
         partials += [
-            F.count(F.col(c)).alias(f"__n_{c}"),
-            F.sum(d).alias(f"__s_{c}"),
-            F.sum(d * d).alias(f"__s2_{c}"),
+            F.count(fin).alias(f"__n_{c}"),
+            F.sum(fin).alias(f"__s_{c}"),
+            F.sum(fin * fin).alias(f"__s2_{c}"),
             F.min(d).alias(f"__min_{c}"),
             F.max(d).alias(f"__max_{c}"),
         ]
@@ -286,7 +297,13 @@ def equi_width_histogram(df, col: str, k: int = 20):
     is engine-reproducible (sums/means of doubles are order-sensitive
     and belong in ``profile()``'s rounded metrics instead).  A constant
     column collapses to bucket 0 rather than dividing by zero.
+
+    Finite values only: a single NaN/Inf would make BOTH bounds
+    non-finite, turning every bucket expression NaN and collapsing the
+    whole histogram into one garbage bucket — degrade by exclusion
+    instead (they remain visible in ``profile()``'s raw Min/Max).
     """
+    df = df.where(quantize.finite(col))
     bounds = df.agg(
         F.min(F.col(col)).cast("double").alias("mn"),
         F.max(F.col(col)).cast("double").alias("mx"),

@@ -82,6 +82,32 @@ CAND_TEMPLATE = r'''{cand} AS (
     )'''
 
 
+def finite_sql(expr: str) -> str:
+    """DuckDB mirror of ``operators/quantize.py:finite``: true iff
+    finite, NULL for NULL — so ``WHERE {finite_sql(x)}`` drops NULL /
+    NaN / ±Inf identically on both engines."""
+    return f"isfinite({expr})"
+
+
+def cents_sql(expr: str, scale: int = 100) -> str:
+    """DuckDB mirror of ``operators/quantize.py:cents``: NaN / ±Inf /
+    int64-overflow magnitudes -> NULL, else ``floor(expr * scale)`` as
+    BIGINT.  Both engines compare ``abs(expr)`` against the SAME double
+    literal (``repr`` round-trips exactly), so the NULL sets are
+    bit-identical.  ``expr`` may be any numeric SQL expression; it is
+    referenced three times, so side-effect-free only (always true of
+    column refs / arithmetic).  Pinned by tests/test_registry_lint.py:
+    every floor-cents site in an oracle must carry this guard.
+    """
+    from cryptocurrency_data_pipeline_spark.operators.quantize import quantize_limit
+
+    lim = repr(quantize_limit(scale))
+    return (
+        f"CASE WHEN isnan({expr}) OR abs({expr}) >= {lim} THEN NULL "
+        f"ELSE CAST(floor({expr} * {scale}) AS BIGINT) END"
+    )
+
+
 #: RE2 whitespace class matching Java's \s EXACTLY (RE2's own \s lacks
 #: the vertical tab).  Every oracle tokenization/normalization regex
 #: must use this text, never a bare \s — pinned by

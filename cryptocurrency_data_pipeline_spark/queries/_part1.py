@@ -17,7 +17,10 @@ from pyspark.sql import functions as F  # noqa: F401
 
 from cryptocurrency_data_pipeline_spark.operators import silver  # noqa: F401
 from cryptocurrency_data_pipeline_spark.operators.caching import track  # noqa: F401
+from cryptocurrency_data_pipeline_spark.operators.quantize import cents, finite  # noqa: F401
 from cryptocurrency_data_pipeline_spark.queries._fragments import (  # noqa: F401
+    cents_sql,
+    finite_sql,
     minhash_bands_cte,
     minhash_cand_cte,
     minhash_sig_ctes,
@@ -230,21 +233,25 @@ def window_user_deltas(spark, sf_dir):
 
 @query(
     "dq_profile_lineitem",
-    oracle="""
+    # Moments over FINITE values only (operators/quality.py contract —
+    # one NaN row must degrade the metric, not NaN-flood or kill it).
+    oracle=f"""
     SELECT 'Dataset' AS entity, '*' AS instance, 'Size' AS name,
            CAST(count(*) AS DOUBLE) AS value FROM lineitem
     UNION ALL SELECT 'Column', 'l_quantity', 'Completeness',
            round(CAST(count(l_quantity) AS DOUBLE) / count(*), 6) FROM lineitem
     UNION ALL SELECT 'Column', 'l_extendedprice', 'Completeness',
            round(CAST(count(l_extendedprice) AS DOUBLE) / count(*), 6) FROM lineitem
-    UNION ALL SELECT 'Column', 'l_quantity', 'Mean', round(avg(l_quantity), 6) FROM lineitem
+    UNION ALL SELECT 'Column', 'l_quantity', 'Mean',
+           round(avg(CASE WHEN {finite_sql('l_quantity')} THEN l_quantity END), 6) FROM lineitem
     UNION ALL SELECT 'Column', 'l_quantity', 'StandardDeviation',
-           round(stddev_pop(l_quantity), 6) FROM lineitem
+           round(stddev_pop(CASE WHEN {finite_sql('l_quantity')} THEN l_quantity END), 6) FROM lineitem
     UNION ALL SELECT 'Column', 'l_quantity', 'Minimum', round(min(l_quantity), 6) FROM lineitem
     UNION ALL SELECT 'Column', 'l_quantity', 'Maximum', round(max(l_quantity), 6) FROM lineitem
-    UNION ALL SELECT 'Column', 'l_extendedprice', 'Mean', round(avg(l_extendedprice), 6) FROM lineitem
+    UNION ALL SELECT 'Column', 'l_extendedprice', 'Mean',
+           round(avg(CASE WHEN {finite_sql('l_extendedprice')} THEN l_extendedprice END), 6) FROM lineitem
     UNION ALL SELECT 'Column', 'l_extendedprice', 'StandardDeviation',
-           round(stddev_pop(l_extendedprice), 6) FROM lineitem
+           round(stddev_pop(CASE WHEN {finite_sql('l_extendedprice')} THEN l_extendedprice END), 6) FROM lineitem
     UNION ALL SELECT 'Column', 'l_extendedprice', 'Minimum', round(min(l_extendedprice), 6) FROM lineitem
     UNION ALL SELECT 'Column', 'l_extendedprice', 'Maximum', round(max(l_extendedprice), 6) FROM lineitem
     """,
@@ -1156,10 +1163,10 @@ def cube_event_stats(spark, sf_dir):
 
 @query(
     "tumbling_hourly_stats",
-    oracle="""
+    oracle=f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, count(*) AS n_events,
-           CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+           CAST(sum({cents_sql('value', 10000)}) AS BIGINT)
              AS sum_value_scaled
     FROM events WHERE ts IS NOT NULL
     GROUP BY date_trunc('hour', ts), event_type
@@ -1177,7 +1184,7 @@ def tumbling_hourly_stats(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.floor(F.col("value") * 10000).cast("long"))
+            F.sum(cents("value", 10000))
             .cast("long")
             .alias("sum_value_scaled"),
         )
@@ -1654,19 +1661,23 @@ def event_type_daily_pivot(spark, sf_dir):
 
 @query(
     "order_price_percentiles",
-    oracle="""
+    # Percentiles over FINITE prices only (NaN/Inf carry no rank
+    # information and the engines disagree on their placement); n stays
+    # count(*) so the degraded rows remain visible in the group size.
+    oracle=f"""
     SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
-           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
-           round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+           round(quantile_cont(CASE WHEN {finite_sql('o_totalprice')} THEN o_totalprice END, 0.25), 4) AS p25,
+           round(quantile_cont(CASE WHEN {finite_sql('o_totalprice')} THEN o_totalprice END, 0.50), 4) AS p50,
+           round(quantile_cont(CASE WHEN {finite_sql('o_totalprice')} THEN o_totalprice END, 0.75), 4) AS p75,
+           round(quantile_cont(CASE WHEN {finite_sql('o_totalprice')} THEN o_totalprice END, 0.90), 4) AS p90,
            count(*) AS n
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def order_price_percentiles(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
-    pct = F.percentile("o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9)]))
+    fin_price = F.when(finite("o_totalprice"), F.col("o_totalprice"))
+    pct = F.percentile(fin_price, F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9)]))
     return orders.groupBy("o_orderpriority").agg(
         F.round(pct[0], 4).alias("p25"),
         F.round(pct[1], 4).alias("p50"),
@@ -1741,12 +1752,12 @@ def local_supplier_volume(spark, sf_dir):
 
 @query(
     "volume_shipping_nation_pairs",
-    oracle="""
+    oracle=f"""
     SELECT sn.n_name AS supp_nation,
            cn.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INT) AS l_year,
-           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
-             AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)')})
+             AS BIGINT) AS revenue_cents,
            count(*) AS n_lineitems
     FROM lineitem
     JOIN orders    ON l_orderkey = o_orderkey
@@ -1789,11 +1800,7 @@ def volume_shipping_nation_pairs(spark, sf_dir):
             # Cents-quantized per row BEFORE the sum: double summation is
             # order-sensitive across engines and round(,2) can land on
             # opposite sides of a .005 boundary; integer cents are exact.
-            F.sum(
-                F.floor(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                ).cast("long")
-            )
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
             .cast("long")
             .alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_lineitems"),
@@ -1810,10 +1817,10 @@ def volume_shipping_nation_pairs(spark, sf_dir):
 
 @query(
     "returned_item_top_customers",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name,
-           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
-             AS BIGINT)) AS BIGINT) AS revenue_lost_cents,
+           CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)')})
+             AS BIGINT) AS revenue_lost_cents,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -1835,11 +1842,7 @@ def returned_item_top_customers(spark, sf_dir):
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.sum(
-                F.floor(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                ).cast("long")
-            )
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
             .cast("long")
             .alias("revenue_lost_cents"),
             F.count(F.lit(1)).alias("n_items"),
@@ -2262,13 +2265,13 @@ def urgent_only_customers(spark, sf_dir):
 
 @query(
     "value_zscore_anomalies",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT user_id, event_id, value,
              avg(value) OVER (PARTITION BY user_id) AS mu,
              stddev_samp(value) OVER (PARTITION BY user_id) AS sd,
              count(*) OVER (PARTITION BY user_id) AS n
-      FROM events
+      FROM events WHERE {finite_sql('value')}
     )
     SELECT user_id, event_id, round(value, 6) AS value,
            round((value - mu) / sd, 6) AS zscore
@@ -2277,7 +2280,9 @@ def urgent_only_customers(spark, sf_dir):
     """,
 )
 def value_zscore_anomalies(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
+    # Finite values only: a NaN value would otherwise NaN-flood mu/sd
+    # for the whole user (and DuckDB's stddev hard-errors on it).
+    ev = t(spark, sf_dir, "events").filter(finite("value"))
     w = Window.partitionBy("user_id")
     scored = ev.select(
         "user_id",

@@ -17,7 +17,10 @@ from pyspark.sql import functions as F  # noqa: F401
 
 from cryptocurrency_data_pipeline_spark.operators import silver  # noqa: F401
 from cryptocurrency_data_pipeline_spark.operators.caching import track  # noqa: F401
+from cryptocurrency_data_pipeline_spark.operators.quantize import cents, finite  # noqa: F401
 from cryptocurrency_data_pipeline_spark.queries._fragments import (  # noqa: F401
+    cents_sql,
+    finite_sql,
     minhash_bands_cte,
     minhash_cand_cte,
     minhash_sig_ctes,
@@ -149,23 +152,32 @@ def hll_weekly_users(spark, sf_dir):
 
 @query(
     "lineitem_price_qty_stats",
-    oracle="""
+    # Moments over FINITE values only — pairwise for corr/covar (a row
+    # enters only when BOTH measures are finite, the same null-pair rule
+    # both engines already apply); n stays count(*).
+    oracle=f"""
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov,
-           round(stddev_samp(l_discount), 6) AS discount_sd,
-           round(stddev_pop(l_discount), 6) AS discount_sd_pop,
+           round(corr(CASE WHEN {finite_sql('l_quantity')} AND {finite_sql('l_extendedprice')} THEN l_quantity END,
+                      CASE WHEN {finite_sql('l_quantity')} AND {finite_sql('l_extendedprice')} THEN l_extendedprice END), 6) AS qty_price_corr,
+           round(covar_samp(CASE WHEN {finite_sql('l_quantity')} AND {finite_sql('l_extendedprice')} THEN l_quantity END,
+                            CASE WHEN {finite_sql('l_quantity')} AND {finite_sql('l_extendedprice')} THEN l_extendedprice END), 4) AS qty_price_cov,
+           round(stddev_samp(CASE WHEN {finite_sql('l_discount')} THEN l_discount END), 6) AS discount_sd,
+           round(stddev_pop(CASE WHEN {finite_sql('l_discount')} THEN l_discount END), 6) AS discount_sd_pop,
            count(*) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def lineitem_price_qty_stats(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
+    pair_ok = finite("l_quantity") & finite("l_extendedprice")
+    q_fin = F.when(pair_ok, F.col("l_quantity"))
+    p_fin = F.when(pair_ok, F.col("l_extendedprice"))
+    d_fin = F.when(finite("l_discount"), F.col("l_discount"))
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
-        F.round(F.stddev_samp("l_discount"), 6).alias("discount_sd"),
-        F.round(F.stddev_pop("l_discount"), 6).alias("discount_sd_pop"),
+        F.round(F.corr(q_fin, p_fin), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp(q_fin, p_fin), 4).alias("qty_price_cov"),
+        F.round(F.stddev_samp(d_fin), 6).alias("discount_sd"),
+        F.round(F.stddev_pop(d_fin), 6).alias("discount_sd_pop"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -754,7 +766,9 @@ def bloom_pruned_building_orders(spark, sf_dir):
 
 @query(
     "approx_price_quantile_sketch",
-    oracle="""
+    # Finite prices only (NULL/NaN/Inf carry no rank): n counts the
+    # usable measures, mirrored on both sides.
+    oracle=f"""
     SELECT o_orderpriority,
            round(quantile_cont(o_totalprice, 0.50), 4) AS p50_exact,
            round(quantile_cont(o_totalprice, 0.90), 4) AS p90_exact,
@@ -763,14 +777,18 @@ def bloom_pruned_building_orders(spark, sf_dir):
            TRUE AS p50_rank_ok,
            TRUE AS p90_rank_ok,
            TRUE AS p99_rank_ok
-    FROM orders GROUP BY o_orderpriority
+    FROM orders WHERE {finite_sql('o_totalprice')} GROUP BY o_orderpriority
     """,
 )
 def approx_price_quantile_sketch(spark, sf_dir):
     accuracy = 10_000
     ps = [0.50, 0.90, 0.99]
     fracs = F.array(*[F.lit(p) for p in ps])
-    orders = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .filter(finite("o_totalprice"))
+    )
     sketch = orders.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", fracs, F.lit(accuracy)).alias(
             "__approx"
@@ -1664,15 +1682,19 @@ def _zorder_sql_terms(cols: list[str], bits: int = 16) -> str:
     # agg), interleave to a Morton key, and report the per-bucket min/max
     # envelope a parquet footer would carry — the data-skipping evidence.
     oracle=f"""
-    WITH stats AS (
+    WITH ev AS (
+      -- finite values only: min/max scaling is undefined off a NaN/Inf
+      -- envelope (and would NaN every scaled coordinate)
+      SELECT user_id, value FROM events WHERE {finite_sql('value')}
+    ), stats AS (
       SELECT min(user_id) AS umin, max(user_id) AS umax,
              min(value) AS vmin, max(value) AS vmax
-      FROM events
+      FROM ev
     ), scaled AS (
       SELECT user_id, value,
              least(65535, CAST(floor(((CAST(user_id AS DOUBLE) - umin) / (umax - umin)) * 65536.0) AS BIGINT)) AS su,
              least(65535, CAST(floor(((value - vmin) / (vmax - vmin)) * 65536.0) AS BIGINT)) AS sv
-      FROM events, stats
+      FROM ev, stats
     ), keyed AS (
       SELECT user_id, value, ({_zorder_sql_terms(['su', 'sv'])}) AS z
       FROM scaled
@@ -1692,7 +1714,11 @@ def zorder_events_locality(spark, sf_dir):
     bit math, one bucket rollup."""
     from cryptocurrency_data_pipeline_spark.operators.maintenance import zorder_key
 
-    ev = t(spark, sf_dir, "events").select("user_id", "value")
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .filter(finite("value"))  # NaN/Inf break min/max scaling
+    )
     stats = ev.agg(
         F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
         F.min("value").alias("vmin"), F.max("value").alias("vmax"),
@@ -1807,11 +1833,11 @@ def doc_char_entropy(spark, sf_dir):
 
 @query(
     "rolling_7d_user_value",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
            CAST(count(*) OVER w AS BIGINT) AS n_7d,
-           CAST(sum(CAST(floor(value * 10000) AS BIGINT)) OVER w AS BIGINT)
+           CAST(sum({cents_sql('value', 10000)}) OVER w AS BIGINT)
              AS sum_7d_scaled
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -1845,7 +1871,7 @@ def rolling_7d_user_value(spark, sf_dir):
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.count(F.lit(1)).over(w).alias("n_7d"),
-        F.sum(F.floor(F.col("value") * 10000).cast("long"))
+        F.sum(cents("value", 10000))
         .over(w)
         .cast("long")
         .alias("sum_7d_scaled"),
@@ -1858,7 +1884,7 @@ def rolling_7d_user_value(spark, sf_dir):
     # quality score to 100 buckets, cumulative tokens over buckets from
     # best down, keep while under half the corpus tokens. The only
     # ordered structure is the ~100-row bucket rollup.
-    oracle=r"""
+    oracle=rf"""
     WITH toked AS (
       SELECT *, coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                      t -> t <> ''), []) AS toks
@@ -1875,7 +1901,7 @@ def rolling_7d_user_value(spark, sf_dir):
              ) / 3.0 END, 6) AS q
       FROM toked
     ), buckets AS (
-      SELECT CAST(floor(q * 100) AS BIGINT) AS qbucket,
+      SELECT {cents_sql('q')} AS qbucket,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n_toks) AS BIGINT) AS n_tokens
       FROM tk GROUP BY qbucket
@@ -1902,7 +1928,7 @@ def token_budget_curriculum(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     per_doc = docs.select(
-        F.floor(F.round(textops.quality_score("text"), 6) * 100).alias("qbucket"),
+        cents(F.round(textops.quality_score("text"), 6)).alias("qbucket"),
         textops.token_count("text").alias("n_toks"),
     )
     buckets = per_doc.groupBy("qbucket").agg(
@@ -2309,12 +2335,17 @@ def cross_source_dup_audit(spark, sf_dir):
     "winsorized_event_stats",
     # Outlier-robust feature stats: clamp to per-group exact [p01, p99]
     # (linear-interpolated percentiles), then aggregate.
-    oracle="""
-    WITH b AS (
+    oracle=f"""
+    WITH ev AS (
+      -- finite values only: a NaN/Inf is unclampable (no magnitude) and
+      -- would poison the percentile bounds — it is DLQ material, not a
+      -- winsorization input
+      SELECT event_type, value FROM events WHERE {finite_sql('value')}
+    ), b AS (
       SELECT event_type,
              quantile_cont(value, 0.01) AS p01,
              quantile_cont(value, 0.99) AS p99
-      FROM events GROUP BY event_type
+      FROM ev GROUP BY event_type
     )
     SELECT e.event_type,
            CAST(count(*) AS BIGINT) AS n,
@@ -2323,7 +2354,7 @@ def cross_source_dup_audit(spark, sf_dir):
            round(max(least(greatest(e.value, b.p01), b.p99)), 6) AS wins_max,
            CAST(sum(CASE WHEN e.value < b.p01 OR e.value > b.p99
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
-    FROM events e JOIN b USING (event_type)
+    FROM ev e JOIN b USING (event_type)
     GROUP BY e.event_type
     """,
 )
@@ -2332,7 +2363,7 @@ def winsorized_event_stats(spark, sf_dir):
     percentiles in one grouped pass, broadcast back onto the scan, clamp
     and re-aggregate — two shuffles on the same small group key, raw
     values never leave their partition unclamped."""
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(finite("value"))
     bounds = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.01)).alias("p01"),
         F.percentile("value", F.lit(0.99)).alias("p99"),
@@ -2575,18 +2606,22 @@ def lang_id_confusion(spark, sf_dir):
     "mad_outlier_events",
     # Robust outliers: |value - median| > 5 * MAD per event type, both
     # statistics exact interpolated percentiles.
-    oracle="""
-    WITH med AS (
+    oracle=f"""
+    WITH ev AS (
+      -- finite values only: NaN/Inf would shift the exact medians and
+      -- flag themselves with a meaningless score — DLQ material
+      SELECT event_id, event_type, value FROM events WHERE {finite_sql('value')}
+    ), med AS (
       SELECT event_type, quantile_cont(value, 0.5) AS m
-      FROM events GROUP BY event_type
+      FROM ev GROUP BY event_type
     ), mad AS (
       SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS d
-      FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+      FROM ev e JOIN med USING (event_type) GROUP BY e.event_type
     )
     SELECT e.event_id, e.event_type,
            round(e.value, 6) AS value,
            round(abs(e.value - med.m) / mad.d, 6) AS mad_score
-    FROM events e
+    FROM ev e
     JOIN med USING (event_type) JOIN mad USING (event_type)
     WHERE abs(e.value - med.m) > 5 * mad.d
     """,
@@ -2596,7 +2631,7 @@ def mad_outlier_events(spark, sf_dir):
     alternative to z-scores (median/MAD are unmoved by the outliers they
     hunt). Two grouped exact-percentile passes over the same key, both
     results broadcast back onto the scan; no full-data window."""
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(finite("value"))
     med = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("m")
     )

@@ -19,6 +19,8 @@ from cryptocurrency_data_pipeline_spark.operators.caching import track  # noqa: 
 from cryptocurrency_data_pipeline_spark.queries._fragments import (  # noqa: F401
     minhash_sig_ctes,
 )
+from cryptocurrency_data_pipeline_spark.operators.quantize import finite  # noqa: F401
+from cryptocurrency_data_pipeline_spark.queries._fragments import finite_sql  # noqa: F401
 from cryptocurrency_data_pipeline_spark.queries._registry import query, t  # noqa: F401
 from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa: F401
 
@@ -1216,12 +1218,12 @@ def lsh_band_tuning(spark, sf_dir):
 
 @query(
     "grouped_ewma_user_value",
-    oracle="""
+    oracle=f"""
     WITH ordered AS (
       SELECT user_id,
              list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
       FROM events
-      WHERE user_id < 100 AND ts IS NOT NULL AND value IS NOT NULL
+      WHERE user_id < 100 AND ts IS NOT NULL AND {finite_sql('value')}
       GROUP BY user_id
     )
     SELECT user_id,
@@ -1237,14 +1239,12 @@ def grouped_ewma_user_value(spark, sf_dir):
         ewma_last_by_key,
     )
 
-    # The recursion is defined over OBSERVED points: a NULL value would
-    # poison the fold as NaN, and a NULL ts has no position in the order
-    # (the engines place NULL sort keys on opposite ends) — both are
-    # excluded identically on both sides.
+    # The recursion is defined over OBSERVED points: a NULL/NaN/Inf
+    # value would poison the fold as NaN, and a NULL ts has no position
+    # in the order (the engines place NULL sort keys on opposite ends) —
+    # all excluded identically on both sides.
     ev = t(spark, sf_dir, "events").where(
-        (F.col("user_id") < 100)
-        & F.col("ts").isNotNull()
-        & F.col("value").isNotNull()
+        (F.col("user_id") < 100) & F.col("ts").isNotNull() & finite("value")
     )
     out = ewma_last_by_key(
         ev.select("user_id", "ts", "event_id", "value"),
@@ -1576,11 +1576,15 @@ def boilerplate_segment_stats(spark, sf_dir):
 
 @query(
     "events_value_histogram",
-    oracle="""
-    WITH bounds AS (
+    # Finite values only (equi_width_histogram contract): one NaN/Inf
+    # would poison both bounds and collapse every bucket expression.
+    oracle=f"""
+    WITH ev AS (
+      SELECT value FROM events WHERE {finite_sql('value')}
+    ), bounds AS (
       SELECT CAST(min(value) AS DOUBLE) AS mn,
              CAST(max(value) AS DOUBLE) AS mx
-      FROM events
+      FROM ev
     )
     SELECT CAST(CASE WHEN mx = mn THEN 0
                 ELSE least(19, floor((value - mn) / ((mx - mn) / 20.0)))
@@ -1588,7 +1592,7 @@ def boilerplate_segment_stats(spark, sf_dir):
            count(*) AS n,
            round(min(value), 6) AS lo,
            round(max(value), 6) AS hi
-    FROM events, bounds
+    FROM ev, bounds
     GROUP BY bucket
     """,
 )

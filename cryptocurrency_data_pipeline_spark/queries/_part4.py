@@ -16,6 +16,8 @@ from pyspark.sql import functions as F  # noqa: F401
 
 from cryptocurrency_data_pipeline_spark.operators import silver  # noqa: F401
 from cryptocurrency_data_pipeline_spark.operators.caching import track  # noqa: F401
+from cryptocurrency_data_pipeline_spark.operators.quantize import cents  # noqa: F401
+from cryptocurrency_data_pipeline_spark.queries._fragments import cents_sql  # noqa: F401
 from cryptocurrency_data_pipeline_spark.queries._registry import query, t  # noqa: F401
 from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa: F401
 
@@ -1071,10 +1073,10 @@ def t_closeness_audit(spark, sf_dir):
 
 @query(
     "user_value_trend",
-    oracle="""
+    oracle=f"""
     WITH seq AS (
       SELECT user_id,
-             CAST(floor(value * 100) AS BIGINT) AS y,
+             {cents_sql('value')} AS y,
              row_number() OVER (
                PARTITION BY user_id ORDER BY ts, event_id) - 1 AS x
       FROM events WHERE value IS NOT NULL
@@ -1112,7 +1114,7 @@ def user_value_trend(spark, sf_dir):
         .where(F.col("value").isNotNull())
         .select(
             "user_id",
-            F.floor(F.col("value") * 100).cast("long").alias("y"),
+            cents("value").alias("y"),
             (F.row_number().over(w) - 1).cast("long").alias("x"),
         )
     )
@@ -1172,9 +1174,9 @@ _BENFORD_P = {
     "benford_value_audit",
     oracle=f"""
     WITH cents AS (
-      SELECT CAST(floor(abs(value) * 100) AS BIGINT) AS y
+      SELECT {cents_sql('abs(value)')} AS y
       FROM events WHERE value IS NOT NULL
-        AND CAST(floor(abs(value) * 100) AS BIGINT) > 0
+        AND {cents_sql('abs(value)')} > 0
     ), digits AS (
       SELECT CAST(substr(CAST(y AS VARCHAR), 1, 1) AS INT) AS digit,
              count(*) AS n
@@ -1195,15 +1197,15 @@ _BENFORD_P = {
 def benford_value_audit(spark, sf_dir):
     """First-digit (Benford) audit of event values quantized to cents:
     per-digit observed vs expected proportion and absolute deviation."""
-    y = F.floor(F.abs(F.col("value")) * 100).cast("long")
-    cents = (
+    y = cents(F.abs(F.col("value")))
+    cents_df = (
         t(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
         .select(y.alias("y"))
         .where(F.col("y") > 0)
     )
     digits = (
-        cents.select(
+        cents_df.select(
             F.substring(F.col("y").cast("string"), 1, 1).cast("int").alias("digit")
         )
         .groupBy("digit")

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F  # noqa: F401
 
 from cryptocurrency_data_pipeline_spark.operators import silver  # noqa: F401
 from cryptocurrency_data_pipeline_spark.operators.caching import track  # noqa: F401
+from cryptocurrency_data_pipeline_spark.operators.quantize import cents, finite  # noqa: F401
+from cryptocurrency_data_pipeline_spark.queries._fragments import cents_sql, finite_sql  # noqa: F401
 from cryptocurrency_data_pipeline_spark.queries._registry import query, t  # noqa: F401
 from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa: F401
 
@@ -47,7 +49,7 @@ def _orders_merged_snapshot(spark, sf_dir, purpose):
     snap = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        cents("o_totalprice").alias("price_cents"),
     )
     key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
     updates = (
@@ -95,12 +97,12 @@ def _orders_merged_snapshot(spark, sf_dir, purpose):
 
 @query(
     "rfm_customer_segments",
-    oracle="""
+    oracle=f"""
     WITH per AS (
       SELECT o_custkey AS ck,
              max(o_orderdate) AS last_order,
              count(*) AS freq,
-             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             CAST(sum({cents_sql('o_totalprice')})
                AS BIGINT) AS cents
       FROM orders GROUP BY o_custkey
     ), scored AS (
@@ -132,7 +134,7 @@ def rfm_customer_segments(spark, sf_dir):
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("freq"),
-            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            F.sum(cents("o_totalprice"))
             .cast("long")
             .alias("cents"),
         )
@@ -389,16 +391,16 @@ def media_triage_rollup(spark, sf_dir):
 
 @query(
     "user_value_changepoint",
-    oracle="""
+    oracle=f"""
     WITH seq AS (
       SELECT user_id,
-             CAST(floor(value * 100) AS BIGINT) AS y,
+             {cents_sql('value')} AS y,
              row_number() OVER w AS i,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER
+             CAST(sum({cents_sql('value')}) OVER
                (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_i,
              count(*) OVER (PARTITION BY user_id) AS n,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER
+             CAST(sum({cents_sql('value')}) OVER
                (PARTITION BY user_id) AS BIGINT) AS s_n
       FROM events WHERE value IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -430,7 +432,7 @@ def user_value_changepoint(spark, sf_dir):
             "user_id",
             "ts",
             "event_id",
-            F.floor(F.col("value") * 100).cast("long").alias("y"),
+            cents("value").alias("y"),
         )
         .select(
             "user_id",
@@ -798,10 +800,10 @@ def lexical_richness_report(spark, sf_dir):
 
 @query(
     "hourly_seasonal_outliers",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
       SELECT CAST(extract(hour FROM ts) AS INT) AS hod,
-             CAST(floor(value * 100) AS BIGINT) AS cents
+             {cents_sql('value')} AS cents
       FROM events WHERE value IS NOT NULL
     ), base AS (
       SELECT hod, count(*) AS n_h,
@@ -825,7 +827,7 @@ def hourly_seasonal_outliers(spark, sf_dir):
         .where(F.col("value").isNotNull())
         .select(
             F.hour("ts").alias("hod"),
-            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            cents("value").alias("cents"),
         )
     )
     base = ev.groupBy("hod").agg(
@@ -927,10 +929,10 @@ def event_gap_histogram(spark, sf_dir):
 
 @query(
     "value_concentration_gini",
-    oracle="""
+    oracle=f"""
     WITH per AS (
       SELECT user_id,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum({cents_sql('value')}) AS BIGINT)
                AS cents
       FROM events WHERE value IS NOT NULL GROUP BY user_id
     ), ranked AS (
@@ -966,7 +968,7 @@ def value_concentration_gini(spark, sf_dir):
         .where(F.col("value").isNotNull())
         .groupBy("user_id")
         .agg(
-            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            F.sum(cents("value"))
             .cast("long")
             .alias("cents")
         )
@@ -1023,16 +1025,16 @@ def value_concentration_gini(spark, sf_dir):
 
 @query(
     "exact_rank_quantiles_by_type",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
       SELECT event_type,
-             CAST(floor(value * 100) AS BIGINT) AS cents,
+             {cents_sql('value')} AS cents,
              event_id,
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY CAST(floor(value * 100) AS BIGINT),
+                                ORDER BY {cents_sql('value')},
                                          event_id) AS r,
              count(*) OVER (PARTITION BY event_type) AS n
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE {finite_sql('value')}
     )
     SELECT event_type,
            CAST(max(n) AS BIGINT) AS n_events,
@@ -1055,10 +1057,10 @@ def exact_rank_quantiles_by_type(spark, sf_dir):
 
     ev = with_grouped_ranks(
         t(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
+        .where(finite("value"))  # rank space over finite measures only
         .select(
             "event_type",
-            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            cents("value").alias("cents"),
             "event_id",
         ),
         ["event_type"],
@@ -1209,14 +1211,14 @@ def table_time_travel_diff(spark, sf_dir):
 
 @query(
     "salted_event_type_stats",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum({cents_sql('value')}) AS BIGINT)
              AS total_cents,
-           CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(min({cents_sql('value')}) AS BIGINT)
              AS min_cents,
-           CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(max({cents_sql('value')}) AS BIGINT)
              AS max_cents
     FROM events WHERE value IS NOT NULL
     GROUP BY event_type
@@ -1232,14 +1234,17 @@ def salted_event_type_stats(spark, sf_dir):
         .where(F.col("value").isNotNull())
         .select(
             "event_type",
-            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            cents("value").alias("cents"),
+            # count(*) carrier: `cents` is NULL for NaN/Inf measures
+            # (quantize contract) and count(cents) would undercount
+            F.lit(1).alias("__one"),
         )
     )
     out = salted_agg(
         ev,
         ["event_type"],
         {
-            "n_events": ("cents", "count"),
+            "n_events": ("__one", "count"),
             "total_cents": ("cents", "sum"),
             "min_cents": ("cents", "min"),
             "max_cents": ("cents", "max"),
@@ -1264,10 +1269,10 @@ def salted_event_type_stats(spark, sf_dir):
 
 @query(
     "salted_join_segment_revenue",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
            count(*) AS n_orders,
-           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum({cents_sql('o_totalprice')}) AS BIGINT)
              AS total_cents
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
@@ -1280,7 +1285,7 @@ def salted_join_segment_revenue(spark, sf_dir):
 
     orders = t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey"),
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        cents("o_totalprice").alias("cents"),
     )
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = salted_join(orders, cust, "c_custkey", n_salts=8)
@@ -1302,14 +1307,14 @@ def salted_join_segment_revenue(spark, sf_dir):
 
 @query(
     "props_json_extraction_stats",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            -- try_cast mirrors get_json_object: malformed JSON is NULL,
            -- never an error (one bad payload must not kill the rollup)
            CAST(floor(try_cast(try_cast(props AS JSON)->>'k' AS INTEGER) / 10)
              AS INT) AS k_decile,
            count(*) AS n_events,
-           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum({cents_sql('value')}) AS BIGINT)
              AS total_cents,
            count(DISTINCT user_id) AS n_users
     FROM events WHERE value IS NOT NULL
@@ -1332,7 +1337,7 @@ def props_json_extraction_stats(spark, sf_dir):
             )
             .cast("int")
             .alias("k_decile"),
-            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            cents("value").alias("cents"),
             "user_id",
         )
     )
@@ -1448,10 +1453,10 @@ def schema_drift_report(spark, sf_dir):
 
 @query(
     "stats_pruned_scan",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum({cents_sql('o_totalprice')}) AS BIGINT)
              AS total_cents
     FROM orders
     WHERE o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
@@ -1486,7 +1491,7 @@ def stats_pruned_scan(spark, sf_dir):
     )
     return pruned.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        F.sum(cents("o_totalprice"))
         .cast("long")
         .alias("total_cents"),
     )
@@ -1508,10 +1513,10 @@ def stats_pruned_scan(spark, sf_dir):
 
 @query(
     "mergeable_sketch_rollup",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            count(*) AS n_rows,
-           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(sum({cents_sql('value')}) AS BIGINT) AS sum_cents,
            round(min(value), 6) AS min_value,
            round(max(value), 6) AS max_value,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
@@ -1756,7 +1761,9 @@ def pseudonymized_join_integrity(spark, sf_dir):
              -- the edge bin, not overflow the INT cast)
              CAST(floor(LEAST(49.0, GREATEST(0.0, value / 20.0))) AS INT) AS bin,
              count(*) AS n
-      FROM events WHERE value IS NOT NULL
+      -- mirrors build_histogram_partials: NaN rows are excluded (no bin
+      -- arithmetic), +/-Inf clamp into the edge bins like any outlier
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
       GROUP BY 1, 2
     ),
     c AS (
@@ -1854,10 +1861,10 @@ def dp_noisy_segment_counts(spark, sf_dir):
 
 @query(
     "partition_change_feed",
-    oracle="""
+    oracle=f"""
     WITH snap AS (
       SELECT o_orderkey, o_orderpriority,
-             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+             {cents_sql('o_totalprice')} AS price_cents
       FROM orders
     ),
     v1 AS (
@@ -1897,7 +1904,7 @@ def partition_change_feed(spark, sf_dir):
     snap = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        cents("o_totalprice").alias("price_cents"),
     )
     key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
     table = os.path.join(
@@ -1948,10 +1955,10 @@ def partition_change_feed(spark, sf_dir):
 
 @query(
     "cow_snapshot_upsert",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
            count(*) AS n_rows,
-           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum({cents_sql('o_totalprice')}) AS BIGINT)
              AS sum_cents
     FROM orders
     -- IS DISTINCT FROM: a NULL-priority partition is untouched by the
@@ -1972,7 +1979,7 @@ def cow_snapshot_upsert(spark, sf_dir):
     snap = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        cents("o_totalprice").alias("price_cents"),
     )
     table = os.path.join(
         tempfile.gettempdir(),
@@ -2011,10 +2018,10 @@ def cow_snapshot_upsert(spark, sf_dir):
 
 @query(
     "merge_into_orders",
-    oracle="""
+    oracle=f"""
     WITH snap AS (
       SELECT o_orderkey, o_orderpriority,
-             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+             {cents_sql('o_totalprice')} AS price_cents
       FROM orders
     ),
     v2 AS (
@@ -2065,7 +2072,7 @@ def merge_into_orders(spark, sf_dir):
 
 @query(
     "schema_evolution_read",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
            count(*) AS n_rows,
            CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
@@ -2073,7 +2080,7 @@ def merge_into_orders(spark, sf_dir):
            CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
                           AND o_orderkey % 2 = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_gold,
-           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum({cents_sql('o_totalprice')}) AS BIGINT)
              AS sum_cents
     FROM orders GROUP BY 1 ORDER BY 1
     """,
@@ -2090,7 +2097,7 @@ def schema_evolution_read(spark, sf_dir):
     snap = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        cents("o_totalprice").alias("price_cents"),
     )
     table = os.path.join(
         tempfile.gettempdir(),
@@ -2136,10 +2143,10 @@ def schema_evolution_read(spark, sf_dir):
 
 @query(
     "keyed_change_feed",
-    oracle="""
+    oracle=f"""
     WITH snap AS (
       SELECT o_orderkey, o_orderpriority,
-             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+             {cents_sql('o_totalprice')} AS price_cents
       FROM orders
     ),
     feed AS (
@@ -2203,7 +2210,7 @@ def keyed_change_feed(spark, sf_dir):
                PARTITION BY o_custkey
                ORDER BY o_orderdate DESC, o_orderkey DESC
              ) AS rn
-      FROM orders WHERE o_custkey % 4 = 0
+      FROM orders WHERE o_custkey % 8 = 0
     )
     SELECT o_orderpriority,
            count(*) AS n_keys,
@@ -2225,10 +2232,11 @@ def stream_snapshot_sink_replay(spark, sf_dir):
     orders = (
         t(spark, sf_dir, "orders")
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
-        # A quarter of customers: the cycle's semantics (seed, withdraw,
+        # An eighth of customers: the cycle's semantics (seed, withdraw,
         # merge, discard) are scale-invariant — bench the write path
-        # without dominating the headline set.
-        .filter(F.col("o_custkey") % 4 == 0)
+        # without dominating the headline set (VERDICT r8: the %4 subset
+        # made this one query 12.5% of the whole bench).
+        .filter(F.col("o_custkey") % 8 == 0)
         .withColumn("bucket", snapshot_sink.key_bucket(["o_custkey"], 8))
     )
     table = os.path.join(
@@ -2288,10 +2296,10 @@ def stream_snapshot_sink_replay(spark, sf_dir):
 
 @query(
     "cdc_apply_reconstruction",
-    oracle="""
+    oracle=f"""
     WITH snap AS (
       SELECT o_orderkey, o_orderpriority,
-             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+             {cents_sql('o_totalprice')} AS price_cents
       FROM orders
     ),
     v2 AS (
@@ -2425,10 +2433,10 @@ def bucket_point_lookup(spark, sf_dir):
 
 @query(
     "incremental_stats_refresh_scan",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
            count(*) AS n_orders,
-           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum({cents_sql('o_totalprice')}) AS BIGINT)
              AS total_cents
     FROM orders
     WHERE o_totalprice >= 200000.0 AND o_totalprice <= 280000.0
@@ -2474,7 +2482,7 @@ def incremental_stats_refresh_scan(spark, sf_dir):
     )
     return pruned.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        F.sum(cents("o_totalprice"))
         .cast("long")
         .alias("total_cents"),
     )

@@ -38,30 +38,43 @@ def _sweep_dead_fixture_dirs() -> None:
     forever.  Sweeping at registry import caps that: any sibling dir
     whose pid suffix no longer names a live process is dead by
     construction (a live session's dirs are spared via os.kill(pid, 0)).
+
+    The pid probe is only authoritative within ONE pid namespace: when
+    /tmp is a volume shared across containers, a peer's live pid is
+    invisible here and its fresh fixtures would read as dead.  The
+    sweep therefore also requires the dir to be COLD — untouched for
+    over an hour (any actively-used fixture dir's mtime is recent: the
+    owner rmtree+recreates it at query start) — so a not-visible-but-
+    live peer's working dirs survive; only genuinely abandoned ones go.
     """
     import os
     import re
     import shutil
     import tempfile
+    import time
 
     root = tempfile.gettempdir()
     try:
         entries = os.listdir(root)
     except OSError:
         return
+    now = time.time()
     for d in entries:
         m = re.fullmatch(r"spark_graft_.*_(\d+)", d)
         if not m or int(m.group(1)) == os.getpid():
             continue
         try:
+            if now - os.stat(os.path.join(root, d)).st_mtime < 3600:
+                continue  # warm: possibly a live peer in another pid ns
             os.kill(int(m.group(1)), 0)
         except ProcessLookupError:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         except Exception:
             # PermissionError: pid alive under another user.
             # OverflowError/ValueError: a foreign dir whose digit suffix
-            # is not a real pid.  Either way: not provably dead — leave
-            # it, and never let the sweep break the package import.
+            # is not a real pid.  OSError from stat: dir vanished.
+            # Either way: not provably dead — leave it, and never let
+            # the sweep break the package import.
             pass
 
 

@@ -132,7 +132,16 @@ def run_corpus_ingest(
     append by split; rejects land at ``dlq_path`` (default
     ``out_path + '_dlq'``) via a second exactly-once file-sink query
     with its own checkpoint (see module docstring for the two-query
-    trade)."""
+    trade).
+
+    Checkpoint layout compatibility: the ACCEPTED query keeps the
+    original bare ``checkpoint`` path (pre-DLQ deployments restart
+    against their existing offsets/batch-ids; moving it would silently
+    re-ingest everything into the same ``out_path`` and clash with the
+    sink's ``_spark_metadata``); only the later-added DLQ query uses the
+    ``/dlq`` sub-path — which nests cleanly, Spark's checkpoint dirs
+    (``offsets/``, ``commits/``, ``sources/``...) never collide with a
+    literal ``dlq/`` entry."""
     if dlq_path is None:
         dlq_path = out_path.rstrip("/") + "_dlq"
     accepted, rejects = prepare_doc_stream(
@@ -142,7 +151,7 @@ def run_corpus_ingest(
         accepted.drop("ingested_at")
         .writeStream.format("parquet")
         .option("path", out_path)
-        .option("checkpointLocation", f"{checkpoint}/accepted")
+        .option("checkpointLocation", checkpoint)
         .partitionBy("split")
         .trigger(availableNow=True)
         .start()

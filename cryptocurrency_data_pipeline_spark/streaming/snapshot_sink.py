@@ -90,6 +90,7 @@ def merge_batch_into_snapshot(
     part_col: str,
     order_col: str,
     tiebreak: Sequence[str] = (),
+    stats_out: dict | None = None,
 ) -> int:
     """One micro-batch → at most one new snapshot version.
 
@@ -107,7 +108,25 @@ def merge_batch_into_snapshot(
     row could SEED a key on first contact but could never supersede or
     be superseded afterwards (the stored-tuple comparison is null), so
     seed and steady-state behavior would disagree — an unparseable event
-    time is DLQ material upstream, never current state."""
+    time is DLQ material upstream, never current state.  The drop is
+    OBSERVABLE, never silent: the count is warn-logged per batch and
+    written to ``stats_out["null_order_dropped"]`` when a dict is
+    passed, so an upstream time-parse regression (suddenly every row
+    NULL) surfaces as a signal instead of a quietly empty table."""
+    n_null_order = batch.filter(F.col(order_col).isNull()).count()
+    if n_null_order:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "merge_batch_into_snapshot(%s): dropped %d rows with NULL %s "
+            "(unparseable event time is DLQ material upstream — route it "
+            "there; a sudden spike here means a time-parse regression)",
+            table_path,
+            n_null_order,
+            order_col,
+        )
+    if stats_out is not None:
+        stats_out["null_order_dropped"] = n_null_order
     batch = batch.filter(F.col(order_col).isNotNull())
     latest = silver.dedup_latest(batch, keys, order_col, tiebreak).persist()
     try:

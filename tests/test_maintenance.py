@@ -1996,3 +1996,107 @@ def test_conditional_put_sync_local_refreshes_reader_mirror(tmp_path):
     assert got == committed
     with open(mt._manifest_path(table)) as f:
         assert json.load(f) == committed
+
+
+# --------------------------------------------------------------------------
+# Vacuum × partition-stats / time-travel interplay (VERDICT r8 ask #8):
+# an expired version takes its envelopes with it; a retained version's
+# envelopes keep pruning — even over partitions it inherits (COW) from
+# an expired version's directory.
+# --------------------------------------------------------------------------
+
+
+def test_vacuum_expired_version_drops_envelopes_retained_still_prunes(
+    spark, tmp_path
+):
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "vac_stats")
+    # Partitions are contiguous v-blocks of 10, so each partition's
+    # envelope is disjoint and a narrow range predicate prunes 3 of 4.
+    mk = lambda lo: spark.range(lo, lo + 40).selectExpr(
+        f"CAST((id - {lo}) DIV 10 AS INT) AS p", "CAST(id AS DOUBLE) AS v", "id"
+    )
+    assert mt.write_snapshot(mk(0), table, part_col="p", stats_cols=["v"]) == 1
+    assert mt.write_snapshot(mk(1000), table, part_col="p", stats_cols=["v"]) == 2
+    assert mt.write_snapshot(mk(2000), table, part_col="p", stats_cols=["v"]) == 3
+
+    # Pre-vacuum: v3 prunes on its envelopes; capture the report.
+    got, rep_before = mt.read_snapshot_with_stats_skipping(
+        spark, table, {"v": (2010.0, 2011.0)}, version=3
+    )
+    assert rep_before["partitions_read"] < rep_before["partitions_total"]
+    n_before = got.count()
+
+    expired = mt.vacuum_snapshots(table, keep_last=2)
+    assert expired == [1]
+
+    # The expired version's envelopes are GONE from the manifest…
+    man = mt._load_manifest(table)
+    assert "1" not in man["snapshots"]
+    assert all("parts" in m for m in man["snapshots"].values())
+    # …and asking the stats reader for it fails fast, like any expired read.
+    with pytest.raises(ValueError):
+        mt.read_snapshot_with_stats_skipping(
+            spark, table, {"v": (0.0, 1.0)}, version=1
+        )
+    # A retained version's envelopes still prune identically after vacuum.
+    got2, rep_after = mt.read_snapshot_with_stats_skipping(
+        spark, table, {"v": (2010.0, 2011.0)}, version=3
+    )
+    assert rep_after == rep_before
+    assert got2.count() == n_before
+    # And the other retained (non-current) version is stats-readable too.
+    got_v2, rep_v2 = mt.read_snapshot_with_stats_skipping(
+        spark, table, {"v": (1000.0, 1001.0)}, version=2
+    )
+    assert rep_v2["partitions_skipped"] > 0 and got_v2.count() == 2
+
+
+def test_vacuum_keeps_inherited_dirs_and_stats_pruning_on_cow_partitions(
+    spark, tmp_path
+):
+    """COW inheritance: v2 rewrites ONE partition of v1; after vacuum
+    expires v1, v2's untouched partitions still live in v1's directory
+    (src_dir references keep it alive) and stats-skipping over v2 reads
+    them — pruning decisions AND row values both intact."""
+    import os
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    table = str(tmp_path / "vac_cow_stats")
+    base = spark.range(0, 40).selectExpr(
+        "CAST(id % 4 AS INT) AS p", "CAST(id AS DOUBLE) AS v", "id"
+    )
+    assert mt.write_snapshot(base, table, part_col="p", stats_cols=["v"]) == 1
+    v1_dir = mt.snapshot_dir(table, 1)
+    # Rewrite only partition p=0 (keys 0 mod 4), inherit p=1..3 from v1.
+    upd = spark.range(0, 10).selectExpr(
+        "CAST(0 AS INT) AS p", "CAST(id + 5000 AS DOUBLE) AS v", "id * 4 AS id"
+    )
+    assert mt.merge_into_snapshot(upd, table, ["id"]) == 2
+
+    expired = mt.vacuum_snapshots(table, keep_last=1)
+    assert expired == [1]
+    # v1's directory SURVIVES the vacuum: v2 inherits partitions from it.
+    assert os.path.isdir(v1_dir)
+
+    # Stats-skipping on v2: the rewritten partition's fresh envelope
+    # prunes, and an inherited partition's envelope (computed at v1
+    # write time, carried through the merge) prunes and reads correctly.
+    got_new, rep_new = mt.read_snapshot_with_stats_skipping(
+        spark, table, {"v": (5000.0, 5001.0)}
+    )
+    assert rep_new["partitions_read"] == 1 and got_new.count() == 2
+    got_old, rep_old = mt.read_snapshot_with_stats_skipping(
+        spark, table, {"v": (13.0, 13.0)}
+    )
+    # p=0's FRESH envelope (5000+) prunes it; the three inherited
+    # partitions' v1-era envelopes all span [p, 36+p] and are read —
+    # and the rows they serve come out of the expired version's dir.
+    assert rep_old["partitions_skipped"] == 1
+    assert rep_old["partitions_read"] == 3
+    rows = got_old.collect()
+    assert [r.v for r in rows] == [13.0]

@@ -11,8 +11,14 @@ The round-8 sweep of all 196 queries over this dataset surfaced ~60
 latent divergences (ANSI divide-by-zero and cast-overflow job-killers,
 NULL groups silently dropped by inner joins, phantom ''-token features,
 opposite NULL sort ends, str(None) leaking into byte containers,
-null-unsafe edit predicates).  This suite replays one representative
-per bug class on every pytest run; the full-registry edge sweep is
+null-unsafe edit predicates).  Fixture v4 (round 9) added NaN and ±Inf
+MEASURE rows — written via raw pyarrow, since pandas would silently
+turn NaN into NULL — which surfaced 13 more: the floor-cents ANSI
+abort class (now ``quantize.cents``/``cents_sql`` guards), NaN-poisoned
+percentile/stddev/EWMA/histogram statistics (now computed over finite
+values only on both sides, ``quantize.finite``/``finite_sql``).  This
+suite replays one representative per bug class on every pytest run; the
+full-registry edge sweep is
 ``python tools/check_oracle.py /tmp/spark_graft_sfedge`` after
 ``python tools/make_edge_sf.py``.
 """
@@ -59,6 +65,13 @@ EDGE_REPS = [
     "unimax_language_budgets",   # try_divide epochs on zero-token language
     "monthly_revenue_growth",    # NULL month out of the MoM lag chain
     "docs_consecutive_ids",      # NULLS FIRST rank order
+    # round-9 sweep (fixture v4: NaN/±Inf measure rows) — one per class:
+    "rfm_customer_segments",     # cents guard: NaN/Inf/overflow -> NULL, no ANSI abort
+    "order_price_percentiles",   # percentiles over finite measures only
+    "dq_profile_lineitem",       # profile moments finite-only; Min/Max raw
+    "salted_event_type_stats",   # count(*) vs count(cents-NULL) undercount
+    "grouped_ewma_user_value",   # EWMA fold over finite observed points
+    "events_value_histogram",    # NaN would poison both histogram bounds
 ]
 
 

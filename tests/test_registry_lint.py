@@ -124,3 +124,46 @@ def test_oracle_token_mirrors_are_canonical():
         f"bare \\s in oracle tokenization regex (use WS_CLASS_SQL): "
         f"{offenders}"
     )
+
+
+def test_measure_quantization_sites_carry_the_nan_guard():
+    """Every floor-cents quantization in an oracle must be the rendered
+    ``cents_sql`` guard: a bare ``floor(x * 100)``/``* 10000`` over a
+    measure is the one-NaN-kills-the-job class (Spark 4 ANSI cast) and
+    a silent cross-engine divergence for ±Inf/overflow.  The guard text
+    always carries ``isnan(`` just before its ``floor(``; any floor-
+    cents site without it is an unguarded regression.  (Engine-side
+    sites are structurally covered: ``operators/quantize.cents`` is the
+    only ``F.floor(... * scale)`` producer left in the query modules —
+    pinned below by the source scan.)"""
+    import re as _re
+
+    offenders = {}
+    for name, sql in ORACLES.items():
+        # floor(<expr> * 100) / * 10000 with at most one nesting level
+        # inside the expr — the cents shape, not epoch/budget floors.
+        for m in _re.finditer(
+            r"floor\((?:[^()]|\([^()]*\))*?\*\s*(?:100|10000)\)", sql
+        ):
+            window = sql[max(0, m.start() - 200): m.start()]
+            if "isnan(" not in window:
+                offenders.setdefault(name, []).append(m.group(0)[:60])
+    assert not offenders, (
+        f"unguarded floor-cents quantization in oracles (use "
+        f"queries._fragments.cents_sql): {offenders}"
+    )
+
+    # Engine side: no raw F.floor(... * 100/10000) left in query source —
+    # every cents site must route through operators/quantize.cents.
+    src_dir = Path(__file__).resolve().parent.parent / (
+        "cryptocurrency_data_pipeline_spark"
+    )
+    raw = []
+    for f in sorted((src_dir / "queries").glob("_part*.py")):
+        text = f.read_text()
+        for m in _re.finditer(
+            r"F\.floor\((?:[^()]|\([^()]*(?:\([^()]*\)[^()]*)*\))*?\*\s*(?:100|10000)\W",
+            text,
+        ):
+            raw.append((f.name, m.group(0)[:70]))
+    assert not raw, f"raw F.floor cents sites (use quantize.cents): {raw}"

@@ -554,10 +554,12 @@ def test_snapshot_sink_null_order_rows_dropped_consistently(spark, tmp_path):
     # Batch 1: key A has only a null-ordered row (dropped — it must NOT
     # seed), key B has a valid row.
     b1 = with_bucket([("A", 1.0, None, "rA0"), ("B", 2.0, t1, "rB1")])
+    st1 = {}
     snapshot_sink.merge_batch_into_snapshot(
         b1, table, ["coin_id"], part_col="bucket",
-        order_col="event_time", tiebreak=["raw_data"],
+        order_col="event_time", tiebreak=["raw_data"], stats_out=st1,
     )
+    assert st1["null_order_dropped"] == 1  # the drop is observable
     cur = mt.read_snapshot(spark, table)
     assert {r.coin_id for r in cur.collect()} == {"B"}
 
@@ -575,10 +577,12 @@ def test_snapshot_sink_null_order_rows_dropped_consistently(spark, tmp_path):
 
     # An ALL-null batch is a clean no-op: same version, same state.
     b3 = with_bucket([("A", 7.0, None, "x"), ("B", 8.0, None, "y")])
+    st3 = {}
     v = snapshot_sink.merge_batch_into_snapshot(
         b3, table, ["coin_id"], part_col="bucket",
-        order_col="event_time", tiebreak=["raw_data"],
+        order_col="event_time", tiebreak=["raw_data"], stats_out=st3,
     )
+    assert st3["null_order_dropped"] == 2  # every dropped row counted
     assert v == v_before + 1
     assert {(r.coin_id, r.price) for r in mt.read_snapshot(spark, table).collect()} == got
 

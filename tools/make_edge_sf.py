@@ -40,9 +40,16 @@ EMB_DIM = 64
 
 
 def _append(name: str, rows: list[tuple], out_dir: str) -> None:
+    # Column-by-column pa.array (NOT via pandas): pandas' NaN-as-null
+    # convention would silently turn the v4 NaN measure rows into NULLs.
+    # With plain-list ingestion, None -> null and float('nan') -> a real
+    # NaN value, which is the whole point of the fixture.
     src = pa.parquet.read_table(f"{SRC}/{name}.parquet")
-    extra = pd.DataFrame(rows, columns=src.column_names)
-    extra_tab = pa.Table.from_pandas(extra, schema=src.schema, preserve_index=False)
+    cols = [
+        pa.array([r[i] for r in rows], type=field.type)
+        for i, field in enumerate(src.schema)
+    ]
+    extra_tab = pa.Table.from_arrays(cols, schema=src.schema)
     pq.write_table(pa.concat_tables([src, extra_tab]), f"{out_dir}/{name}.parquet")
 
 
@@ -108,6 +115,10 @@ def build(out_dir: str) -> None:
             # delete sweep AND the COW %3 rewrite predicate — probes
             # null-safety of every priority-gated edit rule:
             (1512, 8, "F", 99.99, ts("1998-03-03"), None),
+            # v4: non-finite measures — a single NaN/Inf price must
+            # degrade (cents -> NULL) instead of ANSI-aborting the job:
+            (1513, 6, "O", float("nan"), ts("1997-05-05"), "3-MEDIUM"),
+            (1514, 10, "F", float("inf"), ts("1996-09-09"), "1-URGENT"),
         ],
         out_dir,
     )
@@ -122,6 +133,11 @@ def build(out_dir: str) -> None:
             (1502, 42, 6, 1, 7.0, 777.0, 0.05, 0.01, "N", "O", ts("1996-01-09")),
             (1502, 42, 6, 2, 7.0, 777.0, 0.05, 0.01, "N", "O", ts("1996-01-09")),
             (1503, 55, 7, 1, 1e6, 1e9, 0.0, 0.0, "A", "O", ts("1995-01-05")),      # extreme values
+            # v4: NaN revenue inputs (extendedprice, then discount) —
+            # l_extendedprice * (1 - l_discount) is NaN either way and
+            # must quantize to NULL, not kill the scan:
+            (1503, 61, 8, 2, 2.0, float("nan"), 0.05, 0.01, "N", "O", ts("1995-02-01")),
+            (1503, 62, 9, 3, 3.0, 150.0, float("nan"), 0.02, "R", "F", ts("1995-02-02")),
         ],
         out_dir,
     )
@@ -137,6 +153,12 @@ def build(out_dir: str) -> None:
             (1005, ts("2024-01-14 11:00:00"), 6, "signup", 1e12, "{}"),           # extreme value
             (1006, None, 7, "click", 2.0, '{"k": 9}'),                            # NULL ts
             (1007, ts("2024-01-15 00:00:00"), 8, "view", -3.25, '{"k": 0}'),      # negative value
+            # v4: non-finite values — every floor(value*scale) site and
+            # every sum/min/max over value sees NaN (both engines order
+            # NaN above +Inf, so comparisons stay cross-engine stable):
+            (1008, ts("2024-01-16 12:00:00"), 9, "click", float("nan"), "{}"),
+            (1009, ts("2024-01-17 13:00:00"), 10, "view", float("inf"), "{}"),
+            (1010, ts("2024-01-18 14:00:00"), 11, "purchase", float("-inf"), "{}"),
         ],
         out_dir,
     )
