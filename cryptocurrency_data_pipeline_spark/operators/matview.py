@@ -137,6 +137,16 @@ def write_partials(partials: DataFrame, path: str, part_col: str) -> None:
     )
 
 
+def read_partials(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
+    """Read a materialized partials table with its schema pinned from a
+    partials PLAN (a zero-cost :func:`build_partials` over the source —
+    never executed, only analyzed).  An empty source writes a partials
+    directory with no data files, where ``spark.read.parquet`` fails
+    schema inference — but "no data yet" (first run of a day, a new
+    tenant) must read as ZERO partial rows, not crash the refresh job."""
+    return spark.read.schema(like.schema).parquet(path)
+
+
 def build_histogram_partials(
     df: DataFrame,
     part_col: str,

@@ -292,6 +292,16 @@ def build_ivfpq_index(
     from cryptocurrency_data_pipeline_spark.operators import similarity
     from cryptocurrency_data_pipeline_spark.operators.similarity import cosine
 
+    if df.isEmpty():
+        # Fail at BUILD time with the real cause: writing zero-row
+        # artifacts would trip the serve path's aborted-build fail-fast
+        # later with a misleading message (FAISS likewise refuses to
+        # train on zero points).  Callers with a may-be-empty corpus
+        # guard before building.
+        raise ValueError(
+            "cannot build an IVFPQ index over an empty corpus — "
+            "nothing to train codebooks or coarse centroids on"
+        )
     sub = _subvectors(df, m, subdim, id_col, vec_col)
     cb = train_codebook(
         df, m=m, k=k, subdim=subdim, iters=iters, id_col=id_col,

@@ -37,8 +37,11 @@ class DQGateError(Exception):
 
 
 def completeness(col: str) -> Column:
-    """Non-null ratio (Deequ Completeness): count(col)/count(*)."""
-    return (F.count(F.col(col)) / F.count(F.lit(1))).cast("double")
+    """Non-null ratio (Deequ Completeness): count(col)/count(*).
+    NULL on an empty input — 0/0 is undefined, and under ANSI mode a
+    plain divide would abort the job the first time a gate runs over a
+    day with no data (try_divide, mirrored as ``nullif`` oracle-side)."""
+    return F.try_divide(F.count(F.col(col)), F.count(F.lit(1))).cast("double")
 
 
 def profile(
@@ -123,16 +126,23 @@ def profile_plan(
     total = F.sum("__cnt")
     n_keys = F.count(F.lit(1))
     ones = F.sum(F.when(F.col("__cnt") == 1, 1).otherwise(0))
-    aggs = [total.cast("double").alias("Size()")]
+    # coalesce: a sum over an EMPTY grouped frame is NULL, but Size on
+    # an empty dataset is 0 (the non-keyed path's count(*) agrees).
+    aggs = [F.coalesce(total, F.lit(0)).cast("double").alias("Size()")]
     for c in completeness_cols:
-        aggs.append((F.sum(f"__nn_{c}") / total).cast("double").alias(f"Completeness({c})"))
+        aggs.append(
+            F.try_divide(F.sum(f"__nn_{c}"), total)
+            .cast("double")
+            .alias(f"Completeness({c})")
+        )
     for c in numeric_cols:
         n, s, s2 = F.sum(f"__n_{c}"), F.sum(f"__s_{c}"), F.sum(f"__s2_{c}")
-        mean = s / n
+        mean = F.try_divide(s, n)
         aggs += [
             mean.alias(f"Mean({c})"),
             F.when(
-                n > 0, F.sqrt(F.greatest(s2 / n - mean * mean, F.lit(0.0)))
+                n > 0,
+                F.sqrt(F.greatest(F.try_divide(s2, n) - mean * mean, F.lit(0.0))),
             ).alias(f"StandardDeviation({c})"),
             F.min(f"__min_{c}").alias(f"Minimum({c})"),
             F.max(f"__max_{c}").alias(f"Maximum({c})"),
@@ -145,11 +155,15 @@ def profile_plan(
         )
     aggs += [
         # Deequ Uniqueness: |values occurring exactly once| / |rows|.
-        (ones / total).cast("double").alias(f"Uniqueness({unique_key})"),
+        F.try_divide(ones, total).cast("double").alias(f"Uniqueness({unique_key})"),
         # Deequ UniqueValueRatio: |values occurring exactly once| / |distinct|.
-        (ones / n_keys).cast("double").alias(f"UniqueValueRatio({unique_key})"),
+        F.try_divide(ones, n_keys)
+        .cast("double")
+        .alias(f"UniqueValueRatio({unique_key})"),
         # Deequ Distinctness: |distinct values| / |rows|.
-        (n_keys / total).cast("double").alias(f"Distinctness({unique_key})"),
+        F.try_divide(n_keys, total)
+        .cast("double")
+        .alias(f"Distinctness({unique_key})"),
     ]
     return g.agg(*aggs)
 

@@ -190,6 +190,15 @@ def ivf_topk(
     cents = ivf_centroids(corpus, nlist, id_col, vec_col)
     cent_rows = cents.orderBy("centroid_id").collect()
     cent_mat = [r.centroid for r in cent_rows]
+    if not cent_mat:
+        # Empty corpus: zero seed centroids means zero inverted lists
+        # and zero candidates — an empty top-k, not a numpy shape crash
+        # in the assignment UDF (the new-tenant/first-run input class).
+        return queries.limit(0).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("cosine_sim"),
+        )
 
     assign1 = _make_probe_udf(cent_mat, 1)
     assignp = _make_probe_udf(cent_mat, nprobe)

@@ -57,19 +57,22 @@ def tokens(col: str | Column = "text") -> Column:
     only ASCII spaces, so the earlier trim-then-split form left ``['',
     '']`` for tab/newline-only docs and ``['', 'word', ...]`` for
     newline-led docs — phantom tokens that count, hash into real
-    feature buckets, and give blank docs nonzero embeddings.  Strip
-    EVERY edge whitespace with one regexp, then split: equivalent to
-    split-then-drop-empties, but stays inside whole-stage codegen — an
-    ``F.filter`` HOF lambda is CodegenFallback and would evaluate this
-    hot-path expression interpreted.  (DuckDB's ``string_split_regex``
-    has the same artifact; the oracle mirror is
+    feature buckets, and give blank docs nonzero embeddings.  This IS
+    split-then-drop-empties, literally: one split, then
+    ``array_remove(…, '')`` — a single regex pass over the text
+    (splitting on ``WS_CLASS`` can only mint ``''`` at the edges, so
+    removing them equals edge-stripping first), O(tokens) cleanup, and
+    the whole expression stays inside whole-stage codegen (an
+    ``F.filter`` HOF lambda is CodegenFallback and would run this hot
+    path interpreted; the round-8 strip-edges-regexp form paid a SECOND
+    full-text regex pass — the round-9 bench diagnosis).  (DuckDB's
+    ``string_split_regex`` has the same artifact; the oracle mirror is
     ``queries/_fragments.py:tokens_sql`` — both sides split on the
     explicit ``WS_CLASS``, never a bare ``\\s``, because Java's ``\\s``
     includes the vertical tab and RE2's does not.)"""
     c = F.col(col) if isinstance(col, str) else col
-    stripped = F.regexp_replace(c, f"^{WS_CLASS}|{WS_CLASS}$", "")
     return F.when(
-        F.length(stripped) > 0, F.split(F.lower(stripped), WS_CLASS)
+        c.isNotNull(), F.array_remove(F.split(F.lower(c), WS_CLASS), "")
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -606,13 +609,18 @@ def bpe_apply(
     ``n_tokens_after``.
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    s = F.concat(F.lit(" "), F.regexp_replace(norm, " ", "  "), F.lit(" "))
+    # F.replace, not regexp_replace: the pattern is a literal space and
+    # the literal-replace expression skips the regex engine entirely.
+    s = F.concat(F.lit(" "), F.replace(norm, F.lit(" "), F.lit("  ")), F.lit(" "))
     for a, b in merges:
         s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
-    collapsed = F.trim(F.regexp_replace(s, r"\s+", " "))
-    # Same blank guard as tokens(): split('') is [''], not zero tokens.
+    # The only whitespace left in `s` is literal spaces (norm replaced
+    # every \s run), so split-on-space + array_remove('') IS the
+    # collapse-trim-split — one trivial split instead of a second
+    # full-string regexp_replace pass (same move as tokens()).  NULL
+    # text must still come out [] so size() reads 0, not -1.
     toks_after = F.when(
-        F.length(collapsed) > 0, F.split(collapsed, " ")
+        s.isNotNull(), F.array_remove(F.split(s, " "), "")
     ).otherwise(F.array().cast("array<string>"))
     return (
         df.withColumn("n_tokens_before", F.size(tokens(text_col)))

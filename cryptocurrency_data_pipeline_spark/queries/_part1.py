@@ -507,7 +507,12 @@ def funnel_signup_view_purchase(spark, sf_dir):
            round(sum(l_quantity), 2) AS sum_qty,
            count(*) AS n_rows
     FROM lineitem
+    -- HAVING count(*) > 0 is a no-op on any non-empty input (every
+    -- rollup/cube/grouping-set row aggregates >= 1 source row) and
+    -- mirrors Spark's empty-input behavior: Spark emits NO grand-total
+    -- row over an empty table, the SQL standard (and DuckDB) emit one.
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING count(*) > 0
     """,
 )
 def rollup_returnflag_status(spark, sf_dir):
@@ -1147,7 +1152,12 @@ def high_value_days_except(spark, sf_dir):
     SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
            count(*) AS n_events, round(sum(value), 4) AS sum_value
     FROM events
+    -- HAVING count(*) > 0 is a no-op on any non-empty input (every
+    -- rollup/cube/grouping-set row aggregates >= 1 source row) and
+    -- mirrors Spark's empty-input behavior: Spark emits NO grand-total
+    -- row over an empty table, the SQL standard (and DuckDB) emit one.
     GROUP BY CUBE (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+    HAVING count(*) > 0
     """,
 )
 def cube_event_stats(spark, sf_dir):
@@ -2160,7 +2170,12 @@ def stratified_sample_docs(spark, sf_dir):
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
+    -- HAVING count(*) > 0 is a no-op on any non-empty input (every
+    -- rollup/cube/grouping-set row aggregates >= 1 source row) and
+    -- mirrors Spark's empty-input behavior: Spark emits NO grand-total
+    -- row over an empty table, the SQL standard (and DuckDB) emit one.
     GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+    HAVING count(*) > 0
     """,
 )
 def grouping_sets_revenue(spark, sf_dir):

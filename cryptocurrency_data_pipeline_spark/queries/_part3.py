@@ -2151,6 +2151,15 @@ def ivfpq_topk_served(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import pq
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if emb.isEmpty():
+        # No corpus -> no index to build or serve; the result is the
+        # typed empty top-k (build_ivfpq_index refuses empty input).
+        return emb.limit(0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0.0).alias("adc_dist"),
+            F.lit(0).alias("rank"),
+        )
     path = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_ivfpq_index_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",

@@ -1563,7 +1563,16 @@ def mergeable_sketch_rollup(spark, sf_dir):
         "day", ["event_type"], "value", "user_id",
     )
 
-    merged = mv.merge_partials(spark.read.parquet(path), ["event_type"])
+    merged = mv.merge_partials(
+        # Schema pinned from the (never-executed) partials plan: an
+        # empty corpus leaves a file-less partials dir, where bare
+        # schema inference would crash instead of reading zero rows.
+        mv.read_partials(
+            spark, path,
+            mv.build_partials(ev, "day", ["event_type"], "value", "user_id"),
+        ),
+        ["event_type"],
+    )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
@@ -1647,8 +1656,10 @@ def consistent_reshard_stability(spark, sf_dir):
     )
     agg = flags.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("mod_moved").alias("mod_moved"),
-        F.sum("rv_moved").alias("rv_moved"),
+        # coalesce: sum over an empty corpus is NULL, but "0 of 0 docs
+        # moved" is the honest answer (the oracle's FILTER count is 0).
+        F.coalesce(F.sum("mod_moved"), F.lit(0)).alias("mod_moved"),
+        F.coalesce(F.sum("rv_moved"), F.lit(0)).alias("rv_moved"),
     )
     out = agg.select(
         F.lit("mod").alias("strategy"),
@@ -1665,7 +1676,7 @@ def consistent_reshard_stability(spark, sf_dir):
         "strategy",
         "n_docs",
         "n_moved",
-        F.round(F.col("n_moved") / F.col("n_docs"), 4).alias("moved_frac"),
+        F.round(F.try_divide(F.col("n_moved"), F.col("n_docs")), 4).alias("moved_frac"),
     ).orderBy("strategy")
 
 
@@ -2269,8 +2280,11 @@ def stream_snapshot_sink_replay(spark, sf_dir):
     v4 = merge(late)
     if v4 != v3:
         raise RuntimeError(f"late data minted a version: {v3} -> {v4}")
+    # Empty input: no batch ever seeded the table (v == 0 throughout) —
+    # the final state is the empty keyed table, typed off the source.
+    cur = mt.read_snapshot(spark, table) if v4 > 0 else orders.limit(0)
     return (
-        mt.read_snapshot(spark, table)
+        cur
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_keys"),
@@ -2405,10 +2419,19 @@ def bucket_point_lookup(spark, sf_dir):
     snapshot_sink._check_sink_meta(
         table, {"part_col": "bucket", "n_buckets": 16, "keys": ["o_custkey"]}
     )
-    snapshot_sink.merge_batch_into_snapshot(
+    v = snapshot_sink.merge_batch_into_snapshot(
         orders, table, ["o_custkey"], part_col="bucket",
         order_col="o_orderdate", tiebreak=["o_orderkey"],
     )
+    if v == 0:
+        # An empty input never seeds the table; looking up keys in a
+        # table with no published versions is an empty result, not a
+        # crash — limit(0) inherits the exact source column types.
+        return orders.limit(0).select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            "o_orderpriority",
+        )
     return (
         snapshot_sink.lookup_current(spark, table, [3, 13, 23, 33, 43])
         .select(
