@@ -23,10 +23,12 @@ from cryptocurrency_data_pipeline_spark.queries._registry import query, t  # noq
 from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa: F401
 
 
-def _orders_merged_snapshot(spark, sf_dir, purpose):
+def _orders_merged_snapshot(spark, sf_dir, purpose, commit=None):
     """Shared fixture for the MERGE family: publish v1 of orders
     (priority-partitioned, prices in integer cents), then MERGE ONE
     deterministic update/insert/delete batch to produce v2.
+    ``commit`` injects a SnapshotCommit protocol (the conditional-put
+    query routes the identical cycle through the object-store CAS).
 
     ``merge_into_orders``, ``keyed_change_feed``, and
     ``cdc_apply_reconstruction`` — and their three oracles — all assume
@@ -75,8 +77,10 @@ def _orders_merged_snapshot(spark, sf_dir, purpose):
         f"spark_graft_{purpose}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     shutil.rmtree(table, ignore_errors=True)  # deterministic v1/v2 per run
-    mt.write_snapshot(snap, table, part_col="o_orderpriority")
-    mt.merge_into_snapshot(updates, table, ["o_orderkey"], delete_col="_deleted")
+    mt.write_snapshot(snap, table, part_col="o_orderpriority", commit=commit)
+    mt.merge_into_snapshot(
+        updates, table, ["o_orderkey"], delete_col="_deleted", commit=commit
+    )
     return table
 
 # --------------------------------------------------------------------------
@@ -2249,6 +2253,10 @@ def stream_snapshot_sink_replay(spark, sf_dir):
         # made this one query 12.5% of the whole bench).
         .filter(F.col("o_custkey") % 8 == 0)
         .withColumn("bucket", snapshot_sink.key_bucket(["o_custkey"], 8))
+        # One materialization feeds all four micro-batch derivations —
+        # without it every cycle re-scans parquet and recomputes the
+        # bucket hash (the fixture is driver-job-bound, not data-bound).
+        .persist()
     )
     table = os.path.join(
         tempfile.gettempdir(),
@@ -2283,6 +2291,9 @@ def stream_snapshot_sink_replay(spark, sf_dir):
     # Empty input: no batch ever seeded the table (v == 0 throughout) —
     # the final state is the empty keyed table, typed off the source.
     cur = mt.read_snapshot(spark, table) if v4 > 0 else orders.limit(0)
+    # The returned frame reads only the PUBLISHED table files (or a
+    # zero-row local plan) — the fixture cache can go now.
+    orders.unpersist()
     return (
         cur
         .groupBy("o_orderpriority")
@@ -2508,4 +2519,77 @@ def incremental_stats_refresh_scan(spark, sf_dir):
         F.sum(cents("o_totalprice"))
         .cast("long")
         .alias("total_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional-put commit protocol, driver-verified end to end
+# (maintenance.ConditionalPutSnapshotCommit over EtagObjectStore): the
+# SAME write->MERGE cycle as merge_into_orders, but every manifest
+# publish is an etag compare-and-swap against the object store instead
+# of a flock'd rename — the S3/GCS deployment shape of the snapshot
+# layer.  In-query invariants pin the protocol properties the oracle
+# cannot see: the store copy is the truth and the local mirror equals
+# it byte-for-byte, exactly two versions committed, and the store saw
+# exactly one successful put per commit (no silent retries on the
+# uncontended path).  The oracle states the merged v2 directly — a hash
+# match proves the CAS-committed lineage produced the identical table.
+# --------------------------------------------------------------------------
+
+@query(
+    "conditional_put_commit_cycle",
+    oracle=f"""
+    WITH snap AS (
+      SELECT o_orderkey, o_orderpriority,
+             {cents_sql('o_totalprice')} AS price_cents
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+                  THEN price_cents + 7 ELSE price_cents END AS price_cents
+      FROM snap
+      WHERE NOT (o_orderpriority IS NOT DISTINCT FROM '3-MEDIUM'
+                 AND o_orderkey % 7 = 0)
+      UNION ALL
+      SELECT -(o_orderkey + 1), o_orderpriority, 999
+      FROM snap WHERE o_orderpriority = '5-LOW' AND o_orderkey % 11 = 0
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(price_cents) AS BIGINT) AS sum_cents
+    FROM v2 GROUP BY 1 ORDER BY 1
+    """,
+)
+def conditional_put_commit_cycle(spark, sf_dir):
+    """The merge_into_orders cycle committed through the object-store
+    conditional-put protocol; invariants asserted in-query, final v2
+    state per priority returned for the external hash check."""
+    import json as _json
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    store = mt.EtagObjectStore()
+    commit = mt.ConditionalPutSnapshotCommit(store)
+    table = _orders_merged_snapshot(spark, sf_dir, "condput", commit=commit)
+
+    data, etag = store.get(commit._key(table))
+    if data is None:
+        raise RuntimeError("no manifest ever reached the object store")
+    man = _json.loads(data.decode())
+    if man != mt._load_manifest(table):
+        raise RuntimeError("local mirror diverged from the store manifest")
+    if man["current"] != 2 or set(man["snapshots"]) != {"1", "2"}:
+        raise RuntimeError(f"expected exactly v1+v2 committed, got {man['current']}")
+    if int(etag) != 2:  # uncontended: one successful put per commit
+        raise RuntimeError(f"expected 2 store puts, etag says {etag}")
+
+    return (
+        mt.read_snapshot(spark, table, 2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
     )

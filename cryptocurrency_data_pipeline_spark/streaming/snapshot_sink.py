@@ -112,8 +112,19 @@ def merge_batch_into_snapshot(
     OBSERVABLE, never silent: the count is warn-logged per batch and
     written to ``stats_out["null_order_dropped"]`` when a dict is
     passed, so an upstream time-parse regression (suddenly every row
-    NULL) surfaces as a signal instead of a quietly empty table."""
-    n_null_order = batch.filter(F.col(order_col).isNull()).count()
+    NULL) surfaces as a signal instead of a quietly empty table.  The
+    count shares ONE map-only aggregate with the empty-batch check
+    (``n_valid == 0`` replaces the old ``latest.isEmpty()`` action), so
+    observability costs a lightweight batch scan, not an extra job per
+    micro-batch.  (Not the Observation API: its metrics row is
+    unreachable when the observed subtree's action returns empty —
+    AQE prunes the CollectMetrics node — which is exactly the all-NULL
+    batch this counter must report on.)"""
+    counts = batch.agg(
+        F.count(F.when(F.col(order_col).isNull(), 1)).alias("n_null"),
+        F.count(F.col(order_col)).alias("n_valid"),
+    ).collect()[0]
+    n_null_order = int(counts["n_null"])
     if n_null_order:
         import logging
 
@@ -130,7 +141,7 @@ def merge_batch_into_snapshot(
     batch = batch.filter(F.col(order_col).isNotNull())
     latest = silver.dedup_latest(batch, keys, order_col, tiebreak).persist()
     try:
-        if latest.isEmpty():
+        if counts["n_valid"] == 0:
             man = maintenance._load_manifest(table_path)
             return man["current"]
         if not os.path.exists(os.path.join(table_path, "_versions.json")):

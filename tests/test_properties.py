@@ -927,3 +927,69 @@ def test_partition_stats_skipping_model(spark, tmp_path_factory, ops, bounds):
         # (never a false drop): matching rows live only in read parts.
         matching_parts = {r[1] for r in want}
         assert len(matching_parts) <= rep["partitions_read"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([100, 10000]),
+)
+def test_cents_matches_python_reference(spark, values, scale):
+    """quantize.cents == the pure-python contract on ARBITRARY doubles:
+    NaN / ±Inf / |x| >= 2^62/scale / NULL -> NULL, else floor(x*scale)
+    as int — no input can ANSI-abort the job."""
+    from cryptocurrency_data_pipeline_spark.operators import quantize
+
+    def py_cents(x):
+        if x is None or math.isnan(x) or abs(x) >= quantize.quantize_limit(scale):
+            return None
+        return math.floor(x * scale)
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = [
+        r.c
+        for r in df.select(
+            quantize.cents("x", scale).alias("c"), "x"
+        ).collect()
+    ]
+    # createDataFrame preserves input order for a local list
+    want = [py_cents(v) for v in values]
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_finite_matches_python_reference(spark, values):
+    """quantize.finite as a FILTER keeps exactly the finite values."""
+    from cryptocurrency_data_pipeline_spark.operators import quantize
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = sorted(
+        r.x for r in df.filter(quantize.finite("x")).collect()
+    )
+    want = sorted(v for v in values if v is not None and math.isfinite(v))
+    assert got == want
