@@ -164,6 +164,13 @@ def zorder_layout(df: DataFrame, scaled_cols, n_files: int, bits: int = 16) -> D
 
 import json
 
+#: Snapshotted ONCE at import (single-threaded): os.umask() is a
+#: process-global read-modify-write, and probing it per call from
+#: concurrent writer threads can interleave and permanently zero the
+#: process umask (publishing world-writable manifests ever after).
+_PROCESS_UMASK = os.umask(0)
+os.umask(_PROCESS_UMASK)
+
 
 def _manifest_path(table_path: str) -> str:
     return os.path.join(table_path, "_versions.json")
@@ -185,6 +192,14 @@ def _load_manifest(table_path: str) -> dict:
             f"snapshots/ directory listing — do not write to this table "
             f"until repaired"
         ) from e
+
+
+def _decode_manifest(data: bytes | None) -> dict:
+    """Decode a store-held manifest payload, with the SAME empty-table
+    default `_load_manifest` uses — one definition, not three."""
+    if data is None:
+        return {"current": 0, "snapshots": {}}
+    return json.loads(data.decode())
 
 
 class SnapshotCommit:
@@ -209,6 +224,16 @@ class SnapshotCommit:
         ``mutate`` runs inside the critical section — it sees the latest
         committed state, not a stale snapshot."""
         raise NotImplementedError
+
+    def manifest_for_publish_check(self, table_path: str) -> dict:
+        """The manifest copy that is AUTHORITATIVE for whether a commit
+        landed — consulted by failure cleanup before deleting a staged
+        directory.  Default: the local manifest (correct for the POSIX
+        protocol).  A protocol whose source of truth lives elsewhere
+        (object store) MUST override this: checking the local mirror
+        would report a store-committed version as unpublished and
+        delete data the store manifest already references."""
+        return _load_manifest(table_path)
 
 
 class PosixSnapshotCommit(SnapshotCommit):
@@ -330,11 +355,7 @@ class ConditionalPutSnapshotCommit(SnapshotCommit):
         key = self._key(table_path)
         for _ in range(self.max_attempts):
             data, etag = self.store.get(key)
-            man = (
-                json.loads(data.decode())
-                if data is not None
-                else {"current": 0, "snapshots": {}}
-            )
+            man = _decode_manifest(data)
             man = mutate(man)  # may raise ConcurrentSnapshotWriteError
             payload = json.dumps(man).encode()
             try:
@@ -344,12 +365,31 @@ class ConditionalPutSnapshotCommit(SnapshotCommit):
                     self.store.put(key, payload, if_match=etag)
             except PreconditionFailedError:
                 continue  # lost the CAS — retry against fresh state
-            self.sync_local(table_path)
+            try:
+                self.sync_local(table_path)
+            except OSError:
+                # The COMMIT landed (the store is the source of truth);
+                # a mirror-write failure must not be reported as a
+                # failed commit — the writer's cleanup would otherwise
+                # treat a published version as abandoned.  The mirror is
+                # a cache: stale until the next sync_local succeeds.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "commit to %s landed in the store but the local "
+                    "mirror write failed; run sync_local to refresh",
+                    key,
+                    exc_info=True,
+                )
             return man
         raise ConcurrentSnapshotWriteError(
             f"lost the manifest CAS {self.max_attempts} times in a row "
             f"on {key} — pathological contention, back off and retry"
         )
+
+    def manifest_for_publish_check(self, table_path: str) -> dict:
+        data, _ = self.store.get(self._key(table_path))
+        return _decode_manifest(data)
 
     def sync_local(self, table_path: str) -> dict:
         """Refresh the local mirror from the FRESH store copy, under the
@@ -369,11 +409,7 @@ class ConditionalPutSnapshotCommit(SnapshotCommit):
         try:
             fcntl.flock(fd, fcntl.LOCK_EX)
             data, _ = self.store.get(self._key(table_path))
-            man = (
-                json.loads(data.decode())
-                if data is not None
-                else {"current": 0, "snapshots": {}}
-            )
+            man = _decode_manifest(data)
             write_json_durable(_manifest_path(table_path), man)
             return man
         finally:
@@ -512,7 +548,12 @@ def _new_snap_dir(table_path: str, version: int) -> tuple[str, str]:
     return rel, os.path.join(table_path, rel)
 
 
-def _is_published(table_path: str, version: int, rel_dir: str) -> bool:
+def _is_published(
+    table_path: str,
+    version: int,
+    rel_dir: str,
+    commit: SnapshotCommit | None = None,
+) -> bool:
     """True iff the manifest already references THIS attempt's directory.
 
     Guards failure cleanup against the AMBIGUOUS-COMMIT outcome: a
@@ -521,8 +562,20 @@ def _is_published(table_path: str, version: int, rel_dir: str) -> bool:
     HTTP response times out) raises back to the writer — deleting the
     staged directory then would destroy the data of a version readers
     can already see.  The uuid dir name makes the check exact: if the
-    manifest's entry names OUR dir, our commit landed."""
-    ent = _load_manifest(table_path)["snapshots"].get(str(version))
+    manifest's entry names OUR dir, our commit landed.
+
+    The check reads the PROTOCOL'S authoritative manifest
+    (``manifest_for_publish_check``): for the conditional-put protocol
+    that is the store copy, not the local mirror — a commit whose store
+    put landed but whose mirror write failed would otherwise read as
+    unpublished and its data directory be destroyed.  If even that read
+    fails, the answer is unknowable — report published (never delete on
+    uncertainty; vacuum reclaims true orphans later)."""
+    try:
+        man = (commit or DEFAULT_COMMIT).manifest_for_publish_check(table_path)
+    except Exception:
+        return True
+    ent = man["snapshots"].get(str(version))
     return bool(ent and ent.get("dir") == rel_dir)
 
 
@@ -595,7 +648,9 @@ def write_snapshot(
         _commit_version(table_path, version, entry, commit)
         committed = True
     finally:
-        if not committed and not _is_published(table_path, version, rel_dir):
+        if not committed and not _is_published(
+            table_path, version, rel_dir, commit
+        ):
             # The directory is uniquely OURS (uuid suffix): removing it
             # can never touch a concurrent writer's data, and leaving it
             # can never block a future write — cleanup here is just
@@ -921,7 +976,9 @@ def upsert_snapshot(
         _commit_version(table_path, version, entry, commit)
         committed = True
     finally:
-        if not committed and not _is_published(table_path, version, rel_dir):
+        if not committed and not _is_published(
+            table_path, version, rel_dir, commit
+        ):
             # Uniquely OUR directory (uuid suffix), and not referenced
             # by a landed-but-unacknowledged commit — safe to remove;
             # see write_snapshot.
@@ -1430,9 +1487,7 @@ def write_json_durable(target: str, obj) -> None:
 
                 mode = stat.S_IMODE(os.stat(target).st_mode)
             except FileNotFoundError:
-                um = os.umask(0)
-                os.umask(um)
-                mode = 0o666 & ~um
+                mode = 0o666 & ~_PROCESS_UMASK
             os.fchmod(f.fileno(), mode)
             os.fsync(f.fileno())
         os.replace(tmp, target)

@@ -342,3 +342,54 @@ def equi_width_histogram(df, col: str, k: int = 20):
             F.round(F.max(col), 6).alias("hi"),
         )
     )
+
+
+def nonfinite_audit(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column health of numeric measures in ONE map-side-combined
+    pass: row count, NULLs, NaNs, ±Infs, and the finite ratio.
+
+    The operational companion of the ``quantize`` contract: cents
+    quantization and the finite-only statistics DEGRADE non-finite
+    measures to NULL, so the pipeline survives them — this audit is how
+    an operator finds out they exist and how many (a sudden NaN spike
+    is an upstream feed bug; 0.01% background Infs may be acceptable).
+    One wide aggregate regardless of column count — at 100 TB the
+    second scan a per-column loop would pay dominates the whole gate —
+    then an O(len(cols)) stack to long form (the unpivot runs on a
+    1-row frame).  ``finite_ratio`` is try_divide'd: an empty table
+    audits as NULL ratios, not a dead job.
+    """
+    aggs = []
+    for c in cols:
+        d = F.col(c).cast("double")
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.count(F.when(d.isNull(), 1)).alias(f"__null_{c}"),
+            F.count(F.when(F.isnan(d), 1)).alias(f"__nan_{c}"),
+            F.count(
+                F.when(d.isin(float("inf"), float("-inf")), 1)
+            ).alias(f"__inf_{c}"),
+            F.count(F.when(quantize.finite(c), 1)).alias(f"__fin_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {args}) AS (column, n_rows, n_null, n_nan, n_inf, n_finite)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', __n_{c}, __null_{c}, __nan_{c}, __inf_{c}, __fin_{c}"
+                    for c in cols
+                ),
+            )
+        )
+    )
+    return stacked.select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_nan").cast("long").alias("n_nan"),
+        F.col("n_inf").cast("long").alias("n_inf"),
+        F.round(F.try_divide(F.col("n_finite"), F.col("n_rows")), 6).alias(
+            "finite_ratio"
+        ),
+    )

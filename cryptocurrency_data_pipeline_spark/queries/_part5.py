@@ -109,6 +109,9 @@ def _orders_merged_snapshot(spark, sf_dir, purpose, commit=None):
              CAST(sum({cents_sql('o_totalprice')})
                AS BIGINT) AS cents
       FROM orders GROUP BY o_custkey
+      -- NULL monetary sums (only non-finite prices) are unorderable as
+      -- ntile keys cross-engine: quantifiable customers only
+      HAVING CAST(sum({cents_sql('o_totalprice')}) AS BIGINT) IS NOT NULL
     ), scored AS (
       SELECT ck, freq, cents,
              ntile(4) OVER (ORDER BY last_order, ck) AS r_q,
@@ -142,6 +145,9 @@ def rfm_customer_segments(spark, sf_dir):
             .cast("long")
             .alias("cents"),
         )
+        # Mirrors the oracle HAVING: NULL monetary sums are ntile-key
+        # unorderable cross-engine.
+        .where(F.col("cents").isNotNull())
     )
     ranked = with_consecutive_ids(per, ["last_order", "ck"], "i_r")
     ranked = with_consecutive_ids(ranked, ["freq", "ck"], "i_f")
@@ -939,6 +945,10 @@ def event_gap_histogram(spark, sf_dir):
              CAST(sum({cents_sql('value')}) AS BIGINT)
                AS cents
       FROM events WHERE value IS NOT NULL GROUP BY user_id
+      -- a user whose every measure is non-finite has a NULL cents sum:
+      -- NULL rank keys land on opposite ends per engine — rank space
+      -- holds quantifiable users only
+      HAVING CAST(sum({cents_sql('value')}) AS BIGINT) IS NOT NULL
     ), ranked AS (
       SELECT cents,
              row_number() OVER (ORDER BY cents, user_id) AS i,
@@ -976,6 +986,9 @@ def value_concentration_gini(spark, sf_dir):
             .cast("long")
             .alias("cents")
         )
+        # NULL cents sum (only non-finite measures) is rank-unorderable
+        # cross-engine — quantifiable users only, mirrored in HAVING.
+        .where(F.col("cents").isNotNull())
     )
     with_i = with_consecutive_ids(per, ["cents", "user_id"], "i")
     totals = with_i.agg(
@@ -1038,7 +1051,11 @@ def value_concentration_gini(spark, sf_dir):
                                 ORDER BY {cents_sql('value')},
                                          event_id) AS r,
              count(*) OVER (PARTITION BY event_type) AS n
-      FROM events WHERE {finite_sql('value')}
+      -- quantizable universe, not merely finite: a finite magnitude
+      -- past the cents overflow bound quantizes to NULL, and a NULL
+      -- sort key lands on OPPOSITE ends per engine (Spark NULLS FIRST
+      -- asc, DuckDB NULLS LAST) — rank over non-NULL cents only
+      FROM events WHERE {cents_sql('value')} IS NOT NULL
     )
     SELECT event_type,
            CAST(max(n) AS BIGINT) AS n_events,
@@ -1061,7 +1078,9 @@ def exact_rank_quantiles_by_type(spark, sf_dir):
 
     ev = with_grouped_ranks(
         t(spark, sf_dir, "events")
-        .where(finite("value"))  # rank space over finite measures only
+        # Quantizable universe (cents non-NULL), not merely finite: a
+        # NULL sort key would land on opposite ends per engine.
+        .where(cents("value").isNotNull())
         .select(
             "event_type",
             cents("value").alias("cents"),
@@ -2592,4 +2611,54 @@ def conditional_put_commit_cycle(spark, sf_dir):
             F.sum("price_cents").cast("long").alias("sum_cents"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Non-finite measure audit (quality.nonfinite_audit): the operational
+# companion of the quantize contract — cents quantization and the
+# finite-only statistics DEGRADE NaN/±Inf measures to NULL so jobs
+# survive them; this is the one-pass gate that tells an operator they
+# exist and how many (a NaN spike = an upstream feed regression).  One
+# wide map-side-combined aggregate per table, stack()ed to long form on
+# a 1-row frame; ratios try_divide'd so an empty day audits as NULL,
+# not a dead job.
+# --------------------------------------------------------------------------
+
+@query(
+    "dq_nonfinite_audit",
+    oracle="""
+    SELECT 'value' AS col_name,
+           count(*) AS n_rows,
+           count(CASE WHEN value IS NULL THEN 1 END) AS n_null,
+           count(CASE WHEN isnan(value) THEN 1 END) AS n_nan,
+           count(CASE WHEN isinf(value) THEN 1 END) AS n_inf,
+           round(count(CASE WHEN isfinite(value) THEN 1 END) * 1.0
+                 / count(*), 6) AS finite_ratio
+    FROM events
+    UNION ALL
+    SELECT 'o_totalprice',
+           count(*),
+           count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+           count(CASE WHEN isnan(o_totalprice) THEN 1 END),
+           count(CASE WHEN isinf(o_totalprice) THEN 1 END),
+           round(count(CASE WHEN isfinite(o_totalprice) THEN 1 END) * 1.0
+                 / count(*), 6)
+    FROM orders
+    ORDER BY col_name
+    """,
+)
+def dq_nonfinite_audit(spark, sf_dir):
+    """Measure-column health across two fact tables: NULL/NaN/±Inf
+    counts and the finite ratio, one wide aggregate per table."""
+    from cryptocurrency_data_pipeline_spark.operators import quality
+
+    ev = quality.nonfinite_audit(t(spark, sf_dir, "events"), ["value"])
+    orders = quality.nonfinite_audit(
+        t(spark, sf_dir, "orders"), ["o_totalprice"]
+    )
+    return (
+        ev.unionByName(orders)
+        .withColumnRenamed("column", "col_name")  # DuckDB reserved word
+        .orderBy("col_name")
     )

@@ -32,6 +32,8 @@ Stage mapping, all on unbounded input:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -141,9 +143,17 @@ def run_corpus_ingest(
     sink's ``_spark_metadata``); only the later-added DLQ query uses the
     ``/dlq`` sub-path — which nests cleanly, Spark's checkpoint dirs
     (``offsets/``, ``commits/``, ``sources/``...) never collide with a
-    literal ``dlq/`` entry."""
+    literal ``dlq/`` entry.  A deployment that ran the brief
+    intermediate revision (accepted query at ``checkpoint/accepted``)
+    is grandfathered: if that sub-checkpoint exists and the bare path
+    was never used as one, the accepted query stays on it."""
     if dlq_path is None:
         dlq_path = out_path.rstrip("/") + "_dlq"
+    accepted_ckpt = checkpoint
+    if os.path.isdir(os.path.join(checkpoint, "accepted", "offsets")) and (
+        not os.path.isdir(os.path.join(checkpoint, "offsets"))
+    ):
+        accepted_ckpt = os.path.join(checkpoint, "accepted")
     accepted, rejects = prepare_doc_stream(
         read_doc_stream(spark, in_path), min_quality
     )
@@ -151,7 +161,7 @@ def run_corpus_ingest(
         accepted.drop("ingested_at")
         .writeStream.format("parquet")
         .option("path", out_path)
-        .option("checkpointLocation", checkpoint)
+        .option("checkpointLocation", accepted_ckpt)
         .partitionBy("split")
         .trigger(availableNow=True)
         .start()

@@ -2100,3 +2100,45 @@ def test_vacuum_keeps_inherited_dirs_and_stats_pruning_on_cow_partitions(
     assert rep_old["partitions_read"] == 3
     rows = got_old.collect()
     assert [r.v for r in rows] == [13.0]
+
+
+def test_conditional_put_mirror_failure_never_destroys_committed_data(
+    spark, tmp_path
+):
+    """A commit whose store PUT landed but whose local mirror write
+    failed is a SUCCESSFUL commit: no exception, no staged-dir cleanup
+    (the store manifest references it), and a later sync_local catches
+    the mirror up (code-review finding: _is_published consulting the
+    local mirror would have deleted store-referenced data)."""
+    import os
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    store = mt.EtagObjectStore()
+
+    class FlakyMirror(mt.ConditionalPutSnapshotCommit):
+        fail_next_mirror = False
+
+        def sync_local(self, table_path):
+            if FlakyMirror.fail_next_mirror:
+                FlakyMirror.fail_next_mirror = False
+                raise OSError("simulated ENOSPC writing the mirror")
+            return super().sync_local(table_path)
+
+    commit = FlakyMirror(store)
+    table = str(tmp_path / "condput_mirror")
+    schema = "id int, day string, v string"
+    df = spark.createDataFrame([(1, "d0", "a")], schema)
+
+    FlakyMirror.fail_next_mirror = True
+    assert mt.write_snapshot(df, table, part_col="day", commit=commit) == 1
+    # Store is the truth: v1 committed, its data directory intact.
+    man = commit.manifest_for_publish_check(table)
+    assert man["current"] == 1
+    v1_dir = os.path.join(table, man["snapshots"]["1"]["dir"])
+    assert os.path.isdir(v1_dir)
+    # The mirror is stale (the write failed) until sync_local refreshes.
+    assert mt._load_manifest(table)["current"] == 0
+    commit.sync_local(table)
+    assert mt._load_manifest(table) == man
+    assert mt.read_snapshot(spark, table).count() == 1

@@ -188,3 +188,30 @@ def test_ab_chi_square_known_table(spark):
     assert got.conv_a == a and got.conv_b == c
     assert got.chi2 == expect
     assert got.significant_05 == (float(n * det) * det / max(den, 1) > 3.841)
+
+
+def test_nonfinite_audit_counts_every_class_single_pass(spark):
+    """nonfinite_audit: NULL/NaN/±Inf/finite tallied per column in one
+    wide aggregate; empty input audits as NULL ratio, not a dead job."""
+    from cryptocurrency_data_pipeline_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [
+            (1.0, 2.0),
+            (float("nan"), None),
+            (float("inf"), 4.0),
+            (float("-inf"), float("nan")),
+            (None, 5.0),
+        ],
+        "a double, b double",
+    )
+    got = {r.column: r for r in quality.nonfinite_audit(df, ["a", "b"]).collect()}
+    a, b = got["a"], got["b"]
+    assert (a.n_rows, a.n_null, a.n_nan, a.n_inf) == (5, 1, 1, 2)
+    assert a.finite_ratio == 0.2
+    assert (b.n_rows, b.n_null, b.n_nan, b.n_inf) == (5, 1, 1, 0)
+    assert b.finite_ratio == 0.6
+
+    empty = spark.createDataFrame([], "a double, b double")
+    for r in quality.nonfinite_audit(empty, ["a", "b"]).collect():
+        assert r.n_rows == 0 and r.finite_ratio is None

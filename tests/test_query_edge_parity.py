@@ -127,3 +127,72 @@ def test_jpeg_meta_survives_oversized_com_payload(spark, edge_sf_dir):
     # doc 502: width = 100 + 70000 % 200 = 100, height = 50 + 502 % 100
     # = 52 — the truncated COM payload must not desync the SOF0 parse.
     assert any(r["width"] == 100 and r["height"] == 52 for r in rows)
+
+
+#: Cents-only display queries: hash-stable even with finite magnitudes
+#: past the cents-overflow bound (raw-double displays are NOT — Spark's
+#: BigDecimal round() is the identity at 1e17 while DuckDB's loses ULPs,
+#: and double sum order differences exceed any rounding tolerance — so
+#: the overflow rows live in THIS dedicated fixture, not sfedge).
+OVERFLOW_REPS = [
+    "exact_rank_quantiles_by_type",  # NULL cents must never reach ORDER BY
+    "value_concentration_gini",      # NULL per-user cents sum excluded
+    "rfm_customer_segments",         # NULL monetary sum excluded from ntile
+    "salted_event_type_stats",       # count(*) vs NULL-cents count
+    "tumbling_hourly_stats",         # scale-10000 overflow -> NULL both
+]
+
+
+@pytest.fixture(scope="module")
+def overflow_sf_dir(edge_sf_dir):
+    """sfedge + finite cents-overflow measures (1e17 event value and
+    order price): quantizes to NULL on both engines, and a NULL rank
+    key lands on OPPOSITE ends per engine if it ever reaches a sort."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = f"/tmp/spark_graft_sfovf_{os.getpid()}"
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.copytree(edge_sf_dir, d)
+
+    def append(name, rows):
+        src = pq.read_table(f"{d}/{name}.parquet")
+        cols = [
+            pa.array([r[i] for r in rows], type=f.type)
+            for i, f in enumerate(src.schema)
+        ]
+        pq.write_table(
+            pa.concat_tables([src, pa.Table.from_arrays(cols, schema=src.schema)]),
+            f"{d}/{name}.parquet",
+        )
+
+    ts = pd.Timestamp
+    append("events", [(1011, ts("2024-01-19 15:00:00"), 12, "view", 1e17, "{}")])
+    append("orders", [(1515, 12, "O", 1e17, ts("1997-11-11"), "2-HIGH")])
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", OVERFLOW_REPS)
+def test_cents_overflow_rank_parity(spark, overflow_sf_dir, name):
+    con = duckdb.connect()
+    try:
+        for tab in TABLES:
+            con.execute(
+                f"CREATE VIEW {tab} AS SELECT * FROM "
+                f"read_parquet('{overflow_sf_dir}/{tab}.parquet')"
+            )
+        sdf = QUERIES[name](spark, overflow_sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        rel = con.sql(ORACLES[name])
+        drows = rel.fetchall()
+        assert len(srows) == len(drows), (
+            f"{name}: spark={len(srows)} duck={len(drows)}"
+        )
+        assert table_hash(sdf.columns, srows) == table_hash(rel.columns, drows), (
+            f"{name}: value-hash mismatch\n"
+            f"spark: {sorted(srows, key=str)[:8]}\nduck:  {sorted(drows, key=str)[:8]}"
+        )
+    finally:
+        con.close()

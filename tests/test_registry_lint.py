@@ -145,8 +145,13 @@ def test_measure_quantization_sites_carry_the_nan_guard():
         for m in _re.finditer(
             r"floor\((?:[^()]|\([^()]*\))*?\*\s*(?:100|10000)\)", sql
         ):
+            # The guard text is POSITIONAL, not merely nearby: cents_sql
+            # renders "... THEN NULL ELSE CAST(floor(...)" — a window
+            # scan alone would false-pass an unguarded site that sits
+            # within 200 chars of a DIFFERENT guarded one.
+            before = sql[: m.start()].rstrip()
             window = sql[max(0, m.start() - 200): m.start()]
-            if "isnan(" not in window:
+            if not (before.endswith("ELSE CAST(") and "isnan(" in window):
                 offenders.setdefault(name, []).append(m.group(0)[:60])
     assert not offenders, (
         f"unguarded floor-cents quantization in oracles (use "

@@ -159,6 +159,15 @@ def build(out_dir: str) -> None:
             (1008, ts("2024-01-16 12:00:00"), 9, "click", float("nan"), "{}"),
             (1009, ts("2024-01-17 13:00:00"), 10, "view", float("inf"), "{}"),
             (1010, ts("2024-01-18 14:00:00"), 11, "purchase", float("-inf"), "{}"),
+            # NOTE deliberately NO finite cents-overflow magnitude
+            # (e.g. 1e17) here: at |x| >= ~1e16 every RAW-double display
+            # column becomes cross-engine hash-unstable for reasons that
+            # are not pipeline bugs (Spark's BigDecimal round() is the
+            # identity there while DuckDB's loses ULPs, and double SUM
+            # order differences exceed any rounding tolerance).  The
+            # finite-overflow -> NULL-cents rank class is pinned by
+            # tests/test_query_edge_parity.py::test_cents_overflow_rank_parity
+            # on a dedicated fixture over the cents-only queries.
         ],
         out_dir,
     )
