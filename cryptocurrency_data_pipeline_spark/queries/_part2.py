@@ -1691,9 +1691,13 @@ def _zorder_sql_terms(cols: list[str], bits: int = 16) -> str:
              min(value) AS vmin, max(value) AS vmax
       FROM ev
     ), scaled AS (
+      -- a CONSTANT dimension (single tenant / first run) collapses to
+      -- coordinate 0 instead of dividing by a zero range
       SELECT user_id, value,
-             least(65535, CAST(floor(((CAST(user_id AS DOUBLE) - umin) / (umax - umin)) * 65536.0) AS BIGINT)) AS su,
-             least(65535, CAST(floor(((value - vmin) / (vmax - vmin)) * 65536.0) AS BIGINT)) AS sv
+             CASE WHEN umax = umin THEN 0
+                  ELSE least(65535, CAST(floor(((CAST(user_id AS DOUBLE) - umin) / (umax - umin)) * 65536.0) AS BIGINT)) END AS su,
+             CASE WHEN vmax = vmin THEN 0
+                  ELSE least(65535, CAST(floor(((value - vmin) / (vmax - vmin)) * 65536.0) AS BIGINT)) END AS sv
       FROM ev, stats
     ), keyed AS (
       SELECT user_id, value, ({_zorder_sql_terms(['su', 'sv'])}) AS z
@@ -1723,17 +1727,27 @@ def zorder_events_locality(spark, sf_dir):
         F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
         F.min("value").alias("vmin"), F.max("value").alias("vmax"),
     )
+    # A CONSTANT dimension (single tenant / first run) collapses to
+    # coordinate 0 instead of ANSI-dividing by a zero range.
     scaled = ev.crossJoin(F.broadcast(stats)).select(
         "user_id",
         "value",
-        F.least(
-            F.lit(65535),
-            F.floor(((F.col("user_id").cast("double") - F.col("umin")) / (F.col("umax") - F.col("umin"))) * 65536.0),
-        ).alias("su"),
-        F.least(
-            F.lit(65535),
-            F.floor(((F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin"))) * 65536.0),
-        ).alias("sv"),
+        F.when(F.col("umax") == F.col("umin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(65535),
+                F.floor(((F.col("user_id").cast("double") - F.col("umin")) / (F.col("umax") - F.col("umin"))) * 65536.0),
+            )
+        )
+        .alias("su"),
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(65535),
+                F.floor(((F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin"))) * 65536.0),
+            )
+        )
+        .alias("sv"),
     )
     keyed = scaled.select(
         "user_id", "value", zorder_key(["su", "sv"]).alias("z")

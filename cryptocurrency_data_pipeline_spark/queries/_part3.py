@@ -729,9 +729,13 @@ def token_drift_report(spark, sf_dir):
         F.sum("ca").cast("double").alias("ta"),
         F.sum("cb").cast("double").alias("tb"),
     )
+    # An ABSENT snapshot (zero tokens on one side) has no distribution:
+    # drift vs it is NULL, not a number smoothed out of thin air — the
+    # oracle's scalar subquery over the missing snap is NULL, and the
+    # engine must agree (surfaced by the single-row scale probe).
     p = wide.crossJoin(F.broadcast(tot)).select(
-        ((F.col("ca") + 1) / (F.col("ta") + 64)).alias("pa"),
-        ((F.col("cb") + 1) / (F.col("tb") + 64)).alias("pb"),
+        F.when(F.col("ta") > 0, (F.col("ca") + 1) / (F.col("ta") + 64)).alias("pa"),
+        F.when(F.col("tb") > 0, (F.col("cb") + 1) / (F.col("tb") + 64)).alias("pb"),
     )
     return p.agg(
         F.count(F.lit(1)).alias("n_buckets"),

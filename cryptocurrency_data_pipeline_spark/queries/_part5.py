@@ -669,8 +669,10 @@ def ab_test_chi_square(spark, sf_dir):
         (F.col("c") + F.col("d")).alias("n_b"),
         F.col("a").alias("conv_a"),
         F.col("c").alias("conv_b"),
-        F.round(F.col("a") / (F.col("a") + F.col("b")), 6).alias("rate_a"),
-        F.round(F.col("c") / (F.col("c") + F.col("d")), 6).alias("rate_b"),
+        # try_divide: an EMPTY arm (single-tenant/first-run data) has no
+        # rate — NULL, matching DuckDB's x/0, instead of an ANSI abort.
+        F.round(F.try_divide(F.col("a"), F.col("a") + F.col("b")), 6).alias("rate_a"),
+        F.round(F.try_divide(F.col("c"), F.col("c") + F.col("d")), 6).alias("rate_b"),
         F.round(ladder, 6).alias("chi2"),
         (ladder > F.lit(3.841)).alias("significant_05"),
     )
@@ -2146,8 +2148,15 @@ def schema_evolution_read(spark, sf_dir):
         ),
         table,
     )
+    cur = mt.read_snapshot(spark, table, 2)
+    if "tier" not in cur.columns:
+        # An EMPTY evolving upsert (no 1-URGENT rows at this scale
+        # point) lands no partition carrying the new column, so the
+        # assembled read has no `tier` — the evolved column is all-NULL
+        # by definition then (the oracle's priority-gated CASE agrees).
+        cur = cur.withColumn("tier", F.lit(None).cast("string"))
     return (
-        mt.read_snapshot(spark, table, 2)
+        cur
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

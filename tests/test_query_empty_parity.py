@@ -129,3 +129,48 @@ def test_profile_on_empty_is_defined_not_dead(spark):
     )
     assert mk["Size()"] == 0.0
     assert mk["Uniqueness(k)"] is None and mk["Distinctness(k)"] is None
+
+
+#: Single-row representatives — a DISTINCT degenerate class from empty
+#: (round-9 probe): constant dimensions must collapse, not divide by a
+#: zero range; an absent cohort/arm/snapshot is NULL, never a number
+#: smoothed out of nothing; an empty evolving upsert carries no new
+#: column into the assembled read.
+ONE_ROW_REPS = [
+    "zorder_events_locality",   # umax==umin / vmax==vmin -> coordinate 0
+    "ab_test_chi_square",       # empty arm -> NULL rate, not ANSI abort
+    "token_drift_report",       # absent snapshot half -> NULL drift
+    "schema_evolution_read",    # empty evolving upsert -> all-NULL tier
+    "events_value_histogram",   # mx==mn constant-column bucket 0
+    "flagship_daily_rollup",
+]
+
+
+@pytest.fixture(scope="module")
+def one_row_sf_dir():
+    d = f"/tmp/spark_graft_sfone_{os.getpid()}"
+    build(d, n_rows=1)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", ONE_ROW_REPS)
+def test_one_row_parity(spark, one_row_sf_dir, name):
+    con = duckdb.connect()
+    try:
+        for tab in TABLES:
+            con.execute(
+                f"CREATE VIEW {tab} AS SELECT * FROM "
+                f"read_parquet('{one_row_sf_dir}/{tab}.parquet')"
+            )
+        sdf = QUERIES[name](spark, one_row_sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        rel = con.sql(ORACLES[name])
+        drows = rel.fetchall()
+        assert len(srows) == len(drows), (
+            f"{name}: spark={len(srows)} duck={len(drows)}\n"
+            f"spark: {sorted(srows, key=str)[:8]}\nduck: {sorted(drows, key=str)[:8]}"
+        )
+        assert table_hash(sdf.columns, srows) == table_hash(rel.columns, drows)
+    finally:
+        con.close()

@@ -18,7 +18,16 @@ matches nothing, a new tenant with no data yet, the first run of a
 day — and "empty in, empty (not crashed) out" is the contract both
 engines must share.
 
-Usage: python tools/make_empty_sf.py [out_dir]  (default /tmp/spark_graft_sfempty)
+``build(out_dir, n_rows=1)`` (CLI: second arg) builds the SINGLE-ROW
+sibling ``sfone`` instead — one row per table: degenerate statistics
+(zero ranges, one-arm experiments, absent split halves), which the
+round-9 probe showed are a distinct divergence class from zero rows
+(constant-dimension scalings ANSI-divide by a zero range, absent
+cohorts must be NULL not smoothed, empty evolving upserts carry no new
+column).
+
+Usage: python tools/make_empty_sf.py [out_dir] [n_rows]
+       (defaults /tmp/spark_graft_sfempty 0)
 """
 
 from __future__ import annotations
@@ -37,14 +46,17 @@ TABLES = [
 ]
 
 
-def build(out_dir: str) -> None:
+def build(out_dir: str, n_rows: int = 0) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
     for name in TABLES:
         src = pq.read_table(f"{SRC}/{name}.parquet")
-        pq.write_table(src.slice(0, 0), f"{out_dir}/{name}.parquet")
-    print(f"sfempty written to {out_dir}")
+        pq.write_table(src.slice(0, n_rows), f"{out_dir}/{name}.parquet")
+    print(f"sf ({n_rows} rows/table) written to {out_dir}")
 
 
 if __name__ == "__main__":
-    build(sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sfempty")
+    build(
+        sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sfempty",
+        int(sys.argv[2]) if len(sys.argv) > 2 else 0,
+    )
