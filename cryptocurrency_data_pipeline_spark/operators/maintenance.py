@@ -164,12 +164,25 @@ def zorder_layout(df: DataFrame, scaled_cols, n_files: int, bits: int = 16) -> D
 
 import json
 
-#: Snapshotted ONCE at import (single-threaded): os.umask() is a
-#: process-global read-modify-write, and probing it per call from
-#: concurrent writer threads can interleave and permanently zero the
-#: process umask (publishing world-writable manifests ever after).
-_PROCESS_UMASK = os.umask(0)
-os.umask(_PROCESS_UMASK)
+def _current_umask() -> int:
+    """The process umask WITHOUT ``os.umask()``'s read-modify-write:
+    even a bracketed ``os.umask(0); os.umask(v)`` probe zeroes the
+    process-global value for an instant, and any OTHER thread creating
+    a file in that window (py4j callbacks, logging handlers, a
+    concurrent Spark job) lands it world-writable.  Linux exposes the
+    value read-only in ``/proc/self/status`` (``Umask:`` field, since
+    4.7); reading it PER CALL also tracks an application that changes
+    its umask after import.  Where procfs is unavailable, fall back to
+    the conventional 0o022 — fresh manifests get the standard 0o644 —
+    rather than ever mutating process state."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("Umask:"):
+                    return int(line.split()[1], 8)
+    except (OSError, ValueError, IndexError):
+        pass
+    return 0o022
 
 
 def _manifest_path(table_path: str) -> str:
@@ -233,6 +246,17 @@ class SnapshotCommit:
         (object store) MUST override this: checking the local mirror
         would report a store-committed version as unpublished and
         delete data the store manifest already references."""
+        return _load_manifest(table_path)
+
+    def manifest_for_read(self, table_path: str) -> dict:
+        """The manifest the READ path resolves versions through
+        (:func:`read_snapshot` / :func:`list_snapshots` /
+        :func:`snapshot_changes` ... all accept ``commit=`` and route
+        here).  Default: the local manifest — authoritative for the
+        POSIX protocol.  A protocol whose truth lives elsewhere
+        overrides this so a reader can BOOTSTRAP on a host whose local
+        mirror is absent or stale (fresh autoscaled worker, read-only
+        replica) instead of silently serving an old version."""
         return _load_manifest(table_path)
 
 
@@ -391,6 +415,49 @@ class ConditionalPutSnapshotCommit(SnapshotCommit):
         data, _ = self.store.get(self._key(table_path))
         return _decode_manifest(data)
 
+    def manifest_for_read(self, table_path: str) -> dict:
+        """Store-authoritative read resolution with the mirror as a
+        CACHE: consult the fresh store copy, refresh the local mirror
+        when it disagrees (so same-host mirror-only tooling and later
+        readers converge — a host that never wrote the table gets its
+        ``_versions.json`` created here), and fall back to the mirror
+        ONLY when the store itself is unreachable — loudly, because the
+        mirror may then be stale.  The compare-before-sync keeps the
+        hot read path write-free: an up-to-date mirror costs one store
+        GET and zero filesystem writes per resolution."""
+        import logging
+
+        try:
+            data, _ = self.store.get(self._key(table_path))
+        except (OSError, RuntimeError, ValueError) as e:
+            logging.getLogger(__name__).warning(
+                "object store unreachable resolving %s (%s: %s); "
+                "serving the LOCAL MIRROR, which may be stale",
+                table_path,
+                type(e).__name__,
+                e,
+            )
+            return _load_manifest(table_path)
+        man = _decode_manifest(data)
+        try:
+            mirror = _load_manifest(table_path)
+        except RuntimeError:
+            mirror = None  # corrupt mirror: repaired by the sync below
+        if mirror != man:
+            try:
+                self.sync_local(table_path)
+            except OSError as e:
+                # A read must not fail because its CACHE can't be
+                # written (read-only host): serve the store copy.
+                logging.getLogger(__name__).warning(
+                    "mirror refresh for %s failed (%s: %s); serving the "
+                    "store manifest without caching it",
+                    table_path,
+                    type(e).__name__,
+                    e,
+                )
+        return man
+
     def sync_local(self, table_path: str) -> dict:
         """Refresh the local mirror from the FRESH store copy, under the
         same flock :class:`PosixSnapshotCommit` uses — so concurrent
@@ -416,11 +483,13 @@ class ConditionalPutSnapshotCommit(SnapshotCommit):
             os.close(fd)
 
 
-def snapshot_dir(table_path: str, version: int) -> str:
+def snapshot_dir(
+    table_path: str, version: int, commit: SnapshotCommit | None = None
+) -> str:
     """Absolute path of the directory backing ``version`` — directory
     names are unique per write attempt (``v{N}-{uuid}``), so tooling and
     tests must resolve them through the manifest, never construct them."""
-    _, snap = _resolve_snapshot(table_path, version)
+    _, snap = _resolve_snapshot(table_path, version, commit)
     return os.path.join(table_path, snap["dir"])
 
 
@@ -568,12 +637,29 @@ def _is_published(
     (``manifest_for_publish_check``): for the conditional-put protocol
     that is the store copy, not the local mirror — a commit whose store
     put landed but whose mirror write failed would otherwise read as
-    unpublished and its data directory be destroyed.  If even that read
-    fails, the answer is unknowable — report published (never delete on
-    uncertainty; vacuum reclaims true orphans later)."""
+    unpublished and its data directory be destroyed.  If that read
+    fails with an EXPECTED failure class (I/O, corrupt/missing payload,
+    a store precondition), the answer is unknowable — report published,
+    loudly (never delete on uncertainty; vacuum reclaims true orphans
+    later).  Programming errors (a misconfigured commit object raising
+    AttributeError/TypeError) propagate: swallowing those would
+    silently disable staged-dir cleanup forever with no signal."""
     try:
         man = (commit or DEFAULT_COMMIT).manifest_for_publish_check(table_path)
-    except Exception:
+    except (OSError, RuntimeError, ValueError, KeyError) as e:
+        # RuntimeError covers PreconditionFailedError and the corrupt-
+        # manifest guard; ValueError covers json.JSONDecodeError.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "publish check for %s v%d could not read the authoritative "
+            "manifest (%s: %s); treating the staged directory as "
+            "published — vacuum reclaims it later if it is a true orphan",
+            table_path,
+            version,
+            type(e).__name__,
+            e,
+        )
         return True
     ent = man["snapshots"].get(str(version))
     return bool(ent and ent.get("dir") == rel_dir)
@@ -616,7 +702,11 @@ def write_snapshot(
     wedged table."""
     os.makedirs(table_path, exist_ok=True)
     stats_cols = _validate_stats_cols(df, part_col, stats_cols)
-    man = _load_manifest(table_path)
+    # Plan the next version against the PROTOCOL's view of the table:
+    # on a mirror-less host the conditional-put protocol bootstraps the
+    # base state from the store (a local-only load would plan v1 over
+    # an existing table and fail the commit CAS).
+    man = (commit or DEFAULT_COMMIT).manifest_for_read(table_path)
     version = man["current"] + 1
     rel_dir, snap_dir = _new_snap_dir(table_path, version)
     committed = False
@@ -771,12 +861,14 @@ def _commit_version(
     (commit or DEFAULT_COMMIT).commit_manifest(table_path, mutate)
 
 
-def snapshot_as_of(table_path: str, ts: float) -> int:
+def snapshot_as_of(
+    table_path: str, ts: float, commit: SnapshotCommit | None = None
+) -> int:
     """Version visible at wall-clock time ``ts`` (epoch seconds): the
     newest retained version committed at or before ``ts`` — Delta's
     ``TIMESTAMP AS OF``.  Raises if every retained version postdates
     ``ts`` (older ones may have been vacuumed)."""
-    man = _load_manifest(table_path)
+    man = (commit or DEFAULT_COMMIT).manifest_for_read(table_path)
     eligible = [
         int(v)
         for v, meta in man["snapshots"].items()
@@ -838,7 +930,7 @@ def upsert_snapshot(
     ``rand()``/``current_timestamp()``/an unpersisted sample would
     record fingerprints describing rows that were never written;
     persist such frames first."""
-    man = _load_manifest(table_path)
+    man = (commit or DEFAULT_COMMIT).manifest_for_read(table_path)
     prev = man["snapshots"].get(str(man["current"]))
     if prev is None or not prev.get("part_col"):
         raise ValueError(
@@ -1016,7 +1108,7 @@ def merge_into_snapshot(
     the manifest for ``snapshot_changes(collapse=True)``."""
     from pyspark.sql import functions as F
 
-    man = _load_manifest(table_path)
+    man = (commit or DEFAULT_COMMIT).manifest_for_read(table_path)
     prev = man["snapshots"].get(str(man["current"]))
     if prev is None or not prev.get("part_col"):
         raise ValueError(
@@ -1028,7 +1120,7 @@ def merge_into_snapshot(
     touched = {
         r[0] for r in updates.select(part_str.alias("p")).distinct().collect()
     }
-    current = read_snapshot(spark, table_path)
+    current = read_snapshot(spark, table_path, commit=commit)
     existing = current.where(partition_predicate(part_col, touched))
 
     if delete_col is not None:
@@ -1134,6 +1226,7 @@ def compact_snapshot_partition(
     target_file_bytes: int = 128 << 20,
     sort_col: str | None = None,
     zorder_cols: Sequence[str] | None = None,
+    commit: SnapshotCommit | None = None,
 ) -> int:
     """Compact ONE partition of the current snapshot into right-sized
     files, published copy-on-write: reads the partition (wherever its
@@ -1154,7 +1247,7 @@ def compact_snapshot_partition(
     (and a stats manifest) prune most of them.  Mutually exclusive."""
     from pyspark.sql import functions as F
 
-    man = _load_manifest(table_path)
+    man = (commit or DEFAULT_COMMIT).manifest_for_read(table_path)
     prev = man["snapshots"].get(str(man["current"]))
     if prev is None or not prev.get("part_col"):
         raise ValueError("compact_snapshot_partition requires a partitioned snapshot")
@@ -1192,7 +1285,7 @@ def compact_snapshot_partition(
         pred = F.col(part_col).isNull()
     else:
         pred = F.col(part_col).cast("string") == partition
-    rows = read_snapshot(spark, table_path).where(pred)
+    rows = read_snapshot(spark, table_path, commit=commit).where(pred)
     if sort_col:
         rows = rows.repartitionByRange(n_files, sort_col).sortWithinPartitions(
             sort_col
@@ -1209,13 +1302,22 @@ def compact_snapshot_partition(
         rows = zorder_layout(rows, list(zorder_cols), n_files).select(*cols)
     else:
         rows = rows.repartition(n_files)
-    return upsert_snapshot(rows, table_path)
+    return upsert_snapshot(rows, table_path, commit=commit)
 
 
-def _resolve_snapshot(table_path: str, version: int | None) -> tuple[int, dict]:
+def _resolve_snapshot(
+    table_path: str,
+    version: int | None,
+    commit: SnapshotCommit | None = None,
+) -> tuple[int, dict]:
     """(version, entry) for ``version`` (default: current), with the
-    one retained-versions error message every resolver shares."""
-    man = _load_manifest(table_path)
+    one retained-versions error message every resolver shares.  The
+    manifest comes from the commit protocol's ``manifest_for_read`` —
+    for the default POSIX protocol that is the local file; for the
+    conditional-put protocol it is the STORE copy (mirror refreshed as
+    a cache), so a reader on a host with an absent or stale mirror
+    still resolves the latest committed state."""
+    man = (commit or DEFAULT_COMMIT).manifest_for_read(table_path)
     version = man["current"] if version is None else version
     snap = man["snapshots"].get(str(version))
     if snap is None:
@@ -1226,9 +1328,20 @@ def _resolve_snapshot(table_path: str, version: int | None) -> tuple[int, dict]:
     return version, snap
 
 
-def read_snapshot(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
+def read_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    commit: SnapshotCommit | None = None,
+) -> DataFrame:
     """Read the table as-of ``version`` (default: current).  Raises a
     clear error for unknown or vacuumed versions.
+
+    ``commit`` selects the protocol whose manifest resolves the read
+    (``manifest_for_read``): pass the table's
+    :class:`ConditionalPutSnapshotCommit` to bootstrap from the object
+    store on a host whose local mirror is absent or stale — the mirror
+    is refreshed as a cache on the way through.
 
     Partitioned versions may inherit partitions from older version
     directories (``upsert_snapshot``): the read assembles per-source
@@ -1236,7 +1349,7 @@ def read_snapshot(spark: SparkSession, table_path: str, version: int | None = No
     with inference OFF and cast back to the recorded ``part_type``, so
     the column round-trips with the WRITER's exact type — a string
     ``"05"`` stays ``"05"``, never a re-inferred ``5``."""
-    version, snap = _resolve_snapshot(table_path, version)
+    version, snap = _resolve_snapshot(table_path, version, commit)
     pc = snap.get("part_col")
     if not pc or not snap.get("parts"):
         # Unpartitioned — or an empty partitioned version, stored as one
@@ -1323,6 +1436,7 @@ def read_snapshot_with_stats_skipping(
     table_path: str,
     ranges: dict[str, tuple],
     version: int | None = None,
+    commit: SnapshotCommit | None = None,
 ) -> tuple[DataFrame, dict]:
     """Range-predicate read of a snapshot version that drops whole
     PARTITIONS through the manifest's per-partition min/max envelopes
@@ -1342,7 +1456,7 @@ def read_snapshot_with_stats_skipping(
     state the write path already maintains; a time-correlated predicate
     on a dt-partitioned 100 TB table plans scans for only the matching
     days' directories."""
-    version, snap = _resolve_snapshot(table_path, version)
+    version, snap = _resolve_snapshot(table_path, version, commit)
     if not snap.get("part_col"):
         raise ValueError(
             "read_snapshot_with_stats_skipping requires a partitioned "
@@ -1361,7 +1475,7 @@ def read_snapshot_with_stats_skipping(
     if not snap.get("parts"):
         # Empty partitioned version (one typed empty file): nothing to
         # prune, nothing to read.
-        df = read_snapshot(spark, table_path, version)
+        df = read_snapshot(spark, table_path, version, commit)
         return df, {
             "partitions_total": 0,
             "partitions_read": 0,
@@ -1386,9 +1500,11 @@ def read_snapshot_with_stats_skipping(
     return df, report
 
 
-def list_snapshots(table_path: str) -> list[dict]:
+def list_snapshots(
+    table_path: str, commit: SnapshotCommit | None = None
+) -> list[dict]:
     """Retained snapshots, oldest first: [{version, n_rows, current}]."""
-    man = _load_manifest(table_path)
+    man = (commit or DEFAULT_COMMIT).manifest_for_read(table_path)
     return [
         {
             "version": int(v),
@@ -1487,7 +1603,7 @@ def write_json_durable(target: str, obj) -> None:
 
                 mode = stat.S_IMODE(os.stat(target).st_mode)
             except FileNotFoundError:
-                mode = 0o666 & ~_PROCESS_UMASK
+                mode = 0o666 & ~_current_umask()
             os.fchmod(f.fileno(), mode)
             os.fsync(f.fileno())
         os.replace(tmp, target)
@@ -1759,14 +1875,17 @@ def read_with_skipping(
 
 
 def changed_partitions(
-    table_path: str, v_from: int, v_to: int
+    table_path: str,
+    v_from: int,
+    v_to: int,
+    commit: SnapshotCommit | None = None,
 ) -> tuple[str, list[str]] | None:
     """Compare two snapshots' per-partition fingerprints; returns
     ``(part_col, changed_values)`` — partitions whose content differs or
     that exist on only one side — or ``None`` when either snapshot lacks
     fingerprints (unpartitioned write) or the partition columns disagree.
     Pure manifest work: O(partitions) on the driver, zero data read."""
-    man = _load_manifest(table_path)
+    man = (commit or DEFAULT_COMMIT).manifest_for_read(table_path)
     sa = man["snapshots"].get(str(v_from), {})
     sb = man["snapshots"].get(str(v_to), {})
     pc = sa.get("part_col")
@@ -1791,6 +1910,7 @@ def snapshot_changes(
     v_to: int,
     collapse: bool = False,
     keys: Sequence[str] | None = None,
+    commit: SnapshotCommit | None = None,
 ) -> DataFrame:
     """Change feed between two retained snapshot versions: every row of
     ``v_to`` not present in ``v_from`` tagged ``insert``, every row of
@@ -1825,7 +1945,7 @@ def snapshot_changes(
     from pyspark.sql import functions as F
 
     if collapse:
-        man = _load_manifest(table_path)
+        man = (commit or DEFAULT_COMMIT).manifest_for_read(table_path)
         keys = list(keys) if keys else man["snapshots"].get(str(v_to), {}).get(
             "keys"
         )
@@ -1835,9 +1955,9 @@ def snapshot_changes(
                 "or record them at write time (merge_into_snapshot does, "
                 "or write_snapshot/upsert_snapshot record_keys=…)"
             )
-    a = read_snapshot(spark, table_path, v_from)
-    b = read_snapshot(spark, table_path, v_to)
-    pruned = changed_partitions(table_path, v_from, v_to)
+    a = read_snapshot(spark, table_path, v_from, commit)
+    b = read_snapshot(spark, table_path, v_to, commit)
+    pruned = changed_partitions(table_path, v_from, v_to, commit)
     if pruned is not None:
         pc, changed = pruned
         pred = partition_predicate(pc, changed)
@@ -1948,7 +2068,10 @@ def vacuum_snapshots(
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    man = _load_manifest(table_path)
+    # Vacuum MUST see the protocol's authoritative state: sweeping
+    # directories against a stale local mirror could reclaim data a
+    # fresher store manifest still references.
+    man = (commit or DEFAULT_COMMIT).manifest_for_read(table_path)
     known_before = _referenced_dirs(man)
     versions = sorted(int(v) for v in man["snapshots"])
     drop = [v for v in versions[:-keep_last] if v != man["current"]]

@@ -358,7 +358,31 @@ def nonfinite_audit(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     then an O(len(cols)) stack to long form (the unpivot runs on a
     1-row frame).  ``finite_ratio`` is try_divide'd: an empty table
     audits as NULL ratios, not a dead job.
+
+    ``cols`` must be non-empty, present in ``df``, and simple
+    identifiers: the column names are interpolated into the ``stack()``
+    expression as string literals and aliases, so a quoted/spaced/
+    backticked name would break the SQL (or inject into it) — rejected
+    up front with a clear error instead.
     """
+    import re as _re
+
+    cols = list(cols)
+    if not cols:
+        raise ValueError("nonfinite_audit requires at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"nonfinite_audit: columns not in the frame: {missing} "
+            f"(frame has {df.columns})"
+        )
+    unsafe = [c for c in cols if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c)]
+    if unsafe:
+        raise ValueError(
+            f"nonfinite_audit: column names must be simple identifiers "
+            f"([A-Za-z_][A-Za-z0-9_]*); rejected: {unsafe} — rename via "
+            f"select(...alias(...)) first"
+        )
     aggs = []
     for c in cols:
         d = F.col(c).cast("double")

@@ -43,12 +43,17 @@ from cryptocurrency_data_pipeline_spark.queries import _part5  # noqa: E402,F401
 # per round, while the registry holds far more — so ordering decides which
 # queries get fresh external scrutiny each round.  The policy here is
 # purely MECHANICAL and verification-maximizing: queries are sorted by
-# (number of driver-green rounds, most recent driver-green round,
+# (most recent driver-green round, number of driver-green rounds,
 # registration order), computed from the CORRECTNESS_r*.json artifacts the
 # driver itself writes.  Never-checked queries therefore always come
-# first (in registration order), then the least/longest-ago-checked —
-# every query cycles through the external window over rounds, and nothing
-# about the ordering depends on what any query is expected to score.
+# first (their last round is 0, in registration order), then the
+# longest-ago-checked — LEAST-RECENTLY-verified first, so no query's
+# last external check can age indefinitely (the previous
+# least-OFTEN-verified key let early-round core queries checked 3x in
+# r1-r3 sit behind every count-2 query forever; recency is the staleness
+# that matters).  Every query cycles through the external window over
+# rounds, and nothing about the ordering depends on what any query is
+# expected to score.
 #
 # Independently of the window, tests/test_oracle_parity.py replays the
 # driver's exact rows/schema/hash comparison for EVERY oracle-backed
@@ -94,14 +99,15 @@ def _driver_green_history() -> dict[str, list[int]]:
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry sorted least-externally-verified first (see module note
-    above): never-driver-checked queries lead in registration order,
-    then ascending (times checked, last checked round)."""
+    """Registry sorted least-RECENTLY-externally-verified first (see
+    module note above): never-driver-checked queries lead in
+    registration order (last round 0), then ascending (last checked
+    round, times checked)."""
     hist = _driver_green_history()
     reg = {n: i for i, n in enumerate(QUERIES)}
 
     def key(name: str) -> tuple[int, int, int]:
         rounds = sorted(hist.get(name, []))
-        return (len(rounds), rounds[-1] if rounds else 0, reg[name])
+        return (rounds[-1] if rounds else 0, len(rounds), reg[name])
 
     return {n: QUERIES[n] for n in sorted(QUERIES, key=key)}

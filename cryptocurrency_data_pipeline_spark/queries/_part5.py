@@ -2298,30 +2298,37 @@ def stream_snapshot_sink_replay(spark, sf_dir):
             order_col="o_orderdate", tiebreak=["o_orderkey"],
         )
 
-    b1 = orders.filter(F.col("o_orderkey") % 2 == 0)
-    v1 = merge(b1)                      # seed
-    v2 = merge(b1)                      # exact replay: withdrawn, no mint
-    if v2 != v1:
-        raise RuntimeError(f"replay minted a version: {v1} -> {v2}")
-    v3 = merge(orders.filter(F.col("o_orderkey") % 2 == 1))  # real merge
-    # Late file: every key already present with a strictly newer tuple —
-    # all rows discarded, no version minted.
-    late = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
-        # Preserve the column's dtype: date_sub returns DATE, and the
-        # sink fails fast on order-column dtype drift (a drifted type
-        # breaks the stored-tuple comparison silently at scale).
-        "o_orderdate",
-        F.date_sub("o_orderdate", 1000).cast(dict(orders.dtypes)["o_orderdate"]),
-    )
-    v4 = merge(late)
-    if v4 != v3:
-        raise RuntimeError(f"late data minted a version: {v3} -> {v4}")
-    # Empty input: no batch ever seeded the table (v == 0 throughout) —
-    # the final state is the empty keyed table, typed off the source.
-    cur = mt.read_snapshot(spark, table) if v4 > 0 else orders.limit(0)
-    # The returned frame reads only the PUBLISHED table files (or a
-    # zero-row local plan) — the fixture cache can go now.
-    orders.unpersist()
+    try:
+        b1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+        v1 = merge(b1)                  # seed
+        v2 = merge(b1)                  # exact replay: withdrawn, no mint
+        if v2 != v1:
+            raise RuntimeError(f"replay minted a version: {v1} -> {v2}")
+        v3 = merge(orders.filter(F.col("o_orderkey") % 2 == 1))  # real merge
+        # Late file: every key already present with a strictly newer
+        # tuple — all rows discarded, no version minted.
+        late = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            # Preserve the column's dtype: date_sub returns DATE, and
+            # the sink fails fast on order-column dtype drift (a drifted
+            # type breaks the stored-tuple comparison silently at scale).
+            "o_orderdate",
+            F.date_sub("o_orderdate", 1000).cast(
+                dict(orders.dtypes)["o_orderdate"]
+            ),
+        )
+        v4 = merge(late)
+        if v4 != v3:
+            raise RuntimeError(f"late data minted a version: {v3} -> {v4}")
+        # Empty input: no batch ever seeded the table (v == 0
+        # throughout) — the final state is the empty keyed table, typed
+        # off the source.
+        cur = mt.read_snapshot(spark, table) if v4 > 0 else orders.limit(0)
+    finally:
+        # The returned frame reads only the PUBLISHED table files (or a
+        # zero-row local plan) — the fixture cache can go now.  In a
+        # finally so a failed merge cycle or a tripped invariant cannot
+        # leak the cached fixture into the rest of the session.
+        orders.unpersist()
     return (
         cur
         .groupBy("o_orderpriority")
@@ -2670,4 +2677,94 @@ def dq_nonfinite_audit(spark, sf_dir):
         ev.unionByName(orders)
         .withColumnRenamed("column", "col_name")  # DuckDB reserved word
         .orderBy("col_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Object-store READ path (round-10 close of the conditional-put story):
+# a reader on a host whose local manifest mirror is ABSENT (fresh
+# autoscaled worker) or STALE must bootstrap from the store —
+# maintenance.read_snapshot(commit=) resolves versions through
+# SnapshotCommit.manifest_for_read, store-authoritative with the mirror
+# refreshed as a cache.  The cycle commits v1+v2 through the CAS
+# protocol, DELETES the mirror, reads back current AND time-travels to
+# v1 through the store, and asserts in-query that the mirror was truly
+# gone before the read and was recreated byte-equal to the store copy
+# after it.  The oracle states the merged v2 directly — a hash match
+# proves the store-resolved read serves the identical table.
+# --------------------------------------------------------------------------
+
+@query(
+    "object_store_read_path",
+    oracle=f"""
+    WITH snap AS (
+      SELECT o_orderkey, o_orderpriority,
+             {cents_sql('o_totalprice')} AS price_cents
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+                  THEN price_cents + 7 ELSE price_cents END AS price_cents
+      FROM snap
+      WHERE NOT (o_orderpriority IS NOT DISTINCT FROM '3-MEDIUM'
+                 AND o_orderkey % 7 = 0)
+      UNION ALL
+      SELECT -(o_orderkey + 1), o_orderpriority, 999
+      FROM snap WHERE o_orderpriority = '5-LOW' AND o_orderkey % 11 = 0
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(sum(price_cents) AS BIGINT) AS sum_cents
+    FROM v2 GROUP BY 1 ORDER BY 1
+    """,
+)
+def object_store_read_path(spark, sf_dir):
+    """Reference parity: the store-side manifest consultation mirrors
+    Delta's LogStore read path / Iceberg's catalog-resolved
+    current-metadata pointer; the reference overwrites S3 objects in
+    place and readers list the bucket (glue/data_transform_s3.py), so
+    its 'read path' IS the store — here the mirror is only a cache."""
+    import json as _json
+    import os as _os
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    store = mt.EtagObjectStore()
+    commit = mt.ConditionalPutSnapshotCommit(store)
+    table = _orders_merged_snapshot(spark, sf_dir, "storeread", commit=commit)
+
+    mirror_path = _os.path.join(table, "_versions.json")
+    _os.remove(mirror_path)  # the fresh-host premise
+    if _os.path.exists(mirror_path):
+        raise RuntimeError("mirror still present; the bootstrap is untested")
+
+    cur = mt.read_snapshot(spark, table, commit=commit)
+
+    # The resolution itself (driver-side) must have rebuilt the mirror
+    # as a byte-equal cache of the store manifest.
+    data, _etag = store.get(commit._key(table))
+    if data is None:
+        raise RuntimeError("no manifest in the object store")
+    if mt._load_manifest(table) != _json.loads(data.decode()):
+        raise RuntimeError("rebuilt mirror diverged from the store manifest")
+    # Time travel resolves through the store too: v1 is the pre-merge
+    # orders snapshot — its row count must match the source exactly.
+    _os.remove(mirror_path)
+    n_v1 = mt.read_snapshot(spark, table, 1, commit=commit).count()
+    n_src = t(spark, sf_dir, "orders").count()
+    if n_v1 != n_src:
+        raise RuntimeError(f"v1 through the store read {n_v1} rows, source has {n_src}")
+
+    return (
+        cur.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+            F.sum("price_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
     )

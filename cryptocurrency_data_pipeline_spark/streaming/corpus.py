@@ -56,6 +56,31 @@ DOC_STREAM_SCHEMA = StructType(
 )
 
 
+def _latest_batch_id(spark: SparkSession, offsets_dir: str) -> int | None:
+    """Highest batch id under a checkpoint's ``offsets/`` directory, or
+    None when the directory is absent or holds no batch files.
+
+    Probed through Spark's Hadoop ``FileSystem`` so the answer is
+    correct for ANY checkpoint URI (HDFS, S3A, file:) — an ``os.path``
+    probe is always False off the local filesystem, which silently
+    misclassifies an existing remote checkpoint as fresh.  Offset files
+    are named by integer batch id; Spark's own ``HDFSMetadataLog``
+    temp files (``.<id>.tmp`` etc.) are skipped by the isdigit gate."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(offsets_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    best = None
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.isdigit():
+            b = int(name)
+            if best is None or b > best:
+                best = b
+    return best
+
+
 def read_doc_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source JSON doc stream with the explicit schema (never
     inferred — inference is an extra full pass and unstable on streams)."""
@@ -145,15 +170,33 @@ def run_corpus_ingest(
     (``offsets/``, ``commits/``, ``sources/``...) never collide with a
     literal ``dlq/`` entry.  A deployment that ran the brief
     intermediate revision (accepted query at ``checkpoint/accepted``)
-    is grandfathered: if that sub-checkpoint exists and the bare path
-    was never used as one, the accepted query stays on it."""
+    is grandfathered.  Both probes go through Spark's Hadoop
+    ``FileSystem`` (an ``os.path`` check is always False on HDFS/S3
+    checkpoints and would silently restart from scratch, re-ingesting
+    committed input as duplicate rows — an exactly-once violation).
+    When BOTH layouts hold batches, the NEWER one (higher latest batch
+    id — both track the same file source, so batch ids are comparable
+    progress) wins; a tie is genuinely ambiguous and fails loudly for
+    the operator to resolve rather than guessing."""
     if dlq_path is None:
         dlq_path = out_path.rstrip("/") + "_dlq"
+    bare = _latest_batch_id(spark, os.path.join(checkpoint, "offsets"))
+    sub = _latest_batch_id(
+        spark, os.path.join(checkpoint, "accepted", "offsets")
+    )
     accepted_ckpt = checkpoint
-    if os.path.isdir(os.path.join(checkpoint, "accepted", "offsets")) and (
-        not os.path.isdir(os.path.join(checkpoint, "offsets"))
-    ):
-        accepted_ckpt = os.path.join(checkpoint, "accepted")
+    if sub is not None:
+        if bare is None or sub > bare:
+            accepted_ckpt = os.path.join(checkpoint, "accepted")
+        elif sub == bare:
+            raise RuntimeError(
+                f"both {checkpoint!r} and its accepted/ sub-path hold "
+                f"checkpoints at the same batch id ({bare}) — cannot "
+                f"tell which ran last; delete the stale one (keep the "
+                f"layout whose commits/ matches the sink's "
+                f"_spark_metadata) and re-run"
+            )
+        # bare > sub: the bare layout is further along — keep it.
     accepted, rejects = prepare_doc_stream(
         read_doc_stream(spark, in_path), min_quality
     )

@@ -2142,3 +2142,249 @@ def test_conditional_put_mirror_failure_never_destroys_committed_data(
     commit.sync_local(table)
     assert mt._load_manifest(table) == man
     assert mt.read_snapshot(spark, table).count() == 1
+
+
+def test_read_path_bootstraps_from_store_on_mirrorless_host(spark, tmp_path):
+    """A host that never wrote the table (no local _versions.json at
+    all) resolves reads through the STORE manifest and recreates the
+    mirror as a cache — the round-10 object-store READ path."""
+    import json
+    import os
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    store = mt.EtagObjectStore()
+    commit = mt.ConditionalPutSnapshotCommit(store)
+    table = str(tmp_path / "condput_read")
+    schema = "id int, day string, v string"
+    df = spark.createDataFrame([(1, "d0", "a"), (2, "d1", "b")], schema)
+    assert mt.write_snapshot(df, table, part_col="day", commit=commit) == 1
+    upd = spark.createDataFrame([(2, "d1", "B"), (3, "d0", "c")], schema)
+    assert mt.merge_into_snapshot(upd, table, ["id"], commit=commit) == 2
+
+    # Simulate the fresh host: the data dirs are shared storage, the
+    # manifest mirror is not.
+    os.remove(os.path.join(table, "_versions.json"))
+
+    got = {(r.id, r.v) for r in mt.read_snapshot(spark, table, commit=commit).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # Mirror recreated byte-equal to the store manifest.
+    data, _ = store.get(commit._key(table))
+    assert mt._load_manifest(table) == json.loads(data.decode())
+    # Time travel and listings resolve through the store too.
+    os.remove(os.path.join(table, "_versions.json"))
+    assert mt.read_snapshot(spark, table, 1, commit=commit).count() == 2
+    os.remove(os.path.join(table, "_versions.json"))
+    vers = mt.list_snapshots(table, commit=commit)
+    assert [s["version"] for s in vers] == [1, 2]
+    assert vers[-1]["current"]
+
+
+def test_read_path_refreshes_stale_mirror(spark, tmp_path):
+    """A mirror pinned at an OLDER committed state (another host merged
+    v2 through the store) is detected and refreshed on the next read:
+    the default-version read serves v2, not the stale mirror's v1."""
+    import json
+    import os
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    store = mt.EtagObjectStore()
+    commit = mt.ConditionalPutSnapshotCommit(store)
+    table = str(tmp_path / "condput_stale")
+    schema = "id int, day string, v string"
+    df = spark.createDataFrame([(1, "d0", "a")], schema)
+    assert mt.write_snapshot(df, table, part_col="day", commit=commit) == 1
+    v1_mirror = mt._load_manifest(table)
+
+    upd = spark.createDataFrame([(1, "d0", "A2")], schema)
+    assert mt.merge_into_snapshot(upd, table, ["id"], commit=commit) == 2
+    # Regress the mirror to v1 (what a host that missed the v2 commit
+    # would hold).
+    mt.write_json_durable(os.path.join(table, "_versions.json"), v1_mirror)
+    assert mt._load_manifest(table)["current"] == 1
+
+    got = {(r.id, r.v) for r in mt.read_snapshot(spark, table, commit=commit).collect()}
+    assert got == {(1, "A2")}
+    data, _ = store.get(commit._key(table))
+    assert mt._load_manifest(table) == json.loads(data.decode())
+
+    # A CORRUPT mirror is repaired from the store the same way.
+    with open(os.path.join(table, "_versions.json"), "w") as f:
+        f.write("{ not json")
+    assert mt.read_snapshot(spark, table, commit=commit).count() == 1
+    assert mt._load_manifest(table)["current"] == 2
+
+
+def test_read_path_store_outage_falls_back_to_mirror(spark, tmp_path):
+    """When the store itself is unreachable the reader serves the local
+    mirror (possibly stale) instead of failing — the cache inverts into
+    the fallback, loudly."""
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    store = mt.EtagObjectStore()
+    commit = mt.ConditionalPutSnapshotCommit(store)
+    table = str(tmp_path / "condput_outage")
+    schema = "id int, day string, v string"
+    df = spark.createDataFrame([(1, "d0", "a")], schema)
+    assert mt.write_snapshot(df, table, part_col="day", commit=commit) == 1
+
+    real_get = store.get
+    store.get = lambda key: (_ for _ in ()).throw(OSError("store outage"))
+    try:
+        assert mt.read_snapshot(spark, table, commit=commit).count() == 1
+        assert [s["version"] for s in mt.list_snapshots(table, commit=commit)] == [1]
+    finally:
+        store.get = real_get
+
+
+def test_writer_bootstraps_base_version_from_store(spark, tmp_path):
+    """A WRITER on a mirror-less host plans its next version against
+    the store state: without the bootstrap it would plan v1 over an
+    existing v2 table and fail the commit CAS."""
+    import os
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    store = mt.EtagObjectStore()
+    commit = mt.ConditionalPutSnapshotCommit(store)
+    table = str(tmp_path / "condput_wboot")
+    schema = "id int, day string, v string"
+    df = spark.createDataFrame([(1, "d0", "a")], schema)
+    assert mt.write_snapshot(df, table, part_col="day", commit=commit) == 1
+    assert (
+        mt.merge_into_snapshot(
+            spark.createDataFrame([(1, "d0", "A")], schema),
+            table, ["id"], commit=commit,
+        )
+        == 2
+    )
+    os.remove(os.path.join(table, "_versions.json"))
+    upd = spark.createDataFrame([(2, "d1", "new")], schema)
+    assert mt.merge_into_snapshot(upd, table, ["id"], commit=commit) == 3
+    assert mt.read_snapshot(spark, table, commit=commit).count() == 2
+
+
+def test_conditional_put_multiwriter_soak_linear_history(tmp_path):
+    """N >= 4 interleaved writers x k commits each over the lock-free
+    CAS: every commit eventually lands, the version chain is linear
+    (1..N*k, no gaps, no lost updates), each writer's sequence appears
+    exactly once, and the store saw exactly one successful put per
+    commit (final etag == N*k)."""
+    import threading
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    n_writers, k = 5, 8
+    store = mt.EtagObjectStore()
+    table = str(tmp_path / "condput_soak")
+    barrier = threading.Barrier(n_writers)
+    errors = []
+
+    def writer(tag):
+        # Generous attempt budget: with 5 writers racing, a CAS loser
+        # can lose repeatedly; the protocol's liveness claim is
+        # eventual success, bounded only by pathological contention.
+        commit = mt.ConditionalPutSnapshotCommit(store, max_attempts=500)
+        barrier.wait()
+        try:
+            for seq in range(k):
+                def mutate(man, tag=tag, seq=seq):
+                    v = man["current"] + 1
+                    man["snapshots"][str(v)] = {
+                        "dir": f"snapshots/v{v}-{tag}-{seq}",
+                        "writer": tag,
+                        "seq": seq,
+                    }
+                    man["current"] = v
+                    return man
+
+                commit.commit_manifest(table, mutate)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append((tag, repr(e)))
+
+    threads = [
+        threading.Thread(target=writer, args=(f"w{i}",))
+        for i in range(n_writers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    total = n_writers * k
+    data, etag = store.get(
+        mt.ConditionalPutSnapshotCommit(store)._key(table)
+    )
+    man = mt._decode_manifest(data)
+    # Linear chain: versions are exactly 1..total.
+    assert man["current"] == total
+    assert sorted(int(v) for v in man["snapshots"]) == list(range(1, total + 1))
+    # No lost updates: every (writer, seq) pair present exactly once.
+    seen = sorted(
+        (e["writer"], e["seq"]) for e in man["snapshots"].values()
+    )
+    assert seen == sorted(
+        (f"w{i}", s) for i in range(n_writers) for s in range(k)
+    )
+    # Exactly one successful put per commit — no silent double-puts.
+    assert int(etag) == total
+    # Per-writer sequences commit in order (a writer's seq i always
+    # lands at a lower version than its seq i+1).
+    by_writer = {}
+    for v, e in man["snapshots"].items():
+        by_writer.setdefault(e["writer"], []).append((int(v), e["seq"]))
+    for tag, pairs in by_writer.items():
+        pairs.sort()
+        assert [s for _, s in pairs] == list(range(k)), tag
+    # Mirror converged to the final store state.
+    assert mt._load_manifest(table) == man
+
+
+def test_current_umask_probe_reads_procfs_without_mutation(tmp_path):
+    """_current_umask matches os.umask() without ever mutating it, and
+    tracks a changed umask between calls."""
+    import os
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    actual = os.umask(0o027)
+    try:
+        assert mt._current_umask() == 0o027
+        os.umask(0o022)
+        assert mt._current_umask() == 0o022
+    finally:
+        os.umask(actual)
+    # Fresh manifests get mode 0666 & ~umask.
+    import stat
+
+    target = str(tmp_path / "fresh.json")
+    mt.write_json_durable(target, {"x": 1})
+    assert stat.S_IMODE(os.stat(target).st_mode) == 0o666 & ~mt._current_umask()
+
+
+def test_is_published_logs_expected_failures_and_raises_bugs(tmp_path, caplog):
+    """Expected read failures -> published (never delete on
+    uncertainty) with a WARNING; programming errors (AttributeError)
+    propagate instead of silently disabling cleanup forever."""
+    import logging
+
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    class FlakyCommit(mt.SnapshotCommit):
+        def manifest_for_publish_check(self, table_path):
+            raise OSError("store read failed")
+
+    with caplog.at_level(logging.WARNING):
+        assert mt._is_published(str(tmp_path), 1, "snapshots/v1-x", FlakyCommit())
+    assert any("publish check" in r.message for r in caplog.records)
+
+    class BuggyCommit(mt.SnapshotCommit):
+        def manifest_for_publish_check(self, table_path):
+            raise AttributeError("misconfigured commit object")
+
+    with pytest.raises(AttributeError):
+        mt._is_published(str(tmp_path), 1, "snapshots/v1-x", BuggyCommit())

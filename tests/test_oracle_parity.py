@@ -56,14 +56,15 @@ def test_registry_order_is_mechanical_least_verified_first():
     reg = {n: i for i, n in enumerate(QUERIES)}
     keys = [
         (
-            len(hist.get(n, [])),
             max(hist.get(n, []), default=0),
+            len(hist.get(n, [])),
             reg[n],
         )
         for n in names
     ]
-    # The order must be exactly the sort by (times checked, last round,
-    # registration index) — no hand-picked placement anywhere.
+    # The order must be exactly the sort by (last checked round, times
+    # checked, registration index) — least-RECENTLY-verified first, no
+    # hand-picked placement anywhere.
     assert keys == sorted(keys)
     # Every never-driver-checked query precedes every checked one.
     n_never = sum(1 for n in QUERIES if n not in hist)

@@ -215,3 +215,21 @@ def test_nonfinite_audit_counts_every_class_single_pass(spark):
     empty = spark.createDataFrame([], "a double, b double")
     for r in quality.nonfinite_audit(empty, ["a", "b"]).collect():
         assert r.n_rows == 0 and r.finite_ratio is None
+
+
+def test_nonfinite_audit_rejects_bad_inputs(spark):
+    """Column names are interpolated into the stack() SQL — empty,
+    missing, and non-identifier names must fail fast and clearly."""
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import quality
+
+    df = spark.createDataFrame([(1.0,)], "a double").withColumnRenamed(
+        "a", "a b"
+    )
+    with pytest.raises(ValueError, match="at least one column"):
+        quality.nonfinite_audit(df, [])
+    with pytest.raises(ValueError, match="not in the frame"):
+        quality.nonfinite_audit(df, ["missing"])
+    with pytest.raises(ValueError, match="simple identifiers"):
+        quality.nonfinite_audit(df, ["a b"])

@@ -87,3 +87,80 @@ def test_rejects_land_in_dlq_not_silently_dropped(spark, tmp_path):
     for r in dlq:
         reasons[_json.loads(r.raw)["doc_id"]] = r.error_reason
     assert reasons == {2: "low_quality", 3: "null_event_time"}
+
+def test_latest_batch_id_probe(spark, tmp_path):
+    """The Hadoop-FS batch-id probe: absent dir is None, temp/compact
+    entries are ignored, highest integer wins."""
+    from cryptocurrency_data_pipeline_spark.streaming.corpus import (
+        _latest_batch_id,
+    )
+
+    assert _latest_batch_id(spark, str(tmp_path / "nope")) is None
+    off = tmp_path / "offsets"
+    off.mkdir()
+    for name in ("0", "3", "1", ".4.tmp", "5.compact.tmp"):
+        (off / name).write_text("{}")
+    assert _latest_batch_id(spark, str(off)) == 3
+
+
+def test_grandfathered_accepted_subcheckpoint(spark, tmp_path):
+    """A deployment that ran the intermediate revision (accepted query
+    checkpointed at ckpt/accepted) resumes THERE — no re-ingest."""
+    import shutil
+
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    _write_docs(inp, [_doc(i) for i in range(10)], "b1.jsonl")
+    run_corpus_ingest(spark, str(inp), str(out), str(ckpt))
+    # Rewrite the layout to the intermediate revision's: accepted query
+    # state under accepted/, DLQ state stays at dlq/.
+    acc = ckpt / "accepted"
+    acc.mkdir()
+    for entry in list(ckpt.iterdir()):
+        if entry.name not in ("accepted", "dlq"):
+            shutil.move(str(entry), str(acc / entry.name))
+    _write_docs(inp, [_doc(i) for i in range(10, 15)], "b2.jsonl")
+    run_corpus_ingest(spark, str(inp), str(out), str(ckpt))
+    got = spark.read.parquet(str(out))
+    assert got.count() == 15
+    assert got.select("doc_id").distinct().count() == 15
+
+
+def test_both_checkpoint_layouts_newest_wins(spark, tmp_path):
+    """When BOTH the bare and accepted/ layouts hold batches, the one
+    with the higher latest batch id resumes — resuming the older one
+    would re-ingest committed input as duplicates."""
+    import shutil
+
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    _write_docs(inp, [_doc(i) for i in range(5)], "b1.jsonl")
+    run_corpus_ingest(spark, str(inp), str(out), str(ckpt))  # bare @ batch 0
+    acc = ckpt / "accepted"
+    shutil.copytree(str(ckpt), str(acc),
+                    ignore=shutil.ignore_patterns("dlq", "accepted"))
+    _write_docs(inp, [_doc(i) for i in range(5, 8)], "b2.jsonl")
+    # Advance ONLY the accepted/ copy to batch 1 (same query lineage —
+    # a copied checkpoint shares the query id, so the sink metadata in
+    # out_path stays consistent).
+    run_corpus_ingest(spark, str(inp), str(out), str(acc))
+    _write_docs(inp, [_doc(i) for i in range(8, 12)], "b3.jsonl")
+    run_corpus_ingest(spark, str(inp), str(out), str(ckpt))  # sub=1 > bare=0
+    got = spark.read.parquet(str(out))
+    assert got.count() == 12
+    assert got.select("doc_id").distinct().count() == 12
+
+
+def test_both_checkpoint_layouts_tied_fails_loudly(spark, tmp_path):
+    """Equal latest batch ids in both layouts is unresolvable — the run
+    must refuse rather than guess and risk duplicate ingestion."""
+    import shutil
+
+    import pytest
+
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    _write_docs(inp, [_doc(i) for i in range(5)], "b1.jsonl")
+    run_corpus_ingest(spark, str(inp), str(out), str(ckpt))
+    shutil.copytree(str(ckpt), str(ckpt / "accepted"),
+                    ignore=shutil.ignore_patterns("dlq", "accepted"))
+    _write_docs(inp, [_doc(i) for i in range(5, 8)], "b2.jsonl")
+    with pytest.raises(RuntimeError, match="same batch id"):
+        run_corpus_ingest(spark, str(inp), str(out), str(ckpt))
