@@ -98,6 +98,46 @@ HEADLINE = [
     "stream_snapshot_sink_replay",  # sink seed/replay/merge/late cycle
 ]
 
+#: Write-path fixtures: snapshot-layer cycles whose wall time measures
+#: DRIVER JOB COUNT (seed/merge/publish/replay sequences — ~28 jobs for
+#: the sink replay), not per-operator engine throughput.  Grouped apart
+#: so the continuity series stays comparable round over round: one
+#: 8-second job-bound fixture inside the headline subtotal would drown
+#: a 10% regression on any real operator.  The split matches the
+#: BASELINE.md "47-query continuity subtotal" used since round 7.
+WRITE_PATH = {
+    "stats_pruned_scan",
+    "mergeable_sketch_rollup",
+    "partition_change_feed",
+    "merge_into_orders",
+    "stream_snapshot_sink_replay",
+}
+
+
+def _calibration_sec(spark) -> float:
+    """Host-speed probe: median of three timed passes of a FIXED
+    data-independent workload (sum over a 32-partition 50M range —
+    exercises scheduler + codegen + all cores, no I/O), after one
+    untimed warm-up.  Recorded at bench start AND end so a loaded or
+    thermally-throttled box is visible in the artifact itself, and
+    cross-round ratios can be normalized mechanically
+    (observed_total x reference_calibration / observed_calibration)
+    instead of by hand-noting "the box read ~1.2x that day"."""
+    import time as _time
+
+    def one() -> None:
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "sum(id * 2 + 1) AS s"
+        ).collect()
+
+    one()
+    ts = []
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        one()
+        ts.append(_time.perf_counter() - t0)
+    return round(sorted(ts)[1], 4)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -111,6 +151,7 @@ def main() -> None:
     # Warm the JVM/codegen once on a trivial action so query timings do not
     # include session bring-up.
     spark.range(1000).selectExpr("sum(id)").collect()
+    calibration_start = _calibration_sec(spark)
 
     # JMH-style: TWO untimed warm-up executions per query so the timed pass
     # measures steady-state engine throughput, not one-off Janino codegen
@@ -135,6 +176,7 @@ def main() -> None:
             passes[name].append(round(time.perf_counter() - t0, 3))
 
     timings = {name: sorted(ts)[1] for name, ts in passes.items()}
+    calibration_end = _calibration_sec(spark)
     # Raw passes to a sidecar so the stdout artifact stays parseable.
     with open(Path(__file__).resolve().parent / "BENCH_PASSES.json", "w") as f:
         json.dump({"sf": sf, "passes": passes}, f)
@@ -146,6 +188,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "continuity_subtotal": round(
+                    sum(t for n, t in timings.items() if n not in WRITE_PATH),
+                    3,
+                ),
+                "write_path_subtotal": round(
+                    sum(t for n, t in timings.items() if n in WRITE_PATH), 3
+                ),
+                "calibration_start_sec": calibration_start,
+                "calibration_end_sec": calibration_end,
             }
         )
     )

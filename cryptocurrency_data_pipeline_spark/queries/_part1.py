@@ -942,8 +942,13 @@ def cosine_topk(spark, sf_dir):
              row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS centroid_id
       FROM c QUALIFY centroid_id <= 16
     ),
+    -- Assignment/probe selection ranked over DISTINCT (vec_id, v), then
+    -- rejoined to the ROW multiset: the engine's map-only UDF assigns
+    -- every physical row independently, so a duplicated corpus keeps
+    -- its multiplicity (a per-vec_id row_number over the raw rows would
+    -- silently collapse duplicate rows here but nowhere in the engine).
     assign AS (
-      SELECT e.vec_id, e.v, s.centroid_id,
+      SELECT e.vec_id, s.centroid_id,
              row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY round(list_dot_product(e.v, s.cv)
@@ -951,12 +956,13 @@ def cosine_topk(spark, sf_dir):
                            * sqrt(list_dot_product(s.cv, s.cv))), 9) DESC,
                         s.centroid_id
              ) AS rn
-      FROM c e CROSS JOIN seeds s
+      FROM (SELECT DISTINCT vec_id, v FROM c) e CROSS JOIN seeds s
     ),
-    corpus_a AS (SELECT vec_id AS neighbor_id, v AS cv2, centroid_id
-                 FROM assign WHERE rn = 1),
-    probes AS (SELECT vec_id AS query_id, v AS qv, centroid_id
-               FROM assign WHERE rn <= 4 AND vec_id < 5),
+    corpus_a AS (SELECT e.vec_id AS neighbor_id, e.v AS cv2, a.centroid_id
+                 FROM c e JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1),
+    probes AS (SELECT e.vec_id AS query_id, e.v AS qv, a.centroid_id
+               FROM c e JOIN assign a ON e.vec_id = a.vec_id AND a.rn <= 4
+               WHERE e.vec_id < 5),
     scored AS (
       SELECT p.query_id, a.neighbor_id,
              list_dot_product(p.qv, a.cv2)
