@@ -50,6 +50,24 @@ from cryptocurrency_data_pipeline_spark.operators.similarity import (
 )
 
 
+def _one_row_per_id(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Enforce the operator family's id-uniqueness contract: exactly one
+    ``(id, vector)`` row per id, deterministically.
+
+    Duplicated ids are the NORM in a crawl-scale corpus (mirrors,
+    re-ingests), and an uncollapsed duplicate fans out every downstream
+    per-id join — the keep/drop flag join triples, per-cluster counts
+    inflate, and the exemplar rule stops being "one row per ball".
+    Collapsing to ``min(vector)`` per id is deterministic for any input
+    (exact duplicates collapse to themselves; a genuinely conflicting id
+    gets the lexicographically-smallest vector — well-defined, engine-
+    reproducible, and mirrored verbatim by ``min(v) .. GROUP BY vec_id``
+    in the oracles).  One id-keyed shuffle, the same exchange any
+    enforcement would pay; it then feeds the map-only assignment.
+    """
+    return corpus.groupBy(id_col).agg(F.min(vec_col).alias(vec_col))
+
+
 def _normalized_assignment(
     corpus: DataFrame,
     centers: list[tuple[int, list[float]]],
@@ -98,7 +116,12 @@ def semantic_dedup(
     has cosine similarity >= ``tau``.  Deterministic end to end (md5
     seeds, lowest-id exemplars); filter on ``is_kept`` for the deduped
     corpus or aggregate per cluster for a retention audit.
+
+    Exactly one output row per distinct id: duplicated-id inputs are
+    collapsed first (:func:`_one_row_per_id`), so the seed sample, the
+    pair space, and the flag join all see one row per id.
     """
+    corpus = _one_row_per_id(corpus, id_col, vec_col)
     seeds = ivf_centroids(corpus, nlist=nlist, id_col=id_col, vec_col=vec_col)
     centers = sorted((r.centroid_id, list(r.centroid)) for r in seeds.collect())
     # Three consumers (both pair sides + the flag join) would each rescan
@@ -172,7 +195,14 @@ def semantic_dedup_incremental(
     deployment persists its normalized assignment alongside the corpus
     and feeds it back, paying only the (small) batch assignment per
     increment.
+
+    Both sides carry the family's id-uniqueness contract
+    (:func:`_one_row_per_id`): duplicated ids in either frame are
+    collapsed before seeding/assignment, so the output stays one row per
+    distinct batch id.
     """
+    existing = _one_row_per_id(existing, id_col, vec_col)
+    batch = _one_row_per_id(batch, id_col, vec_col)
     seeds = ivf_centroids(existing, nlist=nlist, id_col=id_col, vec_col=vec_col)
     centers = sorted((r.centroid_id, list(r.centroid)) for r in seeds.collect())
     ex = _normalized_assignment(existing, centers, id_col, vec_col)

@@ -57,15 +57,22 @@ def jaccard_self_join(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Jaccard(elements) >= num/den.
 
-    ``tok`` is a DISTINCT ``(id, elem)`` frame (one row per element of
-    each set).  Output: ``(id_a, id_b, inter, union_sz, jaccard)``;
-    ``jaccard`` is the exact ratio rounded to 6 dp, the filter itself is
-    integer arithmetic.
+    ``tok`` is an ``(id, elem)`` frame; Jaccard is defined over the SET
+    of elements per id, so duplicate ``(id, elem)`` rows (within one id
+    or from a duplicated id) are collapsed here rather than trusted away.
+    An uncollapsed input inflates ``sz = count(*)`` while the candidate-
+    bounded intersection join stays set-valued, driving
+    ``union_sz = sz_a + sz_b - inter`` negative — silent wrong answers,
+    not errors.  The dedup rides the very next ``groupBy("id")`` /
+    ``groupBy("elem")`` shuffles, so enforcing the precondition costs no
+    extra exchange on the already-distinct fast path.  Output:
+    ``(id_a, id_b, inter, union_sz, jaccard)``; ``jaccard`` is the exact
+    ratio rounded to 6 dp, the filter itself is integer arithmetic.
     """
     assert 0 < num <= den
     # One pass for document frequencies; the join keys every element
     # with its global (df, elem) rank — the shared total order.
-    tok = track(tok.persist())
+    tok = track(tok.dropDuplicates(["id", "elem"]).persist())
     df_e = tok.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
     te = tok.join(df_e, "elem")
     docs = te.groupBy("id").agg(
@@ -162,9 +169,15 @@ def containment_join(
     most ``|A| - pos_a`` shared elements) prune before verification.
     Verification re-joins candidates only — never all-pairs.  Integer
     threshold test, so the result hashes identically on any engine.
+
+    Like :func:`jaccard_self_join`, containment is defined over the SET
+    of elements per id, so duplicate ``(id, elem)`` rows are collapsed
+    here (a duplicated id otherwise inflates both ``sz`` and the fanned-
+    out verification count — wrong ratios, not errors); the dedup rides
+    the existing ``groupBy`` shuffles.
     """
     assert 0 < num <= den
-    tok = track(tok.persist())
+    tok = track(tok.dropDuplicates(["id", "elem"]).persist())
     df_e = tok.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
     te = tok.join(df_e, "elem")
     docs = te.groupBy("id").agg(

@@ -39,7 +39,10 @@ from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa
     "semantic_dedup_keep",
     oracle="""
     WITH corpus AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      -- mirrors semdedup._one_row_per_id: one deterministic (min-vector)
+      -- row per id, so duplicated vec_id inputs collapse identically
+      SELECT vec_id, min(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings GROUP BY vec_id
     ), seed AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
              v AS c
@@ -540,11 +543,12 @@ def k_anonymity_audit(spark, sf_dir):
     "semantic_dedup_incremental",
     oracle="""
     WITH ex AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-      FROM embeddings WHERE vec_id < 400
+      -- min-per-id collapse mirrors semdedup._one_row_per_id
+      SELECT vec_id, min(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings WHERE vec_id < 400 GROUP BY vec_id
     ), nw AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-      FROM embeddings WHERE vec_id >= 400
+      SELECT vec_id, min(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings WHERE vec_id >= 400 GROUP BY vec_id
     ), seed AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
              v AS c
