@@ -164,7 +164,7 @@ def zorder_layout(df: DataFrame, scaled_cols, n_files: int, bits: int = 16) -> D
 
 import json
 
-def _current_umask() -> int:
+def _current_umask(status_path: str = "/proc/self/status") -> int | None:
     """The process umask WITHOUT ``os.umask()``'s read-modify-write:
     even a bracketed ``os.umask(0); os.umask(v)`` probe zeroes the
     process-global value for an instant, and any OTHER thread creating
@@ -172,17 +172,19 @@ def _current_umask() -> int:
     concurrent Spark job) lands it world-writable.  Linux exposes the
     value read-only in ``/proc/self/status`` (``Umask:`` field, since
     4.7); reading it PER CALL also tracks an application that changes
-    its umask after import.  Where procfs is unavailable, fall back to
-    the conventional 0o022 — fresh manifests get the standard 0o644 —
-    rather than ever mutating process state."""
+    its umask after import.  Where procfs is unavailable (macOS/BSD)
+    return ``None`` — "unknown", NOT a guessed 0o022: a guess that is
+    looser than the real umask (e.g. 0o077) would let the caller chmod
+    fresh files WIDER than the process ever creates them, and the safe
+    reaction to "unknown" is to leave modes alone."""
     try:
-        with open("/proc/self/status") as f:
+        with open(status_path) as f:
             for line in f:
                 if line.startswith("Umask:"):
                     return int(line.split()[1], 8)
     except (OSError, ValueError, IndexError):
         pass
-    return 0o022
+    return None
 
 
 def _manifest_path(table_path: str) -> str:
@@ -258,6 +260,21 @@ class SnapshotCommit:
         mirror is absent or stale (fresh autoscaled worker, read-only
         replica) instead of silently serving an old version."""
         return _load_manifest(table_path)
+
+    def manifest_for_write(self, table_path: str) -> dict:
+        """The manifest WRITE planning resolves through
+        (:func:`write_snapshot` / :func:`upsert_snapshot` /
+        :func:`merge_into_snapshot` / :func:`compact_snapshot_partition`
+        / :func:`vacuum_snapshots`).  Unlike the read path this must be
+        STRICT — never a best-effort cached copy: a writer planning
+        against a stale mirror burns a full staging write before the
+        commit CAS rejects it, and vacuum MUST see the authoritative
+        state before touching directories.  Default: same as
+        ``manifest_for_read`` (authoritative for the POSIX protocol,
+        whose truth IS the local file); protocols with a remote source
+        of truth override this to raise on outage instead of falling
+        back."""
+        return self.manifest_for_read(table_path)
 
 
 class PosixSnapshotCommit(SnapshotCommit):
@@ -456,6 +473,27 @@ class ConditionalPutSnapshotCommit(SnapshotCommit):
                     type(e).__name__,
                     e,
                 )
+        return man
+
+    def manifest_for_write(self, table_path: str) -> dict:
+        """STRICT planning read: the store copy or an exception.  The
+        mirror fallback that keeps pure READERS available through a
+        store outage is wrong for writers and vacuum — planning against
+        a possibly-stale mirror either wastes a full staging write
+        (commit CAS rejects it later) or, for vacuum, decides deletions
+        from non-authoritative state.  Store unreachable -> raise; the
+        caller retries when the store is back."""
+        data, _ = self.store.get(self._key(table_path))
+        man = _decode_manifest(data)
+        try:
+            mirror = _load_manifest(table_path)
+        except RuntimeError:
+            mirror = None
+        if mirror != man:
+            import contextlib
+
+            with contextlib.suppress(OSError):
+                self.sync_local(table_path)
         return man
 
     def sync_local(self, table_path: str) -> dict:
@@ -702,11 +740,13 @@ def write_snapshot(
     wedged table."""
     os.makedirs(table_path, exist_ok=True)
     stats_cols = _validate_stats_cols(df, part_col, stats_cols)
-    # Plan the next version against the PROTOCOL's view of the table:
-    # on a mirror-less host the conditional-put protocol bootstraps the
-    # base state from the store (a local-only load would plan v1 over
-    # an existing table and fail the commit CAS).
-    man = (commit or DEFAULT_COMMIT).manifest_for_read(table_path)
+    # Plan the next version against the PROTOCOL's STRICT view of the
+    # table: on a mirror-less host the conditional-put protocol
+    # bootstraps the base state from the store (a local-only load would
+    # plan v1 over an existing table and fail the commit CAS), and a
+    # store outage RAISES here rather than silently planning a doomed
+    # staging write against a stale mirror.
+    man = (commit or DEFAULT_COMMIT).manifest_for_write(table_path)
     version = man["current"] + 1
     rel_dir, snap_dir = _new_snap_dir(table_path, version)
     committed = False
@@ -930,7 +970,7 @@ def upsert_snapshot(
     ``rand()``/``current_timestamp()``/an unpersisted sample would
     record fingerprints describing rows that were never written;
     persist such frames first."""
-    man = (commit or DEFAULT_COMMIT).manifest_for_read(table_path)
+    man = (commit or DEFAULT_COMMIT).manifest_for_write(table_path)
     prev = man["snapshots"].get(str(man["current"]))
     if prev is None or not prev.get("part_col"):
         raise ValueError(
@@ -1108,7 +1148,7 @@ def merge_into_snapshot(
     the manifest for ``snapshot_changes(collapse=True)``."""
     from pyspark.sql import functions as F
 
-    man = (commit or DEFAULT_COMMIT).manifest_for_read(table_path)
+    man = (commit or DEFAULT_COMMIT).manifest_for_write(table_path)
     prev = man["snapshots"].get(str(man["current"]))
     if prev is None or not prev.get("part_col"):
         raise ValueError(
@@ -1247,7 +1287,7 @@ def compact_snapshot_partition(
     (and a stats manifest) prune most of them.  Mutually exclusive."""
     from pyspark.sql import functions as F
 
-    man = (commit or DEFAULT_COMMIT).manifest_for_read(table_path)
+    man = (commit or DEFAULT_COMMIT).manifest_for_write(table_path)
     prev = man["snapshots"].get(str(man["current"]))
     if prev is None or not prev.get("part_col"):
         raise ValueError("compact_snapshot_partition requires a partitioned snapshot")
@@ -1596,15 +1636,22 @@ def write_json_durable(target: str, obj) -> None:
             # mkstemp creates 0600 and os.replace keeps the TEMP file's
             # permissions — without this a previously world-readable
             # manifest loses other-user read on its first rewrite.
-            # Preserve the existing target's mode; for a fresh file use
-            # the ordinary open() default (0666 through the umask).
+            # Preserve the existing target's mode; for a fresh file,
+            # emulate the ordinary open() default (0666 through the
+            # umask) ONLY when the umask is actually readable (procfs):
+            # chmodding against a guessed umask can WIDEN modes relative
+            # to a stricter real one, so on unknown-umask platforms the
+            # fresh file keeps mkstemp's 0600 — never looser than any
+            # file this process creates.
             try:
                 import stat
 
                 mode = stat.S_IMODE(os.stat(target).st_mode)
             except FileNotFoundError:
-                mode = 0o666 & ~_current_umask()
-            os.fchmod(f.fileno(), mode)
+                um = _current_umask()
+                mode = None if um is None else 0o666 & ~um
+            if mode is not None:
+                os.fchmod(f.fileno(), mode)
             os.fsync(f.fileno())
         os.replace(tmp, target)
     except BaseException:
@@ -2071,7 +2118,7 @@ def vacuum_snapshots(
     # Vacuum MUST see the protocol's authoritative state: sweeping
     # directories against a stale local mirror could reclaim data a
     # fresher store manifest still references.
-    man = (commit or DEFAULT_COMMIT).manifest_for_read(table_path)
+    man = (commit or DEFAULT_COMMIT).manifest_for_write(table_path)
     known_before = _referenced_dirs(man)
     versions = sorted(int(v) for v in man["snapshots"])
     drop = [v for v in versions[:-keep_last] if v != man["current"]]

@@ -943,14 +943,16 @@ def cosine_topk(spark, sf_dir):
       FROM c QUALIFY centroid_id <= 16
     ),
     -- Assignment/probe selection ranked over DISTINCT (vec_id, v), then
-    -- rejoined to the ROW multiset: the engine's map-only UDF assigns
-    -- every physical row independently, so a duplicated corpus keeps
-    -- its multiplicity (a per-vec_id row_number over the raw rows would
-    -- silently collapse duplicate rows here but nowhere in the engine).
+    -- rejoined to the ROW multiset ON BOTH COLUMNS: the engine's
+    -- map-only UDF assigns every physical row independently by its OWN
+    -- vector, so a duplicated corpus keeps its multiplicity AND a
+    -- vec_id held with two different vectors keeps per-vector
+    -- assignments (a vec_id-only rejoin would fan one per-id winner
+    -- across every physical row — silent divergence).
     assign AS (
-      SELECT e.vec_id, s.centroid_id,
+      SELECT e.vec_id, e.v, s.centroid_id,
              row_number() OVER (
-               PARTITION BY e.vec_id
+               PARTITION BY e.vec_id, e.v
                ORDER BY round(list_dot_product(e.v, s.cv)
                         / (sqrt(list_dot_product(e.v, e.v))
                            * sqrt(list_dot_product(s.cv, s.cv))), 9) DESC,
@@ -959,9 +961,11 @@ def cosine_topk(spark, sf_dir):
       FROM (SELECT DISTINCT vec_id, v FROM c) e CROSS JOIN seeds s
     ),
     corpus_a AS (SELECT e.vec_id AS neighbor_id, e.v AS cv2, a.centroid_id
-                 FROM c e JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1),
+                 FROM c e JOIN assign a
+                 ON e.vec_id = a.vec_id AND e.v = a.v AND a.rn = 1),
     probes AS (SELECT e.vec_id AS query_id, e.v AS qv, a.centroid_id
-               FROM c e JOIN assign a ON e.vec_id = a.vec_id AND a.rn <= 4
+               FROM c e JOIN assign a
+               ON e.vec_id = a.vec_id AND e.v = a.v AND a.rn <= 4
                WHERE e.vec_id < 5),
     scored AS (
       SELECT p.query_id, a.neighbor_id,

@@ -56,29 +56,99 @@ DOC_STREAM_SCHEMA = StructType(
 )
 
 
-def _latest_batch_id(spark: SparkSession, offsets_dir: str) -> int | None:
-    """Highest batch id under a checkpoint's ``offsets/`` directory, or
-    None when the directory is absent or holds no batch files.
+def _latest_offset_state(
+    spark: SparkSession, offsets_dir: str
+) -> tuple[int, int] | None:
+    """(highest batch id, newest offset-file mtime millis) under a
+    checkpoint's ``offsets/`` directory, or None when the directory is
+    absent or holds no batch files.
 
     Probed through Spark's Hadoop ``FileSystem`` so the answer is
     correct for ANY checkpoint URI (HDFS, S3A, file:) — an ``os.path``
     probe is always False off the local filesystem, which silently
     misclassifies an existing remote checkpoint as fresh.  Offset files
     are named by integer batch id; Spark's own ``HDFSMetadataLog``
-    temp files (``.<id>.tmp`` etc.) are skipped by the isdigit gate."""
+    temp files (``.<id>.tmp`` etc.) are skipped by the isdigit gate.
+    The mtime is the RAN-LAST signal: batch ids restart at 0 after an
+    intentional checkpoint reset, so id order alone cannot rank a fresh
+    layout against a stale copy of the old one."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(offsets_dir)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return None
     best = None
+    newest = None
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
         if name.isdigit():
             b = int(name)
             if best is None or b > best:
                 best = b
-    return best
+            mt = st.getModificationTime()
+            if newest is None or mt > newest:
+                newest = mt
+    if best is None:
+        return None
+    return best, newest
+
+
+def _latest_batch_id(spark: SparkSession, offsets_dir: str) -> int | None:
+    """Highest batch id only (see :func:`_latest_offset_state`)."""
+    state = _latest_offset_state(spark, offsets_dir)
+    return None if state is None else state[0]
+
+
+def _pick_accepted_checkpoint(spark: SparkSession, checkpoint: str) -> str:
+    """Which layout the ACCEPTED query resumes: the bare ``checkpoint``
+    (current deployments) or its grandfathered ``accepted/`` sub-path.
+
+    When both hold batches the one that RAN LAST wins, ranked by newest
+    offset-file mtime — batch ids restart at 0 after an intentional
+    checkpoint reset, so a freshly-reset bare layout at batch 0 must
+    beat a stale ``accepted/`` copy at batch N (id order alone would
+    silently resume the stale state and never re-ingest).  Equal mtimes
+    (a byte-preserving copy) fall back to the batch-id comparison;
+    equal on both signals fails loudly for the operator to resolve."""
+    bare = _latest_offset_state(spark, os.path.join(checkpoint, "offsets"))
+    sub = _latest_offset_state(
+        spark, os.path.join(checkpoint, "accepted", "offsets")
+    )
+    if sub is None:
+        return checkpoint
+    if bare is None:
+        return os.path.join(checkpoint, "accepted")
+    bare_id, bare_mt = bare
+    sub_id, sub_mt = sub
+    if sub_mt != bare_mt:
+        if (sub_mt > bare_mt) != (sub_id > bare_id):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "checkpoint layouts disagree: ran-last (mtime) picks %s "
+                "but batch ids order the other way (bare=%d, "
+                "accepted=%d) — trusting ran-last (batch ids restart "
+                "after a reset)",
+                "accepted/" if sub_mt > bare_mt else "bare",
+                bare_id,
+                sub_id,
+            )
+        return (
+            os.path.join(checkpoint, "accepted")
+            if sub_mt > bare_mt
+            else checkpoint
+        )
+    if sub_id > bare_id:
+        return os.path.join(checkpoint, "accepted")
+    if sub_id == bare_id:
+        raise RuntimeError(
+            f"both {checkpoint!r} and its accepted/ sub-path hold "
+            f"checkpoints at the same batch id ({bare_id}) and "
+            f"modification time — cannot tell which ran last; delete "
+            f"the stale one (keep the layout whose commits/ matches "
+            f"the sink's _spark_metadata) and re-run"
+        )
+    return checkpoint
 
 
 def read_doc_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -174,29 +244,18 @@ def run_corpus_ingest(
     ``FileSystem`` (an ``os.path`` check is always False on HDFS/S3
     checkpoints and would silently restart from scratch, re-ingesting
     committed input as duplicate rows — an exactly-once violation).
-    When BOTH layouts hold batches, the NEWER one (higher latest batch
-    id — both track the same file source, so batch ids are comparable
-    progress) wins; a tie is genuinely ambiguous and fails loudly for
-    the operator to resolve rather than guessing."""
+    When BOTH layouts hold batches, the one that RAN LAST wins, ranked
+    by the newest offset-file modification time (batch ids restart at 0
+    after an intentional checkpoint reset, so a freshly-reset bare
+    layout at batch 0 must still beat a stale accepted/ copy at batch
+    N — id order alone would silently resume the stale state and never
+    re-ingest).  Equal mtimes (a byte-preserving copy) fall back to the
+    batch-id comparison; equal on both signals is genuinely ambiguous
+    and fails loudly for the operator to resolve rather than
+    guessing."""
     if dlq_path is None:
         dlq_path = out_path.rstrip("/") + "_dlq"
-    bare = _latest_batch_id(spark, os.path.join(checkpoint, "offsets"))
-    sub = _latest_batch_id(
-        spark, os.path.join(checkpoint, "accepted", "offsets")
-    )
-    accepted_ckpt = checkpoint
-    if sub is not None:
-        if bare is None or sub > bare:
-            accepted_ckpt = os.path.join(checkpoint, "accepted")
-        elif sub == bare:
-            raise RuntimeError(
-                f"both {checkpoint!r} and its accepted/ sub-path hold "
-                f"checkpoints at the same batch id ({bare}) — cannot "
-                f"tell which ran last; delete the stale one (keep the "
-                f"layout whose commits/ matches the sink's "
-                f"_spark_metadata) and re-run"
-            )
-        # bare > sub: the bare layout is further along — keep it.
+    accepted_ckpt = _pick_accepted_checkpoint(spark, checkpoint)
     accepted, rejects = prepare_doc_stream(
         read_doc_stream(spark, in_path), min_quality
     )

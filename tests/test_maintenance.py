@@ -2238,6 +2238,37 @@ def test_read_path_store_outage_falls_back_to_mirror(spark, tmp_path):
         store.get = real_get
 
 
+def test_write_and_vacuum_planning_raise_on_store_outage(spark, tmp_path):
+    """WRITE planning and vacuum use the STRICT resolution: a store
+    outage raises up front instead of silently planning a staging write
+    (or a deletion sweep) against a possibly-stale mirror.  Pure reads
+    keep the mirror fallback (previous test)."""
+    import pytest
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    store = mt.EtagObjectStore()
+    commit = mt.ConditionalPutSnapshotCommit(store)
+    table = str(tmp_path / "condput_strict")
+    schema = "id int, day string, v string"
+    df = spark.createDataFrame([(1, "d0", "a")], schema)
+    assert mt.write_snapshot(df, table, part_col="day", commit=commit) == 1
+
+    real_get = store.get
+    store.get = lambda key: (_ for _ in ()).throw(OSError("store outage"))
+    try:
+        with pytest.raises(OSError, match="store outage"):
+            mt.write_snapshot(df, table, part_col="day", commit=commit)
+        with pytest.raises(OSError, match="store outage"):
+            mt.merge_into_snapshot(df, table, ["id"], commit=commit)
+        with pytest.raises(OSError, match="store outage"):
+            mt.vacuum_snapshots(table, keep_last=1, commit=commit)
+    finally:
+        store.get = real_get
+    # Store back: planning works again and the version chain is intact.
+    assert mt.write_snapshot(df, table, part_col="day", commit=commit) == 2
+
+
 def test_writer_bootstraps_base_version_from_store(spark, tmp_path):
     """A WRITER on a mirror-less host plans its next version against
     the store state: without the bootstrap it would plan v1 over an
@@ -2362,6 +2393,28 @@ def test_current_umask_probe_reads_procfs_without_mutation(tmp_path):
     target = str(tmp_path / "fresh.json")
     mt.write_json_durable(target, {"x": 1})
     assert stat.S_IMODE(os.stat(target).st_mode) == 0o666 & ~mt._current_umask()
+    # Where procfs is absent the probe reports "unknown" (None), and a
+    # fresh write must NOT widen past mkstemp's 0600 (a guessed 0o022
+    # against a real 0o077 umask would have).
+    assert mt._current_umask(str(tmp_path / "no-procfs")) is None
+
+
+def test_fresh_write_without_umask_probe_never_widens(tmp_path, monkeypatch):
+    """With the umask unknowable, a FRESH file keeps mkstemp's 0600;
+    an existing target's mode is still preserved exactly."""
+    import os
+    import stat
+
+    from cryptocurrency_data_pipeline_spark.operators import maintenance as mt
+
+    monkeypatch.setattr(mt, "_current_umask", lambda *a: None)
+    fresh = str(tmp_path / "fresh.json")
+    mt.write_json_durable(fresh, {"x": 1})
+    assert stat.S_IMODE(os.stat(fresh).st_mode) == 0o600
+    # Rewrite of an existing 0644 target preserves 0644 (no probe needed).
+    os.chmod(fresh, 0o644)
+    mt.write_json_durable(fresh, {"x": 2})
+    assert stat.S_IMODE(os.stat(fresh).st_mode) == 0o644
 
 
 def test_is_published_logs_expected_failures_and_raises_bugs(tmp_path, caplog):

@@ -149,6 +149,38 @@ def test_both_checkpoint_layouts_newest_wins(spark, tmp_path):
     assert got.select("doc_id").distinct().count() == 12
 
 
+def test_reset_bare_layout_beats_stale_accepted_copy(spark, tmp_path):
+    """The ran-last (mtime) signal: a freshly-RESET bare layout at batch
+    0 must beat a stale accepted/ copy at a HIGHER batch id — id order
+    alone would resume the stale copy and never re-ingest."""
+    import os
+    import time
+
+    from cryptocurrency_data_pipeline_spark.streaming.corpus import (
+        _pick_accepted_checkpoint,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    stale = ckpt / "accepted" / "offsets"
+    stale.mkdir(parents=True)
+    old = time.time() - 3600
+    for b in ("0", "1", "2", "3"):
+        p = stale / b
+        p.write_text("{}")
+        os.utime(p, (old, old))
+    fresh = ckpt / "offsets"
+    fresh.mkdir()
+    (fresh / "0").write_text("{}")  # reset: restarted at batch 0, now
+    assert _pick_accepted_checkpoint(spark, str(ckpt)) == str(ckpt)
+    # And the converse: accepted/ genuinely ran last -> accepted wins
+    # even from a lower batch id.
+    newer = time.time() + 2
+    os.utime(stale / "3", (newer, newer))
+    assert _pick_accepted_checkpoint(spark, str(ckpt)) == str(
+        ckpt / "accepted"
+    )
+
+
 def test_both_checkpoint_layouts_tied_fails_loudly(spark, tmp_path):
     """Equal latest batch ids in both layouts is unresolvable — the run
     must refuse rather than guess and risk duplicate ingestion."""
