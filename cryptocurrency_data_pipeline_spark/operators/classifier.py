@@ -90,7 +90,13 @@ def score_documents(
     denominator) and erased fully-unmatched docs from the output.
     Zero-token docs come out as (n_tokens=0, weight_sum=0, score=0.5,
     keep=false) — sigmoid of zero evidence, not a NULL and not a
-    missing row."""
+    missing row.
+
+    Key-uniqueness contract: exactly one output row per distinct
+    ``id_col``; rows sharing an id POOL their tokens into one evidence
+    set (the groupBy).  For exact duplicates the pooled score equals the
+    single-copy score (mean feature weight is scale-invariant);
+    conflicting same-id texts score their merged token multiset."""
     toks = df.select(
         F.col(id_col),
         F.explode_outer(tokens(text_col)).alias("tok"),

@@ -340,6 +340,11 @@ def segment_boilerplate(
     skew-splittable; the frequency side is |distinct segments|, already
     reduced), one partial-agged groupBy on the doc id.  Segment hashes —
     never segment text — cross the shuffles.  No driver state.
+
+    Key-uniqueness contract: one output row per distinct id; rows
+    sharing an id POOL their segments (a ×k-duplicated doc reports k×
+    the segment counts, same fraction), and the df count is over
+    DISTINCT ids, so self-duplicates never make a segment boilerplate.
     """
     toks = tokens(text_col)
     n_seg = F.floor(F.size(toks) / seg_len).cast("int")

@@ -67,6 +67,13 @@ def importance_logweights(
     distribution defines the target domain.  Output: ``keys`` +
     ``log_weight`` (rounded to 6 dp so cross-engine summation order is
     absorbed).  Filter/resample on ``log_weight`` downstream.
+
+    Key-uniqueness contract: ``keys`` identify a document — rows sharing
+    the key tuple are POOLED into one document (their token multisets
+    union via the tf groupBy), and exactly one output row carries the
+    pooled weight.  A ×k-duplicated doc therefore weighs ~k× a single
+    copy — duplication IS distributional mass under DSIR; dedup upstream
+    if re-ingested copies should not count.
     """
     # ``tf`` feeds BOTH the distribution sketch and the final scoring —
     # persist it so the token explode + shuffle happens exactly once (the

@@ -1112,8 +1112,15 @@ def source_mixture_sample(spark, sf_dir):
 @query(
     "kmeans_embedding_clusters",
     oracle="""
+    -- MULTISET semantics throughout (mirrors the engine's map-only
+    -- per-row assignment and per-row means): the argmin is computed
+    -- once per DISTINCT (vec_id, v) and rejoined to the row multiset
+    -- on BOTH columns, so duplicated rows keep their multiplicity in
+    -- counts AND in the Lloyd mean updates.
     WITH corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), e AS (
+      SELECT DISTINCT vec_id, v FROM corpus
     ), seed AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
              v AS c
@@ -1122,11 +1129,14 @@ def source_mixture_sample(spark, sf_dir):
       SELECT a.vec_id, a.v, s.cid,
              list_aggregate(list_transform(generate_series(1, len(a.v)),
                j -> (a.v[j] - s.c[j]) * (a.v[j] - s.c[j])), 'sum') AS d
-      FROM corpus a CROSS JOIN seed s
-    ), a0 AS (
+      FROM e a CROSS JOIN seed s
+    ), a0e AS (
       SELECT vec_id, v, cid FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        SELECT *, row_number() OVER (PARTITION BY vec_id, v ORDER BY d, cid) AS rn
         FROM d0) WHERE rn = 1
+    ), a0 AS (
+      SELECT c.vec_id, c.v, a.cid
+      FROM corpus c JOIN a0e a ON c.vec_id = a.vec_id AND c.v = a.v
     ), c1 AS (
       SELECT s.cid, coalesce(m.center, s.c) AS c
       FROM seed s LEFT JOIN (
@@ -1141,11 +1151,14 @@ def source_mixture_sample(spark, sf_dir):
       SELECT a.vec_id, a.v, s.cid,
              list_aggregate(list_transform(generate_series(1, len(a.v)),
                j -> (a.v[j] - s.c[j]) * (a.v[j] - s.c[j])), 'sum') AS d
-      FROM corpus a CROSS JOIN c1 s
-    ), a1 AS (
+      FROM e a CROSS JOIN c1 s
+    ), a1e AS (
       SELECT vec_id, v, cid FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        SELECT *, row_number() OVER (PARTITION BY vec_id, v ORDER BY d, cid) AS rn
         FROM d1) WHERE rn = 1
+    ), a1 AS (
+      SELECT c.vec_id, c.v, a.cid
+      FROM corpus c JOIN a1e a ON c.vec_id = a.vec_id AND c.v = a.v
     ), c2 AS (
       SELECT s.cid, coalesce(m.center, s.c) AS c
       FROM c1 s LEFT JOIN (
@@ -1157,14 +1170,17 @@ def source_mixture_sample(spark, sf_dir):
         ) GROUP BY cid
       ) m ON s.cid = m.cid
     ), d2 AS (
-      SELECT a.vec_id, s.cid,
+      SELECT a.vec_id, a.v, s.cid,
              list_aggregate(list_transform(generate_series(1, len(a.v)),
                j -> (a.v[j] - s.c[j]) * (a.v[j] - s.c[j])), 'sum') AS d
-      FROM corpus a CROSS JOIN c2 s
-    ), a2 AS (
-      SELECT vec_id, cid, d FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM e a CROSS JOIN c2 s
+    ), a2e AS (
+      SELECT vec_id, v, cid, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, v ORDER BY d, cid) AS rn
         FROM d2) WHERE rn = 1
+    ), a2 AS (
+      SELECT c.vec_id, a.cid, a.d
+      FROM corpus c JOIN a2e a ON c.vec_id = a.vec_id AND c.v = a.v
     )
     SELECT cid AS cluster_id, count(*) AS n_points,
            round(avg(d), 6) AS avg_sq_dist
@@ -1271,8 +1287,12 @@ def bm25_top_docs(spark, sf_dir):
       FROM c q JOIN c n ON n.vec_id != q.vec_id
       WHERE q.vec_id < 5
     ),
+    -- recall is over DISTINCT pair sets on every side: a duplicated
+    -- corpus crowds each top-k list with copies, and both the ground
+    -- truth and the approximate lists collapse to their pair sets
+    -- before intersecting (the engine's left_semi join does the same)
     ex AS (
-      SELECT query_id, neighbor_id FROM (
+      SELECT DISTINCT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY sim DESC, neighbor_id) AS rn
@@ -1308,7 +1328,7 @@ def bm25_top_docs(spark, sf_dir):
       WHERE q.vec_id < 5
     ),
     srp AS (
-      SELECT query_id, neighbor_id FROM (
+      SELECT DISTINCT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY sim DESC, neighbor_id) AS rn
@@ -1319,30 +1339,37 @@ def bm25_top_docs(spark, sf_dir):
              row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS centroid_id
       FROM c QUALIFY centroid_id <= 16
     ),
+    -- same DISTINCT-(vec_id, v) assignment + both-column rejoin as the
+    -- standalone ivf_ann_topk oracle: per-id ranking over the raw
+    -- multiset would interleave duplicate copies into the probe list
     assign AS (
       SELECT e.vec_id, e.v, s.centroid_id,
              row_number() OVER (
-               PARTITION BY e.vec_id
+               PARTITION BY e.vec_id, e.v
                ORDER BY round(list_dot_product(e.v, s.cv)
                         / (sqrt(list_dot_product(e.v, e.v))
                            * sqrt(list_dot_product(s.cv, s.cv))), 9) DESC,
                         s.centroid_id
              ) AS rn
-      FROM c e CROSS JOIN seeds s
+      FROM (SELECT DISTINCT vec_id, v FROM c) e CROSS JOIN seeds s
     ),
     ivf_scored AS (
       SELECT p.query_id, a.neighbor_id,
              list_dot_product(p.qv, a.cv2)
              / (sqrt(list_dot_product(p.qv, p.qv))
                 * sqrt(list_dot_product(a.cv2, a.cv2))) AS sim
-      FROM (SELECT vec_id AS query_id, v AS qv, centroid_id
-            FROM assign WHERE rn <= 4 AND vec_id < 5) p
-      JOIN (SELECT vec_id AS neighbor_id, v AS cv2, centroid_id
-            FROM assign WHERE rn = 1) a USING (centroid_id)
+      FROM (SELECT cq.vec_id AS query_id, cq.v AS qv, aa.centroid_id
+            FROM c cq JOIN assign aa
+              ON cq.vec_id = aa.vec_id AND cq.v = aa.v AND aa.rn <= 4
+            WHERE cq.vec_id < 5) p
+      JOIN (SELECT cn.vec_id AS neighbor_id, cn.v AS cv2, aa.centroid_id
+            FROM c cn JOIN assign aa
+              ON cn.vec_id = aa.vec_id AND cn.v = aa.v AND aa.rn = 1) a
+        USING (centroid_id)
       WHERE a.neighbor_id != p.query_id
     ),
     ivf AS (
-      SELECT query_id, neighbor_id FROM (
+      SELECT DISTINCT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY sim DESC, neighbor_id) AS rn2
@@ -1370,15 +1397,18 @@ def ann_recall_at_k(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     k = 10
+    # Recall compares DISTINCT pair sets: a duplicated corpus crowds
+    # each top-k list with copies of the same (query, neighbor) pair,
+    # and the metric is over the sets, not the crowded lists.
     exact = similarity.cosine_topk(emb, queries_df, k=k).select(
         "query_id", "neighbor_id"
-    )
+    ).distinct()
     srp = similarity.ann_topk(emb, queries_df, k=k, n_bits=4).select(
         "query_id", "neighbor_id"
-    )
+    ).distinct()
     ivf = similarity.ivf_topk(
         emb, queries_df, k=k, nlist=16, nprobe=4
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").distinct()
 
     def hits(approx):
         return (
@@ -1632,11 +1662,17 @@ def exact_substring_spans(spark, sf_dir):
       SELECT doc_id, min(p) AS s, max(p) + 49 AS e
       FROM islands GROUP BY doc_id, isl
     )
+    -- doc_id -> n_chars is an ATTRIBUTE lookup: collapse the documents
+    -- side to one deterministic row per id (min) before joining, so a
+    -- duplicated doc_id neither fans the rollup out nor picks an
+    -- arbitrary copy
     SELECT s.doc_id,
            CAST(count(*) AS BIGINT) AS n_spans,
            CAST(sum(s.e - s.s + 1) AS BIGINT) AS dup_chars,
            round(sum(s.e - s.s + 1) / any_value(d.n_chars), 4) AS dup_ratio
-    FROM spans s JOIN documents d ON s.doc_id = d.doc_id
+    FROM spans s JOIN (
+      SELECT doc_id, min(n_chars) AS n_chars FROM documents GROUP BY doc_id
+    ) d ON s.doc_id = d.doc_id
     GROUP BY s.doc_id
     """,
 )
@@ -1653,8 +1689,11 @@ def exact_substring_doc_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_chars"),
     )
+    # Attribute lookup, not a fan-out: one deterministic n_chars row per
+    # doc_id even when the documents table carries duplicated ids.
+    attrs = docs.groupBy("doc_id").agg(F.min("n_chars").alias("n_chars"))
     return (
-        per_doc.join(docs.select("doc_id", "n_chars"), "doc_id")
+        per_doc.join(attrs, "doc_id")
         .select(
             "doc_id",
             "n_spans",

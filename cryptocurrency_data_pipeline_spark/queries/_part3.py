@@ -125,14 +125,19 @@ def semantic_dedup_keep(spark, sf_dir):
              - ln((r.n_raw + 1) / (tot.t_raw + 64)) AS lr
       FROM raw r LEFT JOIN tgt g USING (bk), tot
     ), contrib AS (
-      SELECT f.doc_id, sum(f.tf * ratio.lr) AS w
+      SELECT f.doc_id, f.source, sum(f.tf * ratio.lr) AS w
       FROM tf f JOIN ratio USING (bk)
-      GROUP BY f.doc_id
+      GROUP BY f.doc_id, f.source
     ), scored AS (
       -- zero-token docs keep their well-defined empty-sum weight of 0
-      -- (mirrors the operator's explode_outer)
-      SELECT d.doc_id, d.source, round(coalesce(c.w, 0.0), 6) AS w
-      FROM documents d LEFT JOIN contrib c ON d.doc_id = c.doc_id
+      -- (mirrors the operator's explode_outer); DISTINCT mirrors the
+      -- operator's one-row-per-key contract — duplicated (doc_id,
+      -- source) rows pool their tokens into ONE document upstream (the
+      -- tf GROUP BY), so the scored frame must not re-multiply them
+      SELECT DISTINCT d.doc_id, d.source,
+             round(coalesce(c.w, 0.0), 6) AS w
+      FROM documents d LEFT JOIN contrib c
+        ON d.doc_id = c.doc_id AND d.source = c.source
     )
     SELECT source, count(*) AS n_docs, round(avg(w), 4) AS avg_logweight
     FROM scored GROUP BY source
@@ -1486,7 +1491,10 @@ def mixture_temperature_weights(spark, sf_dir):
       FROM tok GROUP BY doc_id
     )
     -- "every document" is literal (score_documents explode_outer):
-    -- zero-token docs come out (0, 0, 0.5, false), never a missing row
+    -- zero-token docs come out (0, 0, 0.5, false), never a missing row.
+    -- One row per DISTINCT id: the operator's groupBy(id) pools
+    -- duplicated doc_id rows (their tokens merge into one evidence
+    -- count), so the outer join must not re-multiply them.
     SELECT d.doc_id,
            CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
            CAST(coalesce(a.weight_sum, 0) AS BIGINT) AS weight_sum,
@@ -1494,7 +1502,8 @@ def mixture_temperature_weights(spark, sf_dir):
                  ELSE 1.0 / (1.0 + exp(-(a.weight_sum / (10007.0 * a.n_tokens))))
                  END, 6) AS score,
            coalesce(a.weight_sum, 0) > 0 AS keep
-    FROM documents d LEFT JOIN agg a USING (doc_id)
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN agg a USING (doc_id)
     """,
 )
 def quality_classifier_scores(spark, sf_dir):
@@ -1537,8 +1546,10 @@ def quality_classifier_scores(spark, sf_dir):
     ), freq AS (
       SELECT h, count(DISTINCT doc_id) AS seg_df FROM seg GROUP BY h
     ), per_doc AS (
+      -- min(source): the deterministic per-id attribute pick, mirrored
+      -- by the engine's groupBy(doc_id).agg(min(source)) lookup
       SELECT s.doc_id,
-             any_value(s.source) AS source,
+             min(s.source) AS source,
              count(*) AS n_seg,
              sum(CASE WHEN f.seg_df >= 2 THEN 1 ELSE 0 END) AS n_boiler
       FROM seg s JOIN freq f USING (h) GROUP BY s.doc_id
@@ -1560,8 +1571,11 @@ def boilerplate_segment_stats(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     per_doc = segment_boilerplate(docs, seg_len=4, min_df=2)
+    # Attribute lookup: one deterministic source per doc_id, so a
+    # duplicated id cannot fan the per-doc rollup back out.
+    attrs = docs.groupBy("doc_id").agg(F.min("source").alias("source"))
     return (
-        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        per_doc.join(attrs, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -38,7 +38,10 @@ from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa
     "media_ingest_report",
     oracle="""
     WITH keys AS (
-      SELECT p_partkey AS k FROM part WHERE p_partkey < 120
+      -- DISTINCT: the engine writes one FILE per key (same key -> same
+      -- name -> idempotent overwrite), so a duplicated part table still
+      -- lands one media file per distinct key
+      SELECT DISTINCT p_partkey AS k FROM part WHERE p_partkey < 120
     ), png AS (
       SELECT 'png' AS kind, count(*) AS n_media,
              CAST(sum(list_sum(list_transform(

@@ -1656,9 +1656,13 @@ def mergeable_sketch_rollup(spark, sf_dir):
              count(*) FILTER (WHERE s16 != s17) AS n_moved
       FROM modshards
       UNION ALL
+      -- per-ROW accounting like the mod branch and the engine's map:
+      -- the GROUP BY id in rv16/rv17 is only how the argmax is
+      -- computed (id -> shard is functional), so rejoin the flags to
+      -- the row multiset rather than counting distinct ids
       SELECT 'rendezvous', (SELECT n_docs FROM n),
              count(*) FILTER (WHERE rv16.s16 != rv17.s17)
-      FROM rv16 JOIN rv17 USING (id)
+      FROM g JOIN rv16 USING (id) JOIN rv17 USING (id)
     )
     ORDER BY strategy
     """,
@@ -2192,22 +2196,40 @@ def schema_evolution_read(spark, sf_dir):
              {cents_sql('o_totalprice')} AS price_cents
       FROM orders
     ),
+    -- Mirror the collapse contract exactly: a key is re-tagged
+    -- update_pre/postimage ONLY when its feed pair is unambiguous
+    -- (exactly one physical row per side).  A duplicated key (mk > 1
+    -- copies) keeps its raw insert/delete tags — the engine refuses to
+    -- mis-pair rows a 1:1 pre/post consumer would misapply.
+    upd AS (
+      SELECT price_cents,
+             sum(count(*)) OVER (PARTITION BY o_orderkey) AS mk,
+             count(*) AS m
+      FROM snap
+      WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+      GROUP BY o_orderkey, price_cents
+    ),
     feed AS (
-      SELECT 'update_postimage' AS change_type, price_cents + 7 AS price_cents
-      FROM snap WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+      SELECT CASE WHEN mk = 1 THEN 'update_postimage' ELSE 'insert' END
+               AS change_type,
+             price_cents + 7 AS price_cents, m
+      FROM upd
       UNION ALL
-      SELECT 'update_preimage', price_cents
-      FROM snap WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+      SELECT CASE WHEN mk = 1 THEN 'update_preimage' ELSE 'delete' END,
+             price_cents, m
+      FROM upd
       UNION ALL
-      SELECT 'insert', 999
+      SELECT 'insert', 999, count(*)
       FROM snap WHERE o_orderpriority = '5-LOW' AND o_orderkey % 11 = 0
+      GROUP BY o_orderkey
       UNION ALL
-      SELECT 'delete', price_cents
+      SELECT 'delete', price_cents, count(*)
       FROM snap WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 7 = 0
+      GROUP BY o_orderkey, price_cents
     )
     SELECT change_type,
-           count(*) AS n_rows,
-           CAST(sum(price_cents) AS BIGINT) AS sum_cents
+           CAST(sum(m) AS BIGINT) AS n_rows,
+           CAST(sum(price_cents * m) AS BIGINT) AS sum_cents
     FROM feed GROUP BY 1 ORDER BY 1
     """,
 )
