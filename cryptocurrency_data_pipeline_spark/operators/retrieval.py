@@ -38,6 +38,12 @@ def ranked_topn(
     ``orderBy().limit(n)`` compiles to TakeOrderedAndProject; the
     row_number window then only ever sees n rows.  Scores should be
     pre-rounded by the caller so rank order is engine-reproducible.
+
+    Key-uniqueness contract: ``scored`` must carry ONE row per id (it
+    is a per-id scoring, normally the output of a groupBy) — a
+    duplicated id would occupy multiple rank slots and crowd real
+    results out of the top-n.  Every in-repo caller scores through an
+    id-keyed aggregation, which enforces this by construction.
     """
     top = scored.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(n)
     w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
@@ -50,7 +56,11 @@ def rrf_fuse(
     lists: list[DataFrame], id_col: str, rank_cols: list[str], k: int = 60
 ) -> DataFrame:
     """Fuse ranked lists by reciprocal-rank: id, each rank (0 = absent),
-    and ``rrf_score`` rounded to 6 dp."""
+    and ``rrf_score`` rounded to 6 dp.
+
+    Key-uniqueness contract: each list must carry one row per id (true
+    for :func:`ranked_topn` outputs — a row_number can't repeat); a
+    duplicated id would fan out through the full-outer join chain."""
     fused = lists[0]
     for nxt in lists[1:]:
         fused = fused.join(nxt, id_col, "full")
