@@ -2790,3 +2790,128 @@ def object_store_read_path(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-saturation invariance, IN-QUERY (round 11): the sfdup scale
+# point lives in tools/make_empty_sf.py and its pinned gate, but the
+# driver only replays sf0.01 — so these two queries embed the ×3
+# saturation into the query itself (UNION ALL the table with itself
+# twice) and assert the operator contracts at ANY scale the driver
+# runs.  Because semantic_dedup collapses to one min-vector row per id
+# and jaccard_self_join collapses (id, elem), the tripled input must
+# produce EXACTLY the single-copy answer — so each oracle is the plain
+# single-copy statement, and a hash match IS the invariance proof.
+# --------------------------------------------------------------------------
+
+@query(
+    "semantic_dedup_dup_invariance",
+    oracle="""
+    WITH corpus AS (
+      -- the engine side runs over embeddings ×3; min-per-id collapse
+      -- makes that literally this single-copy corpus
+      SELECT vec_id, min(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings GROUP BY vec_id
+    ), seed AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+             v AS c
+      FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ), d0 AS (
+      SELECT a.vec_id, a.v, s.cid,
+             list_aggregate(list_transform(generate_series(1, len(a.v)),
+               j -> (a.v[j] - s.c[j]) * (a.v[j] - s.c[j])), 'sum') AS d
+      FROM corpus a CROSS JOIN seed s
+    ), a0 AS (
+      SELECT vec_id, cid,
+             CASE WHEN list_dot_product(v, v) > 0
+                  THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                  ELSE v END AS nv
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d0) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM a0 a JOIN a0 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.nv, b.nv) >= 0.45
+    )
+    SELECT a0.cid AS cluster_id,
+           count(*) AS n_vecs,
+           CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM a0 LEFT JOIN dropped d ON a0.vec_id = d.vec_id
+    GROUP BY a0.cid
+    """,
+)
+def semantic_dedup_dup_invariance(spark, sf_dir):
+    """SemDeDup over the corpus UNION ALL'd with itself twice must equal
+    the single-copy audit bit-for-bit (the id-uniqueness contract)."""
+    from cryptocurrency_data_pipeline_spark.operators.semdedup import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    tripled = emb.unionByName(emb).unionByName(emb)
+    flags = semantic_dedup(tripled, nlist=8, tau=0.45)
+    return flags.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("is_kept"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+    )
+
+
+@query(
+    "jaccard_dup_invariance",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)),
+               '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), sh AS (
+      -- set semantics per id: the engine's ×3 input collapses to this
+      SELECT DISTINCT doc_id, g
+      FROM base, unnest(list_transform(generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(g)
+    ), sets AS (
+      SELECT doc_id, list(g) AS s, count(*) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             a.sz + b.sz - len(list_intersect(a.s, b.s)) AS union_sz
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(union_sz AS BIGINT) AS union_sz,
+           round(inter * 1.0 / union_sz, 6) AS jaccard
+    FROM pairs WHERE 2 * inter >= union_sz
+    """,
+)
+def jaccard_dup_invariance(spark, sf_dir):
+    """Exact Jaccard pairs over documents UNION ALL'd with itself twice
+    must equal the single-copy pairs (the DISTINCT-(id, elem) contract —
+    violated, it emitted union_sz = −90 rows before round 11)."""
+    from cryptocurrency_data_pipeline_spark.operators.setjoin import (
+        jaccard_self_join,
+    )
+    from cryptocurrency_data_pipeline_spark.operators.text import (
+        shingles,
+        tokens,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tripled = docs.unionByName(docs).unionByName(docs)
+    tok = tripled.withColumn("__toks", tokens("text")).select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.array_distinct(shingles(toks=F.col("__toks")))
+        ).alias("elem"),
+    )
+    pairs = jaccard_self_join(tok, num=1, den=2)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "inter",
+        "union_sz",
+        "jaccard",
+    )
