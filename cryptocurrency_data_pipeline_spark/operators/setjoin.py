@@ -54,6 +54,7 @@ def jaccard_self_join(
     tok: DataFrame,
     num: int = 1,
     den: int = 2,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Jaccard(elements) >= num/den.
 
@@ -63,16 +64,22 @@ def jaccard_self_join(
     An uncollapsed input inflates ``sz = count(*)`` while the candidate-
     bounded intersection join stays set-valued, driving
     ``union_sz = sz_a + sz_b - inter`` negative — silent wrong answers,
-    not errors.  The dedup rides the very next ``groupBy("id")`` /
-    ``groupBy("elem")`` shuffles, so enforcing the precondition costs no
-    extra exchange on the already-distinct fast path.  Output:
+    not errors.  Output:
     ``(id_a, id_b, inter, union_sz, jaccard)``; ``jaccard`` is the exact
     ratio rounded to 6 dp, the filter itself is integer arithmetic.
+
+    ``assume_distinct=True`` skips the enforcement exchange — the scale
+    knob for callers that already produce a distinct ``(id, elem)``
+    frame (e.g. straight out of an id-keyed dedup); with it set on a
+    non-distinct input the results are silently wrong, so the default
+    pays the one extra hash exchange.
     """
     assert 0 < num <= den
     # One pass for document frequencies; the join keys every element
     # with its global (df, elem) rank — the shared total order.
-    tok = track(tok.dropDuplicates(["id", "elem"]).persist())
+    if not assume_distinct:
+        tok = tok.dropDuplicates(["id", "elem"])
+    tok = track(tok.persist())
     df_e = tok.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
     te = tok.join(df_e, "elem")
     docs = te.groupBy("id").agg(
@@ -153,6 +160,7 @@ def containment_join(
     tok: DataFrame,
     num: int = 4,
     den: int = 5,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """All ORDERED pairs (id_a != id_b) with containment
     ``|A ∩ B| >= (num/den) * |A|`` — SUBSET-duplicate detection.
@@ -174,10 +182,14 @@ def containment_join(
     of elements per id, so duplicate ``(id, elem)`` rows are collapsed
     here (a duplicated id otherwise inflates both ``sz`` and the fanned-
     out verification count — wrong ratios, not errors); the dedup rides
-    the existing ``groupBy`` shuffles.
+    the existing ``groupBy`` shuffles.  ``assume_distinct=True`` skips
+    the enforcement exchange for callers that guarantee the contract
+    upstream (see :func:`jaccard_self_join`).
     """
     assert 0 < num <= den
-    tok = track(tok.dropDuplicates(["id", "elem"]).persist())
+    if not assume_distinct:
+        tok = tok.dropDuplicates(["id", "elem"])
+    tok = track(tok.persist())
     df_e = tok.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
     te = tok.join(df_e, "elem")
     docs = te.groupBy("id").agg(
