@@ -54,37 +54,39 @@ def jaccard_self_join(
     tok: DataFrame,
     num: int = 1,
     den: int = 2,
-    assume_distinct: bool = False,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Jaccard(elements) >= num/den.
 
     ``tok`` is an ``(id, elem)`` frame; Jaccard is defined over the SET
-    of elements per id, so duplicate ``(id, elem)`` rows (within one id
-    or from a duplicated id) are collapsed here rather than trusted away.
-    An uncollapsed input inflates ``sz = count(*)`` while the candidate-
-    bounded intersection join stays set-valued, driving
-    ``union_sz = sz_a + sz_b - inter`` negative — silent wrong answers,
-    not errors.  Output:
+    of elements per id, and duplicate ``(id, elem)`` rows — within one
+    id or from a duplicated id — are collapsed INSIDE the aggregations
+    the plan already pays, never trusted away: document frequency is
+    ``count_distinct(id)`` per element, the per-doc ordered set is a
+    ``collect_set`` (so ``sz`` is the true set size), and the
+    verification side re-derives its distinct (id, elem) rows by
+    exploding those sets.  An uncollapsed ``count(*)`` sizing would
+    drive ``union_sz = sz_a + sz_b - inter`` negative on a duplicated
+    corpus — silent wrong answers, not errors.  No standalone
+    enforcement exchange: dedup lives in the element-keyed and
+    id-keyed shuffles that were already there.  Output:
     ``(id_a, id_b, inter, union_sz, jaccard)``; ``jaccard`` is the exact
     ratio rounded to 6 dp, the filter itself is integer arithmetic.
-
-    ``assume_distinct=True`` skips the enforcement exchange — the scale
-    knob for callers that already produce a distinct ``(id, elem)``
-    frame (e.g. straight out of an id-keyed dedup); with it set on a
-    non-distinct input the results are silently wrong, so the default
-    pays the one extra hash exchange.
     """
     assert 0 < num <= den
     # One pass for document frequencies; the join keys every element
     # with its global (df, elem) rank — the shared total order.
-    if not assume_distinct:
-        tok = tok.dropDuplicates(["id", "elem"])
     tok = track(tok.persist())
-    df_e = tok.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
+    df_e = tok.groupBy("elem").agg(F.count_distinct(F.col("id")).alias("df"))
     te = tok.join(df_e, "elem")
-    docs = te.groupBy("id").agg(
-        F.count(F.lit(1)).alias("sz"),
-        F.array_sort(F.collect_list(F.struct("df", "elem"))).alias("ordered"),
+    docs = track(
+        te.groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct("df", "elem"))
+            ).alias("ordered")
+        )
+        .select("id", F.size("ordered").alias("sz"), "ordered")
+        .persist()
     )
     # prefix length p = sz - ceil(t * sz) + 1 (integer ceil).
     ceil_t = F.floor((F.col("sz") * num + (den - 1)) / den).cast("int")
@@ -135,8 +137,17 @@ def jaccard_self_join(
         .select("id_a", "id_b", "sz_a", "sz_b")
         .distinct()
     )
-    ta = tok.select(F.col("id").alias("id_a"), "elem")
-    tb = tok.select(F.col("id").alias("id_b"), "elem")
+    # Distinct (id, elem) rows by construction: explode the per-doc
+    # SETS (cached in ``docs``), so the intersection count is set-valued
+    # even on a duplicated input.
+    elems = docs.select(
+        "id",
+        F.explode(
+            F.transform(F.col("ordered"), lambda s: s["elem"])
+        ).alias("elem"),
+    )
+    ta = elems.select(F.col("id").alias("id_a"), "elem")
+    tb = elems.select(F.col("id").alias("id_b"), "elem")
     inter = (
         cand.join(ta, "id_a")
         .join(tb, ["id_b", "elem"])
@@ -160,7 +171,6 @@ def containment_join(
     tok: DataFrame,
     num: int = 4,
     den: int = 5,
-    assume_distinct: bool = False,
 ) -> DataFrame:
     """All ORDERED pairs (id_a != id_b) with containment
     ``|A ∩ B| >= (num/den) * |A|`` — SUBSET-duplicate detection.
@@ -179,22 +189,25 @@ def containment_join(
     threshold test, so the result hashes identically on any engine.
 
     Like :func:`jaccard_self_join`, containment is defined over the SET
-    of elements per id, so duplicate ``(id, elem)`` rows are collapsed
-    here (a duplicated id otherwise inflates both ``sz`` and the fanned-
-    out verification count — wrong ratios, not errors); the dedup rides
-    the existing ``groupBy`` shuffles.  ``assume_distinct=True`` skips
-    the enforcement exchange for callers that guarantee the contract
-    upstream (see :func:`jaccard_self_join`).
+    of elements per id, and duplicate ``(id, elem)`` rows are collapsed
+    INSIDE the aggregations the plan already pays (count_distinct df,
+    collect_set per-doc sets, set-derived index/verification sides) —
+    a duplicated id otherwise inflates both ``sz`` and the fanned-out
+    verification count, producing wrong ratios rather than errors.
     """
     assert 0 < num <= den
-    if not assume_distinct:
-        tok = tok.dropDuplicates(["id", "elem"])
     tok = track(tok.persist())
-    df_e = tok.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
+    df_e = tok.groupBy("elem").agg(F.count_distinct(F.col("id")).alias("df"))
     te = tok.join(df_e, "elem")
-    docs = te.groupBy("id").agg(
-        F.count(F.lit(1)).alias("sz"),
-        F.array_sort(F.collect_list(F.struct("df", "elem"))).alias("ordered"),
+    docs = track(
+        te.groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct("df", "elem"))
+            ).alias("ordered")
+        )
+        .select("id", F.size("ordered").alias("sz"), "ordered")
+        .persist()
     )
     ceil_t = F.floor((F.col("sz") * num + (den - 1)) / den).cast("int")
     a = docs.select(
@@ -207,8 +220,16 @@ def containment_join(
             )
         ).alias("pos_a", "elem"),
     )
-    sizes = docs.select("id", "sz")
-    b = tok.join(sizes, "id").select(
+    # B is indexed on ALL its elements — derived from the cached SETS,
+    # so the index is distinct (id, elem) by construction.
+    elems = docs.select(
+        "id",
+        "sz",
+        F.explode(
+            F.transform(F.col("ordered"), lambda s: s["elem"])
+        ).alias("elem"),
+    )
+    b = elems.select(
         F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "elem"
     )
     cand = (
@@ -221,8 +242,8 @@ def containment_join(
         .select("id_a", "id_b", "sz_a")
         .distinct()
     )
-    ta = tok.select(F.col("id").alias("id_a"), "elem")
-    tb = tok.select(F.col("id").alias("id_b"), "elem")
+    ta = elems.select(F.col("id").alias("id_a"), "elem")
+    tb = elems.select(F.col("id").alias("id_b"), "elem")
     inter = (
         cand.join(ta, "id_a")
         .join(tb, ["id_b", "elem"])
