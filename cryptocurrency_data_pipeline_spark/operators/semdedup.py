@@ -109,6 +109,7 @@ def semantic_dedup(
     tau: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assume_unique_ids: bool = False,
 ) -> DataFrame:
     """Flag semantic near-duplicates: (id, cluster_id, is_kept).
 
@@ -120,8 +121,16 @@ def semantic_dedup(
     Exactly one output row per distinct id: duplicated-id inputs are
     collapsed first (:func:`_one_row_per_id`), so the seed sample, the
     pair space, and the flag join all see one row per id.
+
+    The collapse is one id-keyed shuffle of the vector column ahead of
+    an otherwise map-only assignment; ``assume_unique_ids=True`` skips
+    it — the scale knob for corpora that are already keyed one row per
+    id (e.g. straight out of an exact-dedup pass).  With it set on a
+    duplicated input the per-cluster counts and flags are silently
+    wrong, so the default pays the shuffle.
     """
-    corpus = _one_row_per_id(corpus, id_col, vec_col)
+    if not assume_unique_ids:
+        corpus = _one_row_per_id(corpus, id_col, vec_col)
     seeds = ivf_centroids(corpus, nlist=nlist, id_col=id_col, vec_col=vec_col)
     centers = sorted((r.centroid_id, list(r.centroid)) for r in seeds.collect())
     # Three consumers (both pair sides + the flag join) would each rescan
@@ -171,6 +180,7 @@ def semantic_dedup_incremental(
     tau: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assume_unique_ids: bool = False,
 ) -> DataFrame:
     """Dedup a NEW batch against an already-kept corpus — the steady-state
     mode of a growing corpus.  Output: (id, cluster_id, dup_of_existing,
@@ -199,10 +209,12 @@ def semantic_dedup_incremental(
     Both sides carry the family's id-uniqueness contract
     (:func:`_one_row_per_id`): duplicated ids in either frame are
     collapsed before seeding/assignment, so the output stays one row per
-    distinct batch id.
+    distinct batch id.  ``assume_unique_ids=True`` skips both collapse
+    shuffles for already-keyed inputs (see :func:`semantic_dedup`).
     """
-    existing = _one_row_per_id(existing, id_col, vec_col)
-    batch = _one_row_per_id(batch, id_col, vec_col)
+    if not assume_unique_ids:
+        existing = _one_row_per_id(existing, id_col, vec_col)
+        batch = _one_row_per_id(batch, id_col, vec_col)
     seeds = ivf_centroids(existing, nlist=nlist, id_col=id_col, vec_col=vec_col)
     centers = sorted((r.centroid_id, list(r.centroid)) for r in seeds.collect())
     ex = _normalized_assignment(existing, centers, id_col, vec_col)
