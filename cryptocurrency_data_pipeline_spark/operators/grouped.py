@@ -27,6 +27,7 @@ from collections.abc import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def ewma_last_by_key(
@@ -52,6 +53,28 @@ def ewma_last_by_key(
     a = float(alpha)
     b = 1.0 - a
     order = list(order_cols)
+
+    # Timestamp order columns cross the Arrow boundary as exact int64
+    # micros, NOT as timestamps: pandas' datetime64[ns] can only hold
+    # 1677-09-21..2262-04-11, so a single year-1 or year-9999 row (epoch
+    # sentinels, mis-parsed crawl dates — routine at corpus scale) would
+    # abort the whole Arrow batch with an out-of-bounds cast.  unix_micros
+    # is strictly monotone (order-preserving, NULLs stay NULL -> sorted
+    # last by pandas either way) and skips the per-row datetime
+    # materialization entirely — strictly cheaper on the hot path.  Found
+    # by the sftime fixture (tools/make_time_sf.py).
+    ts_order = {
+        c for c, dt in df.dtypes if c in order and dt.startswith("timestamp")
+    }
+    if ts_order:
+        df = df.select(
+            *[
+                F.unix_micros(F.col(c).cast("timestamp")).alias(c)
+                if c in ts_order
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > max_group_rows:

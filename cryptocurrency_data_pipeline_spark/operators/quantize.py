@@ -70,3 +70,32 @@ def cents(col: Column | str, scale: int = 100) -> Column:
         F.isnan(d) | (F.abs(d) >= lim), F.lit(None).cast("double")
     ).otherwise(d)
     return F.floor(guarded * F.lit(float(scale))).cast("long")
+
+
+def epoch_sec(col: Column | str) -> Column:
+    """Exact FLOORED epoch seconds of a timestamp, as BIGINT; NULL -> NULL.
+
+    The naive ``unix_timestamp(ts)`` TRUNCATES sub-second timestamps
+    toward zero, so a pre-1970 event at 23:59:59.5 lands in second 0
+    instead of second -1 — one bucket late in every epoch-seconds
+    bucketing (sessionization gaps, weekly cohorts, attribution
+    lookbacks) and silently divergent from SQL ``floor(epoch(ts))``
+    semantics.  Found by the sftime fixture (tools/make_time_sf.py).
+
+    Construction: ``unix_seconds(date_trunc('second', ts))``.
+    ``date_trunc`` FLOORS in the timestamp domain with exact JVM long
+    micros (negative epochs included), after which the seconds
+    extraction has no fractional part left to mis-round.  This also
+    dodges the double-precision trap at the timestamp range maximum:
+    any epoch math routed through a double (e.g. ``floor(epoch(ts))``
+    with microseconds attached) is wrong at 9999-12-31 23:59:59.999999
+    because 2.5e17 us exceeds 2^53.  Verified exactly equal to the
+    DuckDB mirror (``queries._fragments.epoch_sec_sql``) at year 1,
+    year 9999, and both signs of the epoch.
+
+    ``date_trunc`` accepts TIMESTAMP_NTZ input (arrow-written parquet)
+    and returns session-zoned TIMESTAMP, which satisfies the strict
+    ``unix_seconds`` signature; the session timezone is pinned UTC, so
+    NTZ-vs-zoned coercion is the identity."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_seconds(F.date_trunc("second", c))

@@ -124,3 +124,14 @@ def tokens_sql(col="text"):
         f"list_filter(string_split_regex(lower({col}), "
         f"'{WS_CLASS_SQL}+'), t -> t <> '')"
     )
+
+
+def epoch_sec_sql(expr: str) -> str:
+    """DuckDB mirror of ``operators/quantize.py:epoch_sec``: exact
+    FLOORED epoch seconds as BIGINT.  ``date_trunc`` floors in exact
+    integer micros first, so ``epoch``'s double result is a whole
+    second <= 2.54e11 — exactly representable, and the BIGINT cast is
+    lossless even at 9999-12-31 23:59:59.999999 (where a bare
+    ``floor(epoch(ts))`` rounds UP a whole second: 2.5e17 us exceeds
+    the 2^53 double-integer range)."""
+    return f"CAST(epoch(date_trunc('second', {expr})) AS BIGINT)"

@@ -1282,9 +1282,16 @@ def stream_ohlc_replay(spark, sf_dir):
         F.col("value").alias("current_price"),
     )
     out = windowed_ohlc(ticks, window="4 hours", slide="1 hour")
+    # window_end is DERIVED (start + 4h), so a tick in the last hours of
+    # 9999-12-31 — the "never expires" sentinel year — pushes it past the
+    # timestamp-max into year 10000, where Java's date_format prints the
+    # ISO extended form "+10000-…" but DuckDB's strftime prints it bare.
+    # Strip the sign prefix: same instant, one string form (sftime class).
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        F.regexp_replace(
+            F.date_format("window_end", "yyyy-MM-dd HH:mm:ss"), r"^\+", ""
+        ).alias("window_end"),
         "coin_id", "high", "low", "avg_price", "n_ticks",
     )
 

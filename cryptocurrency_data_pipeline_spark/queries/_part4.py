@@ -16,8 +16,8 @@ from pyspark.sql import functions as F  # noqa: F401
 
 from cryptocurrency_data_pipeline_spark.operators import silver  # noqa: F401
 from cryptocurrency_data_pipeline_spark.operators.caching import track  # noqa: F401
-from cryptocurrency_data_pipeline_spark.operators.quantize import cents  # noqa: F401
-from cryptocurrency_data_pipeline_spark.queries._fragments import cents_sql  # noqa: F401
+from cryptocurrency_data_pipeline_spark.operators.quantize import cents, epoch_sec  # noqa: F401
+from cryptocurrency_data_pipeline_spark.queries._fragments import cents_sql, epoch_sec_sql  # noqa: F401
 from cryptocurrency_data_pipeline_spark.queries._registry import query, t  # noqa: F401
 from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa: F401
 
@@ -1993,10 +1993,10 @@ def tar_manifest_rollup(spark, sf_dir):
 
 @query(
     "cohort_retention_matrix",
-    oracle="""
+    oracle=f"""
     WITH act AS (
       SELECT DISTINCT user_id,
-             CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week
+             CAST(floor({epoch_sec_sql('ts')} / 604800.0) AS BIGINT) AS week
       FROM events
     ), first AS (
       SELECT user_id, min(week) AS cohort FROM act GROUP BY user_id
@@ -2014,7 +2014,10 @@ def cohort_retention_matrix(spark, sf_dir):
         t(spark, sf_dir, "events")
         .select(
             "user_id",
-            F.floor(F.unix_timestamp("ts") / F.lit(604800))
+            # epoch_sec (exact floored seconds) then a float floor-div:
+            # |sec| <= 2.54e11 is integral, so sec/604800.0 has no
+            # double error that can cross a week boundary.
+            F.floor(epoch_sec("ts") / F.lit(604800))
             .cast("long")
             .alias("week"),
         )

@@ -17,8 +17,8 @@ from pyspark.sql import functions as F  # noqa: F401
 
 from cryptocurrency_data_pipeline_spark.operators import silver  # noqa: F401
 from cryptocurrency_data_pipeline_spark.operators.caching import track  # noqa: F401
-from cryptocurrency_data_pipeline_spark.operators.quantize import cents, finite  # noqa: F401
-from cryptocurrency_data_pipeline_spark.queries._fragments import cents_sql, finite_sql  # noqa: F401
+from cryptocurrency_data_pipeline_spark.operators.quantize import cents, epoch_sec, finite  # noqa: F401
+from cryptocurrency_data_pipeline_spark.queries._fragments import cents_sql, epoch_sec_sql, finite_sql  # noqa: F401
 from cryptocurrency_data_pipeline_spark.queries._registry import query, t  # noqa: F401
 from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa: F401
 
@@ -236,9 +236,9 @@ def ogg_decode_rollup(spark, sf_dir):
 
 @query(
     "user_sessionization_stats",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
-      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      SELECT user_id, {epoch_sec_sql('ts')} AS sec,
              event_id
       FROM events WHERE ts IS NOT NULL
     ), flagged AS (
@@ -276,7 +276,10 @@ def user_sessionization_stats(spark, sf_dir):
         .where(F.col("ts").isNotNull())
         .select(
             "user_id",
-            F.unix_timestamp("ts").cast("long").alias("sec"),
+            # Floored (not truncated) epoch seconds: a 23:59:59.5
+            # pre-1970 event must gap-test from second -1, matching
+            # the oracle's floor semantics (sftime fixture class).
+            epoch_sec("ts").alias("sec"),
             "event_id",
         )
     )
@@ -491,10 +494,10 @@ def user_value_changepoint(spark, sf_dir):
 
 @query(
     "purchase_attribution_report",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
       SELECT user_id, event_id, event_type,
-             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+             {epoch_sec_sql('ts')} AS sec
       FROM events
     ), pairs AS (
       SELECT p.user_id, p.event_id AS conv_id, t.event_id AS touch_id,
@@ -532,7 +535,9 @@ def purchase_attribution_report(spark, sf_dir):
         "user_id",
         "event_id",
         "event_type",
-        F.unix_timestamp("ts").cast("long").alias("sec"),
+        # Floored epoch seconds (see epoch_sec): lookback windows on
+        # pre-1970 sub-second rows must not shift a bucket late.
+        epoch_sec("ts").alias("sec"),
     )
     p = ev.where(F.col("event_type") == "purchase").select(
         "user_id",
@@ -876,9 +881,9 @@ def hourly_seasonal_outliers(spark, sf_dir):
 
 @query(
     "event_gap_histogram",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
-      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+      SELECT user_id, {epoch_sec_sql('ts')} AS sec, event_id
       FROM events
     ), gaps AS (
       SELECT sec - lag(sec) OVER (PARTITION BY user_id
@@ -905,7 +910,9 @@ def event_gap_histogram(spark, sf_dir):
         t(spark, sf_dir, "events")
         .select(
             "user_id",
-            F.unix_timestamp("ts").cast("long").alias("sec"),
+            # Floored epoch seconds (see epoch_sec), not unix_timestamp
+            # truncation — gap widths around the epoch must match SQL.
+            epoch_sec("ts").alias("sec"),
             "event_id",
         )
         .select((F.col("sec") - F.lag("sec").over(w)).alias("gap"))

@@ -22,13 +22,14 @@ from typing import TYPE_CHECKING, Any, Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -38,7 +39,14 @@ if TYPE_CHECKING:  # pragma: no cover
 PRICE_DELTA_SCHEMA = StructType(
     [
         StructField("coin_id", StringType()),
-        StructField("event_time", TimestampType()),
+        # Event time crosses the Arrow/pandas boundary as exact int64
+        # micros, never as a timestamp: pandas' datetime64[ns] only spans
+        # 1677..2262, so one sentinel tick (epoch-0 default, 9999-12-31
+        # "never expires", a mis-parsed crawl date) would abort the whole
+        # Arrow batch — and in a STREAMING query that kills the run, not
+        # one row.  The public wrapper converts back to TimestampType on
+        # the way out, so callers see the same schema as before.
+        StructField("event_time_us", LongType()),
         StructField("current_price", DoubleType()),
         StructField("prev_price", DoubleType()),
         StructField("price_change_pct", DoubleType()),
@@ -85,9 +93,11 @@ def _make_tracker(alert_pct: float, timeout_ms: int | None = None):
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            pdf = pdf.sort_values("event_time", kind="mergesort", ignore_index=True)
+            # event_time_us is int64 micros (NULL -> NaN after Arrow);
+            # NaN sorts last, exactly where NaT sorted before.
+            pdf = pdf.sort_values("event_time_us", kind="mergesort", ignore_index=True)
             prevs, pcts, alerts = [], [], []
-            for price, ts in zip(pdf["current_price"], pdf["event_time"]):
+            for price, ts_us in zip(pdf["current_price"], pdf["event_time_us"]):
                 prevs.append(last_price)
                 if last_price is None or pd.isna(price) or last_price == 0.0:
                     pct = None
@@ -97,11 +107,11 @@ def _make_tracker(alert_pct: float, timeout_ms: int | None = None):
                 alerts.append(pct is not None and abs(pct) > alert_pct)
                 if not pd.isna(price):
                     last_price = float(price)
-                    last_ts = None if pd.isna(ts) else ts.timestamp()
+                    last_ts = None if pd.isna(ts_us) else float(ts_us) / 1e6
             yield pd.DataFrame(
                 {
                     "coin_id": pdf["coin_id"],
-                    "event_time": pdf["event_time"],
+                    "event_time_us": pdf["event_time_us"],
                     "current_price": pdf["current_price"],
                     "prev_price": pd.array(prevs, dtype="float64"),
                     "price_change_pct": pd.array(pcts, dtype="float64"),
@@ -153,8 +163,19 @@ def stateful_price_deltas(
             )
     elif timeout_ms is not None:
         raise ValueError("timeout_ms only applies to ProcessingTimeTimeout")
-    return (
-        ticks.select("coin_id", "event_time", "current_price")
+    # Timestamps enter the pandas boundary as int64 micros and come back
+    # out as TimestampType (see PRICE_DELTA_SCHEMA note): callers keep the
+    # (coin_id, event_time, current_price, ...) schema, while no
+    # datetime64[ns]-range cast can ever abort a batch.  timestamp_micros
+    # is exact over the full timestamp domain.
+    out = (
+        ticks.select(
+            "coin_id",
+            F.unix_micros(F.col("event_time").cast("timestamp")).alias(
+                "event_time_us"
+            ),
+            "current_price",
+        )
         .groupBy("coin_id")
         .applyInPandasWithState(
             _make_tracker(alert_pct, timeout_ms),
@@ -163,4 +184,12 @@ def stateful_price_deltas(
             outputMode="append",
             timeoutConf=timeouts[timeout],
         )
+    )
+    return out.select(
+        "coin_id",
+        F.timestamp_micros("event_time_us").alias("event_time"),
+        "current_price",
+        "prev_price",
+        "price_change_pct",
+        "is_alert",
     )

@@ -117,10 +117,11 @@ class _FakeState:
 
 
 def test_tracker_nan_price_and_nat_ts_do_not_poison_state():
-    """A null tick (NaN price / NaT event_time after Arrow transfer)
-    must be skipped, not stored: 'is None' checks pass for NaN/NaT, so
-    the old guards stored NaN (poisoning every later delta) and called
-    .timestamp() on NaT (ValueError killing the whole query)."""
+    """A null tick (NaN price / NaN event_time_us after Arrow transfer —
+    event time crosses the boundary as int64 micros, see
+    PRICE_DELTA_SCHEMA) must be skipped, not stored: 'is None' checks
+    pass for NaN, so the old guards stored NaN (poisoning every later
+    delta)."""
     import pandas as pd
 
     track = stateful._make_tracker(alert_pct=10.0)
@@ -128,14 +129,15 @@ def test_tracker_nan_price_and_nat_ts_do_not_poison_state():
     pdf = pd.DataFrame(
         {
             "coin_id": ["btc"] * 3,
-            "event_time": pd.to_datetime(
-                ["2024-01-01 00:00:00", None, "2024-01-01 00:02:00"]
-            ),
+            # int64 micros with a null -> float64 column with NaN,
+            # exactly what Arrow hands the tracker for a null tick.
+            "event_time_us": [1704067200000000.0, float("nan"),
+                              1704067320000000.0],
             "current_price": [100.0, float("nan"), 110.0],
         }
     )
     [out] = list(track(("btc",), [pdf], st))
-    # NaT sorts last, so order is (100.0, 110.0, NaN-price row).
+    # NaN event time sorts last, so order is (100.0, 110.0, NaN-price row).
     by_price = {
         None if pd.isna(p) else p: pct
         for p, pct in zip(out["current_price"], out["price_change_pct"])
@@ -159,7 +161,7 @@ def test_tracker_timeout_removes_state():
     pdf = pd.DataFrame(
         {
             "coin_id": ["btc"],
-            "event_time": pd.to_datetime(["2024-01-01"]),
+            "event_time_us": [1704067200000000],
             "current_price": [5.0],
         }
     )
@@ -177,3 +179,51 @@ def test_timeout_conf_requires_duration(spark):
         stateful.stateful_price_deltas(ticks, timeout="ProcessingTimeTimeout")
     with pytest.raises(ValueError, match="only applies"):
         stateful.stateful_price_deltas(ticks, timeout_ms=1000)
+
+
+def test_stateful_deltas_survive_sentinel_year_ticks(spark, tmp_path):
+    """Year-1 and year-9999 event times — epoch-default and
+    "never-expires" sentinels, routine in crawl-scale feeds — must flow
+    through the stateful operator, not abort the Arrow batch: pandas'
+    datetime64[ns] spans only 1677..2262, so shipping raw timestamps
+    into applyInPandasWithState would kill the whole STREAMING query on
+    one such tick.  Event time crosses as int64 micros and round-trips
+    exactly (sftime input class, tools/make_time_sf.py)."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    lo = datetime(1, 1, 1, 0, 0, 1, tzinfo=timezone.utc)
+    hi = datetime(9999, 12, 31, 23, 59, 59, 999999, tzinfo=timezone.utc)
+    producer.write_batch(
+        src,
+        [
+            producer.make_tick("btc", 100.0, 10**9, ts=lo),
+            producer.make_tick("btc", 125.0, 10**9, ts=hi),
+        ],
+    )
+    _run(spark, src, out, ckpt)
+
+    # Collect epoch micros, not datetime objects: PySpark's OWN
+    # TimestampType.fromInternal goes through datetime.fromtimestamp in
+    # the driver's LOCAL timezone, which walks a year-1 instant into
+    # year 0 (unrepresentable) whenever local time is west of UTC — a
+    # py4j display limit, not an engine one.
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        spark.read.parquet(out)
+        .select(
+            F.unix_micros("event_time").alias("us"),
+            "current_price", "prev_price", "price_change_pct",
+        )
+        .collect(),
+        key=lambda r: r.us,
+    )
+    assert [r.current_price for r in rows] == [100.0, 125.0]
+    # Event-time order held across the sign/precision extremes, the
+    # delta chained through state, and both timestamps round-tripped.
+    assert rows[1].prev_price == 100.0 and rows[1].price_change_pct == 25.0
+    # Exact integer micros via timedelta division — float .timestamp()
+    # rounds the year-9999 sub-second instant UP a whole second (the
+    # same 2^53 trap epoch_sec exists to dodge).
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    assert rows[0].us == (lo - epoch) // timedelta(microseconds=1)
+    assert rows[1].us == (hi - epoch) // timedelta(microseconds=1)
