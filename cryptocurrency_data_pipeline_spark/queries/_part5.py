@@ -2922,3 +2922,124 @@ def jaccard_dup_invariance(spark, sf_dir):
         "union_sz",
         "jaccard",
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar/timestamp-extremes invariance, IN-QUERY (round 11): the sftime
+# scale point lives in tools/make_time_sf.py and its pinned gate, but the
+# driver only replays sf0.01 — so these two queries embed the extreme
+# instants as timestamp LITERALS (both engines parse the identical list)
+# and assert the time contracts at any scale the driver runs: exact
+# floored epoch seconds (epoch_sec vs the double/truncation traps),
+# hour/week bucketing at negative epochs, ISO weeks at year boundaries,
+# the +10000 derived-window string form, and the Arrow int64-micros
+# boundary under year-1/9999 rows through the grouped-map pandas path.
+# --------------------------------------------------------------------------
+
+_TIME_EXTREMES = [
+    (0, "1969-12-31 23:59:59.5"),       # sub-second negative epoch
+    (1, "1969-12-31 23:59:58.123456"),  # floor ≠ truncate by 1
+    (2, "1970-01-01 00:00:00.5"),       # positive control
+    (3, "1970-01-01 00:00:00"),         # epoch zero
+    (4, "0001-01-01 00:00:01"),         # timestamp range min side
+    (5, "9999-12-31 23:59:59.999999"),  # range max, double trap
+    (6, "2021-01-01 12:00:00"),         # ISO week 53 of 2020
+    (7, "2024-12-30 12:00:00"),         # ISO week 1 of 2025
+    (8, "2000-02-29 12:00:00"),         # 400-year leap day
+]
+
+
+@query(
+    "time_bucket_extremes_invariance",
+    oracle=f"""
+    WITH src(id, ts) AS (VALUES
+      {",".join(f"({i}, TIMESTAMP '{s}')" for i, s in _TIME_EXTREMES)})
+    SELECT id,
+           {epoch_sec_sql('ts')} AS sec,
+           CAST(floor({epoch_sec_sql('ts')} / 604800.0) AS BIGINT) AS week,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS hour_end,
+           CAST(weekofyear(ts) AS INT) AS iso_week,
+           dayname(ts) AS day_name
+    FROM src
+    """,
+)
+def time_bucket_extremes_invariance(spark, sf_dir):
+    """Bucketing/calendar contracts at the time extremes, from literals:
+    floored epoch seconds (-1 for 23:59:59.5, exact 253402300799 at the
+    year-9999 sub-second instant), week floor-div over negative seconds,
+    hour buckets whose DERIVED end passes year 9999 (ISO "+" prefix
+    stripped to the oracle's bare form), ISO weeks where ISO year ≠
+    calendar year, and day names back to year 1."""
+    vals = ", ".join(f"({i}, TIMESTAMP'{s}')" for i, s in _TIME_EXTREMES)
+    src = spark.sql(f"SELECT * FROM VALUES {vals} AS t(id, ts)")
+    hour = F.date_trunc("hour", F.col("ts"))
+    return src.select(
+        "id",
+        epoch_sec("ts").alias("sec"),
+        F.floor(epoch_sec("ts") / F.lit(604800)).cast("long").alias("week"),
+        F.date_format(hour, "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.regexp_replace(
+            F.date_format(
+                hour + F.expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss"
+            ),
+            r"^\+",
+            "",
+        ).alias("hour_end"),
+        F.weekofyear("ts").cast("int").alias("iso_week"),
+        F.date_format("ts", "EEEE").alias("day_name"),
+    )
+
+
+@query(
+    "ewma_time_extremes_invariance",
+    oracle="""
+    WITH src(user_id, ts, event_id, value) AS (VALUES
+      (1, TIMESTAMP '0001-01-01 00:00:01', 10, 1.0),
+      (1, TIMESTAMP '1969-12-31 23:59:59.5', 11, 2.0),
+      (1, TIMESTAMP '1970-01-01 00:00:00', 12, 3.0),
+      (1, TIMESTAMP '9999-12-31 23:59:59.999999', 13, 4.0),
+      (2, TIMESTAMP '2024-03-01 00:00:00.000001', 20, 5.0),
+      (2, TIMESTAMP '2024-03-01 00:00:00.000001', 21, 6.0)),
+    ordered AS (
+      -- CAST: a bare 1.0 VALUES literal is DECIMAL(2,1) in DuckDB and
+      -- the fold would round every step to one decimal place
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+      FROM src GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_rows,
+           round(list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
+    FROM ordered
+    """,
+)
+def ewma_time_extremes_invariance(spark, sf_dir):
+    """The grouped-map pandas path under year-1/9999 rows: order columns
+    cross the Arrow boundary as int64 micros, so the recursion sees the
+    exact (ts, event_id) total order — including the identical-
+    microsecond tie pair — instead of aborting on the datetime64[ns]
+    range."""
+    from cryptocurrency_data_pipeline_spark.operators.grouped import (
+        ewma_last_by_key,
+    )
+
+    src = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, TIMESTAMP'0001-01-01 00:00:01', 10, 1.0d), "
+        "(1, TIMESTAMP'1969-12-31 23:59:59.5', 11, 2.0d), "
+        "(1, TIMESTAMP'1970-01-01 00:00:00', 12, 3.0d), "
+        "(1, TIMESTAMP'9999-12-31 23:59:59.999999', 13, 4.0d), "
+        "(2, TIMESTAMP'2024-03-01 00:00:00.000001', 20, 5.0d), "
+        "(2, TIMESTAMP'2024-03-01 00:00:00.000001', 21, 6.0d) "
+        "AS t(user_id, ts, event_id, value)"
+    )
+    out = ewma_last_by_key(
+        src,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=0.25,
+    )
+    return out.select("user_id", "n_rows", F.round("ewma", 6).alias("ewma"))
