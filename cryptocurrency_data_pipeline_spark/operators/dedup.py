@@ -25,6 +25,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+#: Per-row size threshold dispatching the gram build between the
+#: substring-seek form (quadratic byte-walk, trivial under the limit,
+#: fastest on ordinary docs) and the split-chars form (linear, ×30 on
+#: 150 KB docs).  At the boundary the seek form does ~lim²/2 ≈ 8M byte
+#: ops per doc — well under a millisecond.
+_CHAR_SEEK_LIM = 4096
+
 from cryptocurrency_data_pipeline_spark.operators.caching import track
 from cryptocurrency_data_pipeline_spark.operators.text import fingerprint, shingles, tokens
 
@@ -265,17 +272,62 @@ def duplicated_gram_positions(
     """
     from pyspark.sql import Window
 
+    from cryptocurrency_data_pipeline_spark.operators.text import char_array
+
+    # Hashes are built IN-ROW (the exploded rows carry only (pos,
+    # 32-char hash)) — the previous position-explode carried the FULL
+    # parent text on every exploded row, O(n²) row-copy bytes: ~200 s
+    # on 150 KB docs (sfbig, tools/make_big_sf.py) for what runs in
+    # seconds linearized.  Two in-row forms, size-dispatched per row:
+    #
+    # * docs <= _CHAR_SEEK_LIM: md5(substring(text, p, k)) per position.
+    #   UTF8String.substring SEEKS code points from the string start, so
+    #   this is O(n²) byte-walk — irrelevant under the limit (<= ~8M
+    #   byte ops/doc), and it matches the old form's small-doc speed.
+    # * larger docs: split the text ONCE into a codepoint array
+    #   (text.char_array, its own column so the lambda doesn't re-split
+    #   per element — the O(n²)-in-disguise the semdedup norm column
+    #   dodges) and hash array_join(slice(chars, p, k)) — O(n·k),
+    #   measured ×30 on the giants.  slice+array_join reproduces
+    #   substring exactly (codepoint semantics, verified vs the oracle
+    #   on CJK/astral/newline corpora).
+    #
+    # CASE branches evaluate lazily per row, so small docs never pay the
+    # regex split and giant docs never pay the quadratic seek.
+    lim = _CHAR_SEEK_LIM
     grams = (
         df.where(F.length(text_col) >= k)
         .select(
             F.col(id_col),
-            F.posexplode(F.sequence(F.lit(1), F.length(text_col) - (k - 1))).alias("_i", "p"),
+            F.length(text_col).alias("_n"),
             F.col(text_col).alias("_t"),
+            F.when(
+                F.length(text_col) > lim, char_array(text_col)
+            ).alias("_chars"),
+        )
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.when(
+                    F.col("_n") <= lim,
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("_n") - (k - 1)),
+                        lambda p: F.md5(F.substring("_t", p, k)),
+                    ),
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("_n") - (k - 1)),
+                        lambda p: F.md5(
+                            F.array_join(F.slice("_chars", p, k), "")
+                        ),
+                    )
+                )
+            ).alias("_i", "g"),
         )
         .select(
             id_col,
-            F.col("p").cast("long").alias("p"),
-            F.md5(F.expr(f"substring(_t, p, {k})")).alias("g"),
+            (F.col("_i") + 1).cast("long").alias("p"),
+            "g",
         )
     )
     wg = Window.partitionBy("g")

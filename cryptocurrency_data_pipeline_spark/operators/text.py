@@ -106,6 +106,35 @@ def char_count(col: str | Column = "text") -> Column:
     return F.length(c)
 
 
+def char_array(col: str | Column = "text") -> Column:
+    """The text as an array of CODEPOINT strings, built once per row —
+    the linear-time replacement for per-position ``substring`` scans.
+
+    ``posexplode(sequence(1, length)) … substring(_t, p, 1)`` carries
+    the FULL parent text on every exploded row (Generate copies parent
+    columns into each output row), so a 150 KB document pays
+    150k × 150 KB of row-copy churn — O(n²) bytes, measured at ~190 s
+    for 24 such docs (sfbig, tools/make_big_sf.py) where the linear
+    form takes seconds.  And substring-inside-transform is no better:
+    ``UTF8String.substring`` seeks code points from the string start,
+    so the in-row loop is O(n²) CPU.  Splitting once and exploding (or
+    slicing) the small array is O(n).
+
+    The split pattern ``(?s)(?<=.)`` cuts after every code point — Java
+    regex ``.`` matches a full surrogate pair, so astral chars (🌍) and
+    combining marks come out exactly as ``substring(text, p, 1)`` would
+    produce them (verified element-equal including CJK/astral/combining
+    inputs).  The ``(?s)`` DOTALL flag is load-bearing: without it ``.``
+    skips line terminators, so a ``\\n`` never ends a lookbehind match
+    and silently fuses with its neighbor (caught by the sfedge
+    newline-led document).  Java's zero-width final match appends one
+    trailing ``''``; the ``slice(…, 1, length)`` trims it, and doubles
+    as the empty-text guard (slice of length 0 is an empty array, where
+    bare split('') would yield [''])."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.slice(F.split(c, r"(?s)(?<=.)"), F.lit(1), F.length(c))
+
+
 def stopword_ratio(col: str | Column = "text") -> Column:
     """Fraction of tokens that are stopwords; 0.0 for blank docs (the
     unguarded 0/0 is null — a silent row-dropper in downstream filters —

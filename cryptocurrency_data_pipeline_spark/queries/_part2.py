@@ -1858,19 +1858,17 @@ def doc_char_entropy(spark, sf_dir):
     plate, flagged by Gopher-style filters). Char explode → (doc, ch)
     partial-agged counts → per-doc entropy via the single-pass algebraic
     identity. Two shuffles, both with map-side combine on short keys."""
+    from cryptocurrency_data_pipeline_spark.operators import text as textops
+
     docs = t(spark, sf_dir, "documents")
-    # Empty docs must be excluded BEFORE sequence(): Spark's sequence(1, 0)
-    # auto-steps -1 and yields [1, 0] (two phantom char positions), whereas
-    # the oracle's generate_series(1, 0) is empty.  The guard is mirrored
-    # in the oracle's WHERE so both sides skip zero-length text identically.
+    # char_array builds the codepoint array ONCE per row and the explode
+    # carries single chars — the position-explode form copied the full
+    # parent text onto every exploded row, O(n²) bytes on large docs
+    # (~190 s at sfbig vs seconds here).  The length guard matches the
+    # oracle's WHERE (both sides skip zero-length text identically).
     counts = (
         docs.where(F.length("text") >= 1)
-        .select(
-            "doc_id",
-            F.posexplode(F.sequence(F.lit(1), F.length("text"))).alias("_i", "p"),
-            F.col("text").alias("_t"),
-        )
-        .select("doc_id", F.expr("substring(_t, p, 1)").alias("ch"))
+        .select("doc_id", F.explode(textops.char_array("text")).alias("ch"))
         .groupBy("doc_id", "ch")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -2032,14 +2030,22 @@ def bpe_pair_merge_candidates(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import text as textops
 
     docs = t(spark, sf_dir, "documents")
+    # Pairs come from a once-split codepoint array per word (explode of
+    # small 2-char strings) — the position-explode form copies the whole
+    # word onto every exploded row, quadratic on degenerate giant tokens
+    # (sfbig carries a single 60,000-char token).
     pairs = (
         docs.select(F.explode(textops.tokens("text")).alias("w"))
         .where(F.length("w") >= 2)
+        .select(textops.char_array("w").alias("_c"))
         .select(
-            F.posexplode(F.sequence(F.lit(1), F.length("w") - 1)).alias("_i", "p"),
-            F.col("w").alias("_w"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_c") - 1),
+                    lambda p: F.array_join(F.slice("_c", p, 2), ""),
+                )
+            ).alias("pair")
         )
-        .select(F.expr("substring(_w, p, 2)").alias("pair"))
     )
     return (
         pairs.groupBy("pair")
@@ -2387,18 +2393,46 @@ def cross_source_dup_audit(spark, sf_dir):
 @query(
     "winsorized_event_stats",
     # Outlier-robust feature stats: clamp to per-group exact [p01, p99]
-    # (linear-interpolated percentiles), then aggregate.
+    # (linear-interpolated percentiles), then aggregate.  The bounds are
+    # computed from ORDER STATISTICS with one explicit interpolation
+    # expression mirrored verbatim on both engines — NOT via the builtin
+    # percentile/quantile_cont pair, whose internal arithmetic differs
+    # in the last ulp; with heavy value TIES at the boundary (the sfbig
+    # hot-key fixture: thousands of draws from a cents grid) a 1-ulp p99
+    # difference flips the strict clamp comparisons for every row tied
+    # at the boundary value (n_clamped drifted by 3 there).  IEEE ops
+    # are deterministic, so the identical expression tree is
+    # bit-identical cross-engine.  rank h = (n-1)*p decomposed in exact
+    # integer arithmetic: lo = (n-1)*k div 100, w = ((n-1)*k mod 100)/100
+    # for k percent, bound = vlo + w*(vhi - vlo).
     oracle=f"""
     WITH ev AS (
       -- finite values only: a NaN/Inf is unclampable (no magnitude) and
       -- would poison the percentile bounds — it is DLQ material, not a
       -- winsorization input
       SELECT event_type, value FROM events WHERE {finite_sql('value')}
+    ), ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM ev
+    ), os AS (
+      SELECT event_type, max(n) AS n,
+             max(CASE WHEN rn - 1 = ((n-1)*1 - ((n-1)*1) % 100) / 100
+                      THEN value END) AS vlo01,
+             max(CASE WHEN rn - 1 = least(((n-1)*1 - ((n-1)*1) % 100) / 100 + 1, n - 1)
+                      THEN value END) AS vhi01,
+             max(CASE WHEN rn - 1 = ((n-1)*99 - ((n-1)*99) % 100) / 100
+                      THEN value END) AS vlo99,
+             max(CASE WHEN rn - 1 = least(((n-1)*99 - ((n-1)*99) % 100) / 100 + 1, n - 1)
+                      THEN value END) AS vhi99
+      FROM ranked GROUP BY event_type
     ), b AS (
       SELECT event_type,
-             quantile_cont(value, 0.01) AS p01,
-             quantile_cont(value, 0.99) AS p99
-      FROM ev GROUP BY event_type
+             vlo01 + (((n-1)*1) % 100) / 100.0 * (vhi01 - vlo01) AS p01,
+             vlo99 + (((n-1)*99) % 100) / 100.0 * (vhi99 - vlo99) AS p99
+      FROM os
     )
     SELECT e.event_type,
            CAST(count(*) AS BIGINT) AS n,
@@ -2413,13 +2447,45 @@ def cross_source_dup_audit(spark, sf_dir):
 )
 def winsorized_event_stats(spark, sf_dir):
     """Winsorization (p01/p99 clamp) per event type: exact interpolated
-    percentiles in one grouped pass, broadcast back onto the scan, clamp
-    and re-aggregate — two shuffles on the same small group key, raw
-    values never leave their partition unclamped."""
+    percentiles from order statistics in one grouped pass (the
+    interpolation expression is mirrored verbatim in the oracle — see
+    the oracle comment on why builtin percentile pairs drift an ulp),
+    broadcast back onto the scan, clamp and re-aggregate — raw values
+    never leave their partition unclamped."""
     ev = t(spark, sf_dir, "events").filter(finite("value"))
-    bounds = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.01)).alias("p01"),
-        F.percentile("value", F.lit(0.99)).alias("p99"),
+    wrank = Window.partitionBy("event_type").orderBy("value")
+    wall = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+
+    def _lo(k: int):
+        idx = (F.col("n") - 1) * k
+        return (idx - idx % 100) / 100
+
+    def _stat(cond):
+        return F.max(F.when(cond, F.col("value")))
+
+    rn0 = F.col("rn") - 1
+    os_ = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        _stat(rn0 == _lo(1)).alias("vlo01"),
+        _stat(rn0 == F.least(_lo(1) + 1, F.col("n") - 1)).alias("vhi01"),
+        _stat(rn0 == _lo(99)).alias("vlo99"),
+        _stat(rn0 == F.least(_lo(99) + 1, F.col("n") - 1)).alias("vhi99"),
+    )
+
+    def _interp(vlo, vhi, k: int):
+        w = ((F.col("n") - 1) * k % 100) / 100.0
+        return F.col(vlo) + w * (F.col(vhi) - F.col(vlo))
+
+    bounds = os_.select(
+        "event_type",
+        _interp("vlo01", "vhi01", 1).alias("p01"),
+        _interp("vlo99", "vhi99", 99).alias("p99"),
     )
     clamped = ev.join(F.broadcast(bounds), "event_type").select(
         "event_type",

@@ -243,10 +243,16 @@ def test_gopher_flags_map_only(spark):
 
 def test_winsorized_stats_broadcasts_bounds(spark):
     # The p01/p99 bounds frame (5 rows) must broadcast back onto the
-    # events scan — no shuffle of the fact side for the join.
+    # events scan — no shuffle of the fact side for the join.  Bounds
+    # come from order statistics (row_number + count windows over the
+    # group key, ONE group-keyed exchange) since the sfbig ulp fix —
+    # builtin percentile pairs interpolate differently in the last ulp,
+    # flipping strict clamp comparisons under boundary ties.
     p = plan(QUERIES["winsorized_event_stats"](spark, SF), mode="simple")
     assert "BroadcastHashJoin" in p
-    assert "partial_percentile" in p  # exact percentile still partials
+    assert "row_number" in p and "count(1) windowspec" in p
+    # the order-statistics subtree pays exactly one group-key exchange
+    assert p.count("Exchange hashpartitioning(event_type") <= 2
 
 
 def test_scd2_single_key_shuffle(spark):
