@@ -993,3 +993,64 @@ def test_finite_matches_python_reference(spark, values):
     )
     want = sorted(v for v in values if v is not None and math.isfinite(v))
     assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.text(
+            # full BMP + astral mix; exclude surrogates (not valid UTF-8)
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x10FFFF
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_char_array_matches_python_codepoints(spark, texts):
+    """text.char_array == Python's list(text) (code points) for ANY
+    unicode input — the contract the linearized gram/entropy pipelines
+    stand on.  Python strs are code-point sequences, so list(t) is the
+    ground truth the engine's substring loop also follows."""
+    from cryptocurrency_data_pipeline_spark.operators.text import char_array
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, t string"
+    )
+    got = {r.id: r.c for r in df.select("id", char_array("t").alias("c")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == list(t), (t, got[i])
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        # full timestamp[us] domain: year 1 .. 9999 with microseconds
+        st.integers(min_value=-62135596800000000,
+                    max_value=253402300799999999),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_epoch_sec_matches_python_floor(spark, micros):
+    """quantize.epoch_sec == floor(us / 1e6) in EXACT integer math over
+    the entire timestamp domain — floored (never truncated) at negative
+    epochs, never off-by-one at the year-9999 end where double-routed
+    epoch math loses microseconds."""
+    from pyspark.sql import functions as F
+
+    from cryptocurrency_data_pipeline_spark.operators.quantize import epoch_sec
+
+    df = spark.createDataFrame(
+        [(i, us) for i, us in enumerate(micros)], "id int, us long"
+    ).select("id", F.timestamp_micros("us").alias("ts"))
+    got = {
+        r.id: r.sec
+        for r in df.select("id", epoch_sec("ts").alias("sec")).collect()
+    }
+    for i, us in enumerate(micros):
+        assert got[i] == us // 1_000_000, (us, got[i])
