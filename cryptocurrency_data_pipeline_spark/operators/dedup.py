@@ -403,14 +403,25 @@ def segment_boilerplate(
     seg_idx = F.when(
         n_seg > 0, F.sequence(F.lit(0), n_seg - 1)
     ).otherwise(F.array().cast("array<int>"))
+    # Segment hashes are built IN-ROW (transform over the index array,
+    # slicing the materialized token column) and only then exploded: the
+    # previous explode-then-slice carried the FULL token array on every
+    # segment row — O(n²/seg_len) element copies, the same wide-parent
+    # quadratic the sfbig gram queries hit, just one power of seg_len
+    # softer.  ``tk`` is its own column, so the lambda reads a
+    # materialized array rather than re-tokenizing per element.
     segs = (
         df.select(F.col(id_col), toks.alias("tk"), seg_idx.alias("idx"))
-        .select(id_col, "tk", F.explode("idx").alias("j"))
         .select(
             id_col,
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("tk"), F.col("j") * seg_len + 1, seg_len), " "
+            F.explode(
+                F.transform(
+                    F.col("idx"),
+                    lambda j: F.md5(
+                        F.array_join(
+                            F.slice("tk", j * seg_len + 1, seg_len), " "
+                        )
+                    ),
                 )
             ).alias("seg_hash"),
         )

@@ -511,6 +511,20 @@ def chunk_docs(
     null and the explode silently erases the document from the output —
     a no-silent-row-loss violation for any caller that joins chunks
     back against the corpus."""
+    # Plan-shape note (sfbig, measured): this explode DOES carry the
+    # full text onto every chunk row — n/stride copies of an n-char
+    # doc, the same wide-parent shape the gram build had to abandon.
+    # For chunking it is nevertheless the RIGHT form at every realistic
+    # document size: the whole pipeline stays in whole-stage codegen,
+    # and memcpy parent-copies beat both measured alternatives on the
+    # 150 KB sfbig giants — in-row transform+substr (interpreted HOF +
+    # the same O(n²/stride) codepoint seeks: 7.9 s vs 2.8 s here) and
+    # the once-split chars array (interpreted slice+join per chunk:
+    # 5.5 s).  The copy term is O(n²/stride) bytes, softened by stride
+    # (~80): ~280 MB/doc at 150 KB (sub-second), ~12 GB at 1 MB,
+    # unusable at a 10 MB page — cap or pre-split documents beyond the
+    # ~1 MB knee UPSTREAM (standard corpus practice; the sfbig gate
+    # pins byte-correctness on a >256 KB doc either way).
     txt = F.coalesce(F.col(text_col), F.lit(""))
     starts = chunk_starts(txt, size, stride)
     return df.select(

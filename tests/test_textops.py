@@ -485,3 +485,26 @@ def test_asof_join_carries_matched_rows_null_not_stale_value(spark):
     # Both left rows match the ts=2 right row: a=NULL (not the stale 5.0
     # from ts=1), b=7.0 — an atomic (None, 7.0), never (5.0, 7.0).
     assert out == {3: (None, 7.0), 10: (None, 7.0)}
+
+
+def test_chunk_docs_correct_on_quarter_megabyte_doc(spark):
+    """chunk_docs byte-correctness on a >256 KB multi-byte doc (astral +
+    accented chars), pinned against Python code-point slicing — no
+    oracle fixture carries a doc this large, and the operator's plan
+    notes document the O(n²/stride) parent-copy bound this size probes."""
+    from cryptocurrency_data_pipeline_spark.operators.text import chunk_docs
+
+    big = ("wordé 🌍 " * 40_000)[: 262_144 + 500]
+    small = big[:3_000]
+    df = spark.createDataFrame(
+        [(1, big), (2, small)], "doc_id long, text string"
+    )
+    out = chunk_docs(df, size=100, stride=80)
+    rows = {(r.doc_id, r.pos): r.chunk for r in out.collect()}
+    # reference: Python slicing over code points (== substr semantics)
+    for doc_id, text in ((1, big), (2, small)):
+        n = len(text)
+        starts = list(range(1, max(n - 20, 1) + 1, 80)) or [1]
+        for p in starts:
+            assert rows[(doc_id, p)] == text[p - 1 : p - 1 + 100], (doc_id, p)
+        assert len([k for k in rows if k[0] == doc_id]) == len(starts)
