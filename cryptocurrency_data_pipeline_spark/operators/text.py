@@ -439,9 +439,24 @@ def tfidf(counts: DataFrame, n_docs_df: DataFrame) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # PII redaction — regex scrub of emails / SSNs / phones / IPs before a
-# corpus ships to training.  All patterns are lookahead-free so Java regex
-# (Spark executors) and RE2 (DuckDB oracle) agree match-for-match, and the
-# whole pass is chained JVM regexp_replace — scan-stage, no UDF, no
+# corpus ships to training.  The SSN/phone/IP patterns are shared
+# verbatim with the RE2 oracle; the email pattern carries one Java-only
+# prefix, a negative lookbehind ``(?<![A-Za-z0-9._%+-])``, that is
+# MATCH-IDENTICAL (a match can only start where the preceding char is
+# outside the local-part class — otherwise the leftmost scan would have
+# started earlier — so the lookbehind rejects exactly the start offsets
+# that could never begin a match) but changes the complexity class on
+# letter runs: Java's backtracking engine re-scans a run from every
+# interior offset, O(run²) per run, and the sfbig 60,000-char single
+# token turned the whole query into 52 s of email-pattern churn where
+# RE2 (linear, and without lookbehind support — hence oracle patterns
+# stay plain) took 0.0 s.  With the lookbehind every interior offset
+# dies in O(1).  The other patterns open with ``\d``/``\+`` and already
+# fail interior-of-run starts in one comparison.  Parity across all
+# seven scale points pins the equivalence.
+#
+# All patterns remain lookAHEAD-free and anchored to literal structure,
+# the whole pass is chained JVM regexp_replace — scan-stage, no UDF, no
 # shuffle at any scale.  Counts are measured on the ORIGINAL text (one
 # regexp_count per type); redaction applies the patterns in declaration
 # order, which is chosen so no earlier replacement can create or destroy a
@@ -451,7 +466,9 @@ def tfidf(counts: DataFrame, n_docs_df: DataFrame) -> DataFrame:
 
 #: (type, pattern, replacement), applied top-to-bottom.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("email",
+     r"(?<![A-Za-z0-9._%+-])[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "[EMAIL]"),
     ("ssn", r"\d{3}-\d{2}-\d{4}", "[SSN]"),
     ("phone", r"\+\d{1,2}[- ]\d{3}-\d{4}", "[PHONE]"),
     ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "[IP]"),
