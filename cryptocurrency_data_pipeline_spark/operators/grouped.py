@@ -27,6 +27,18 @@ from collections.abc import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+#: Sentinel for NULL timestamps crossing the Arrow/pandas boundary as
+#: int64 micros.  An int64 column WITH nulls falls back to float64 in
+#: pandas (NaN has no int64 encoding), silently rounding micros beyond
+#: 2^53 (~year 2255 — exactly the year-9999 sentinel regime the int64
+#: transport exists for) by up to ~32us: reconstructed event times
+#: round-trip inexactly and sub-32us ties can invert under sort.
+#: Mapping NULL -> int64 MAX keeps the column null-free (exact int64
+#: end-to-end) and preserves the previous NaT/NaN ordering (sorts
+#: last); the max valid timestamp (9999-12-31) is ~2.5e17 micros,
+#: nowhere near 2^63-1, so the sentinel can never collide with data.
+NULL_TS_US = (1 << 63) - 1
 from pyspark.sql import functions as F
 
 
@@ -59,17 +71,24 @@ def ewma_last_by_key(
     # 1677-09-21..2262-04-11, so a single year-1 or year-9999 row (epoch
     # sentinels, mis-parsed crawl dates — routine at corpus scale) would
     # abort the whole Arrow batch with an out-of-bounds cast.  unix_micros
-    # is strictly monotone (order-preserving, NULLs stay NULL -> sorted
-    # last by pandas either way) and skips the per-row datetime
-    # materialization entirely — strictly cheaper on the hot path.  Found
-    # by the sftime fixture (tools/make_time_sf.py).
+    # is strictly monotone (order-preserving) and skips the per-row
+    # datetime materialization entirely — strictly cheaper on the hot
+    # path.  Found by the sftime fixture (tools/make_time_sf.py).
+    # NULL timestamps become the NULL_TS_US sentinel, NOT a NULL long:
+    # one NULL in an Arrow int64 column degrades the whole pandas column
+    # to float64, rounding micros beyond 2^53 and inverting sub-32us
+    # ties for every OTHER row in the batch (advisor r11 finding).  The
+    # sentinel sorts last, exactly where NaT/NaN sorted before.
     ts_order = {
         c for c, dt in df.dtypes if c in order and dt.startswith("timestamp")
     }
     if ts_order:
         df = df.select(
             *[
-                F.unix_micros(F.col(c).cast("timestamp")).alias(c)
+                F.coalesce(
+                    F.unix_micros(F.col(c).cast("timestamp")),
+                    F.lit(NULL_TS_US),
+                ).alias(c)
                 if c in ts_order
                 else F.col(c)
                 for c in df.columns

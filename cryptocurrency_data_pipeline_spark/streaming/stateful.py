@@ -32,6 +32,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from cryptocurrency_data_pipeline_spark.operators.grouped import NULL_TS_US
+
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql.streaming.state import GroupState
 
@@ -93,8 +95,12 @@ def _make_tracker(alert_pct: float, timeout_ms: int | None = None):
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            # event_time_us is int64 micros (NULL -> NaN after Arrow);
-            # NaN sorts last, exactly where NaT sorted before.
+            # event_time_us is NULL-FREE int64 micros (NULL event times
+            # were mapped to the NULL_TS_US sentinel JVM-side — one NULL
+            # would degrade the whole Arrow column to float64, rounding
+            # micros beyond 2^53 for every row in the batch).  The
+            # sentinel is int64 MAX, so it sorts last, exactly where NaT
+            # sorted before.
             pdf = pdf.sort_values("event_time_us", kind="mergesort", ignore_index=True)
             prevs, pcts, alerts = [], [], []
             for price, ts_us in zip(pdf["current_price"], pdf["event_time_us"]):
@@ -107,7 +113,7 @@ def _make_tracker(alert_pct: float, timeout_ms: int | None = None):
                 alerts.append(pct is not None and abs(pct) > alert_pct)
                 if not pd.isna(price):
                     last_price = float(price)
-                    last_ts = None if pd.isna(ts_us) else float(ts_us) / 1e6
+                    last_ts = None if ts_us == NULL_TS_US else float(ts_us) / 1e6
             yield pd.DataFrame(
                 {
                     "coin_id": pdf["coin_id"],
@@ -167,13 +173,18 @@ def stateful_price_deltas(
     # out as TimestampType (see PRICE_DELTA_SCHEMA note): callers keep the
     # (coin_id, event_time, current_price, ...) schema, while no
     # datetime64[ns]-range cast can ever abort a batch.  timestamp_micros
-    # is exact over the full timestamp domain.
+    # is exact over the full timestamp domain.  NULL event times cross as
+    # the NULL_TS_US sentinel (never as NULL long: one NULL degrades the
+    # Arrow int64 column to float64 pandas-side, rounding micros beyond
+    # 2^53 by up to ~32us for every row in the batch) and are decoded
+    # back to NULL timestamps on the way out.
     out = (
         ticks.select(
             "coin_id",
-            F.unix_micros(F.col("event_time").cast("timestamp")).alias(
-                "event_time_us"
-            ),
+            F.coalesce(
+                F.unix_micros(F.col("event_time").cast("timestamp")),
+                F.lit(NULL_TS_US),
+            ).alias("event_time_us"),
             "current_price",
         )
         .groupBy("coin_id")
@@ -187,7 +198,10 @@ def stateful_price_deltas(
     )
     return out.select(
         "coin_id",
-        F.timestamp_micros("event_time_us").alias("event_time"),
+        F.timestamp_micros(
+            F.when(F.col("event_time_us") == NULL_TS_US, F.lit(None))
+            .otherwise(F.col("event_time_us"))
+        ).alias("event_time"),
         "current_price",
         "prev_price",
         "price_change_pct",

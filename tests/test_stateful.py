@@ -116,28 +116,35 @@ class _FakeState:
         self.timeout_set = ms
 
 
-def test_tracker_nan_price_and_nat_ts_do_not_poison_state():
-    """A null tick (NaN price / NaN event_time_us after Arrow transfer —
-    event time crosses the boundary as int64 micros, see
-    PRICE_DELTA_SCHEMA) must be skipped, not stored: 'is None' checks
-    pass for NaN, so the old guards stored NaN (poisoning every later
-    delta)."""
+def test_tracker_nan_price_and_null_ts_do_not_poison_state():
+    """A null tick (NaN price; NULL event time arrives as the
+    NULL_TS_US int64 sentinel — NULL longs are banned from the Arrow
+    transfer because one NaN degrades the whole column to float64,
+    see grouped.NULL_TS_US) must be skipped, not stored: 'is None'
+    checks pass for NaN, so the old guards stored NaN (poisoning every
+    later delta)."""
+    import numpy as np
     import pandas as pd
+
+    from cryptocurrency_data_pipeline_spark.operators.grouped import NULL_TS_US
 
     track = stateful._make_tracker(alert_pct=10.0)
     st = _FakeState()
     pdf = pd.DataFrame(
         {
             "coin_id": ["btc"] * 3,
-            # int64 micros with a null -> float64 column with NaN,
-            # exactly what Arrow hands the tracker for a null tick.
-            "event_time_us": [1704067200000000.0, float("nan"),
-                              1704067320000000.0],
+            # Null-free int64, exactly what the JVM-side coalesce hands
+            # the tracker: the null tick carries the MAX sentinel.
+            "event_time_us": np.array(
+                [1704067200000000, NULL_TS_US, 1704067320000000],
+                dtype="int64",
+            ),
             "current_price": [100.0, float("nan"), 110.0],
         }
     )
+    assert pdf["event_time_us"].dtype == "int64"
     [out] = list(track(("btc",), [pdf], st))
-    # NaN event time sorts last, so order is (100.0, 110.0, NaN-price row).
+    # Sentinel (int64 MAX) sorts last — order is (100.0, 110.0, NaN-price).
     by_price = {
         None if pd.isna(p) else p: pct
         for p, pct in zip(out["current_price"], out["price_change_pct"])
@@ -227,3 +234,46 @@ def test_stateful_deltas_survive_sentinel_year_ticks(spark, tmp_path):
     epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
     assert rows[0].us == (lo - epoch) // timedelta(microseconds=1)
     assert rows[1].us == (hi - epoch) // timedelta(microseconds=1)
+
+
+def test_stateful_null_ts_mixed_with_year9999_stays_exact(spark, tmp_path):
+    """A NULL event time in the SAME batch as a year-9999 tick — the
+    advisor-r11 case: a NULL long would degrade the Arrow int64 micros
+    column to float64, rounding the 2.5e17-micros year-9999 value by up
+    to ~32us (inexact round-trip, invertible sub-32us ties).  With the
+    JVM-side NULL_TS_US sentinel the column stays int64: the 9999 tick
+    round-trips exactly, the NULL comes back as a NULL timestamp, and
+    the null-ts row sorts last (where NaT sorted before)."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("s9", "o9", "c9"))
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    hi = datetime(9999, 12, 31, 23, 59, 59, 999999, tzinfo=timezone.utc)
+    no_ts = producer.make_tick("btc", 110.0, 10**9)
+    no_ts["timestamp"] = None
+    producer.write_batch(
+        src,
+        [
+            producer.make_tick("btc", 90.0, 10**9, ts=t0),
+            producer.make_tick("btc", 100.0, 10**9, ts=hi),
+            no_ts,
+        ],
+    )
+    _run(spark, src, out, ckpt)
+
+    from pyspark.sql import functions as F
+
+    rows = spark.read.parquet(out).select(
+        F.unix_micros("event_time").alias("us"),
+        "current_price", "prev_price", "price_change_pct",
+    ).collect()
+    by_price = {r.current_price: r for r in rows}
+    assert len(rows) == 3
+    # Sentinel sorts last: chain is 90 (t0) -> 100 (9999) -> 110 (null).
+    assert by_price[90.0].prev_price is None
+    assert by_price[100.0].prev_price == 90.0
+    assert by_price[110.0].prev_price == 100.0
+    assert round(by_price[110.0].price_change_pct, 6) == 10.0
+    # NULL round-trips as NULL — the sentinel never leaks to callers.
+    assert by_price[110.0].us is None
+    # Year-9999 micros are EXACT (float64 transport rounded them).
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    assert by_price[100.0].us == (hi - epoch) // timedelta(microseconds=1)
