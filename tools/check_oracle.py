@@ -10,6 +10,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 from pathlib import Path
@@ -51,6 +52,95 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 
+#: Where failure artifacts land.  Every mismatch dumps BOTH full result
+#: sets (normalized exactly as hashed), the per-side diff, and the run
+#: environment — so a one-off sweep flake is evidence, not anecdote
+#: (the r11 sfedge ``event_gap_histogram`` flake was undiagnosable by
+#: construction: nothing was captured).
+ARTIFACT_ROOT = os.environ.get(
+    "SPARK_GRAFT_ARTIFACTS", "/tmp/spark_graft_oracle_artifacts"
+)
+
+
+def _norm_lines(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("\x01".join(norm_value(r[i]) for i in order) for r in rows)
+
+
+def dump_artifacts(
+    name,
+    sf_dir,
+    problems,
+    scols=None,
+    srows=None,
+    dcols=None,
+    drows=None,
+    root=None,
+):
+    """Write a timestamped failure-artifact directory and return its path.
+
+    Captures, for each side that produced rows: the full sorted
+    normalized result lines (the exact strings the value hash is
+    computed over, so a later diff replays the comparison byte-for-byte)
+    plus a set-difference preview, and a ``meta.json`` with the problem
+    list, schemas, row counts, host load, and versions.  Called on ANY
+    failure — engine exception, schema, rowcount, or value-hash."""
+    import json
+    import platform
+
+    d = Path(root or ARTIFACT_ROOT) / (
+        time.strftime("%Y%m%dT%H%M%S") + f"_{os.getpid()}_{name}"
+    )
+    d.mkdir(parents=True, exist_ok=True)
+    slines = _norm_lines(scols, srows) if srows is not None else None
+    dlines = _norm_lines(dcols, drows) if drows is not None else None
+    if slines is not None:
+        (d / "spark_rows.txt").write_text("\n".join(slines) + "\n")
+    if dlines is not None:
+        (d / "duck_rows.txt").write_text("\n".join(dlines) + "\n")
+    if slines is not None and dlines is not None:
+        sset, dset = set(slines), set(dlines)
+        (d / "spark_only.txt").write_text(
+            "\n".join(sorted(sset - dset)) + "\n"
+        )
+        (d / "duck_only.txt").write_text(
+            "\n".join(sorted(dset - sset)) + "\n"
+        )
+    meta = {
+        "query": name,
+        "sf_dir": sf_dir,
+        "problems": problems,
+        "spark_cols": scols,
+        "duck_cols": dcols,
+        "spark_rows": None if srows is None else len(srows),
+        "duck_rows": None if drows is None else len(drows),
+        "loadavg": os.getloadavg(),
+        "time_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "python": platform.python_version(),
+        "argv": sys.argv,
+    }
+    (d / "meta.json").write_text(json.dumps(meta, indent=2, default=str))
+    return str(d)
+
+
+def compare_results(name, sf_dir, scols, srows, dcols, drows, root=None):
+    """Driver-t2-shaped comparison; returns the problem list (empty =
+    match) and dumps a full artifact dir on any problem."""
+    problems = []
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
+    if len(srows) != len(drows):
+        problems.append(f"rowcount: spark={len(srows)} duck={len(drows)}")
+    if not problems and table_hash(scols, srows) != table_hash(dcols, drows):
+        problems.append("value-hash mismatch")
+    if problems:
+        path = dump_artifacts(
+            name, sf_dir, problems, scols, srows, dcols, drows, root=root
+        )
+        problems.append(f"artifacts: {path}")
+    return problems
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -82,7 +172,12 @@ def main():
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
+            import traceback
+
+            path = dump_artifacts(
+                name, sf_dir, [f"spark error: {traceback.format_exc()}"]
+            )
+            print(f"FAIL {name}: spark error: {e} (artifacts: {path})")
             failures.append(name)
             continue
         spark_s = time.time() - t0
@@ -96,25 +191,26 @@ def main():
             dcols = rel.columns
             drows = rel.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
+            import traceback
+
+            path = dump_artifacts(
+                name,
+                sf_dir,
+                [f"duckdb error: {traceback.format_exc()}"],
+                scols,
+                srows,
+            )
+            print(f"FAIL {name}: duckdb error: {e} (artifacts: {path})")
             failures.append(name)
             continue
-        problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
-            problems.append(f"rowcount: spark={len(srows)} duck={len(drows)}")
-        if not problems:
-            hs, hd = table_hash(scols, srows), table_hash(dcols, drows)
-            if hs != hd:
-                problems.append("value-hash mismatch")
-                sset = {tuple(norm_value(v) for v in r) for r in srows}
-                dset = {tuple(norm_value(v) for v in r) for r in drows}
-                for r in list(sset - dset)[:3]:
-                    print(f"      spark-only: {r}")
-                for r in list(dset - sset)[:3]:
-                    print(f"      duck-only:  {r}")
+        problems = compare_results(name, sf_dir, scols, srows, dcols, drows)
         if problems:
+            sset = {tuple(norm_value(v) for v in r) for r in srows}
+            dset = {tuple(norm_value(v) for v in r) for r in drows}
+            for r in list(sset - dset)[:3]:
+                print(f"      spark-only: {r}")
+            for r in list(dset - sset)[:3]:
+                print(f"      duck-only:  {r}")
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
         else:
