@@ -34,13 +34,33 @@ def _ledger(spark: SparkSession, ledger_path: str) -> DataFrame | None:
         raise
 
 
-def new_files(spark: SparkSession, input_dir: str, ledger_path: str) -> list[str]:
-    """Paths under ``input_dir`` not yet recorded in the ledger.
+def new_files(
+    spark: SparkSession,
+    input_dir: str,
+    ledger_path: str,
+    max_batch_files: int = 100_000,
+) -> list[str]:
+    """Paths under ``input_dir`` not yet recorded in the ledger, at most
+    ``max_batch_files`` of them.
 
     The listing is driver-side (os.walk) — file *names* are metadata, not
     data; even a million-file listing is MBs.  The anti-join against the
     ledger runs in Spark so the ledger itself can grow unbounded.
+
+    The RETURNED batch is bounded: a backlogged source (an outage, a
+    bulk backfill) can hold millions of fresh paths, and collecting them
+    all would put an unbounded list on the driver AND make the single
+    process-then-commit unit arbitrarily large — one failure reprocesses
+    the whole backlog under the at-least-once contract.  Instead the
+    fresh set is drained in deterministic lexicographic batches
+    (date-partitioned layouts sort chronologically, so oldest data
+    drains first); callers already loop ``read_incremental``/``commit``
+    until the batch comes back empty, and each committed batch shrinks
+    the next anti-join.  The cap is a TakeOrderedAndProject in-plan —
+    the full fresh set is never materialized on the driver.
     """
+    if max_batch_files < 1:
+        raise ValueError("need max_batch_files >= 1")
     listed = []
     for root, dirs, files in os.walk(input_dir):
         # Prune hidden/underscore DIRECTORIES too: a concurrent Spark
@@ -60,7 +80,7 @@ def new_files(spark: SparkSession, input_dir: str, ledger_path: str) -> list[str
         fresh = listed_df
     else:
         fresh = listed_df.join(ledger, "path", "left_anti")
-    return [r.path for r in fresh.collect()]
+    return [r.path for r in fresh.orderBy("path").limit(max_batch_files).collect()]
 
 
 def commit(spark: SparkSession, paths: list[str], ledger_path: str) -> None:

@@ -209,3 +209,40 @@ def test_mixture_keep_null_source_kept_at_full_rate(spark):
     )
     assert df.filter(mixture_keep("doc_id", "source", F.lit(1.0))).count() == 3
     assert df.filter(mixture_keep("doc_id", "source", F.lit(0.0))).count() == 0
+
+
+def test_new_files_batch_is_bounded_and_drains(spark, tmp_path):
+    """A backlogged source (many fresh files) is drained in bounded,
+    deterministic lexicographic batches — the driver never collects the
+    full fresh set (at 100 TB a backlog can be millions of paths), and
+    the commit-after-process loop converges to empty."""
+    from cryptocurrency_data_pipeline_spark.sources import bookmarks
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(27):
+        (src / f"f{i:03d}.json").write_text('{"v": %d}\n' % i)
+    ledger = str(tmp_path / "ledger")
+
+    batch1 = bookmarks.new_files(spark, str(src), ledger, max_batch_files=10)
+    assert len(batch1) == 10
+    assert batch1 == sorted(batch1)  # deterministic oldest-first order
+    bookmarks.commit(spark, batch1, ledger)
+
+    batch2 = bookmarks.new_files(spark, str(src), ledger, max_batch_files=10)
+    assert len(batch2) == 10 and not set(batch1) & set(batch2)
+    bookmarks.commit(spark, batch2, ledger)
+
+    batch3 = bookmarks.new_files(spark, str(src), ledger, max_batch_files=10)
+    assert len(batch3) == 7
+    bookmarks.commit(spark, batch3, ledger)
+
+    assert bookmarks.new_files(spark, str(src), ledger, max_batch_files=10) == []
+    assert set(batch1) | set(batch2) | set(batch3) == {
+        str(src / f"f{i:03d}.json") for i in range(27)
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_batch_files"):
+        bookmarks.new_files(spark, str(src), ledger, max_batch_files=0)
