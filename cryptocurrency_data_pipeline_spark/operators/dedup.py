@@ -198,16 +198,30 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
 
     Per doc: for each token, md5 → 64 bits; accumulate +1/−1 per bit;
     signature bit = sign.  Token weight = term frequency (repeat adds).
+
+    Tokenization matches the engine-wide contract EXACTLY — ASCII
+    ``WS_CLASS`` split plus ``fold_lower``: Python's argless
+    ``str.split()`` splits on Unicode whitespace (U+00A0, U+0085,
+    U+2028, …) and ``str.lower()`` carries the Java-style full case
+    mappings, both of which diverged from the oracle's
+    ``tokens_sql`` on the sfuni fixture (İstanbul / NBSP / NEL docs).
     """
     import hashlib
+    import re
 
+    from cryptocurrency_data_pipeline_spark.operators.text import (
+        WS_CLASS,
+        fold_lower_py,
+    )
+
+    ws = re.compile(WS_CLASS)
     out = []
     for text in texts:
         if text is None:
             out.append(None)
             continue
         acc = [0] * 64
-        for tok in str(text).lower().split():
+        for tok in filter(None, ws.split(fold_lower_py(str(text)))):
             h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
             for bit in range(64):
                 acc[bit] += 1 if (h >> bit) & 1 else -1

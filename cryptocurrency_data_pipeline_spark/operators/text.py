@@ -48,6 +48,37 @@ def _isin_any(values: tuple[str, ...]):
 WS_CLASS = r"[ \t\n\x0B\f\r]+"
 
 
+def fold_lower(col: str | Column) -> Column:
+    """Cross-engine deterministic lowercase (the case-FOLD answer to
+    the two code points where Java's full case mappings and utf8proc's
+    simple mappings disagree — found by the sfuni fixture, which broke
+    9 oracles through one ``lower('İstanbul')``):
+
+    * **U+0130 İ**: Java (Spark, SpecialCasing.txt) lowers to
+      ``i``+U+0307 (2 code points); utf8proc (DuckDB, UnicodeData
+      simple map) lowers to plain ``i``.  Pre-translating İ→I makes
+      both engines produce ``i``.
+    * **word-final Σ**: Java applies the Final_Sigma condition (→ ς);
+      utf8proc always gives σ.  Post-translating ς→σ converges both —
+      and matches Unicode case folding, which maps BOTH sigmas to σ
+      (so pre-existing lowercase ς in Greek text folds too, on both
+      engines).
+
+    Every other code point lowers via the same UnicodeData simple map
+    in both engines.  Oracle mirror:
+    ``queries/_fragments.py:fold_lower_sql`` — the same
+    replace-lower-replace sandwich, pinned by the sfuni parity gate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(F.lower(F.translate(c, "İ", "I")), "ς", "σ")
+
+
+def fold_lower_py(s: str) -> str:
+    """Python twin of :func:`fold_lower` for Arrow-batch (pandas) code
+    paths — Python ``str.lower`` uses the same full mappings as Java,
+    so it needs the identical two-point fold."""
+    return s.replace("İ", "I").lower().replace("ς", "σ")
+
+
 def tokens(col: str | Column = "text") -> Column:
     """Whitespace tokenization (lowercased).
 
@@ -72,7 +103,7 @@ def tokens(col: str | Column = "text") -> Column:
     includes the vertical tab and RE2's does not.)"""
     c = F.col(col) if isinstance(col, str) else col
     return F.when(
-        c.isNotNull(), F.array_remove(F.split(F.lower(c), WS_CLASS), "")
+        c.isNotNull(), F.array_remove(F.split(fold_lower(c), WS_CLASS), "")
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -158,7 +189,7 @@ def nonspace_chars(col: str | Column = "text") -> Column:
     """Total characters across tokens == length of the normalized text with
     all whitespace removed — one regexp instead of a per-token HOF pass."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.length(F.regexp_replace(F.lower(F.trim(c)), r"\s+", ""))
+    return F.length(F.regexp_replace(fold_lower(F.trim(c)), r"\s+", ""))
 
 
 def avg_token_len(col: str | Column = "text") -> Column:
@@ -207,7 +238,7 @@ def lang_id(col: str | Column = "text", toks: Column | None = None) -> Column:
 def fingerprint(col: str | Column = "text") -> Column:
     """Normalized md5 document fingerprint: lowercase, collapse whitespace."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+    return F.md5(F.regexp_replace(fold_lower(F.trim(c)), r"\s+", " "))
 
 
 #: BPE-ish pre-tokenizer: English contraction suffixes, letter runs, digit
@@ -223,14 +254,14 @@ def bpe_token_count(col: str | Column = "text") -> Column:
     """Subword-ish token count via the BPE pre-split regex (F.regexp_count
     is JVM-side — no UDF)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_count(F.lower(c), F.lit(BPE_SPLIT))
+    return F.regexp_count(fold_lower(c), F.lit(BPE_SPLIT))
 
 
 def normalize(col: str | Column = "text") -> Column:
     """Canonical text form shared by fingerprints: lowercase + collapsed
     whitespace."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.regexp_replace(fold_lower(F.trim(c)), r"\s+", " ")
 
 
 def winnow_fingerprints(
@@ -291,7 +322,7 @@ def _winnow_udf(k: int, w: int):
             if txt is None:
                 out.append([])
                 continue
-            norm = ws.sub(" ", txt.strip(" ").lower())
+            norm = ws.sub(" ", fold_lower_py(txt.strip(" ")))
             # Slice CODEPOINTS (SQL substr semantics), encode per gram; min
             # over raw digests == min over hexdigests (hex preserves byte
             # order), so hex only the selected minima.
@@ -440,22 +471,28 @@ def tfidf(counts: DataFrame, n_docs_df: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 # PII redaction — regex scrub of emails / SSNs / phones / IPs before a
 # corpus ships to training.  The SSN/phone/IP patterns are shared
-# verbatim with the RE2 oracle; the email pattern carries one Java-only
-# prefix, a negative lookbehind ``(?<![A-Za-z0-9._%+-])``, that is
-# MATCH-IDENTICAL (a match can only start where the preceding char is
-# outside the local-part class — otherwise the leftmost scan would have
-# started earlier — so the lookbehind rejects exactly the start offsets
-# that could never begin a match) but changes the complexity class on
-# letter runs: Java's backtracking engine re-scans a run from every
-# interior offset, O(run²) per run, and the sfbig 60,000-char single
-# token turned the whole query into 52 s of email-pattern churn where
-# RE2 (linear, and without lookbehind support — hence oracle patterns
-# stay plain) took 0.0 s.  With the lookbehind every interior offset
-# dies in O(1).  The other patterns open with ``\d``/``\+`` and already
-# fail interior-of-run starts in one comparison.  Parity across all
-# seven scale points pins the equivalence.
+# verbatim with the RE2 oracle; the email pattern opens with a CONSUMING
+# boundary group ``(^|[^A-Za-z0-9._%+-])`` that is mirrored verbatim in
+# the oracle (RE2 supports capture groups; it does NOT support
+# lookbehind, and a Java-only lookbehind is not match-identical anyway:
+# after a match ends, a second email starting at the very next offset —
+# ``a@b.com_x@y.com`` — is visible to a plain scan but rejected by the
+# lookbehind, which sees the PRIOR MATCH's trailing TLD letter).  With
+# the same consumed-prefix pattern on both engines, Java and RE2 agree
+# match-for-match by construction, and the replacement re-emits the
+# boundary char via a backreference ($1 in Java, \1 in RE2).
 #
-# All patterns remain lookAHEAD-free and anchored to literal structure,
+# The boundary group also keeps Java linear on letter runs: the
+# backtracking engine re-scans a run from every interior offset, and the
+# greedy local-part ``+`` made each such start O(run) — O(run²) per run;
+# the sfbig 60,000-char single token turned the whole query into 52 s of
+# email-pattern churn where RE2 (linear) took 0.0 s.  With the boundary
+# group every interior offset dies in one class test (the consumed char
+# is itself in the local-part class).  The other patterns open with
+# ``\d``/``\+`` and already fail interior-of-run starts in one
+# comparison.  Parity across all scale points pins the equivalence.
+#
+# All patterns remain lookaround-free and anchored to literal structure,
 # the whole pass is chained JVM regexp_replace — scan-stage, no UDF, no
 # shuffle at any scale.  Counts are measured on the ORIGINAL text (one
 # regexp_count per type); redaction applies the patterns in declaration
@@ -467,8 +504,8 @@ def tfidf(counts: DataFrame, n_docs_df: DataFrame) -> DataFrame:
 #: (type, pattern, replacement), applied top-to-bottom.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email",
-     r"(?<![A-Za-z0-9._%+-])[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-     "[EMAIL]"),
+     r"(^|[^A-Za-z0-9._%+-])[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "$1[EMAIL]"),
     ("ssn", r"\d{3}-\d{2}-\d{4}", "[SSN]"),
     ("phone", r"\+\d{1,2}[- ]\d{3}-\d{4}", "[PHONE]"),
     ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "[IP]"),
@@ -519,6 +556,7 @@ def chunk_docs(
     text_col: str = "text",
     size: int = 100,
     stride: int = 80,
+    segment_chunks: int = 1024,
 ) -> DataFrame:
     """One row per (doc, chunk): ``id_col, pos, chunk`` with ``pos`` the
      1-based start offset (chunk index == (pos-1)/stride).
@@ -528,28 +566,70 @@ def chunk_docs(
     null and the explode silently erases the document from the output —
     a no-silent-row-loss violation for any caller that joins chunks
     back against the corpus."""
-    # Plan-shape note (sfbig, measured): this explode DOES carry the
-    # full text onto every chunk row — n/stride copies of an n-char
-    # doc, the same wide-parent shape the gram build had to abandon.
-    # For chunking it is nevertheless the RIGHT form at every realistic
-    # document size: the whole pipeline stays in whole-stage codegen,
-    # and memcpy parent-copies beat both measured alternatives on the
-    # 150 KB sfbig giants — in-row transform+substr (interpreted HOF +
-    # the same O(n²/stride) codepoint seeks: 7.9 s vs 2.8 s here) and
-    # the once-split chars array (interpreted slice+join per chunk:
-    # 5.5 s).  The copy term is O(n²/stride) bytes, softened by stride
-    # (~80): ~280 MB/doc at 150 KB (sub-second), ~12 GB at 1 MB,
-    # unusable at a 10 MB page — cap or pre-split documents beyond the
-    # ~1 MB knee UPSTREAM (standard corpus practice; the sfbig gate
-    # pins byte-correctness on a >256 KB doc either way).
+    # Plan-shape note (sfbig, measured): an explode carries its parent
+    # onto every generated row, so exploding chunk starts directly over
+    # the full text copies n/stride × n chars — O(n²/stride) bytes per
+    # doc.  Below ~1 MB/doc that memcpy-heavy whole-stage-codegen plan
+    # beats both measured alternatives on the 150 KB sfbig giants
+    # (in-row transform+substr: 7.9 s vs 2.8 s; once-split chars array:
+    # 5.5 s) — but at 10 MB/doc the quadratic term is unusable, and r11
+    # relied on an UNENFORCED "cap upstream" note.  The guard is now
+    # structural: docs are first cut into overlapping SEGMENTS of
+    # ``segment_chunks`` chunk-starts each (segment length
+    # segment_chunks*stride + (size - stride), so every chunk is fully
+    # contained in its segment), and the chunk explode runs over the
+    # bounded segment.  Copy cost: O(n²/S) for the segment explode +
+    # O(n·S/stride) for the chunk explode — linear in n for fixed
+    # S = segment_chunks*stride (~84 MB per MB of text at the
+    # defaults), no knee at any document size.  Docs that fit one
+    # segment (every start ≤ S ⇔ n ≲ 82 KB at the defaults) keep the
+    # EXACT r11 plan: one segment row carrying the original text, same
+    # row count, same memcpy profile.  Global positions are exact:
+    # pos = seg_idx*S + local_start reproduces 1, 1+stride, ... — the
+    # identical arithmetic progression, just factored.
+    if segment_chunks < 1:
+        raise ValueError("need segment_chunks >= 1")
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    starts = chunk_starts(txt, size, stride)
-    return df.select(
-        F.col(id_col), txt.alias("__txt"), F.explode(starts).alias("pos")
+    seg_len = segment_chunks * stride  # S: stride-chars owned per segment
+    # Last global start (1-based): the same stop chunk_starts computes.
+    gstop = F.greatest(F.length(txt) - F.lit(size - stride), F.lit(1))
+    # Segment j (0-based) owns global starts in (j*S, (j+1)*S].
+    n_segs = ((gstop - F.lit(1)) / F.lit(seg_len)).cast("long")  # = ceil-1
+    seg_base = F.col("__seg") * F.lit(seg_len)
+    with_seg = df.select(
+        F.col(id_col),
+        txt.alias("__txt"),
+        gstop.alias("__gstop"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_segs)).alias("__seg"),
     ).select(
         id_col,
-        "pos",
-        F.col("__txt").substr(F.col("pos"), F.lit(size)).alias("chunk"),
+        seg_base.alias("__base"),
+        # Single-segment docs pass the original column through — no
+        # extra copy, byte-identical plan cost to the r11 form.
+        F.when(F.col("__gstop") <= F.lit(seg_len), F.col("__txt"))
+        .otherwise(
+            F.col("__txt").substr(
+                (seg_base + F.lit(1)).cast("int"),
+                F.lit(seg_len + size - stride),
+            )
+        )
+        .alias("__segtxt"),
+        # Local stop: the segment's share of gstop, capped at S.
+        F.least(F.col("__gstop") - seg_base, F.lit(seg_len).cast("long"))
+        .cast("int")
+        .alias("__lstop"),
+    )
+    return with_seg.select(
+        id_col,
+        "__base",
+        F.col("__segtxt"),
+        F.explode(
+            F.sequence(F.lit(1), F.col("__lstop"), F.lit(stride))
+        ).alias("__local"),
+    ).select(
+        id_col,
+        (F.col("__base") + F.col("__local")).cast("int").alias("pos"),
+        F.col("__segtxt").substr(F.col("__local"), F.lit(size)).alias("chunk"),
     )
 
 
@@ -668,7 +748,7 @@ def bpe_apply(
     Output: input columns + ``n_tokens_before``, ``bpe_tokens``,
     ``n_tokens_after``.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(fold_lower(F.trim(F.col(text_col))), r"\s+", " ")
     # F.replace, not regexp_replace: the pattern is a literal space and
     # the literal-replace expression skips the regex engine entirely.
     s = F.concat(F.lit(" "), F.replace(norm, F.lit(" "), F.lit("  ")), F.lit(" "))

@@ -41,7 +41,7 @@ def minhash_cand_cte(cand="cand", bands="bands"):
 
 SIG_TEMPLATE = r'''{tk} AS (
       SELECT doc_id,
-             coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+             coalesce(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                   t -> t <> ''), []) AS toks
       FROM documents
     ), sh AS (
@@ -115,13 +115,27 @@ def cents_sql(expr: str, scale: int = 100) -> str:
 WS_CLASS_SQL = r"[ \t\n\x0B\f\r]"
 
 
+def fold_lower_sql(expr: str) -> str:
+    """DuckDB mirror of ``operators/text.py:fold_lower`` — the
+    cross-engine deterministic lowercase.  Java's full case mappings
+    (Spark) and utf8proc's simple mappings (DuckDB) disagree on exactly
+    two points, found by the sfuni fixture: U+0130 İ (Java → i+U+0307,
+    utf8proc → i) and word-final Σ (Java Final_Sigma → ς, utf8proc →
+    σ).  Both engines apply the same replace-lower-replace sandwich:
+    İ→I before lowering, ς→σ after (Unicode case folding maps both
+    sigmas to σ).  Every corpus-text ``lower(`` in an oracle must be
+    this form, never a bare ``lower(`` — pinned by
+    tests/test_registry_lint.py."""
+    return f"replace(lower(replace({expr}, 'İ', 'I')), 'ς', 'σ')"
+
+
 def tokens_sql(col="text"):
     """DuckDB mirror of ``operators/text.py:tokens``: whitespace split,
-    lowercased, with empty fragments dropped — so null/blank/odd-
+    fold-lowercased, with empty fragments dropped — so null/blank/odd-
     whitespace docs tokenize identically on both sides (len(NULL
     list) is NULL; wrap in coalesce(..., 0) where a count is needed)."""
     return (
-        f"list_filter(string_split_regex(lower({col}), "
+        f"list_filter(string_split_regex({fold_lower_sql(col)}, "
         f"'{WS_CLASS_SQL}+'), t -> t <> '')"
     )
 

@@ -681,7 +681,7 @@ def range_join_conversions(spark, sf_dir):
     oracle=r"""
     WITH tk AS (
       SELECT doc_id, text,
-             coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+             coalesce(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                   t -> t <> ''), []) AS toks
       FROM documents
     ), scored AS (
@@ -719,7 +719,7 @@ def range_join_conversions(spark, sf_dir):
         WHEN s_es >= s_zh AND s_es > 0 THEN 'es'
         WHEN s_zh > 0 THEN 'zh'
         ELSE 'und' END AS lang_pred,
-      md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fingerprint
+      md5(regexp_replace(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fingerprint
     FROM scored
     """,
 )
@@ -737,7 +737,7 @@ def text_stats_docs(spark, sf_dir):
     "winnow_fingerprints",
     oracle=r"""
     WITH nrm AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
+      SELECT doc_id, regexp_replace(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
       FROM documents
     ),
     h AS (
@@ -782,7 +782,7 @@ def winnow_fingerprints(spark, sf_dir):
     "winnow_near_dups",
     oracle=r"""
     WITH nrm AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
+      SELECT doc_id, regexp_replace(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
       FROM documents
     ),
     h AS (
@@ -840,10 +840,10 @@ def winnow_near_dups(spark, sf_dir):
     "bpe_token_counts",
     oracle=r"""
     SELECT doc_id,
-           len(regexp_extract_all(lower(text),
+           len(regexp_extract_all(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'),
                '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]+'))
              AS n_bpe_tokens,
-           coalesce(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+           coalesce(len(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                     t -> t <> '')), 0) AS n_ws_tokens
     FROM documents
     """,
@@ -870,7 +870,7 @@ def bpe_token_counts(spark, sf_dir):
     oracle=r"""
     SELECT min(doc_id) AS doc_id, count(*) AS n_copies
     FROM documents
-    GROUP BY md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
+    GROUP BY md5(regexp_replace(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+', ' ', 'g'))
     """,
 )
 def docs_exact_dedup(spark, sf_dir):
@@ -1054,7 +1054,7 @@ def ann_srp_topk(spark, sf_dir):
     oracle=r"""
     WITH tok AS (
       SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+             unnest(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                 t -> t <> '')) AS tk
       FROM documents
     ),
@@ -1339,7 +1339,7 @@ def embedding_near_dups(spark, sf_dir):
     oracle=r"""
     WITH toked AS (
       SELECT doc_id, lang, n_chars,
-             coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+             coalesce(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                   t -> t <> ''), []) AS toks
       FROM documents
     ), tk AS (
@@ -1955,7 +1955,7 @@ def dup_clusters(spark, sf_dir):
     "vocab_top_terms",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+      SELECT doc_id, unnest(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                         t -> t <> '')) AS token
       FROM documents
     ), dt AS (
@@ -1989,7 +1989,7 @@ def vocab_top_terms(spark, sf_dir):
     "tfidf_top_term_per_doc",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+      SELECT doc_id, unnest(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                         t -> t <> '')) AS token
       FROM documents
     ), dt AS (

@@ -43,7 +43,7 @@ from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa
     oracle=r"""
     WITH tk AS (
       SELECT doc_id,
-             coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+             coalesce(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                   t -> t <> ''), []) AS toks
       FROM documents
     ), bgl AS (
@@ -315,7 +315,7 @@ def asof_next_purchase(spark, sf_dir):
     oracle=r"""
     WITH tok AS (
       SELECT doc_id,
-             coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+             coalesce(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                   t -> t <> ''), []) AS t
       FROM documents
     ), bg AS (
@@ -435,7 +435,7 @@ def docs_consecutive_ids(spark, sf_dir):
     WITH sized AS (
       SELECT doc_id,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS pack_bucket,
-             coalesce(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+             coalesce(len(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                       t -> t <> '')), 0) AS n_tokens
       FROM documents
     ), binned AS (
@@ -493,7 +493,7 @@ def pack_docs_for_training(spark, sf_dir):
                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                        IN ('c', 'd') THEN 'val'
                   ELSE 'test' END AS split,
-             string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
+             string_split_regex(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+') AS t
       FROM documents
     ), sh AS (
       SELECT doc_id, split,
@@ -564,7 +564,7 @@ def benchmark_contamination(spark, sf_dir):
     "cms_heavy_hitters",
     oracle=r"""
     WITH tok AS (
-      SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term
+      SELECT unnest(string_split_regex(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+')) AS term
       FROM documents
     ), cells AS (
       SELECT d, substr(md5(CAST(d AS VARCHAR) || '_' || term), 1, 3) AS cell,
@@ -858,12 +858,12 @@ def approx_price_quantile_sketch(spark, sf_dir):
     "corpus_prep_report",
     oracle=r"""
     WITH toked AS (
-      SELECT *, coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+      SELECT *, coalesce(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                      t -> t <> ''), []) AS toks
       FROM documents
     ), scored AS (
       SELECT doc_id, n_chars,
-        md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp,
+        md5(regexp_replace(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp,
         -- blank/null docs score 0.0 outright (quality_score guard)
         CASE WHEN len(toks) = 0 THEN 0.0 ELSE (
           least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
@@ -928,7 +928,10 @@ def corpus_prep_report(spark, sf_dir):
 # query plants deterministic PII derived from doc_id (same construction
 # in the oracle) — the counts and the redacted-length delta then verify
 # the actual regex behavior rather than vacuous zeros.  Patterns are
-# lookahead-free so Java regex and RE2 agree match-for-match.
+# lookaround-free so Java regex and RE2 agree match-for-match; the email
+# pattern's consuming boundary group is mirrored verbatim on both sides
+# (see text.PII_PATTERNS — it is what keeps Java linear on letter runs,
+# and a capture group is the only boundary RE2 can express).
 # --------------------------------------------------------------------------
 
 @query(
@@ -948,12 +951,12 @@ def corpus_prep_report(spark, sf_dir):
       FROM documents
     ), red AS (
       SELECT lang, t,
-        len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c_email,
+        len(regexp_extract_all(t, '(^|[^A-Za-z0-9._%+-])[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c_email,
         len(regexp_extract_all(t, '\d{3}-\d{2}-\d{4}')) AS c_ssn,
         len(regexp_extract_all(t, '\+\d{1,2}[- ]\d{3}-\d{4}')) AS c_phone,
         len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS c_ipv4,
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '(^|[^A-Za-z0-9._%+-])[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '\1[EMAIL]', 'g'),
           '\d{3}-\d{2}-\d{4}', '[SSN]', 'g'),
           '\+\d{1,2}[- ]\d{3}-\d{4}', '[PHONE]', 'g'),
           '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g') AS clean
@@ -1212,7 +1215,7 @@ def kmeans_embedding_clusters(spark, sf_dir):
     "bm25_top_docs",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+      SELECT doc_id, unnest(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                         t -> t <> '')) AS token
       FROM documents
     ), per_doc AS (
@@ -1450,7 +1453,7 @@ def ann_recall_at_k(spark, sf_dir):
     oracle=rf"""
     WITH tok AS (
       SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+             unnest(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                 t -> t <> '')) AS tk
       FROM documents
     ),
@@ -1937,7 +1940,7 @@ def rolling_7d_user_value(spark, sf_dir):
     # ordered structure is the ~100-row bucket rollup.
     oracle=rf"""
     WITH toked AS (
-      SELECT *, coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+      SELECT *, coalesce(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                      t -> t <> ''), []) AS toks
       FROM documents
     ), tk AS (
@@ -2010,7 +2013,7 @@ def token_budget_curriculum(spark, sf_dir):
     # char pairs inside whitespace tokens, top-20 merge candidates.
     oracle=r"""
     WITH words AS (
-      SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS w
+      SELECT unnest(string_split_regex(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+')) AS w
       FROM documents
     ), pos AS (
       SELECT w, unnest(generate_series(1, length(w) - 1)) AS p
@@ -2062,7 +2065,7 @@ def bpe_pair_merge_candidates(spark, sf_dir):
     oracle=r"""
     WITH fp AS (
       SELECT doc_id, source,
-             md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS f
+             md5(regexp_replace(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS f
       FROM documents
     ), batch AS (
       SELECT * FROM fp WHERE source IN ('src0','src1','src2','src3','src4')
@@ -2107,12 +2110,12 @@ def incremental_dedup_new_batch(spark, sf_dir):
     oracle=r"""
     WITH v2 AS (
       SELECT doc_id,
-             md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS f
+             md5(regexp_replace(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS f
       FROM documents
     ), v1 AS (
       SELECT doc_id,
              CASE WHEN doc_id % 7 = 0 THEN md5(text || '_stale')
-                  ELSE md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
+                  ELSE md5(regexp_replace(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+', ' ', 'g'))
              END AS f
       FROM documents WHERE doc_id % 10 != 0
     )
@@ -2225,7 +2228,7 @@ def scd2_customer_priority_history(spark, sf_dir):
     oracle=r"""
     WITH tk AS (
       SELECT doc_id,
-             string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS toks,
+             string_split_regex(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+') AS toks,
              string_split(text, chr(10)) AS lines,
              text
       FROM documents
@@ -2268,8 +2271,10 @@ def gopher_quality_flags(spark, sf_dir):
     fractions, alphabetic-word fraction, distinct-stopword floor, and the
     conjunctive keep decision. Zero shuffles, zero UDFs — every rule is a
     built-in array/string expression inside whole-stage codegen."""
+    from cryptocurrency_data_pipeline_spark.operators import text as textops
+
     docs = t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(textops.fold_lower(F.trim(F.col("text"))), r"\s+")
     lines = F.split(F.col("text"), "\n")
     n_words = F.size(toks)
     mean_word_len = (
@@ -2669,7 +2674,7 @@ def wav_decode_rollup(spark, sf_dir):
     oracle=r"""
     WITH tk AS (
       SELECT doc_id, lang,
-             string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS toks
+             string_split_regex(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+') AS toks
       FROM documents
     ), scored AS (
       SELECT doc_id, lang,
@@ -2788,11 +2793,11 @@ def mad_outlier_events(spark, sf_dir):
       FROM s
     ), probes AS (
       SELECT doc_id AS query_id,
-             list_distinct(string_split_regex(lower(trim(substr(text, 41, 120))), '[ \t\n\x0B\f\r]+')) AS q
+             list_distinct(string_split_regex(replace(lower(replace(trim(substr(text, 41, 120)), 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+')) AS q
       FROM documents WHERE doc_id < 3
     ), ct AS (
       SELECT doc_id, pos,
-             list_distinct(string_split_regex(lower(trim(chunk)), '[ \t\n\x0B\f\r]+')) AS c
+             list_distinct(string_split_regex(replace(lower(replace(trim(chunk), 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+')) AS c
       FROM chunks
     ), scored AS (
       SELECT p.query_id, ct.doc_id, ct.pos,

@@ -103,7 +103,7 @@ def semantic_dedup_keep(spark, sf_dir):
     oracle=r"""
     WITH tok AS (
       SELECT doc_id, source,
-             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+             unnest(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                 t -> t <> '')) AS tk
       FROM documents
     ), tf AS (
@@ -222,7 +222,7 @@ def fuzzy_part_name_pairs(spark, sf_dir):
     "hybrid_rrf_retrieval",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+      SELECT doc_id, unnest(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                         t -> t <> '')) AS token
       FROM documents
     ), per_doc AS (
@@ -334,7 +334,7 @@ def hybrid_rrf_retrieval(spark, sf_dir):
     oracle=r"""
     WITH tok AS (
       SELECT source,
-             coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+             coalesce(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                   t -> t <> ''), []) AS t
       FROM documents
     ), grams AS (
@@ -431,7 +431,7 @@ def ngram_diversity_by_source(spark, sf_dir):
     oracle=r"""
     WITH tk AS (
       SELECT doc_id, lang,
-             coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+             coalesce(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                   t -> t <> ''), []) AS toks
       FROM documents
     ), bgl AS (
@@ -681,7 +681,7 @@ def weighted_doc_sample(spark, sf_dir):
     WITH tok AS (
       SELECT CASE WHEN doc_id < 250 THEN 'a' ELSE 'b' END AS snap,
              CAST(('0x' || substr(md5(unnest(
-               list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+               list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                            t -> t <> ''))), 1, 4)) AS INT)
                % 64 AS bk
       FROM documents
@@ -775,7 +775,7 @@ def token_drift_report(spark, sf_dir):
     "corpus_ingest_replay",
     oracle=r"""
     WITH toked AS (
-      SELECT *, coalesce(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+      SELECT *, coalesce(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \t\n\x0B\f\r]+'),
                                      t -> t <> ''), []) AS toks
       FROM documents
     ), scored AS (
@@ -1434,7 +1434,7 @@ def gif_decode_rollup(spark, sf_dir):
       SELECT source,
              -- blank-safe token count, mirrors tokens() exactly
              CAST(sum(coalesce(len(list_filter(
-               string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')), 0))
+               string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')), 0))
                AS DOUBLE) AS n_tokens
       FROM documents GROUP BY source
     )
@@ -1482,7 +1482,7 @@ def mixture_temperature_weights(spark, sf_dir):
       SELECT doc_id,
              CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket
       FROM documents,
-           unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+           unnest(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \\t\\n\\x0B\\f\\r]+'),
                               t -> t <> '')) AS u(tok)
     ), agg AS (
       SELECT doc_id,
@@ -1532,7 +1532,7 @@ def quality_classifier_scores(spark, sf_dir):
     oracle="""
     WITH toks AS (
       SELECT doc_id, source,
-             string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
+             string_split(regexp_replace(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
                           ' ') AS tk
       FROM documents
     ), seg AS (
@@ -1652,11 +1652,11 @@ _BPE_MERGES = [
     oracle="""
     WITH norm AS (
       SELECT doc_id, source,
-             ' ' || replace(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
+             ' ' || replace(regexp_replace(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'),
                             ' ', '  ') || ' ' AS s,
              -- blank-safe token count, mirrors tokens() exactly
              coalesce(len(list_filter(
-               string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')), 0) AS nb
+               string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')), 0) AS nb
       FROM documents
     ), merged AS (
       SELECT source, nb,
@@ -2212,7 +2212,7 @@ def ivfpq_topk_served(spark, sf_dir):
     WITH tok AS (
       SELECT source, tok
       FROM documents,
-           unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+           unnest(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \\t\\n\\x0B\\f\\r]+'),
                               t -> t <> '')) AS u(tok)
     ), vocab AS (
       SELECT tok FROM (

@@ -322,7 +322,7 @@ def jpeg_decode_rollup(spark, sf_dir):
              CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket
       FROM documents,
            unnest(string_split(
-             regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))
+             regexp_replace(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))
              AS u(tok)
     ), cnt AS (
       SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS c
@@ -550,7 +550,7 @@ def sax_motif_groups(spark, sf_dir):
       SELECT lang,
              -- blank-safe token count, mirrors tokens() exactly
              CAST(sum(coalesce(len(list_filter(
-               string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')), 0))
+               string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')), 0))
                AS BIGINT) AS n_tokens
       FROM documents GROUP BY lang
     ), s AS (
@@ -835,7 +835,7 @@ def l_diversity_audit(spark, sf_dir):
     oracle="""
     WITH base AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)),
+             string_split(regexp_replace(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'),
                '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ') AS w
       FROM documents
     ), sh AS (

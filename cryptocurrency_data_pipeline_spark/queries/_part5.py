@@ -763,7 +763,7 @@ def ico_directory_rollup(spark, sf_dir):
     WITH tok AS (
       SELECT source, tok, count(*) AS c
       FROM documents,
-           unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+           unnest(list_filter(string_split_regex(replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'), '[ \\t\\n\\x0B\\f\\r]+'),
                               t -> t <> '')) AS u(tok)
       GROUP BY source, tok
     )
@@ -1129,7 +1129,7 @@ def exact_rank_quantiles_by_type(spark, sf_dir):
     oracle="""
     WITH base AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)),
+             string_split(regexp_replace(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'),
                '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ') AS w
       FROM documents
     ), sh AS (
@@ -2871,7 +2871,7 @@ def semantic_dedup_dup_invariance(spark, sf_dir):
     oracle="""
     WITH base AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)),
+             string_split(regexp_replace(replace(lower(replace(trim(text), 'İ', 'I')), 'ς', 'σ'),
                '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ') AS w
       FROM documents
     ), sh AS (

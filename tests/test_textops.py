@@ -158,6 +158,13 @@ def test_redact_pii_known_strings(spark):
             ("ssn 123-45-6789 phone 555-0123 lacks country code",),
             ("+44 202-9999 from 192.168.0.1 and 10.0.0.7",),
             ("no pii here",),
+            # Adjacent emails: the consuming boundary group means a match
+            # ending flush against a local-part char does NOT restart there
+            # — identical to the RE2 oracle pattern by construction (the
+            # r11 lookbehind variant diverged on exactly this case).
+            ("a@b.com_x@y.com",),
+            ("a@b.com x@y.com",),
+            ("a@b.com,x@y.com",),
         ],
         ["text"],
     )
@@ -172,6 +179,9 @@ def test_redact_pii_known_strings(spark):
     assert out[2].clean == "[PHONE] from [IP] and [IP]"
     assert (out[2].phone, out[2].ipv4) == (1, 2)
     assert out[3].clean == "no pii here"
+    assert (out[4].email, out[4].clean) == (1, "[EMAIL]_x@y.com")
+    assert (out[5].email, out[5].clean) == (2, "[EMAIL] [EMAIL]")
+    assert (out[6].email, out[6].clean) == (2, "[EMAIL],[EMAIL]")
 
 
 def test_chunk_docs_covers_every_char_and_short_docs(spark):
@@ -508,3 +518,36 @@ def test_chunk_docs_correct_on_quarter_megabyte_doc(spark):
         for p in starts:
             assert rows[(doc_id, p)] == text[p - 1 : p - 1 + 100], (doc_id, p)
         assert len([k for k in rows if k[0] == doc_id]) == len(starts)
+
+
+def test_chunk_docs_giant_doc_stays_linear_and_exact(spark):
+    """The >knee guard is structural, not an upstream convention: a
+    >1 MB doc routes through the segment explode (copy term linear in
+    doc size — the r11 single-explode plan was O(n²/stride), ~12 GB of
+    memcpy at 1 MB and unusable at 10 MB) and stays byte-exact,
+    including the cross-SEGMENT boundary chunks and the short tail."""
+    from cryptocurrency_data_pipeline_spark.operators.text import chunk_docs
+
+    n = 1_200_000
+    # Position-dependent text so any segment/offset slip shows up.
+    text = "".join(chr(97 + ((i * 7) % 23)) for i in range(n)) + "ENDMARK"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = sorted(
+        (r.pos, r.chunk)
+        for r in chunk_docs(df, size=100, stride=80).collect()
+    )
+    stop = max(len(text) - 20, 1)
+    expected_n = (stop - 1) // 80 + 1
+    assert len(rows) == expected_n
+    # Every chunk byte-exact vs python slicing (spot field + full scan).
+    for pos, chunk in rows[:: max(1, expected_n // 500)]:
+        assert chunk == text[pos - 1 : pos - 1 + 100], pos
+    # The exact segment-boundary starts (S = 1024*80 chars per segment).
+    seg = 1024 * 80
+    for pos in (seg - 79, seg + 1, 2 * seg + 1):
+        match = [c for p, c in rows if p == pos]
+        assert match == [text[pos - 1 : pos - 1 + 100]], pos
+    # Tail chunk runs short and ends at the document end.
+    last_pos, last_chunk = rows[-1]
+    assert last_chunk == text[last_pos - 1 :]
+    assert last_chunk.endswith("ENDMARK")
