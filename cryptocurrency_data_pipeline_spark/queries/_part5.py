@@ -3043,3 +3043,63 @@ def ewma_time_extremes_invariance(spark, sf_dir):
         alpha=0.25,
     )
     return out.select("user_id", "n_rows", F.round("ewma", 6).alias("ewma"))
+
+
+# --------------------------------------------------------------------------
+# Unicode/encoding-extremes invariance, IN-QUERY (round 12): the sfuni
+# scale point lives in tools/make_uni_sf.py and its pinned gate
+# (tests/test_query_uni_parity.py), but the driver only replays sf0.01 -
+# so this query embeds the extreme strings as shared Python-built
+# LITERALS (both engines receive byte-identical text) and asserts the
+# cross-engine text contracts at any scale the driver runs: the
+# two-point case fold (U+0130 / final sigma - text.fold_lower vs
+# _fragments.fold_lower_sql), ASCII-WS_CLASS tokenization against
+# NBSP/NEL/U+2028 joiners, code-point (never UTF-16/UTF-8 unit) length
+# on astral text, BPE pre-split parity over folded text, and the
+# normalized-fingerprint md5.
+# --------------------------------------------------------------------------
+
+_UNI_EXTREMES = [
+    (9990, "\u0130stanbul \u039f\u0394\u039f\u03a3 \u03a3\u03af\u03c3\u03c5\u03c6\u03bf\u03c2 \u03c2 STRASSE \u1e9e"),
+    (9991, "a\u00a0b\u0085c\u2028d e\u3000f"),
+    (9992, "caf\u00e9 r\u00e9sum\u00e9"),
+    (9993, "cafe\u0301 re\u0301sume\u0301"),
+    (9994, "\U0001F600\U0001F9D1\U0001F3FD\u200d\U0001F4BB \u6f22\u5b57 \U0002000B x"),
+    (9995, "\uff45\uff4d\uff41\uff49\uff4c\uff20\uff45\uff58.com \ufeffBOM"),
+]
+
+
+@query(
+    "unicode_fold_invariance",
+    oracle=f"""
+    WITH uni(doc_id, text) AS (VALUES
+      {",".join("(%d, '%s')" % (i, s) for i, s in _UNI_EXTREMES)})
+    SELECT doc_id,
+           length(text) AS n_chars,
+           coalesce(len(list_filter(string_split_regex(replace(lower(replace(text, '\u0130', 'I')), '\u03c2', '\u03c3'), '[ \t\n\x0B\f\r]+'),
+                                    t -> t <> '')), 0) AS n_tokens,
+           len(regexp_extract_all(replace(lower(replace(text, '\u0130', 'I')), '\u03c2', '\u03c3'),
+               '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]+'))
+             AS n_bpe_tokens,
+           md5(regexp_replace(replace(lower(replace(trim(text), '\u0130', 'I')), '\u03c2', '\u03c3'),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp
+    FROM uni
+    """,
+)
+def unicode_fold_invariance(spark, sf_dir):
+    """Text contracts over embedded unicode extremes - length counts
+    CODE POINTS (astral chars are 1), tokens split on ASCII WS_CLASS
+    only (NBSP/NEL/U+2028 are token chars), and lowercasing goes
+    through the two-point fold, so U+0130 / final sigma hash and count
+    identically on both engines (the sfuni sweep broke 9 oracles on
+    exactly these inputs before the fold)."""
+    from cryptocurrency_data_pipeline_spark.operators import text as textops
+
+    df = spark.createDataFrame(_UNI_EXTREMES, "doc_id long, text string")
+    return df.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(textops.tokens("text")).alias("n_tokens"),
+        textops.bpe_token_count("text").alias("n_bpe_tokens"),
+        textops.fingerprint("text").alias("fp"),
+    )
