@@ -269,6 +269,23 @@ def ann_topk(
 # int8 scalar quantization — the bandwidth lever for embedding columns.
 # --------------------------------------------------------------------------
 
+def vec_finite(vec: Column) -> Column:
+    """True iff every component is a finite double — the vector-level
+    analog of ``quantize.finite``.  A corrupt embedding (one NaN/±Inf
+    component — real at 100 TB: overflowed encoders, bad casts upstream)
+    makes the int8 scale non-finite, every code NaN-derived, and DuckDB
+    refuses the code cast outright, so quantized search EXCLUDES such
+    vectors by contract (the exact-cosine path still scores them: NaN
+    similarity orders deterministically below any real match on both
+    engines).  Map-only, short-circuits per row."""
+    return F.forall(
+        vec,
+        lambda x: (~F.isnan(x))
+        & (x > F.lit(float("-inf")))
+        & (x < F.lit(float("inf"))),
+    )
+
+
 def int8_scale(vec: Column) -> Column:
     """Per-vector symmetric quantization scale: ``max(|v_i|) / 127``.
 
@@ -328,8 +345,12 @@ def quantized_cosine_topk(
     deterministic math.
     """
     vec = as_double(F.col(vec_col))
+    # Corrupt-vector guard: any non-finite component poisons the scale
+    # and every downstream code (see vec_finite) — excluded on both the
+    # corpus and query sides, mirrored by the oracle's isfinite filter.
     q = (
         queries.select(F.col(id_col).alias("query_id"), vec.alias("v"))
+        .filter(vec_finite(F.col("v")))
         .withColumn("scale", int8_scale(F.col("v")))
         .select(
             "query_id", quantize_int8(F.col("v"), F.col("scale")).alias("q_codes")
@@ -337,6 +358,7 @@ def quantized_cosine_topk(
     )
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), vec.alias("v"))
+        .filter(vec_finite(F.col("v")))
         .withColumn("scale", int8_scale(F.col("v")))
         .select(
             "neighbor_id", quantize_int8(F.col("v"), F.col("scale")).alias("c_codes")

@@ -1532,8 +1532,14 @@ def ppm_decode_rollup(spark, sf_dir):
     oracle="""
     WITH o AS (
       SELECT user_id, ts, value,
+             -- STRICT >: Spark's session_window merges an event landing
+             -- EXACTLY gap after its predecessor (the window end
+             -- start+gap is treated as mergeable, not past-the-end), so
+             -- only a gap strictly beyond 5 minutes opens a session.
+             -- Latent until the sfnum fixture planted a 10:00/10:05
+             -- pair: >= here split it while Spark kept one session.
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                       OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
       FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -618,7 +618,11 @@ def cms_heavy_hitters(spark, sf_dir):
     "quantized_cosine_topk",
     oracle="""
     WITH c AS (
+      -- corrupt-vector guard (operator contract, similarity.vec_finite):
+      -- a NaN/Inf component poisons the scale and every int8 code, so
+      -- quantized search excludes the vector on both engines
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), s AS (
       SELECT vec_id, v,
              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
@@ -1736,8 +1740,11 @@ def _zorder_sql_terms(cols: list[str], bits: int = 16) -> str:
       -- a CONSTANT dimension (single tenant / first run) collapses to
       -- coordinate 0 instead of dividing by a zero range
       SELECT user_id, value,
+             -- id range in DOUBLE: snowflake-scale ids put umax - umin
+             -- past int64 (I64_MAX - I64_MIN overflows BIGINT on both
+             -- engines); both sides subtract as doubles, identical IEEE
              CASE WHEN umax = umin THEN 0
-                  ELSE least(65535, CAST(floor(((CAST(user_id AS DOUBLE) - umin) / (umax - umin)) * 65536.0) AS BIGINT)) END AS su,
+                  ELSE least(65535, CAST(floor(((CAST(user_id AS DOUBLE) - umin) / (CAST(umax AS DOUBLE) - CAST(umin AS DOUBLE))) * 65536.0) AS BIGINT)) END AS su,
              CASE WHEN vmax = vmin THEN 0
                   ELSE least(65535, CAST(floor(((value - vmin) / (vmax - vmin)) * 65536.0) AS BIGINT)) END AS sv
       FROM ev, stats
@@ -1778,7 +1785,17 @@ def zorder_events_locality(spark, sf_dir):
         .otherwise(
             F.least(
                 F.lit(65535),
-                F.floor(((F.col("user_id").cast("double") - F.col("umin")) / (F.col("umax") - F.col("umin"))) * 65536.0),
+                # range subtraction in DOUBLE: long umax - umin overflows
+                # (ANSI aborts, and I64_MAX - I64_MIN is real at
+                # snowflake-id scale); the double form is the identical
+                # IEEE op the oracle runs
+                F.floor(
+                    (
+                        (F.col("user_id").cast("double") - F.col("umin"))
+                        / (F.col("umax").cast("double") - F.col("umin").cast("double"))
+                    )
+                    * 65536.0
+                ),
             )
         )
         .alias("su"),

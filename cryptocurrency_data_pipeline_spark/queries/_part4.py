@@ -16,7 +16,7 @@ from pyspark.sql import functions as F  # noqa: F401
 
 from cryptocurrency_data_pipeline_spark.operators import silver  # noqa: F401
 from cryptocurrency_data_pipeline_spark.operators.caching import track  # noqa: F401
-from cryptocurrency_data_pipeline_spark.operators.quantize import cents, epoch_sec  # noqa: F401
+from cryptocurrency_data_pipeline_spark.operators.quantize import cents, epoch_sec, finite  # noqa: F401
 from cryptocurrency_data_pipeline_spark.queries._fragments import cents_sql, epoch_sec_sql  # noqa: F401
 from cryptocurrency_data_pipeline_spark.queries._registry import query, t  # noqa: F401
 from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa: F401
@@ -773,7 +773,12 @@ def avi_decode_rollup(spark, sf_dir):
     oracle="""
     WITH vals AS (
       SELECT c_nationkey, c_mktsegment,
-             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+             -- non-finite balances land in the NULL band alongside
+             -- genuine NULLs (DuckDB refuses CAST(inf AS BIGINT) where
+             -- Spark's floor saturates silently -- the NULL band is the
+             -- one semantics both engines express; sfnum class)
+             CASE WHEN isfinite(c_acctbal)
+                  THEN CAST(floor(c_acctbal / 1000.0) AS BIGINT) END AS band,
              count(*) AS n_rows
       FROM customer GROUP BY c_nationkey, c_mktsegment, band
     ), classes AS (
@@ -795,7 +800,13 @@ def avi_decode_rollup(spark, sf_dir):
 def l_diversity_audit(spark, sf_dir):
     """Distinct l-diversity (l=3) over the (nation, market-segment)
     quasi-identifier; sensitive attribute = account-balance band."""
-    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    # Non-finite balances -> NULL band (mirrors the oracle's isfinite
+    # CASE): DuckDB refuses CAST(inf AS BIGINT) while Spark's floor
+    # saturates to Long.MAX silently -- NULL is the shared semantics.
+    band = F.when(
+        finite("c_acctbal"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long"),
+    )
     vals = (
         t(spark, sf_dir, "customer")
         .groupBy("c_nationkey", "c_mktsegment", band.alias("band"))
@@ -981,7 +992,12 @@ def doc_graph_triangles(spark, sf_dir):
     oracle="""
     WITH vals AS (
       SELECT c_nationkey, c_mktsegment,
-             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+             -- non-finite balances land in the NULL band alongside
+             -- genuine NULLs (DuckDB refuses CAST(inf AS BIGINT) where
+             -- Spark's floor saturates silently -- the NULL band is the
+             -- one semantics both engines express; sfnum class)
+             CASE WHEN isfinite(c_acctbal)
+                  THEN CAST(floor(c_acctbal / 1000.0) AS BIGINT) END AS band,
              count(*) AS n_cv
       FROM customer GROUP BY c_nationkey, c_mktsegment, band
     ), valtot AS (
@@ -1018,7 +1034,13 @@ def t_closeness_audit(spark, sf_dir):
     """t-closeness (t = 1/5) over the (nation, segment) quasi-identifier
     with balance-band sensitive values; exact integer TV comparison."""
     qi = ["c_nationkey", "c_mktsegment"]
-    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    # Non-finite balances -> NULL band (mirrors the oracle's isfinite
+    # CASE): DuckDB refuses CAST(inf AS BIGINT) while Spark's floor
+    # saturates to Long.MAX silently -- NULL is the shared semantics.
+    band = F.when(
+        finite("c_acctbal"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long"),
+    )
     vals = (
         t(spark, sf_dir, "customer")
         .groupBy(*qi, band.alias("band"))

@@ -2407,7 +2407,11 @@ def stream_snapshot_sink_replay(spark, sf_dir):
     SELECT o_orderpriority,
            count(*) AS n_rows,
            CAST(sum(price_cents) AS BIGINT) AS sum_cents,
-           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+           -- id sums need 128-bit headroom: one snowflake-scale key
+           -- (~9.2e18) overflows an int64 sum (DuckDB widens to HUGEINT
+           -- silently, Spark's ANSI sum aborts) — both engines report
+           -- the exact sum as DECIMAL(38,0)
+           CAST(sum(o_orderkey) AS DECIMAL(38,0)) AS sum_keys
     FROM v2 GROUP BY 1 ORDER BY 1
     """,
 )
@@ -2436,7 +2440,9 @@ def cdc_apply_reconstruction(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("price_cents").cast("long").alias("sum_cents"),
-            F.sum("o_orderkey").cast("long").alias("sum_keys"),
+            # decimal(38,0) sum: a snowflake-scale orderkey overflows the
+            # int64 sum (ANSI aborts); the decimal accumulator is exact
+            F.sum(F.col("o_orderkey").cast("decimal(38,0)")).alias("sum_keys"),
         )
         .orderBy("o_orderpriority")
     )
@@ -3102,4 +3108,74 @@ def unicode_fold_invariance(spark, sf_dir):
         F.size(textops.tokens("text")).alias("n_tokens"),
         textops.bpe_token_count("text").alias("n_bpe_tokens"),
         textops.fingerprint("text").alias("fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Float/numeric-extremes invariance, IN-QUERY (round 12): the sfnum
+# scale point lives in tools/make_num_sf.py and its pinned gate
+# (tests/test_query_num_parity.py), but the driver only replays
+# sf0.01 - so this query embeds the extreme doubles as shared literals
+# (Python repr on the Spark side, CAST('...'  AS DOUBLE) string parse
+# on the DuckDB side - both resolve to the identical IEEE bits) and
+# asserts the cross-engine numeric contracts in every driver window:
+# finite()/isfinite NULL-propagation, the cents() non-finite->NULL
+# quantization guard, the guarded floor band (non-finite -> NULL band,
+# the privacy-audit contract), total ordering with NULLS FIRST < finite
+# < +inf < NaN, and value-grouping that merges NaN with NaN and -0.0
+# with +0.0.  Two rows carry int64-extreme ids (snowflake scale) so id
+# handling rides along.  No division anywhere: DuckDB's x/0.0 is NULL
+# while IEEE says +/-inf - division semantics are asserted through the
+# operators' own guards (cosine zero-norm, cents) instead.
+# --------------------------------------------------------------------------
+
+_NUM_EXTREME_VALS = [
+    # (vid, value-as-repr-string); vid order is the tiebreak everywhere.
+    (-9223372036854775808, "1.5"),
+    (2, "inf"),
+    (3, "-inf"),
+    (4, "-0.0"),
+    (5, "0.0"),
+    (6, "nan"),
+    (7, "nan"),
+    (8, "5e-324"),
+    (9, "2.2250738585072014e-308"),
+    (10, "1048576.25"),
+    (9223372036854775807, None),
+]
+
+
+@query(
+    "numeric_extremes_invariance",
+    oracle=f"""
+    WITH nx(vid, value) AS (VALUES
+      {",".join("(%d, %s)" % (i, "NULL" if s is None else "CAST('%s' AS DOUBLE)" % s) for i, s in _NUM_EXTREME_VALS)})
+    SELECT vid,
+           isfinite(value) AS is_finite,
+           {cents_sql('value')} AS cents_val,
+           CASE WHEN isfinite(value)
+                THEN CAST(floor(value / 1000.0) AS BIGINT) END AS band,
+           row_number() OVER (ORDER BY value NULLS FIRST, vid) AS rank_pos,
+           count(*) OVER (PARTITION BY value) AS n_same_value
+    FROM nx
+    """,
+)
+def numeric_extremes_invariance(spark, sf_dir):
+    """Numeric contracts over embedded extreme doubles: the finite()
+    gate, cents() quantization, the guarded band, total sort order, and
+    NaN/-0.0 grouping behave identically on both engines (the sfnum
+    sweep broke 11 oracles in 5 classes on exactly these inputs before
+    the r12 guards)."""
+    rows = [(i, None if s is None else float(s)) for i, s in _NUM_EXTREME_VALS]
+    df = spark.createDataFrame(rows, "vid long, value double")
+    w_rank = Window.orderBy(F.asc_nulls_first("value"), F.asc("vid"))
+    w_grp = Window.partitionBy("value")
+    return df.select(
+        "vid",
+        finite("value").alias("is_finite"),
+        cents("value").alias("cents_val"),
+        F.when(finite("value"), F.floor(F.col("value") / F.lit(1000.0)).cast("long"))
+        .alias("band"),
+        F.row_number().over(w_rank).alias("rank_pos"),
+        F.count(F.lit(1)).over(w_grp).alias("n_same_value"),
     )
