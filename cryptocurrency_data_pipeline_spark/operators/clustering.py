@@ -115,6 +115,10 @@ def kmeans_fit(
     Returns (centers, final assignment DataFrame).  Empty clusters keep
     their previous center (no re-seeding — deterministic).
     """
+    # Corrupt vectors (NULL / NULL-component, collapsed by as_double)
+    # neither seed, train, nor appear in the assignment — mirrored by
+    # the oracle's v-equality join, which NULL never satisfies (sfnull).
+    corpus = corpus.filter(as_double(F.col(vec_col)).isNotNull())
     seeds = ivf_centroids(corpus, nlist=k, id_col=id_col, vec_col=vec_col)
     centers = sorted(
         (r.centroid_id, list(r.centroid)) for r in seeds.collect()

@@ -49,6 +49,17 @@ def asof_join(
     keys = [key] if isinstance(key, str) else list(key)
     out_cols = [f"{prefix}{c}" for c in value_cols]
 
+    # NULL join keys never match — SQL equi-join / DuckDB ASOF JOIN
+    # semantics, NOT window-partition semantics: the window pass below
+    # groups NULL keys into one partition, which would as-of-match
+    # unrelated anonymous rows against each other (sfnull class: a
+    # saturated null-key population silently cross-filled).  Right rows
+    # with a NULL key can match nothing and are dropped up front; left
+    # rows with a NULL key are kept with NULL as-of values (mask below).
+    key_ok = F.lit(True)
+    for k in keys:
+        key_ok = key_ok & F.col(k).isNotNull()
+
     # All value columns travel in ONE struct, null on left rows.  The
     # ignorenulls fill then skips exactly the left rows — NOT right rows
     # whose individual values are null.  Per-column fills would (a) carry
@@ -56,7 +67,7 @@ def asof_join(
     # several value_cols stitch fields from DIFFERENT right rows into one
     # result; the struct keeps the matched row atomic, which is what
     # DuckDB ASOF JOIN (the documented semantics) returns.
-    r_tag = right.select(
+    r_tag = right.filter(key_ok).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -85,7 +96,10 @@ def asof_join(
     filled = unioned.withColumn("__f", F.last("__r", ignorenulls=True).over(w))
     return filled.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in left.columns],
-        *[F.col("__f")[o].alias(o) for o in out_cols],
+        *[
+            F.when(key_ok, F.col("__f")[o]).alias(o)
+            for o in out_cols
+        ],
     )
 
 

@@ -125,7 +125,7 @@ def adc_lut(
     broadcast-sized by construction."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).where(F.col("qv").isNotNull())  # corrupt queries have no LUT (sfnull)
     dist = F.aggregate(
         F.zip_with(
             F.slice(F.col("qv"), F.col("m") * subdim + 1, subdim),
@@ -181,12 +181,15 @@ def exact_l2_topk(
 ) -> DataFrame:
     """Exact squared-L2 top-k (the ground truth PQ approximates):
     broadcast queries, element-order fold, per-query window."""
+    # Corrupt vectors (collapsed to NULL by as_double) are excluded on
+    # both sides: a NULL distance would rank NULLS-FIRST on Spark and
+    # NULLS-LAST on DuckDB (sfnull class).
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).where(F.col("qv").isNotNull())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).where(F.col("cv").isNotNull())
     dist = F.aggregate(
         F.zip_with(F.col("cv"), F.col("qv"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -211,7 +214,8 @@ def _subvectors(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("v"),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
-    ).select(
+    ).where(F.col("v").isNotNull()).select(  # corrupt vectors never encode
+
         id_col,
         "m",
         F.slice(F.col("v"), F.col("m") * subdim + 1, subdim).alias("sub"),
@@ -453,6 +457,8 @@ def train_codebook(
     spark = df.sparkSession
     seed_rows = (
         df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+        # corrupt vectors cannot seed a codebook centroid (sfnull class)
+        .where(F.col("v").isNotNull())
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(k)
         .collect()

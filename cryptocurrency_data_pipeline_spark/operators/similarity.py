@@ -21,7 +21,20 @@ from pyspark.sql import functions as F
 
 
 def as_double(col: Column) -> Column:
-    return col.cast("array<double>")
+    """Float64 view of an embedding, with the ELEMENT-COMPLETENESS
+    contract: a vector containing any NULL component is corrupt (a
+    failed upstream decode / partial join, routine at 100 TB) and
+    collapses to a NULL vector here, at the single entry point every
+    similarity/ANN/PQ/clustering operator routes through.  Downstream
+    the NULL vector takes the same already-guarded path as the zero
+    vector (NULL dot -> non-positive denom -> sim 0.0), identically on
+    both engines — whereas raw NULL elements DIVERGE: Spark's lambda
+    arithmetic null-propagates silently while DuckDB's
+    ``list_dot_product`` hard-errors on NULL components (sfnull class).
+    Mirrored by ``_fragments.vec_sql``.  Map-only, short-circuits."""
+    return F.when(
+        F.forall(col, lambda x: x.isNotNull()), col.cast("array<double>")
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -130,6 +143,10 @@ def ivf_centroids(
         corpus.select(
             F.col(id_col).alias("__seed_id"), as_double(F.col(vec_col)).alias("centroid")
         )
+        # corrupt vectors (NULL / NULL-component, collapsed by as_double)
+        # cannot seed a centroid: seeds are the nlist smallest md5(id)
+        # among COMPLETE vectors, on both engines (sfnull class)
+        .where(F.col("centroid").isNotNull())
         .withColumn("__ord", F.md5(F.col("__seed_id").cast("string")))
         .orderBy("__ord", "__seed_id")
         .limit(nlist)
@@ -202,12 +219,24 @@ def ivf_topk(
 
     assign1 = _make_probe_udf(cent_mat, 1)
     assignp = _make_probe_udf(cent_mat, nprobe)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
-    ).withColumn("centroid_id", assign1(F.col("c_vec"))[0])
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
-    ).withColumn("centroid_id", F.explode(assignp(F.col("q_vec"))))
+    # Corrupt vectors (collapsed to NULL by as_double) are excluded from
+    # the index and the probe set: they belong to no inverted list (the
+    # numpy assignment batch needs rectangular input), matching the
+    # oracle, whose NULL-v rows fall out of the cluster equi-join.
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
+        )
+        .where(F.col("c_vec").isNotNull())
+        .withColumn("centroid_id", assign1(F.col("c_vec"))[0])
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+        )
+        .where(F.col("q_vec").isNotNull())
+        .withColumn("centroid_id", F.explode(assignp(F.col("q_vec"))))
+    )
 
     scored = (
         c.join(F.broadcast(q), "centroid_id")

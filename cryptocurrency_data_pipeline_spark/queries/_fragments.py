@@ -149,3 +149,18 @@ def epoch_sec_sql(expr: str) -> str:
     ``floor(epoch(ts))`` rounds UP a whole second: 2.5e17 us exceeds
     the 2^53 double-integer range)."""
     return f"CAST(epoch(date_trunc('second', {expr})) AS BIGINT)"
+
+
+def vec_sql(col: str = "embedding") -> str:
+    """DuckDB mirror of ``similarity.as_double``'s element-completeness
+    contract: a vector containing any NULL component collapses to a
+    NULL vector (corrupt-decode residue; raw NULL elements would
+    hard-error DuckDB's ``list_dot_product`` while Spark's lambda
+    arithmetic null-propagates silently — sfnull class).  The NULL
+    vector then rides the zero-norm guard on both engines.  Every
+    embedding cast in an oracle must be this expression; pinned by
+    tests/test_registry_lint.py."""
+    return (
+        f"CASE WHEN len(list_filter({col}, x -> x IS NULL)) = 0 "
+        f"THEN CAST({col} AS DOUBLE[]) END"
+    )

@@ -912,9 +912,9 @@ def minhash_near_dups(spark, sf_dir):
 @query(
     "cosine_topk",
     oracle="""
-    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    WITH q AS (SELECT vec_id AS query_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END AS qv
                FROM embeddings WHERE vec_id < 5),
-         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+         c AS (SELECT vec_id AS neighbor_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END AS cv
                FROM embeddings),
          s AS (SELECT query_id, neighbor_id,
                       list_dot_product(qv, cv)
@@ -936,7 +936,7 @@ def cosine_topk(spark, sf_dir):
 @query(
     "ivf_ann_topk",
     oracle="""
-    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH c AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END AS v FROM embeddings),
     seeds AS (
       SELECT v AS cv,
              row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS centroid_id
@@ -1010,7 +1010,7 @@ def ivf_ann_topk(spark, sf_dir):
                   THEN 1.0 ELSE -1.0 END AS s
       FROM bits CROSS JOIN dims
     ),
-    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END AS v FROM embeddings),
     proj AS (
       SELECT c.vec_id, signs.b, sum(c.v[signs.i + 1] * signs.s) AS p
       FROM c CROSS JOIN signs GROUP BY c.vec_id, signs.b
@@ -1304,7 +1304,7 @@ def stream_ohlc_replay(spark, sf_dir):
 @query(
     "embedding_near_dups",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END AS v FROM embeddings),
          q AS (SELECT * FROM e WHERE vec_id < 200)
     SELECT q.vec_id AS a_id, e.vec_id AS b_id,
            round(list_dot_product(q.v, e.v)

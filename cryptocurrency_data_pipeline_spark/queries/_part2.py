@@ -618,11 +618,15 @@ def cms_heavy_hitters(spark, sf_dir):
     "quantized_cosine_topk",
     oracle="""
     WITH c AS (
-      -- corrupt-vector guard (operator contract, similarity.vec_finite):
-      -- a NaN/Inf component poisons the scale and every int8 code, so
-      -- quantized search excludes the vector on both engines
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      -- corrupt-vector guard (operator contract, similarity.vec_finite
+      -- over the element-completeness as_double): a NULL vector, NULL
+      -- component, or NaN/Inf component poisons the scale and every
+      -- int8 code, so quantized search excludes the vector on both
+      -- engines
+      SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                            x -> x IS NULL OR NOT isfinite(x))) = 0
     ), s AS (
       SELECT vec_id, v,
              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
@@ -1125,7 +1129,7 @@ def source_mixture_sample(spark, sf_dir):
     -- on BOTH columns, so duplicated rows keep their multiplicity in
     -- counts AND in the Lloyd mean updates.
     WITH corpus AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END AS v FROM embeddings
     ), e AS (
       SELECT DISTINCT vec_id, v FROM corpus
     ), seed AS (
@@ -1285,7 +1289,7 @@ def bm25_top_docs(spark, sf_dir):
 @query(
     "ann_recall_at_k",
     oracle="""
-    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH c AS (SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END AS v FROM embeddings),
     ex_s AS (
       SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
              list_dot_product(q.v, n.v)
@@ -1827,10 +1831,10 @@ def zorder_events_locality(spark, sf_dir):
     "hard_negative_mining",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, label AS q_label,
-                      CAST(embedding AS DOUBLE[]) AS qv
+                      CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END AS qv
                FROM embeddings WHERE vec_id < 8),
          c AS (SELECT vec_id AS neighbor_id, label AS n_label,
-                      CAST(embedding AS DOUBLE[]) AS cv
+                      CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END AS cv
                FROM embeddings),
          s AS (SELECT query_id, neighbor_id, n_label AS neg_label,
                       list_dot_product(qv, cv)

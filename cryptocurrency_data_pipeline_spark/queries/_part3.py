@@ -41,7 +41,7 @@ from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa
     WITH corpus AS (
       -- mirrors semdedup._one_row_per_id: one deterministic (min-vector)
       -- row per id, so duplicated vec_id inputs collapse identically
-      SELECT vec_id, min(CAST(embedding AS DOUBLE[])) AS v
+      SELECT vec_id, min(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END) AS v
       FROM embeddings GROUP BY vec_id
     ), seed AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
@@ -134,10 +134,13 @@ def semantic_dedup_keep(spark, sf_dir):
       -- operator's one-row-per-key contract — duplicated (doc_id,
       -- source) rows pool their tokens into ONE document upstream (the
       -- tf GROUP BY), so the scored frame must not re-multiply them
+      -- null-SAFE key join: a NULL source is a real grouping key with
+      -- real token weight; the plain equi-join zeroed it (sfnull class)
       SELECT DISTINCT d.doc_id, d.source,
              round(coalesce(c.w, 0.0), 6) AS w
       FROM documents d LEFT JOIN contrib c
-        ON d.doc_id = c.doc_id AND d.source = c.source
+        ON d.doc_id IS NOT DISTINCT FROM c.doc_id
+       AND d.source IS NOT DISTINCT FROM c.source
     )
     SELECT source, count(*) AS n_docs, round(avg(w), 4) AS avg_logweight
     FROM scored GROUP BY source
@@ -261,7 +264,7 @@ def fuzzy_part_name_pairs(spark, sf_dir):
       SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r_lex
       FROM (SELECT * FROM lex ORDER BY s DESC, doc_id LIMIT 50)
     ), c AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END AS v FROM embeddings
     ), qv AS (SELECT v FROM c WHERE vec_id = 0
     ), dense AS (
       SELECT c.vec_id AS doc_id,
@@ -549,10 +552,10 @@ def k_anonymity_audit(spark, sf_dir):
     oracle="""
     WITH ex AS (
       -- min-per-id collapse mirrors semdedup._one_row_per_id
-      SELECT vec_id, min(CAST(embedding AS DOUBLE[])) AS v
+      SELECT vec_id, min(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END) AS v
       FROM embeddings WHERE vec_id < 400 GROUP BY vec_id
     ), nw AS (
-      SELECT vec_id, min(CAST(embedding AS DOUBLE[])) AS v
+      SELECT vec_id, min(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END) AS v
       FROM embeddings WHERE vec_id >= 400 GROUP BY vec_id
     ), seed AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
@@ -1816,7 +1819,7 @@ def _pq_round_ctes(r: int) -> str:
 _PQ_ORACLE_PRELUDE = (
     """
     WITH corpus AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END AS v FROM embeddings
     ), seedv AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                 vec_id) - 1 AS code, v

@@ -113,10 +113,13 @@ def _orders_merged_snapshot(spark, sf_dir, purpose, commit=None):
       -- ntile keys cross-engine: quantifiable customers only
       HAVING CAST(sum({cents_sql('o_totalprice')}) AS BIGINT) IS NOT NULL
     ), scored AS (
+      -- NULLS FIRST: the ntile-key contract mirrors Spark's ascending
+      -- default (a NULL-key customer — null custkey / null last date —
+      -- ranks lowest); DuckDB defaults to NULLS LAST (sfnull class)
       SELECT ck, freq, cents,
-             ntile(4) OVER (ORDER BY last_order, ck) AS r_q,
-             ntile(4) OVER (ORDER BY freq, ck) AS f_q,
-             ntile(4) OVER (ORDER BY cents, ck) AS m_q
+             ntile(4) OVER (ORDER BY last_order NULLS FIRST, ck NULLS FIRST) AS r_q,
+             ntile(4) OVER (ORDER BY freq NULLS FIRST, ck NULLS FIRST) AS f_q,
+             ntile(4) OVER (ORDER BY cents NULLS FIRST, ck NULLS FIRST) AS m_q
       FROM per
     )
     SELECT r_q, f_q, m_q,
@@ -1215,13 +1218,18 @@ def table_time_travel_diff(spark, sf_dir):
     mt.write_snapshot(orders.filter(F.col("o_orderkey") % 3 != 0), table)
     mt.write_snapshot(orders, table)
 
-    v1 = mt.read_snapshot(spark, table, 1).groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("v1_rows")
-    )
+    v1 = mt.read_snapshot(spark, table, 1).groupBy(
+        F.col("o_orderpriority").alias("__p1")
+    ).agg(F.count(F.lit(1)).alias("v1_rows"))
     v2 = mt.read_snapshot(spark, table, 2).groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("v2_rows")
     )
-    return v2.join(v1, "o_orderpriority", "left").select(
+    # Null-SAFE version join: the NULL-priority group is a real group on
+    # both sides (GROUP BY keeps it), but a plain equi-join drops it and
+    # its v1 count reads as "all added" (sfnull class).
+    return v2.join(
+        v1, F.col("o_orderpriority").eqNullSafe(F.col("__p1")), "left"
+    ).select(
         "o_orderpriority",
         "v2_rows",
         F.coalesce("v1_rows", F.lit(0)).cast("long").alias("v1_rows"),
@@ -1399,7 +1407,13 @@ def props_json_extraction_stats(spark, sf_dir):
     "schema_drift_report",
     oracle="""
     SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
-                WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS schema_version,
+                WHEN o_orderkey % 2 = 0 THEN 1
+                -- a NULL field never lands in the row's JSON
+                -- (to_json(struct) drops nulls), so an odd-key row with
+                -- NULL priority presents the v1 KEY SET and stamps v1 —
+                -- the whole point of version-by-keyset (sfnull class)
+                WHEN o_orderpriority IS NULL THEN 1
+                ELSE 2 END AS schema_version,
            count(*) AS n_rows,
            round(sum(o_totalprice), 2) AS total_price,
            CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
@@ -2823,7 +2837,7 @@ def object_store_read_path(spark, sf_dir):
     WITH corpus AS (
       -- the engine side runs over embeddings ×3; min-per-id collapse
       -- makes that literally this single-copy corpus
-      SELECT vec_id, min(CAST(embedding AS DOUBLE[])) AS v
+      SELECT vec_id, min(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END) AS v
       FROM embeddings GROUP BY vec_id
     ), seed AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,

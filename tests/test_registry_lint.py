@@ -172,3 +172,36 @@ def test_measure_quantization_sites_carry_the_nan_guard():
         ):
             raw.append((f.name, m.group(0)[:70]))
     assert not raw, f"raw F.floor cents sites (use quantize.cents): {raw}"
+
+
+def test_embedding_casts_carry_the_completeness_guard():
+    """Every embedding cast in an oracle must be the rendered
+    ``_fragments.vec_sql`` guard: a bare ``CAST(embedding AS DOUBLE[])``
+    hands NULL components straight to ``list_dot_product``, which
+    hard-errors in DuckDB while Spark's lambda arithmetic
+    null-propagates silently — the sfnull corrupt-vector class.  The
+    guard is POSITIONAL: vec_sql renders "... THEN CAST(embedding AS
+    DOUBLE[]) END", so every cast must sit immediately after its own
+    THEN with the null-filter in the preceding window."""
+    from cryptocurrency_data_pipeline_spark.queries import ORACLES
+
+    offenders = {}
+    needle = "CAST(embedding AS DOUBLE[])"
+    for name, sql in ORACLES.items():
+        pos = 0
+        while True:
+            i = sql.find(needle, pos)
+            if i < 0:
+                break
+            before = sql[:i].rstrip()
+            window = sql[max(0, i - 120): i]
+            if not (
+                before.endswith("THEN")
+                and "list_filter(embedding, x -> x IS NULL)" in window
+            ):
+                offenders.setdefault(name, []).append(i)
+            pos = i + len(needle)
+    assert not offenders, (
+        f"unguarded embedding cast in oracles (use "
+        f"queries._fragments.vec_sql): {offenders}"
+    )
