@@ -2223,11 +2223,18 @@ def schema_evolution_read(spark, sf_dir):
     -- copies) keeps its raw insert/delete tags — the engine refuses to
     -- mis-pair rows a 1:1 pre/post consumer would misapply.
     upd AS (
+      -- STATE-DIFF contract: the feed is a version diff, so an update
+      -- whose postimage equals its preimage is invisible by
+      -- construction.  price_cents + 7 is a no-op exactly when
+      -- price_cents IS NULL (NULL + 7 = NULL — a swept NULL-price
+      -- order rewrites to identical content; sfmix class), so those
+      -- keys never enter the feed on either tag branch.
       SELECT price_cents,
              sum(count(*)) OVER (PARTITION BY o_orderkey) AS mk,
              count(*) AS m
       FROM snap
       WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+        AND price_cents IS NOT NULL
       GROUP BY o_orderkey, price_cents
     ),
     feed AS (
