@@ -27,6 +27,7 @@ from collections.abc import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 #: Sentinel for NULL timestamps crossing the Arrow/pandas boundary as
 #: int64 micros.  An int64 column WITH nulls falls back to float64 in
@@ -39,7 +40,6 @@ from pyspark.sql import DataFrame
 #: last); the max valid timestamp (9999-12-31) is ~2.5e17 micros,
 #: nowhere near 2^63-1, so the sentinel can never collide with data.
 NULL_TS_US = (1 << 63) - 1
-from pyspark.sql import functions as F
 
 
 def ewma_last_by_key(

@@ -66,10 +66,18 @@ def fold_lower(col: str | Column) -> Column:
 
     Every other code point lowers via the same UnicodeData simple map
     in both engines.  Oracle mirror:
-    ``queries/_fragments.py:fold_lower_sql`` — the same
-    replace-lower-replace sandwich, pinned by the sfuni parity gate."""
+    ``queries/_fragments.py:fold_lower_sql`` — a replace-lower-replace
+    sandwich, pinned by the sfuni parity gate.
+
+    Engine-side this is ONE pre-lower translate, not the sandwich: Σ is
+    the only code point Java lowers to ς (Final_Sigma) and nothing else
+    lowers to İ/Σ/ς, so mapping all three before ``lower`` is exactly
+    equivalent to İ-pre + ς-post — and saves a full O(n) pass over
+    every tokenized string (the r12 two-translate form cost ×1.3–1.55
+    on the text family; A/B in BASELINE.md r13).  Equivalence is pinned
+    point-by-point in tests/test_query_uni_parity.py."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.translate(F.lower(F.translate(c, "İ", "I")), "ς", "σ")
+    return F.lower(F.translate(c, "İΣς", "Iσσ"))
 
 
 def fold_lower_py(s: str) -> str:

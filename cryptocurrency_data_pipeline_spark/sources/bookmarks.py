@@ -13,9 +13,18 @@ plain-batch jobs that need resumability without a streaming runtime.
 from __future__ import annotations
 
 import os
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Paths per anti-join chunk.  The walk streams; the driver holds at most
+#: one chunk of candidate paths plus the (bounded) fresh batch at a time,
+#: so a million-file backlog costs O(chunk + batch) driver memory, never
+#: a million-entry list.  20k paths is ~2 MB and keeps the per-chunk
+#: Spark job count low (a fully-fresh million-file backlog with the
+#: default 100k batch stops after ~6 chunks).
+_CHUNK_FILES = 20_000
 
 
 def _ledger(spark: SparkSession, ledger_path: str) -> DataFrame | None:
@@ -34,6 +43,112 @@ def _ledger(spark: SparkSession, ledger_path: str) -> DataFrame | None:
         raise
 
 
+def _walk_lex(input_dir: str) -> Iterator[str]:
+    """Stream file paths under ``input_dir`` in EXACT global
+    string-lexicographic order, lazily (one directory's entries in
+    memory at a time — never the whole tree).
+
+    The order matters twice: (a) deterministic oldest-first draining for
+    date-partitioned layouts, and (b) it is what makes the bounded batch
+    correct with an early-stopped walk — the first N fresh paths
+    encountered ARE the N lexicographically-smallest fresh paths, so no
+    global sort (and no full listing) is ever needed.
+
+    Within a directory, a subdirectory named ``a`` sorts as ``a/``
+    (its descendants all share that prefix) while a file sorts as its
+    bare name — so ``a.txt`` (0x2E) correctly precedes everything under
+    ``a/`` (0x2F), matching plain string comparison of the full paths.
+
+    Hidden/underscore entries are pruned at every level: a concurrent
+    Spark writer's in-flight rows live under _temporary/.staging, and
+    their part-file basenames pass the name check — ingesting them
+    reads torn files AND double-processes the data when the writer
+    commits it to its final (different-path) location.
+    """
+    entries: list[tuple[str, str, bool]] = []
+    try:
+        with os.scandir(input_dir) as it:
+            for e in it:
+                if e.name.startswith((".", "_")):
+                    continue
+                is_dir = e.is_dir(follow_symlinks=False)
+                entries.append(
+                    (e.name + ("/" if is_dir else ""), e.path, is_dir)
+                )
+    except FileNotFoundError:
+        return
+    entries.sort()
+    for _, path, is_dir in entries:
+        if is_dir:
+            yield from _walk_lex(path)
+        else:
+            yield path
+
+
+def new_files_batch(
+    spark: SparkSession,
+    input_dir: str,
+    ledger_path: str,
+    max_batch_files: int = 100_000,
+    chunk_files: int = _CHUNK_FILES,
+) -> tuple[list[str], bool]:
+    """(next batch of unprocessed paths, has_more backlog flag).
+
+    The batch is the lexicographically-smallest ``max_batch_files``
+    paths under ``input_dir`` not yet in the ledger; ``has_more`` is
+    True iff at least one further fresh path remains after this batch
+    (detected by finding ``max_batch_files + 1`` fresh paths before
+    stopping), so a single-pass caller can tell a drained source from a
+    partial batch without a second listing.
+
+    Driver memory is bounded at O(chunk_files + max_batch_files): the
+    walk streams (``_walk_lex``), candidates are anti-joined against
+    the ledger one chunk at a time (the ledger side stays in Spark and
+    may grow unbounded), and the walk STOPS as soon as the batch is
+    overfull — a million-file backlog with the default cap touches
+    ~120k paths, not a million.  A backlogged source is drained in
+    deterministic lexicographic batches (date-partitioned layouts sort
+    chronologically, so oldest data drains first): each committed batch
+    shrinks the next anti-join, and loop-until-empty converges.  The
+    bounded batch also bounds the process-then-commit unit — one
+    failure reprocesses one batch under the at-least-once contract,
+    never the whole backlog.
+    """
+    if max_batch_files < 1:
+        raise ValueError("need max_batch_files >= 1")
+    if chunk_files < 1:
+        raise ValueError("need chunk_files >= 1")
+    ledger = _ledger(spark, ledger_path)
+
+    def fresh_of(chunk: list[str]) -> list[str]:
+        if ledger is None:
+            return chunk
+        df = spark.createDataFrame([(p,) for p in chunk], "path string")
+        # Sort driver-side (a chunk is small by construction): collect()
+        # after a shuffle does not preserve order, but chunks are
+        # consecutive lexicographic ranges, so per-chunk sorting restores
+        # the global order.
+        return sorted(
+            r.path for r in df.join(ledger, "path", "left_anti").collect()
+        )
+
+    fresh: list[str] = []
+    chunk: list[str] = []
+    exhausted = True
+    for path in _walk_lex(input_dir):
+        chunk.append(path)
+        if len(chunk) >= chunk_files:
+            fresh.extend(fresh_of(chunk))
+            chunk = []
+            if len(fresh) > max_batch_files:
+                exhausted = False
+                break
+    if exhausted and chunk:
+        fresh.extend(fresh_of(chunk))
+    has_more = len(fresh) > max_batch_files
+    return fresh[:max_batch_files], has_more
+
+
 def new_files(
     spark: SparkSession,
     input_dir: str,
@@ -41,46 +156,13 @@ def new_files(
     max_batch_files: int = 100_000,
 ) -> list[str]:
     """Paths under ``input_dir`` not yet recorded in the ledger, at most
-    ``max_batch_files`` of them.
+    ``max_batch_files`` of them (lexicographically smallest first).
 
-    The listing is driver-side (os.walk) — file *names* are metadata, not
-    data; even a million-file listing is MBs.  The anti-join against the
-    ledger runs in Spark so the ledger itself can grow unbounded.
-
-    The RETURNED batch is bounded: a backlogged source (an outage, a
-    bulk backfill) can hold millions of fresh paths, and collecting them
-    all would put an unbounded list on the driver AND make the single
-    process-then-commit unit arbitrarily large — one failure reprocesses
-    the whole backlog under the at-least-once contract.  Instead the
-    fresh set is drained in deterministic lexicographic batches
-    (date-partitioned layouts sort chronologically, so oldest data
-    drains first); callers already loop ``read_incremental``/``commit``
-    until the batch comes back empty, and each committed batch shrinks
-    the next anti-join.  The cap is a TakeOrderedAndProject in-plan —
-    the full fresh set is never materialized on the driver.
+    Thin wrapper over ``new_files_batch`` for callers that loop
+    until-empty and do not need the backlog flag; see it for the
+    bounded-memory and bounded-batch contract.
     """
-    if max_batch_files < 1:
-        raise ValueError("need max_batch_files >= 1")
-    listed = []
-    for root, dirs, files in os.walk(input_dir):
-        # Prune hidden/underscore DIRECTORIES too: a concurrent Spark
-        # writer's in-flight rows live under _temporary/.staging, and
-        # their part-file basenames pass the name check — ingesting them
-        # reads torn files AND double-processes the data when the writer
-        # commits it to its final (different-path) location.
-        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
-        for f in sorted(files):
-            if not f.startswith((".", "_")):
-                listed.append(os.path.join(root, f))
-    if not listed:
-        return []
-    listed_df = spark.createDataFrame([(p,) for p in listed], "path string")
-    ledger = _ledger(spark, ledger_path)
-    if ledger is None:
-        fresh = listed_df
-    else:
-        fresh = listed_df.join(ledger, "path", "left_anti")
-    return [r.path for r in fresh.orderBy("path").limit(max_batch_files).collect()]
+    return new_files_batch(spark, input_dir, ledger_path, max_batch_files)[0]
 
 
 def commit(spark: SparkSession, paths: list[str], ledger_path: str) -> None:
@@ -94,14 +176,27 @@ def commit(spark: SparkSession, paths: list[str], ledger_path: str) -> None:
 
 
 def read_incremental(
-    spark: SparkSession, input_dir: str, ledger_path: str, fmt: str = "json"
-) -> tuple[DataFrame | None, list[str]]:
-    """(new-data DataFrame | None, the file batch to commit after success).
+    spark: SparkSession,
+    input_dir: str,
+    ledger_path: str,
+    fmt: str = "json",
+    max_batch_files: int = 100_000,
+) -> tuple[DataFrame | None, list[str], bool]:
+    """(new-data DataFrame | None, file batch to commit, has_more flag).
 
     Caller processes the frame, then calls ``commit`` — commit-after-write
     gives at-least-once (same as Glue bookmarks on job failure).
+
+    The batch is BOUNDED at ``max_batch_files`` (see ``new_files_batch``):
+    one call is one bounded unit of work, not "everything outstanding".
+    ``has_more`` is True when a further backlog remains after this batch —
+    loop ``read_incremental``/``commit`` until it comes back False (or the
+    frame comes back None); a single-pass caller that ignores it on a
+    backlogged source has synced only the oldest ``max_batch_files`` files.
     """
-    batch = new_files(spark, input_dir, ledger_path)
+    batch, has_more = new_files_batch(
+        spark, input_dir, ledger_path, max_batch_files
+    )
     if not batch:
-        return None, []
-    return spark.read.format(fmt).load(batch), batch
+        return None, [], False
+    return spark.read.format(fmt).load(batch), batch, has_more

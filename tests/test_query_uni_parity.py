@@ -131,6 +131,39 @@ def test_fold_lower_two_point_contract(spark):
     assert duck == expected
 
 
+def test_fold_lower_single_translate_equals_sandwich(spark):
+    """The r13 one-pass form lower(translate(c,'İΣς','Iσσ')) must equal
+    the r12 sandwich translate(lower(translate(c,'İ','I')),'ς','σ') on
+    every adversarial shape: Σ word-final (Final_Sigma), Σ mid-word,
+    pre-existing ς, İ, combining dot U+0307 in real text, and plain
+    ASCII.  Valid because Σ is the ONLY code point Java lowers to ς and
+    nothing lowers to İ/Σ/ς — if a future Unicode update broke that,
+    this test breaks first."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("ΟΔΟΣ",),              # final sigma: Java lower → ς
+        ("ΣΟΦΟΣ ΣΟΦΙΑ",),       # final + initial Σ
+        ("Σ",),                  # lone Σ (Final_Sigma false: no before)
+        ("abcΣ1",),              # Σ before a digit (cased-before, not after)
+        ("ς σ Σ",),              # all three sigmas
+        ("İstanbul i̇ I",),  # İ + literal i-with-combining-dot
+        ("plain ascii TEXT",),
+        ("",),
+        (None,),
+    ]
+    df = spark.createDataFrame(cases, "text string")
+    sandwich = F.translate(
+        F.lower(F.translate(F.col("text"), "İ", "I")), "ς", "σ"
+    )
+    single = F.lower(F.translate(F.col("text"), "İΣς", "Iσσ"))
+    rows = df.select(
+        single.alias("one_pass"), sandwich.alias("sandwich")
+    ).collect()
+    for r in rows:
+        assert r.one_pass == r.sandwich, (r.one_pass, r.sandwich)
+
+
 def test_simhash_tokenizes_on_ascii_ws_only(spark):
     """NBSP / NEL / U+2028 are NOT token separators (engine-wide ASCII
     WS_CLASS contract): a doc whose words are joined by unicode

@@ -48,19 +48,20 @@ def test_bookmark_incremental_reads(spark, tmp_path):
     (tmp_path / "in").mkdir()
     (tmp_path / "in" / "f1.json").write_text(json.dumps({"a": 1}) + "\n")
 
-    df, batch = bookmarks.read_incremental(spark, src, ledger)
-    assert df.count() == 1 and len(batch) == 1
+    df, batch, more = bookmarks.read_incremental(spark, src, ledger)
+    assert df.count() == 1 and len(batch) == 1 and more is False
     bookmarks.commit(spark, batch, ledger)
 
     # Nothing new → no work.
-    df2, batch2 = bookmarks.read_incremental(spark, src, ledger)
-    assert df2 is None and batch2 == []
+    df2, batch2, more2 = bookmarks.read_incremental(spark, src, ledger)
+    assert df2 is None and batch2 == [] and more2 is False
 
     # New file arrives → only it is read.
     (tmp_path / "in" / "f2.json").write_text(json.dumps({"a": 2}) + "\n")
-    df3, batch3 = bookmarks.read_incremental(spark, src, ledger)
+    df3, batch3, more3 = bookmarks.read_incremental(spark, src, ledger)
     assert df3.count() == 1
     assert batch3 == [str(tmp_path / "in" / "f2.json")]
+    assert more3 is False
 
 
 def test_sql_views_surface(spark):
@@ -246,3 +247,83 @@ def test_new_files_batch_is_bounded_and_drains(spark, tmp_path):
 
     with pytest.raises(ValueError, match="max_batch_files"):
         bookmarks.new_files(spark, str(src), ledger, max_batch_files=0)
+
+
+def test_new_files_listing_is_streamed_and_early_stopped(spark, tmp_path):
+    """The driver never materializes the full backlog listing: the walk
+    streams lazily and STOPS once the batch is overfull.  With 500
+    fresh files, a 10-file batch at chunk_files=10 must touch ~21 paths
+    (two chunks to detect has_more), not all 500 — the bounded-memory
+    contract that makes a million-file backlog safe on the driver."""
+    from cryptocurrency_data_pipeline_spark.sources import bookmarks
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(500):
+        (src / f"f{i:04d}.json").write_text("{}\n")
+    ledger = str(tmp_path / "ledger")
+
+    walked: list[str] = []
+    real_walk = bookmarks._walk_lex
+
+    def counting_walk(d):
+        for p in real_walk(d):
+            walked.append(p)
+            yield p
+
+    orig = bookmarks._walk_lex
+    bookmarks._walk_lex = counting_walk
+    try:
+        batch, has_more = bookmarks.new_files_batch(
+            spark, str(src), ledger, max_batch_files=10, chunk_files=10
+        )
+    finally:
+        bookmarks._walk_lex = orig
+
+    assert len(batch) == 10 and has_more is True
+    assert batch == [str(src / f"f{i:04d}.json") for i in range(10)]
+    # Early stop: 10 (first chunk) + 10 (second chunk proves has_more);
+    # the remaining 480 paths were never listed.
+    assert len(walked) <= 20
+
+    # Drain-to-empty still converges and flags the last batch correctly.
+    bookmarks.commit(spark, batch, ledger)
+    seen = set(batch)
+    while has_more:
+        batch, has_more = bookmarks.new_files_batch(
+            spark, str(src), ledger, max_batch_files=128, chunk_files=32
+        )
+        assert not set(batch) & seen
+        seen |= set(batch)
+        bookmarks.commit(spark, batch, ledger)
+    assert len(seen) == 500
+    assert bookmarks.new_files(spark, str(src), ledger) == []
+
+
+def test_walk_lex_exact_string_order_across_nesting(tmp_path):
+    """_walk_lex must yield EXACT string-lexicographic order even in the
+    dir-vs-file prefix corner: 'a.txt' (0x2E) sorts before 'a/x' (0x2F),
+    and a subdirectory's descendants interleave with sibling files by
+    full-path comparison — the property that makes the early-stopped
+    batch equal the old global orderBy(path).limit(n) result."""
+    from cryptocurrency_data_pipeline_spark.sources import bookmarks
+
+    root = tmp_path / "in"
+    (root / "a").mkdir(parents=True)
+    (root / "a" / "x.json").write_text("{}")
+    (root / "a.txt").write_text("{}")
+    (root / "a0").mkdir()  # '0' (0x30) > '/' (0x2F): after a/ descendants
+    (root / "a0" / "y.json").write_text("{}")
+    (root / "b.json").write_text("{}")
+    (root / "_staging").mkdir()
+    (root / "_staging" / "part-0.json").write_text("{}")
+    (root / ".hidden.json").write_text("{}")
+
+    got = list(bookmarks._walk_lex(str(root)))
+    assert got == sorted(got)  # exact global string order
+    assert got == [
+        str(root / "a.txt"),
+        str(root / "a" / "x.json"),
+        str(root / "a0" / "y.json"),
+        str(root / "b.json"),
+    ]

@@ -5,7 +5,7 @@ generator (so the matrix never runs on a stale /tmp dir) and runs
 ``tools/check_oracle.py`` over all registered queries at each point,
 printing one tally line per point and a final matrix summary.  Any
 mismatch drops full failure artifacts via check_oracle's artifact
-capture (SPARK_GRAFT_ARTIFACT_DIR to redirect).
+capture (SPARK_GRAFT_ARTIFACTS to redirect).
 
 Each point runs in a FRESH subprocess: one JVM per point costs ~6 s
 but guarantees no cross-point session-state bleed (the same isolation
