@@ -27,9 +27,13 @@ Spark shape, stage by stage:
   (``is_kept``) or audit per-cluster retention.
 
 At 100 TB: driver state is O(nlist x dim) literals (same regime as the
-bloom bitset and k-means centers); cluster sizes are an nlist tuning knob
-exactly as IVF list lengths are; nothing materializes the cross-corpus
-pair space.
+bloom bitset and k-means centers); nothing materializes the cross-corpus
+pair space.  ``nlist`` AUTO-SCALES with the corpus by default
+(:func:`auto_nlist`: ceil(n/256) clamped to [8, 256]) — with any fixed
+nlist the per-cluster row count grows with n, the pair space grows
+n^2/nlist, and the cluster-keyed shuffle is stuck at nlist keys; the r13
+slope instrument measured exactly that (x23 wall-time at x10 data) and
+bounding cluster size restored a linear profile (x4.4, see BASELINE.md).
 
 Reference counterpart: none (the Glue jobs do no ML); extends the
 dedup family (exact / MinHash / SimHash / winnowing / substring) with the
@@ -103,9 +107,42 @@ def _normalized_assignment(
     )
 
 
+#: Auto-nlist targets: keep coarse clusters near this many rows.  The
+#: within-cluster pair space is n x cluster_size / 2, so a FIXED nlist
+#: makes SemDeDup quadratic in corpus size (the r13 slope instrument
+#: measured x23 at 10x data under the old nlist=8 default: x100 pairs
+#: on 8 shuffle keys) — bounding cluster size makes it linear and keeps
+#: the cluster-keyed shuffle's parallelism growing with the data.
+TARGET_CLUSTER_ROWS = 256
+
+#: Auto-nlist ceiling: ``assign_clusters`` folds centers into the plan
+#: as literals (O(nlist x dim) expression nodes), which is the fastest
+#: assignment up to a few hundred centers and the wrong tool beyond.
+#: 256 centers x 64 dims is ~16k nodes — fine; past the cap (≈ 65k rows
+#: at the default target) pass ``nlist`` explicitly or assign via the
+#: Arrow-batched IVF probe path (``similarity``'s numpy matmul).
+AUTO_NLIST_CAP = 256
+
+
+def auto_nlist(
+    n_complete: int,
+    target_rows: int = TARGET_CLUSTER_ROWS,
+    floor: int = 8,
+    cap: int = AUTO_NLIST_CAP,
+) -> int:
+    """Cluster count for ``n_complete`` vectors: ceil(n/target), clamped
+    to [floor, cap].  Oracle mirror (pinned by the sf0.01 parity gate):
+    ``greatest(floor, least(cap, ceil(count(v) / target)))``."""
+    import math
+
+    if n_complete <= 0:
+        return floor
+    return max(floor, min(cap, math.ceil(n_complete / target_rows)))
+
+
 def semantic_dedup(
     corpus: DataFrame,
-    nlist: int = 8,
+    nlist: int | None = None,
     tau: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -117,6 +154,14 @@ def semantic_dedup(
     has cosine similarity >= ``tau``.  Deterministic end to end (md5
     seeds, lowest-id exemplars); filter on ``is_kept`` for the deduped
     corpus or aggregate per cluster for a retention audit.
+
+    ``nlist=None`` (default) auto-scales the cluster count to the corpus
+    (:func:`auto_nlist`): one extra count() of complete vectors buys a
+    pair space that stays LINEAR in corpus size — with any fixed nlist
+    the per-cluster row count grows with n and the pair space grows
+    n^2/nlist (measured: x23 wall-time at 10x data under the old fixed
+    default).  Pass an explicit ``nlist`` to pin the quantizer (e.g. to
+    reuse assignments across runs, or past the folded-literal cap).
 
     Exactly one output row per distinct id: duplicated-id inputs are
     collapsed first (:func:`_one_row_per_id`), so the seed sample, the
@@ -131,6 +176,18 @@ def semantic_dedup(
     """
     if not assume_unique_ids:
         corpus = _one_row_per_id(corpus, id_col, vec_col)
+    if nlist is None:
+        # Count COMPLETE vectors post-collapse — the same population the
+        # seed sample draws from (and the oracle's count(v), since its
+        # corpus CTE nulls incomplete vectors).  One cheap count() scan.
+        from cryptocurrency_data_pipeline_spark.operators.similarity import (
+            as_double,
+        )
+
+        n_complete = corpus.where(
+            as_double(F.col(vec_col)).isNotNull()
+        ).count()
+        nlist = auto_nlist(n_complete)
     seeds = ivf_centroids(corpus, nlist=nlist, id_col=id_col, vec_col=vec_col)
     centers = sorted((r.centroid_id, list(r.centroid)) for r in seeds.collect())
     # Three consumers (both pair sides + the flag join) would each rescan
@@ -176,7 +233,7 @@ def semantic_dedup(
 def semantic_dedup_incremental(
     existing: DataFrame,
     batch: DataFrame,
-    nlist: int = 8,
+    nlist: int | None = None,
     tau: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -215,6 +272,17 @@ def semantic_dedup_incremental(
     if not assume_unique_ids:
         existing = _one_row_per_id(existing, id_col, vec_col)
         batch = _one_row_per_id(batch, id_col, vec_col)
+    if nlist is None:
+        # Auto-scale to the EXISTING corpus (the quantizer's training
+        # set): same linear-pair-space rationale as semantic_dedup.
+        from cryptocurrency_data_pipeline_spark.operators.similarity import (
+            as_double,
+        )
+
+        n_complete = existing.where(
+            as_double(F.col(vec_col)).isNotNull()
+        ).count()
+        nlist = auto_nlist(n_complete)
     seeds = ivf_centroids(existing, nlist=nlist, id_col=id_col, vec_col=vec_col)
     centers = sorted((r.centroid_id, list(r.centroid)) for r in seeds.collect())
     ex = _normalized_assignment(existing, centers, id_col, vec_col)

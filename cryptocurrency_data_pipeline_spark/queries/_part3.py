@@ -43,10 +43,17 @@ from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa
       -- row per id, so duplicated vec_id inputs collapse identically
       SELECT vec_id, min(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END) AS v
       FROM embeddings GROUP BY vec_id
+    ), nl AS (
+      -- mirrors semdedup.auto_nlist: ceil(complete-vectors / 256),
+      -- clamped to [8, 256] (count(v) skips the nulled incomplete rows)
+      SELECT greatest(8, least(256, CAST(ceil(count(v) / 256.0) AS INT))) AS k
+      FROM corpus
     ), seed AS (
-      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
-             v AS c
-      FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+      SELECT cid, c FROM (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+               v AS c
+        FROM corpus)
+      WHERE cid <= (SELECT k FROM nl)
     ), d0 AS (
       SELECT a.vec_id, a.v, s.cid,
              list_aggregate(list_transform(generate_series(1, len(a.v)),
@@ -81,7 +88,7 @@ def semantic_dedup_keep(spark, sf_dir):
     """Per-cluster SemDeDup retention audit over the embeddings table."""
     from cryptocurrency_data_pipeline_spark.operators.semdedup import semantic_dedup
 
-    flags = semantic_dedup(t(spark, sf_dir, "embeddings"), nlist=8, tau=0.45)
+    flags = semantic_dedup(t(spark, sf_dir, "embeddings"), tau=0.45)
     return flags.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).cast("long").alias("n_kept"),

@@ -132,3 +132,38 @@ def test_incremental_existing_rows_never_flagged(spark):
     out = semantic_dedup_incremental(existing, batch, nlist=2, tau=0.99)
     # output contains batch ids only
     assert sorted(r.vec_id for r in out.collect()) == [10]
+
+
+def test_auto_nlist_scales_linearly_with_corpus():
+    """The pair space is n x cluster_size / 2, so cluster count must grow
+    with the corpus: ceil(n/256) clamped to [8, 256].  A fixed nlist is
+    the r13-measured quadratic (x23 wall at x10 data)."""
+    from cryptocurrency_data_pipeline_spark.operators.semdedup import (
+        auto_nlist,
+    )
+
+    assert auto_nlist(0) == 8          # empty corpus: floor
+    assert auto_nlist(200) == 8        # sf0.01: unchanged vs the old pin
+    assert auto_nlist(2_000) == 8      # sf0.1 bench point: unchanged
+    assert auto_nlist(20_000) == 79    # the 10x slope point
+    assert auto_nlist(256 * 256) == 256
+    assert auto_nlist(10_000_000) == 256  # cap: folded-literal regime
+    assert auto_nlist(2_000, target_rows=100) == 20
+
+
+def test_auto_nlist_default_matches_explicit_at_small_n(spark):
+    """At n <= 2048 complete vectors the auto default resolves to the old
+    nlist=8 pin, so results are IDENTICAL — the invariant that keeps
+    every existing scale-point oracle green after the default change.
+    Incomplete (NULL-component) vectors must not count: they cannot
+    seed a centroid on either engine."""
+    from cryptocurrency_data_pipeline_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+
+    rows = [(i, [float(i % 7), 1.0]) for i in range(40)]
+    rows.append((99, [None, 1.0]))  # incomplete: excluded from the count
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto = semantic_dedup(df, tau=0.9).orderBy("vec_id").collect()
+    pinned = semantic_dedup(df, nlist=8, tau=0.9).orderBy("vec_id").collect()
+    assert [tuple(r) for r in auto] == [tuple(r) for r in pinned]
