@@ -258,7 +258,14 @@ def semantic_dedup_incremental(
 
     Cost shape: existing x batch and batch x batch pairs, BOTH bounded by
     the shared cluster key — one equi-join shuffle each, never corpus x
-    batch all-pairs.  The existing side is assigned fresh here; a real
+    batch all-pairs.  The auto cluster count is keyed to the EXISTING
+    corpus (the quantizer's training set), so the batch x batch half is
+    linear only while batches stay O(existing) — the steady-state
+    contract.  A batch that DWARFS the corpus packs clusters sized for
+    the small existing set (the r13 slope instrument read x12 on a
+    400-row corpus with a 19,600-row batch); when the batch outgrows
+    the corpus, run full :func:`semantic_dedup` instead — the same
+    retrain-when-doubled discipline as any production IVF index.  The existing side is assigned fresh here; a real
     deployment persists its normalized assignment alongside the corpus
     and feeds it back, paying only the (small) batch assignment per
     increment.

@@ -1366,33 +1366,113 @@ def embedding_near_dups(spark, sf_dir):
     """,
 )
 def doc_nearest_ngram(spark, sf_dir):
-    from cryptocurrency_data_pipeline_spark.operators import dedup as dd
+    """Exact Jaccard 1-NN within (lang, size-bucket) blocks.
+
+    r13 REWRITE — same result, sub-block cost.  The original engine plan
+    was the oracle's literal all-pairs block join; block membership
+    grows with the corpus, so it was O(n²/blocks) BY SHAPE (the slope
+    instrument measured x64 at 10x data: 14 s → 907 s).  The rewrite is
+    the sparse set-similarity identity: any pair with Jaccard > 0
+    shares a shingle, so
+
+    * CANDIDATES come from a shingle-inverted-index self-equi-join on
+      (shingle, lang, sz) — one shuffle, cost proportional to shingle
+      co-occurrence (sum over shingles of df², the sparse-join bound),
+      never block²; |A ∩ B| is the pair's co-occurrence COUNT and
+      |A ∪ B| = |A| + |B| − |A ∩ B|, an integer identity, so the
+      division reproduces dedup.jaccard's double bit-for-bit;
+    * the ZERO-SIM tail (a doc whose best block peer shares nothing —
+      the all-pairs rank still emits it with sim 0 and the LOWEST
+      peer id) is reconstructed from the two smallest distinct doc_ids
+      per block (one windowed top-2 over the tiny distinct-id frame)
+      and anti-joined against docs that found a candidate.
+
+    Duplicated-id semantics match the oracle's row-level scoring:
+    exact-duplicate input rows collapse first (a no-op outside the
+    sfdup class; the all-pairs rank was invariant to exact copies), and
+    same-id-different-text variants keep distinct rows via a text
+    fingerprint in the group key, competing in one per-doc_id rank
+    exactly as their separate all-pairs rows did."""
     from cryptocurrency_data_pipeline_spark.operators import text as textops
 
     docs = (
         t(spark, sf_dir, "documents")
+        # exact-duplicate rows collapse (rank-invariant; sfdup class)
+        .dropDuplicates(["doc_id", "text", "lang", "n_chars"])
         .withColumn("__toks", textops.tokens("text"))  # staged: see shingles()
         # < 3 tokens -> no shingles -> no n-gram identity; excluded on
         # both sides (pairing two empty sets is an undefined 0/0 Jaccard)
         .where(F.size("__toks") >= 3)
         .select(
-            "doc_id", "lang", (F.col("n_chars") / 25).cast("long").alias("sz"),
+            "doc_id",
+            # row key separating same-id-different-text variants in the
+            # candidate group; a 64-bit hash keeps shuffle rows light
+            # (collision needs same doc_id AND a 2^-64 hash collision)
+            F.xxhash64("text").alias("rk"),
+            "lang",
+            (F.col("n_chars") / 25).cast("long").alias("sz"),
             F.array_distinct(textops.shingles(toks=F.col("__toks"), n=3)).alias("s"),
         )
+        .withColumn("n_s", F.size("s"))
     )
-    a = docs.select(
-        F.col("doc_id"), F.col("lang"), F.col("sz"), F.col("s").alias("a_s")
+    ex = docs.select(
+        "doc_id", "rk", "lang", "sz", "n_s", F.explode("s").alias("sh")
     )
-    b = docs.select(
-        F.col("doc_id").alias("nbr_id"), F.col("lang").alias("b_lang"),
-        F.col("sz").alias("b_sz"), F.col("s").alias("b_s"),
+    b = ex.select(
+        F.col("sh").alias("b_sh"), F.col("lang").alias("b_lang"),
+        F.col("sz").alias("b_sz"), F.col("doc_id").alias("nbr_id"),
+        F.col("rk").alias("b_rk"), F.col("n_s").alias("b_n_s"),
     )
-    pairs = a.join(
-        b,
-        (F.col("lang") == F.col("b_lang"))
-        & (F.col("sz") == F.col("b_sz"))
-        & (F.col("doc_id") != F.col("nbr_id")),
-    ).select("doc_id", "nbr_id", dd.jaccard(F.col("a_s"), F.col("b_s")).alias("sim"))
+    cand = (
+        ex.join(
+            b,
+            (F.col("sh") == F.col("b_sh"))
+            & (F.col("lang") == F.col("b_lang"))
+            & (F.col("sz") == F.col("b_sz"))
+            & (F.col("doc_id") != F.col("nbr_id")),
+        )
+        .groupBy("doc_id", "rk", "n_s", "nbr_id", "b_rk", "b_n_s")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        # |A∪B| = |A|+|B|−|A∩B|; int sizes, so inter/union is the exact
+        # double dedup.jaccard computes from array_intersect/array_union
+        .withColumn(
+            "sim",
+            F.col("inter") / (F.col("n_s") + F.col("b_n_s") - F.col("inter")),
+        )
+    )
+    # zero-sim tail: two smallest DISTINCT doc ids per block cover the
+    # "nearest is sim 0, lowest id" rows the all-pairs rank emitted
+    ids = docs.select("lang", "sz", "doc_id").dropDuplicates()
+    w2 = Window.partitionBy("lang", "sz").orderBy("doc_id")
+    two = (
+        ids.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= 2)
+        .groupBy("lang", "sz")
+        .agg(
+            F.min("doc_id").alias("m1"),
+            F.max("doc_id").alias("m2"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    fb = (
+        ids.join(two, ["lang", "sz"])
+        .where(F.col("k") >= 2)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") == F.col("m1"), F.col("m2"))
+            .otherwise(F.col("m1"))
+            .alias("nbr_id"),
+            F.lit(0.0).alias("sim"),
+        )
+        .join(cand.select("doc_id").dropDuplicates(), "doc_id", "left_anti")
+        # a doc_id's variant rows can sit in different blocks: keep the
+        # lowest fallback peer across them (all sims are 0.0)
+        .groupBy("doc_id")
+        .agg(F.min("nbr_id").alias("nbr_id"), F.min("sim").alias("sim"))
+    )
+    pairs = cand.select("doc_id", "nbr_id", "sim").unionByName(
+        fb.select("doc_id", "nbr_id", "sim")
+    )
     w = Window.partitionBy("doc_id").orderBy(F.col("sim").desc(), F.col("nbr_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))

@@ -564,10 +564,16 @@ def k_anonymity_audit(spark, sf_dir):
     ), nw AS (
       SELECT vec_id, min(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END) AS v
       FROM embeddings WHERE vec_id >= 400 GROUP BY vec_id
+    ), nl AS (
+      -- mirrors semdedup.auto_nlist over the EXISTING (quantizer) side
+      SELECT greatest(8, least(256, CAST(ceil(count(v) / 256.0) AS INT))) AS k
+      FROM ex
     ), seed AS (
-      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
-             v AS c
-      FROM ex ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+      SELECT cid, c FROM (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+               v AS c
+        FROM ex)
+      WHERE cid <= (SELECT k FROM nl)
     ), exd AS (
       SELECT a.vec_id, a.v, s.cid,
              list_aggregate(list_transform(generate_series(1, len(a.v)),
@@ -627,7 +633,6 @@ def semantic_dedup_incremental(spark, sf_dir):
     flags = _inc(
         emb.filter(F.col("vec_id") < 400),
         emb.filter(F.col("vec_id") >= 400),
-        nlist=8,
         tau=0.45,
     )
     one = F.lit(1)

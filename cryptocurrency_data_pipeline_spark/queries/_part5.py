@@ -2846,10 +2846,18 @@ def object_store_read_path(spark, sf_dir):
       -- makes that literally this single-copy corpus
       SELECT vec_id, min(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END) AS v
       FROM embeddings GROUP BY vec_id
+    ), nl AS (
+      -- auto_nlist over the POST-COLLAPSE corpus: the tripled engine
+      -- input collapses to these exact rows, so the auto cluster count
+      -- is itself duplication-invariant
+      SELECT greatest(8, least(256, CAST(ceil(count(v) / 256.0) AS INT))) AS k
+      FROM corpus
     ), seed AS (
-      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
-             v AS c
-      FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+      SELECT cid, c FROM (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+               v AS c
+        FROM corpus)
+      WHERE cid <= (SELECT k FROM nl)
     ), d0 AS (
       SELECT a.vec_id, a.v, s.cid,
              list_aggregate(list_transform(generate_series(1, len(a.v)),
@@ -2885,7 +2893,10 @@ def semantic_dedup_dup_invariance(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     tripled = emb.unionByName(emb).unionByName(emb)
-    flags = semantic_dedup(tripled, nlist=8, tau=0.45)
+    # auto-nlist counts POST-collapse distinct complete ids, so the
+    # tripled corpus resolves to the same cluster count as one copy —
+    # the auto default is itself part of the invariance contract
+    flags = semantic_dedup(tripled, tau=0.45)
     return flags.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
@@ -3199,4 +3210,72 @@ def numeric_extremes_invariance(spark, sf_dir):
         .alias("band"),
         F.row_number().over(w_rank).alias("rank_pos"),
         F.count(F.lit(1)).over(w_grp).alias("n_same_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema-drift invariance, IN-QUERY (round 13): the sfdrift scale point
+# lives in tools/make_drift_sf.py and its pinned gate
+# (tests/test_query_drift_parity.py), but the driver only replays
+# sf0.01 — so this query builds a REAL drifted parquet directory per
+# run (three writers: missing-column / full / reversed-column-order
+# parts, under a fresh mkdtemp) and reads it back through the
+# engine's drift-tolerant scan (sources/tables.py:read_drifted,
+# mergeSchema).  The oracle carries the expected union-by-name
+# semantics as VALUES — so every driver window re-asserts that the
+# multi-file seam aligns columns BY NAME and NULL-fills pre-drift
+# rows, without the oracle needing filesystem access.  The write is
+# O(rows-embedded) and leaks one ~KB tmp dir per run (mkdtemp: safe
+# under concurrent harnesses).
+# --------------------------------------------------------------------------
+
+@query(
+    "schema_drift_invariance",
+    oracle="""
+    WITH merged(id, a, b) AS (VALUES
+      (1, 10.0, NULL), (2, 20.5, NULL),
+      (3, 30.0, 'x'),  (4, 40.0, 'y'),
+      (5, 50.25, 'z')),
+    agg AS (
+      SELECT (b IS NULL) AS pre_drift,
+             count(*) AS n_rows,
+             round(sum(CAST(a AS DOUBLE)), 6) AS sum_a,
+             CAST(min(id) AS BIGINT) AS min_id,
+             CAST(max(id) AS BIGINT) AS max_id
+      FROM merged GROUP BY 1)
+    SELECT pre_drift, n_rows, sum_a, min_id, max_id FROM agg
+    """,
+)
+def schema_drift_invariance(spark, sf_dir):
+    """Multi-writer parquet drift seam, exercised end-to-end per window:
+    writer 1 predates column ``b`` (its rows must surface b as NULL),
+    writer 2 has the full schema, writer 3 writes columns in REVERSED
+    order — one mergeSchema read must align all three by name, lose no
+    rows, and aggregate identically to the oracle's expected union."""
+    import os
+    import tempfile
+
+    # mkdtemp is already collision-free; the pid keeps the registry-wide
+    # fixture-path convention (and eases per-session cleanup)
+    d = tempfile.mkdtemp(prefix=f"spark_graft_drift_probe_{os.getpid()}_")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.5)], "id long, a double"
+    ).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(3, 30.0, "x"), (4, 40.0, "y")], "id long, a double, b string"
+    ).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [("z", 50.25, 5)], "b string, a double, id long"
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    from cryptocurrency_data_pipeline_spark.sources.tables import read_drifted
+
+    merged = read_drifted(spark, d)
+    return merged.groupBy(
+        F.col("b").isNull().alias("pre_drift")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("a"), 6).alias("sum_a"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
     )

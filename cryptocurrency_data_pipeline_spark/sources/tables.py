@@ -60,11 +60,37 @@ TABLE_NAMES = [
 ]
 
 
+def read_drifted(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-drift-tolerant parquet scan for a MULTI-FILE table whose
+    part files were written over time with evolving schemas (columns
+    added, dropped, or reordered between writers — the normal state of
+    a bronze layer at 100 TB).
+
+    ``mergeSchema`` unions the part schemas BY NAME at planning time:
+    rows from parts lacking a column surface it as NULL, and part-local
+    column order is irrelevant.  The merge reads only footers (one
+    metadata pass, no data), and pruning/pushdown still reach each part
+    scan.  Incompatible drift (the same column name at two unmergeable
+    types) fails loudly at plan time — the correct behavior; silently
+    picking one file's schema (the mergeSchema=false default) drops the
+    other writers' columns with NO error.  DuckDB mirror:
+    ``read_parquet('<dir>/*.parquet', union_by_name=true)``."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, normalizing nanosecond timestamps."""
+    """Read one testdata table, normalizing nanosecond timestamps.
+
+    A table that is a DIRECTORY of part files (the sfdrift scale point;
+    any real bronze layer) reads through :func:`read_drifted` so schema
+    drift across parts unions by name instead of silently projecting to
+    one part's schema; single-file tables keep the plain scan."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = read_drifted(spark, path) if os.path.isdir(path) else spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

@@ -151,9 +151,15 @@ def main():
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for tab in TABLES:
-        con.execute(
-            f"CREATE VIEW {tab} AS SELECT * FROM read_parquet('{sf_dir}/{tab}.parquet')"
-        )
+        path = f"{sf_dir}/{tab}.parquet"
+        if os.path.isdir(path):
+            # Multi-file drifted table (sfdrift): union part schemas by
+            # name, exactly as the engine's mergeSchema read does —
+            # missing columns surface as NULL on both sides.
+            src = f"read_parquet('{path}/*.parquet', union_by_name=true)"
+        else:
+            src = f"read_parquet('{path}')"
+        con.execute(f"CREATE VIEW {tab} AS SELECT * FROM {src}")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     unknown = only - set(qs)

@@ -20,6 +20,14 @@ Output: a markdown table (for BASELINE.md) plus one JSON line.
 Usage:
     python tools/make_scale_sf.py            # build the 10x point once
     python tools/scaling_slopes.py [query ...] [--passes N] [--flag T]
+    python tools/scaling_slopes.py --all [--passes 1]   # full registry
+
+``--all`` profiles every registered query, not just the bench headline
+set — the full-registry sweep is how a quadratic hiding in a
+non-headline query gets caught mechanically.  With ``--passes 1``
+(1 warm-up + 1 timed pass per size) precision drops to ~±30%, which is
+still far inside the gap between a linear slope (~x2-10) and a
+quadratic one (~x20+).
 
 ``--flag`` sets the investigate threshold on the slope (default 13.0 —
 x10 data plus a log factor plus noise headroom; write-path queries are
@@ -75,7 +83,11 @@ def main() -> None:
         i = args.index("--flag")
         flag = float(args[i + 1])
         del args[i:i + 2]
-    names = args if args else list(HEADLINE)
+    if "--all" in args:
+        args.remove("--all")
+        names = list(QUERIES)
+    else:
+        names = args if args else list(HEADLINE)
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")

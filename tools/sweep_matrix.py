@@ -11,9 +11,9 @@ Each point runs in a FRESH subprocess: one JVM per point costs ~6 s
 but guarantees no cross-point session-state bleed (the same isolation
 the driver has), and a crash in one point cannot take down the rest.
 
-Points (11): sf0.01 (driver testdata, not rebuilt) plus the ten
+Points (12): sf0.01 (driver testdata, not rebuilt) plus the eleven
 generated classes — edge, empty, one, dup, time, big, uni, num, null,
-mix.  ~10-12 min per point at local[32]; pass point names to restrict
+mix, drift.  ~10-12 min per point at local[32]; pass point names to restrict
 (e.g. ``python tools/sweep_matrix.py num mix``), or query names after
 ``--`` to restrict the query set (forwarded to check_oracle).
 
@@ -43,6 +43,7 @@ POINTS: dict[str, tuple[list[str] | None, str]] = {
     "num": (["tools/make_num_sf.py"], "/tmp/spark_graft_matrix_num"),
     "null": (["tools/make_null_sf.py"], "/tmp/spark_graft_matrix_null"),
     "mix": (["tools/make_mix_sf.py"], "/tmp/spark_graft_matrix_mix"),
+    "drift": (["tools/make_drift_sf.py"], "/tmp/spark_graft_matrix_drift"),
 }
 
 
