@@ -139,6 +139,38 @@ def _calibration_sec(spark) -> float:
     return round(sorted(ts)[1], 4)
 
 
+#: Calibration gate (r14, the r13 verdict's ask #3): both r13 closing
+#: bench runs were defeated by minute-scale load bursts landing exactly
+#: on run start (calibration 0.388/0.412 vs ~0.11 settled), so the gate
+#: moved INSIDE bench.py — wait-then-probe until two consecutive
+#: calibrations at or under the threshold IMMEDIATELY before the first
+#: timed pass, bounded so a persistently-loaded host still produces an
+#: artifact (with the gate marked failed) rather than hanging the driver.
+GATE_THRESHOLD = float(os.environ.get("SPARK_GRAFT_CAL_GATE", "0.18"))
+GATE_MAX_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_CAL_MAX_WAIT", "600"))
+GATE_SLEEP_SEC = 12.0
+
+
+def _calibration_gate(spark) -> tuple[float, list[float], bool]:
+    """Probe until two CONSECUTIVE calibrations <= GATE_THRESHOLD (a
+    single quiet probe can be the trough between two load bursts), or
+    the wait budget runs out.  Returns (last probe, every attempt,
+    passed) — every attempt lands in the artifact so a failed gate is
+    evidence, not an anecdote."""
+    attempts: list[float] = []
+    deadline = time.monotonic() + GATE_MAX_WAIT_SEC
+    streak = 0
+    while True:
+        c = _calibration_sec(spark)
+        attempts.append(c)
+        streak = streak + 1 if c <= GATE_THRESHOLD else 0
+        if streak >= 2:
+            return c, attempts, True
+        if time.monotonic() >= deadline:
+            return c, attempts, False
+        time.sleep(GATE_SLEEP_SEC)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Parse the scale factor out of a canonical "sf<number>" basename; any
@@ -151,7 +183,6 @@ def main() -> None:
     # Warm the JVM/codegen once on a trivial action so query timings do not
     # include session bring-up.
     spark.range(1000).selectExpr("sum(id)").collect()
-    calibration_start = _calibration_sec(spark)
 
     # JMH-style: TWO untimed warm-up executions per query so the timed pass
     # measures steady-state engine throughput, not one-off Janino codegen
@@ -166,6 +197,10 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+
+    # Gate immediately before the first timed pass (warm-ups above are
+    # load-insensitive; the timed medians are what the gate protects).
+    calibration_start, gate_attempts, gate_passed = _calibration_gate(spark)
 
     passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(3):
@@ -197,6 +232,11 @@ def main() -> None:
                 ),
                 "calibration_start_sec": calibration_start,
                 "calibration_end_sec": calibration_end,
+                "calibration_gate": {
+                    "threshold_sec": GATE_THRESHOLD,
+                    "attempts": gate_attempts,
+                    "passed": gate_passed,
+                },
             }
         )
     )

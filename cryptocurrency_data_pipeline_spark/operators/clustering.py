@@ -86,6 +86,195 @@ def assign_clusters(
     )
 
 
+#: How many centers fit comfortably as folded plan literals.  Each center
+#: is O(dim) expression nodes inside a zip_with/aggregate fold, so 256
+#: centers x 64 dims is ~16k nodes — fast to codegen and the quickest
+#: assignment at that size.  Past the cap the plan itself becomes the
+#: bottleneck (compile time + code size grow linearly in nlist), so
+#: :func:`assign_clusters_auto` switches to the Arrow-batched numpy path,
+#: whose per-batch cost is one matmul regardless of plan size.
+LITERAL_CENTER_CAP = 256
+
+
+def _make_l2_assign_udf(centers: list[tuple[int, list[float]]], chunk: int = 4096):
+    """Arrow-vectorized nearest-center-by-squared-L2 assignment (built
+    lazily — pandas UDF return-type parsing needs an active session).
+
+    Semantics are EXACTLY :func:`assign_clusters`'s, edge cases included
+    (pinned by tests/test_clustering.py):
+
+    * well-formed vector (non-NULL, length == dim): argmin of squared L2,
+      ties to the lowest center id;
+    * NaN distances rank ABOVE everything (Spark double ordering), so a
+      real +inf distance beats a NaN one and an all-NaN row falls back to
+      the lowest center id with ``sq_dist = NaN``;
+    * malformed vector (NULL after ``as_double``, or wrong length — the
+      literal path's zip_with pads with NULLs and the fold nulls out):
+      lowest center id, ``sq_dist`` NULL.
+
+    Cost: one ``(batch x K_chunk)`` numpy matmul per Arrow batch per
+    center chunk — O(batch x nlist x dim) FLOPs, O(batch x chunk) live
+    doubles (the center axis is chunked precisely so a million-center
+    quantizer never materializes batch x nlist).  The centers ride to
+    executors inside the serialized UDF, O(nlist x dim) doubles — the
+    same broadcast-sketch regime as any IVF codebook.
+
+    The squared distance uses the expanded form ||v||^2 - 2v.c + ||c||^2
+    (the matmul identity), which can differ from the literal fold's
+    sequential (v_i - c_i)^2 sum in the last float ulps — assignment can
+    only differ on EXACT distance ties between two centers, where both
+    paths break to the lower id anyway unless the tie itself is an
+    artifact of summation order (measure-zero on real embeddings; the
+    equality test pins integer-valued vectors where both forms are
+    exact).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = sorted(centers)  # ascending cid: chunk order IS tie order
+    cid_arr = np.asarray([c for c, _ in ordered], dtype="int64")
+    mat = np.asarray([v for _, v in ordered], dtype="float64")
+    dim = mat.shape[1]
+    lowest = int(cid_arr[0])
+
+    # no type hints: the lazily-imported pd can't resolve string
+    # annotations at decoration time; the returnType drives eval type
+    @pandas_udf("struct<cluster_id: int, sq_dist: double>")
+    def assign(vecs):
+        n = len(vecs)
+        out_c = np.full(n, lowest, dtype="int64")
+        out_d = np.full(n, np.nan, dtype="float64")
+        well = np.zeros(n, dtype=bool)  # sq_dist non-NULL (may be NaN/inf)
+        ok = [
+            i
+            for i, v in enumerate(vecs)
+            if v is not None and len(v) == dim
+        ]
+        if ok:
+            v = np.stack(
+                [np.asarray(vecs.iloc[i], dtype="float64") for i in ok]
+            )
+            vsq = (v * v).sum(axis=1)
+            vfin = np.isfinite(v).all(axis=1)
+            rows = np.arange(v.shape[0])
+
+            def direct(a, b):
+                # exact (x - c)^2 fold form, row-sliced to bound the
+                # 3-D temporary; only the (rare) non-finite rows/centers
+                # take this path, where the matmul identity corrupts
+                # (inf * 0 = NaN where the fold gives inf)
+                out = np.empty((a.shape[0], b.shape[0]))
+                for r0 in range(0, a.shape[0], 128):
+                    blk = a[r0 : r0 + 128]
+                    out[r0 : r0 + 128] = (
+                        (blk[:, None, :] - b[None, :, :]) ** 2
+                    ).sum(axis=2)
+                return out
+
+            best_d = best_c = best_nan = None
+            for s in range(0, mat.shape[0], chunk):
+                m = mat[s : s + chunk]
+                mfin = np.isfinite(m).all(axis=1)
+                if vfin.all() and mfin.all():
+                    d = (
+                        vsq[:, None]
+                        - 2.0 * (v @ m.T)
+                        + (m * m).sum(axis=1)[None, :]
+                    )
+                else:
+                    d = np.empty((v.shape[0], m.shape[0]))
+                    vf = np.where(vfin)[0]
+                    mf = np.where(mfin)[0]
+                    if vf.size and mf.size:
+                        d[np.ix_(vf, mf)] = (
+                            vsq[vf, None]
+                            - 2.0 * (v[vf] @ m[mf].T)
+                            + (m[mf] * m[mf]).sum(axis=1)[None, :]
+                        )
+                    if vf.size < v.shape[0]:
+                        d[~vfin, :] = direct(v[~vfin], m)
+                    if mf.size < m.shape[0] and vf.size:
+                        d[np.ix_(vf, ~mfin)] = direct(v[vf], m[~mfin])
+                isn = np.isnan(d)
+                d_cmp = np.where(isn, np.inf, d)
+                j = np.argmin(d_cmp, axis=1)  # first min = lowest cid
+                # rows whose best comparison key is +inf: a REAL +inf
+                # distance must beat a NaN one (NaN is the largest double
+                # in Spark's ordering, +inf only second-largest)
+                realinf = d == np.inf
+                fix = (d_cmp[rows, j] == np.inf) & realinf.any(axis=1)
+                j = np.where(fix, np.argmax(realinf, axis=1), j)
+                cand_d = d[rows, j]
+                cand_nan = isn[rows, j]
+                cand_c = cid_arr[s + j]
+                if best_d is None:
+                    best_d, best_c, best_nan = cand_d, cand_c, cand_nan
+                else:
+                    bk = np.where(best_nan, np.inf, best_d)
+                    ck = np.where(cand_nan, np.inf, cand_d)
+                    # strict improvement only — ties keep the earlier
+                    # (lower-cid) chunk; a non-NaN +inf displaces a NaN
+                    better = (ck < bk) | (~cand_nan & best_nan & (ck == bk))
+                    best_d = np.where(better, cand_d, best_d)
+                    best_c = np.where(better, cand_c, best_c)
+                    best_nan = np.where(better, cand_nan, best_nan)
+            oki = np.asarray(ok)
+            out_c[oki] = best_c
+            out_d[oki] = best_d
+            well[oki] = True
+        # masked FloatingArray: masked slots -> SQL NULL while unmasked
+        # NaN SURVIVES as NaN — a plain float64 column loses the
+        # distinction (Arrow's from_pandas turns NaN into null)
+        sq = pd.arrays.FloatingArray(out_d, ~well)
+        return pd.DataFrame(
+            {"cluster_id": out_c.astype("int32"), "sq_dist": sq}
+        )
+
+    return assign
+
+
+def assign_clusters_arrow(
+    corpus: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`assign_clusters` semantics via the Arrow-batched numpy
+    matmul instead of folded plan literals — the large-``nlist`` path
+    (see :data:`LITERAL_CENTER_CAP`).  Map-only: no shuffle, no
+    per-row Python."""
+    if not centers:
+        return assign_clusters(corpus, centers, id_col=id_col, vec_col=vec_col)
+    vec = as_double(F.col(vec_col))
+    staged = corpus.select(F.col(id_col), vec.alias("__v"))
+    assign = _make_l2_assign_udf(centers)
+    return staged.withColumn("__a", assign(F.col("__v"))).select(
+        id_col,
+        F.col("__v").alias(vec_col),
+        F.col("__a")["cluster_id"].alias("cluster_id"),
+        F.col("__a")["sq_dist"].alias("sq_dist"),
+    )
+
+
+def assign_clusters_auto(
+    corpus: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    literal_cap: int | None = None,
+) -> DataFrame:
+    """Dispatch assignment by center count: folded literals up to
+    :data:`LITERAL_CENTER_CAP` (fastest, whole-stage codegen), the
+    Arrow-batched numpy path beyond (plan size stays O(1) in nlist).
+    Same output, bit-for-bit, on well-formed data — the r14 seam test
+    pins equality across the cap."""
+    cap = LITERAL_CENTER_CAP if literal_cap is None else literal_cap
+    if len(centers) <= cap:
+        return assign_clusters(corpus, centers, id_col=id_col, vec_col=vec_col)
+    return assign_clusters_arrow(corpus, centers, id_col=id_col, vec_col=vec_col)
+
+
 def _updated_centers(assigned: DataFrame, vec_col: str) -> dict[int, list[float]]:
     """Element-wise cluster means; k x dim scalar rows to the driver,
     never data (one dimension-parallel agg, map-side partials)."""

@@ -26,14 +26,19 @@ Spark shape, stage by stage:
   deduped and left-joined back as a boolean, so callers can either filter
   (``is_kept``) or audit per-cluster retention.
 
-At 100 TB: driver state is O(nlist x dim) literals (same regime as the
-bloom bitset and k-means centers); nothing materializes the cross-corpus
-pair space.  ``nlist`` AUTO-SCALES with the corpus by default
-(:func:`auto_nlist`: ceil(n/256) clamped to [8, 256]) — with any fixed
-nlist the per-cluster row count grows with n, the pair space grows
-n^2/nlist, and the cluster-keyed shuffle is stuck at nlist keys; the r13
-slope instrument measured exactly that (x23 wall-time at x10 data) and
-bounding cluster size restored a linear profile (x4.4, see BASELINE.md).
+At 100 TB: driver state is O(nlist x dim) doubles (folded literals up to
+``clustering.LITERAL_CENTER_CAP`` centers, a serialized numpy matrix on
+the Arrow path beyond); nothing materializes the cross-corpus pair
+space.  ``nlist`` AUTO-SCALES with the corpus by default
+(:func:`auto_nlist`: ceil(n/256), floor 8, UNCAPPED since r14) — with
+any fixed nlist the per-cluster row count grows with n, the pair space
+grows n^2/nlist, and the cluster-keyed shuffle is stuck at nlist keys;
+the r13 slope instrument measured exactly that (x23 wall-time at x10
+data under the old fixed default), and the r13 clamp at 256 merely moved
+the same quadratic past ~65k vectors — r14's assignment dispatch
+(``clustering.assign_clusters_auto``) removes the clamp by switching to
+the Arrow-batched numpy assignment when the center set outgrows the
+folded-literal plan.
 
 Reference counterpart: none (the Glue jobs do no ML); extends the
 dedup family (exact / MinHash / SimHash / winnowing / substring) with the
@@ -46,7 +51,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cryptocurrency_data_pipeline_spark.operators.caching import track
-from cryptocurrency_data_pipeline_spark.operators.clustering import assign_clusters
+from cryptocurrency_data_pipeline_spark.operators.clustering import (
+    assign_clusters_auto,
+)
 from cryptocurrency_data_pipeline_spark.operators.similarity import (
     dot,
     ivf_centroids,
@@ -90,9 +97,15 @@ def _normalized_assignment(
     x/0 raises DIVIDE_BY_ZERO under ANSI mode, and in non-ANSI mode the
     all-null vector silently nulls every pair dot out of the >= tau
     filter.  A zero vector then scores dot == 0 against everything,
-    matching :func:`similarity.cosine`'s guarded semantics."""
+    matching :func:`similarity.cosine`'s guarded semantics.
+
+    Assignment dispatches on center count (``assign_clusters_auto``):
+    folded plan literals up to ``clustering.LITERAL_CENTER_CAP``, the
+    Arrow-batched numpy matmul beyond — so the auto-scaled cluster count
+    (``auto_nlist``, uncapped since r14) keeps the pair space linear at
+    ANY corpus size instead of re-quadratizing past ~65k vectors."""
     return track(
-        assign_clusters(corpus, centers, id_col=id_col, vec_col=vec_col)
+        assign_clusters_auto(corpus, centers, id_col=id_col, vec_col=vec_col)
         .withColumn("__norm", norm(F.col(vec_col)))
         .withColumn(
             "__nv",
@@ -115,29 +128,26 @@ def _normalized_assignment(
 #: the cluster-keyed shuffle's parallelism growing with the data.
 TARGET_CLUSTER_ROWS = 256
 
-#: Auto-nlist ceiling: ``assign_clusters`` folds centers into the plan
-#: as literals (O(nlist x dim) expression nodes), which is the fastest
-#: assignment up to a few hundred centers and the wrong tool beyond.
-#: 256 centers x 64 dims is ~16k nodes — fine; past the cap (≈ 65k rows
-#: at the default target) pass ``nlist`` explicitly or assign via the
-#: Arrow-batched IVF probe path (``similarity``'s numpy matmul).
-AUTO_NLIST_CAP = 256
-
-
 def auto_nlist(
     n_complete: int,
     target_rows: int = TARGET_CLUSTER_ROWS,
     floor: int = 8,
-    cap: int = AUTO_NLIST_CAP,
+    cap: int | None = None,
 ) -> int:
-    """Cluster count for ``n_complete`` vectors: ceil(n/target), clamped
-    to [floor, cap].  Oracle mirror (pinned by the sf0.01 parity gate):
-    ``greatest(floor, least(cap, ceil(count(v) / target)))``."""
+    """Cluster count for ``n_complete`` vectors: ceil(n/target), at least
+    ``floor``, UNCAPPED by default — cluster count must keep growing with
+    the corpus or the pair space re-quadratizes (the r13 cap at 256 made
+    the default path O(n^2/256) past ~65k vectors; r14 removed it once
+    assignment learned to dispatch off plan literals past
+    ``clustering.LITERAL_CENTER_CAP``).  Pass ``cap`` only to pin a
+    quantizer budget explicitly.  Oracle mirror (pinned by the sf0.01
+    parity gate): ``greatest(floor, ceil(count(v) / target))``."""
     import math
 
     if n_complete <= 0:
         return floor
-    return max(floor, min(cap, math.ceil(n_complete / target_rows)))
+    k = max(floor, math.ceil(n_complete / target_rows))
+    return k if cap is None else min(cap, k)
 
 
 def semantic_dedup(
@@ -160,8 +170,11 @@ def semantic_dedup(
     pair space that stays LINEAR in corpus size — with any fixed nlist
     the per-cluster row count grows with n and the pair space grows
     n^2/nlist (measured: x23 wall-time at 10x data under the old fixed
-    default).  Pass an explicit ``nlist`` to pin the quantizer (e.g. to
-    reuse assignments across runs, or past the folded-literal cap).
+    default).  Pass an explicit ``nlist`` only to pin the quantizer
+    (e.g. to reuse assignments across runs); the auto count is uncapped —
+    past ``clustering.LITERAL_CENTER_CAP`` centers the assignment
+    dispatches to the Arrow-batched numpy path automatically, so the
+    default stays linear at any corpus size.
 
     Exactly one output row per distinct id: duplicated-id inputs are
     collapsed first (:func:`_one_row_per_id`), so the seed sample, the
@@ -238,6 +251,7 @@ def semantic_dedup_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assume_unique_ids: bool = False,
+    retrain_on_large_batch: bool = True,
 ) -> DataFrame:
     """Dedup a NEW batch against an already-kept corpus — the steady-state
     mode of a growing corpus.  Output: (id, cluster_id, dup_of_existing,
@@ -258,17 +272,23 @@ def semantic_dedup_incremental(
 
     Cost shape: existing x batch and batch x batch pairs, BOTH bounded by
     the shared cluster key — one equi-join shuffle each, never corpus x
-    batch all-pairs.  The auto cluster count is keyed to the EXISTING
-    corpus (the quantizer's training set), so the batch x batch half is
-    linear only while batches stay O(existing) — the steady-state
-    contract.  A batch that DWARFS the corpus packs clusters sized for
-    the small existing set (the r13 slope instrument read x12 on a
-    400-row corpus with a 19,600-row batch); when the batch outgrows
-    the corpus, run full :func:`semantic_dedup` instead — the same
-    retrain-when-doubled discipline as any production IVF index.  The existing side is assigned fresh here; a real
-    deployment persists its normalized assignment alongside the corpus
-    and feeds it back, paying only the (small) batch assignment per
-    increment.
+    batch all-pairs.  In the steady state (batch <= existing) the auto
+    cluster count is keyed to the EXISTING corpus (the quantizer's
+    training set) and centers never churn as batches arrive — the
+    production IVF discipline.  A batch that DWARFS the corpus would
+    pack clusters sized for the small existing set (the r13 slope
+    instrument read x12 on a 400-row corpus with a 19,600-row batch), so
+    in auto mode (``nlist=None``) the operator RETRAINS when
+    ``batch > existing``: the quantizer re-seeds from the min-collapsed
+    union of both sides with the cluster count keyed to the combined
+    population — the retrain-when-doubled discipline of any production
+    IVF index, applied mechanically instead of left to a docstring.
+    Retraining churns cluster ids for that call (inherent to retraining);
+    pass an explicit ``nlist`` (or ``retrain_on_large_batch=False``) to
+    pin the existing-corpus quantizer regardless of batch size.  The
+    existing side is assigned fresh here; a real deployment persists its
+    normalized assignment alongside the corpus and feeds it back, paying
+    only the (small) batch assignment per increment.
 
     Both sides carry the family's id-uniqueness contract
     (:func:`_one_row_per_id`): duplicated ids in either frame are
@@ -279,18 +299,34 @@ def semantic_dedup_incremental(
     if not assume_unique_ids:
         existing = _one_row_per_id(existing, id_col, vec_col)
         batch = _one_row_per_id(batch, id_col, vec_col)
+    train = existing
     if nlist is None:
-        # Auto-scale to the EXISTING corpus (the quantizer's training
-        # set): same linear-pair-space rationale as semantic_dedup.
+        # Auto mode: two O(1)-result count scans decide both the cluster
+        # count and the quantizer's training set (see docstring — the
+        # retrain-when-doubled dispatch).
         from cryptocurrency_data_pipeline_spark.operators.similarity import (
             as_double,
         )
 
-        n_complete = existing.where(
-            as_double(F.col(vec_col)).isNotNull()
-        ).count()
-        nlist = auto_nlist(n_complete)
-    seeds = ivf_centroids(existing, nlist=nlist, id_col=id_col, vec_col=vec_col)
+        def _n_complete(df: DataFrame) -> int:
+            return df.where(as_double(F.col(vec_col)).isNotNull()).count()
+
+        n_ex = _n_complete(existing)
+        n_b = _n_complete(batch)
+        if retrain_on_large_batch and n_b > n_ex:
+            # The batch outgrew the corpus: clusters sized for the small
+            # existing set would hold O(batch/nlist_ex) rows each and the
+            # batch x batch half re-quadratizes.  Retrain on the union —
+            # one more id-keyed collapse shuffle (ids may overlap across
+            # sides; seeds must be deterministic one-row-per-id), cluster
+            # count keyed to the combined population.
+            train = _one_row_per_id(
+                existing.unionByName(batch), id_col, vec_col
+            )
+            nlist = auto_nlist(n_ex + n_b)
+        else:
+            nlist = auto_nlist(n_ex)
+    seeds = ivf_centroids(train, nlist=nlist, id_col=id_col, vec_col=vec_col)
     centers = sorted((r.centroid_id, list(r.centroid)) for r in seeds.collect())
     ex = _normalized_assignment(existing, centers, id_col, vec_col)
     nw = _normalized_assignment(batch, centers, id_col, vec_col)

@@ -1431,7 +1431,13 @@ def doc_nearest_ngram(spark, sf_dir):
             & (F.col("sz") == F.col("b_sz"))
             & (F.col("doc_id") != F.col("nbr_id")),
         )
-        .groupBy("doc_id", "rk", "n_s", "nbr_id", "b_rk", "b_n_s")
+        # lang/sz in the group key: a (doc_id, text) pair CAN legitimately
+        # recur across blocks (same text under two langs, or inconsistent
+        # n_chars), and without the block columns the shared-shingle rows
+        # of both blocks would merge and double-count `inter` (ADVICE
+        # r13) — each block pair must aggregate independently, exactly as
+        # the oracle's row-level join scores each row pair on its own
+        .groupBy("doc_id", "rk", "lang", "sz", "n_s", "nbr_id", "b_rk", "b_n_s")
         .agg(F.count(F.lit(1)).alias("inter"))
         # |A∪B| = |A|+|B|−|A∩B|; int sizes, so inter/union is the exact
         # double dedup.jaccard computes from array_intersect/array_union

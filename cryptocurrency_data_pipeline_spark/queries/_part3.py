@@ -44,9 +44,10 @@ from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa
       SELECT vec_id, min(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END) AS v
       FROM embeddings GROUP BY vec_id
     ), nl AS (
-      -- mirrors semdedup.auto_nlist: ceil(complete-vectors / 256),
-      -- clamped to [8, 256] (count(v) skips the nulled incomplete rows)
-      SELECT greatest(8, least(256, CAST(ceil(count(v) / 256.0) AS INT))) AS k
+      -- mirrors semdedup.auto_nlist: ceil(complete-vectors / 256), floor
+      -- 8, UNCAPPED (count(v) skips the nulled incomplete rows); values
+      -- identical to the r13 clamped form at every corpus under ~65k
+      SELECT greatest(8, CAST(ceil(count(v) / 256.0) AS INT)) AS k
       FROM corpus
     ), seed AS (
       SELECT cid, c FROM (
@@ -548,10 +549,16 @@ def k_anonymity_audit(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Incremental SemDeDup (operators/semdedup.py): the steady-state corpus-
 # growth mode — a new batch dedups against the immutable kept corpus
-# (centers from the EXISTING corpus only, so assignments never churn)
-# and then within itself by the greedy lowest-id rule.  Both pair spaces
-# are cluster-bounded equi-joins.  Existing = vec_id < 400, batch = the
-# rest; per-cluster accounting of the three outcomes.
+# (centers from the EXISTING corpus while batch <= existing, so
+# assignments never churn; a batch that OUTGROWS the corpus triggers the
+# retrain-when-doubled dispatch — quantizer re-seeded from the union,
+# cluster count keyed to the combined population — which the oracle
+# mirrors via the cnt/pool CTEs) and then within itself by the greedy
+# lowest-id rule.  Both pair spaces are cluster-bounded equi-joins.
+# Existing = vec_id < 400, batch = the rest; per-cluster accounting of
+# the three outcomes.  At sf0.01 (500 embeddings) the batch is the
+# smaller side — steady state; at sf0.1+ the batch dominates and the
+# dispatch is what the parity check exercises.
 # --------------------------------------------------------------------------
 
 @query(
@@ -564,15 +571,33 @@ def k_anonymity_audit(spark, sf_dir):
     ), nw AS (
       SELECT vec_id, min(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0 THEN CAST(embedding AS DOUBLE[]) END) AS v
       FROM embeddings WHERE vec_id >= 400 GROUP BY vec_id
+    ), cnt AS (
+      -- the retrain-when-doubled dispatch mirror: complete-vector counts
+      -- of both (post-collapse) sides
+      SELECT (SELECT count(v) FROM ex) AS ne, (SELECT count(v) FROM nw) AS nb
+    ), pool AS (
+      -- quantizer training set: the existing corpus in the steady state,
+      -- the min-collapsed union when the batch outgrows it (ids may
+      -- overlap across sides)
+      SELECT vec_id, min(v) AS v FROM (
+        SELECT vec_id, v FROM ex
+        UNION ALL
+        SELECT vec_id, v FROM nw WHERE (SELECT nb > ne FROM cnt)
+      ) GROUP BY vec_id
     ), nl AS (
-      -- mirrors semdedup.auto_nlist over the EXISTING (quantizer) side
-      SELECT greatest(8, least(256, CAST(ceil(count(v) / 256.0) AS INT))) AS k
-      FROM ex
+      -- mirrors semdedup.auto_nlist (uncapped): keyed to the existing
+      -- side in the steady state, the combined population on retrain
+      SELECT greatest(8, CAST(ceil(
+               (CASE WHEN nb > ne THEN ne + nb ELSE ne END) / 256.0)
+             AS INT)) AS k
+      FROM cnt
     ), seed AS (
+      -- incomplete (NULL-v) ids cannot seed a centroid, exactly as
+      -- ivf_centroids filters them before the md5 top-k
       SELECT cid, c FROM (
         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
                v AS c
-        FROM ex)
+        FROM pool WHERE v IS NOT NULL)
       WHERE cid <= (SELECT k FROM nl)
     ), exd AS (
       SELECT a.vec_id, a.v, s.cid,

@@ -2849,8 +2849,9 @@ def object_store_read_path(spark, sf_dir):
     ), nl AS (
       -- auto_nlist over the POST-COLLAPSE corpus: the tripled engine
       -- input collapses to these exact rows, so the auto cluster count
-      -- is itself duplication-invariant
-      SELECT greatest(8, least(256, CAST(ceil(count(v) / 256.0) AS INT))) AS k
+      -- is itself duplication-invariant (uncapped since r14, identical
+      -- values at every corpus under ~65k)
+      SELECT greatest(8, CAST(ceil(count(v) / 256.0) AS INT)) AS k
       FROM corpus
     ), seed AS (
       SELECT cid, c FROM (
@@ -3253,20 +3254,33 @@ def schema_drift_invariance(spark, sf_dir):
     order — one mergeSchema read must align all three by name, lose no
     rows, and aggregate identically to the oracle's expected union."""
     import os
+    import shutil
     import tempfile
 
-    # mkdtemp is already collision-free; the pid keeps the registry-wide
-    # fixture-path convention (and eases per-session cleanup)
-    d = tempfile.mkdtemp(prefix=f"spark_graft_drift_probe_{os.getpid()}_")
-    spark.createDataFrame(
-        [(1, 10.0), (2, 20.5)], "id long, a double"
-    ).coalesce(1).write.mode("append").parquet(d)
-    spark.createDataFrame(
-        [(3, 30.0, "x"), (4, 40.0, "y")], "id long, a double, b string"
-    ).coalesce(1).write.mode("append").parquet(d)
-    spark.createDataFrame(
-        [("z", 50.25, 5)], "b string, a double, id long"
-    ).coalesce(1).write.mode("append").parquet(d)
+    # Deterministic pid-scoped dir, built ONCE per process: the driver
+    # and bench replay each query many times per session, and a fresh
+    # mkdtemp per execution both leaked /tmp unboundedly and billed
+    # three parquet writes to every timed pass (ADVICE r13).  The
+    # `_probe_ready` sentinel (underscore-prefixed: invisible to the
+    # parquet reader) guards against reusing a half-built dir from a
+    # killed run; pid scoping keeps concurrent harnesses collision-free.
+    d = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_drift_probe_{os.getpid()}"
+    )
+    ready = os.path.join(d, "_probe_ready")
+    if not os.path.exists(ready):
+        shutil.rmtree(d, ignore_errors=True)
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.5)], "id long, a double"
+        ).coalesce(1).write.mode("append").parquet(d)
+        spark.createDataFrame(
+            [(3, 30.0, "x"), (4, 40.0, "y")], "id long, a double, b string"
+        ).coalesce(1).write.mode("append").parquet(d)
+        spark.createDataFrame(
+            [("z", 50.25, 5)], "b string, a double, id long"
+        ).coalesce(1).write.mode("append").parquet(d)
+        with open(ready, "w") as f:
+            f.write("ok")
 
     from cryptocurrency_data_pipeline_spark.sources.tables import read_drifted
 

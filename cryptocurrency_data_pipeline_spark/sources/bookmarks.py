@@ -72,6 +72,20 @@ def _walk_lex(input_dir: str) -> Iterator[str]:
                 if e.name.startswith((".", "_")):
                     continue
                 is_dir = e.is_dir(follow_symlinks=False)
+                # A symlink to a DIRECTORY is neither a file nor a walked
+                # subtree: os.walk(followlinks=False) — the semantics this
+                # streamed walk replaced — listed it in dirnames and never
+                # descended, so no path under it was ever yielded.
+                # Classifying it by is_dir(follow_symlinks=False) had it
+                # yielded as a single FILE path (ADVICE r13): the whole
+                # linked tree got "ingested" via one committed ledger row,
+                # and files added under it later were silently skipped as
+                # already-processed.  Skip it explicitly.  (A symlink to a
+                # regular file stays a file — same as os.walk.)
+                if not is_dir and e.is_symlink() and e.is_dir(
+                    follow_symlinks=True
+                ):
+                    continue
                 entries.append(
                     (e.name + ("/" if is_dir else ""), e.path, is_dir)
                 )
@@ -119,6 +133,13 @@ def new_files_batch(
     if chunk_files < 1:
         raise ValueError("need chunk_files >= 1")
     ledger = _ledger(spark, ledger_path)
+    if ledger is not None:
+        # One anti-join runs PER CHUNK: uncached, a steady-state source
+        # (million-file ledger, no fresh files) re-reads the full ledger
+        # parquet ~50 times per listing (ADVICE r13).  Cache it for the
+        # loop — first chunk pays the scan, the rest read columnar cache
+        # blocks — and release it before returning.
+        ledger = ledger.cache()
 
     def fresh_of(chunk: list[str]) -> list[str]:
         if ledger is None:
@@ -132,19 +153,23 @@ def new_files_batch(
             r.path for r in df.join(ledger, "path", "left_anti").collect()
         )
 
-    fresh: list[str] = []
-    chunk: list[str] = []
-    exhausted = True
-    for path in _walk_lex(input_dir):
-        chunk.append(path)
-        if len(chunk) >= chunk_files:
+    try:
+        fresh: list[str] = []
+        chunk: list[str] = []
+        exhausted = True
+        for path in _walk_lex(input_dir):
+            chunk.append(path)
+            if len(chunk) >= chunk_files:
+                fresh.extend(fresh_of(chunk))
+                chunk = []
+                if len(fresh) > max_batch_files:
+                    exhausted = False
+                    break
+        if exhausted and chunk:
             fresh.extend(fresh_of(chunk))
-            chunk = []
-            if len(fresh) > max_batch_files:
-                exhausted = False
-                break
-    if exhausted and chunk:
-        fresh.extend(fresh_of(chunk))
+    finally:
+        if ledger is not None:
+            ledger.unpersist()
     has_more = len(fresh) > max_batch_files
     return fresh[:max_batch_files], has_more
 

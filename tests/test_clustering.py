@@ -75,3 +75,143 @@ def test_kmeans_assignment_is_map_side_only(spark):
     )
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r14: the literal/Arrow assignment seam (assign_clusters_auto dispatches to
+# the numpy-matmul pandas UDF past LITERAL_CENTER_CAP centers, so the
+# auto-scaled SemDeDup cluster count can grow past the folded-literal plan).
+# ---------------------------------------------------------------------------
+
+EDGE_ROWS = [
+    (1, [1.0, 2.0]),            # well-formed
+    (2, None),                  # NULL vector
+    (3, [1.0, None]),           # NULL component -> as_double collapses
+    (4, []),                    # empty
+    (5, [0.0, 0.0]),            # zero vector (exactly on center 1)
+    (6, [1.0]),                 # too short
+    (7, [1.0, 2.0, 3.0]),       # too long
+    (8, [float("nan"), 1.0]),   # NaN component: every distance NaN
+    (9, [float("inf"), 1.0]),   # inf component: every distance inf
+    (10, [3.0, 4.0]),           # well-formed, nearest center 3
+]
+EDGE_CENTERS = [(1, [0.0, 0.0]), (2, [1.0, 2.0]), (3, [5.0, 5.0])]
+
+
+def _rows(df):
+    def norm(v):
+        # NaN != NaN, so compare on repr; None stays None
+        return None if v is None else repr(v)
+
+    return sorted(
+        (r.vec_id, r.cluster_id, norm(r.sq_dist)) for r in df.collect()
+    )
+
+
+def test_arrow_assignment_matches_literal_on_edge_vectors(spark):
+    """assign_clusters_arrow must replicate the literal path bit-for-bit:
+    malformed vectors -> lowest cid + NULL sq_dist, NaN distances rank
+    above +inf, ties to the lowest cid, well-formed rows exact (integer-
+    valued components keep both summation orders exact)."""
+    from cryptocurrency_data_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        assign_clusters_arrow,
+    )
+
+    df = spark.createDataFrame(
+        EDGE_ROWS, "vec_id long, embedding array<double>"
+    )
+    lit = _rows(assign_clusters(df, EDGE_CENTERS))
+    arr = _rows(assign_clusters_arrow(df, EDGE_CENTERS))
+    assert arr == lit
+    # spot-pin the semantics themselves (guards against both paths being
+    # wrong the same way)
+    by_id = {i: (c, d) for i, c, d in arr}
+    assert by_id[1] == (2, repr(0.0))        # exact hit on center 2
+    assert by_id[2] == (1, None)             # NULL vector -> lowest cid
+    assert by_id[6] == (1, None)             # wrong length -> lowest cid
+    assert by_id[8][0] == 1 and by_id[8][1] == repr(float("nan"))
+    assert by_id[9][0] == 1 and by_id[9][1] == repr(float("inf"))
+    assert by_id[10] == (3, repr(5.0))       # (3-5)^2+(4-5)^2
+
+
+def test_arrow_assignment_center_chunking_preserves_ties(spark):
+    """Cross-chunk merge: ties keep the lower cid, NaN loses to a real
+    +inf even when they land in different center chunks."""
+    from cryptocurrency_data_pipeline_spark.operators.clustering import (
+        _make_l2_assign_udf,
+        assign_clusters,
+        assign_clusters_arrow,
+    )
+
+    # 10 centers, chunk=3 -> 4 chunks; duplicate centers force exact ties
+    centers = [(i, [float(i % 4), float(i % 4)]) for i in range(1, 11)]
+    rows = [(i, [float(i % 5), float((i * 3) % 5)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    import cryptocurrency_data_pipeline_spark.operators.clustering as cl
+
+    orig = cl._make_l2_assign_udf
+
+    def chunked(cs, chunk=4096):
+        return orig(cs, chunk=3)
+
+    cl._make_l2_assign_udf = chunked
+    try:
+        arr = _rows(assign_clusters_arrow(df, centers))
+    finally:
+        cl._make_l2_assign_udf = orig
+    lit = _rows(assign_clusters(df, centers))
+    assert arr == lit
+
+
+def test_assign_auto_dispatches_on_center_count(spark):
+    """<= cap: folded literals (no Python eval node); > cap: exactly one
+    ArrowEvalPython, still no shuffle (map-only either way)."""
+    from cryptocurrency_data_pipeline_spark.operators.clustering import (
+        assign_clusters_auto,
+    )
+
+    corpus = load_table(spark, SF, "embeddings")
+    small = [(i, [float(i)] * 64) for i in range(1, 4)]
+    big = [(i, [float(i)] * 64) for i in range(1, 302)]
+
+    plan_small = (
+        assign_clusters_auto(corpus, small)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan_small
+    assert "Exchange" not in plan_small
+
+    plan_big = (
+        assign_clusters_auto(corpus, big)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan_big
+    assert "BatchEvalPython" not in plan_big  # never row-wise Python
+    assert "Exchange" not in plan_big
+
+
+def test_semantic_dedup_identical_across_the_dispatch_seam(spark):
+    """Forcing the Arrow path (literal_cap=0 via monkeypatching the
+    module constant) must not change semantic_dedup's answer on the
+    corpus — the seam is an implementation dispatch, not a semantic
+    one."""
+    import cryptocurrency_data_pipeline_spark.operators.clustering as cl
+    from cryptocurrency_data_pipeline_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base = sorted(
+        tuple(r) for r in semantic_dedup(emb, tau=0.45).collect()
+    )
+    orig = cl.LITERAL_CENTER_CAP
+    cl.LITERAL_CENTER_CAP = 0
+    try:
+        forced = sorted(
+            tuple(r) for r in semantic_dedup(emb, tau=0.45).collect()
+        )
+    finally:
+        cl.LITERAL_CENTER_CAP = orig
+    assert forced == base

@@ -716,3 +716,20 @@ def test_returned_items_pushdown_and_take_ordered(spark):
     pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
     assert any("l_returnflag" in ln and "EqualTo" in ln for ln in pushed)
     assert any("o_orderdate" in ln or "GreaterThanOrEqual" in ln for ln in pushed)
+
+
+def test_doc_nearest_ngram_is_inverted_index_equi_join(spark):
+    """The r13 rewrite's load-bearing shape: candidate generation must be
+    an EQUI-join on the exploded shingle key (the inverted index —
+    sparse-join bound, one shuffle, AQE-skew-splittable), never the old
+    all-pairs block theta join (CartesianProduct / nested-loop at x10
+    data measured 907 s)."""
+    p = plan(QUERIES["doc_nearest_ngram"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the shingle equi-key must be a join key in some hash-keyed join
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or (
+        "BroadcastHashJoin" in p
+    )
+    assert "b_sh" in p  # the inverted-index posting key is the join key
+    assert "InPandas" not in p and "BatchEvalPython" not in p

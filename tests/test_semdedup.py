@@ -136,8 +136,9 @@ def test_incremental_existing_rows_never_flagged(spark):
 
 def test_auto_nlist_scales_linearly_with_corpus():
     """The pair space is n x cluster_size / 2, so cluster count must grow
-    with the corpus: ceil(n/256) clamped to [8, 256].  A fixed nlist is
-    the r13-measured quadratic (x23 wall at x10 data)."""
+    with the corpus: ceil(n/256), floor 8, UNCAPPED (r14) — any cap
+    re-creates the r13-measured quadratic (x23 wall at x10 data) at the
+    cap boundary; assignment dispatches off plan literals instead."""
     from cryptocurrency_data_pipeline_spark.operators.semdedup import (
         auto_nlist,
     )
@@ -147,7 +148,9 @@ def test_auto_nlist_scales_linearly_with_corpus():
     assert auto_nlist(2_000) == 8      # sf0.1 bench point: unchanged
     assert auto_nlist(20_000) == 79    # the 10x slope point
     assert auto_nlist(256 * 256) == 256
-    assert auto_nlist(10_000_000) == 256  # cap: folded-literal regime
+    assert auto_nlist(256 * 256 + 1) == 257   # past the old cap: keeps growing
+    assert auto_nlist(10_000_000) == 39_063   # linear all the way up
+    assert auto_nlist(10_000_000, cap=256) == 256  # explicit pin still honored
     assert auto_nlist(2_000, target_rows=100) == 20
 
 
@@ -167,3 +170,65 @@ def test_auto_nlist_default_matches_explicit_at_small_n(spark):
     auto = semantic_dedup(df, tau=0.9).orderBy("vec_id").collect()
     pinned = semantic_dedup(df, nlist=8, tau=0.9).orderBy("vec_id").collect()
     assert [tuple(r) for r in auto] == [tuple(r) for r in pinned]
+
+
+def test_incremental_retrains_when_batch_outgrows_corpus(spark):
+    """Auto mode (nlist=None) must re-seed the quantizer from the union
+    when batch > existing — the retrain-when-doubled dispatch that keeps
+    the batch x batch half linear (the r13 slope instrument read x12 on
+    a 400-row corpus quantizing a 19,600-row batch).  Pinned
+    behaviorally: a 1-vector corpus can seed at most ONE cluster, so
+    without retraining every batch row lands in cluster 1; with the
+    dispatch the union provides 8+ seeds and the batch spreads."""
+    from cryptocurrency_data_pipeline_spark.operators.semdedup import (
+        semantic_dedup_incremental,
+    )
+
+    existing = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(i, [float(i), float(-i)]) for i in range(1, 10)],
+        "vec_id long, embedding array<double>",
+    )
+
+    pinned = semantic_dedup_incremental(
+        existing, batch, tau=0.99, retrain_on_large_batch=False
+    )
+    assert {r.cluster_id for r in pinned.collect()} == {1}
+
+    auto = semantic_dedup_incremental(existing, batch, tau=0.99).collect()
+    assert sorted(r.vec_id for r in auto) == list(range(1, 10))  # batch only
+    assert len({r.cluster_id for r in auto}) > 1  # union-seeded quantizer
+
+    # an explicit nlist pins the existing-corpus quantizer regardless
+    explicit = semantic_dedup_incremental(existing, batch, nlist=4, tau=0.99)
+    assert {r.cluster_id for r in explicit.collect()} == {1}
+
+
+def test_incremental_steady_state_unchanged_by_dispatch(spark):
+    """batch <= existing: the dispatch must be a no-op — same quantizer,
+    same answer as retrain_on_large_batch=False."""
+    from cryptocurrency_data_pipeline_spark.operators.semdedup import (
+        semantic_dedup_incremental,
+    )
+
+    existing = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, [float(i % 5), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(
+        tuple(r)
+        for r in semantic_dedup_incremental(existing, batch, tau=0.9).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in semantic_dedup_incremental(
+            existing, batch, tau=0.9, retrain_on_large_batch=False
+        ).collect()
+    )
+    assert a == b

@@ -69,7 +69,13 @@ def _time_queries(
                 "overwrite"
             ).save()
             raw[name].append(round(time.perf_counter() - t0, 3))
-    return {n: sorted(ts)[len(ts) // 2] for n, ts in raw.items()}, raw
+    # statistics.median, not sorted()[len//2]: with an even pass count
+    # the latter is the UPPER of the middle pair — under the default
+    # scaled passes=2 that made every "median" the slower of two runs
+    # and biased every slope upward vs the 3-pass base side (ADVICE r13)
+    import statistics
+
+    return {n: round(statistics.median(ts), 3) for n, ts in raw.items()}, raw
 
 
 def main() -> None:
