@@ -312,9 +312,12 @@ def kmeans_fit(
     centers = sorted(
         (r.centroid_id, list(r.centroid)) for r in seeds.collect()
     )
-    assigned = assign_clusters(corpus, centers, id_col, vec_col)
+    # _auto: literal fold at the usual k <= LITERAL_CENTER_CAP, Arrow
+    # matmul past it — a k=4096 fit stops paying O(k x dim) plan nodes
+    # PER ITERATION (r14; identical results at every checked k)
+    assigned = assign_clusters_auto(corpus, centers, id_col, vec_col)
     for _ in range(iters):
         updated = _updated_centers(assigned, vec_col)
         centers = [(cid, updated.get(cid, c)) for cid, c in centers]
-        assigned = assign_clusters(corpus, centers, id_col, vec_col)
+        assigned = assign_clusters_auto(corpus, centers, id_col, vec_col)
     return centers, assigned

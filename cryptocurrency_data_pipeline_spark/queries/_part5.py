@@ -3293,3 +3293,80 @@ def schema_drift_invariance(spark, sf_dir):
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Adversarial partition values, IN-QUERY (round 14 — the 13th axis the
+# r12/r13 verdicts reserved): the engine's sinks partition by data-
+# derived columns (dt=/hour= bad-record files, update_date silver,
+# date-partitioned gold), and at corpus scale partition VALUES carry
+# whatever the data carried — spaces, URI-reserved characters that
+# must escape into the directory name (= / : % #), non-ASCII, and the
+# Hive null/empty-string collapse.  This probe writes a partitioned
+# table whose partition values cover that alphabet through the same
+# partitionBy path the sinks use, reads it back through partition
+# discovery, and asserts the round-trip per value.  Pinned semantics
+# (both engines): empty string and NULL both land in
+# __HIVE_DEFAULT_PARTITION__ and read back as NULL — the Hive-compat
+# contract a 100 TB user WILL hit, asserted rather than assumed.
+# (Not covered: values whose ESCAPED dirname exceeds the filesystem's
+# 255-byte name limit — parquet task writes fail loudly there; the
+# probe documents the boundary by staying under it with a 180-char
+# value, escaped 1:1.)
+# --------------------------------------------------------------------------
+
+@query(
+    "partition_value_roundtrip",
+    oracle="""
+    WITH expected(part, n_rows, sum_id) AS (VALUES
+      ('plain',            1, 1),
+      ('with space',       1, 2),
+      ('eq=slash/colon:',  1, 3),
+      ('pct%hash#amp&',    1, 4),
+      ('day-один-日本語',    1, 5),
+      (repeat('L', 180),   1, 6),
+      (NULL,               2, 15))
+    SELECT part, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(sum_id AS BIGINT) AS sum_id
+    FROM expected
+    """,
+)
+def partition_value_roundtrip(spark, sf_dir):
+    """Hostile partition-value alphabet through the partitioned parquet
+    sink and back through partition discovery; per-partition counting
+    proves no value was lost, merged, or mangled by the escape."""
+    import os
+    import shutil
+    import tempfile
+
+    # build once per process (same sentinel discipline as the drift
+    # probe: deterministic pid-scoped dir, rebuilt only if a previous
+    # run died mid-write)
+    d = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_partval_probe_{os.getpid()}"
+    )
+    ready = os.path.join(d, "_probe_ready")
+    if not os.path.exists(ready):
+        shutil.rmtree(d, ignore_errors=True)
+        rows = [
+            (1, "plain"),
+            (2, "with space"),
+            (3, "eq=slash/colon:"),
+            (4, "pct%hash#amp&"),
+            (5, "day-один-日本語"),
+            (6, "L" * 180),
+            (7, None),
+            (8, ""),  # Hive collapse: lands with NULL, reads back NULL
+        ]
+        df = spark.createDataFrame(rows, "id long, part string")
+        df.write.mode("overwrite").option("compression", "snappy").partitionBy(
+            "part"
+        ).parquet(d)
+        with open(ready, "w") as f:
+            f.write("ok")
+
+    back = spark.read.parquet(d)
+    return back.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").cast("long").alias("sum_id"),
+    )
