@@ -4,12 +4,16 @@ pattern done Spark-style.
 Each iteration is a fresh two-stage job, exactly the Spark MLlib design:
 
 * **Assignment (map-side).** The k current centers live on the DRIVER as
-  k × dim doubles and enter the plan as folded literal arrays — at most a
-  few thousand values, the same sketch-size regime as the bloom bitset.
-  Every row computes its squared L2 distance to each center inside
-  whole-stage codegen (``zip_with`` + ``aggregate`` against a constant
-  array) and takes the argmin via ``array_min`` over (distance, id)
-  structs — ties to the lowest center id, reproducible in SQL.
+  k × dim doubles — at most a few thousand values, the same sketch-size
+  regime as the bloom bitset — and ship to executors inside the
+  Arrow-batched assignment UDF (one numpy matmul per batch,
+  ``assign_clusters_auto``; r14 measured the folded-literal
+  ``zip_with``/``aggregate`` fold to be INTERPRETED — higher-order
+  functions never enter whole-stage codegen — and slower at every size).
+  The literal fold remains available (``assign_clusters`` /
+  ``literal_cap``) as the fold-order-exact arithmetic reference: nearest
+  center by squared L2, ties to the lowest center id, reproducible in
+  SQL — the semantics BOTH paths implement and the seam tests pin equal.
 * **Update (one shuffle).** New centers are the element-wise mean of each
   cluster: ``posexplode`` to (cluster, dim, value), one partial-agg'd
   ``groupBy(cluster, dim).avg`` — the shuffle carries k × dim partials
@@ -86,14 +90,21 @@ def assign_clusters(
     )
 
 
-#: How many centers fit comfortably as folded plan literals.  Each center
-#: is O(dim) expression nodes inside a zip_with/aggregate fold, so 256
-#: centers x 64 dims is ~16k nodes — fast to codegen and the quickest
-#: assignment at that size.  Past the cap the plan itself becomes the
-#: bottleneck (compile time + code size grow linearly in nlist), so
-#: :func:`assign_clusters_auto` switches to the Arrow-batched numpy path,
-#: whose per-batch cost is one matmul regardless of plan size.
-LITERAL_CENTER_CAP = 256
+#: Default literal-assignment budget for :func:`assign_clusters_auto`.
+#: ZERO — i.e. the Arrow-batched numpy path is the default at EVERY
+#: center count — because the folded-literal fold is built from
+#: higher-order functions (zip_with/aggregate), which Spark evaluates
+#: INTERPRETED, outside whole-stage codegen: O(nlist x dim) interpreted
+#: expression steps per row.  Measured r14 (warmed 3-pass medians of the
+#: full semantic_dedup audit, same data, same session): 2k rows x 8
+#: centers — literal 1.51 s vs Arrow 1.12 s; 64k rows x 250 centers —
+#: literal 18.8 s vs Arrow 2.03 s (x9.3; BASELINE.md r14).  The Arrow
+#: kernel is the SAME sequential (v-c)^2 accumulation as the fold
+#: (bit-identical on every input — see :func:`_make_l2_assign_udf`), so
+#: there is no arithmetic trade-off; the literal path stays available
+#: via an explicit ``literal_cap`` as the plan-level reference
+#: implementation and for environments without Python workers.
+LITERAL_CENTER_CAP = 0
 
 
 def _make_l2_assign_udf(centers: list[tuple[int, list[float]]], chunk: int = 4096):
@@ -112,21 +123,24 @@ def _make_l2_assign_udf(centers: list[tuple[int, list[float]]], chunk: int = 409
       literal path's zip_with pads with NULLs and the fold nulls out):
       lowest center id, ``sq_dist`` NULL.
 
-    Cost: one ``(batch x K_chunk)`` numpy matmul per Arrow batch per
-    center chunk — O(batch x nlist x dim) FLOPs, O(batch x chunk) live
-    doubles (the center axis is chunked precisely so a million-center
-    quantizer never materializes batch x nlist).  The centers ride to
-    executors inside the serialized UDF, O(nlist x dim) doubles — the
-    same broadcast-sketch regime as any IVF codebook.
+    Cost: ``dim`` vectorized accumulation steps over a ``(batch x
+    K_chunk)`` buffer per Arrow batch per center chunk — O(batch x nlist
+    x dim) FLOPs, O(batch x chunk) live doubles (the center axis is
+    chunked precisely so a million-center quantizer never materializes
+    batch x nlist).  The centers ride to executors inside the serialized
+    UDF, O(nlist x dim) doubles — the same broadcast-sketch regime as
+    any IVF codebook.
 
-    The squared distance uses the expanded form ||v||^2 - 2v.c + ||c||^2
-    (the matmul identity), which can differ from the literal fold's
-    sequential (v_i - c_i)^2 sum in the last float ulps — assignment can
-    only differ on EXACT distance ties between two centers, where both
-    paths break to the lower id anyway unless the tie itself is an
-    artifact of summation order (measure-zero on real embeddings; the
-    equality test pins integer-valued vectors where both forms are
-    exact).
+    The squared distance is computed as a SEQUENTIAL per-dimension
+    accumulation ``acc += (v_i - c_i)^2`` — the exact IEEE operation
+    sequence of the literal path's zip_with/aggregate fold (and of a SQL
+    engine's list fold), so the two paths are bit-identical on EVERY
+    input: same rounding, same inf/NaN propagation, same engineered
+    near-ties.  The tempting matmul identity ||v||^2 - 2v.c + ||c||^2 is
+    NOT used: its error is relative to ||v||^2 rather than to the
+    distance, which is catastrophic cancellation when vectors are huge
+    and close (the sfedge matrix point caught it producing 1e231 where
+    the fold gives 0.011 — a real wrong answer, not a tie artifact).
     """
     import numpy as np
     import pandas as pd
@@ -155,47 +169,18 @@ def _make_l2_assign_udf(centers: list[tuple[int, list[float]]], chunk: int = 409
             v = np.stack(
                 [np.asarray(vecs.iloc[i], dtype="float64") for i in ok]
             )
-            vsq = (v * v).sum(axis=1)
-            vfin = np.isfinite(v).all(axis=1)
             rows = np.arange(v.shape[0])
-
-            def direct(a, b):
-                # exact (x - c)^2 fold form, row-sliced to bound the
-                # 3-D temporary; only the (rare) non-finite rows/centers
-                # take this path, where the matmul identity corrupts
-                # (inf * 0 = NaN where the fold gives inf)
-                out = np.empty((a.shape[0], b.shape[0]))
-                for r0 in range(0, a.shape[0], 128):
-                    blk = a[r0 : r0 + 128]
-                    out[r0 : r0 + 128] = (
-                        (blk[:, None, :] - b[None, :, :]) ** 2
-                    ).sum(axis=2)
-                return out
-
             best_d = best_c = best_nan = None
             for s in range(0, mat.shape[0], chunk):
                 m = mat[s : s + chunk]
-                mfin = np.isfinite(m).all(axis=1)
-                if vfin.all() and mfin.all():
-                    d = (
-                        vsq[:, None]
-                        - 2.0 * (v @ m.T)
-                        + (m * m).sum(axis=1)[None, :]
-                    )
-                else:
-                    d = np.empty((v.shape[0], m.shape[0]))
-                    vf = np.where(vfin)[0]
-                    mf = np.where(mfin)[0]
-                    if vf.size and mf.size:
-                        d[np.ix_(vf, mf)] = (
-                            vsq[vf, None]
-                            - 2.0 * (v[vf] @ m[mf].T)
-                            + (m[mf] * m[mf]).sum(axis=1)[None, :]
-                        )
-                    if vf.size < v.shape[0]:
-                        d[~vfin, :] = direct(v[~vfin], m)
-                    if mf.size < m.shape[0] and vf.size:
-                        d[np.ix_(vf, ~mfin)] = direct(v[vf], m[~mfin])
+                # sequential fold, vectorized across (rows x centers):
+                # bit-identical to aggregate(zip_with(v, c, (x,y) ->
+                # (x-y)*(x-y)), 0.0, acc + t) — same op order, same
+                # rounding, same inf/NaN propagation
+                d = np.zeros((v.shape[0], m.shape[0]))
+                for i in range(dim):
+                    t = v[:, i][:, None] - m[:, i][None, :]
+                    d += t * t
                 isn = np.isnan(d)
                 d_cmp = np.where(isn, np.inf, d)
                 j = np.argmin(d_cmp, axis=1)  # first min = lowest cid
@@ -264,13 +249,15 @@ def assign_clusters_auto(
     vec_col: str = "embedding",
     literal_cap: int | None = None,
 ) -> DataFrame:
-    """Dispatch assignment by center count: folded literals up to
-    :data:`LITERAL_CENTER_CAP` (fastest, whole-stage codegen), the
-    Arrow-batched numpy path beyond (plan size stays O(1) in nlist).
-    Same output, bit-for-bit, on well-formed data — the r14 seam test
-    pins equality across the cap."""
+    """Dispatch assignment by center count against ``literal_cap``
+    (default :data:`LITERAL_CENTER_CAP` = 0, i.e. the Arrow-batched
+    numpy matmul everywhere — the measured winner at every size; see
+    the constant's note).  Pass a positive ``literal_cap`` to take the
+    folded-literal fold up to that many centers (fold-order-exact
+    arithmetic, zero Python).  Same output either way — the r14 seam
+    tests pin equality across the dispatch, edge vectors included."""
     cap = LITERAL_CENTER_CAP if literal_cap is None else literal_cap
-    if len(centers) <= cap:
+    if len(centers) <= cap or not centers:
         return assign_clusters(corpus, centers, id_col=id_col, vec_col=vec_col)
     return assign_clusters_arrow(corpus, centers, id_col=id_col, vec_col=vec_col)
 
@@ -312,9 +299,10 @@ def kmeans_fit(
     centers = sorted(
         (r.centroid_id, list(r.centroid)) for r in seeds.collect()
     )
-    # _auto: literal fold at the usual k <= LITERAL_CENTER_CAP, Arrow
-    # matmul past it — a k=4096 fit stops paying O(k x dim) plan nodes
-    # PER ITERATION (r14; identical results at every checked k)
+    # _auto: the Arrow matmul assignment (r14) — the folded-literal fold
+    # is interpreted (higher-order functions) and paid O(k x dim)
+    # interpreted steps per row PER ITERATION; identical results pinned
+    # at every checked k (seam tests + the unrolled DuckDB oracle)
     assigned = assign_clusters_auto(corpus, centers, id_col, vec_col)
     for _ in range(iters):
         updated = _updated_centers(assigned, vec_col)

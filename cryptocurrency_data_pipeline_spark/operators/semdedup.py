@@ -11,9 +11,10 @@ Spark shape, stage by stage:
 
 * **Coarse clustering — map-only.**  Centers come from the deterministic
   md5-seeded IVF quantizer (``similarity.ivf_centroids``,
-  TakeOrderedAndProject — no single-task collapse) and enter the plan as
-  k x dim folded literals; every row picks its nearest center inside
-  whole-stage codegen (``clustering.assign_clusters``).  No shuffle.
+  TakeOrderedAndProject — no single-task collapse); every row picks its
+  nearest center via the Arrow-batched numpy matmul
+  (``clustering.assign_clusters_auto`` — one matmul per Arrow batch,
+  never per-row Python).  No shuffle.
 * **Within-cluster pairs — ONE equi-join shuffle on ``cluster_id``.**
   Pairs are restricted to ``id_a < id_b`` and scored with the JVM-side
   ``zip_with``/``aggregate`` cosine.  Because the join key is a plain
@@ -26,19 +27,19 @@ Spark shape, stage by stage:
   deduped and left-joined back as a boolean, so callers can either filter
   (``is_kept``) or audit per-cluster retention.
 
-At 100 TB: driver state is O(nlist x dim) doubles (folded literals up to
-``clustering.LITERAL_CENTER_CAP`` centers, a serialized numpy matrix on
-the Arrow path beyond); nothing materializes the cross-corpus pair
-space.  ``nlist`` AUTO-SCALES with the corpus by default
-(:func:`auto_nlist`: ceil(n/256), floor 8, UNCAPPED since r14) — with
-any fixed nlist the per-cluster row count grows with n, the pair space
-grows n^2/nlist, and the cluster-keyed shuffle is stuck at nlist keys;
-the r13 slope instrument measured exactly that (x23 wall-time at x10
-data under the old fixed default), and the r13 clamp at 256 merely moved
-the same quadratic past ~65k vectors — r14's assignment dispatch
-(``clustering.assign_clusters_auto``) removes the clamp by switching to
-the Arrow-batched numpy assignment when the center set outgrows the
-folded-literal plan.
+At 100 TB: driver state is O(nlist x dim) doubles (a numpy matrix
+serialized with the Arrow assignment UDF); nothing materializes the
+cross-corpus pair space.  ``nlist`` AUTO-SCALES with the corpus by
+default (:func:`auto_nlist`: ceil(n/256), floor 8, UNCAPPED since r14) —
+with any fixed nlist the per-cluster row count grows with n, the pair
+space grows n^2/nlist, and the cluster-keyed shuffle is stuck at nlist
+keys; the r13 slope instrument measured exactly that (x23 wall-time at
+x10 data under the old fixed default), and the r13 clamp at 256 merely
+moved the same quadratic past ~65k vectors.  Assignment itself runs the
+Arrow-batched numpy matmul at every center count
+(``clustering.assign_clusters_auto``; the r14 crossover measurement
+found the folded-literal fold — higher-order functions, interpreted —
+loses at EVERY size: x1.6 at 8 centers, x13 at 250).
 
 Reference counterpart: none (the Glue jobs do no ML); extends the
 dedup family (exact / MinHash / SimHash / winnowing / substring) with the
@@ -99,11 +100,11 @@ def _normalized_assignment(
     filter.  A zero vector then scores dot == 0 against everything,
     matching :func:`similarity.cosine`'s guarded semantics.
 
-    Assignment dispatches on center count (``assign_clusters_auto``):
-    folded plan literals up to ``clustering.LITERAL_CENTER_CAP``, the
-    Arrow-batched numpy matmul beyond — so the auto-scaled cluster count
-    (``auto_nlist``, uncapped since r14) keeps the pair space linear at
-    ANY corpus size instead of re-quadratizing past ~65k vectors."""
+    Assignment runs the Arrow-batched numpy matmul at every center
+    count (``assign_clusters_auto``; O(1) plan size in nlist), so the
+    auto-scaled cluster count (``auto_nlist``, uncapped since r14)
+    keeps the pair space linear at ANY corpus size instead of
+    re-quadratizing past ~65k vectors."""
     return track(
         assign_clusters_auto(corpus, centers, id_col=id_col, vec_col=vec_col)
         .withColumn("__norm", norm(F.col(vec_col)))
@@ -138,8 +139,8 @@ def auto_nlist(
     ``floor``, UNCAPPED by default — cluster count must keep growing with
     the corpus or the pair space re-quadratizes (the r13 cap at 256 made
     the default path O(n^2/256) past ~65k vectors; r14 removed it once
-    assignment learned to dispatch off plan literals past
-    ``clustering.LITERAL_CENTER_CAP``).  Pass ``cap`` only to pin a
+    assignment moved off folded plan literals onto the Arrow-batched
+    numpy matmul).  Pass ``cap`` only to pin a
     quantizer budget explicitly.  Oracle mirror (pinned by the sf0.01
     parity gate): ``greatest(floor, ceil(count(v) / target))``."""
     import math
@@ -171,10 +172,9 @@ def semantic_dedup(
     the per-cluster row count grows with n and the pair space grows
     n^2/nlist (measured: x23 wall-time at 10x data under the old fixed
     default).  Pass an explicit ``nlist`` only to pin the quantizer
-    (e.g. to reuse assignments across runs); the auto count is uncapped —
-    past ``clustering.LITERAL_CENTER_CAP`` centers the assignment
-    dispatches to the Arrow-batched numpy path automatically, so the
-    default stays linear at any corpus size.
+    (e.g. to reuse assignments across runs); the auto count is uncapped
+    and the Arrow-batched assignment's plan size is O(1) in nlist, so
+    the default stays linear at any corpus size.
 
     Exactly one output row per distinct id: duplicated-id inputs are
     collapsed first (:func:`_one_row_per_id`), so the seed sample, the

@@ -165,9 +165,12 @@ def test_arrow_assignment_center_chunking_preserves_ties(spark):
     assert arr == lit
 
 
-def test_assign_auto_dispatches_on_center_count(spark):
-    """<= cap: folded literals (no Python eval node); > cap: exactly one
-    ArrowEvalPython, still no shuffle (map-only either way)."""
+def test_assign_auto_dispatches_on_literal_cap(spark):
+    """Default: the Arrow matmul at ANY center count (the r14 crossover
+    measurement found the interpreted higher-order-function fold loses
+    at every size — x1.6 at 8 centers, x13 at 250); an explicit
+    literal_cap takes the fold-order-exact literal path.  Map-only
+    either way, never row-wise Python."""
     from cryptocurrency_data_pipeline_spark.operators.clustering import (
         assign_clusters_auto,
     )
@@ -176,27 +179,34 @@ def test_assign_auto_dispatches_on_center_count(spark):
     small = [(i, [float(i)] * 64) for i in range(1, 4)]
     big = [(i, [float(i)] * 64) for i in range(1, 302)]
 
-    plan_small = (
+    plan_default = (
         assign_clusters_auto(corpus, small)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "EvalPython" not in plan_small
-    assert "Exchange" not in plan_small
+    assert "ArrowEvalPython" in plan_default
+    assert "BatchEvalPython" not in plan_default  # never row-wise Python
+    assert "Exchange" not in plan_default
 
-    plan_big = (
-        assign_clusters_auto(corpus, big)
+    plan_literal = (
+        assign_clusters_auto(corpus, small, literal_cap=256)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "ArrowEvalPython" in plan_big
-    assert "BatchEvalPython" not in plan_big  # never row-wise Python
+    assert "EvalPython" not in plan_literal
+    assert "Exchange" not in plan_literal
+
+    plan_big = (
+        assign_clusters_auto(corpus, big, literal_cap=256)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan_big  # past the explicit cap: Arrow
     assert "Exchange" not in plan_big
 
 
 def test_semantic_dedup_identical_across_the_dispatch_seam(spark):
-    """Forcing the Arrow path (literal_cap=0 via monkeypatching the
-    module constant) must not change semantic_dedup's answer on the
-    corpus — the seam is an implementation dispatch, not a semantic
-    one."""
+    """The default (Arrow) and the forced-literal path (literal_cap
+    raised via the module constant) must produce the same
+    semantic_dedup answer on the corpus — the seam is an implementation
+    dispatch, not a semantic one."""
     import cryptocurrency_data_pipeline_spark.operators.clustering as cl
     from cryptocurrency_data_pipeline_spark.operators.semdedup import (
         semantic_dedup,
@@ -207,7 +217,7 @@ def test_semantic_dedup_identical_across_the_dispatch_seam(spark):
         tuple(r) for r in semantic_dedup(emb, tau=0.45).collect()
     )
     orig = cl.LITERAL_CENTER_CAP
-    cl.LITERAL_CENTER_CAP = 0
+    cl.LITERAL_CENTER_CAP = 10**9  # force the folded-literal path
     try:
         forced = sorted(
             tuple(r) for r in semantic_dedup(emb, tau=0.45).collect()

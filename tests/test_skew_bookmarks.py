@@ -327,3 +327,31 @@ def test_walk_lex_exact_string_order_across_nesting(tmp_path):
         str(root / "a0" / "y.json"),
         str(root / "b.json"),
     ]
+
+
+def test_walk_skips_symlinked_directories(spark, tmp_path):
+    """A symlink to a DIRECTORY must be neither yielded as a file nor
+    descended (the os.walk(followlinks=False) semantics the streamed
+    walk replaced): classified as a file it would be 'ingested' as one
+    committed ledger path and every file later added under it silently
+    skipped (ADVICE r13).  A symlink to a regular FILE stays a file."""
+    import os
+
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    (src / "sub" / "a.json").write_text("{}")
+    real_file = tmp_path / "outside.json"
+    real_file.write_text("{}")
+
+    linked_tree = tmp_path / "tree"
+    (linked_tree / "deep").mkdir(parents=True)
+    (linked_tree / "deep" / "hidden.json").write_text("{}")
+
+    os.symlink(linked_tree, src / "linkdir")          # dir symlink: skip
+    os.symlink(real_file, src / "linkfile.json")      # file symlink: keep
+
+    walked = list(bookmarks._walk_lex(str(src)))
+    assert str(src / "linkfile.json") in walked
+    assert str(src / "sub" / "a.json") in walked
+    assert all("linkdir" not in p for p in walked)
+    assert all("hidden.json" not in p for p in walked)
