@@ -68,18 +68,79 @@ def demo_codebook(
         for mi in range(m)
         for j in range(k)
     ]
-    return spark.createDataFrame(rows, "m int, code int, centroid array<double>")
+    return codebook_frame(spark, rows)
 
 
-def _sub_dist() -> "F.Column":
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal: shortest-repr decimals with an exponent
+    marker (plain decimals parse as DECIMAL in Spark SQL) — both engines
+    use correctly-rounded IEEE parse, so the value round-trips bit-for-
+    bit, inf/NaN included."""
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "E0"
+
+
+def codebook_frame(spark: SparkSession, rows) -> DataFrame:
+    """``(m, code, centroid)`` frame from driver-side rows WITHOUT a
+    Python-pickled RDD: ``createDataFrame(rows)`` plans as a Scan
+    ExistingRDD whose every materialization (each broadcast build, each
+    Lloyd-round action) spawns a default-parallelism-task Python-worker
+    stage — measured ~0.2 s of pure scheduler/worker overhead per task
+    and the dominant cost of the whole PQ family at bench scale.  A SQL
+    ``VALUES`` inline table resolves to a ``LocalRelation`` at analysis
+    (physical plan: one ``LocalTableScan``, broadcast built driver-side,
+    no Python anywhere) — measured 0.17 s vs 0.49 s per action at
+    m=8, k=16.  One ``spark.sql`` call, not O(m·k·dim) py4j calls (an
+    ``F.lit``-per-component builder spent ~2 s/frame in py4j alone)."""
+    if not rows:  # zero-row VALUES is unsyntactic — keep the (cheap,
+        # empty) RDD path for the sfempty corpus class
+        return spark.createDataFrame(
+            [], "m int, code int, centroid array<double>"
+        )
+    vals = ", ".join(
+        f"(CAST({int(mi)} AS INT), CAST({int(j)} AS INT), "
+        f"array({', '.join(_sql_double(x) for x in cent)}))"
+        for mi, j, cent in rows
+    )
+    return spark.sql(
+        f"SELECT m, code, centroid FROM VALUES {vals} AS t(m, code, centroid)"
+    )
+
+
+def _sub_dist(subdim: int | None = None) -> "F.Column":
     """Squared L2 between the ``sub`` and ``centroid`` arrays, folded in
     ELEMENT ORDER (``zip_with`` + ``aggregate``) so the doubles — and
-    everything derived from them — are engine-exact."""
-    return F.aggregate(
+    everything derived from them — are engine-exact.
+
+    With ``subdim`` given, the common full-length case runs as an
+    UNROLLED left-associated sum (``0.0 + t1 + t2 + ...`` — the exact
+    IEEE op sequence of the fold, including the leading ``0.0 + t1``),
+    which whole-stage codegen compiles, where higher-order functions
+    stay interpreted (the r14 literal-vs-Arrow crossover measurement).
+    Short/long arrays fall back to the fold via the size guard, so
+    zip_with's pad-with-NULL semantics are preserved bit-for-bit."""
+    fold = F.aggregate(
         F.zip_with(F.col("sub"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if subdim is None:
+        return fold
+    acc = F.lit(0.0)
+    for i in range(1, subdim + 1):
+        d = F.element_at(F.col("sub"), i) - F.element_at(F.col("centroid"), i)
+        acc = acc + d * d
+    return F.when(
+        (F.size(F.col("sub")) == subdim)
+        & (F.size(F.col("centroid")) == subdim),
+        acc,
+    ).otherwise(fold)
 
 
 def pq_encode(
@@ -105,7 +166,7 @@ def pq_encode(
         sub = _subvectors(df, m, subdim, id_col, vec_col)
     return (
         sub.join(F.broadcast(codebook), "m")
-        .select(id_col, "m", "code", _sub_dist().alias("dist"))
+        .select(id_col, "m", "code", _sub_dist(subdim).alias("dist"))
         .groupBy(id_col, "m")
         .agg(
             F.min_by("code", F.struct("dist", "code")).alias("code")
@@ -476,9 +537,7 @@ def train_codebook(
         rows = [
             (mi, j, b[mi][j]) for mi in sorted(b) for j in sorted(b[mi])
         ]
-        return spark.createDataFrame(
-            rows, "m int, code int, centroid array<double>"
-        )
+        return codebook_frame(spark, rows)
 
     if sub is None:
         sub = _subvectors(df, m, subdim, id_col, vec_col)
@@ -486,7 +545,7 @@ def train_codebook(
         cb = as_frame(book)
         assigned = (
             sub.join(F.broadcast(cb), "m")
-            .select(id_col, "m", "code", "sub", _sub_dist().alias("dist"))
+            .select(id_col, "m", "code", "sub", _sub_dist(subdim).alias("dist"))
             .groupBy(id_col, "m")
             .agg(
                 F.min_by(

@@ -1929,7 +1929,7 @@ def pq_adc_topk_query(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import pq
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sub = track(pq._subvectors(emb, 8, 8, "vec_id", "embedding"))
+    sub = track(pq._subvectors(emb, 8, 8, "vec_id", "embedding").persist())
     cb = pq.train_codebook(emb, sub=sub)
     codes = pq.pq_encode(emb, cb, sub=sub)
     probes = emb.filter(F.col("vec_id") < 3)
@@ -2008,7 +2008,7 @@ def pq_recall_at_10(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import pq
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sub = track(pq._subvectors(emb, 8, 8, "vec_id", "embedding"))
+    sub = track(pq._subvectors(emb, 8, 8, "vec_id", "embedding").persist())
     cb = pq.train_codebook(emb, sub=sub)
     codes = pq.pq_encode(emb, cb, sub=sub)
     probes = emb.filter(F.col("vec_id") < 3)
@@ -2096,7 +2096,7 @@ def ivfpq_topk(spark, sf_dir):
     )
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sub = track(pq._subvectors(emb, 8, 8, "vec_id", "embedding"))
+    sub = track(pq._subvectors(emb, 8, 8, "vec_id", "embedding").persist())
     cb = pq.train_codebook(emb, sub=sub)
     codes = pq.pq_encode(emb, cb, sub=sub)
     probes = emb.filter(F.col("vec_id") < 3)
@@ -2276,6 +2276,7 @@ def vocab_oov_coverage(spark, sf_dir):
     toks = track(
         t(spark, sf_dir, "documents")
         .select("source", F.explode(tokens("text")).alias("tok"))
+        .persist()
     )
     vocab = (
         toks.groupBy("tok")

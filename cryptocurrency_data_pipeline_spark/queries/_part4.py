@@ -365,7 +365,7 @@ def hashed_vector_topk(spark, sf_dir):
     )
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    vecs = track(hashed_doc_vectors(docs, dim=64))
+    vecs = track(hashed_doc_vectors(docs, dim=64).persist())
     probes = vecs.filter(F.col("doc_id") < 3)
     return cosine_topk(vecs, probes, k=10, id_col="doc_id")
 
@@ -447,7 +447,7 @@ def ts_paa_similarity_topk(spark, sf_dir):
         "user_id",
         T.paa(F.col("z"), F.col("n"), 8).alias("sketch"),
     )
-    sk = track(sk)
+    sk = track(sk.persist())
     probes = sk.orderBy("user_id").limit(3)
     return T.paa_topk(sk, probes, k=5)
 

@@ -161,3 +161,85 @@ def test_train_or_load_trains_when_artifact_absent(vecs, tmp_path):
     os.makedirs(empty)
     cb2 = pq.train_or_load_codebook(vecs, empty, m=2, k=2, subdim=2, iters=2)
     assert cb2.count() == 4
+
+
+def test_codebook_frame_bit_identical_to_createDataFrame(spark):
+    # The r14 VALUES/LocalRelation builder (codebook_frame) must produce
+    # the exact frame createDataFrame did — doubles round-trip through
+    # the shortest-repr SQL literal bit-for-bit, including negatives,
+    # subnormals, huge magnitudes, inf and NaN.
+    import math
+    import struct as st
+
+    rows = [
+        (0, 0, [0.1, -0.5, 1.0 / 3.0, 5e-324]),
+        (0, 1, [1.9e231, -0.0, float("inf"), float("-inf")]),
+        (1, 0, [float("nan"), 2.0**-1074, 1.7976931348623157e308, 0.011]),
+    ]
+    built = {
+        (r.m, r.code): list(r.centroid)
+        for r in pq.codebook_frame(spark, rows).collect()
+    }
+    ref = {
+        (r.m, r.code): list(r.centroid)
+        for r in spark.createDataFrame(
+            rows, "m int, code int, centroid array<double>"
+        ).collect()
+    }
+    assert built.keys() == ref.keys()
+    for k in ref:
+        for a, b in zip(built[k], ref[k]):
+            # bit-level comparison: NaN == NaN, -0.0 != +0.0
+            assert st.pack("<d", a) == st.pack("<d", b), (k, a, b)
+    assert math.isnan(built[(1, 0)][0])
+    # plan shape: a LocalTableScan, no Python-RDD scan anywhere
+    plan = pq.codebook_frame(spark, rows)._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
+
+
+def test_codebook_frame_empty(spark):
+    df = pq.codebook_frame(spark, [])
+    assert df.count() == 0
+    assert df.schema.simpleString() == (
+        "struct<m:int,code:int,centroid:array<double>>"
+    )
+
+
+def test_sub_dist_unrolled_matches_fold_on_edges(spark):
+    # The codegen'd unrolled branch and the interpreted fold must agree
+    # bit-for-bit on every input class: exact-length, short sub (falls
+    # back to the fold's zip_with-pad-NULL semantics -> NULL), NaN and
+    # inf components, huge-magnitude near-identical values (the sfedge
+    # cancellation alphabet), and -0.0 terms.
+    from pyspark.sql import functions as F
+
+    cases = [
+        ([1.0, 2.0, 3.0, 4.0], [1.5, 2.5, 3.5, 4.5]),
+        ([1.0, 2.0], [1.5, 2.5, 3.5, 4.5]),          # short sub -> NULL
+        ([1.0, 2.0, 3.0], [1.5, 2.5, 3.5, 4.5]),     # short sub -> NULL
+        ([float("nan"), 2.0, 3.0, 4.0], [0.0, 0.0, 0.0, 0.0]),
+        ([float("inf"), 2.0, 3.0, 4.0], [0.0, 0.0, 0.0, 0.0]),
+        ([1.9e231, 1.0, 1.0, 1.0], [1.9e231, 1.0, 1.0, 1.0]),
+        ([-0.0, 0.0, -0.0, 0.0], [0.0, -0.0, 0.0, -0.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, c) for i, (s, c) in enumerate(cases)],
+        "i int, sub array<double>, centroid array<double>",
+    )
+    out = (
+        df.select(
+            "i",
+            pq._sub_dist(4).alias("unrolled"),
+            pq._sub_dist(None).alias("fold"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    import struct as st
+
+    for r in out:
+        if r.fold is None:
+            assert r.unrolled is None, r
+        else:
+            assert r.unrolled is not None, r
+            assert st.pack("<d", r.unrolled) == st.pack("<d", r.fold), r
