@@ -381,11 +381,13 @@ def build_ivfpq_index(
     cents = similarity.ivf_centroids(df, nlist=nlist, id_col=id_col, vec_col=vec_col)
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     cents = df.sparkSession.read.parquet(f"{path}/centroids")
-    simr = F.round(
-        cosine(as_double(F.col(vec_col)), F.col("centroid")), 9
-    )
+    # Project as_double once per row BEFORE the per-centroid cosine (the
+    # unrolled dot references its operands 2·dim times — an inline
+    # as_double would copy its interpreted forall() per element).
+    simr = F.round(cosine(F.col("__vd"), F.col("centroid")), 9)
     assign = (
-        df.crossJoin(F.broadcast(cents))
+        df.select(id_col, as_double(F.col(vec_col)).alias("__vd"))
+        .crossJoin(F.broadcast(cents))
         .select(id_col, "centroid_id", simr.alias("simr"))
         .groupBy(id_col)
         .agg(
@@ -452,11 +454,15 @@ def ivfpq_search(
     probe set."""
     from cryptocurrency_data_pipeline_spark.operators.similarity import cosine
 
-    simr = F.round(cosine(as_double(F.col(vec_col)), F.col("centroid")), 9)
+    simr = F.round(cosine(F.col("__vd"), F.col("centroid")), 9)
     w = Window.partitionBy("query_id").orderBy(F.col("simr").desc(), "centroid_id")
     probe_lists = (
-        probes.crossJoin(F.broadcast(index.centroids))
-        .select(F.col(id_col).alias("query_id"), "centroid_id", simr.alias("simr"))
+        probes.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("__vd"),
+        )
+        .crossJoin(F.broadcast(index.centroids))
+        .select("query_id", "centroid_id", simr.alias("simr"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "centroid_id")

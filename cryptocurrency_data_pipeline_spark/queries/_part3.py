@@ -2103,9 +2103,14 @@ def ivfpq_topk(spark, sf_dir):
     lut = pq.adc_lut(probes, cb)
 
     cents = similarity.ivf_centroids(emb, nlist=8)
-    simr = F.round(cosine(as_double(F.col("embedding")), F.col("centroid")), 9)
+    # Project as_double to a column BEFORE the per-centroid cosine: the
+    # unrolled dot references its operands 2·dim times, and as_double
+    # carries a forall() (interpreted HOF) that must evaluate once per
+    # ROW, not once per (row, element) copy.
+    emb_d = emb.select("vec_id", as_double(F.col("embedding")).alias("__vd"))
+    simr = F.round(cosine(F.col("__vd"), F.col("centroid")), 9)
     corpus_assign = (
-        emb.crossJoin(F.broadcast(cents))
+        emb_d.crossJoin(F.broadcast(cents))
         .select("vec_id", "centroid_id", simr.alias("simr"))
         .groupBy("vec_id")
         .agg(
@@ -2118,7 +2123,7 @@ def ivfpq_topk(spark, sf_dir):
         F.col("simr").desc(), "centroid_id"
     )
     probe_lists = (
-        probes.crossJoin(F.broadcast(cents))
+        emb_d.filter(F.col("vec_id") < 3).crossJoin(F.broadcast(cents))
         .select(
             F.col("vec_id").alias("query_id"), "centroid_id", simr.alias("simr")
         )
