@@ -236,18 +236,31 @@ def pagerank(
     special term; the (1-d)/N base is applied through a left join on the
     full node set. N enters as a 1-row broadcast, never a collect.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # No persist: nothing materializes inside this function (the caller
-    # triggers the one action), so a persist here would never be
-    # populated before its release; the symmetrized edge subtree is
-    # instead deduplicated at runtime by Spark's ReusedExchange.
-    e = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    from cryptocurrency_data_pipeline_spark.operators.caching import track
 
-    nodes = e.select(F.col("a").alias("node")).distinct()
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Persist the shared frames: e feeds every iteration's contribution
+    # join and nodes/deg; without the cache each of the unrolled
+    # iterations re-embeds (and re-computes) the whole symmetrize +
+    # distinct subtree — the r14 before-plan carried 236 Exchange nodes
+    # for 3 iterations, and Catalyst re-optimized that whole history on
+    # every action.  persist() keeps lineage, so the caller's single
+    # action populates the caches mid-plan and every later reference is
+    # an InMemoryRelation read (the jaccard_self_join discipline);
+    # track() lets benchmark loops release the blocks eagerly.
+    e = track(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+
+    nodes = track(e.select(F.col("a").alias("node")).distinct().persist())
     n_count = nodes.agg(F.count(F.lit(1)).alias("n"))
-    deg = e.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    deg = track(
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
 
     ranks = nodes.crossJoin(F.broadcast(n_count)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
@@ -292,18 +305,28 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     O(sqrt(m)), the pair blow-up a plain id orientation would hit on a
     star graph never materializes, and every join stays an equi-join.
     """
-    e = (
+    from cryptocurrency_data_pipeline_spark.operators.caching import track
+
+    # Persist the shared frames: e feeds deg (twice), the orientation
+    # join and the edge count; o feeds both wedge sides and the closing
+    # join.  Uncached, every reference re-embeds the canonicalize +
+    # distinct subtree (the r14 before-plan carried 184 Exchange nodes);
+    # cached, each is one InMemoryRelation read inside the caller's
+    # single action.  track() gives loops the eager-release hook.
+    e = track(
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
-    deg = (
+    deg = track(
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     # Orient each edge toward the higher (deg, node) endpoint.
     ed = (
@@ -311,10 +334,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
     )
     fwd = F.struct("da", "a") < F.struct("db", "b")
-    o = ed.select(
-        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    o = track(
+        ed.select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        ).persist()
     )
     # Wedges at u: ordered out-neighbor pairs; closed by an oriented
     # (v, w) edge (orientation consistent because rank(v) < rank(w)).
