@@ -800,6 +800,7 @@ def _write_partitioned_version(
     rel_dir: str,
     precomputed: dict | None = None,
     stats_cols: Sequence[str] | None = None,
+    preserve_layout: bool = False,
 ) -> dict:
     """Land ``df`` Hive-partitioned in ``snap_dir`` and return its
     fingerprint map (each entry stamped with ``src``, the version that
@@ -829,6 +830,22 @@ def _write_partitioned_version(
             f"column {part_col!r}; a partitioned snapshot needs at least "
             f"one data column"
         )
+    # Cluster rows by partition value before the partitioned write
+    # (AQE REBALANCE): without it every upstream task opens a writer per
+    # partition value it holds, landing O(tasks x partitions) ~KB files
+    # per version — at bench scale the assembled read of the merged
+    # table degraded to 64-split scans of tiny files (measured ~0.6 s of
+    # pure open/schedule overhead per task, near-zero CPU).  REBALANCE
+    # (vs a plain repartition(part_col)) stays scale-safe: AQE splits a
+    # hot partition's writers by its advisory size, so a 100 TB version
+    # still writes a big bucket with many tasks while a micro-batch
+    # version lands one file per bucket.
+    if not preserve_layout:
+        # Callers that already laid the frame out (compaction's
+        # right-sized range clusters / Morton order) pass
+        # preserve_layout=True; a rebalance here would undo exactly the
+        # layout they computed.
+        df = df.hint("rebalance", part_col)
     df.write.mode("errorifexists").partitionBy(part_col).parquet(snap_dir)
     if not any(
         any(not f.startswith(("_", ".")) for f in files)
@@ -930,6 +947,8 @@ def upsert_snapshot(
     record_keys: Sequence[str] | None = None,
     stats_cols: Sequence[str] | None = None,
     commit: SnapshotCommit | None = None,
+    drop_if_absent: Sequence[str] = (),
+    preserve_layout: bool = False,
 ) -> int:
     """Copy-on-write partial snapshot: publish a new version that REWRITES
     only the partitions present in ``new_rows`` (replace semantics, like
@@ -954,6 +973,13 @@ def upsert_snapshot(
     dropped from the assembled read of the new version (older versions
     keep their own schemas).  The partition column's type must not
     change.
+
+    ``drop_if_absent`` names partition values (directory-string form) to
+    drop ONLY IF the new version contains no rows for them — the MERGE
+    caller's "touched partitions whose content emptied out" case,
+    resolved from the partition set the write (or the skip_unchanged
+    pre-scan) computes anyway instead of a dedicated distinct+collect
+    job over the merged frame.
 
     ``skip_unchanged=True`` fingerprints the INPUT partitions and
     compares them against the previous version BEFORE writing anything:
@@ -990,6 +1016,7 @@ def upsert_snapshot(
             f"new_rows carries {new_type}; cast before upserting"
         )
     dropped = {str(d) for d in drop_partitions}
+    absent_req = {str(d) for d in drop_if_absent}
     prev_parts = prev.get("parts", {})
     # Stats envelopes are a TABLE setting: inherited from the previous
     # version unless explicitly (re)set, restricted to columns the new
@@ -1042,6 +1069,9 @@ def upsert_snapshot(
         clash = sorted(dropped & set(pre))
         if clash:
             raise ValueError(f"partitions both rewritten and dropped: {clash}")
+        # drop_if_absent resolves against the partitions the input
+        # actually carries — the same set the pre-scan just computed.
+        dropped = dropped | (absent_req - set(pre))
         pre_columns = list(new_rows.columns) if pre else prev.get(
             "columns", list(new_rows.columns)
         )
@@ -1062,10 +1092,14 @@ def upsert_snapshot(
         fresh = _write_partitioned_version(
             new_rows, snap_dir, part_col, version, rel_dir,
             precomputed=pre, stats_cols=stats_cols,
+            preserve_layout=preserve_layout,
         )
         clash = sorted(dropped & set(fresh))
         if clash:
             raise ValueError(f"partitions both rewritten and dropped: {clash}")
+        # Resolve drop_if_absent against what actually landed (equals the
+        # pre-scan's key set when that ran — precomputed fingerprints).
+        dropped = dropped | (absent_req - set(fresh))
         columns = list(new_rows.columns) if fresh else prev.get(
             "columns", list(new_rows.columns)
         )
@@ -1126,6 +1160,7 @@ def merge_into_snapshot(
     skip_unchanged: bool = False,
     validate_partition: bool = False,
     commit: SnapshotCommit | None = None,
+    touched: set[str] | None = None,
 ) -> int:
     """Row-level MERGE INTO the current snapshot, published copy-on-write:
     rows in ``updates`` REPLACE current rows with matching ``keys``
@@ -1145,7 +1180,12 @@ def merge_into_snapshot(
     current snapshot — debug/CI mode, off by default on the hot path).
     Keys are assumed non-null.  A touched partition whose rows are all
     deleted is dropped from the new version.  ``keys`` is recorded in
-    the manifest for ``snapshot_changes(collapse=True)``."""
+    the manifest for ``snapshot_changes(collapse=True)``.
+
+    ``touched`` (directory-string partition values of ``updates``) can
+    be passed by callers that already computed it — the snapshot sink
+    folds it into its per-batch counts aggregate — saving the
+    distinct+collect job here."""
     from pyspark.sql import functions as F
 
     man = (commit or DEFAULT_COMMIT).manifest_for_write(table_path)
@@ -1157,9 +1197,13 @@ def merge_into_snapshot(
     part_col = prev["part_col"]
     spark = updates.sparkSession
     part_str = partition_key_expr(part_col)
-    touched = {
-        r[0] for r in updates.select(part_str.alias("p")).distinct().collect()
-    }
+    if touched is None:
+        touched = {
+            r[0]
+            for r in updates.select(part_str.alias("p")).distinct().collect()
+        }
+    else:
+        touched = set(touched)
     current = read_snapshot(spark, table_path, commit=commit)
     existing = current.where(partition_predicate(part_col, touched))
 
@@ -1238,22 +1282,22 @@ def merge_into_snapshot(
     merged = survivors.unionByName(upserts, allowMissingColumns=True).select(
         *upserts.columns
     )
-    # One materialization of the merge serves both the remaining-partition
-    # collect and the version write below.
+    # One materialization of the merge serves the fingerprint pre-scan
+    # (or the write) and whatever runs second.
     merged = merged.persist()
     try:
         # Partitions whose content is now empty must be DROPPED, not
-        # inherited unchanged (upsert's fresh map would simply omit them).
-        remaining = {
-            r[0] for r in merged.select(part_str.alias("p")).distinct().collect()
-        }
+        # inherited unchanged — resolved INSIDE upsert_snapshot against
+        # the partition set its fingerprint scan (or the landed write)
+        # computes anyway, instead of a dedicated distinct+collect job
+        # over the merged frame here.
         return upsert_snapshot(
             merged,
             table_path,
-            drop_partitions=sorted(touched - remaining),
             skip_unchanged=skip_unchanged,
             record_keys=keys,
             commit=commit,
+            drop_if_absent=sorted(touched),
         )
     finally:
         merged.unpersist()
@@ -1342,7 +1386,11 @@ def compact_snapshot_partition(
         rows = zorder_layout(rows, list(zorder_cols), n_files).select(*cols)
     else:
         rows = rows.repartition(n_files)
-    return upsert_snapshot(rows, table_path, commit=commit)
+    # The rewrite's file count and clustering ARE the product here —
+    # keep them through the version write (no REBALANCE).
+    return upsert_snapshot(
+        rows, table_path, commit=commit, preserve_layout=True
+    )
 
 
 def _resolve_snapshot(

@@ -120,10 +120,22 @@ def merge_batch_into_snapshot(
     unreachable when the observed subtree's action returns empty —
     AQE prunes the CollectMetrics node — which is exactly the all-NULL
     batch this counter must report on.)"""
+    # One map-side aggregate carries the NULL-order counter, the
+    # empty-batch check AND the touched-partition set (collect_set over
+    # the valid rows' directory-string partition key — partition_key_expr
+    # never returns NULL, so nothing is silently dropped): the set used
+    # to cost a dedicated distinct+collect job per micro-batch.
     counts = batch.agg(
         F.count(F.when(F.col(order_col).isNull(), 1)).alias("n_null"),
         F.count(F.col(order_col)).alias("n_valid"),
+        F.collect_set(
+            F.when(
+                F.col(order_col).isNotNull(),
+                maintenance.partition_key_expr(part_col),
+            )
+        ).alias("touched"),
     ).collect()[0]
+    touched = list(counts["touched"])
     n_null_order = int(counts["n_null"])
     if n_null_order:
         import logging
@@ -190,12 +202,6 @@ def merge_batch_into_snapshot(
         # publish.  Current rows for the touched partitions only
         # (partition-pruned scan), keyed lookup of the stored tuple.
         ord_tuple = F.struct(order_col, *tiebreak)
-        touched = [
-            r[0]
-            for r in latest.select(
-                maintenance.partition_key_expr(part_col).alias("p")
-            ).distinct().collect()
-        ]
         stored = (
             current.where(maintenance.partition_predicate(part_col, touched))
             .select(*keys, ord_tuple.alias("__stored_ord"))
@@ -214,7 +220,8 @@ def merge_batch_into_snapshot(
             if fresh.isEmpty():
                 return maintenance._load_manifest(table_path)["current"]
             return maintenance.merge_into_snapshot(
-                fresh, table_path, keys, skip_unchanged=True
+                fresh, table_path, keys, skip_unchanged=True,
+                touched=set(touched),
             )
         finally:
             fresh.unpersist()

@@ -813,8 +813,15 @@ def test_compact_snapshot_partition_collapses_files_content_identical(
     schema = "id int, day string, v string"
     df = spark.createDataFrame(
         [(i, f"d{i % 2}", f"v{i}") for i in range(64)], schema
-    ).repartition(16)  # many small files per partition
-    mt.write_snapshot(df, table, part_col="day")
+    ).repartition(16)
+    # The r14 REBALANCE-on-write coalesces small writers, so a plain
+    # repartition(16) no longer fragments the version — force many tiny
+    # output files explicitly to give compaction something to collapse.
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "4")
+    try:
+        mt.write_snapshot(df, table, part_col="day")
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
     v1_files = glob.glob(
         os.path.join(mt.snapshot_dir(table, 1), "day=d0", "*.parquet")
     )
