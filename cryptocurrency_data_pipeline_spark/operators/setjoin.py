@@ -20,9 +20,14 @@ on prefix elements therefore finds every qualifying pair.
 Spark shape (scale story):
 
 * **df ranking without a global window.**  No unpartitioned
-  ``row_number`` over the vocabulary: the order is the (df, element)
-  tuple itself, sorted PER DOCUMENT (``array_sort`` on small per-doc
-  arrays) after one element-keyed join against the df table.
+  ``row_number`` over the raw data: the vocabulary gets a dense global
+  (df, element) rank via ``ids.with_consecutive_ids`` (range exchange +
+  partition-offset arithmetic over the DISTINCT-element table only),
+  and every downstream structure — per-doc ordered sets, prefix keys,
+  verification joins — carries the 8-byte rank instead of the element
+  string (r14: the string form shuffled 158 MB/pass at sf0.1 where the
+  rank form shuffles ~15, and per-doc sorts ran on string structs).
+  The rank map is a bijection, so results are bit-identical.
 * **Candidate join on prefix elements only** — rare elements first, so
   hot elements (stopword shingles) fall outside most prefixes, the
   exact effect PPJoin exploits.  Size filter
@@ -48,6 +53,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cryptocurrency_data_pipeline_spark.operators.caching import track
+from cryptocurrency_data_pipeline_spark.operators.ids import (
+    with_consecutive_ids,
+)
 
 
 def jaccard_self_join(
@@ -73,18 +81,23 @@ def jaccard_self_join(
     ratio rounded to 6 dp, the filter itself is integer arithmetic.
     """
     assert 0 < num <= den
-    # One pass for document frequencies; the join keys every element
-    # with its global (df, elem) rank — the shared total order.
+    # One pass for document frequencies; every element is then replaced
+    # by its dense global (df, elem) rank — the shared total order AS AN
+    # INT.  The rank map is a bijection (with_consecutive_ids over the
+    # distinct vocabulary, exact global rank, no hashing), so every
+    # equality, distinct and count below is EXACT — but the per-doc
+    # ordered sets, the candidate join keys and the verification join
+    # all carry 8-byte longs instead of shingle strings: the r14 profile
+    # showed the groupBy(id) exchange moving 158 MB of shingle text per
+    # pass at sf0.1 (ints: ~15 MB) and 20 s of task CPU sorting string
+    # structs (guide §2.3: shuffle fewer bytes / narrower types).
     tok = track(tok.persist())
     df_e = tok.groupBy("elem").agg(F.count_distinct(F.col("id")).alias("df"))
-    te = tok.join(df_e, "elem")
+    ranked = with_consecutive_ids(df_e, ["df", "elem"], "rk")
+    te = tok.join(ranked.select("elem", "rk"), "elem")
     docs = track(
         te.groupBy("id")
-        .agg(
-            F.array_sort(
-                F.collect_set(F.struct("df", "elem"))
-            ).alias("ordered")
-        )
+        .agg(F.array_sort(F.collect_set("rk")).alias("ordered"))
         .select("id", F.size("ordered").alias("sz"), "ordered")
         .persist()
     )
@@ -94,23 +107,20 @@ def jaccard_self_join(
         "id",
         "sz",
         F.posexplode(
-            F.transform(
-                F.slice(F.col("ordered"), F.lit(1), F.col("sz") - ceil_t + 1),
-                lambda s: s["elem"],
-            )
-        ).alias("pos", "elem"),
+            F.slice(F.col("ordered"), F.lit(1), F.col("sz") - ceil_t + 1)
+        ).alias("pos", "rk"),
     )
     a = prefix.select(
         F.col("id").alias("id_a"),
         F.col("sz").alias("sz_a"),
         F.col("pos").alias("pos_a"),
-        "elem",
+        "rk",
     )
     b = prefix.select(
         F.col("id").alias("id_b"),
         F.col("sz").alias("sz_b"),
         F.col("pos").alias("pos_b"),
-        "elem",
+        "rk",
     )
     # PPJoin positional filter: a collision at (0-based) positions
     # (pos_a, pos_b) caps the possible overlap at
@@ -125,7 +135,7 @@ def jaccard_self_join(
         F.col("sz_a") - F.col("pos_a") - 1, F.col("sz_b") - F.col("pos_b") - 1
     )
     cand = (
-        a.join(b, "elem")
+        a.join(b, "rk")
         .where(
             (F.col("id_a") < F.col("id_b"))
             & (
@@ -137,20 +147,15 @@ def jaccard_self_join(
         .select("id_a", "id_b", "sz_a", "sz_b")
         .distinct()
     )
-    # Distinct (id, elem) rows by construction: explode the per-doc
+    # Distinct (id, rank) rows by construction: explode the per-doc
     # SETS (cached in ``docs``), so the intersection count is set-valued
     # even on a duplicated input.
-    elems = docs.select(
-        "id",
-        F.explode(
-            F.transform(F.col("ordered"), lambda s: s["elem"])
-        ).alias("elem"),
-    )
-    ta = elems.select(F.col("id").alias("id_a"), "elem")
-    tb = elems.select(F.col("id").alias("id_b"), "elem")
+    elems = docs.select("id", F.explode("ordered").alias("rk"))
+    ta = elems.select(F.col("id").alias("id_a"), "rk")
+    tb = elems.select(F.col("id").alias("id_b"), "rk")
     inter = (
         cand.join(ta, "id_a")
-        .join(tb, ["id_b", "elem"])
+        .join(tb, ["id_b", "rk"])
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -196,16 +201,16 @@ def containment_join(
     verification count, producing wrong ratios rather than errors.
     """
     assert 0 < num <= den
+    # Same int-rank discipline as :func:`jaccard_self_join`: one df pass,
+    # a bijective dense (df, elem) rank, and every downstream shuffle
+    # carries longs instead of element strings.
     tok = track(tok.persist())
     df_e = tok.groupBy("elem").agg(F.count_distinct(F.col("id")).alias("df"))
-    te = tok.join(df_e, "elem")
+    ranked = with_consecutive_ids(df_e, ["df", "elem"], "rk")
+    te = tok.join(ranked.select("elem", "rk"), "elem")
     docs = track(
         te.groupBy("id")
-        .agg(
-            F.array_sort(
-                F.collect_set(F.struct("df", "elem"))
-            ).alias("ordered")
-        )
+        .agg(F.array_sort(F.collect_set("rk")).alias("ordered"))
         .select("id", F.size("ordered").alias("sz"), "ordered")
         .persist()
     )
@@ -214,26 +219,17 @@ def containment_join(
         F.col("id").alias("id_a"),
         F.col("sz").alias("sz_a"),
         F.posexplode(
-            F.transform(
-                F.slice(F.col("ordered"), F.lit(1), F.col("sz") - ceil_t + 1),
-                lambda s: s["elem"],
-            )
-        ).alias("pos_a", "elem"),
+            F.slice(F.col("ordered"), F.lit(1), F.col("sz") - ceil_t + 1)
+        ).alias("pos_a", "rk"),
     )
     # B is indexed on ALL its elements — derived from the cached SETS,
-    # so the index is distinct (id, elem) by construction.
-    elems = docs.select(
-        "id",
-        "sz",
-        F.explode(
-            F.transform(F.col("ordered"), lambda s: s["elem"])
-        ).alias("elem"),
-    )
+    # so the index is distinct (id, rank) by construction.
+    elems = docs.select("id", "sz", F.explode("ordered").alias("rk"))
     b = elems.select(
-        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "elem"
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "rk"
     )
     cand = (
-        a.join(b, "elem")
+        a.join(b, "rk")
         .where(
             (F.col("id_a") != F.col("id_b"))
             & (F.col("sz_b") * den >= F.col("sz_a") * num)
@@ -242,11 +238,11 @@ def containment_join(
         .select("id_a", "id_b", "sz_a")
         .distinct()
     )
-    ta = elems.select(F.col("id").alias("id_a"), "elem")
-    tb = elems.select(F.col("id").alias("id_b"), "elem")
+    ta = elems.select(F.col("id").alias("id_a"), "rk")
+    tb = elems.select(F.col("id").alias("id_b"), "rk")
     inter = (
         cand.join(ta, "id_a")
-        .join(tb, ["id_b", "elem"])
+        .join(tb, ["id_b", "rk"])
         .groupBy("id_a", "id_b", "sz_a")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
