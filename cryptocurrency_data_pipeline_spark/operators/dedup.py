@@ -76,8 +76,14 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     persisted — both the signature and the verification join read it, so
     the shingling/hash pass runs a single time (at scale: persist to
     MEMORY_AND_DISK rather than recompute a 100 TB lineage twice)."""
+    from cryptocurrency_data_pipeline_spark.operators.skew import (
+        spread_small_scan,
+    )
+
     return (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+        spread_small_scan(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+        )
         # Stage tokens as a bound column: shingling references the token
         # array inside a HOF lambda, which re-evaluates raw expressions
         # per element (O(len²) tokenization otherwise).
@@ -141,9 +147,19 @@ def lsh_candidate_pairs(
     if sh is None:
         sh = _shingle_frame(df, text_col, id_col, n)
     # No distinct: the band-index prefix makes the exploded keys unique per doc.
-    banded = sh.where(F.size("sh") > 0).select(
-        "id",
-        F.explode(band_keys(minhash_signature(F.col("hashes")), bands)).alias("band_key"),
+    # Persisted: the self-join below references this frame on BOTH sides,
+    # and each alias re-computes the 8-bucket OPH signature over the
+    # cached shingle hashes (~4 s of task CPU per side at sf0.1) — the
+    # cache collapses both onto one signature pass.
+    banded = track(
+        sh.where(F.size("sh") > 0)
+        .select(
+            "id",
+            F.explode(
+                band_keys(minhash_signature(F.col("hashes")), bands)
+            ).alias("band_key"),
+        )
+        .persist()
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -308,9 +324,17 @@ def duplicated_gram_positions(
     #
     # CASE branches evaluate lazily per row, so small docs never pay the
     # regex split and giant docs never pay the quadratic seek.
+    from cryptocurrency_data_pipeline_spark.operators.skew import (
+        spread_small_scan,
+    )
+
     lim = _CHAR_SEEK_LIM
+    # The md5-per-position build is the expensive map of this operator;
+    # spread a small (few-partition) input across the cluster first so
+    # it never runs serially behind a single-row-group scan (identity on
+    # big inputs — see spread_small_scan).
     grams = (
-        df.where(F.length(text_col) >= k)
+        spread_small_scan(df.where(F.length(text_col) >= k))
         .select(
             F.col(id_col),
             F.length(text_col).alias("_n"),

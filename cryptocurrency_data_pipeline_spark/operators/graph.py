@@ -168,7 +168,9 @@ def connected_components(
     labels = e.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    labels = labels.localCheckpoint(eager=True)
+    # Lazy for the same one-job-per-generation reason as the loop below:
+    # the seed fingerprint materializes the checkpoint.
+    labels = labels.localCheckpoint(eager=False)
     owned = _checkpoint_rdd_id(labels)
     # Convergence fingerprint: sum of per-row label HASHES in
     # decimal(38,0) — type-agnostic (string/hash node ids crash a plain
@@ -186,11 +188,18 @@ def connected_components(
             e.join(labels, e.b == labels.node)
             .select(e.a.alias("node"), "label")
         )
+        # LAZY checkpoint: the convergence aggregate right below is the
+        # materializing action, so each round runs ONE job (propagate +
+        # checkpoint + fingerprint) instead of two (eager checkpoint,
+        # then a separate fingerprint scan of the fresh blocks) — the
+        # per-round driver overhead was half the loop's cost at bench
+        # scale.  The aggregate reads every partition, so the blocks are
+        # fully populated before the next round references them.
         new_labels = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(label_fp).first()[0]
         # New generation is materialized; the previous round's checkpoint

@@ -141,3 +141,29 @@ def salted_join(
     )
     out = salted_big.join(replicated, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition ``df`` UP to the cluster's default
+    parallelism when its plan has fewer partitions — the guide's
+    "input skew: repartition immediately after the read" case for the
+    single-row-group file.
+
+    A small parquet file is one row group, and byte-range splitting
+    (``spark.sql.files.minPartitionNum``) cannot divide a row group —
+    every expensive per-row map stage downstream of such a scan runs
+    serially no matter how many cores idle (measured: the 50-gram build
+    of ``exact_substring_spans`` spent ~3 s on one task at sf0.1).  The
+    repartition shuffles only the raw input rows once, which is
+    negligible exactly when this matters (the input was small enough to
+    land in few partitions).
+
+    Scale-adaptive by construction: on a real corpus the scan already
+    has >= defaultParallelism partitions and this is the identity — no
+    shuffle is ever added to a big input.  Round-robin repartition is
+    retry-deterministic (sort-before-repartition, on by default since
+    SPARK-23207)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df

@@ -301,7 +301,13 @@ def winnow_fingerprints(
     SQL formulation (hex md5, lexicographic min), and map-only — the 100 TB
     plan is a pure scan→ArrowEval stage with no shuffle.
     """
-    return df.withColumn(out, _winnow_udf(k, w)(F.col(col)))
+    from cryptocurrency_data_pipeline_spark.operators.skew import (
+        spread_small_scan,
+    )
+
+    # The per-doc gram/min pass in the UDF is the cost — spread a small
+    # input across the cluster first (identity on big inputs).
+    return spread_small_scan(df).withColumn(out, _winnow_udf(k, w)(F.col(col)))
 
 
 def _winnow_udf(k: int, w: int):
@@ -386,9 +392,15 @@ def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     without this, every stat re-tokenizes and the quality score re-runs the
     regex pipeline (measured 3× slower at sf0.1).
     """
+    from cryptocurrency_data_pipeline_spark.operators.skew import (
+        spread_small_scan,
+    )
+
     c = F.col(col)
     toks = F.col("__toks")
-    staged = df.withColumn("__toks", tokens(col)).select(
+    # The tokenize+ratio map is the operator's whole cost: never run it
+    # serially behind a single-row-group scan (identity on big inputs).
+    staged = spread_small_scan(df).withColumn("__toks", tokens(col)).select(
         "*",
         F.size(toks).alias("n_tokens"),
         F.length(c).alias("n_chars_computed"),
