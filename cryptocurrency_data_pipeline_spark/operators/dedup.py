@@ -448,8 +448,16 @@ def segment_boilerplate(
     # quadratic the sfbig gram queries hit, just one power of seg_len
     # softer.  ``tk`` is its own column, so the lambda reads a
     # materialized array rather than re-tokenizing per element.
-    segs = (
-        df.select(F.col(id_col), toks.alias("tk"), seg_idx.alias("idx"))
+    from cryptocurrency_data_pipeline_spark.operators.skew import (
+        spread_small_scan,
+    )
+
+    # Persisted + spread: the segment frame feeds the df count AND the
+    # join back — uncached the tokenize+hash explode ran twice per
+    # action, serially behind a single-row-group scan.
+    segs = track(
+        spread_small_scan(df)
+        .select(F.col(id_col), toks.alias("tk"), seg_idx.alias("idx"))
         .select(
             id_col,
             F.explode(
@@ -463,6 +471,7 @@ def segment_boilerplate(
                 )
             ).alias("seg_hash"),
         )
+        .persist()
     )
     freq = segs.groupBy("seg_hash").agg(
         F.count_distinct(F.col(id_col)).alias("seg_df")

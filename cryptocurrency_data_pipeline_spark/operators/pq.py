@@ -270,7 +270,17 @@ def exact_l2_topk(
 def _subvectors(
     df: DataFrame, m: int, subdim: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(id, m, sub) — one row per (vector, subspace), map-side explode."""
+    """(id, m, sub) — one row per (vector, subspace), map-side explode.
+
+    The input is spread to cluster parallelism first when its scan has
+    fewer partitions (identity at scale): every Lloyd round and the
+    encode re-read this frame, and a single-row-group embeddings file
+    would otherwise serialize all of them onto one task."""
+    from cryptocurrency_data_pipeline_spark.operators.skew import (
+        spread_small_scan,
+    )
+
+    df = spread_small_scan(df)
     return df.select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("v"),

@@ -66,13 +66,24 @@ from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa
 )
 def bigram_logprob_docs(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import text
+    from cryptocurrency_data_pipeline_spark.operators.skew import (
+        spread_small_scan,
+    )
 
-    docs = t(spark, sf_dir, "documents").withColumn(
+    docs = spread_small_scan(t(spark, sf_dir, "documents")).withColumn(
         "__toks", text.tokens("text")
     )
-    b = docs.select(
-        "doc_id", F.explode(text.shingles(n=2, toks=F.col("__toks"))).alias("bg")
-    ).withColumn("w1", F.substring_index("bg", " ", 1))
+    # Persisted: the bigram frame feeds BOTH count sides and the scoring
+    # join — uncached, the tokenize+shingle explode ran three times per
+    # action (and serially, behind the single-row-group scan).
+    b = track(
+        docs.select(
+            "doc_id",
+            F.explode(text.shingles(n=2, toks=F.col("__toks"))).alias("bg"),
+        )
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .persist()
+    )
     cb = b.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
     cu = b.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
     return (
