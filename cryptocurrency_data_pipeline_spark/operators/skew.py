@@ -163,6 +163,10 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     shuffle is ever added to a big input.  Round-robin repartition is
     retry-deterministic (sort-before-repartition, on by default since
     SPARK-23207)."""
+    if df.isStreaming:
+        # .rdd is undefined on a streaming frame; micro-batch sizing is
+        # the stream's own concern.
+        return df
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)

@@ -1054,3 +1054,22 @@ def test_epoch_sec_matches_python_floor(spark, micros):
     }
     for i, us in enumerate(micros):
         assert got[i] == us // 1_000_000, (us, got[i])
+
+
+def test_spread_small_scan_identity_and_spread(spark):
+    # r14: spreads a few-partition input up to default parallelism,
+    # identity when the input already has at least that many partitions,
+    # rows unchanged either way.
+    from cryptocurrency_data_pipeline_spark.operators.skew import (
+        spread_small_scan,
+    )
+
+    p = spark.sparkContext.defaultParallelism
+    small = spark.createDataFrame([(i,) for i in range(100)], "id int").coalesce(1)
+    out = spread_small_scan(small)
+    assert out.rdd.getNumPartitions() == p
+    assert sorted(r.id for r in out.collect()) == list(range(100))
+
+    big = spark.range(1000).repartition(p + 4)
+    same = spread_small_scan(big)
+    assert same.rdd.getNumPartitions() == p + 4  # untouched
