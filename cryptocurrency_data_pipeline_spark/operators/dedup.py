@@ -76,14 +76,8 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     persisted — both the signature and the verification join read it, so
     the shingling/hash pass runs a single time (at scale: persist to
     MEMORY_AND_DISK rather than recompute a 100 TB lineage twice)."""
-    from cryptocurrency_data_pipeline_spark.operators.skew import (
-        spread_small_scan,
-    )
-
     return (
-        spread_small_scan(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
-        )
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
         # Stage tokens as a bound column: shingling references the token
         # array inside a HOF lambda, which re-evaluates raw expressions
         # per element (O(len²) tokenization otherwise).
@@ -448,16 +442,10 @@ def segment_boilerplate(
     # quadratic the sfbig gram queries hit, just one power of seg_len
     # softer.  ``tk`` is its own column, so the lambda reads a
     # materialized array rather than re-tokenizing per element.
-    from cryptocurrency_data_pipeline_spark.operators.skew import (
-        spread_small_scan,
-    )
-
-    # Persisted + spread: the segment frame feeds the df count AND the
-    # join back — uncached the tokenize+hash explode ran twice per
-    # action, serially behind a single-row-group scan.
+    # Persisted: the segment frame feeds the df count AND the join
+    # back — uncached the tokenize+hash explode ran twice per action.
     segs = track(
-        spread_small_scan(df)
-        .select(F.col(id_col), toks.alias("tk"), seg_idx.alias("idx"))
+        df.select(F.col(id_col), toks.alias("tk"), seg_idx.alias("idx"))
         .select(
             id_col,
             F.explode(

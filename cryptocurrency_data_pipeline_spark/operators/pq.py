@@ -272,15 +272,10 @@ def _subvectors(
 ) -> DataFrame:
     """(id, m, sub) — one row per (vector, subspace), map-side explode.
 
-    The input is spread to cluster parallelism first when its scan has
-    fewer partitions (identity at scale): every Lloyd round and the
-    encode re-read this frame, and a single-row-group embeddings file
-    would otherwise serialize all of them onto one task."""
-    from cryptocurrency_data_pipeline_spark.operators.skew import (
-        spread_small_scan,
-    )
-
-    df = spread_small_scan(df)
+    Measured NOT to want spread_small_scan (r14): parallelizing the
+    small cached frame to 32 partitions cost more in per-task overhead
+    across the many downstream Lloyd/encode stages than the serial map
+    cost (pq_adc_topk 2.7-3.0 s unspread vs 3.8-4.5 spread)."""
     return df.select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("v"),

@@ -301,13 +301,10 @@ def winnow_fingerprints(
     SQL formulation (hex md5, lexicographic min), and map-only — the 100 TB
     plan is a pure scan→ArrowEval stage with no shuffle.
     """
-    from cryptocurrency_data_pipeline_spark.operators.skew import (
-        spread_small_scan,
-    )
-
-    # The per-doc gram/min pass in the UDF is the cost — spread a small
-    # input across the cluster first (identity on big inputs).
-    return spread_small_scan(df).withColumn(out, _winnow_udf(k, w)(F.col(col)))
+    # Measured NOT to want spread_small_scan (r14): the Arrow UDF pass is
+    # ~0.5 s serial at sf0.1, and 32-way per-task/worker overhead across
+    # the downstream stages costs more (0.78 s unspread vs 1.3 spread).
+    return df.withColumn(out, _winnow_udf(k, w)(F.col(col)))
 
 
 def _winnow_udf(k: int, w: int):

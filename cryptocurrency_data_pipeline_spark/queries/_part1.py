@@ -2105,17 +2105,11 @@ def vocab_top_terms(spark, sf_dir):
 def tfidf_top_term_per_doc(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import text
 
-    from cryptocurrency_data_pipeline_spark.operators.skew import (
-        spread_small_scan,
-    )
-
     docs = t(spark, sf_dir, "documents")
     # Persisted: tfidf references the (doc, token) counts on both the
     # vocab side and the scoring join — uncached the tokenize explode
     # and its groupBy ran twice per action.
-    counts = track(
-        text.term_doc_counts(spread_small_scan(docs)).persist()
-    )
+    counts = track(text.term_doc_counts(docs).persist())
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = text.tfidf(counts, n_docs)
     w = Window.partitionBy("doc_id").orderBy(

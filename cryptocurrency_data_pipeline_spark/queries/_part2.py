@@ -66,16 +66,13 @@ from cryptocurrency_data_pipeline_spark.sources.tables import load_table  # noqa
 )
 def bigram_logprob_docs(spark, sf_dir):
     from cryptocurrency_data_pipeline_spark.operators import text
-    from cryptocurrency_data_pipeline_spark.operators.skew import (
-        spread_small_scan,
-    )
 
-    docs = spread_small_scan(t(spark, sf_dir, "documents")).withColumn(
+    docs = t(spark, sf_dir, "documents").withColumn(
         "__toks", text.tokens("text")
     )
     # Persisted: the bigram frame feeds BOTH count sides and the scoring
     # join — uncached, the tokenize+shingle explode ran three times per
-    # action (and serially, behind the single-row-group scan).
+    # action.
     b = track(
         docs.select(
             "doc_id",

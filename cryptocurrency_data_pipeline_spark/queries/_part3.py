@@ -2107,15 +2107,7 @@ def ivfpq_topk(spark, sf_dir):
     # unrolled dot references its operands 2·dim times, and as_double
     # carries a forall() (interpreted HOF) that must evaluate once per
     # ROW, not once per (row, element) copy.
-    from cryptocurrency_data_pipeline_spark.operators.skew import (
-        spread_small_scan,
-    )
-
-    # Spread before the 8-centroid crossJoin: the interpreted cosine fold
-    # over (rows x centroids) otherwise runs on the single scan partition.
-    emb_d = spread_small_scan(
-        emb.select("vec_id", as_double(F.col("embedding")).alias("__vd"))
-    )
+    emb_d = emb.select("vec_id", as_double(F.col("embedding")).alias("__vd"))
     simr = F.round(cosine(F.col("__vd"), F.col("centroid")), 9)
     corpus_assign = (
         emb_d.crossJoin(F.broadcast(cents))
