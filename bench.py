@@ -17,6 +17,17 @@ warm-ups): single-pass timings on a shared box conflate engine regressions
 with load spikes — BASELINE.md documents the same commit measuring 19.3 s
 idle vs 39.0 s loaded — and the median of three absorbs one-off spikes
 while keeping the run short.
+
+HARNESS CHANGE (r15, measurement-bug fix per the r14 verdict): every
+query execution — warm-up and timed — is followed by a cache release
+(tracked persists, graph localCheckpoints, ``spark.catalog.clearCache``)
+OUTSIDE the timed region.  Before this, Spark's CacheManager substituted
+warm-up-populated InMemoryRelations into the timed passes by
+canonicalized-plan equality, so persist-heavy queries timed cache reads
+instead of compute (hashed_vector_topk read 0.67 s with warm caches vs
+its honest recompute cost).  r14 and earlier BENCH artifacts are
+therefore NOT comparable per-query to r15+ for queries whose pipelines
+persist; the r15 re-baseline in BASELINE.md records both series.
 """
 
 from __future__ import annotations
@@ -30,8 +41,27 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from cryptocurrency_data_pipeline_spark.operators import caching, graph  # noqa: E402
 from cryptocurrency_data_pipeline_spark.queries import QUERIES  # noqa: E402
 from cryptocurrency_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def _release_caches(spark) -> None:
+    """Drop every cache a query execution may have left behind.
+
+    Spark's CacheManager substitutes cached plans by canonicalized plan
+    equality across INVOCATIONS, so without this a timed pass of a query
+    whose pipeline persists an intermediate would read the warm-up's
+    InMemoryRelation instead of recomputing — the median would measure
+    cache reads, not engine speed (r14 verdict: gaming_suspected).
+    Called OUTSIDE the timed region, after every query execution (warm-up
+    and timed), so each timed invocation computes from the parquet inputs.
+    Within one invocation a persist still works normally — that reuse
+    happens inside the timed region and is legitimate.
+    """
+    caching.release_all(spark)
+    graph.release_checkpoints(spark)
+    spark.catalog.clearCache()
 
 #: Headline set: one per operator family, weighted toward the heavy paths.
 HEADLINE = [
@@ -197,6 +227,7 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+            _release_caches(spark)
 
     # Gate immediately before the first timed pass (warm-ups above are
     # load-insensitive; the timed medians are what the gate protects).
@@ -209,6 +240,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             passes[name].append(round(time.perf_counter() - t0, 3))
+            _release_caches(spark)  # outside the timed region
 
     timings = {name: sorted(ts)[1] for name, ts in passes.items()}
     calibration_end = _calibration_sec(spark)

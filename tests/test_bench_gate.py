@@ -47,3 +47,23 @@ def test_gate_opens_immediately_on_a_quiet_host(monkeypatch):
     monkeypatch.setattr(bench, "_calibration_sec", _scripted([0.11, 0.12]))
     last, attempts, passed = bench._calibration_gate(spark=None)
     assert passed is True and attempts == [0.11, 0.12] and last == 0.12
+
+
+def test_release_caches_is_hermetic(spark):
+    """_release_caches must empty the CacheManager so a timed pass cannot
+    read an InMemoryRelation a warm-up populated (r15 measurement fix):
+    plan-equality substitution is exactly what made persist-based bench
+    numbers measure cache reads instead of compute."""
+    from cryptocurrency_data_pipeline_spark.operators import caching
+
+    tracked = caching.track(spark.range(100).selectExpr("id * 3 AS v").persist())
+    tracked.count()
+    untracked = spark.range(50).selectExpr("id + 7 AS w").persist()
+    untracked.count()
+    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    bench._release_caches(spark)
+
+    # Both the tracked persist and the stray one are gone: a plan equal to
+    # either would now recompute rather than hit the CacheManager.
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

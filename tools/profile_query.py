@@ -18,6 +18,7 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
+from bench import _release_caches  # noqa: E402
 from cryptocurrency_data_pipeline_spark.queries import QUERIES  # noqa: E402
 from cryptocurrency_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -53,6 +54,7 @@ def main() -> None:
 
     for _ in range(2):  # warm-ups
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _release_caches(spark)  # hermetic: timed passes recompute caches
     cal_start = cal()
     # note job boundary: stages submitted after this moment are the run
     before_ids = {s["stageId"] for s in api(port, f"applications/{app_id}/stages")}
@@ -61,6 +63,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         ts.append(round(time.perf_counter() - t0, 3))
+        _release_caches(spark)  # outside the timed region
     stages = api(port, f"applications/{app_id}/stages")
     fresh = [s for s in stages if s["stageId"] not in before_ids]
     fresh.sort(key=lambda s: -(s.get("executorRunTime") or 0))

@@ -44,7 +44,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import HEADLINE, WRITE_PATH, _calibration_sec  # noqa: E402
+from bench import (  # noqa: E402
+    HEADLINE,
+    WRITE_PATH,
+    _calibration_sec,
+    _release_caches,
+)
 from cryptocurrency_data_pipeline_spark.queries import QUERIES  # noqa: E402
 from cryptocurrency_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -61,6 +66,7 @@ def _time_queries(
         QUERIES[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        _release_caches(spark)  # hermetic: timed passes recompute caches
     raw: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(passes):
         for name in names:
@@ -69,6 +75,7 @@ def _time_queries(
                 "overwrite"
             ).save()
             raw[name].append(round(time.perf_counter() - t0, 3))
+            _release_caches(spark)  # outside the timed region
     # statistics.median, not sorted()[len//2]: with an even pass count
     # the latter is the UPPER of the middle pair — under the default
     # scaled passes=2 that made every "median" the slower of two runs
