@@ -216,7 +216,12 @@ def _make_l2_assign_udf(centers: list[tuple[int, list[float]]], chunk: int = 409
             {"cluster_id": out_c.astype("int32"), "sq_dist": sq}
         )
 
-    return assign
+    # asNondeterministic (guide §4.4): callers filter/join on the struct
+    # fields (`__a.cluster_id`), and a pushed-down isnotnull over the
+    # UDF column duplicates the ArrowEvalPython — every row then pays
+    # the Python boundary twice (the r15 winnow/ivf_ann profile
+    # signature).  Pure function; the marker only forbids cloning.
+    return assign.asNondeterministic()
 
 
 def assign_clusters_arrow(

@@ -253,7 +253,12 @@ def simhash64(col: Column) -> Column:
     decorator would make this module import-order sensitive)."""
     global _simhash_udf
     if _simhash_udf is None:
-        _simhash_udf = pandas_udf(_simhash_batch, "long")
+        # asNondeterministic (guide §4.4): signatures feed equi-joins,
+        # and a pushed-down isnotnull over the UDF column would
+        # duplicate the ArrowEvalPython (every row pays the Python
+        # boundary twice).  Pure function; the marker only forbids the
+        # optimizer cloning/reordering it.
+        _simhash_udf = pandas_udf(_simhash_batch, "long").asNondeterministic()
     return _simhash_udf(col)
 
 

@@ -191,7 +191,14 @@ def _make_probe_udf(cent_mat, nprobe: int):
         order = np.argsort(np.round(-sims, 9), axis=1, kind="stable")[:, :nprobe]
         return pd.Series([(row + 1).tolist() for row in order])
 
-    return probes
+    # asNondeterministic (guide §4.4): the corpus side projects
+    # `probes(v)[0]` and the downstream centroid_id equi-join infers
+    # `isnotnull(probes(v)[0])`, which the optimizer pushes BELOW the
+    # projection — duplicating the ArrowEvalPython so every corpus row
+    # paid the Python boundary twice (r14 ivf_ann_topk plan: nodes 3 and
+    # 7 are the same UDF; the −19% r14 regression).  The function is
+    # pure; the marker only forbids cloning/reordering.
+    return probes.asNondeterministic()
 
 
 def ivf_topk(

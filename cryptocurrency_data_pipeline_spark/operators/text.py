@@ -301,10 +301,30 @@ def winnow_fingerprints(
     SQL formulation (hex md5, lexicographic min), and map-only — the 100 TB
     plan is a pure scan→ArrowEval stage with no shuffle.
     """
-    # Measured NOT to want spread_small_scan (r14): the Arrow UDF pass is
-    # ~0.5 s serial at sf0.1, and 32-way per-task/worker overhead across
-    # the downstream stages costs more (0.78 s unspread vs 1.3 spread).
-    return df.withColumn(out, _winnow_udf(k, w)(F.col(col)))
+    # Spread the scan BEFORE the UDF pass (re-measured r15 under the
+    # cache-hermetic harness): the r14 removal A/B read "0.78 s unspread
+    # vs 1.3 spread", but those timed passes never ran the UDF — the
+    # warm-up's persisted fingerprint frame was substituted by
+    # CacheManager plan equality.  Hermetically the UDF pass is ~4.5 s
+    # SERIAL per winnow_near_dups pass at sf0.1 (md5 per gram position,
+    # profile: 1-task stage, wall 4.6 s / JVM cpu 0.3 s); 32-way it is
+    # embarrassingly parallel.  Identity on at-scale inputs.
+    from cryptocurrency_data_pipeline_spark.operators.skew import (
+        spread_small_scan,
+    )
+
+    # asNondeterministic (guide §4.4): callers explode the fingerprint
+    # array, and InferFiltersFromGenerate infers `size(out) > 0 AND
+    # isnotnull(out)` which the optimizer pushes below the spread
+    # exchange — DUPLICATING the ArrowEvalPython so the whole md5 pass
+    # ran twice, once serially below the repartition (r15 profile: a
+    # 1-task 3.1 s stage with 0.15 s JVM cpu feeding the 32-task pass).
+    # The function is pure; the marker only forbids the optimizer to
+    # clone or reorder it.  Plan after: ONE ArrowEvalPython, above the
+    # round-robin exchange.
+    return spread_small_scan(df).withColumn(
+        out, _winnow_udf(k, w).asNondeterministic()(F.col(col))
+    )
 
 
 def _winnow_udf(k: int, w: int):
