@@ -147,17 +147,33 @@ def jaccard_self_join(
         .select("id_a", "id_b", "sz_a", "sz_b")
         .distinct()
     )
-    # Distinct (id, rank) rows by construction: explode the per-doc
-    # SETS (cached in ``docs``), so the intersection count is set-valued
-    # even on a duplicated input.
-    elems = docs.select("id", F.explode("ordered").alias("rk"))
-    ta = elems.select(F.col("id").alias("id_a"), "rk")
-    tb = elems.select(F.col("id").alias("id_b"), "rk")
+    # Verification: the candidate pairs are already DISTINCT, so the
+    # intersection size is one set expression per pair over the cached
+    # per-doc ordered sets — ``size(array_intersect(a, b))`` — instead
+    # of exploding both sets and re-aggregating: the exploded form
+    # produced |cand| x |set| intermediate rows (8.8M at sf0.1, the
+    # pass's hottest aggregate at ~15 s of task time) plus an exchange;
+    # this form is two id-keyed joins carrying the arrays and zero
+    # post-join shuffles (r15, guide §2.3/§2.4).  Exact: both arrays
+    # are distinct ranks (array_sort(collect_set)), and array_intersect
+    # over longs is set semantics — the same count the group-by
+    # computed.  Scale shape: same id-keyed equi-joins as the exploded
+    # verification, moving each doc's set once per candidate instead of
+    # once per candidate PER ELEMENT.
+    sets_a = docs.select(F.col("id").alias("id_a"), F.col("ordered").alias("__oa"))
+    sets_b = docs.select(F.col("id").alias("id_b"), F.col("ordered").alias("__ob"))
     inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "rk"])
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("__oa", "__ob"))
+            .cast("long")
+            .alias("inter"),
+        )
     )
     union_sz = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
@@ -238,13 +254,23 @@ def containment_join(
         .select("id_a", "id_b", "sz_a")
         .distinct()
     )
-    ta = elems.select(F.col("id").alias("id_a"), "rk")
-    tb = elems.select(F.col("id").alias("id_b"), "rk")
+    # Verification via one set expression per DISTINCT candidate pair
+    # over the cached ordered sets (same r15 rewrite as
+    # :func:`jaccard_self_join`): two id-keyed joins carrying the
+    # arrays, no explode fan-out, no post-join aggregation exchange.
+    sets_a = docs.select(F.col("id").alias("id_a"), F.col("ordered").alias("__oa"))
+    sets_b = docs.select(F.col("id").alias("id_b"), F.col("ordered").alias("__ob"))
     inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "rk"])
-        .groupBy("id_a", "id_b", "sz_a")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "sz_a",
+            F.size(F.array_intersect("__oa", "__ob"))
+            .cast("long")
+            .alias("inter"),
+        )
     )
     return (
         inter.where(F.col("inter") * den >= F.col("sz_a") * num)
