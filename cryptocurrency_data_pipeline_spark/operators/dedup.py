@@ -76,8 +76,19 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     persisted — both the signature and the verification join read it, so
     the shingling/hash pass runs a single time (at scale: persist to
     MEMORY_AND_DISK rather than recompute a 100 TB lineage twice)."""
+    from cryptocurrency_data_pipeline_spark.operators.skew import (
+        spread_small_scan,
+    )
+
     return (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+        # Spread the single-row-group scan BEFORE the shingle/md5/OPH
+        # map chain (re-measured r15 under the cache-hermetic harness —
+        # the r14 removal A/B timed warm-cache reads, not this pass):
+        # the interpreted-HOF pipeline otherwise runs on ONE task.
+        # Identity on at-scale inputs.
+        spread_small_scan(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+        )
         # Stage tokens as a bound column: shingling references the token
         # array inside a HOF lambda, which re-evaluates raw expressions
         # per element (O(len²) tokenization otherwise).
