@@ -143,6 +143,84 @@ def _sub_dist(subdim: int | None = None) -> "F.Column":
     ).otherwise(fold)
 
 
+def _make_code_assign_udf(book: dict, subdim: int):
+    """Arrow-batched nearest-code assignment for DRIVER-HELD codebooks —
+    the Lloyd-round replacement for ``broadcast(codebook) join`` +
+    ``_sub_dist`` + ``min_by`` (r15, guide §4.2): one pandas UDF
+    ``(m, sub) → code`` per batch, numpy per subspace, no broadcast
+    build, no 16× row explode, no argmin shuffle per round.
+
+    Semantics are EXACTLY the join path's (pinned by the seam test in
+    tests/test_pq.py):
+
+    * distance is the SEQUENTIAL per-dimension accumulation
+      ``acc += (x_i - y_i)^2`` from ``acc = 0`` — the same IEEE op order
+      as ``_sub_dist``'s unrolled ``0.0 + t1 + t2 + …``, so every
+      comparison (and therefore every argmin and tie) is bit-identical;
+    * ties break to the LOWEST code (min_by over ``struct(dist, code)``);
+    * NaN distances rank ABOVE everything (Spark double ordering), so a
+      REAL +inf distance beats a NaN one and an all-NaN row falls back
+      to the lowest code;
+    * a sub of the wrong length (zip_with's pad-NULL → NULL dist for
+      every code) falls back to the lowest code, matching the join
+      path's NULLS-FIRST struct ordering.
+
+    The codebook rides to executors inside the serialized UDF —
+    O(m·k·subdim) doubles, the broadcast-sketch regime."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mats = {}
+    for mi, codes in book.items():
+        cs = sorted(codes)
+        mats[int(mi)] = (
+            np.asarray(cs, dtype="int64"),
+            np.asarray([codes[c] for c in cs], dtype="float64"),
+        )
+
+    @pandas_udf("int")
+    def assign(ms, subs):
+        n = len(ms)
+        out = np.zeros(n, dtype="int64")
+        m_arr = ms.to_numpy()
+        vals = subs.to_numpy()  # object array of per-row numpy arrays
+        lens = np.fromiter(
+            (0 if r is None else len(r) for r in vals), dtype="int64", count=n
+        )
+        ok_all = lens == subdim
+        # One C-loop stack for the whole batch (no per-element iloc —
+        # the first cut spent its time in pandas indexing, not numpy).
+        if ok_all.any():
+            stacked = np.stack(vals[ok_all]).astype("float64", copy=False)
+        pos = np.cumsum(ok_all) - 1  # row -> index into `stacked`
+        for mi, (cids, mat) in mats.items():
+            idx = np.flatnonzero(m_arr == mi)
+            if idx.size == 0:
+                continue
+            ok = ok_all[idx]
+            out[idx] = int(cids[0])  # malformed rows: lowest code
+            oki = idx[ok]
+            if oki.size:
+                v = stacked[pos[oki]]
+                d = np.zeros((v.shape[0], mat.shape[0]))
+                for i in range(subdim):
+                    t = v[:, i][:, None] - mat[:, i][None, :]
+                    d += t * t
+                key = np.where(np.isnan(d), np.inf, d)
+                j = np.argmin(key, axis=1)  # first min = lowest code
+                rr = np.arange(v.shape[0])
+                realinf = d == np.inf
+                fix = (key[rr, j] == np.inf) & realinf.any(axis=1)
+                j = np.where(fix, np.argmax(realinf, axis=1), j)
+                out[oki] = cids[j]
+        return pd.Series(out.astype("int32"))
+
+    # asNondeterministic (guide §4.4): forbid the optimizer cloning the
+    # ArrowEvalPython around pushed-down filters; the function is pure.
+    return assign.asNondeterministic()
+
+
 def pq_encode(
     df: DataFrame,
     codebook: DataFrame,
@@ -550,21 +628,28 @@ def train_codebook(
         ]
         return codebook_frame(spark, rows)
 
+    if not seed_rows:
+        # Empty corpus: no seeds, no rounds — the empty codebook frame,
+        # exactly what the join-path loop produced via empty joins.
+        return as_frame(book)
     if sub is None:
         sub = _subvectors(df, m, subdim, id_col, vec_col)
+    # Lloyd rounds on the Arrow kernel (r15, the r14 verdict's ask #3):
+    # the per-round broadcast-codebook join evaluated K codegen'd
+    # distance expressions per (row, subspace) behind a fresh VALUES
+    # broadcast and a min_by exchange EVERY round; the kernel is one
+    # map-only ArrowEvalPython over (m, sub) with the argmin done in
+    # numpy — same arithmetic, same ties (see _make_code_assign_udf).
+    # The means aggregate (and its collect) is unchanged: 9-dp rounding
+    # keeps centroids engine-exact.
     for _ in range(iters):
-        cb = as_frame(book)
-        assigned = (
-            sub.join(F.broadcast(cb), "m")
-            .select(id_col, "m", "code", "sub", _sub_dist(subdim).alias("dist"))
-            .groupBy(id_col, "m")
-            .agg(
-                F.min_by(
-                    F.struct("code", "sub"), F.struct("dist", "code")
-                ).alias("best")
-            )
-            .select(id_col, "m", F.col("best.code").alias("code"),
-                    F.col("best.sub").alias("sub"))
+        assign = _make_code_assign_udf(book, subdim)
+        # STAGE the UDF in its own projection BELOW the posexplode: in a
+        # single select, ExtractPythonUDFs placed the ArrowEvalPython
+        # ABOVE the Generate, running the kernel once per (row, dim) —
+        # 8x the rows across the Python boundary (r15 profile).
+        assigned = sub.select(
+            "m", assign(F.col("m"), F.col("sub")).alias("code"), "sub"
         )
         means = (
             assigned.select("m", "code", F.posexplode("sub").alias("i", "x"))

@@ -243,3 +243,44 @@ def test_sub_dist_unrolled_matches_fold_on_edges(spark):
         else:
             assert r.unrolled is not None, r
             assert st.pack("<d", r.unrolled) == st.pack("<d", r.fold), r
+
+
+def test_arrow_code_assign_matches_join_path_on_edges(spark):
+    """The Lloyd-round Arrow kernel (r15) must agree bit-for-bit with the
+    broadcast-join + _sub_dist + min_by reference on EVERY edge shape:
+    near-ties, NaN components (all-NaN dists), +inf components, huge
+    finite values that overflow to inf against far centroids only
+    (mixed finite/inf), and wrong-length subs (all-NULL dists)."""
+    from pyspark.sql import functions as F
+
+    subdim = 4
+    book = {
+        0: {0: [0.0, 0.0, 0.0, 0.0], 1: [1.0, 0.0, 0.0, 0.0],
+            2: [1e308, 0.0, 0.0, 0.0], 3: [float("nan"), 0.0, 0.0, 0.0]},
+        1: {0: [2.0, 2.0, 2.0, 2.0], 1: [2.0, 2.0, 2.0, 2.0 + 1e-16]},
+    }
+    rows = [
+        (1, 0, [0.5, 0.0, 0.0, 0.0]),          # plain near-tie vs codes 0/1
+        (2, 0, [float("nan"), 1.0, 1.0, 1.0]),  # all-NaN dists -> code 0
+        (3, 0, [float("inf"), 0.0, 0.0, 0.0]),  # inf vs code 3's NaN: real inf wins
+        (4, 0, [-1e308, 0.0, 0.0, 0.0]),        # finite vs codes 0/1, inf vs 2
+        (5, 0, [0.5, 0.5]),                     # wrong length -> NULL dists
+        (6, 1, [2.0, 2.0, 2.0, 2.0]),           # exact tie tail -> lowest code
+        (7, 1, [2.0, 2.0, 2.0, 2.0000000000000004]),
+    ]
+    sub = spark.createDataFrame(rows, "vec_id long, m int, sub array<double>")
+
+    cb_rows = [(mi, c, v) for mi, cs in book.items() for c, v in cs.items()]
+    cb = pq.codebook_frame(spark, cb_rows)
+    joined = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "code", pq._sub_dist(subdim).alias("dist"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code", F.struct("dist", "code")).alias("code"))
+    )
+    ref = {(r.vec_id, r.m): r.code for r in joined.collect()}
+
+    assign = pq._make_code_assign_udf(book, subdim)
+    got_df = sub.select("vec_id", "m", assign(F.col("m"), F.col("sub")).alias("code"))
+    got = {(r.vec_id, r.m): r.code for r in got_df.collect()}
+    assert got == ref
