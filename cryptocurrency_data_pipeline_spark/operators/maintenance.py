@@ -1161,6 +1161,7 @@ def merge_into_snapshot(
     validate_partition: bool = False,
     commit: SnapshotCommit | None = None,
     touched: set[str] | None = None,
+    current: DataFrame | None = None,
 ) -> int:
     """Row-level MERGE INTO the current snapshot, published copy-on-write:
     rows in ``updates`` REPLACE current rows with matching ``keys``
@@ -1185,7 +1186,18 @@ def merge_into_snapshot(
     ``touched`` (directory-string partition values of ``updates``) can
     be passed by callers that already computed it — the snapshot sink
     folds it into its per-batch counts aggregate — saving the
-    distinct+collect job here."""
+    distinct+collect job here.
+
+    ``current`` injects an already-built (ideally persisted) read of
+    the table's current version so a caller that has one — the snapshot
+    sink reads the current version for its late-data guard immediately
+    before merging — shares it instead of assembling and scanning the
+    per-partition union a second time in the same cycle (r15).  It may
+    be pre-pruned to the ``touched`` partitions (the sink persists
+    exactly that subset); it feeds ONLY the ``existing``/survivors side,
+    which filters to ``touched`` anyway.  ``validate_partition`` always
+    reads its own full snapshot: its cross-partition-move probes must
+    see keys whose current row lives in an UNTOUCHED partition."""
     from pyspark.sql import functions as F
 
     man = (commit or DEFAULT_COMMIT).manifest_for_write(table_path)
@@ -1204,8 +1216,11 @@ def merge_into_snapshot(
         }
     else:
         touched = set(touched)
-    current = read_snapshot(spark, table_path, commit=commit)
-    existing = current.where(partition_predicate(part_col, touched))
+    existing = (
+        current
+        if current is not None
+        else read_snapshot(spark, table_path, commit=commit)
+    ).where(partition_predicate(part_col, touched))
 
     if delete_col is not None:
         upserts = updates.filter(
@@ -1226,7 +1241,12 @@ def merge_into_snapshot(
         # leave the old row alive), and only keys with a VALID delete
         # are exempt from the upsert-side check.  The probes join
         # key→partition projections only and stop at the first hits.
-        cur_kp = current.select(*keys, part_str.alias("__cur_p"))
+        # Always a FULL snapshot read — an injected (possibly
+        # touched-pruned) `current` would hide exactly the moved keys
+        # this validation exists to catch.
+        cur_kp = read_snapshot(spark, table_path, commit=commit).select(
+            *keys, part_str.alias("__cur_p")
+        )
         upd_kp = upserts.select(*keys, part_str.alias("__upd_p")).distinct()
         if delete_col is not None:
             del_kp = (

@@ -50,6 +50,16 @@ from pyspark.sql import functions as F
 from cryptocurrency_data_pipeline_spark.operators import maintenance, silver
 
 
+#: Cache the touched-partition current read across its two per-batch
+#: consumers (late-data guard + merge survivors)?  Measured OFF (r15,
+#: interleaved hermetic A/B on the replay fixture: min 4.66 s unpersisted
+#: vs 5.31 s persisted): the cache write + its extra AQE stage-jobs cost
+#: more than recomputing a partition-pruned parquet scan; the shared
+#: frame is still INJECTED into merge_into_snapshot so the manifest
+#: load + union assembly happens once per cycle either way.
+_PERSIST_CURRENT = False
+
+
 def key_bucket(keys: Sequence[str], n_buckets: int = 16):
     """Stable partition for a key: ``pmod(xxhash64(keys), n)``.  The
     same expression on any engine/day puts the key in the same bucket."""
@@ -152,6 +162,7 @@ def merge_batch_into_snapshot(
         stats_out["null_order_dropped"] = n_null_order
     batch = batch.filter(F.col(order_col).isNotNull())
     latest = silver.dedup_latest(batch, keys, order_col, tiebreak).persist()
+    current = None
     try:
         if counts["n_valid"] == 0:
             man = maintenance._load_manifest(table_path)
@@ -170,7 +181,18 @@ def merge_batch_into_snapshot(
                 f"— rebuild the table to migrate"
             )
         spark = latest.sparkSession
-        current = maintenance.read_snapshot(spark, table_path)
+        # ONE assembled current-version read per merge cycle (r15): the
+        # late-data guard's `stored` projection and the merge's
+        # `existing` side both scan it — persisted here, injected into
+        # merge_into_snapshot via `current=`, released in the finally.
+        # Pruned to the TOUCHED partitions BEFORE the persist: caching
+        # the unfiltered read would materialize the whole table and
+        # defeat the partition-pruned scan this sink exists for.
+        current = maintenance.read_snapshot(spark, table_path).where(
+            maintenance.partition_predicate(part_col, touched)
+        )
+        if _PERSIST_CURRENT:
+            current = current.persist()
         # Dtype-drift guard FIRST (pure metadata — no executor work
         # before failing fast): xxhash64 is TYPE-sensitive (the same
         # numeric value buckets differently as int vs long), so a batch
@@ -217,16 +239,31 @@ def merge_batch_into_snapshot(
             .persist()
         )
         try:
-            if fresh.isEmpty():
+            # The dedicated fresh.isEmpty() job is skipped when the
+            # batch's column list matches the table's recorded one
+            # (r15, the common steady-state case): an empty `fresh`
+            # then makes the merged frame content- AND schema-equal to
+            # the current partitions, so the skip_unchanged fingerprint
+            # pre-scan withdraws the publish — the same answer the
+            # early return gave, without a per-batch driver job spent
+            # on the COMMON non-empty case.  A batch whose columns
+            # DIFFER (schema evolution, or a stale replay from an old
+            # producer) keeps the explicit emptiness check: an
+            # all-stale batch must never re-publish the table under its
+            # own column order.
+            same_cols = list(latest.columns) == prev.get("columns")
+            if not same_cols and fresh.isEmpty():
                 return maintenance._load_manifest(table_path)["current"]
             return maintenance.merge_into_snapshot(
                 fresh, table_path, keys, skip_unchanged=True,
-                touched=set(touched),
+                touched=set(touched), current=current,
             )
         finally:
             fresh.unpersist()
     finally:
         latest.unpersist()
+        if current is not None and _PERSIST_CURRENT:
+            current.unpersist()
 
 
 def stream_ticks_to_snapshot(
