@@ -156,8 +156,12 @@ def connected_components(
     therefore stays queryable across any number of later
     ``connected_components`` calls.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Persist the input projection BEFORE symmetrizing (r15): the union
+    # references it on both sides, so an expensive upstream edge
+    # pipeline (dup_clusters feeds the MinHash candidate+verify chain
+    # here) would otherwise evaluate twice inside e's materialization.
+    p = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    e = p.unionByName(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # No distinct() on the symmetrized edges: the per-round min-aggregation
     # is idempotent under duplicate edges, so deduping here would spend a
     # full edge shuffle to save nothing downstream.
@@ -212,6 +216,7 @@ def connected_components(
         prev_sum = new_sum
 
     e.unpersist()
+    p.unpersist()
     handle = CheckpointHandle(sc, owned)
     live = _live_handles(sc)
     live[:] = [h for h in live if not h.released]  # prune self-released
@@ -247,7 +252,14 @@ def pagerank(
     """
     from cryptocurrency_data_pipeline_spark.operators.caching import track
 
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Persist the input projection BEFORE symmetrizing (r15): the union
+    # references it on both sides, so an expensive upstream edge
+    # pipeline (the doc-graph queries feed the MinHash candidate+verify
+    # chain here) would otherwise evaluate twice inside e's
+    # materialization.
+    p = track(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    )
     # Persist the shared frames: e feeds every iteration's contribution
     # join and nodes/deg; without the cache each of the unrolled
     # iterations re-embeds (and re-computes) the whole symmetrize +
@@ -258,7 +270,7 @@ def pagerank(
     # an InMemoryRelation read (the jaccard_self_join discipline);
     # track() lets benchmark loops release the blocks eagerly.
     e = track(
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        p.unionByName(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist()
     )
