@@ -1,4 +1,4 @@
-"""Dump `.explain("formatted")` for bench headline queries to plans/r14/.
+"""Dump `.explain("formatted")` for bench headline queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
   suffix: "before" / "after" — file name suffix (plans/r14/<q>_<suffix>.txt)
@@ -29,7 +29,7 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = ROOT / "plans" / "r14"
+    out_dir = ROOT / "plans" / os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
