@@ -460,6 +460,9 @@ def segment_boilerplate(
     # materialized array rather than re-tokenizing per element.
     # Persisted: the segment frame feeds the df count AND the join
     # back — uncached the tokenize+hash explode ran twice per action.
+    # Measured NOT to want spread_small_scan (r15 interleaved hermetic
+    # A/B: 1.33 s unspread vs 1.37 spread — segment hashing is too
+    # cheap to pay the repartition).
     segs = track(
         df.select(F.col(id_col), toks.alias("tk"), seg_idx.alias("idx"))
         .select(

@@ -464,7 +464,10 @@ def term_doc_counts(
     Scale shape: the (id, token) groupBy's partial aggregate collapses
     each document's repeats map-side BEFORE the shuffle (a doc's rows are
     map-local post-explode), so shuffle traffic is per-doc vocabulary,
-    not raw token occurrences.
+    not raw token occurrences.  Measured NOT to want spread_small_scan
+    (r15 interleaved hermetic A/B: tfidf 1.63 s unspread vs 1.82 spread,
+    vocab 0.68 vs 0.85 — the tokenize explode is too cheap to pay the
+    repartition; contrast the winnow md5 pass, where spread wins 3×).
     """
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
@@ -829,7 +832,10 @@ def hashed_doc_vectors(
     Zero Python, zero driver state.
 
     Output: ``(id_col, embedding array<double>)`` — components rounded
-    to 9 dp so downstream comparisons are engine-stable.
+    to 9 dp so downstream comparisons are engine-stable.  Measured NOT
+    to want spread_small_scan (r15 interleaved hermetic A/B: 1.79 s
+    unspread vs 1.90 spread — the tokenize/hash explode is too cheap to
+    pay the repartition).
     """
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")

@@ -55,16 +55,23 @@ def test_star_query_broadcasts_dims_and_preaggregates(spark):
 
 
 def _only_spread_exchange(p: str) -> bool:
-    """True iff the only exchanges are the small-input spread's
-    ROUND-ROBIN repartition (r14 skew.spread_small_scan — identity at
-    scale, where the scan already has >= defaultParallelism partitions);
-    a hash/range exchange would mean a real shuffle snuck in."""
-    low = p.lower()
-    return (
-        "hashpartitioning" not in low
-        and "rangepartitioning" not in low
-        and ("exchange" not in low or "roundrobinpartitioning" in low)
-    )
+    """True iff EVERY exchange in the plan is the small-input spread's
+    ROUND-ROBIN repartition (skew.spread_small_scan — identity at
+    scale, where the scan already has >= defaultParallelism partitions).
+    Checked PER EXCHANGE NODE (r15, ADVICE): the old whole-plan
+    substring test let a broadcast or single-partition exchange slip
+    through as long as one round-robin was present somewhere.  The
+    formatted-explain detail blocks carry each node's Arguments, so
+    every block whose operator is an Exchange (BroadcastExchange
+    included) must name RoundRobinPartitioning."""
+    import re
+
+    for block in re.split(r"\n\(\d+\) ", p):
+        op = block.lower()
+        if op.startswith("exchange") or op.startswith("broadcastexchange"):
+            if "roundrobinpartitioning" not in op:
+                return False
+    return True
 
 
 def test_text_stats_is_map_only(spark):
