@@ -233,15 +233,37 @@ def pq_encode(
     """Encode vectors to PQ codes: ``(id, m, code)``, one row per
     subspace.
 
-    Explode by subspace (map-side), broadcast-join the codebook, take
-    the argmin centroid per (vector, subspace) with ``min_by`` keyed on
-    the UNIQUE ``(distance, code)`` struct — a partial-aggregating
-    shuffle (the K joined candidates combine map-side before the
-    exchange; no sort window), with ties breaking identically on every
-    engine.  Pass a cached ``sub`` frame (from ``_subvectors``) to share
-    the explode with training."""
+    On the Arrow kernel (r15): a codebook is O(m·k) rows by
+    construction, so it collects to the driver (one tiny job —
+    LocalTableScan for a trained frame, a single-file read for a
+    persisted one) and encoding becomes ONE map-only ArrowEvalPython
+    ``(m, sub) → code`` — no broadcast build, no K× explode join, no
+    min_by exchange.  The kernel's argmin is bit-identical to the
+    join path's ``min_by(code, struct(dist, code))`` (same sequential
+    fold arithmetic, same ties/NaN/inf/short-sub handling — the seam
+    test in tests/test_pq.py pins both paths equal on engineered edge
+    vectors).  A codebook whose centroids are not all ``subdim`` long
+    (a foreign artifact) falls back to the join + ``_sub_dist`` path,
+    whose size guard preserves zip_with's pad-NULL semantics.
+
+    Pass a cached ``sub`` frame (from ``_subvectors``) to share the
+    explode with training."""
     if sub is None:
         sub = _subvectors(df, m, subdim, id_col, vec_col)
+    cb_rows = codebook.collect()
+    if all(len(r.centroid) == subdim for r in cb_rows):
+        book: dict[int, dict[int, list[float]]] = {}
+        for r in cb_rows:
+            book.setdefault(int(r.m), {})[int(r.code)] = list(r.centroid)
+        if book:
+            assign = _make_code_assign_udf(book, subdim)
+            # The inner join DROPPED rows whose subspace has no codebook
+            # entry (a mismatched-m artifact); mirror it exactly.
+            return sub.where(F.col("m").isin(sorted(book))).select(
+                id_col, "m", assign(F.col("m"), F.col("sub")).alias("code")
+            )
+        # Empty codebook (sfempty corpus class): the join path yields the
+        # same empty (id, m, code) frame the inner join always produced.
     return (
         sub.join(F.broadcast(codebook), "m")
         .select(id_col, "m", "code", _sub_dist(subdim).alias("dist"))

@@ -74,8 +74,26 @@ def test_train_codebook_keeps_empty_cluster_centroids(spark):
     assert (0.0, 0.0) in cents and (9.0, 9.0) in cents
 
 
-def test_encode_plan_broadcasts_codebook(vecs):
+def test_encode_plan_is_map_only_arrow(vecs):
+    """Encode (r15): one map-only ArrowEvalPython over the subvector
+    frame — no join, no exchange, no per-(row, code) explode.  The old
+    broadcast-join form survives only as the wrong-length-codebook
+    fallback (next test)."""
     cb = pq.demo_codebook(vecs.sparkSession, m=2, k=4, subdim=2)
+    plan = (
+        pq.pq_encode(vecs, cb, m=2, subdim=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_encode_falls_back_to_join_on_foreign_codebook(vecs):
+    """A codebook whose centroids are not subdim long (foreign artifact)
+    must take the join + size-guarded _sub_dist path, not the kernel."""
+    from pyspark.sql import functions as F
+
+    cb = pq.demo_codebook(vecs.sparkSession, m=2, k=4, subdim=3)  # wrong len
     plan = (
         pq.pq_encode(vecs, cb, m=2, subdim=2)
         ._jdf.queryExecution().executedPlan().toString()
