@@ -414,11 +414,12 @@ def test_wav_features_single_shuffle_two_pandas_stages(spark):
 
 
 def test_pq_adc_codebook_and_lut_broadcast(spark):
-    # Codebook (encode) and LUT (scoring) must both be broadcast hash
-    # joins; the heavy exchanges are the argmin window and the
-    # (query, vec) ADC aggregation — no cartesian anywhere.
+    # Encode is the map-only Arrow kernel (r15 — no codebook join at
+    # all); the LUT (scoring) join must still be a broadcast hash join,
+    # and there is no cartesian anywhere.
     p = plan(QUERIES["pq_adc_topk"](spark, SF), mode="simple")
-    assert p.count("BroadcastHashJoin") >= 2
+    assert "ArrowEvalPython" in p  # kernel-encoded codes
+    assert p.count("BroadcastHashJoin") >= 1  # the ADC LUT join
     assert "CartesianProduct" not in p
 
 
